@@ -1,0 +1,303 @@
+"""Detection operators (SURVEY.md §2.6 P1–P7).
+
+Reference pipeline per signal (/root/reference/metrics_advisor.py:144-158):
+
+    range gate → moving_median(5) → e_divisive(p=.05, perm=100)   # change points
+                                 └→ get_noise(...)  → 3σ outliers  # P1–P5 fused
+
+The math that Catalyst cannot express (E-Divisive permutation testing,
+FFT low-pass) runs inside ONE Arrow-batched ``applyInPandas`` per series —
+the whole P1→P7 pipeline fused in a single pass over each group, exactly
+the hand-fusion the reference does eagerly (metrics_advisor.py:51-62).
+Per-series groups are independent, so a 1000-executor cluster parallelizes
+across (metric, series) with one shuffle and zero driver involvement.
+
+The SQL-expressible pieces (rolling median, k-sigma) also exist as pure
+DataFrame variants (smooth_median / ksigma_outliers) so they are
+oracle-checkable and usable from SQL.
+
+E-Divisive follows Matteson & James 2014 ("A Nonparametric Approach for
+Multiple Change Point Analysis") as popularized by MongoDB's
+signal-processing-algorithms 2.0.0 (the reference's dependency,
+requirements.txt:25): energy-statistic qhat over every split point,
+iterative binary segmentation, permutation significance testing.  The
+permutation RNG is seeded from (metric, series) so results are
+deterministic regardless of cluster placement.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# numpy kernels (run inside executors via applyInPandas)
+# ---------------------------------------------------------------------------
+
+
+def moving_median_np(x: np.ndarray, window: int = 5) -> np.ndarray:
+    """P1: centered rolling median, edge-shrunk (min_periods=1).
+
+    Reconstruction of mathbox.moving_median (call sites
+    metrics_advisor.py:52,147,203); edge behavior pinned by our unit
+    goldens, not the unavailable package.
+    """
+    return (
+        pd.Series(x).rolling(window, center=True, min_periods=1).median().to_numpy()
+    )
+
+
+def lowpass_fft_np(x: np.ndarray, step_seconds: float, f_min: float) -> np.ndarray:
+    """P3: low-pass — keep frequency components below f_min Hz.
+
+    mathbox.f_lowpass_filter wraps a Butterworth-style filter
+    [public-knowledge]; scipy is unavailable here so we use an FFT
+    brick-wall low-pass, which extracts the same "seasonality" component
+    for the 3σ residual test that follows.
+    """
+    n = x.size
+    if n == 0:
+        return x
+    filled = np.nan_to_num(x, nan=float(np.nanmean(x)) if np.isnan(x).any() else 0.0)
+    spec = np.fft.rfft(filled)
+    freqs = np.fft.rfftfreq(n, d=step_seconds)
+    spec[freqs > f_min] = 0.0
+    return np.fft.irfft(spec, n=n)
+
+
+def ksigma_outliers_np(noise: np.ndarray, level: float = 3.0) -> np.ndarray:
+    """P5: indices where |x − μ| > level·σ (σ = population std, ddof=0)."""
+    mu = float(np.nanmean(noise))
+    sd = float(np.nanstd(noise))
+    if sd == 0.0 or np.isnan(sd):
+        return np.empty(0, dtype=np.int64)
+    return np.flatnonzero(np.abs(noise - mu) > level * sd)
+
+
+def stl_outliers_np(
+    x: np.ndarray,
+    *,
+    window: int = 5,
+    step_seconds: float = 15.0,
+    f_min: float = 0.01 / 15,
+    level: float = 3.0,
+) -> np.ndarray:
+    """P6 = P1→P2→P3→P4→P5 fused (reference get_noise, metrics_advisor.py:51-62)."""
+    trend = moving_median_np(x, window)
+    detrended = x - trend
+    seasonality = lowpass_fft_np(detrended, step_seconds, f_min)
+    noise = detrended - seasonality
+    return ksigma_outliers_np(noise, level)
+
+
+def _qhat_stats(x: np.ndarray) -> np.ndarray:
+    """Energy-statistic qhat for every split point t ∈ [1, n).
+
+    Vectorized over the pairwise |xi − xj| distance matrix with a 2-D
+    cumulative sum: O(n²) time/space — trivial at the reference's n≈480;
+    longer series are chunked by the caller (detect_changepoints'
+    max_points) so memory stays bounded at scale.
+    """
+    n = x.size
+    q = np.full(n, -np.inf)
+    if n < 4:
+        return q
+    d = np.abs(x[:, None] - x[None, :])
+    c = d.cumsum(0).cumsum(1)
+    total = c[-1, -1]
+    t = np.arange(2, n - 1)  # need ≥2 points on each side for the terms
+    a = c[t - 1, t - 1]              # sum over i<t, j<t
+    row = c[t - 1, -1]               # sum over i<t, all j
+    cross = row - a                  # sum over i<t, j>=t
+    b = total - 2 * cross - a        # sum over i>=t, j>=t
+    m = t.astype(np.float64)
+    nn = (n - t).astype(np.float64)
+    term1 = cross / (m * nn)
+    term2 = a / (m * (m - 1.0))
+    term3 = b / (nn * (nn - 1.0))
+    q[t] = (m * nn / (m + nn)) * (2.0 * term1 - term2 - term3)
+    return q
+
+
+def e_divisive_np(
+    x: np.ndarray,
+    *,
+    pvalue: float = 0.05,
+    permutations: int = 100,
+    seed: int = 0,
+) -> list[int]:
+    """P7: multiple change-point estimation (Matteson & James 2014).
+
+    Iterative binary segmentation: find the argmax-qhat candidate across
+    all current windows, accept it iff a within-window permutation test
+    deems it significant, repeat.  Matches the semantics of the
+    reference's e_divisive call (metrics_advisor.py:148) with a seeded,
+    placement-independent RNG.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    x = np.nan_to_num(x, nan=float(np.nanmean(x)) if np.isnan(x).any() else 0.0)
+    n = x.size
+    if n < 5:
+        return []
+    rng = np.random.default_rng(seed)
+    change_points: list[int] = []
+    while True:
+        bounds = sorted([0, *change_points, n])
+        windows = [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
+        best_q, best_idx = -np.inf, -1
+        for lo, hi in windows:
+            q = _qhat_stats(x[lo:hi])
+            i = int(np.argmax(q))
+            if q[i] > best_q:
+                best_q, best_idx = float(q[i]), lo + i
+        if best_idx < 0 or not np.isfinite(best_q):
+            return sorted(change_points)
+        # permutation test: permute within each window, compare max qhat
+        exceed = 0
+        for _ in range(permutations):
+            perm_best = -np.inf
+            for lo, hi in windows:
+                xp = rng.permutation(x[lo:hi])
+                perm_best = max(perm_best, float(np.max(_qhat_stats(xp))))
+            if perm_best >= best_q:
+                exceed += 1
+        if (exceed + 1) / (permutations + 1) > pvalue:
+            return sorted(change_points)
+        change_points.append(best_idx)
+
+
+def _series_seed(metric: str, series: str) -> int:
+    """Deterministic per-series RNG seed — stable across partitioning."""
+    return zlib.crc32(f"{metric}\x00{series}".encode()) & 0x7FFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+ANOMALY_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType()),
+        T.StructField("series", T.StringType()),
+        T.StructField("kind", T.StringType()),  # 'changepoint' | 'outlier'
+        T.StructField("idx", T.IntegerType()),  # position in ts-ordered series
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def detect_anomalies(
+    signals: DataFrame,
+    *,
+    median_window: int = 5,
+    step_seconds: float = 15.0,
+    f_min: float = 0.01 / 15,
+    sigma_level: float = 3.0,
+    cp_pvalue: float = 0.05,
+    cp_permutations: int = 100,
+    max_points: int = 4096,
+) -> DataFrame:
+    """P1–P7 fused: per-series change points + STL-style 3σ outliers.
+
+    One applyInPandas over groupBy(metric, series); emits one row per
+    detected anomaly.  Series longer than ``max_points`` are chunked so
+    the O(n²) energy statistic stays bounded — the 100 TB design is
+    "detect per chunk, stitch": change points are local features, and
+    chunk boundaries are also bucket boundaries downstream.
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        metric, series = pdf["metric"].iat[0], pdf["series"].iat[0]
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        med = moving_median_np(x, median_window)
+        seed = _series_seed(metric, series)
+        cps: list[int] = []
+        for lo in range(0, x.size, max_points):
+            hi = min(lo + max_points, x.size)
+            cps.extend(
+                lo + c
+                for c in e_divisive_np(
+                    med[lo:hi],
+                    pvalue=cp_pvalue,
+                    permutations=cp_permutations,
+                    seed=seed + lo,
+                )
+            )
+        outliers = stl_outliers_np(
+            x,
+            window=median_window,
+            step_seconds=step_seconds,
+            f_min=f_min,
+            level=sigma_level,
+        )
+        rows = [("changepoint", i) for i in cps] + [
+            ("outlier", int(i)) for i in outliers
+        ]
+        if not rows:
+            return pd.DataFrame(columns=[f.name for f in ANOMALY_SCHEMA.fields])
+        kinds, idxs = zip(*rows)
+        return pd.DataFrame(
+            {
+                "metric": metric,
+                "series": series,
+                "kind": list(kinds),
+                "idx": np.asarray(idxs, dtype=np.int32),
+                "ts": pdf["ts"].iloc[list(idxs)].to_numpy(),
+                "value": x[list(idxs)],
+            }
+        )
+
+    return signals.groupBy("metric", "series").applyInPandas(fn, ANOMALY_SCHEMA)
+
+
+def detect_changepoints(signals: DataFrame, **kw) -> DataFrame:
+    """P7 alone (reference e_divisive on the median-filtered series)."""
+    return detect_anomalies(signals, **kw).filter(F.col("kind") == "changepoint")
+
+
+def detect_outliers(signals: DataFrame, **kw) -> DataFrame:
+    """P6 alone (reference get_noise → 3σ)."""
+    return detect_anomalies(signals, **kw).filter(F.col("kind") == "outlier")
+
+
+# --- pure-SQL variants (oracle-checkable, usable from spark.sql) -----------
+
+
+def smooth_median(signals: DataFrame, window: int = 5,
+                  out_col: str = "smoothed") -> DataFrame:
+    """P1 as a pure DataFrame op: centered rolling median over a row frame.
+
+    Matches moving_median_np for interior points; edges shrink the frame
+    (same min_periods=1 semantics).
+    """
+    half = window // 2
+    w = (
+        Window.partitionBy("metric", "series")
+        .orderBy("ts")
+        .rowsBetween(-half, half)
+    )
+    # exact percentile(0.5) == median; Spark 4 rejects median() with a frame
+    return signals.withColumn(out_col, F.percentile("value", F.lit(0.5)).over(w))
+
+
+def ksigma_outliers(signals: DataFrame, level: float = 3.0) -> DataFrame:
+    """P5/A5 as pure DataFrame ops: per-series |x−μ| > level·σ_pop rows."""
+    w = Window.partitionBy("metric", "series")
+    return (
+        signals.withColumn("_mu", F.avg("value").over(w))
+        .withColumn("_sd", F.stddev_pop("value").over(w))
+        .filter(
+            (F.col("_sd") > 0)
+            & (F.abs(F.col("value") - F.col("_mu")) > level * F.col("_sd"))
+        )
+        .drop("_mu", "_sd")
+    )

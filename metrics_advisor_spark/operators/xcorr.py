@@ -1,0 +1,143 @@
+"""Lagged normalized cross-correlation (SURVEY.md §2 J1, P8, A4, K1–K3).
+
+Reference semantics (/root/reference/metrics_advisor.py:183-196): for each
+10-minute bucket, pair every objective signal with every candidate signal,
+compute normalized cross-correlation at lags −lag_max…+lag_max over the
+bucket's 40-sample windows, keep the (lag, corr) with max |corr|, and rank
+candidates per (bucket, objective) by |corr| descending.
+
+Spark-first plan (no UDF anywhere):
+
+1. Candidate rows are replicated across the lag dimension by a single
+   ``explode(sequence(-k, k))`` projection, shifting the JOIN timestamp by
+   ``lag × step`` — correlating obj(t) with cand(t + lag·step).  This is a
+   narrow transformation: no window function, no per-lag plan, no extra
+   shuffle.
+2. The objective side (≤ a handful of metrics, F4) is broadcast, so the
+   pairing join never shuffles the big candidate side by anything other
+   than its natural (ts) key — and with the broadcast hint, not at all.
+3. ``corr()`` (Pearson) per (bucket, obj, cand, lag) — a hash aggregate
+   with map-side partials.  Pearson of the two windows IS zero-normalized
+   cross-correlation at that lag, matching mathbox ``ncc``.
+4. Best lag via one row_number window over the tiny aggregate output
+   (ties broken toward the smallest lag, matching Python ``max()`` which
+   keeps the first of equals in ascending lag order).
+
+Deviation from reference (documented, SURVEY Q3): windows align on
+timestamps, not sample positions, so series with missing samples stay
+aligned; at bucket edges a lagged candidate sample may come from the
+neighboring bucket (full-overlap correlation) instead of truncating.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def lag_explode(candidates: DataFrame, lag_max: int, step_seconds: int) -> DataFrame:
+    """Replicate candidate rows for each lag, shifting the join timestamp.
+
+    Row (series, ts, value) → (series, lag, join_ts = ts − lag·step, value)
+    for lag ∈ [−lag_max, lag_max]: candidate value at time t is paired with
+    objective time t − lag·step, i.e. positive lag means the candidate
+    LAGS the objective (reference ncc(a, b, lag) convention).
+    """
+    return candidates.select(
+        F.col("metric").alias("cand_metric"),
+        F.col("series").alias("cand_series"),
+        F.explode(F.sequence(F.lit(-lag_max), F.lit(lag_max))).alias("lag"),
+        F.col("ts"),
+        F.col("value").alias("cand_value"),
+    ).withColumn(
+        "join_ts",
+        F.timestamp_add("SECOND", (-F.col("lag") * step_seconds).cast("int"), F.col("ts")),
+    )
+
+
+def bucket_correlation(
+    objectives: DataFrame,
+    candidates: DataFrame,
+    *,
+    tmin: int,
+    bucket_seconds: int = 600,
+    lag_max: int = 3,
+    step_seconds: int = 15,
+    min_pairs: int = 2,
+    same_bucket: bool = True,
+) -> DataFrame:
+    """P8+J1: per-(bucket, obj, cand, lag) Pearson correlation.
+
+    ``objectives``/``candidates`` are signals-shaped DataFrames.  Returns
+    (bucket_id, obj_metric, obj_series, cand_metric, cand_series, lag,
+    corr, n_pairs).
+
+    ``same_bucket=True`` additionally requires the candidate SAMPLE to lie
+    in the same bucket as the objective sample, reproducing the
+    reference's truncated-overlap windows (a lag-k correlation uses
+    40−|k| pairs, metrics_advisor.py:186-187); False allows full overlap
+    across bucket edges.
+    """
+    obj = objectives.select(
+        F.col("metric").alias("obj_metric"),
+        F.col("series").alias("obj_series"),
+        F.col("ts").alias("obj_ts"),
+        F.col("value").alias("obj_value"),
+    ).withColumn(
+        "bucket_id",
+        F.floor((F.unix_timestamp("obj_ts") - F.lit(tmin)) / F.lit(bucket_seconds)),
+    )
+    cand = lag_explode(candidates, lag_max, step_seconds)
+    cond = cand["join_ts"] == obj["obj_ts"]
+    if same_bucket:
+        cand = cand.withColumn(
+            "cand_bucket_id",
+            F.floor((F.unix_timestamp("ts") - F.lit(tmin)) / F.lit(bucket_seconds)),
+        )
+        cond = cond & (cand["cand_bucket_id"] == obj["bucket_id"])
+    joined = cand.join(F.broadcast(obj), cond, "inner")
+    return (
+        joined.groupBy(
+            "bucket_id", "obj_metric", "obj_series",
+            "cand_metric", "cand_series", "lag",
+        )
+        .agg(
+            F.corr("obj_value", "cand_value").alias("corr"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .filter(F.col("n_pairs") >= min_pairs)
+        .filter(F.col("corr").isNotNull())
+    )
+
+
+def best_lag(correlations: DataFrame) -> DataFrame:
+    """A4: per pair, keep the (lag, corr) maximizing |corr|.
+
+    Tie-break: smallest lag first — Python ``max()`` keeps the first
+    maximal element scanning lags in ascending order
+    (metrics_advisor.py:193).
+    """
+    w = Window.partitionBy(
+        "bucket_id", "obj_metric", "obj_series", "cand_metric", "cand_series"
+    ).orderBy(F.abs(F.col("corr")).desc(), F.col("lag").asc())
+    return (
+        correlations.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def rank_correlations(best: DataFrame, top_k: int | None = None) -> DataFrame:
+    """K1–K3: rank candidates per (bucket, objective) by |corr| desc.
+
+    Deterministic tie-break on candidate identity so top-k is stable.
+    """
+    w = Window.partitionBy("bucket_id", "obj_metric", "obj_series").orderBy(
+        F.abs(F.col("corr")).desc(),
+        F.col("cand_metric").asc(),
+        F.col("cand_series").asc(),
+    )
+    ranked = best.withColumn("rank", F.row_number().over(w))
+    if top_k is not None:
+        ranked = ranked.filter(F.col("rank") <= top_k)
+    return ranked

@@ -1,0 +1,115 @@
+"""End-to-end analysis plan — the reference's __main__ pipeline
+(/root/reference/metrics_advisor.py:83-247) as one lazy DataFrame dataflow.
+
+    signals ──► validity (S3) ──► range gate (F2) ──► detect (P1–P7)
+        └──► time extent (T1)          anomalies ──► bucket ids (T2/T3)
+                                            │  dedup (T4) + routing (F4)
+                    obj members ◄───────────┴──────────► cand members
+                          │            J1 broadcast join + corr (P8)
+                          └────────► correlations ──► best lag (A4)
+                                               └──► ranked top-k (K1–K3)
+
+Everything stays distributed until the final (tiny) ranked result.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from metrics_advisor_spark.config import AdvisorConfig
+from metrics_advisor_spark.operators.buckets import bucket_expr, time_extent
+from metrics_advisor_spark.operators.detect import detect_anomalies
+from metrics_advisor_spark.operators.validity import range_filter, valid_signals
+from metrics_advisor_spark.operators.xcorr import (
+    best_lag,
+    bucket_correlation,
+    rank_correlations,
+)
+
+
+@dataclass
+class Analysis:
+    """Lazy handles on every stage's output (all DataFrames)."""
+
+    signals: DataFrame        # validated canonical input
+    anomalies: DataFrame      # (metric, series, kind, idx, ts, value)
+    membership: DataFrame     # (bucket_id, metric, series, is_obj)
+    correlations: DataFrame   # per (bucket, obj, cand, lag)
+    best: DataFrame           # best lag per pair (A4)
+    ranked: DataFrame         # top-k per (bucket, objective) (K1–K3)
+    tmin: int
+    tmax: int
+
+
+def analyze(signals: DataFrame, cfg: AdvisorConfig = AdvisorConfig()) -> Analysis:
+    valid = valid_signals(signals, cfg.min_rows)
+    # Cache: the validated table feeds detection, the extent aggregate and
+    # both correlation sides.
+    valid = valid.cache()
+    tmin, tmax = time_extent(valid)
+
+    active = range_filter(valid, cfg.min_range)
+    anomalies = detect_anomalies(
+        active,
+        median_window=cfg.median_window,
+        step_seconds=float(cfg.sample_time_step),
+        f_min=cfg.lowpass_fmin,
+        sigma_level=cfg.sigma_level,
+        cp_pvalue=cfg.cp_pvalue,
+        cp_permutations=cfg.cp_permutations,
+    ).cache()
+
+    # T3/T4/F4: anomaly → bucket membership.  Parity Q1: only change
+    # points produce bucketed anomaly timestamps by default.
+    bucketable = (
+        anomalies.filter(F.col("kind") == "changepoint")
+        if cfg.cp_only_anomaly_ts
+        else anomalies
+    )
+    membership = (
+        bucketable.withColumn("bucket_id", bucket_expr(tmin, cfg.bucket_seconds))
+        .select("bucket_id", "metric", "series")
+        .dropDuplicates(["bucket_id", "metric", "series"])
+        .withColumn("is_obj", F.col("metric").isin(*cfg.obj_signals))
+    )
+
+    # Restrict each side's sample rows to its membership (bucket, metric,
+    # series) triples.  Membership is tiny (≤ #anomalous series × #buckets)
+    # → broadcast the semi-joins.
+    bucketed = valid.withColumn("bucket_id", bucket_expr(tmin, cfg.bucket_seconds))
+    obj_samples = bucketed.join(
+        F.broadcast(membership.filter("is_obj").select("bucket_id", "metric", "series")),
+        ["bucket_id", "metric", "series"],
+        "left_semi",
+    ).drop("bucket_id")
+    cand_samples = bucketed.join(
+        F.broadcast(
+            membership.filter(~F.col("is_obj")).select("bucket_id", "metric", "series")
+        ),
+        ["bucket_id", "metric", "series"],
+        "left_semi",
+    ).drop("bucket_id")
+
+    correlations = bucket_correlation(
+        obj_samples,
+        cand_samples,
+        tmin=tmin,
+        bucket_seconds=cfg.bucket_seconds,
+        lag_max=cfg.lag_max,
+        step_seconds=cfg.sample_time_step,
+    )
+    best = best_lag(correlations)
+    ranked = rank_correlations(best, top_k=cfg.top_k_report)
+    return Analysis(
+        signals=valid,
+        anomalies=anomalies,
+        membership=membership,
+        correlations=correlations,
+        best=best,
+        ranked=ranked,
+        tmin=tmin,
+        tmax=tmax,
+    )

@@ -1,0 +1,44 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on local[N]; the same settings are what we would ship
+to a 1000-executor cluster job conf: AQE on (runtime coalesce + skew-join
+splitting), Arrow for every pandas-UDF boundary, shuffle partitions sized
+to the parallelism at hand rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "metrics_advisor_spark", *,
+              shuffle_partitions: int | None = None,
+              master: str | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder
+        .master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        # columnar parquet scans: keep pushdown + pruning on (defaults, but
+        # pinned so a cluster-side override can't silently regress them)
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # the driver's testdata stores TIMESTAMP(NANOS) which Spark rejects
+        # by default; read as long and convert at the source adapter
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

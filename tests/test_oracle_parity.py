@@ -1,0 +1,89 @@
+"""Driver-style DuckDB oracle parity for every SQL-expressible query.
+
+Mirrors what the driver's correctness gate does: run the Spark query and
+the oracle SQL on the same parquet tables, then compare row counts,
+column names and (column-name-sorted, row-sorted) values.
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+                if v == -0.0:
+                    v = 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+CASES = sorted(set(entry_mod.queries()) & set(entry_mod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_query_matches_oracle(name, spark, ddb):
+    sdf = entry_mod.queries()[name](spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(entry_mod.oracle_sql()[name])
+    ddb_cols = [d[0] for d in res.description]
+    ddb_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(ddb_cols), (
+        f"{name}: column mismatch {spark_cols} vs {ddb_cols}"
+    )
+    assert len(spark_rows) == len(ddb_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(ddb_rows)}"
+    )
+    a, b = _canon(spark_rows, spark_cols), _canon(ddb_rows, ddb_cols)
+    mismatches = []
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) and isinstance(vb, float):
+                if not (math.isclose(va, vb, rel_tol=1e-9, abs_tol=2e-6)
+                        or (math.isnan(va) and math.isnan(vb))):
+                    mismatches.append((i, ra, rb))
+                    break
+            elif va != vb:
+                mismatches.append((i, ra, rb))
+                break
+    assert not mismatches, f"{name}: {len(mismatches)} rows differ; first: {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert rows is not None
+    assert len(df.columns) > 0
