@@ -102,7 +102,14 @@ def bucket_correlation(
             "cand_metric", "cand_series", "lag",
         )
         .agg(
-            F.corr("obj_value", "cand_value").alias("corr"),
+            # Pearson spelled explicitly: under ANSI mode corr() raises
+            # DIVIDE_BY_ZERO on zero-variance windows (constant series in a
+            # bucket); try_divide yields NULL there, which we filter — the
+            # same contract DuckDB's corr() has.
+            F.try_divide(
+                F.covar_samp("obj_value", "cand_value"),
+                F.stddev_samp("obj_value") * F.stddev_samp("cand_value"),
+            ).alias("corr"),
             F.count(F.lit(1)).alias("n_pairs"),
         )
         .filter(F.col("n_pairs") >= min_pairs)

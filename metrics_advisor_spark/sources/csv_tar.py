@@ -22,12 +22,19 @@ import os
 import tarfile
 import tempfile
 from collections.abc import Iterator
+from urllib.parse import unquote
 
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
 from metrics_advisor_spark.sources.signals import SIGNALS_SCHEMA
+
+# Hadoop Path rejects ':' in file names (URISyntaxException: Relative
+# path in absolute URI), and reference metric files are named like
+# `node_disk_read_bw:by_instance:by_device.csv`.  Escape on extraction,
+# unescape when deriving the metric name.
+_COLON_ESCAPE = "%3A"
 
 
 def _melt_csv_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -36,7 +43,7 @@ def _melt_csv_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     for pdf in batches:
         for path, content in zip(pdf["path"], pdf["content"]):
-            metric = os.path.basename(path)
+            metric = unquote(os.path.basename(path))
             if metric.endswith(".csv"):
                 metric = metric[: -len(".csv")]
             wide = pd.read_csv(io.BytesIO(bytes(content)))
@@ -92,8 +99,15 @@ def extract_tar(input_tar: str, dest: str | None = None) -> str:
     """
     dest = dest or tempfile.mkdtemp(prefix="ma_spark_ingest_")
     with tarfile.open(input_tar) as tf:
-        members = [m for m in tf.getmembers() if m.name.endswith(".csv")]
-        tf.extractall(dest, members=members, filter="data")
+        for m in tf.getmembers():
+            if not (m.isfile() and m.name.endswith(".csv")):
+                continue
+            base = os.path.basename(m.name).replace(":", _COLON_ESCAPE)
+            src = tf.extractfile(m)
+            if src is None:
+                continue
+            with open(os.path.join(dest, base), "wb") as out:
+                out.write(src.read())
     return dest
 
 
