@@ -1,0 +1,260 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Everything is hash-based and engine-neutral: token/shingle hashes come
+from md5 hex prefixes (56-bit ints), so the DuckDB oracle computes
+bit-identical values and every stage is checkable.  All integer
+arithmetic stays within int64 (hashes are reduced mod MERSENNE_P before
+the universal-hash multiply), which matters under Spark's ANSI overflow
+checking.
+
+Scale design (100 TB corpus):
+- exact dedup: one hash aggregate on md5(text) — pure shuffle-by-hash.
+- shingle/Jaccard: the candidate join is on shingle_hash, so only docs
+  sharing a shingle ever meet; hot shingles (boilerplate) are the skew
+  risk → AQE skew-join handles it, or pre-filter shingles whose doc
+  frequency exceeds a cap (they carry no dedup signal).
+- MinHash LSH: k permutations × b bands as two hash aggregates and one
+  self-join on (band_id, band_hash) — the classic
+  shingle→minhash→band→bucket-join pipeline, no cross join anywhere.
+- SimHash: bit-vote aggregate, one row per doc at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2147483647  # 2^31 − 1: (a·h + b) stays < 2^62
+
+
+def _hash56(col: F.Column) -> F.Column:
+    """56-bit integer hash from the md5 hex prefix — identical in DuckDB
+    via ('0x' || substr(md5(x), 1, 14))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content hash; keeper = min doc_id.
+
+    Returns one row per duplicated content hash (n_docs ≥ 2)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def shingle(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Word n-gram shingles with 56-bit hashes, one row per distinct
+    (doc_id, shingle_hash)."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return (
+        df.select("doc_id", F.explode(grams).alias("shingle"))
+        .select("doc_id", _hash56(F.col("shingle")).alias("shingle_hash"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """N-gram Jaccard near-dup pairs via the shared-shingle join.
+
+    |A∩B| from the self-join on shingle_hash; |A∪B| = |A|+|B|−|A∩B|.
+    Only documents sharing ≥1 shingle are ever paired — no cross join.
+    """
+    sh = shingle(df, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle_hash") == F.col("b.shingle_hash"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _permutations(spark, k: int) -> DataFrame:
+    """k seeded universal-hash parameter rows (perm_id, a, b) — the same
+    closed form is reproducible in SQL: a = (perm_id·2654435761 + 1) mod P,
+    b = (perm_id·40503 + 7) mod P."""
+    return spark.range(k).select(
+        F.col("id").cast("int").alias("perm_id"),
+        ((F.col("id") * F.lit(2654435761) + 1) % MERSENNE_P).alias("a"),
+        ((F.col("id") * F.lit(40503) + 7) % MERSENNE_P).alias("b"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", n: int = 3, k: int = 16
+) -> DataFrame:
+    """MinHash signatures: sig_i = min over shingles of (a_i·h + b_i) mod P.
+
+    Output: (doc_id, perm_id, minhash) — k rows per doc.  The shingle ×
+    permutation expansion is a broadcast cross join against a k-row
+    table, then one hash aggregate.
+    """
+    sh = shingle(df, text_col, n)
+    perms = _permutations(df.sparkSession, k)
+    return (
+        sh.join(F.broadcast(perms))
+        .select(
+            "doc_id",
+            "perm_id",
+            (
+                (F.col("a") * (F.col("shingle_hash") % MERSENNE_P) + F.col("b"))
+                % MERSENNE_P
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "perm_id")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs agreeing on ≥1 band.
+
+    band_id = perm_id // (k/bands); band_hash = md5 of the ordered
+    minhash values in the band; candidates = self-join on
+    (band_id, band_hash).  With k=16, b=4 (r=4 rows/band) the collision
+    curve is 1−(1−s⁴)⁴ — candidates skew toward Jaccard ≳ 0.5.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, text_col, n, k)
+    band = (
+        sig.withColumn("band_id", (F.col("perm_id") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("perm_id", "minhash"))
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_hash")
+        )
+    )
+    a = band.alias("a")
+    b = band.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """56-bit SimHash over BPE-ish tokens with count weights.
+
+    Classic Charikar sketch: each token votes ±weight on each bit of its
+    56-bit hash; the fingerprint sets bits with positive vote sums.
+    Near-dups are pairs within small Hamming distance (see tests);
+    computed entirely with integer SQL expressions so the oracle matches
+    bit-for-bit.
+    """
+    from metrics_advisor_spark.functions.text import TOKEN_RE
+
+    toks = (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+            ).alias("token"),
+        )
+        .groupBy("doc_id", _hash56(F.col("token")).alias("token_hash"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    bits = toks.join(
+        F.broadcast(
+            df.sparkSession.range(56).select(F.col("id").cast("int").alias("bit"))
+        )
+    )
+    # F.shiftleft/shiftright take a literal bit count; the SQL forms
+    # accept a column expression
+    votes = bits.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(
+                F.expr("shiftright(token_hash, bit)").bitwiseAND(1) == 1,
+                F.col("weight"),
+            ).otherwise(-F.col("weight"))
+        ).alias("vote")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("vote") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def hamming_pairs(sketches: DataFrame, max_distance: int = 8) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius.
+
+    Pairs via bit_count(xor); at scale, block first on sketch prefixes
+    (rotate-and-prefix trick) instead of this all-pairs form."""
+    a = sketches.alias("a")
+    b = sketches.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )

@@ -1,0 +1,207 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB ANN design demands:
+
+- ``brute_force_topk``: exact cosine top-k — broadcast the (small) query
+  set against the corpus, JVM-side ``zip_with``/``aggregate`` arithmetic
+  (no Python), one window for the top-k.  The baseline and the re-rank
+  stage.
+- ``srp_buckets`` / ``lsh_topk``: signed-random-projection LSH — each
+  vector gets a b-bit bucket from the signs of b pseudo-random ±1
+  hyperplanes (derived from md5 parity, so engine-neutral and
+  deterministic).  Candidates = same bucket; exact cosine re-ranks.
+  At scale the bucket join replaces the corpus-wide cross join, and the
+  bucket column doubles as the partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_col(a: F.Column, b: F.Column) -> F.Column:
+    """Cosine similarity of two array<float|double> columns (JVM HOFs)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return F.try_divide(dot, na * nb)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, cosine, rank).
+
+    Queries are broadcast (the small side); self-matches are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col))
+    scored = (
+        c.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine_col(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane_sign(bit: F.Column, dim: F.Column) -> F.Column:
+    """Deterministic ±1 hyperplane entry from md5 parity — the same
+    expression evaluates identically in DuckDB."""
+    hex_digit = F.substring(
+        F.md5(F.concat_ws("_", bit.cast("string"), dim.cast("string"))), 1, 1
+    )
+    val = F.conv(hex_digit, 16, 10).cast("int")
+    return F.when(val % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def srp_buckets(
+    df: DataFrame,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 1,
+) -> DataFrame:
+    """Signed-random-projection bucket ids: (vec_id, table_id, bucket).
+
+    Per table t: bucket = Σ_b [dot(v, plane_{t,b}) > 0] · 2^b, planes
+    being md5-parity ±1 vectors (plane index = t·n_bits + b).  Multiple
+    tables give the standard OR-amplification: a true neighbor is a
+    candidate if it collides in ANY table.  Pure explode + aggregate:
+    scales linearly in rows × dims × tables.
+    """
+    comp = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "x")
+    )
+    planes = df.sparkSession.range(n_tables * n_bits).select(
+        (F.col("id") / n_bits).cast("int").alias("table_id"),
+        (F.col("id") % n_bits).cast("int").alias("bit"),
+        F.col("id").cast("int").alias("plane"),
+    )
+    bits = comp.join(F.broadcast(planes))
+    dots = bits.groupBy(id_col, "table_id", "bit").agg(
+        F.sum(
+            F.col("x").cast("double") * _plane_sign(F.col("plane"), F.col("dim"))
+        ).alias("dot")
+    )
+    return dots.groupBy(id_col, "table_id").agg(
+        F.sum(
+            F.when(
+                F.col("dot") > 0,
+                # SQL form: shiftleft with a column bit count
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("bucket")
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: SRP bucket join (any-table collision) + exact
+    cosine re-rank.
+
+    Recall < 1 by construction (bucket misses); the candidate set is the
+    union of same-bucket sets across tables instead of |corpus| — the
+    scale path.  Tune (n_bits, n_tables) for the recall/cost point.
+    """
+    cb = srp_buckets(corpus, n_bits, id_col, vec_col, n_tables)
+    qb = srp_buckets(queries, n_bits, id_col, vec_col, n_tables)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).join(
+        qb.select(
+            F.col(id_col).alias("query_id"),
+            F.col("table_id").alias("q_table"),
+            F.col("bucket").alias("q_bucket"),
+        ),
+        "query_id",
+    )
+    c = corpus.join(cb, id_col)
+    cand = (
+        c.join(
+            F.broadcast(q),
+            (F.col("table_id") == F.col("q_table"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col(id_col) != F.col("query_id")),
+        )
+        .select("query_id", id_col, "q_vec", vec_col)
+        .dropDuplicates(["query_id", id_col])  # collided in ≥1 table
+    )
+    scored = cand.select(
+        "query_id",
+        id_col,
+        F.round(cosine_col(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SRP blocking + exact re-check.
+
+    Only pairs colliding in ≥1 table are scored (the all-pairs cross
+    join never materializes), then the exact cosine filter keeps
+    ≥ threshold."""
+    b = df.join(srp_buckets(df, n_bits, id_col, vec_col, n_tables=2), id_col)
+    a = b.alias("a")
+    c = b.alias("b")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

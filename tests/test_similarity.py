@@ -1,0 +1,79 @@
+"""Embedding similarity search: brute-force exactness + LSH behavior."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from metrics_advisor_spark.functions.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+    srp_buckets,
+)
+
+DIM = 16
+N = 60
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(42)
+    base = rng.normal(0, 1, (N, DIM)).astype(np.float32)
+    base[1] = base[0] + rng.normal(0, 0.01, DIM).astype(np.float32)  # near dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(N)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df.cache(), base
+
+
+def test_brute_force_matches_numpy(vectors):
+    df, base = vectors
+    q = df.filter(F.col("vec_id") == 0)
+    got = brute_force_topk(q, df, k=5).orderBy("rank").collect()
+    norm = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = norm @ norm[0]
+    sims[0] = -np.inf  # self excluded
+    want = np.argsort(-sims)[:5]
+    assert [r["vec_id"] for r in got] == list(want)
+    assert abs(got[0]["cosine"] - sims[want[0]]) < 1e-5
+    assert got[0]["vec_id"] == 1  # the planted near-dup
+
+
+def test_srp_buckets_deterministic_and_neardup_collide(vectors):
+    df, _ = vectors
+    b1 = {(r["vec_id"], r["table_id"]): r["bucket"]
+          for r in srp_buckets(df, n_tables=2).collect()}
+    b2 = {(r["vec_id"], r["table_id"]): r["bucket"]
+          for r in srp_buckets(df, n_tables=2).collect()}
+    assert b1 == b2
+    for t in (0, 1):  # nearly-identical vectors share all plane signs
+        assert b1[(0, t)] == b1[(1, t)]
+    assert all(0 <= v < 2**8 for v in b1.values())
+
+
+def test_lsh_topk_finds_planted_neighbor(vectors):
+    df, _ = vectors
+    q = df.filter(F.col("vec_id") == 0)
+    got = lsh_topk(q, df, k=3).orderBy("rank").collect()
+    assert got and got[0]["vec_id"] == 1
+
+
+def test_embedding_near_dup_pairs(vectors):
+    df, _ = vectors
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"]
+             for r in embedding_near_dup_pairs(df, threshold=0.95).collect()}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] > 0.99
+
+
+def test_lsh_recall_vs_bruteforce(vectors):
+    """Multi-table SRP recall on top-3: approximate, but with 8 tables ×
+    4 bits a meaningful fraction of true neighbors must surface even on
+    structureless gaussian data (the hardest case for LSH)."""
+    df, _ = vectors
+    queries = df.filter(F.col("vec_id") < 20)
+    bf = brute_force_topk(queries, df, k=3)
+    ann = lsh_topk(queries, df, k=3, n_bits=4, n_tables=8)
+    bf_set = {(r["query_id"], r["vec_id"]) for r in bf.collect()}
+    ann_set = {(r["query_id"], r["vec_id"]) for r in ann.collect()}
+    recall = len(bf_set & ann_set) / len(bf_set)
+    assert recall > 0.5, f"LSH recall {recall} suspiciously low"

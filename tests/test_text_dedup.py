@@ -1,0 +1,105 @@
+"""Text analysis + dedup operators on hand-built ground truth."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrics_advisor_spark.functions.dedup import (
+    exact_dup_groups,
+    hamming_pairs,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    shingle,
+    simhash,
+)
+from metrics_advisor_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    text_stats,
+    token_count,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river bank now"),    # near dup of 0
+    (3, "el perro corre en la calle y el gato duerme en la casa"),
+    (4, "completely different words about spark engines and distributed joins"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2
+    assert groups[0]["keeper_doc_id"] == 0
+
+
+def test_jaccard_near_dup(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0          # identical shingle sets
+    assert (0, 2) in pairs               # near dup
+    assert 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_minhash_signature_shape_and_determinism(docs):
+    sig = minhash_signatures(docs, k=16)
+    rows = sig.collect()
+    assert len(rows) == 5 * 16
+    # identical docs → identical signatures
+    s0 = sorted((r["perm_id"], r["minhash"]) for r in rows if r["doc_id"] == 0)
+    s1 = sorted((r["perm_id"], r["minhash"]) for r in rows if r["doc_id"] == 1)
+    assert s0 == s1
+    rows2 = minhash_signatures(docs, k=16).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_minhash_lsh_finds_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in pairs               # exact dups always collide
+    assert (0, 4) not in pairs and (0, 3) not in pairs
+
+
+def test_simhash_hamming(docs):
+    sk = simhash(docs)
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in hamming_pairs(sk, max_distance=56).collect()}
+    assert pairs[(0, 1)] == 0            # identical docs → identical sketch
+    assert pairs[(0, 2)] < pairs[(0, 4)]  # near dup closer than unrelated
+
+
+def test_token_count(docs):
+    got = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+    assert got[0] == 14  # 14 words, no punctuation
+    assert got[3] == 13
+
+
+def test_text_stats_ranges(docs):
+    rows = text_stats(docs).collect()
+    for r in rows:
+        assert r["n_chars"] > 0 and r["n_words"] > 0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert 0.0 <= r["quality_score"] <= 1.0
+    en = {r["doc_id"]: r["stopword_ratio"] for r in rows}
+    assert en[0] > en[3]  # english doc hits english stopwords harder
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[3] == "es"
+    assert got[4] in ("en", "und")  # few anchors either way
+
+
+def test_doc_fingerprint_stability(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs).collect()}
+    assert fp[0] == fp[1]        # identical content → identical fingerprint
+    assert fp[0] != fp[4]
