@@ -18,6 +18,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metrics_advisor_spark import AdvisorConfig
+from metrics_advisor_spark.functions.dedup import (
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+)
+from metrics_advisor_spark.functions.multimodal import (
+    attach_fake_payload,
+    extract_media_meta,
+)
+from metrics_advisor_spark.functions.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    srp_buckets,
+)
+from metrics_advisor_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    text_stats,
+    token_count,
+)
 from metrics_advisor_spark.operators.detect import smooth_median
 from metrics_advisor_spark.operators.normalize import get_relative
 from metrics_advisor_spark.operators.resample import resample
@@ -259,6 +281,117 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted exact copies (doc_id<50 → +100000) ∪ planted
+    near-variants with the last word dropped (50≤doc_id<100 → +200000).
+
+    The synthetic corpus has no natural duplicates, so dedup queries
+    plant them deterministically — the oracle unions identically."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    words = F.split(F.col("text"), " ")
+    near = d.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, F.size(words) - 1), " ").alias("text"),
+    )
+    return d.unionByName(copies).unionByName(near)
+
+
+def _emb_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ exact copies of vec_id<50 (as vec_id+100000)."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    return e.unionByName(
+        e.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality features: lengths, punct/stopword ratios, score."""
+    return text_stats(_docs(spark, sf_dir))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token count per document."""
+    return token_count(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language identification."""
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style min-shingle-hash content fingerprint."""
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups over the planted-duplicate corpus."""
+    return exact_dup_groups(_docs_with_dups(spark, sf_dir))
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs (threshold 0.5), shared-shingle join."""
+    return jaccard_pairs(_docs_with_dups(spark, sf_dir), threshold=0.5)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=16 MinHash signatures (doc_id, perm_id, minhash)."""
+    return minhash_signatures(_docs(spark, sf_dir), k=16)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (k=16, 4 bands) on the dup corpus."""
+    return minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), k=16, bands=4)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """56-bit SimHash fingerprints per document."""
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads → typed metadata via
+    mapInPandas (codec step deterministic-stubbed)."""
+    media = attach_fake_payload(_docs(spark, sf_dir))
+    return extract_media_meta(media)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id<5."""
+    emb = _emb(spark, sf_dir)
+    return brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+
+
+def q_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH buckets (8 bits × 2 tables)."""
+    return srp_buckets(_emb(spark, sf_dir), n_bits=8, n_tables=2)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: SRP blocking + exact cosine ≥ 0.95."""
+    return embedding_near_dup_pairs(
+        _emb_with_dups(spark, sf_dir), threshold=0.95, n_bits=8
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
@@ -289,6 +422,74 @@ _XCORR = f"""
 """
 
 
+# --- training-data pipeline SQL fragments (mirror the Spark plans) ---
+
+_DOCS_DUPS = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id,
+           array_to_string(w[1:len(w)-1], ' ') AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE doc_id >= 50 AND doc_id < 100
+"""
+
+_EMB_DUPS = """
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+    WHERE vec_id < 50
+"""
+
+
+def _shingle_sql(src: str) -> str:
+    """56-bit-hashed word-3-gram shingles — mirrors functions.dedup.shingle."""
+    return f"""
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(array_to_string(w[i+1:i+3], ' ')), 1, 14))::BIGINT
+                   AS shingle_hash
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ({src})),
+             unnest(range(0, greatest(len(w) - 3, 0) + 1)) AS t(i)
+    """
+
+
+_PERMS_SQL = """
+    SELECT i::INT AS perm_id,
+           (i * 2654435761 + 1) % 2147483647 AS a,
+           (i * 40503 + 7) % 2147483647 AS b
+    FROM unnest(range(16)) AS t(i)
+"""
+
+_STOP_EN = "('the','a','of','and','to','is')"
+_TOKEN_RE_SQL = "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'"
+
+
+def _srp_sql(src: str, n_bits: int = 8, n_tables: int = 2) -> str:
+    """SRP bucket ids — mirrors functions.similarity.srp_buckets."""
+    return f"""
+        WITH comp AS (
+          SELECT vec_id, i AS dim, embedding[i+1]::DOUBLE AS x
+          FROM ({src}), unnest(range(0, len(embedding))) AS t(i)
+        ),
+        planes AS (
+          SELECT (p // {n_bits})::INT AS table_id, (p % {n_bits})::INT AS bit,
+                 p::INT AS plane
+          FROM unnest(range({n_tables * n_bits})) AS t(p)
+        ),
+        dots AS (
+          SELECT vec_id, table_id, bit,
+                 sum(x * CASE WHEN ('0x' || substr(md5(plane::VARCHAR || '_' ||
+                                    dim::VARCHAR), 1, 1))::INT % 2 = 1
+                              THEN 1.0 ELSE -1.0 END) AS dot
+          FROM comp CROSS JOIN planes GROUP BY 1, 2, 3
+        )
+        SELECT vec_id, table_id,
+               sum(CASE WHEN dot > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS bucket
+        FROM dots GROUP BY 1, 2
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "series_stats": q_series_stats,
@@ -306,6 +507,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_running_sum": q_window_running_sum,
+        "text_stats": q_text_stats,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "media_meta": q_media_meta,
+        "ann_topk": q_ann_topk,
+        "srp_buckets": q_srp_buckets,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -430,6 +644,175 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                        AS running_total
             FROM orders
+        """,
+        "text_stats": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     length(text) AS n_chars,
+                     len(string_split(text, ' ')) AS n_words,
+                     round((length(text) -
+                            length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                           / greatest(length(text), 1), 6) AS punct_ratio
+              FROM documents
+            )
+            SELECT doc_id, n_chars, n_words, punct_ratio,
+                   round(len(list_filter(string_split(text, ' '),
+                                         x -> x IN {_STOP_EN}))
+                         / greatest(n_words, 1), 6) AS stopword_ratio,
+                   round(n_chars / greatest(n_words, 1), 6) AS avg_word_len,
+                   round(least(n_words / 100.0, 1.0) * (1.0 - punct_ratio), 6)
+                       AS quality_score
+            FROM base
+        """,
+        "token_count": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, {_TOKEN_RE_SQL})) AS n_tokens
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                len(list_filter(string_split(text,' '),
+                    x -> x IN {_STOP_EN})) AS s_en,
+                len(list_filter(string_split(text,' '),
+                    x -> x IN ('el','la','de','y','que','en'))) AS s_es,
+                len(list_filter(string_split(text,' '),
+                    x -> x IN ('le','la','et','les','des','un'))) AS s_fr
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_es, s_fr) <= 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_es, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_en, s_es, s_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   greatest(s_en, s_es, s_fr) AS lang_score
+            FROM scored
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id, min(shingle_hash) AS fingerprint
+            FROM ({_shingle_sql('SELECT doc_id, text FROM documents')})
+            GROUP BY doc_id
+        """,
+        "exact_dedup": f"""
+            SELECT md5(text) AS content_hash, count(*) AS n_docs,
+                   min(doc_id) AS keeper_doc_id
+            FROM ({_DOCS_DUPS}) GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "jaccard_pairs": f"""
+            WITH sh AS ({_shingle_sql(_DOCS_DUPS)}),
+            sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b
+                ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, jaccard FROM (
+              SELECT doc_a, doc_b,
+                     round(n_inter / (sa.set_size + sb.set_size - n_inter), 6)
+                         AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+            ) WHERE jaccard >= 0.5
+        """,
+        "minhash_signatures": f"""
+            WITH sh AS ({_shingle_sql('SELECT doc_id, text FROM documents')}),
+            perms AS ({_PERMS_SQL})
+            SELECT doc_id, perm_id,
+                   min((a * (shingle_hash % 2147483647) + b) % 2147483647)
+                       AS minhash
+            FROM sh CROSS JOIN perms GROUP BY 1, 2
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH sh AS ({_shingle_sql(_DOCS_DUPS)}),
+            perms AS ({_PERMS_SQL}),
+            sig AS (
+              SELECT doc_id, perm_id,
+                     min((a * (shingle_hash % 2147483647) + b) % 2147483647)
+                         AS minhash
+              FROM sh CROSS JOIN perms GROUP BY 1, 2
+            ),
+            band AS (
+              SELECT doc_id, (perm_id // 4) AS band_id,
+                     md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm_id))
+                         AS band_hash
+              FROM sig GROUP BY 1, 2
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM band a JOIN band b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        """,
+        "simhash": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(token), 1, 14))::BIGINT AS token_hash,
+                     count(*) AS weight
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(text, {_TOKEN_RE_SQL}))
+                               AS token
+                    FROM documents)
+              GROUP BY 1, 2
+            ),
+            votes AS (
+              SELECT doc_id, bit,
+                     sum(CASE WHEN ((token_hash >> bit) & 1) = 1
+                              THEN weight ELSE -weight END) AS vote
+              FROM toks, unnest(range(56)) AS t(bit) GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit)
+                            ELSE 0 END) AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        "media_meta": """
+            SELECT doc_id, 'image/png' AS media_type,
+                   octet_length(encode(text)) AS n_bytes,
+                   substr(sha256(text), 1, 16) AS sha256_prefix,
+                   16 + ('0x' || substr(sha256(text), 1, 2))::INT % 240 AS width,
+                   16 + ('0x' || substr(sha256(text), 3, 2))::INT % 240 AS height,
+                   ('0x' || substr(sha256(text), 5, 4))::BIGINT AS duration_ms
+            FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS q_vec
+              FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     round(list_cosine_similarity(q.q_vec::DOUBLE[],
+                                                  c.embedding::DOUBLE[]), 6)
+                         AS cosine
+              FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 10
+        """,
+        "srp_buckets": _srp_sql("SELECT vec_id, embedding FROM embeddings"),
+        "embedding_near_dup": f"""
+            WITH b AS ({_srp_sql(_EMB_DUPS)}),
+            e AS ({_EMB_DUPS}),
+            pairs AS (
+              SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+              FROM b a JOIN b c
+                ON a.table_id = c.table_id AND a.bucket = c.bucket
+               AND a.vec_id < c.vec_id
+            )
+            SELECT vec_a, vec_b, cosine FROM (
+              SELECT vec_a, vec_b,
+                     round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                                  eb.embedding::DOUBLE[]), 6)
+                         AS cosine
+              FROM pairs
+              JOIN e ea ON ea.vec_id = vec_a
+              JOIN e eb ON eb.vec_id = vec_b
+            ) WHERE cosine >= 0.95
         """,
     }
 
