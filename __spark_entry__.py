@@ -280,6 +280,39 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming coverage: the T2 bucket aggregate executed as
+    a real streaming query (file source → tumbling window → memory sink,
+    availableNow trigger), returned as the drained batch result.
+
+    Clock-aligned 600 s windows are exactly floor(epoch/600) grouping, so
+    the streaming result is oracle-checkable like any batch query."""
+    import tempfile
+    import uuid
+
+    from metrics_advisor_spark.streaming import (
+        run_to_memory,
+        stream_signals,
+        windowed_stats,
+    )
+
+    src = tempfile.mkdtemp(prefix="ma_stream_src_") + "/sig"
+    _signals(spark, sf_dir).write.mode("overwrite").parquet(src)
+    name = f"stream_q_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        windowed_stats(stream_signals(spark, src), bucket_seconds=600),
+        name,
+        output_mode="complete",
+    )
+    return spark.table(name).select(
+        "metric",
+        "series",
+        F.unix_timestamp("bucket.start").alias("bucket_start"),
+        "n_samples",
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings tables)
 # ---------------------------------------------------------------------------
@@ -507,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_running_sum": q_window_running_sum,
+        "streaming_bucket_stats": q_streaming_bucket_stats,
         "text_stats": q_text_stats,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
@@ -644,6 +678,14 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                        AS running_total
             FROM orders
+        """,
+        "streaming_bucket_stats": f"""
+            SELECT metric, series,
+                   CAST(floor(floor(epoch(ts)) / 600) * 600 AS BIGINT)
+                       AS bucket_start,
+                   count(*) AS n_samples,
+                   round(avg(value), 6) AS avg_value
+            FROM ({_SIG}) GROUP BY 1, 2, 3
         """,
         "text_stats": f"""
             WITH base AS (

@@ -1,0 +1,19 @@
+"""Structured Streaming re-skin of the batch pipeline (SURVEY.md §2.8, §7.11)."""
+
+from metrics_advisor_spark.streaming.pipeline import (
+    SIGNAL_SCHEMA,
+    detect_anomalies_stateful,
+    run_to_memory,
+    stream_signals,
+    streaming_ksigma,
+    windowed_stats,
+)
+
+__all__ = [
+    "SIGNAL_SCHEMA",
+    "detect_anomalies_stateful",
+    "run_to_memory",
+    "stream_signals",
+    "streaming_ksigma",
+    "windowed_stats",
+]

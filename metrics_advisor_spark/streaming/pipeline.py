@@ -1,0 +1,262 @@
+"""Structured Streaming re-skin of the metrics-advisor pipeline.
+
+The reference is a batch report generator; its bucket loop
+(/root/reference/metrics_advisor.py:123-136) is semantically a 10-minute
+tumbling window over an unbounded metric stream, and its per-signal
+detection loop (:144-167) is per-key stateful processing.  This module
+re-expresses both with the idiomatic Structured Streaming constructs:
+
+- ``windowed_stats``  — T2/A1 as ``withWatermark`` + tumbling ``window``
+  groupBy: late data beyond the watermark is dropped (the reference has
+  no late-data concept, metrics_advisor.py:85-88 defers it upstream).
+- ``streaming_ksigma`` — P5/A5 as a stream-static broadcast join against
+  a precomputed per-series baseline (μ, σ): the classic "train batch,
+  score stream" split; no streaming state at all.
+- ``detect_anomalies_stateful`` — P6/P7 via ``applyInPandasWithState``:
+  per-(metric, series) state holds a bounded sample buffer plus the set
+  of already-emitted anomaly timestamps, so each micro-batch emits only
+  NEW change points / outliers (exactly-once downstream semantics come
+  from the checkpoint).
+
+Scale notes (1000-executor target): all three are keyed by
+(metric, series) — state and shuffle partition by key, no driver
+involvement, no global ordering requirement.  The stateful buffer is
+bounded (``max_state_samples``), so state store size is
+O(keys × buffer), independent of stream length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from metrics_advisor_spark.operators.detect import (
+    _series_seed,
+    e_divisive_np,
+    moving_median_np,
+    stl_outliers_np,
+)
+
+SIGNAL_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType()),
+        T.StructField("series", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+STREAM_ANOMALY_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType()),
+        T.StructField("series", T.StringType()),
+        T.StructField("kind", T.StringType()),  # 'changepoint' | 'outlier'
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+# state: bounded sample buffer + emitted-anomaly high-water sets
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_buf", T.ArrayType(T.LongType())),       # epoch s
+        T.StructField("val_buf", T.ArrayType(T.DoubleType())),
+        T.StructField("emitted_cp", T.ArrayType(T.LongType())),   # epoch s
+        T.StructField("emitted_out", T.ArrayType(T.LongType())),  # epoch s
+    ]
+)
+
+
+def stream_signals(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """File-source signal stream in the canonical long schema.
+
+    New files dropped into ``path`` become micro-batches — the streaming
+    analog of the reference's tar-drop ingestion (S1/S2)."""
+    return spark.readStream.schema(SIGNAL_SCHEMA).format(fmt).load(path)
+
+
+def windowed_stats(
+    stream: DataFrame,
+    bucket_seconds: int = 600,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T2 as a streaming tumbling window: per (window, metric, series)
+    count/avg/min/max/range.
+
+    The range column feeds the F2 gate downstream; with ``append`` output
+    mode a window finalizes once the watermark passes its end."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", f"{bucket_seconds} seconds").alias("bucket"),
+            "metric",
+            "series",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.avg("value").alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            (F.max("value") - F.min("value")).alias("value_range"),
+        )
+    )
+
+
+def streaming_ksigma(
+    stream: DataFrame, baseline: DataFrame, level: float = 3.0
+) -> DataFrame:
+    """P5 scored online: flag stream samples > level·σ from a static
+    per-series baseline.
+
+    ``baseline`` is a batch DataFrame with (metric, series, mu, sd) —
+    e.g. from ``validity.series_stats`` extended with avg/stddev_pop.
+    Stream-static joins broadcast the (small) baseline to every task, so
+    scoring is stateless and shuffle-free on the stream side."""
+    return (
+        stream.join(F.broadcast(baseline), ["metric", "series"])
+        .filter(
+            (F.col("sd") > 0)
+            & (F.abs(F.col("value") - F.col("mu")) > level * F.col("sd"))
+        )
+        .select("metric", "series", "ts", "value")
+    )
+
+
+def detect_anomalies_stateful(
+    stream: DataFrame,
+    *,
+    median_window: int = 5,
+    step_seconds: float = 15.0,
+    f_min: float = 0.01 / 15,
+    sigma_level: float = 3.0,
+    cp_pvalue: float = 0.05,
+    cp_permutations: int = 100,
+    max_state_samples: int = 2048,
+) -> DataFrame:
+    """P6+P7 as per-key stateful streaming detection.
+
+    Each micro-batch: append new samples to the bounded per-series
+    buffer, rerun detection on the full buffer (change points are global
+    features of the window, so they may appear in old data once new data
+    arrives), and emit only anomalies not yet emitted — the emitted set
+    lives in state next to the buffer.
+
+    Hard part #2 from SURVEY §7: change-point state across window
+    boundaries is exactly this buffer; its length bounds both state size
+    and the O(n²) energy statistic.
+    """
+
+    def fn(
+        key: tuple[str, str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        metric, series = key
+        if state.exists:
+            ts_buf, val_buf, emitted_cp, emitted_out = state.get
+            ts_buf, val_buf = list(ts_buf), list(val_buf)
+            emitted_cp, emitted_out = set(emitted_cp), set(emitted_out)
+        else:
+            ts_buf, val_buf = [], []
+            emitted_cp, emitted_out = set(), set()
+
+        for pdf in pdfs:
+            ts_buf.extend(
+                int(t) for t in pdf["ts"].astype("int64") // 1_000_000_000
+            )
+            val_buf.extend(float(v) for v in pdf["value"])
+
+        order = np.argsort(ts_buf, kind="stable")[-max_state_samples:]
+        ts_arr = np.asarray(ts_buf, dtype=np.int64)[order]
+        val_arr = np.asarray(val_buf, dtype=np.float64)[order]
+
+        med = moving_median_np(val_arr, median_window)
+        cps = e_divisive_np(
+            med,
+            pvalue=cp_pvalue,
+            permutations=cp_permutations,
+            seed=_series_seed(metric, series),
+        )
+        outs = stl_outliers_np(
+            val_arr,
+            window=median_window,
+            step_seconds=step_seconds,
+            f_min=f_min,
+            level=sigma_level,
+        )
+
+        rows: list[tuple[str, int, float]] = []
+        for i in cps:
+            t = int(ts_arr[i])
+            if t not in emitted_cp:
+                emitted_cp.add(t)
+                rows.append(("changepoint", t, float(val_arr[i])))
+        for i in outs:
+            t = int(ts_arr[int(i)])
+            if t not in emitted_out:
+                emitted_out.add(t)
+                rows.append(("outlier", t, float(val_arr[int(i)])))
+
+        state.update(
+            (
+                [int(t) for t in ts_arr],
+                [float(v) for v in val_arr],
+                sorted(emitted_cp),
+                sorted(emitted_out),
+            )
+        )
+
+        if rows:
+            kinds, ts_e, vals = zip(*rows)
+            yield pd.DataFrame(
+                {
+                    "metric": metric,
+                    "series": series,
+                    "kind": list(kinds),
+                    "ts": pd.to_datetime(list(ts_e), unit="s"),
+                    "value": list(vals),
+                }
+            )
+
+    return stream.groupBy("metric", "series").applyInPandasWithState(
+        fn,
+        STREAM_ANOMALY_SCHEMA,
+        _STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    df: DataFrame,
+    name: str,
+    checkpoint: str | None = None,
+    output_mode: str = "append",
+) -> Any:
+    """Drain a streaming DataFrame into an in-memory table with an
+    availableNow trigger (test/dev helper; production uses a real sink).
+
+    Windowed aggregations need ``output_mode='complete'`` here: with
+    append, a window only emits once the watermark passes its end, which
+    never happens for the final windows of a drained file stream."""
+    writer = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q
