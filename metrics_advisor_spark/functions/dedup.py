@@ -47,19 +47,25 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingle(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+def shingle(
+    df: DataFrame, text_col: str = "text", n: int = 3, distinct: bool = True
+) -> DataFrame:
     """Word n-gram shingles with 56-bit hashes, one row per distinct
-    (doc_id, shingle_hash)."""
+    (doc_id, shingle_hash).
+
+    ``distinct=False`` skips the dedup shuffle — correct (and one whole
+    shuffle cheaper) for duplicate-insensitive consumers like min
+    aggregations (minhash, fingerprint); set semantics (Jaccard counts)
+    need the default."""
     words = F.split(F.col(text_col), " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(words, i + 1, n), " "),
     )
-    return (
-        df.select("doc_id", F.explode(grams).alias("shingle"))
-        .select("doc_id", _hash56(F.col("shingle")).alias("shingle_hash"))
-        .distinct()
+    out = df.select("doc_id", F.explode(grams).alias("shingle")).select(
+        "doc_id", _hash56(F.col("shingle")).alias("shingle_hash")
     )
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(
@@ -107,15 +113,15 @@ def jaccard_pairs(
     )
 
 
-def _permutations(spark, k: int) -> DataFrame:
-    """k seeded universal-hash parameter rows (perm_id, a, b) — the same
-    closed form is reproducible in SQL: a = (perm_id·2654435761 + 1) mod P,
-    b = (perm_id·40503 + 7) mod P."""
-    return spark.range(k).select(
-        F.col("id").cast("int").alias("perm_id"),
-        ((F.col("id") * F.lit(2654435761) + 1) % MERSENNE_P).alias("a"),
-        ((F.col("id") * F.lit(40503) + 7) % MERSENNE_P).alias("b"),
-    )
+def _perm_a(i: int) -> int:
+    """Universal-hash multiplier for permutation i — the same closed form
+    is reproducible in SQL: a = (i·2654435761 + 1) mod P."""
+    return (i * 2654435761 + 1) % MERSENNE_P
+
+
+def _perm_b(i: int) -> int:
+    """Universal-hash offset for permutation i: b = (i·40503 + 7) mod P."""
+    return (i * 40503 + 7) % MERSENNE_P
 
 
 def minhash_signatures(
@@ -123,25 +129,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: sig_i = min over shingles of (a_i·h + b_i) mod P.
 
-    Output: (doc_id, perm_id, minhash) — k rows per doc.  The shingle ×
-    permutation expansion is a broadcast cross join against a k-row
-    table, then one hash aggregate.
+    Output: (doc_id, perm_id, minhash) — k rows per doc.
+
+    Scale plan: all k permutation minima are computed as k aggregate
+    expressions in ONE groupBy(doc_id) — partial (map-side) aggregation
+    means the shuffle carries one k-wide row per (partition, doc), not
+    the shingle×k row explosion a cross-join formulation would (k× less
+    shuffle volume).  The wide row is then unpivoted with ``stack``,
+    which is a narrow (no-shuffle) transform.  Min is duplicate-
+    insensitive, so the shingle dedup shuffle is skipped too — one
+    shuffle end-to-end.
     """
-    sh = shingle(df, text_col, n)
-    perms = _permutations(df.sparkSession, k)
-    return (
-        sh.join(F.broadcast(perms))
-        .select(
-            "doc_id",
-            "perm_id",
-            (
-                (F.col("a") * (F.col("shingle_hash") % MERSENNE_P) + F.col("b"))
-                % MERSENNE_P
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "perm_id")
-        .agg(F.min("h").alias("minhash"))
-    )
+    sh = shingle(df, text_col, n, distinct=False)
+    hmod = F.col("shingle_hash") % MERSENNE_P
+    aggs = [
+        F.min(
+            (F.lit(_perm_a(i)) * hmod + F.lit(_perm_b(i))) % MERSENNE_P
+        ).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stack_args = ", ".join(f"{i}, mh_{i}" for i in range(k))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({k}, {stack_args}) AS (perm_id, minhash)"),
+    ).select("doc_id", F.col("perm_id").cast("int").alias("perm_id"), "minhash")
 
 
 def minhash_lsh_pairs(

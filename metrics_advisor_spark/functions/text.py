@@ -108,5 +108,6 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
     """
     from metrics_advisor_spark.functions.dedup import shingle
 
-    sh = shingle(df, text_col=text_col, n=ngram)
+    # min is duplicate-insensitive → skip the shingle dedup shuffle
+    sh = shingle(df, text_col=text_col, n=ngram, distinct=False)
     return sh.groupBy("doc_id").agg(F.min("shingle_hash").alias("fingerprint"))
