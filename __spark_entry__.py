@@ -280,6 +280,56 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join coverage: for each error event, the latest preceding
+    purchase value of the same user (union + carry-forward window plan,
+    no pair explosion)."""
+    from metrics_advisor_spark.operators.asof import asof_join
+
+    sig = _signals(spark, sf_dir)
+    left = sig.filter(F.col("metric") == "error").select(
+        "series", "ts", F.col("value").alias("lv")
+    )
+    right = (
+        sig.filter(F.col("metric") == "purchase")
+        .groupBy("series", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(left, right, by=["series"])
+    return out.select(
+        "series",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.round("lv", 6).alias("lv"),
+        F.round("value_asof", 6).alias("value_asof"),
+        F.unix_timestamp("ts_asof").alias("ts_asof_epoch"),
+    )
+
+
+def q_metric_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile coverage: exact interpolated p50/p95/p99 per metric."""
+    return (
+        _signals(spark, sf_dir)
+        .groupBy("metric")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+    )
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set coverage: ROLLUP(metric, series) counts + sums."""
+    return (
+        _signals(spark, sf_dir)
+        .rollup("metric", "series")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
 def q_streaming_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming coverage: the T2 bucket aggregate executed as
     a real streaming query (file source → tumbling window → memory sink,
@@ -540,6 +590,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_running_sum": q_window_running_sum,
+        "asof_join": q_asof_join,
+        "metric_quantiles": q_metric_quantiles,
+        "rollup_counts": q_rollup_counts,
         "streaming_bucket_stats": q_streaming_bucket_stats,
         "text_stats": q_text_stats,
         "token_count": q_token_count,
@@ -678,6 +731,33 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                        AS running_total
             FROM orders
+        """,
+        "asof_join": f"""
+            WITH sig AS ({_SIG}),
+            l AS (SELECT series, ts, value AS lv FROM sig
+                  WHERE metric = 'error'),
+            r AS (SELECT series, ts, max(value) AS value FROM sig
+                  WHERE metric = 'purchase' GROUP BY 1, 2)
+            SELECT l.series,
+                   CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_epoch,
+                   round(l.lv, 6) AS lv,
+                   round(r.value, 6) AS value_asof,
+                   CAST(floor(epoch(r.ts)) AS BIGINT) AS ts_asof_epoch
+            FROM l ASOF LEFT JOIN r
+              ON l.series = r.series AND l.ts >= r.ts
+        """,
+        "metric_quantiles": f"""
+            SELECT metric,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM ({_SIG}) GROUP BY metric
+        """,
+        "rollup_counts": f"""
+            SELECT metric, series, count(*) AS n,
+                   round(sum(value), 6) AS total_value
+            FROM ({_SIG})
+            GROUP BY ROLLUP (metric, series)
         """,
         "streaming_bucket_stats": f"""
             SELECT metric, series,

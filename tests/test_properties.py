@@ -1,0 +1,102 @@
+"""Property-based invariances (SURVEY.md §5.4).
+
+Each property runs a handful of hypothesis examples (Spark jobs are
+seconds each, so max_examples stays small; the generators still explore
+signs, scales and offsets)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from metrics_advisor_spark.operators.buckets import bucket_expr, time_extent
+from metrics_advisor_spark.operators.normalize import get_relative
+from metrics_advisor_spark.operators.validity import range_filter
+from metrics_advisor_spark.operators.xcorr import best_lag, bucket_correlation
+
+from conftest import make_signals_df
+
+PROP = settings(max_examples=5, deadline=None)
+
+
+@PROP
+@given(shift=st.integers(min_value=-10**5, max_value=10**5))
+def test_time_shift_preserves_bucket_membership(spark, shift):
+    """Shifting every timestamp by Δ leaves tmin-anchored bucket ids —
+    and therefore memberships — unchanged."""
+    rng = np.random.default_rng(42)
+    vals = rng.normal(0, 1, 80)
+
+    def memberships(t0):
+        df = make_signals_df(spark, {("m", "s"): vals}, t0=t0)
+        tmin, _ = time_extent(df)
+        return sorted(
+            (r["bucket_id"], r["metric"], int(r["value"] * 1e6))
+            for r in df.withColumn(
+                "bucket_id", bucket_expr(tmin, 600)
+            ).collect()
+        )
+
+    assert memberships(1640588307) == memberships(1640588307 + shift * 15)
+
+
+@PROP
+@given(
+    scale=st.floats(min_value=0.1, max_value=100.0, allow_nan=False),
+    offset=st.floats(min_value=-50.0, max_value=50.0, allow_nan=False),
+)
+def test_affine_candidate_preserves_abs_corr(spark, scale, offset):
+    """Positive-affine transform of a candidate leaves |corr| and the
+    best lag unchanged (Pearson invariance)."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 1, 60)
+    cand = np.roll(base, 2) + rng.normal(0, 0.1, 60)
+
+    def run(c):
+        obj = make_signals_df(spark, {("obj", "s"): base})
+        cnd = make_signals_df(spark, {("cand", "s"): c})
+        corr = bucket_correlation(
+            obj, cnd, tmin=0, bucket_seconds=10**12, lag_max=3,
+            step_seconds=15,
+        )
+        r = best_lag(corr).collect()[0]
+        return r["lag"], round(abs(r["corr"]), 6)
+
+    assert run(cand) == run(cand * scale + offset)
+
+
+@PROP
+@given(const=st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+def test_constant_series_never_active(spark, const):
+    """F2: a constant series never survives the range gate."""
+    df = make_signals_df(spark, {("m", "s"): np.full(40, const)})
+    assert range_filter(df, 0.005).count() == 0
+
+
+@PROP
+@given(scale=st.floats(min_value=0.1, max_value=1e4, allow_nan=False))
+def test_relative_normalization_bounded(spark, scale):
+    """P9 (fixed max|x| variant): output always within [-1, 1]."""
+    rng = np.random.default_rng(3)
+    df = make_signals_df(spark, {("m", "s"): rng.normal(0, scale, 50)})
+    rows = get_relative(df).select("rel_value").collect()
+    assert all(-1.0 <= r["rel_value"] <= 1.0 for r in rows)
+
+
+def test_duplicate_doc_identical_signature(spark):
+    """MinHash: identical texts yield identical signatures regardless of
+    doc_id or row order."""
+    from metrics_advisor_spark.functions.dedup import minhash_signatures
+
+    texts = ["alpha beta gamma delta epsilon zeta", "one two three four five six"]
+    df = spark.createDataFrame(
+        [(i, texts[i % 2]) for i in range(6)], "doc_id long, text string"
+    )
+    sig = minhash_signatures(df, k=8).collect()
+    by_doc = {}
+    for r in sig:
+        by_doc.setdefault(r["doc_id"], {})[r["perm_id"]] = r["minhash"]
+    assert by_doc[0] == by_doc[2] == by_doc[4]
+    assert by_doc[1] == by_doc[3] == by_doc[5]
+    assert by_doc[0] != by_doc[1]
