@@ -134,6 +134,72 @@ def best_lag(correlations: DataFrame) -> DataFrame:
     )
 
 
+def positional_correlation(
+    objectives: DataFrame,
+    candidates: DataFrame,
+    *,
+    count_bucket: int = 40,
+    lag_max: int = 3,
+    min_pairs: int = 2,
+) -> DataFrame:
+    """P8 in the reference's POSITIONAL mode (parity flag Q3).
+
+    The reference slices windows by sample position, not timestamp
+    (``data[40i:40i+40]``, metrics_advisor.py:186-187), so series with
+    missing rows drift out of time alignment — reproduced here exactly:
+    each series gets a 0-based row_number in ts order, bucket = pos //
+    count_bucket, and a lag-k pair joins obj position p with candidate
+    position p + k inside the same positional bucket.
+
+    Same output schema as ``bucket_correlation``.  One row_number window
+    per side (shuffle on (metric, series)) + the same broadcast join —
+    the positional index replaces the timestamp as the join key.
+    """
+    w = Window.partitionBy("metric", "series").orderBy("ts")
+    pos = (F.row_number().over(w) - 1).alias("pos")
+    obj = objectives.select(
+        F.col("metric").alias("obj_metric"),
+        F.col("series").alias("obj_series"),
+        F.col("value").alias("obj_value"),
+        pos,
+    ).withColumn("bucket_id", F.floor(F.col("pos") / count_bucket))
+    cand = (
+        candidates.select(
+            F.col("metric").alias("cand_metric"),
+            F.col("series").alias("cand_series"),
+            F.col("value").alias("cand_value"),
+            pos,
+        )
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(-lag_max), F.lit(lag_max))).alias("lag"),
+        )
+        .withColumn("join_pos", F.col("pos") - F.col("lag"))
+        .withColumn("cand_bucket_id", F.floor(F.col("pos") / count_bucket))
+    )
+    joined = cand.join(
+        F.broadcast(obj),
+        (cand["join_pos"] == obj["pos"])
+        & (cand["cand_bucket_id"] == obj["bucket_id"]),
+        "inner",
+    )
+    return (
+        joined.groupBy(
+            "bucket_id", "obj_metric", "obj_series",
+            "cand_metric", "cand_series", "lag",
+        )
+        .agg(
+            F.try_divide(
+                F.covar_samp("obj_value", "cand_value"),
+                F.stddev_samp("obj_value") * F.stddev_samp("cand_value"),
+            ).alias("corr"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .filter(F.col("n_pairs") >= min_pairs)
+        .filter(F.col("corr").isNotNull())
+    )
+
+
 def rank_correlations(best: DataFrame, top_k: int | None = None) -> DataFrame:
     """K1–K3: rank candidates per (bucket, objective) by |corr| desc.
 

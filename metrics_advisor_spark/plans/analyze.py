@@ -26,6 +26,7 @@ from metrics_advisor_spark.operators.validity import range_filter, valid_signals
 from metrics_advisor_spark.operators.xcorr import (
     best_lag,
     bucket_correlation,
+    positional_correlation,
     rank_correlations,
 )
 
@@ -76,31 +77,73 @@ def analyze(signals: DataFrame, cfg: AdvisorConfig = AdvisorConfig()) -> Analysi
         .withColumn("is_obj", F.col("metric").isin(*cfg.obj_signals))
     )
 
-    # Restrict each side's sample rows to its membership (bucket, metric,
-    # series) triples.  Membership is tiny (≤ #anomalous series × #buckets)
-    # → broadcast the semi-joins.
-    bucketed = valid.withColumn("bucket_id", bucket_expr(tmin, cfg.bucket_seconds))
-    obj_samples = bucketed.join(
-        F.broadcast(membership.filter("is_obj").select("bucket_id", "metric", "series")),
-        ["bucket_id", "metric", "series"],
-        "left_semi",
-    ).drop("bucket_id")
-    cand_samples = bucketed.join(
-        F.broadcast(
-            membership.filter(~F.col("is_obj")).select("bucket_id", "metric", "series")
-        ),
-        ["bucket_id", "metric", "series"],
-        "left_semi",
-    ).drop("bucket_id")
-
-    correlations = bucket_correlation(
-        obj_samples,
-        cand_samples,
-        tmin=tmin,
-        bucket_seconds=cfg.bucket_seconds,
-        lag_max=cfg.lag_max,
-        step_seconds=cfg.sample_time_step,
+    obj_keys = membership.filter("is_obj").select("bucket_id", "metric", "series")
+    cand_keys = membership.filter(~F.col("is_obj")).select(
+        "bucket_id", "metric", "series"
     )
+
+    if cfg.positional_windows:
+        # Parity Q3: the reference slices windows by sample POSITION on the
+        # full series (metrics_advisor.py:186-187), so pass whole member
+        # series and keep only (bucket, side) membership pairs afterwards.
+        obj_full = valid.join(
+            F.broadcast(obj_keys.select("metric", "series").distinct()),
+            ["metric", "series"],
+            "left_semi",
+        )
+        cand_full = valid.join(
+            F.broadcast(cand_keys.select("metric", "series").distinct()),
+            ["metric", "series"],
+            "left_semi",
+        )
+        correlations = (
+            positional_correlation(
+                obj_full,
+                cand_full,
+                count_bucket=cfg.count_bucket,
+                lag_max=cfg.lag_max,
+            )
+            .join(
+                F.broadcast(
+                    obj_keys.withColumnsRenamed(
+                        {"metric": "obj_metric", "series": "obj_series"}
+                    )
+                ),
+                ["bucket_id", "obj_metric", "obj_series"],
+                "left_semi",
+            )
+            .join(
+                F.broadcast(
+                    cand_keys.withColumnsRenamed(
+                        {"metric": "cand_metric", "series": "cand_series"}
+                    )
+                ),
+                ["bucket_id", "cand_metric", "cand_series"],
+                "left_semi",
+            )
+        )
+    else:
+        # Default: timestamp-aligned windows (documented Q3 fix).  Restrict
+        # each side's sample rows to its membership (bucket, metric, series)
+        # triples.  Membership is tiny (≤ #anomalous series × #buckets)
+        # → broadcast the semi-joins.
+        bucketed = valid.withColumn(
+            "bucket_id", bucket_expr(tmin, cfg.bucket_seconds)
+        )
+        obj_samples = bucketed.join(
+            F.broadcast(obj_keys), ["bucket_id", "metric", "series"], "left_semi"
+        ).drop("bucket_id")
+        cand_samples = bucketed.join(
+            F.broadcast(cand_keys), ["bucket_id", "metric", "series"], "left_semi"
+        ).drop("bucket_id")
+        correlations = bucket_correlation(
+            obj_samples,
+            cand_samples,
+            tmin=tmin,
+            bucket_seconds=cfg.bucket_seconds,
+            lag_max=cfg.lag_max,
+            step_seconds=cfg.sample_time_step,
+        )
     best = best_lag(correlations)
     ranked = rank_correlations(best, top_k=cfg.top_k_report)
     return Analysis(
