@@ -1,0 +1,110 @@
+"""SQL surface (SURVEY.md §2.8).
+
+The reference has no SQL; this engine exposes one because Spark gives it
+nearly for free:
+
+- ``register_signals`` publishes the canonical long table as a temp view
+  so every relational operator (joins, grouping sets, percentiles,
+  windows) is available via ``spark.sql``.
+- The signal-processing operators that Catalyst can't express are
+  registered as **partition-aware Python UDTFs** (Spark ≥3.5 table
+  arguments): ``ma_detect_changepoints`` / ``ma_detect_outliers`` run
+  per (metric, series) partition directly from SQL::
+
+      SELECT * FROM ma_detect_changepoints(
+          TABLE(SELECT * FROM signals)
+          PARTITION BY (metric, series) ORDER BY ts)
+
+  The UDTF buffers one partition (one series) — the same unit of work,
+  memory bound and parallelism as the applyInPandas path; Catalyst
+  inserts the shuffle for PARTITION BY exactly as groupBy would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import udtf
+
+
+def _changepoint_udtf():
+    from pyspark.sql import Row
+
+    @udtf(returnType="metric string, series string, idx int, ts timestamp, "
+                     "value double")
+    class DetectChangepoints:
+        """E-Divisive change points per (metric, series) partition."""
+
+        def __init__(self) -> None:
+            self._rows: list[Row] = []
+
+        def eval(self, row: Row) -> None:
+            self._rows.append(row)
+
+        def terminate(self):
+            import numpy as np
+
+            from metrics_advisor_spark.operators.detect import (
+                _series_seed,
+                e_divisive_np,
+                moving_median_np,
+            )
+
+            if not self._rows:
+                return
+            rows = sorted(self._rows, key=lambda r: r["ts"])
+            x = np.array([r["value"] for r in rows], dtype=np.float64)
+            med = moving_median_np(x, 5)
+            seed = _series_seed(rows[0]["metric"], rows[0]["series"])
+            for i in e_divisive_np(med, pvalue=0.05, permutations=100,
+                                   seed=seed):
+                r = rows[i]
+                yield (r["metric"], r["series"], int(i), r["ts"], r["value"])
+
+    return DetectChangepoints
+
+
+def _outlier_udtf():
+    from pyspark.sql import Row
+
+    @udtf(returnType="metric string, series string, idx int, ts timestamp, "
+                     "value double")
+    class DetectOutliers:
+        """STL-style 3σ outliers per (metric, series) partition."""
+
+        def __init__(self) -> None:
+            self._rows: list[Row] = []
+
+        def eval(self, row: Row) -> None:
+            self._rows.append(row)
+
+        def terminate(self):
+            import numpy as np
+
+            from metrics_advisor_spark.operators.detect import stl_outliers_np
+
+            if not self._rows:
+                return
+            rows = sorted(self._rows, key=lambda r: r["ts"])
+            x = np.array([r["value"] for r in rows], dtype=np.float64)
+            for i in stl_outliers_np(x):
+                r = rows[int(i)]
+                yield (r["metric"], r["series"], int(i), r["ts"], r["value"])
+
+    return DetectOutliers
+
+
+def register_udtfs(spark: SparkSession) -> None:
+    """Register the signal-processing UDTFs for SQL use."""
+    spark.udtf.register("ma_detect_changepoints", _changepoint_udtf())
+    spark.udtf.register("ma_detect_outliers", _outlier_udtf())
+
+
+def register_signals(spark: SparkSession, signals, name: str = "signals") -> None:
+    """Publish a signals DataFrame as a temp view for spark.sql use."""
+    signals.createOrReplaceTempView(name)
+
+
+def register_all(spark: SparkSession, signals=None) -> None:
+    register_udtfs(spark)
+    if signals is not None:
+        register_signals(spark, signals)
