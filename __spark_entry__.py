@@ -956,11 +956,13 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = AdvisorConfig(
         obj_signals=("error",),
         sample_time_step=HOUR,
-        count_bucket=24,          # 1-day buckets
+        count_bucket=48,            # 2-day buckets
         min_rows=20,
         min_range=1e-9,
         cp_permutations=50,
         lag_max=3,
+        sigma_level=2.0,            # sparse hourly grid → 2σ outliers
+        cp_only_anomaly_ts=False,   # Q1 'fix' mode: outliers bucket too
     )
     return analyze(sig, cfg).ranked
 
