@@ -50,11 +50,13 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
+    import shutil
+
     from metrics_advisor_spark import AdvisorConfig, get_spark
     from metrics_advisor_spark.plans.analyze import analyze
     from metrics_advisor_spark.plans.report import save_report
     from metrics_advisor_spark.sources.csv_tar import (
-        ingest_tar,
+        extract_tar,
         read_wide_csv_dir,
     )
 
@@ -73,18 +75,26 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     spark = get_spark("metrics_advisor_cli", master=args.master)
-    if os.path.isdir(args.input):
-        signals = read_wide_csv_dir(spark, args.input)
-    else:
-        signals = ingest_tar(spark, args.input)
+    scratch = None
+    try:
+        if os.path.isdir(args.input):
+            signals = read_wide_csv_dir(spark, args.input)
+        else:
+            scratch = extract_tar(args.input)  # S8: cleaned up below
+            signals = read_wide_csv_dir(spark, scratch)
 
-    result = analyze(signals, cfg)
-    os.makedirs(args.output, exist_ok=True)
-    suffix = os.path.splitext(os.path.basename(args.input.rstrip("/")))[0]
-    if suffix.endswith(".tar"):
-        suffix = suffix[: -len(".tar")]
-    out_path = os.path.join(args.output, f"report_{suffix}.md")
-    save_report(result, out_path, bucket_seconds=cfg.bucket_seconds)
+        result = analyze(signals, cfg)
+        os.makedirs(args.output, exist_ok=True)
+        suffix = os.path.splitext(os.path.basename(args.input.rstrip("/")))[0]
+        if suffix.endswith(".tar"):
+            suffix = suffix[: -len(".tar")]
+        out_path = os.path.join(args.output, f"report_{suffix}.md")
+        # save_report collects the ranked result, so every scan of the
+        # scratch dir has happened by the time we delete it
+        save_report(result, out_path, bucket_seconds=cfg.bucket_seconds)
+    finally:
+        if scratch:
+            shutil.rmtree(scratch, ignore_errors=True)
     print(out_path)
     return 0
 

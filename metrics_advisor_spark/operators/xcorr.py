@@ -200,6 +200,89 @@ def positional_correlation(
     )
 
 
+def ncc_cogrouped(
+    objectives: DataFrame,
+    candidates: DataFrame,
+    *,
+    tmin: int,
+    bucket_seconds: int = 600,
+    lag_max: int = 3,
+    min_pairs: int = 2,
+) -> DataFrame:
+    """P8 option (b): mathbox-style ncc via cogrouped ``applyInPandas``.
+
+    Parity fallback to the SQL plan (SURVEY §2.6 P8): obj and candidate
+    samples are cogrouped per bucket; inside the pandas function each
+    (obj, cand) pair is aligned POSITIONALLY within the bucket window
+    (the reference's array semantics, metrics_advisor.py:186-192) and all
+    lags are computed vectorized in numpy.  Same output schema as
+    ``bucket_correlation``.
+
+    Scale: one shuffle on bucket_id; a bucket's groups must fit one task
+    (40 samples × member series — small by construction, because only
+    anomalous series enter buckets).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("bucket_id", T.LongType()),
+            T.StructField("obj_metric", T.StringType()),
+            T.StructField("obj_series", T.StringType()),
+            T.StructField("cand_metric", T.StringType()),
+            T.StructField("cand_series", T.StringType()),
+            T.StructField("lag", T.IntegerType()),
+            T.StructField("corr", T.DoubleType()),
+            T.StructField("n_pairs", T.LongType()),
+        ]
+    )
+
+    def with_bucket(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket_id",
+            F.floor(
+                (F.unix_timestamp("ts") - F.lit(tmin)) / F.lit(bucket_seconds)
+            ),
+        )
+
+    def fn(key: tuple, obj_pdf: pd.DataFrame, cand_pdf: pd.DataFrame):
+        bucket_id = int(key[0])
+        out = []
+        for (om, os_), og in obj_pdf.groupby(["metric", "series"], sort=True):
+            a = og.sort_values("ts")["value"].to_numpy(dtype=np.float64)
+            for (cm, cs), cg in cand_pdf.groupby(["metric", "series"],
+                                                 sort=True):
+                b = cg.sort_values("ts")["value"].to_numpy(dtype=np.float64)
+                for lag in range(-lag_max, lag_max + 1):
+                    # pair a[i] with b[i + lag], truncated to the overlap
+                    if lag >= 0:
+                        aa, bb = a[: b.size - lag], b[lag:]
+                    else:
+                        aa, bb = a[-lag:], b[: a.size + lag]
+                    m = min(aa.size, bb.size)
+                    aa, bb = aa[:m], bb[:m]
+                    if m < min_pairs:
+                        continue
+                    sa, sb = aa.std(ddof=1), bb.std(ddof=1)
+                    if sa == 0.0 or sb == 0.0 or np.isnan(sa) or np.isnan(sb):
+                        continue
+                    c = float(np.corrcoef(aa, bb)[0, 1])
+                    out.append(
+                        (bucket_id, om, os_, cm, cs, lag, c, m)
+                    )
+        return pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return (
+        with_bucket(objectives)
+        .groupBy("bucket_id")
+        .cogroup(with_bucket(candidates).groupBy("bucket_id"))
+        .applyInPandas(fn, schema)
+    )
+
+
 def rank_correlations(best: DataFrame, top_k: int | None = None) -> DataFrame:
     """K1–K3: rank candidates per (bucket, objective) by |corr| desc.
 
