@@ -73,16 +73,35 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """N-gram Jaccard near-dup pairs via the shared-shingle join.
 
     |A∩B| from the self-join on shingle_hash; |A∪B| = |A|+|B|−|A∩B|.
     Only documents sharing ≥1 shingle are ever paired — no cross join.
+
+    ``max_shingle_df`` is the skew cap for boilerplate-heavy corpora: a
+    shingle appearing in more than that many documents is dropped from
+    the INTERSECTION join (its join group would be quadratic in its doc
+    frequency while carrying almost no dedup signal).  Set sizes keep
+    counting every shingle, so Jaccard estimates only ever shrink —
+    pairs held together solely by ubiquitous boilerplate fall away, and
+    high-threshold near-dups still need many specific shared shingles.
+    None (default) is the exact parity mode.
     """
     sh = shingle(df, text_col, n)
+    join_sh = sh
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle_hash")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .filter(F.col("df_count") <= max_shingle_df)
+            .select("shingle_hash")
+        )
+        join_sh = sh.join(rare, "shingle_hash", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    a = join_sh.alias("a")
+    b = join_sh.alias("b")
     inter = (
         a.join(b, F.col("a.shingle_hash") == F.col("b.shingle_hash"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -162,6 +181,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     k: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs agreeing on ≥1 band.
 
@@ -169,6 +189,13 @@ def minhash_lsh_pairs(
     minhash values in the band; candidates = self-join on
     (band_id, band_hash).  With k=16, b=4 (r=4 rows/band) the collision
     curve is 1−(1−s⁴)⁴ — candidates skew toward Jaccard ≳ 0.5.
+
+    ``max_bucket_size`` caps the quadratic blow-up of monster buckets
+    (10⁶ identical boilerplate docs → 10¹² pairs): oversized buckets are
+    routed to a star expansion — every member pairs with the bucket's
+    min doc_id representative only, marking the whole cluster duplicate
+    in O(size) pairs instead of O(size²).  None (default) = exact
+    all-pairs parity.
     """
     rows_per_band = k // bands
     sig = minhash_signatures(df, text_col, n, k)
@@ -189,6 +216,30 @@ def minhash_lsh_pairs(
             ).alias("band_hash")
         )
     )
+    if max_bucket_size is not None:
+        stats = band.groupBy("band_id", "band_hash").agg(
+            F.count(F.lit(1)).alias("bucket_n"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+        band = band.join(stats, ["band_id", "band_hash"])
+        small = band.filter(F.col("bucket_n") <= max_bucket_size)
+        big = band.filter(F.col("bucket_n") > max_bucket_size)
+        a = small.alias("a")
+        b = small.alias("b")
+        small_pairs = a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        star_pairs = big.filter(F.col("doc_id") != F.col("rep_doc_id")).select(
+            F.col("rep_doc_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+        )
+        return small_pairs.unionByName(star_pairs).distinct()
     a = band.alias("a")
     b = band.alias("b")
     return (
