@@ -280,6 +280,35 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid densify + forward fill on a 15-min grid (sparse → real gaps)."""
+    from metrics_advisor_spark.operators.resample import fill_gaps
+
+    sig = _signals(spark, sf_dir).withColumn("series", F.lit("all"))
+    q15 = resample(sig, 900, "avg")
+    filled = fill_gaps(q15, 900, method="ffill")
+    return filled.select(
+        "metric",
+        F.unix_timestamp("ts").alias("slot_epoch"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user 30-min-gap sessions over events."""
+    from metrics_advisor_spark.operators.sessions import session_stats
+
+    return session_stats(_signals(spark, sf_dir), gap_seconds=1800).select(
+        "series",
+        "session_id",
+        "n_events",
+        "session_start",
+        "session_end",
+        "duration_s",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join coverage: for each error event, the latest preceding
     purchase value of the same user (union + carry-forward window plan,
@@ -590,6 +619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_running_sum": q_window_running_sum,
+        "fill_forward": q_fill_forward,
+        "session_stats": q_session_stats,
         "asof_join": q_asof_join,
         "metric_quantiles": q_metric_quantiles,
         "rollup_counts": q_rollup_counts,
@@ -731,6 +762,56 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                        AS running_total
             FROM orders
+        """,
+        "fill_forward": """
+            WITH q15 AS (
+              SELECT event_type AS metric,
+                     CAST(floor(epoch(ts)/900)*900 AS BIGINT) AS slot_epoch,
+                     avg(value) AS value
+              FROM events GROUP BY 1, 2
+            ),
+            ext AS (
+              SELECT metric, min(slot_epoch) AS tmin, max(slot_epoch) AS tmax
+              FROM q15 GROUP BY metric
+            ),
+            grid AS (
+              SELECT metric, unnest(range(tmin, tmax + 900, 900)) AS slot_epoch
+              FROM ext
+            )
+            SELECT g.metric, g.slot_epoch,
+                   round(last_value(h.value IGNORE NULLS) OVER (
+                       PARTITION BY g.metric ORDER BY g.slot_epoch
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                       AS value
+            FROM grid g
+            LEFT JOIN q15 h
+              ON h.metric = g.metric AND h.slot_epoch = g.slot_epoch
+        """,
+        "session_stats": f"""
+            WITH sig AS ({_SIG}),
+            flagged AS (
+              SELECT series, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                             > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM sig WINDOW w AS (PARTITION BY series ORDER BY ts)
+            ),
+            sessions AS (
+              SELECT series, ts, value,
+                     sum(is_new) OVER (
+                         PARTITION BY series ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - 1 AS session_id
+              FROM flagged
+            )
+            SELECT series, session_id, count(*) AS n_events,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+                   CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
+                   CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+                       AS duration_s,
+                   round(sum(value), 6) AS total_value
+            FROM sessions GROUP BY 1, 2
         """,
         "asof_join": f"""
             WITH sig AS ({_SIG}),
