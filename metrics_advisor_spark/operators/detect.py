@@ -159,7 +159,13 @@ def e_divisive_np(
                 best_q, best_idx = float(q[i]), lo + i
         if best_idx < 0 or not np.isfinite(best_q):
             return sorted(change_points)
-        # permutation test: permute within each window, compare max qhat
+        # permutation test: permute within each window, compare max qhat.
+        # Early exit (exact): once exceed reaches reject_at, the final
+        # (exceed+1)/(permutations+1) > pvalue verdict is already decided
+        # regardless of the remaining draws — same output, and the common
+        # case (no change point) stops after ~reject_at draws instead of
+        # all `permutations`.
+        reject_at = int(pvalue * (permutations + 1))  # smallest failing count
         exceed = 0
         for _ in range(permutations):
             perm_best = -np.inf
@@ -168,6 +174,8 @@ def e_divisive_np(
                 perm_best = max(perm_best, float(np.max(_qhat_stats(xp))))
             if perm_best >= best_q:
                 exceed += 1
+                if exceed >= reject_at:
+                    return sorted(change_points)
         if (exceed + 1) / (permutations + 1) > pvalue:
             return sorted(change_points)
         change_points.append(best_idx)
