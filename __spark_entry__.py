@@ -496,6 +496,30 @@ def q_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_buckets(_emb(spark, sf_dir), n_bits=8, n_tables=2)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (MLlib KMeans quantizer + probed re-rank) — rows-only
+    check: the trained quantizer is not expressible as SQL, so no
+    oracle entry (documented weaker check)."""
+    from metrics_advisor_spark.functions.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=10, n_lists=16, n_probe=16
+    )
+
+
+def q_distinct_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation coverage: exact series/day counts per metric."""
+    return (
+        _signals(spark, sf_dir)
+        .groupBy("metric")
+        .agg(
+            F.countDistinct("series").alias("n_series"),
+            F.countDistinct(F.to_date("ts")).alias("n_days"),
+        )
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: SRP blocking + exact cosine ≥ 0.95."""
     return embedding_near_dup_pairs(
@@ -638,6 +662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "srp_buckets": q_srp_buckets,
         "embedding_near_dup": q_embedding_near_dup,
+        "ivf_topk": q_ivf_topk,
+        "distinct_series": q_distinct_series,
     }
 
 
@@ -996,6 +1022,12 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY cosine DESC, vec_id ASC) AS rank
               FROM scored
             ) WHERE rank <= 10
+        """,
+        "distinct_series": f"""
+            SELECT metric,
+                   count(DISTINCT series) AS n_series,
+                   count(DISTINCT CAST(ts AS DATE)) AS n_days
+            FROM ({_SIG}) GROUP BY metric
         """,
         "srp_buckets": _srp_sql("SELECT vec_id, embedding FROM embeddings"),
         "embedding_near_dup": f"""

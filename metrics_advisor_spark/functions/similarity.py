@@ -170,6 +170,85 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: MLlib KMeans coarse quantizer + probed
+    exact re-rank (the classic inverted-file ANN layout).
+
+    Build: cluster the corpus into ``n_lists`` cells (KMeans is a Spark
+    job — sampling + distributed Lloyd iterations; the model is a tiny
+    broadcast of n_lists×d centroids).  Search: each query scores only
+    the ``n_probe`` nearest cells' members — the candidate set shrinks
+    from |corpus| to ~|corpus|·n_probe/n_lists, and the cell id doubles
+    as the partition key at scale.  Recall < 1 by construction; raise
+    n_probe toward n_lists to trade cost back for recall.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corp = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
+    )
+    model = KMeans(k=n_lists, seed=seed, featuresCol="_feat",
+                   predictionCol="_cell").fit(corp)
+    assigned = model.transform(corp).select(id_col, vec_col, "_cell")
+
+    centers = model.clusterCenters()
+    spark = corpus.sparkSession
+    centers_df = spark.createDataFrame(
+        [(int(i), [float(v) for v in c]) for i, c in enumerate(centers)],
+        "cell int, centroid array<double>",
+    )
+    # each query probes its n_probe closest centroids (euclidean, as the
+    # quantizer was trained); the centroid table is tiny → broadcast
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"), F.col("centroid"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_d2").asc(), F.col("cell").asc()
+    )
+    probes = (
+        q.join(F.broadcast(centers_df))
+        .withColumn("_d2", dist2)
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "q_vec", F.col("cell").alias("p_cell"))
+    )
+    cand = assigned.join(
+        F.broadcast(probes),
+        (F.col("_cell") == F.col("p_cell"))
+        & (F.col(id_col) != F.col("query_id")),
+    ).select("query_id", id_col, "q_vec", vec_col)
+    scored = cand.select(
+        "query_id",
+        id_col,
+        F.round(cosine_col(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -77,3 +77,30 @@ def test_lsh_recall_vs_bruteforce(vectors):
     ann_set = {(r["query_id"], r["vec_id"]) for r in ann.collect()}
     recall = len(bf_set & ann_set) / len(bf_set)
     assert recall > 0.5, f"LSH recall {recall} suspiciously low"
+
+
+def test_ivf_topk_recall_against_brute_force(spark):
+    """IVF with full probing (n_probe == n_lists) is exact; partial
+    probing still recovers most of the brute-force top-k."""
+    from metrics_advisor_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 3")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(queries, emb, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(queries, emb, k=5, n_lists=8, n_probe=8).collect()
+    }
+    assert full == exact  # probing every cell == brute force
+    partial = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(queries, emb, k=5, n_lists=8, n_probe=4).collect()
+    }
+    recall = len(partial & exact) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
