@@ -9,6 +9,7 @@ to the parallelism at hand rather than the 200 default.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -38,6 +39,15 @@ def get_spark(app_name: str = "metrics_advisor_spark", *,
         # the driver's testdata stores TIMESTAMP(NANOS) which Spark rejects
         # by default; read as long and convert at the source adapter
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # managed (bucketed) tables go to scratch unless overridden —
+        # never into the caller's cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "ma_spark_warehouse"),
+            ),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
