@@ -485,6 +485,18 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(media)
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per 5 s tick of each payload's
+    stub-derived duration (frame bytes omitted — the tick/index columns
+    are the oracle-checkable part)."""
+    from metrics_advisor_spark.functions.multimodal import sample_frames
+
+    media = attach_fake_payload(_docs(spark, sf_dir), media_type="video/mp4")
+    return sample_frames(media, every_ms=5000).select(
+        "doc_id", "frame_idx", "frame_ts_ms"
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for query vectors vec_id<5."""
     emb = _emb(spark, sf_dir)
@@ -659,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "media_meta": q_media_meta,
+        "media_frames": q_media_frames,
         "ann_topk": q_ann_topk,
         "srp_buckets": q_srp_buckets,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1003,6 +1016,16 @@ def oracle_sql() -> dict[str, str]:
                    16 + ('0x' || substr(sha256(text), 3, 2))::INT % 240 AS height,
                    ('0x' || substr(sha256(text), 5, 4))::BIGINT AS duration_ms
             FROM documents
+        """,
+        "media_frames": """
+            WITH m AS (
+              SELECT doc_id,
+                     ('0x' || substr(sha256(text), 5, 4))::BIGINT AS duration_ms
+              FROM documents
+            )
+            SELECT doc_id, CAST(t.i AS INT) AS frame_idx,
+                   (t.i * 5000)::BIGINT AS frame_ts_ms
+            FROM m, unnest(range(0, duration_ms // 5000 + 1)) AS t(i)
         """,
         "ann_topk": """
             WITH q AS (

@@ -100,19 +100,97 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, META_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _fake_extract_frame(payload: bytes, ts_ms: int) -> bytes:
+    """STUB frame grab (no ffmpeg here): a deterministic digest of
+    (payload, timestamp) stands in for the decoded frame bytes.  Replace
+    with an ffmpeg seek+decode in deployment; the Spark contract
+    (one output row per sampled timestamp, binary frame column) holds."""
+    return hashlib.sha256(payload + ts_ms.to_bytes(8, "big")).digest()
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: one row per ``every_ms`` tick of each
+    payload's (stub-derived) duration.
+
+    One ``mapInPandas`` over Arrow batches; output rows carry only the
+    (small) frame bytes, never the source payload, so downstream stages
+    shuffle frames, not videos.  The fan-out ratio is duration/every_ms —
+    repartition after this op when sampling densely.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_ts_ms": [],
+                   "frame": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(p)
+                _, _, duration_ms = _fake_decode_dims(payload)
+                for i, ts in enumerate(range(0, duration_ms + 1, every_ms)):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(ts)
+                    out["frame"].append(_fake_extract_frame(payload, ts))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, FRAME_SCHEMA)
+
+
+def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Image resize: scale (stub-derived) dimensions so the longer side
+    is ≤ ``max_side``, preserving aspect ratio.
+
+    The stub 'resized payload' is a deterministic digest; a real
+    deployment swaps in PIL's thumbnail — schema, batching and the
+    aspect-ratio arithmetic are the production code path.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "media_type": [], "width": [],
+                    "height": [], "payload": []}
+            for doc_id, mt, p in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                payload = bytes(p)
+                w, h, _ = _fake_decode_dims(payload)
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                rows["doc_id"].append(doc_id)
+                rows["media_type"].append(mt)
+                rows["width"].append(nw)
+                rows["height"].append(nh)
+                rows["payload"].append(
+                    hashlib.sha256(payload + f"{nw}x{nh}".encode()).digest()
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, RESIZE_SCHEMA)
+
+
 def decode_image(media: DataFrame) -> DataFrame:
     """Real image decode — unavailable here by design."""
     raise NotImplementedError(
         "image decoding requires PIL/opencv, not installed in this "
         "container; use extract_media_meta (stubbed codec) for plumbing "
         "tests and swap _fake_decode_dims in deployment"
-    )
-
-
-def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling — unavailable here by design."""
-    raise NotImplementedError(
-        "frame sampling requires ffmpeg bindings, not installed in this "
-        "container; the mapInPandas batch contract matches "
-        "extract_media_meta"
     )
