@@ -4,6 +4,7 @@ from metrics_advisor_spark.streaming.pipeline import (
     SIGNAL_SCHEMA,
     detect_anomalies_stateful,
     run_to_memory,
+    session_stats_stream,
     stream_signals,
     streaming_ksigma,
     windowed_stats,
@@ -13,6 +14,7 @@ __all__ = [
     "SIGNAL_SCHEMA",
     "detect_anomalies_stateful",
     "run_to_memory",
+    "session_stats_stream",
     "stream_signals",
     "streaming_ksigma",
     "windowed_stats",

@@ -112,6 +112,40 @@ def windowed_stats(
     )
 
 
+def session_stats_stream(
+    stream: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessions as a native streaming aggregate
+    (``session_window``): the streaming twin of
+    ``operators.sessions.session_stats``.
+
+    A session closes once the watermark passes its end + gap; state per
+    open session is one row — Spark merges adjacent windows as events
+    arrive, so no custom state code at all."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_seconds} seconds").alias("session"),
+            "metric",
+            "series",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "metric",
+            "series",
+            F.unix_timestamp("session.start").alias("session_start"),
+            F.unix_timestamp("session.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_ksigma(
     stream: DataFrame, baseline: DataFrame, level: float = 3.0
 ) -> DataFrame:

@@ -124,3 +124,31 @@ def test_stateful_detection_incremental(spark, tmp_path):
     # emitted-set in state deduplicates across micro-batches
     assert len(cps2) == 1
     assert cps2[0]["ts"] == cps1[0]["ts"]
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Native session_window aggregation over the file stream: two event
+    clusters separated by > gap become two sessions."""
+    import numpy as np
+    from metrics_advisor_spark.streaming.pipeline import session_stats_stream
+
+    src = str(tmp_path / "sess_sig")
+    # cluster 1: 10 events @15s from T0; cluster 2: 5 events from T0+2h
+    _write_batch(spark, src, {("m1", "a"): np.ones(10)}, t0=T0)
+    _write_batch(spark, src, {("m1", "a"): np.full(5, 2.0)}, t0=T0 + 7200)
+    run_to_memory(
+        session_stats_stream(stream_signals(spark, src), gap_seconds=1800),
+        "sess_win",
+        checkpoint=str(tmp_path / "ck_sess"),
+        output_mode="complete",
+    )
+    rows = sorted(
+        spark.table("sess_win").collect(), key=lambda r: r["session_start"]
+    )
+    assert [(r["n_events"], r["total_value"]) for r in rows] == [
+        (10, 10.0), (5, 10.0)
+    ]
+    # session extent = first event … last event + gap
+    assert rows[0]["session_start"] == T0
+    assert rows[0]["session_end"] == T0 + 9 * 15 + 1800
+    assert rows[1]["session_start"] == T0 + 7200
