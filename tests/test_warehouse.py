@@ -71,3 +71,34 @@ def test_unbucketed_baseline_does_shuffle(spark):
     b = make_signals_df(spark, {("m1", "x"): rng.normal(0, 1, 40)})
     joined = a.hint("merge").join(b, ["metric", "series", "ts"])
     assert "Exchange" in _plan(joined)
+
+
+def test_date_partitioned_store_prunes(spark, tmp_path):
+    from metrics_advisor_spark.sources.warehouse import (
+        read_signals_partitioned,
+        save_signals_partitioned,
+    )
+
+    rng = np.random.default_rng(4)
+    # 3 days of data @ 1 sample/minute
+    df = make_signals_df(
+        spark, {("m1", "s"): rng.normal(0, 1, 3 * 24 * 60)},
+        t0=1640563200, step=60,  # 2021-12-27 00:00 UTC, day-aligned
+    )
+    store = str(tmp_path / "sig_store")
+    save_signals_partitioned(df, store)
+
+    import os
+    days = sorted(d for d in os.listdir(store) if d.startswith("sig_date="))
+    assert days == [
+        "sig_date=2021-12-27", "sig_date=2021-12-28", "sig_date=2021-12-29"
+    ]
+
+    one_day = read_signals_partitioned(
+        spark, store, start_date="2021-12-28", end_date="2021-12-28"
+    )
+    plan = _plan(one_day)
+    # the pruning predicate reaches the scan's PartitionFilters
+    assert "sig_date" in plan.split("PartitionFilters")[1][:250], plan
+    assert one_day.count() == 24 * 60
+    assert read_signals_partitioned(spark, store).count() == 3 * 24 * 60
