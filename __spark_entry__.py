@@ -227,6 +227,40 @@ def q_topk_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xcorr_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8+T2 composed: per-DAY buckets, lagged correlation within each
+    bucket (the reference's actual bucket-loop semantics)."""
+    hourly = _hourly_by_metric(spark, sf_dir)
+    obj = hourly.filter(F.col("metric") == "error")
+    cand = hourly.filter(F.col("metric") != "error")
+    corr = bucket_correlation(
+        obj, cand, tmin=0, bucket_seconds=86400,
+        lag_max=2, step_seconds=HOUR,
+    )
+    return corr.select(
+        "bucket_id",
+        "cand_metric",
+        "lag",
+        F.round("corr", 6).alias("corr"),
+        "n_pairs",
+    )
+
+
+def q_detect_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1–P7 fused detection UDF (rows-only: E-Divisive permutation
+    testing is not SQL-expressible; unit goldens pin the math)."""
+    from metrics_advisor_spark.operators.detect import detect_anomalies
+
+    hourly = _hourly_by_metric(spark, sf_dir)
+    return detect_anomalies(
+        hourly, step_seconds=float(HOUR), cp_permutations=50
+    ).select(
+        "metric", "series", "kind", "idx",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.round("value", 6).alias("value"),
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational agg coverage: TPC-H Q1-style pricing summary."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -652,6 +686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xcorr_lagged": q_xcorr_lagged,
         "xcorr_best_lag": q_xcorr_best_lag,
         "topk_correlated": q_topk_correlated,
+        "xcorr_bucketed": q_xcorr_bucketed,
+        "detect_anomalies": q_detect_anomalies,
         "tpch_q1": q_tpch_q1,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_running_sum": q_window_running_sum,
@@ -772,6 +808,25 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY abs(corr_raw) DESC, cand_metric ASC) AS INT) AS rank
             FROM best
             QUALIFY rank <= 3
+        """,
+        "xcorr_bucketed": f"""
+            WITH hourly AS ({_HOURLY}),
+            obj AS (SELECT slot_epoch, value FROM hourly
+                    WHERE metric = 'error'),
+            cand AS (SELECT metric, slot_epoch, value FROM hourly
+                     WHERE metric <> 'error'),
+            lags AS (SELECT unnest(range(-2, 3)) AS lag)
+            SELECT CAST(floor(o.slot_epoch / 86400) AS BIGINT) AS bucket_id,
+                   c.metric AS cand_metric, l.lag AS lag,
+                   round(corr(o.value, c.value), 6) AS corr,
+                   count(*) AS n_pairs
+            FROM cand c
+            CROSS JOIN lags l
+            JOIN obj o ON o.slot_epoch = c.slot_epoch - l.lag * 3600
+                      AND floor(c.slot_epoch / 86400)
+                          = floor(o.slot_epoch / 86400)
+            GROUP BY 1, 2, 3
+            HAVING count(*) >= 2 AND corr(o.value, c.value) IS NOT NULL
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
