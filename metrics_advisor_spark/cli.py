@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="candidates per objective in the report")
     p.add_argument("--master", default=None,
                    help="Spark master (default local[cpus])")
+    p.add_argument("--charts", action="store_true",
+                   help="also render SVG charts and embed them in the report")
     return p
 
 
@@ -89,9 +91,15 @@ def main(argv: list[str] | None = None) -> int:
         if suffix.endswith(".tar"):
             suffix = suffix[: -len(".tar")]
         out_path = os.path.join(args.output, f"report_{suffix}.md")
+        charts_dir = (
+            os.path.join(args.output, f"charts_{suffix}") if args.charts else None
+        )
         # save_report collects the ranked result, so every scan of the
         # scratch dir has happened by the time we delete it
-        save_report(result, out_path, bucket_seconds=cfg.bucket_seconds)
+        save_report(
+            result, out_path,
+            bucket_seconds=cfg.bucket_seconds, charts_dir=charts_dir,
+        )
     finally:
         if scratch:
             shutil.rmtree(scratch, ignore_errors=True)

@@ -19,8 +19,24 @@ from metrics_advisor_spark.operators.detect import (
     detect_changepoints,
     detect_anomalies,
 )
+from metrics_advisor_spark.operators.asof import asof_join
+from metrics_advisor_spark.operators.resample import fill_gaps, resample
+from metrics_advisor_spark.operators.sessions import session_stats, sessionize
+from metrics_advisor_spark.operators.xcorr import (
+    best_lag,
+    ncc_cogrouped,
+    positional_correlation,
+)
 
 __all__ = [
+    "asof_join",
+    "best_lag",
+    "fill_gaps",
+    "ncc_cogrouped",
+    "positional_correlation",
+    "resample",
+    "session_stats",
+    "sessionize",
     "series_stats",
     "valid_signals",
     "range_filter",

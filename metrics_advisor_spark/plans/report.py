@@ -37,6 +37,9 @@ objective metrics: {% for s in slices %}{{ s }}{{ ", " if not loop.last }}{% end
 {% for c in obj.candidates %}
   {{ loop.index }}. `{{ c.name }}` (lag={{ c.lag }}, corr={{ "%.4f" | format(c.corr) }})
 {% endfor %}
+{% if obj.chart %}
+  ![{{ obj.name }}]({{ obj.chart }})
+{% endif %}
 {% endfor %}
 {% endfor %}
 """
@@ -49,8 +52,15 @@ def _fmt_ts(epoch: int) -> str:
     )
 
 
-def render_markdown(analysis: Analysis, bucket_seconds: int = 600) -> str:
-    """S7: collect the (tiny) ranked result and render markdown."""
+def render_markdown(
+    analysis: Analysis,
+    bucket_seconds: int = 600,
+    chart_paths: dict[tuple[int, str, str], str] | None = None,
+) -> str:
+    """S7: collect the (tiny) ranked result and render markdown.
+
+    ``chart_paths`` optionally maps (bucket_id, obj_metric, obj_series)
+    to a chart file (from ``save_charts``) embedded per objective."""
     rows = analysis.ranked.collect()
     obj_buckets = sorted(
         {
@@ -82,6 +92,9 @@ def render_markdown(analysis: Analysis, bucket_seconds: int = 600) -> str:
         b["objectives"].append(
             {
                 "name": f"{obj_metric}/{obj_series}",
+                "chart": (chart_paths or {}).get(
+                    (bucket_id, obj_metric, obj_series)
+                ),
                 "candidates": [
                     {
                         "name": f"{c['cand_metric']}/{c['cand_series']}",
@@ -96,9 +109,24 @@ def render_markdown(analysis: Analysis, bucket_seconds: int = 600) -> str:
     return _TEMPLATE.render(slices=sorted(buckets), buckets=ordered)
 
 
-def save_report(analysis: Analysis, out_path: str,
-                bucket_seconds: int = 600) -> str:
-    md = render_markdown(analysis, bucket_seconds)
+def save_report(
+    analysis: Analysis,
+    out_path: str,
+    bucket_seconds: int = 600,
+    charts_dir: str | None = None,
+) -> str:
+    """Write the markdown report; with ``charts_dir``, also render the
+    SVG charts there and embed them (relative links) per objective."""
+    import os
+
+    chart_paths = None
+    if charts_dir is not None:
+        charts = save_charts(analysis, charts_dir, bucket_seconds=bucket_seconds)
+        base = os.path.dirname(os.path.abspath(out_path)) or "."
+        chart_paths = {
+            key: os.path.relpath(p, base) for key, p in charts.items()
+        }
+    md = render_markdown(analysis, bucket_seconds, chart_paths)
     with open(out_path, "w") as f:
         f.write(md)
     return out_path
@@ -199,7 +227,7 @@ def save_charts(
     out_dir: str,
     bucket_seconds: int = 600,
     top_k: int = 5,
-) -> list[str]:
+) -> dict[tuple[int, str, str], str]:
     """S6: one SVG per (bucket, objective): max-abs-normalized objective +
     top-k candidates + change-point vlines.
 
@@ -218,7 +246,7 @@ def save_charts(
     os.makedirs(out_dir, exist_ok=True)
     ranked = rank_correlations(analysis.best, top_k=top_k).collect()
     if not ranked:
-        return []
+        return {}
     keys = {(r["bucket_id"], r["obj_metric"], r["obj_series"]) for r in ranked}
     involved = {(r["cand_metric"], r["cand_series"]) for r in ranked} | {
         (m, s) for _, m, s in keys
@@ -262,7 +290,7 @@ def save_charts(
         mx = max((abs(y) for y in ys if y == y), default=0.0)
         return xs, [y / (mx + 1e-10) for y in ys]
 
-    paths = []
+    paths: dict[tuple[int, str, str], str] = {}
     for bucket_id, obj_metric, obj_series in sorted(keys):
         chart_series = []
         obj_pts = samples.get((bucket_id, obj_metric, obj_series), [])
@@ -302,5 +330,5 @@ def save_charts(
         path = os.path.join(out_dir, f"{safe}.svg")
         with open(path, "w") as f:
             f.write(svg)
-        paths.append(path)
+        paths[(bucket_id, obj_metric, obj_series)] = path
     return paths

@@ -30,8 +30,19 @@ def test_save_charts_renders_svg(spark, tmp_path):
     res = analyze(df, cfg)
     paths = save_charts(res, str(tmp_path / "charts"), top_k=5)
     assert paths, "expected at least one chart"
-    svg = open(paths[0]).read()
+    (bucket_id, obj_metric, _), first = sorted(paths.items())[0]
+    assert obj_metric == "tidb_p99_rt:total"
+    svg = open(first).read()
     assert svg.startswith("<svg")
     assert svg.count("<polyline") >= 2          # objective + ≥1 candidate
     assert "stroke-dasharray" in svg            # change-point vlines
     assert "(objective)" in svg and "corr=" in svg  # text legend
+
+    # report with embedded charts: relative links appear in the markdown
+    from metrics_advisor_spark.plans.report import save_report
+
+    out = str(tmp_path / "report.md")
+    save_report(res, out, charts_dir=str(tmp_path / "charts2"))
+    md = open(out).read()
+    assert "![tidb_p99_rt:total/" in md
+    assert "charts2/" in md
