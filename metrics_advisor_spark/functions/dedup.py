@@ -304,10 +304,10 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def hamming_pairs(sketches: DataFrame, max_distance: int = 8) -> DataFrame:
-    """SimHash near-dup pairs within a Hamming radius.
+    """SimHash near-dup pairs within a Hamming radius — all-pairs form.
 
-    Pairs via bit_count(xor); at scale, block first on sketch prefixes
-    (rotate-and-prefix trick) instead of this all-pairs form."""
+    O(n²) by construction: the oracle baseline for small corpora and for
+    verifying ``hamming_pairs_blocked``, which is the scale path."""
     a = sketches.alias("a")
     b = sketches.alias("b")
     return (
@@ -320,4 +320,60 @@ def hamming_pairs(sketches: DataFrame, max_distance: int = 8) -> DataFrame:
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_distance)
+    )
+
+
+def hamming_pairs_blocked(
+    sketches: DataFrame, max_distance: int = 8, n_bits: int = 56
+) -> DataFrame:
+    """SimHash near-dup pairs via EXACT pigeonhole blocking.
+
+    Split the sketch into ``max_distance + 1`` disjoint bit bands: two
+    sketches within Hamming distance d differ in ≤ d bands, so they
+    AGREE EXACTLY on ≥ 1 band — joining on (band_id, band_bits) finds
+    every qualifying pair (no recall loss, unlike LSH), and only
+    near-identical sketches ever meet in the join.  The candidate set is
+    then filtered by the true bit_count(xor) distance.
+
+    Scale: one narrow band explode (d+1 rows per doc), one equi-join on
+    uniform band values, no cross join.  Same output as
+    ``hamming_pairs`` (verified in tests).
+    """
+    n_bands = max_distance + 1
+    base, rem = divmod(n_bits, n_bands)
+    bands = []
+    lo = 0
+    for b in range(n_bands):
+        width = base + (1 if b < rem else 0)
+        mask = (1 << width) - 1
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.expr(f"shiftright(simhash, {lo})").bitwiseAND(
+                    F.lit(mask)
+                ).alias("band_bits"),
+            )
+        )
+        lo += width
+    banded = sketches.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "simhash", "band.band_id", "band.band_bits")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .dropDuplicates(["doc_a", "doc_b"])
     )

@@ -67,3 +67,35 @@ def test_star_expansion_leaves_small_buckets_exact(spark):
     capped = {(r["doc_a"], r["doc_b"])
               for r in minhash_lsh_pairs(docs, max_bucket_size=5).collect()}
     assert exact == capped == {(0, 1)}
+
+
+def test_hamming_blocked_equals_all_pairs(spark):
+    """Pigeonhole blocking is exact: same pair set as the O(n^2) form on
+    real corpus sketches at several radii."""
+    from pyspark.sql import functions as F
+
+    from metrics_advisor_spark.functions.dedup import (
+        hamming_pairs,
+        hamming_pairs_blocked,
+        simhash,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(80)
+    )
+    # plant near-identical variants so small radii have hits
+    near = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    sk = simhash(docs.unionByName(near)).cache()
+    for d in (4, 8, 16):
+        exact = {(r["doc_a"], r["doc_b"], r["hamming"])
+                 for r in hamming_pairs(sk, max_distance=d).collect()}
+        blocked = {(r["doc_a"], r["doc_b"], r["hamming"])
+                   for r in hamming_pairs_blocked(sk, max_distance=d).collect()}
+        assert blocked == exact, f"radius {d}"
+    assert {(r["doc_a"], r["doc_b"])
+            for r in hamming_pairs_blocked(sk, max_distance=4).collect()}
