@@ -257,6 +257,77 @@ def minhash_lsh_pairs(
     )
 
 
+def apply_pair_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    transitive: bool = True,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Materialize a dedup decision: drop every non-keeper of the
+    near-dup graph, keep one representative per cluster.
+
+    ``transitive=True`` (default) resolves connected components by
+    iterative min-label propagation over the (doc_a < doc_b) edge list —
+    each round is two joins + a min aggregate, converging in
+    O(log(diameter)) rounds (``max_iterations`` bounds pathological
+    chains); the keeper is each component's min doc_id.
+    ``transitive=False`` is the cheap common practice: drop every doc
+    that appears as doc_b of any pair (one anti-join; keeps more docs on
+    long chains).
+    """
+    if not transitive:
+        losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        return df.join(losers, "doc_id", "left_anti")
+
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "v").withColumnRenamed(
+                    "label", "v_label"
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("v_label").alias("n_label"))
+        )
+        updated = (
+            labels.join(
+                neighbor_min.withColumnRenamed("u", "doc_id"), "doc_id", "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("n_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # convergence check: any label still above a neighbor's?
+        changed = (
+            updated.alias("l")
+            .join(labels.alias("o"), F.col("l.doc_id") == F.col("o.doc_id"))
+            .filter(F.col("l.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.cache()
+        if changed == 0:
+            break
+    losers = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
+    return df.join(losers, "doc_id", "left_anti")
+
+
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """56-bit SimHash over BPE-ish tokens with count weights.
 

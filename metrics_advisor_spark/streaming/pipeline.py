@@ -166,6 +166,27 @@ def streaming_ksigma(
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    watermark_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact dedup on an unbounded document stream: first occurrence of
+    each content hash wins.
+
+    ``dropDuplicates`` keyed on md5(text); with a watermark column the
+    per-hash state expires once the watermark passes (bounded state —
+    the 100 TB requirement), without one the state grows with distinct
+    content (dev/testing only)."""
+    hashed = stream.withColumn("content_hash", F.md5(F.col(text_col)))
+    if watermark_col is not None:
+        return hashed.withWatermark(watermark_col, watermark).dropDuplicates(
+            ["content_hash"]
+        )
+    return hashed.dropDuplicates(["content_hash"])
+
+
 def detect_anomalies_stateful(
     stream: DataFrame,
     *,

@@ -100,3 +100,27 @@ def test_ksigma_outliers_spark_matches_numpy(spark):
     )
     want = sorted(ksigma_outliers_np(x, 3.0).tolist())
     assert got == want
+
+
+def test_detection_long_series_chunked(spark):
+    """The O(n²) energy statistic stays bounded via max_points chunking:
+    a 20k-sample series completes and finds the step near its true spot."""
+    import numpy as np
+    import time
+
+    n = 20_000
+    rng = np.random.default_rng(17)
+    vals = np.concatenate(
+        [rng.normal(0, 0.1, n // 2), rng.normal(10, 0.1, n // 2)]
+    )
+    df = make_signals_df(spark, {("long", "s"): vals})
+    t0 = time.time()
+    rows = detect_anomalies(
+        df, cp_permutations=20, max_points=2048
+    ).filter(F.col("kind") == "changepoint").collect()
+    assert time.time() - t0 < 240
+    assert rows, "expected a change point on a 10-sigma step"
+    # the step at index n/2 falls inside chunk [8192, 10240); the found
+    # point must be within that chunk's span of the true location
+    assert any(abs(r["idx"] - n // 2) <= 2048 for r in rows)
+    assert any(abs(r["idx"] - n // 2) <= 16 for r in rows)
