@@ -246,6 +246,19 @@ def q_xcorr_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs metric correlation matrix on the hourly grid."""
+    from metrics_advisor_spark.operators.xcorr import corr_matrix
+
+    hourly = _hourly_by_metric(spark, sf_dir)
+    return corr_matrix(hourly).select(
+        "metric_a",
+        "metric_b",
+        F.round("corr", 6).alias("corr"),
+        "n_pairs",
+    )
+
+
 def q_detect_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1–P7 fused detection UDF (rows-only: E-Divisive permutation
     testing is not SQL-expressible; unit goldens pin the math)."""
@@ -687,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xcorr_best_lag": q_xcorr_best_lag,
         "topk_correlated": q_topk_correlated,
         "xcorr_bucketed": q_xcorr_bucketed,
+        "corr_matrix": q_corr_matrix,
         "detect_anomalies": q_detect_anomalies,
         "tpch_q1": q_tpch_q1,
         "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -808,6 +822,16 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY abs(corr_raw) DESC, cand_metric ASC) AS INT) AS rank
             FROM best
             QUALIFY rank <= 3
+        """,
+        "corr_matrix": f"""
+            WITH hourly AS ({_HOURLY})
+            SELECT a.metric AS metric_a, b.metric AS metric_b,
+                   round(corr(a.value, b.value), 6) AS corr,
+                   count(*) AS n_pairs
+            FROM hourly a JOIN hourly b
+              ON a.slot_epoch = b.slot_epoch AND a.metric < b.metric
+            GROUP BY 1, 2
+            HAVING count(*) >= 2 AND corr(a.value, b.value) IS NOT NULL
         """,
         "xcorr_bucketed": f"""
             WITH hourly AS ({_HOURLY}),

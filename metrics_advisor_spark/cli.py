@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Spark master (default local[cpus])")
     p.add_argument("--charts", action="store_true",
                    help="also render SVG charts and embed them in the report")
+    p.add_argument("--source", choices=("csv", "prom"), default="csv",
+                   help="ingest the reshaped wide CSVs (default) or the "
+                        "raw Prometheus query_range JSON from the bundle")
     return p
 
 
@@ -79,7 +82,19 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("metrics_advisor_cli", master=args.master)
     scratch = None
     try:
-        if os.path.isdir(args.input):
+        if args.source == "prom":
+            from metrics_advisor_spark.sources.prom_json import (
+                ingest_prom_tar,
+                read_prometheus_json,
+            )
+
+            if os.path.isdir(args.input):
+                signals = read_prometheus_json(spark, args.input)
+            else:
+                # ingest_prom_tar extracts to its own scratch and
+                # unescapes the %3A metric names itself
+                signals = ingest_prom_tar(spark, args.input)
+        elif os.path.isdir(args.input):
             signals = read_wide_csv_dir(spark, args.input)
         else:
             scratch = extract_tar(args.input)  # S8: cleaned up below

@@ -200,6 +200,43 @@ def positional_correlation(
     )
 
 
+def corr_matrix(signals: DataFrame, min_pairs: int = 2) -> DataFrame:
+    """Pairwise Pearson correlation between ALL metric series on their
+    aligned timestamps (the exploratory "what moves together" matrix).
+
+    Self-join on ts with metric_a < metric_b (upper triangle), then one
+    corr aggregate per pair — the join key is time, so co-located reads
+    follow from time-partitioned storage.  Output: (metric_a, metric_b,
+    corr, n_pairs).  At k metrics the result is k(k−1)/2 rows — the
+    OUTPUT is quadratic in metrics, not the shuffle: rows join only
+    within equal timestamps.
+    """
+    a = signals.select(
+        F.col("metric").alias("metric_a"),
+        F.col("ts"),
+        F.col("value").alias("va"),
+    )
+    b = signals.select(
+        F.col("metric").alias("metric_b"),
+        F.col("ts"),
+        F.col("value").alias("vb"),
+    )
+    return (
+        a.join(b, "ts")
+        .filter(F.col("metric_a") < F.col("metric_b"))
+        .groupBy("metric_a", "metric_b")
+        .agg(
+            F.try_divide(
+                F.covar_samp("va", "vb"),
+                F.stddev_samp("va") * F.stddev_samp("vb"),
+            ).alias("corr"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .filter(F.col("n_pairs") >= min_pairs)
+        .filter(F.col("corr").isNotNull())
+    )
+
+
 def ncc_cogrouped(
     objectives: DataFrame,
     candidates: DataFrame,

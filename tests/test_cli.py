@@ -43,3 +43,22 @@ def test_cli_help_mentions_reference_flags():
     assert proc.returncode == 0
     for flag in ("-i", "-o", "--objectives", "--lag-max"):
         assert flag in proc.stdout
+
+
+def test_cli_prom_source(tmp_path):
+    out_dir = str(tmp_path / "prom_reports")
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "metrics_advisor_spark.cli",
+            "-i", BUNDLE, "-o", out_dir,
+            "--source", "prom", "--permutations", "30",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = os.path.join(out_dir, "report_full-index-lookup.md")
+    assert os.path.exists(report)
+    assert "# Metrics Advisor Report" in open(report).read()
