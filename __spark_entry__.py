@@ -274,6 +274,22 @@ def q_detect_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib distance-based outlier scoring (rows-only: the trained
+    KMeans model is not SQL-expressible)."""
+    from metrics_advisor_spark.operators.mllib_detect import (
+        detect_outliers_kmeans,
+    )
+
+    hourly = _hourly_by_metric(spark, sf_dir)
+    return detect_outliers_kmeans(hourly, n_clusters=6).select(
+        "metric",
+        F.unix_timestamp("ts").alias("slot_epoch"),
+        F.round("value", 6).alias("value"),
+        "distance",
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational agg coverage: TPC-H Q1-style pricing summary."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -702,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xcorr_bucketed": q_xcorr_bucketed,
         "corr_matrix": q_corr_matrix,
         "detect_anomalies": q_detect_anomalies,
+        "kmeans_outliers": q_kmeans_outliers,
         "tpch_q1": q_tpch_q1,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_running_sum": q_window_running_sum,

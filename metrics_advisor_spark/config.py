@@ -32,7 +32,10 @@ class AdvisorConfig:
 
     # --- detection knobs (P6/P7; reference :148,150) ---
     median_window: int = 5          # rolling-median width (P1)
-    lowpass_order: int = 3          # filter order (P3)
+    # filter order (P3) — kept for API parity with the reference's
+    # f_lowpass_filter(n=3); the FFT brick-wall implementation has no
+    # order knob (operators/detect.lowpass_fft_np docstring)
+    lowpass_order: int = 3
     lowpass_fmin: float = 0.01 / 15  # cutoff frequency, Hz (P3)
     sigma_level: float = 3.0        # k-sigma outlier threshold (P5)
     cp_pvalue: float = 0.05         # E-Divisive significance (P7)
