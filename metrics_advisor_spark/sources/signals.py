@@ -33,6 +33,14 @@ def signals_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same (metric, series, ts, value) shape the reference builds from
     its wide CSVs (metrics_advisor.py:44-47).
     """
+    # the events parquet stores TIMESTAMP(NANOS); a session built without
+    # our get_spark() (e.g. the driver harness's own) would throw
+    # PARQUET_TYPE_ILLEGAL — the legacy conf is runtime-settable, so heal
+    # here instead of requiring a particular session factory
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # locked-down conf: proceed and let the read report it
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.select(
         F.col("event_type").alias("metric"),
