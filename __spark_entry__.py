@@ -55,6 +55,8 @@ from metrics_advisor_spark.sources.signals import signals_from_events
 HOUR = 3600
 # a bucket wider than any dataset span → bucket_id 0 everywhere (global corr)
 GLOBAL_BUCKET = 10**12
+# per-process cache of the streaming file-source copy (one write per sf_dir)
+_STREAM_SRC_CACHE: dict[str, str] = {}
 
 
 def _signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,8 +440,11 @@ def q_streaming_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_stats,
     )
 
-    src = tempfile.mkdtemp(prefix="ma_stream_src_") + "/sig"
-    _signals(spark, sf_dir).write.mode("overwrite").parquet(src)
+    src = _STREAM_SRC_CACHE.get(sf_dir)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="ma_stream_src_") + "/sig"
+        _signals(spark, sf_dir).write.mode("overwrite").parquet(src)
+        _STREAM_SRC_CACHE[sf_dir] = src
     name = f"stream_q_{uuid.uuid4().hex[:8]}"
     run_to_memory(
         windowed_stats(stream_signals(spark, src), bucket_seconds=600),
