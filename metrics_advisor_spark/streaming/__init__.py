@@ -6,7 +6,9 @@ from metrics_advisor_spark.streaming.pipeline import (
     run_to_memory,
     session_stats_stream,
     stream_signals,
+    streaming_exact_dedup,
     streaming_ksigma,
+    streaming_xcorr,
     windowed_stats,
 )
 
@@ -16,6 +18,8 @@ __all__ = [
     "run_to_memory",
     "session_stats_stream",
     "stream_signals",
+    "streaming_exact_dedup",
     "streaming_ksigma",
+    "streaming_xcorr",
     "windowed_stats",
 ]

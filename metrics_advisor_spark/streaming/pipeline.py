@@ -166,6 +166,62 @@ def streaming_ksigma(
     )
 
 
+def streaming_xcorr(
+    stream: DataFrame,
+    obj_metrics: tuple[str, ...],
+    lag_max: int = 3,
+    step_seconds: int = 15,
+    bucket_seconds: int = 600,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """P8 as a streaming stream-stream join + windowed corr aggregate —
+    the reference's correlation loop over an unbounded metric stream.
+
+    The candidate side is lag-exploded FIRST and watermarked on its
+    shifted timestamp (``join_ts``), so the join is an equality of two
+    watermarked event-time columns — the cleanly-supported stream-stream
+    join shape with bounded state; the lag shift changes effective
+    lateness tolerance by ≤ lag_max·step.  Downstream, one windowed
+    corr aggregate per (bucket, pair, lag) — chained stateful operators
+    (join → agg), supported on Spark ≥3.4.
+    """
+    from metrics_advisor_spark.operators.xcorr import lag_explode
+
+    obj = (
+        stream.filter(F.col("metric").isin(*obj_metrics))
+        .select(
+            F.col("metric").alias("obj_metric"),
+            F.col("series").alias("obj_series"),
+            F.col("ts").alias("obj_ts"),
+            F.col("value").alias("obj_value"),
+        )
+        .withWatermark("obj_ts", watermark)
+    )
+    cand = lag_explode(
+        stream.filter(~F.col("metric").isin(*obj_metrics)),
+        lag_max,
+        step_seconds,
+    ).withWatermark("join_ts", watermark)
+    joined = cand.join(obj, F.expr("join_ts = obj_ts"), "inner")
+    return (
+        joined.groupBy(
+            F.window("obj_ts", f"{bucket_seconds} seconds").alias("bucket"),
+            "obj_metric",
+            "obj_series",
+            "cand_metric",
+            "cand_series",
+            "lag",
+        )
+        .agg(
+            F.try_divide(
+                F.covar_samp("obj_value", "cand_value"),
+                F.stddev_samp("obj_value") * F.stddev_samp("cand_value"),
+            ).alias("corr"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     text_col: str = "text",

@@ -152,3 +152,68 @@ def test_streaming_session_window(spark, tmp_path):
     assert rows[0]["session_start"] == T0
     assert rows[0]["session_end"] == T0 + 9 * 15 + 1800
     assert rows[1]["session_start"] == T0 + 7200
+
+
+def test_streaming_xcorr_matches_batch(spark, tmp_path):
+    """Stream-stream lag join + windowed corr == the batch plan on the
+    same data (complete mode drains all windows)."""
+    import numpy as np
+    from metrics_advisor_spark.operators.xcorr import bucket_correlation
+    from metrics_advisor_spark.streaming.pipeline import streaming_xcorr
+
+    rng = np.random.default_rng(31)
+    base = rng.normal(0, 1, 80)
+    src = str(tmp_path / "xc_sig")
+    _write_batch(
+        spark, src,
+        {("obj_m", "s"): base, ("cand_m", "s"): np.roll(base, 1)},
+    )
+    out = str(tmp_path / "xc_out")
+
+    def drain():
+        # stream-stream joins only run in append mode; windows emit once
+        # the watermark passes them
+        q = (
+            streaming_xcorr(
+                stream_signals(spark, src), ("obj_m",),
+                lag_max=2, step_seconds=15, bucket_seconds=600,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ck_xc"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # push the watermark past every real window with far-future sentinels
+    # on BOTH sides (global watermark is the min across inputs)
+    _write_batch(
+        spark, src,
+        {("obj_m", "zz"): np.ones(1), ("cand_m", "zz"): np.ones(1)},
+        t0=T0 + 86400,
+    )
+    drain()
+    got = {
+        (int(r["bucket"]["start"].timestamp()), r["cand_metric"], r["lag"]):
+            (round(r["corr"], 9), r["n_pairs"])
+        for r in spark.read.parquet(out).collect()
+        if int(r["bucket"]["start"].timestamp()) < T0 + 80 * 15
+    }
+    assert got, "expected streaming correlations"
+
+    # batch equivalent: clock-aligned windows == tmin=0 buckets of 600 s
+    batch_df = spark.read.parquet(src)
+    obj = batch_df.filter("metric = 'obj_m'")
+    cand = batch_df.filter("metric = 'cand_m'")
+    want = {
+        (int(r["bucket_id"]) * 600, r["cand_metric"], r["lag"]):
+            (round(r["corr"], 9), r["n_pairs"])
+        for r in bucket_correlation(
+            obj, cand, tmin=0, bucket_seconds=600, lag_max=2,
+            step_seconds=15, same_bucket=False, min_pairs=1,
+        ).collect()
+    }
+    assert got == want
