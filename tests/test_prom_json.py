@@ -63,3 +63,32 @@ def test_prom_values_match_csv_values(spark, prom_signals):
     assert len(shared) > 400
     for k in shared:
         assert csv_rows[k] == pytest.approx(prom_rows[k], rel=1e-9)
+
+
+def test_heatmap_ingest(spark):
+    """Heatmap sidecars melt into canonical signals: 4 measures × 28 key
+    ranges × 90 time slots on full-index-lookup."""
+    from metrics_advisor_spark.sources.heatmap import ingest_heatmap_tar
+
+    sig = ingest_heatmap_tar(spark, BUNDLE).cache()
+    metrics = {r["metric"] for r in sig.select("metric").distinct().collect()}
+    assert metrics == {
+        "heatmap_read_bytes", "heatmap_read_keys",
+        "heatmap_written_bytes", "heatmap_written_keys",
+    }
+    counts = {
+        r["metric"]: r["count"]
+        for r in sig.groupBy("metric").count().collect()
+    }
+    assert counts["heatmap_read_bytes"] == 90 * 28
+    n_series = (
+        sig.filter("metric = 'heatmap_read_bytes'")
+        .select("series").distinct().count()
+    )
+    assert n_series == 28
+    # and the standard pipeline runs on it: hotspot ranges are detectable
+    from metrics_advisor_spark.operators.validity import range_filter
+
+    active = range_filter(sig, 0.005)
+    assert 0 < active.select("metric", "series").distinct().count() <= 4 * 28
+    sig.unpersist()
