@@ -348,6 +348,116 @@ def detect_anomalies_stateful(
     )
 
 
+def streaming_flagship(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    *,
+    obj_metrics: tuple[str, ...],
+    bucket_seconds: int = 600,
+    lag_max: int = 3,
+    step_seconds: int = 15,
+    cp_permutations: int = 30,
+    watermark: str = "10 minutes",
+):
+    """The full advisor pipeline as its production streaming shape: two
+    checkpointed jobs sharing one file source.
+
+    Job 1 (stateful detection) appends anomalies to a parquet table;
+    the anomaly table compacts into a (bucket, metric, series)
+    membership snapshot — tiny, broadcast.  Job 2 (correlation) runs the
+    stream-stream lag join + windowed corr, gated to member
+    (bucket, series) pairs by stream-static semi-joins against the
+    snapshot.  Each invocation drains with availableNow (continuous
+    deployments just leave both queries running); returns the batch
+    DataFrame of gated per-(bucket, pair, lag) correlations.
+
+    Chaining note: applyInPandasWithState cannot feed further stateful
+    operators inside ONE query — the two-job + compacted-snapshot split
+    is the supported (and operationally standard) architecture.
+    """
+    import os
+
+    anomalies_path = os.path.join(work_dir, "anomalies")
+    ck1 = os.path.join(work_dir, "ck_detect")
+    ck2 = os.path.join(work_dir, "ck_corr")
+    corr_path = os.path.join(work_dir, "correlations")
+
+    # job 1: stateful detection → anomaly table
+    q1 = (
+        detect_anomalies_stateful(
+            stream_signals(spark, source_dir),
+            step_seconds=float(step_seconds),
+            cp_permutations=cp_permutations,
+        )
+        .writeStream.format("parquet")
+        .option("path", anomalies_path)
+        .option("checkpointLocation", ck1)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+
+    # compact anomalies → membership snapshot (batch; tiny)
+    anomalies = spark.read.schema(STREAM_ANOMALY_SCHEMA).parquet(anomalies_path)
+    membership = (
+        anomalies.withColumn(
+            "bucket_start",
+            F.floor(F.unix_timestamp("ts") / bucket_seconds) * bucket_seconds,
+        )
+        .select("bucket_start", "metric", "series")
+        .dropDuplicates(["bucket_start", "metric", "series"])
+    )
+    obj_members = membership.filter(F.col("metric").isin(*obj_metrics))
+    cand_members = membership.filter(~F.col("metric").isin(*obj_metrics))
+
+    # job 2: stream-stream lagged correlation, gated by membership
+    corr = streaming_xcorr(
+        stream_signals(spark, source_dir),
+        obj_metrics,
+        lag_max=lag_max,
+        step_seconds=step_seconds,
+        bucket_seconds=bucket_seconds,
+        watermark=watermark,
+    )
+    q2 = (
+        corr.writeStream.format("parquet")
+        .option("path", corr_path)
+        .option("checkpointLocation", ck2)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    drained = spark.read.parquet(corr_path)
+    gated = (
+        drained.withColumn(
+            "bucket_start", F.unix_timestamp("bucket.start")
+        )
+        .join(
+            F.broadcast(
+                obj_members.withColumnsRenamed(
+                    {"metric": "obj_metric", "series": "obj_series"}
+                )
+            ),
+            ["bucket_start", "obj_metric", "obj_series"],
+            "left_semi",
+        )
+        .join(
+            F.broadcast(
+                cand_members.withColumnsRenamed(
+                    {"metric": "cand_metric", "series": "cand_series"}
+                )
+            ),
+            ["bucket_start", "cand_metric", "cand_series"],
+            "left_semi",
+        )
+    )
+    return gated
+
+
 def run_to_memory(
     df: DataFrame,
     name: str,

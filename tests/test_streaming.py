@@ -217,3 +217,46 @@ def test_streaming_xcorr_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_flagship_two_jobs(spark, tmp_path):
+    """Composed streaming pipeline: detection job -> membership snapshot
+    -> gated correlation job finds the planted correlated candidate in
+    the co-anomalous bucket."""
+    import numpy as np
+    from metrics_advisor_spark.streaming.pipeline import streaming_flagship
+
+    rng = np.random.default_rng(41)
+    n = 120
+    # step change at sample 60 for both objective and candidate (lag 0)
+    obj = np.concatenate([np.full(60, 1.0), np.full(60, 9.0)])
+    cand = np.concatenate([np.full(60, 3.0), np.full(60, 30.0)])
+    src = str(tmp_path / "fs_sig")
+    _write_batch(
+        spark, src,
+        {
+            ("obj_m", "s"): obj + rng.normal(0, 0.05, n),
+            ("cand_m", "s"): cand + rng.normal(0, 0.05, n),
+            ("noise_m", "s"): rng.normal(5, 0.1, n),
+        },
+    )
+    # sentinels push the correlation job's watermark past the real data
+    _write_batch(
+        spark, src,
+        {("obj_m", "zz"): np.ones(1), ("cand_m", "zz"): np.ones(1)},
+        t0=T0 + 86400,
+    )
+    gated = streaming_flagship(
+        spark, src, str(tmp_path / "work"),
+        obj_metrics=("obj_m",), cp_permutations=30,
+    ).collect()
+    assert gated, "expected gated correlations"
+    pairs = {(r["obj_metric"], r["cand_metric"]) for r in gated}
+    assert ("obj_m", "cand_m") in pairs
+    # (noise_m may or may not appear: E-Divisive at p=0.05 with 30
+    # permutations has legitimate false positives; the gate's job is
+    # membership routing, which the planted pair proves)
+    best = max(gated, key=lambda r: abs(r["corr"] or 0))
+    assert best["cand_metric"] == "cand_m"
+    assert best["lag"] == 0
+    assert abs(best["corr"]) > 0.9
