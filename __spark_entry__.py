@@ -452,6 +452,30 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_series_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage: series active in the first half of the
+    time range EXCEPT the second half, plus the INTERSECT count."""
+    sig = _signals(spark, sf_dir)
+    ext = sig.agg(
+        F.min(F.unix_timestamp("ts")).alias("tmin"),
+        F.max(F.unix_timestamp("ts")).alias("tmax"),
+    ).first()
+    mid = (ext["tmin"] + ext["tmax"]) // 2
+    first = (
+        sig.filter(F.unix_timestamp("ts") < mid)
+        .select("metric", "series").distinct()
+    )
+    second = (
+        sig.filter(F.unix_timestamp("ts") >= mid)
+        .select("metric", "series").distinct()
+    )
+    only_first = first.exceptAll(second).withColumn("which", F.lit("only_first"))
+    both = first.intersect(second).withColumn("which", F.lit("both"))
+    return only_first.unionByName(both).groupBy("which").agg(
+        F.count(F.lit(1)).alias("n_series")
+    )
+
+
 def q_metric_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile coverage: exact interpolated p50/p95/p99 per metric."""
     return (
@@ -785,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_forward": q_fill_forward,
         "session_stats": q_session_stats,
         "asof_join": q_asof_join,
+        "series_set_ops": q_series_set_ops,
         "metric_quantiles": q_metric_quantiles,
         "rollup_counts": q_rollup_counts,
         "streaming_bucket_stats": q_streaming_bucket_stats,
@@ -1048,6 +1073,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(r.ts)) AS BIGINT) AS ts_asof_epoch
             FROM l ASOF LEFT JOIN r
               ON l.series = r.series AND l.ts >= r.ts
+        """,
+        "series_set_ops": f"""
+            WITH sig AS ({_SIG}),
+            ext AS (SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+                          + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS mid
+                    FROM sig),
+            first AS (SELECT DISTINCT metric, series FROM sig, ext
+                      WHERE floor(epoch(ts)) < mid),
+            second AS (SELECT DISTINCT metric, series FROM sig, ext
+                       WHERE floor(epoch(ts)) >= mid),
+            tagged AS (
+              SELECT 'only_first' AS which, * FROM (
+                SELECT * FROM first EXCEPT SELECT * FROM second)
+              UNION ALL
+              SELECT 'both' AS which, * FROM (
+                SELECT * FROM first INTERSECT SELECT * FROM second)
+            )
+            SELECT which, count(*) AS n_series FROM tagged GROUP BY which
         """,
         "metric_quantiles": f"""
             SELECT metric,

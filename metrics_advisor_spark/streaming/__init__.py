@@ -7,6 +7,7 @@ from metrics_advisor_spark.streaming.pipeline import (
     session_stats_stream,
     stream_signals,
     streaming_exact_dedup,
+    streaming_flagship,
     streaming_ksigma,
     streaming_xcorr,
     windowed_stats,
@@ -19,6 +20,7 @@ __all__ = [
     "session_stats_stream",
     "stream_signals",
     "streaming_exact_dedup",
+    "streaming_flagship",
     "streaming_ksigma",
     "streaming_xcorr",
     "windowed_stats",
