@@ -5,7 +5,10 @@ from metrics_advisor_spark.functions.text import (
     doc_fingerprint,
 )
 from metrics_advisor_spark.functions.dedup import (
+    apply_pair_dedup,
     exact_dup_groups,
+    hamming_pairs,
+    hamming_pairs_blocked,
     shingle,
     jaccard_pairs,
     minhash_signatures,
@@ -15,8 +18,16 @@ from metrics_advisor_spark.functions.dedup import (
 from metrics_advisor_spark.functions.similarity import (
     cosine_col,
     brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
     srp_buckets,
     lsh_topk,
+)
+from metrics_advisor_spark.functions.multimodal import (
+    attach_fake_payload,
+    extract_media_meta,
+    resize_media,
+    sample_frames,
 )
 
 __all__ = [
@@ -24,7 +35,10 @@ __all__ = [
     "token_count",
     "lang_id",
     "doc_fingerprint",
+    "apply_pair_dedup",
     "exact_dup_groups",
+    "hamming_pairs",
+    "hamming_pairs_blocked",
     "shingle",
     "jaccard_pairs",
     "minhash_signatures",
@@ -32,6 +46,12 @@ __all__ = [
     "simhash",
     "cosine_col",
     "brute_force_topk",
+    "embedding_near_dup_pairs",
+    "ivf_topk",
     "srp_buckets",
     "lsh_topk",
+    "attach_fake_payload",
+    "extract_media_meta",
+    "resize_media",
+    "sample_frames",
 ]
