@@ -363,6 +363,95 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: returned-item revenue per customer (4-way join,
+    quarter filter, top-20). Big fact join shuffles on the order key;
+    customer/nation dims broadcast."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1995-10-01"))
+                & (F.col("o_orderdate") < F.lit("1996-01-01"))
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.round(F.max("c_acctbal"), 6).alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: large-volume customers. The qualifying-order set
+    is a grouped HAVING over the fact table joined back as a semi-join —
+    the classic agg-then-semi-join shape AQE handles well at scale."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 6).alias("o_totalprice"),
+            F.round("sum_qty", 6).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        .limit(100)
+    )
+
+
+def q_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral-join coverage: top-2 customers by account balance per
+    nation via a correlated LATERAL subquery (Spark SQL ≥3.2). The
+    per-nation subquery is re-executed against a broadcast customer
+    side; at scale the same shape is expressible as a rank window, but
+    the lateral form exercises the correlated-subquery planner path."""
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "v_nation_lat"
+    )
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "v_cust_lat"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_name,
+               round(t.c_acctbal, 6) AS c_acctbal
+        FROM v_nation_lat n
+        JOIN LATERAL (
+            SELECT c_custkey, c_name, c_acctbal
+            FROM v_cust_lat c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey ASC
+            LIMIT 2
+        ) t
+        """
+    )
+
+
 def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join coverage: orders ⨝ customer ⨝ nation, revenue per nation.
 
@@ -804,6 +893,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
+        "lateral_topk_per_nation": q_lateral_topk_per_nation,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_running_sum": q_window_running_sum,
         "fill_forward": q_fill_forward,
@@ -991,6 +1083,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'ASIA'
             GROUP BY n_name
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+                   round(max(c_acctbal), 6) AS c_acctbal
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1995-10-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "tpch_q18": """
+            WITH big AS (
+                SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   round(o_totalprice, 6) AS o_totalprice,
+                   round(sum_qty, 6) AS sum_qty
+            FROM orders
+            JOIN big ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "lateral_topk_per_nation": """
+            SELECT n.n_name, t.c_custkey, t.c_name,
+                   round(t.c_acctbal, 6) AS c_acctbal
+            FROM nation n
+            JOIN LATERAL (
+                SELECT c_custkey, c_name, c_acctbal
+                FROM customer c
+                WHERE c.c_nationkey = n.n_nationkey
+                ORDER BY c_acctbal DESC, c_custkey ASC
+                LIMIT 2
+            ) t ON TRUE
         """,
         "join_revenue_by_nation": """
             SELECT n_name,
