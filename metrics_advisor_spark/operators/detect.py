@@ -165,6 +165,12 @@ def e_divisive_np(
         # regardless of the remaining draws — same output, and the common
         # case (no change point) stops after ~reject_at draws instead of
         # all `permutations`.
+        #
+        # NOTE a batched variant (stack B permutations, one O(B·n²)
+        # _qhat_stats pass) was measured SLOWER at every window size
+        # (0.1–0.95× vs this loop, n∈[40,480]): the per-permutation n²
+        # matrix is cache-resident while the batched tensor spills to
+        # DRAM.  Keep the scalar loop.
         reject_at = int(pvalue * (permutations + 1))  # smallest failing count
         exceed = 0
         for _ in range(permutations):
