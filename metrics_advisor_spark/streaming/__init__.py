@@ -3,6 +3,7 @@
 from metrics_advisor_spark.streaming.pipeline import (
     SIGNAL_SCHEMA,
     detect_anomalies_stateful,
+    detect_anomalies_tws,
     run_to_memory,
     session_stats_stream,
     stream_signals,
@@ -16,6 +17,7 @@ from metrics_advisor_spark.streaming.pipeline import (
 __all__ = [
     "SIGNAL_SCHEMA",
     "detect_anomalies_stateful",
+    "detect_anomalies_tws",
     "run_to_memory",
     "session_stats_stream",
     "stream_signals",
