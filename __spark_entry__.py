@@ -452,6 +452,46 @@ def q_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS coverage: order counts by (status), (priority), and
+    grand total in ONE pass — map-side partial aggregation computes all
+    three sets from a single scan, vs three scans + union.  grouping()
+    flags disambiguate the null rows from real nulls."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "v_orders_gs"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 6) AS total_price
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT coverage: order counts per priority, one column per order
+    status.  The status domain is pinned so the output schema is static
+    (an unpinned pivot needs a distinct-scan first — never do that on a
+    100 TB fact table)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
 def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join coverage: orders ⨝ customer ⨝ nation, revenue per nation.
 
@@ -896,6 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
         "lateral_topk_per_nation": q_lateral_topk_per_nation,
+        "grouping_sets_orders": q_grouping_sets_orders,
+        "pivot_status_by_priority": q_pivot_status_by_priority,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_running_sum": q_window_running_sum,
         "fill_forward": q_fill_forward,
@@ -1124,6 +1166,23 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY c_acctbal DESC, c_custkey ASC
                 LIMIT 2
             ) t ON TRUE
+        """,
+        "grouping_sets_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   grouping(o_orderstatus) AS g_status,
+                   grouping(o_orderpriority) AS g_priority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 6) AS total_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "pivot_status_by_priority": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (o_orderstatus = 'O') AS n_open,
+                   count(*) FILTER (o_orderstatus = 'F') AS n_filled,
+                   count(*) FILTER (o_orderstatus = 'P') AS n_partial
+            FROM orders
+            GROUP BY o_orderpriority
         """,
         "join_revenue_by_nation": """
             SELECT n_name,
