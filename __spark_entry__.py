@@ -452,6 +452,31 @@ def q_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window coverage: ntile(4) over order price per customer
+    segment, plus dense_rank — total ordering (price, key) keeps tile
+    assignment deterministic across engines.  Per-segment windows
+    partition the shuffle; no global sort."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("o_totalprice"),
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.dense_rank().over(w).alias("price_rank"),
+        )
+        .filter(F.col("price_rank") <= 50)
+    )
+
+
 def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS coverage: order counts by (status), (priority), and
     grand total in ONE pass — map-side partial aggregation computes all
@@ -936,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
         "lateral_topk_per_nation": q_lateral_topk_per_nation,
+        "ntile_price_quartiles": q_ntile_price_quartiles,
         "grouping_sets_orders": q_grouping_sets_orders,
         "pivot_status_by_priority": q_pivot_status_by_priority,
         "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -1166,6 +1192,18 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY c_acctbal DESC, c_custkey ASC
                 LIMIT 2
             ) t ON TRUE
+        """,
+        "ntile_price_quartiles": """
+            SELECT * FROM (
+                SELECT c_mktsegment, o_orderkey,
+                       round(o_totalprice, 6) AS o_totalprice,
+                       ntile(4) OVER w AS price_quartile,
+                       dense_rank() OVER w AS price_rank
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                WINDOW w AS (PARTITION BY c_mktsegment
+                             ORDER BY o_totalprice DESC, o_orderkey ASC)
+            ) WHERE price_rank <= 50
         """,
         "grouping_sets_orders": """
             SELECT o_orderstatus, o_orderpriority,
