@@ -932,7 +932,8 @@ def _srp_sql(src: str, n_bits: int = 8, n_tables: int = 2) -> str:
           FROM comp CROSS JOIN planes GROUP BY 1, 2, 3
         )
         SELECT vec_id, table_id,
-               sum(CASE WHEN dot > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS bucket
+               sum(CASE WHEN dot > 0 THEN (1::BIGINT << bit)
+                        ELSE 0 END)::BIGINT AS bucket
         FROM dots GROUP BY 1, 2
     """
 
@@ -1276,10 +1277,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             sessions AS (
               SELECT series, ts, value,
-                     sum(is_new) OVER (
+                     (sum(is_new) OVER (
                          PARTITION BY series ORDER BY ts
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     - 1 AS session_id
+                     - 1)::BIGINT AS session_id
               FROM flagged
             )
             SELECT series, session_id, count(*) AS n_events,
@@ -1461,7 +1462,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit)
-                            ELSE 0 END) AS simhash
+                            ELSE 0 END)::BIGINT AS simhash
             FROM votes GROUP BY doc_id
         """,
         "media_meta": """

@@ -57,6 +57,20 @@ def test_query_matches_oracle(name, spark, ddb):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
+    # The driver's value hash is dtype-sensitive: DuckDB integer sum()
+    # returns HUGEINT (int128) which hashes differently from Spark's
+    # BIGINT even when every value is equal (round-1 lesson:
+    # session_stats/simhash/srp_buckets). Guard at the type level so a
+    # new oracle can't reintroduce the drift silently.
+    rel = ddb.sql(entry_mod.oracle_sql()[name])
+    hugeint_cols = [
+        c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t)
+    ]
+    assert not hugeint_cols, (
+        f"{name}: oracle emits HUGEINT column(s) {hugeint_cols}; "
+        f"add ::BIGINT casts in oracle_sql()"
+    )
+
     res = ddb.execute(entry_mod.oracle_sql()[name])
     ddb_cols = [d[0] for d in res.description]
     ddb_rows = res.fetchall()
