@@ -110,11 +110,22 @@ def _qhat_stats(x: np.ndarray) -> np.ndarray:
     if n < 4:
         return q
     d = np.abs(x[:, None] - x[None, :])
-    c = d.cumsum(0).cumsum(1)
-    total = c[-1, -1]
+    # One in-place row-wise prefix sum yields everything the 2-D cumsum
+    # did (row sums, below-diagonal prefix sums) at ~half the n² memory
+    # traffic — this kernel runs O(permutations) times per window, so the
+    # constant factor is the whole cost of detect_anomalies.
+    np.cumsum(d, axis=1, out=d)
+    r = d[:, -1]                     # full row sums
+    row_c = np.cumsum(r)             # row_c[k] = Σ_{i<=k} r_i
+    idx = np.arange(1, n)
+    pre = np.empty(n)
+    pre[0] = 0.0
+    pre[1:] = d[idx, idx - 1]        # pre[k] = Σ_{j<k} |x_k − x_j|
+    a_c = 2.0 * np.cumsum(pre)       # a_c[k] = Σ_{i<=k, j<=k} |x_i − x_j|
+    total = row_c[-1]
     t = np.arange(2, n - 1)  # need ≥2 points on each side for the terms
-    a = c[t - 1, t - 1]              # sum over i<t, j<t
-    row = c[t - 1, -1]               # sum over i<t, all j
+    a = a_c[t - 1]                   # sum over i<t, j<t
+    row = row_c[t - 1]               # sum over i<t, all j
     cross = row - a                  # sum over i<t, j>=t
     b = total - 2 * cross - a        # sum over i>=t, j>=t
     m = t.astype(np.float64)
@@ -148,23 +159,37 @@ def e_divisive_np(
         return []
     rng = np.random.default_rng(seed)
     change_points: list[int] = []
+    # Observed qhat is deterministic per window; accepting a change point
+    # splits exactly one window, so cache (best q, argmax) per (lo, hi)
+    # and recompute only the two new sub-windows each iteration.
+    win_cache: dict[tuple[int, int], tuple[float, int]] = {}
     while True:
         bounds = sorted([0, *change_points, n])
         windows = [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
         best_q, best_idx = -np.inf, -1
         for lo, hi in windows:
-            q = _qhat_stats(x[lo:hi])
-            i = int(np.argmax(q))
-            if q[i] > best_q:
-                best_q, best_idx = float(q[i]), lo + i
+            if (lo, hi) not in win_cache:
+                q = _qhat_stats(x[lo:hi])
+                i = int(np.argmax(q))
+                win_cache[(lo, hi)] = (float(q[i]), i)
+            qv, i = win_cache[(lo, hi)]
+            if qv > best_q:
+                best_q, best_idx = qv, lo + i
         if best_idx < 0 or not np.isfinite(best_q):
             return sorted(change_points)
         # permutation test: permute within each window, compare max qhat.
-        # Early exit (exact): once exceed reaches reject_at, the final
-        # (exceed+1)/(permutations+1) > pvalue verdict is already decided
-        # regardless of the remaining draws — same output, and the common
-        # case (no change point) stops after ~reject_at draws instead of
-        # all `permutations`.
+        # Early exits are EXACT and RNG-stream-preserving: the verdict is
+        # reject iff exceed >= reject_at, accept otherwise.
+        #   - reject locks in the moment exceed hits reject_at → return
+        #     immediately (old behavior; the RNG dies with the return).
+        #   - accept locks in once exceed can no longer reach reject_at
+        #     (exceed + remaining < reject_at).  We must NOT return early
+        #     here — the next significance test continues from this RNG
+        #     stream — so we keep drawing rng.permutation (cheap, O(n))
+        #     but skip the O(n²) energy statistic, which is the cost.
+        #   - within one permutation, a single window exceeding best_q
+        #     decides that draw → skip the remaining windows' statistics
+        #     (their permutations are still drawn to keep the stream).
         #
         # NOTE a batched variant (stack B permutations, one O(B·n²)
         # _qhat_stats pass) was measured SLOWER at every window size
@@ -172,17 +197,29 @@ def e_divisive_np(
         # matrix is cache-resident while the batched tensor spills to
         # DRAM.  Keep the scalar loop.
         reject_at = int(pvalue * (permutations + 1))  # smallest failing count
+        if reject_at == 0:
+            # pvalue < 1/(permutations+1): no outcome can be significant
+            # (ROUND_NOTES: permutations must be ≥ ceil(1/p) − 1).
+            return sorted(change_points)
         exceed = 0
-        for _ in range(permutations):
-            perm_best = -np.inf
+        accepted = False
+        for k in range(permutations):
+            if not accepted and exceed + (permutations - k) < reject_at:
+                accepted = True  # verdict locked: remaining draws are moot
+            hit = False
             for lo, hi in windows:
-                xp = rng.permutation(x[lo:hi])
-                perm_best = max(perm_best, float(np.max(_qhat_stats(xp))))
-            if perm_best >= best_q:
+                xp = rng.permutation(x[lo:hi])  # always draw: stream-exact
+                if accepted or hit:
+                    continue
+                if float(np.max(_qhat_stats(xp))) >= best_q:
+                    hit = True
+            if accepted:
+                continue
+            if hit:
                 exceed += 1
                 if exceed >= reject_at:
                     return sorted(change_points)
-        if (exceed + 1) / (permutations + 1) > pvalue:
+        if not accepted and (exceed + 1) / (permutations + 1) > pvalue:
             return sorted(change_points)
         change_points.append(best_idx)
 
