@@ -237,6 +237,170 @@ def corr_matrix(signals: DataFrame, min_pairs: int = 2) -> DataFrame:
     )
 
 
+def corr_matrix_blocked(
+    signals: DataFrame,
+    *,
+    min_pairs: int = 2,
+    num_blocks: int = 64,
+    topk_per_metric: int | None = None,
+    ts_chunk: int = 65536,
+) -> DataFrame:
+    """Scale path for ``corr_matrix``: identical output, bounded shuffles.
+
+    ``corr_matrix``'s ts-keyed self-join materializes k² rows per
+    timestamp — fine at hundreds of metrics, a scale-killer at 100×.
+    This variant never materializes per-timestamp pairs.  Pearson over
+    the join's pair-rows decomposes into sufficient statistics that are
+    OUTER PRODUCTS of per-(ts, metric) aggregates:
+
+        per ts:  c = row count, s = Σv, s2 = Σv²   (one pre-agg shuffle)
+        N  = CᵀC    pair row count      S = SᵀS   Σ va·vb
+        A  = SᵀC    Σ va over pairs     Q = S2ᵀC  Σ va² over pairs
+
+    so each hash(ts)-block computes four k×k BLAS matmuls over its dense
+    (T_block × k_block) slice and emits SPARSE upper-triangle partials
+    (only co-occurring pairs).  A final groupBy(metric_a, metric_b) sum
+    — with map-side combine, ≤ one row per co-occurring pair per block —
+    reassembles exact global statistics.  Shuffled volume is
+    O(distinct(ts, metric)) + O(blocks × co-occurring pairs), never
+    O(rows × k).
+
+    ``topk_per_metric`` optionally bounds the OUTPUT too (the strongest
+    |corr| partners per metric), mirroring hamming_pairs vs
+    hamming_pairs_blocked.  Per-block memory is T_chunk × k dense +
+    4·k² partials; beyond k ≈ 5000 metrics, shard the metric vocabulary
+    into pair-blocks on top of this (documented limit).
+
+    Exactness: same pairs and n_pairs as ``corr_matrix``; corr agrees to
+    FP-reassociation error (≈1e-12) — asserted in tests/test_xcorr.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    per_ts = (
+        signals.groupBy("ts", "metric")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("c"),
+            F.sum("value").alias("s"),
+            F.sum(F.col("value") * F.col("value")).alias("s2"),
+        )
+        .withColumn("blk", F.pmod(F.xxhash64("ts"), F.lit(num_blocks)))
+    )
+
+    partial_schema = T.StructType(
+        [
+            T.StructField("metric_a", T.StringType()),
+            T.StructField("metric_b", T.StringType()),
+            T.StructField("n", T.DoubleType()),
+            T.StructField("sxy", T.DoubleType()),
+            T.StructField("sx", T.DoubleType()),
+            T.StructField("sy", T.DoubleType()),
+            T.StructField("sxx", T.DoubleType()),
+            T.StructField("syy", T.DoubleType()),
+        ]
+    )
+
+    def emit_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+        metrics = np.sort(pdf["metric"].unique())
+        k = metrics.size
+        if k < 2:
+            return pd.DataFrame(columns=[f.name for f in partial_schema.fields])
+        code = {m: i for i, m in enumerate(metrics)}
+        mi = pdf["metric"].map(code).to_numpy()
+        ts_codes, _ = pd.factorize(pdf["ts"])
+        N = np.zeros((k, k))
+        S = np.zeros((k, k))
+        A = np.zeros((k, k))
+        Q = np.zeros((k, k))
+        n_ts = int(ts_codes.max()) + 1
+        for lo in range(0, n_ts, ts_chunk):
+            hi = min(lo + ts_chunk, n_ts)
+            sel = (ts_codes >= lo) & (ts_codes < hi)
+            rows = ts_codes[sel] - lo
+            cols = mi[sel]
+            C = np.zeros((hi - lo, k))
+            Sv = np.zeros((hi - lo, k))
+            S2 = np.zeros((hi - lo, k))
+            C[rows, cols] = pdf["c"].to_numpy()[sel]
+            Sv[rows, cols] = pdf["s"].to_numpy()[sel]
+            S2[rows, cols] = pdf["s2"].to_numpy()[sel]
+            N += C.T @ C
+            S += Sv.T @ Sv
+            A += Sv.T @ C
+            Q += S2.T @ C
+        ia, ib = np.triu_indices(k, 1)
+        keep = N[ia, ib] > 0
+        ia, ib = ia[keep], ib[keep]
+        return pd.DataFrame(
+            {
+                "metric_a": metrics[ia],
+                "metric_b": metrics[ib],
+                "n": N[ia, ib],
+                "sxy": S[ia, ib],
+                "sx": A[ia, ib],
+                "sy": A[ib, ia],
+                "sxx": Q[ia, ib],
+                "syy": Q[ib, ia],
+            }
+        )
+
+    partials = per_ts.groupBy("blk").applyInPandas(emit_partials, partial_schema)
+
+    n = F.col("n")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    var_a = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    var_b = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    out = (
+        partials.groupBy("metric_a", "metric_b")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sxy").alias("sxy"),
+            F.sum("sx").alias("sx"),
+            F.sum("sy").alias("sy"),
+            F.sum("sxx").alias("sxx"),
+            F.sum("syy").alias("syy"),
+        )
+        .filter(n >= min_pairs)
+        .withColumn(
+            "corr", F.try_divide(cov, F.sqrt(var_a) * F.sqrt(var_b))
+        )
+        .filter(F.col("corr").isNotNull())
+        .select(
+            "metric_a",
+            "metric_b",
+            "corr",
+            n.cast("long").alias("n_pairs"),
+        )
+    )
+    if topk_per_metric is not None:
+        sym = out.unionByName(
+            out.select(
+                F.col("metric_b").alias("metric_a"),
+                F.col("metric_a").alias("metric_b"),
+                "corr",
+                "n_pairs",
+            )
+        )
+        w = Window.partitionBy("metric_a").orderBy(
+            F.abs(F.col("corr")).desc(), F.col("metric_b")
+        )
+        out = (
+            sym.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= topk_per_metric)
+            .drop("rk")
+            .select(
+                F.least("metric_a", "metric_b").alias("metric_a"),
+                F.greatest("metric_a", "metric_b").alias("metric_b"),
+                "corr",
+                "n_pairs",
+            )
+            .distinct()
+        )
+    return out
+
+
 def ncc_cogrouped(
     objectives: DataFrame,
     candidates: DataFrame,

@@ -73,3 +73,52 @@ def test_same_bucket_truncation_vs_full_overlap(spark):
     f3 = full.filter("lag = -3 and bucket_id = 1").first()
     assert t3["n_pairs"] == 37   # truncated at the bucket edge
     assert f3["n_pairs"] == 40   # pulls 3 samples from the previous bucket
+
+
+def _matrix_fixture(spark):
+    """Multi-metric signals with correlated/missing/duplicate structure:
+    exercises join multiplicity (two series per metric m1) and ragged
+    timestamps (m3 missing the first 10 slots)."""
+    rng = np.random.default_rng(17)
+    n = 120
+    base = np.sin(2 * np.pi * np.arange(n) / 30) + rng.normal(0, 0.1, n)
+    series = {
+        ("m1", "a"): base,
+        ("m1", "b"): base + rng.normal(0, 0.2, n),   # duplicate-metric rows
+        ("m2", "a"): -base + rng.normal(0, 0.1, n),  # anticorrelated
+        ("m3", "a"): np.concatenate([np.full(10, np.nan), rng.normal(0, 1, n - 10)]),
+        ("m4", "a"): 0.7 * base + rng.normal(0, 0.3, n),
+    }
+    df = make_signals_df(spark, series, t0=T0)
+    return df.filter("value is not null")
+
+
+def test_corr_matrix_blocked_equals_exact(spark):
+    from metrics_advisor_spark.operators.xcorr import corr_matrix, corr_matrix_blocked
+
+    sig = _matrix_fixture(spark)
+    exact = {
+        (r["metric_a"], r["metric_b"]): r
+        for r in corr_matrix(sig).collect()
+    }
+    blocked = {
+        (r["metric_a"], r["metric_b"]): r
+        for r in corr_matrix_blocked(sig, num_blocks=8).collect()
+    }
+    assert set(exact) == set(blocked)
+    for key, er in exact.items():
+        br = blocked[key]
+        assert br["n_pairs"] == er["n_pairs"], key
+        assert abs(br["corr"] - er["corr"]) < 1e-9, key
+
+
+def test_corr_matrix_blocked_topk_bounds_output(spark):
+    from metrics_advisor_spark.operators.xcorr import corr_matrix_blocked
+
+    sig = _matrix_fixture(spark)
+    rows = corr_matrix_blocked(sig, num_blocks=8, topk_per_metric=1).collect()
+    # with k=1 each metric keeps its single strongest |corr| partner;
+    # dedup of symmetric picks leaves between ceil(k/2) and k pairs
+    assert 2 <= len(rows) <= 4
+    strongest = max(rows, key=lambda r: abs(r["corr"]))
+    assert {strongest["metric_a"], strongest["metric_b"]} == {"m1", "m2"}
