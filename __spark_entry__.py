@@ -261,6 +261,21 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corr_matrix_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path correlation matrix (gram-partial blocks; see
+    operators/xcorr.py corr_matrix_blocked) — same answer as
+    corr_matrix, bounded shuffles, checked against the same oracle."""
+    from metrics_advisor_spark.operators.xcorr import corr_matrix_blocked
+
+    hourly = _hourly_by_metric(spark, sf_dir)
+    return corr_matrix_blocked(hourly, num_blocks=32).select(
+        "metric_a",
+        "metric_b",
+        F.round("corr", 6).alias("corr"),
+        "n_pairs",
+    )
+
+
 def q_detect_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1–P7 fused detection UDF (rows-only: E-Divisive permutation
     testing is not SQL-expressible; unit goldens pin the math)."""
@@ -610,17 +625,20 @@ def q_series_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation coverage: series active in the first half of the
     time range EXCEPT the second half, plus the INTERSECT count."""
     sig = _signals(spark, sf_dir)
+    # Broadcast-aggregate midpoint (same pattern as q_bucket_agg): keeps
+    # the whole query one Spark job instead of a driver-side .first().
     ext = sig.agg(
-        F.min(F.unix_timestamp("ts")).alias("tmin"),
-        F.max(F.unix_timestamp("ts")).alias("tmax"),
-    ).first()
-    mid = (ext["tmin"] + ext["tmax"]) // 2
+        F.floor(
+            (F.min(F.unix_timestamp("ts")) + F.max(F.unix_timestamp("ts"))) / 2
+        ).alias("mid")
+    )
+    tagged = sig.crossJoin(F.broadcast(ext))
     first = (
-        sig.filter(F.unix_timestamp("ts") < mid)
+        tagged.filter(F.unix_timestamp("ts") < F.col("mid"))
         .select("metric", "series").distinct()
     )
     second = (
-        sig.filter(F.unix_timestamp("ts") >= mid)
+        tagged.filter(F.unix_timestamp("ts") >= F.col("mid"))
         .select("metric", "series").distinct()
     )
     only_first = first.exceptAll(second).withColumn("which", F.lit("only_first"))
@@ -954,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_correlated": q_topk_correlated,
         "xcorr_bucketed": q_xcorr_bucketed,
         "corr_matrix": q_corr_matrix,
+        "corr_matrix_blocked": q_corr_matrix_blocked,
         "detect_anomalies": q_detect_anomalies,
         "kmeans_outliers": q_kmeans_outliers,
         "tpch_q1": q_tpch_q1,
@@ -1087,6 +1106,16 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 3
         """,
         "corr_matrix": f"""
+            WITH hourly AS ({_HOURLY})
+            SELECT a.metric AS metric_a, b.metric AS metric_b,
+                   round(corr(a.value, b.value), 6) AS corr,
+                   count(*) AS n_pairs
+            FROM hourly a JOIN hourly b
+              ON a.slot_epoch = b.slot_epoch AND a.metric < b.metric
+            GROUP BY 1, 2
+            HAVING count(*) >= 2 AND corr(a.value, b.value) IS NOT NULL
+        """,
+        "corr_matrix_blocked": f"""
             WITH hourly AS ({_HOURLY})
             SELECT a.metric AS metric_a, b.metric AS metric_b,
                    round(corr(a.value, b.value), 6) AS corr,
