@@ -775,6 +775,26 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_groups(_docs_with_dups(spark, sf_dir))
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep: exact-dedup → quality gate →
+    language gate → token count, all in one projection + one shuffle
+    (functions/corpus.py corpus_prep) over the planted-dup corpus."""
+    from metrics_advisor_spark.functions.corpus import corpus_prep
+
+    return corpus_prep(
+        _docs_with_dups(spark, sf_dir), min_quality=0.3, langs=("en",)
+    )
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language token-budget sample (15k tokens) via
+    the two-phase hash-prefix histogram plan; oracle checks it against
+    the literal single-window semantics."""
+    from metrics_advisor_spark.functions.corpus import token_budget_sample
+
+    return token_budget_sample(_docs(spark, sf_dir), 15000, two_phase=True)
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard near-dup pairs (threshold 0.5), shared-shingle join."""
     return jaccard_pairs(_docs_with_dups(spark, sf_dir), threshold=0.5)
@@ -998,6 +1018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
+        "corpus_prep": q_corpus_prep,
+        "token_budget_sample": q_token_budget_sample,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1425,6 +1447,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, count(*) AS n_docs,
                    min(doc_id) AS keeper_doc_id
             FROM ({_DOCS_DUPS}) GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "corpus_prep": f"""
+            WITH src AS ({_DOCS_DUPS}),
+            feat AS (
+              SELECT doc_id, md5(text) AS content_hash,
+                     CASE WHEN greatest(s_en, s_es, s_fr) <= 0 THEN 'und'
+                          WHEN s_en = greatest(s_en, s_es, s_fr) THEN 'en'
+                          WHEN s_es = greatest(s_en, s_es, s_fr) THEN 'es'
+                          ELSE 'fr' END AS lang_pred,
+                     round(least(n_words / 100.0, 1.0) * (1.0 - punct_ratio), 6)
+                         AS quality_score,
+                     len(regexp_extract_all(text, {_TOKEN_RE_SQL})) AS n_tokens
+              FROM (
+                SELECT doc_id, text,
+                  len(string_split(text, ' ')) AS n_words,
+                  round((length(text) -
+                         length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                        / greatest(length(text), 1), 6) AS punct_ratio,
+                  len(list_filter(string_split(text, ' '),
+                      x -> x IN {_STOP_EN})) AS s_en,
+                  len(list_filter(string_split(text, ' '),
+                      x -> x IN ('el','la','de','y','que','en'))) AS s_es,
+                  len(list_filter(string_split(text, ' '),
+                      x -> x IN ('le','la','et','les','des','un'))) AS s_fr
+                FROM src
+              )
+            ),
+            dedup AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY content_hash ORDER BY doc_id) AS rn
+              FROM feat
+            )
+            SELECT doc_id, lang_pred, quality_score, n_tokens
+            FROM dedup
+            WHERE rn = 1 AND quality_score >= 0.3 AND lang_pred IN ('en')
+        """,
+        "token_budget_sample": f"""
+            WITH feat AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(s_en, s_es, s_fr) <= 0 THEN 'und'
+                          WHEN s_en = greatest(s_en, s_es, s_fr) THEN 'en'
+                          WHEN s_es = greatest(s_en, s_es, s_fr) THEN 'es'
+                          ELSE 'fr' END AS lang_pred,
+                     len(regexp_extract_all(text, {_TOKEN_RE_SQL})) AS n_tokens,
+                     md5(doc_id::VARCHAR) AS skey
+              FROM (
+                SELECT doc_id, text,
+                  len(list_filter(string_split(text, ' '),
+                      x -> x IN {_STOP_EN})) AS s_en,
+                  len(list_filter(string_split(text, ' '),
+                      x -> x IN ('el','la','de','y','que','en'))) AS s_es,
+                  len(list_filter(string_split(text, ' '),
+                      x -> x IN ('le','la','et','les','des','un'))) AS s_fr
+                FROM documents
+              )
+            ),
+            ranked AS (
+              SELECT doc_id, lang_pred, n_tokens,
+                     sum(n_tokens) OVER (
+                         PARTITION BY lang_pred ORDER BY skey, doc_id
+                     )::BIGINT AS cum_tokens
+              FROM feat
+            )
+            SELECT doc_id, lang_pred, n_tokens, cum_tokens
+            FROM ranked WHERE cum_tokens <= 15000
         """,
         "jaccard_pairs": f"""
             WITH sh AS ({_shingle_sql(_DOCS_DUPS)}),

@@ -1,0 +1,171 @@
+"""End-to-end corpus preparation for LLM training-data pipelines.
+
+Composes the text-analysis expression builders (functions/text.py) with
+exact dedup and deterministic token-budget sampling — the standard
+"clean a crawl" pass: dedup → quality gate → language gate → budgeted
+sample.  Everything is pure ``pyspark.sql.functions`` (JVM-side,
+codegen'd) and ANSI-SQL-expressible, so the DuckDB oracle checks the
+whole pipeline end to end.
+
+Scale design (100 TB corpus):
+
+- ``corpus_prep``: ONE narrow projection computes every per-doc feature
+  (content hash, language vote, quality score, token count) in a single
+  pass over the scan, then ONE shuffle (hash-partitioned by content
+  hash) deduplicates.  No per-feature joins.
+- ``token_budget_sample``: the exact semantics is a per-language running
+  token sum over a deterministic hash order — a single ordered window,
+  which at 100 TB means one giant sort per language.  The default
+  ``two_phase=True`` path avoids that: a 256-bucket hash-prefix
+  histogram (tiny aggregate) locates the budget boundary, whole buckets
+  below it pass with no sort, and only the ONE boundary bucket (~1/256
+  of the language) is sorted exactly.  Output is identical to the
+  single-window form (asserted in tests/test_corpus.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from metrics_advisor_spark.functions.text import (
+    lang_pred_col,
+    quality_score_col,
+    token_count_col,
+)
+
+
+def doc_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One narrow projection with every per-doc prep feature."""
+    text = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.md5(text).alias("content_hash"),
+        lang_pred_col(text).alias("lang_pred"),
+        quality_score_col(text).alias("quality_score"),
+        token_count_col(text).alias("n_tokens"),
+    )
+
+
+def corpus_prep(
+    docs: DataFrame,
+    *,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = ("en",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-dedup → quality gate → language gate → token count.
+
+    Keeps the smallest doc_id per identical text (same keeper rule as
+    functions/dedup.py exact_dup_groups), then filters to documents with
+    ``quality_score >= min_quality`` and a predicted language in
+    ``langs``.  Output: (doc_id, lang_pred, quality_score, n_tokens).
+
+    Plan: one projection + one row_number window shuffled on the
+    content hash (uniform key — md5 — so no skew), then a narrow filter.
+    """
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        doc_features(docs, text_col)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(
+            (F.col("quality_score") >= min_quality)
+            & F.col("lang_pred").isin(*langs)
+        )
+        .select("doc_id", "lang_pred", "quality_score", "n_tokens")
+    )
+
+
+def _sample_key(order_col: str = "doc_id") -> F.Column:
+    """Deterministic shuffle order: md5 of the doc id (uniform, stable)."""
+    return F.md5(F.col(order_col).cast("string"))
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    *,
+    text_col: str = "text",
+    two_phase: bool = True,
+    n_prefix_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic per-language token-budget sample.
+
+    Orders each language's documents by md5(doc_id) — a fixed, uniform
+    pseudo-random order — and keeps the prefix whose running token sum
+    stays within ``budget_tokens``.  Output: (doc_id, lang_pred,
+    n_tokens, cum_tokens) where cum_tokens includes the current doc.
+
+    ``two_phase=False`` is the literal single-window semantics (the
+    oracle form).  ``two_phase=True`` computes the same rows with a
+    bucketed two-phase plan: per (lang, md5-prefix) token totals (tiny
+    aggregate with map-side combine), a cumulative scan over that
+    histogram to classify each bucket as fully-in / boundary / out.
+    Buckets past the budget are dropped before any sort; surviving
+    buckets compute their running sums independently (256 parallel
+    bounded sorts, offset by the histogram prefix) instead of one
+    single-task sort per language.
+    """
+    feat = docs.select(
+        "doc_id",
+        lang_pred_col(F.col(text_col)).alias("lang_pred"),
+        token_count_col(F.col(text_col)).alias("n_tokens"),
+        _sample_key().alias("skey"),
+    )
+    if not two_phase:
+        w = Window.partitionBy("lang_pred").orderBy("skey", "doc_id")
+        return (
+            feat.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .filter(F.col("cum_tokens") <= budget_tokens)
+            .select("doc_id", "lang_pred", "n_tokens", "cum_tokens")
+        )
+
+    # phase 1: histogram of token totals per (lang, hash-prefix bucket)
+    n_hex = max(1, min(4, (n_prefix_buckets.bit_length() - 1 + 3) // 4))
+    feat = feat.withColumn("pfx", F.substring("skey", 1, n_hex))
+    hist = (
+        feat.groupBy("lang_pred", "pfx")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+    )
+    wb = (
+        Window.partitionBy("lang_pred")
+        .orderBy("pfx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bounds = hist.select(
+        "lang_pred",
+        "pfx",
+        F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0)).alias(
+            "tokens_before"
+        ),
+        "bucket_tokens",
+    )
+    # phase 2: whole buckets below the boundary pass sort-free; the
+    # boundary bucket (tokens_before < budget < tokens_before + bucket)
+    # gets the exact ordered window with its global offset added.
+    joined = feat.join(F.broadcast(bounds), ["lang_pred", "pfx"])
+    full_in = joined.filter(
+        F.col("tokens_before") + F.col("bucket_tokens") <= budget_tokens
+    )
+    # <= (not <) so zero-token docs sitting exactly at the budget line
+    # match the single-window semantics
+    boundary = joined.filter(
+        (F.col("tokens_before") <= budget_tokens)
+        & (F.col("tokens_before") + F.col("bucket_tokens") > budget_tokens)
+    )
+    win = Window.partitionBy("lang_pred", "pfx").orderBy("skey", "doc_id")
+    full_rows = full_in.withColumn(
+        "cum_tokens",
+        F.col("tokens_before") + F.sum("n_tokens").over(win),
+    )
+    boundary_rows = (
+        boundary.withColumn(
+            "cum_tokens",
+            F.col("tokens_before") + F.sum("n_tokens").over(win),
+        )
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )
+    return full_rows.unionByName(boundary_rows).select(
+        "doc_id", "lang_pred", "n_tokens", "cum_tokens"
+    )

@@ -28,12 +28,50 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 PUNCT_RE = "[^A-Za-z0-9 ]"
 
 
+# --- expression builders (shared with functions/corpus.py) -----------------
+# Each returns a plain Column so composite pipelines (corpus_prep) can fuse
+# every feature into ONE narrow projection instead of joining per-op outputs.
+
+
+def token_count_col(text_col: F.Column) -> F.Column:
+    """Whitespace + BPE-ish token count of a text column."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(TOKEN_RE), 0))
+
+
+def quality_score_col(text_col: F.Column) -> F.Column:
+    """Monotone blend of length and punctuation ratio (6dp-rounded)."""
+    n_chars = F.length(text_col)
+    n_words = F.size(F.split(text_col, " "))
+    n_punct = n_chars - F.length(F.regexp_replace(text_col, PUNCT_RE, ""))
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    return F.round(
+        F.least(n_words / F.lit(100.0), F.lit(1.0))
+        * (F.lit(1.0) - punct_ratio),
+        6,
+    )
+
+
+def _lang_hits(text_col: F.Column, sw: tuple[str, ...]) -> F.Column:
+    # NB: closure, not a default arg — a 2-parameter lambda would be
+    # treated as the (element, index) HOF form by PySpark
+    return F.size(F.filter(F.split(text_col, " "), lambda w: w.isin(*sw)))
+
+
+def lang_pred_col(text_col: F.Column) -> F.Column:
+    """Stopword-vote language prediction (ties: 'und', else smallest code)."""
+    langs = sorted(LANG_STOPWORDS)
+    scores = {lang: _lang_hits(text_col, LANG_STOPWORDS[lang]) for lang in langs}
+    best = F.greatest(*scores.values())
+    pick = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # ascending → first max wins ties
+        pick = pick.when(scores[lang] == best, F.lit(lang))
+    return pick
+
+
 def token_count(df: DataFrame, text_col: str = "text",
                 out_col: str = "n_tokens") -> DataFrame:
     """Whitespace + BPE-ish token count."""
-    return df.withColumn(
-        out_col, F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0))
-    )
+    return df.withColumn(out_col, token_count_col(F.col(text_col)))
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -60,11 +98,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         avg_word_len.alias("avg_word_len"),
-        F.round(
-            F.least(n_words / F.lit(100.0), F.lit(1.0))
-            * (F.lit(1.0) - punct_ratio),
-            6,
-        ).alias("quality_score"),
+        quality_score_col(F.col(text_col)).alias("quality_score"),
     )
 
 
@@ -74,26 +108,15 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     Ties broken toward 'und' when no anchors hit, else lexicographically
     smallest language code (deterministic).
     """
-    words = F.split(F.col(text_col), " ")
-
-    def _hits(sw: tuple[str, ...]) -> F.Column:
-        # NB: closure, not a default arg — a 2-parameter lambda would be
-        # treated as the (element, index) HOF form by PySpark
-        return F.size(F.filter(words, lambda w: w.isin(*sw)))
-
-    scores = [
-        _hits(sw).alias(f"score_{lang}")
-        for lang, sw in sorted(LANG_STOPWORDS.items())
-    ]
-    scored = df.select("doc_id", *scores)
     langs = sorted(LANG_STOPWORDS)
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    pick = F.when(best <= 0, F.lit("und"))
-    for lang in langs:  # ascending → first max wins ties
-        pick = pick.when(F.col(f"score_{lang}") == best, F.lit(lang))
-    return scored.select(
+    scores = {
+        lang: _lang_hits(F.col(text_col), LANG_STOPWORDS[lang])
+        for lang in langs
+    }
+    best = F.greatest(*scores.values())
+    return df.select(
         "doc_id",
-        pick.alias("lang_pred"),
+        lang_pred_col(F.col(text_col)).alias("lang_pred"),
         best.alias("lang_score"),
     )
 
