@@ -378,6 +378,41 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: priority counts of orders with a late-shipped
+    lineitem — LEFT SEMI join (EXISTS), never materializing the match
+    multiplicity, then a 5-group aggregate."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: distinct supplier count per part spec, excluding
+    flagged suppliers — broadcast LEFT ANTI join (NOT IN) + distinct
+    aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    flagged = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(flagged), li.l_suppkey == flagged.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(F.col("p_brand") != "Brand#1")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-style: returned-item revenue per customer (4-way join,
     quarter filter, top-20). Big fact join shuffles on the order key;
@@ -775,6 +810,34 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_groups(_docs_with_dups(spark, sf_dir))
 
 
+def q_hamming_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via EXACT pigeonhole blocking (the scale
+    path); the oracle is the all-pairs form — identical output proves
+    zero recall loss."""
+    from metrics_advisor_spark.functions.dedup import (
+        hamming_pairs_blocked,
+        simhash,
+    )
+
+    sk = simhash(_docs_with_dups(spark, sf_dir))
+    return hamming_pairs_blocked(sk, max_distance=8)
+
+
+def q_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup materialization: connected components of the
+    Jaccard≥0.5 near-dup graph via min-label propagation, keep each
+    component's min doc_id.  Oracle resolves the same components with a
+    recursive CTE."""
+    from metrics_advisor_spark.functions.dedup import (
+        apply_pair_dedup,
+        jaccard_pairs,
+    )
+
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = jaccard_pairs(docs, threshold=0.5)
+    return apply_pair_dedup(docs, pairs, transitive=True).select("doc_id")
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep: exact-dedup → quality gate →
     language gate → token count, all in one projection + one shuffle
@@ -950,6 +1013,32 @@ _STOP_EN = "('the','a','of','and','to','is')"
 _TOKEN_RE_SQL = "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'"
 
 
+def _simhash_sql(src: str) -> str:
+    """56-bit SimHash — mirrors functions.dedup.simhash bit-for-bit."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(token), 1, 14))::BIGINT AS token_hash,
+                 count(*) AS weight
+          FROM (SELECT doc_id,
+                       unnest(regexp_extract_all(text, {_TOKEN_RE_SQL}))
+                           AS token
+                FROM ({src}))
+          GROUP BY 1, 2
+        ),
+        votes AS (
+          SELECT doc_id, bit,
+                 sum(CASE WHEN ((token_hash >> bit) & 1) = 1
+                          THEN weight ELSE -weight END) AS vote
+          FROM toks, unnest(range(56)) AS t(bit) GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit)
+                        ELSE 0 END)::BIGINT AS simhash
+        FROM votes GROUP BY doc_id
+    """
+
+
 def _srp_sql(src: str, n_bits: int = 8, n_tables: int = 2) -> str:
     """SRP bucket ids — mirrors functions.similarity.srp_buckets."""
     return f"""
@@ -997,7 +1086,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_outliers": q_kmeans_outliers,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
+        "tpch_q16": q_tpch_q16,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
         "lateral_topk_per_nation": q_lateral_topk_per_nation,
@@ -1018,6 +1109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
+        "hamming_pairs_blocked": q_hamming_pairs_blocked,
+        "dedup_materialize": q_dedup_materialize,
         "corpus_prep": q_corpus_prep,
         "token_budget_sample": q_token_budget_sample,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1189,6 +1282,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
         """,
         "tpch_q5": """
             SELECT n_name,
@@ -1448,6 +1559,50 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_doc_id
             FROM ({_DOCS_DUPS}) GROUP BY 1 HAVING count(*) >= 2
         """,
+        "hamming_pairs_blocked": f"""
+            WITH sk AS ({_simhash_sql(_DOCS_DUPS)})
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        """,
+        "dedup_materialize": f"""
+            WITH RECURSIVE sh AS ({_shingle_sql(_DOCS_DUPS)}),
+            sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b
+                ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT doc_a, doc_b FROM (
+                SELECT doc_a, doc_b,
+                       round(n_inter / (sa.set_size + sb.set_size - n_inter), 6)
+                           AS jaccard
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+              ) WHERE jaccard >= 0.5
+            ),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM pairs
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ),
+            comp AS (
+              SELECT u AS doc_id, least(u, min(v)) AS label
+              FROM reach GROUP BY u
+            )
+            SELECT s.doc_id FROM ({_DOCS_DUPS}) s
+            LEFT JOIN comp c ON s.doc_id = c.doc_id
+            WHERE c.doc_id IS NULL OR c.label = c.doc_id
+        """,
         "corpus_prep": f"""
             WITH src AS ({_DOCS_DUPS}),
             feat AS (
@@ -1559,28 +1714,7 @@ def oracle_sql() -> dict[str, str]:
               ON a.band_id = b.band_id AND a.band_hash = b.band_hash
              AND a.doc_id < b.doc_id
         """,
-        "simhash": f"""
-            WITH toks AS (
-              SELECT doc_id,
-                     ('0x' || substr(md5(token), 1, 14))::BIGINT AS token_hash,
-                     count(*) AS weight
-              FROM (SELECT doc_id,
-                           unnest(regexp_extract_all(text, {_TOKEN_RE_SQL}))
-                               AS token
-                    FROM documents)
-              GROUP BY 1, 2
-            ),
-            votes AS (
-              SELECT doc_id, bit,
-                     sum(CASE WHEN ((token_hash >> bit) & 1) = 1
-                              THEN weight ELSE -weight END) AS vote
-              FROM toks, unnest(range(56)) AS t(bit) GROUP BY 1, 2
-            )
-            SELECT doc_id,
-                   sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit)
-                            ELSE 0 END)::BIGINT AS simhash
-            FROM votes GROUP BY doc_id
-        """,
+        "simhash": _simhash_sql("SELECT doc_id, text FROM documents"),
         "media_meta": """
             SELECT doc_id, 'image/png' AS media_type,
                    octet_length(encode(text)) AS n_bytes,

@@ -279,17 +279,22 @@ def apply_pair_dedup(
         losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         return df.join(losers, "doc_id", "left_anti")
 
+    # The edge list is re-scanned every propagation round AND by the
+    # convergence check — persist it once or the (possibly expensive)
+    # upstream pair pipeline re-executes per round.
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
         )
         .distinct()
+        .persist()
     )
     labels = (
         edges.select(F.col("u").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
+        .persist()
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -312,8 +317,11 @@ def apply_pair_dedup(
                     F.col("label"), F.coalesce(F.col("n_label"), F.col("label"))
                 ).alias("label"),
             )
+            .persist()
         )
-        # convergence check: any label still above a neighbor's?
+        # convergence check: any label still above a neighbor's?  This
+        # action also materializes `updated`, so each round computes the
+        # propagation exactly once and truncates it behind the cache.
         changed = (
             updated.alias("l")
             .join(labels.alias("o"), F.col("l.doc_id") == F.col("o.doc_id"))
@@ -321,7 +329,8 @@ def apply_pair_dedup(
             .limit(1)
             .count()
         )
-        labels = updated.cache()
+        labels.unpersist()
+        labels = updated
         if changed == 0:
             break
     losers = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")

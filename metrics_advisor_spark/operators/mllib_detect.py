@@ -59,6 +59,10 @@ def detect_outliers_kmeans(
         "_feat",
         array_to_vector(F.array("_z_value", "_z__d1", "_z__d2")),
     )
+    # NOTE do not persist() feats here: MLlib's fit already persists its
+    # internal instance RDD (handlePersistence), so a DataFrame-level
+    # cache adds a second materialization (measured: no end-to-end win at
+    # sf0.001–0.1) and perturbs the k-means|| init sampling.
     model = KMeans(
         k=n_clusters, seed=seed, featuresCol="_feat", predictionCol="_cell"
     ).fit(feats)
