@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metrics_advisor_spark import AdvisorConfig
@@ -744,6 +744,96 @@ def q_streaming_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second Structured Streaming contract surface: gap-based sessions
+    as a NATIVE streaming ``session_window`` aggregate (file source →
+    session windows → memory sink, availableNow drain, complete mode).
+    session.end is last-event + gap by session_window semantics; the
+    oracle mirrors that with max(ts) + gap."""
+    import tempfile
+    import uuid
+
+    from metrics_advisor_spark.streaming import run_to_memory, stream_signals
+    from metrics_advisor_spark.streaming.pipeline import session_stats_stream
+
+    src = _STREAM_SRC_CACHE.get(sf_dir)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="ma_stream_src_") + "/sig"
+        _signals(spark, sf_dir).write.mode("overwrite").parquet(src)
+        _STREAM_SRC_CACHE[sf_dir] = src
+    name = f"stream_s_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        session_stats_stream(stream_signals(spark, src), gap_seconds=1800),
+        name,
+        output_mode="complete",
+    )
+    return spark.table(name).select(
+        "metric",
+        "series",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: revenue loss from small-quantity orders — a
+    correlated scalar subquery (per-part 0.2·avg quantity) decorrelated
+    into a broadcast aggregate join."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    bparts = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    libp = li.join(
+        F.broadcast(bparts), li.l_partkey == bparts.p_partkey
+    )
+    lims = libp.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_lim")
+    )
+    return (
+        libp.join(F.broadcast(lims), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_rolling_time_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval window coverage: trailing-1-hour average per
+    series — a time-based (not row-count) frame, the idiom rows-frames
+    cannot express on irregular samples."""
+    sig = _signals(spark, sf_dir)
+    w = (
+        Window.partitionBy("metric", "series")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return sig.select(
+        "metric",
+        "series",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.round("value", 6).alias("value"),
+        F.round(F.avg("value").over(w), 6).alias("trail_avg_1h"),
+    )
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-aggregation coverage: per-shard per-dimension centroid of
+    the embedding vectors (posexplode → hash agg; one shuffle keyed by
+    (shard, dim) — never a vector collect)."""
+    e = _emb(spark, sf_dir)
+    ex = e.select(
+        (F.col("vec_id") % 8).alias("shard"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    return ex.groupBy("shard", "dim").agg(
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("mean_x"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings tables)
 # ---------------------------------------------------------------------------
@@ -1089,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
         "lateral_topk_per_nation": q_lateral_topk_per_nation,
@@ -1104,6 +1195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_quantiles": q_metric_quantiles,
         "rollup_counts": q_rollup_counts,
         "streaming_bucket_stats": q_streaming_bucket_stats,
+        "streaming_session_stats": q_streaming_session_stats,
+        "rolling_time_avg": q_rolling_time_avg,
+        "embedding_centroids": q_embedding_centroids,
         "text_stats": q_text_stats,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
@@ -1300,6 +1394,61 @@ def oracle_sql() -> dict[str, str]:
               AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                                     WHERE s_acctbal < 0)
             GROUP BY 1, 2, 3
+        """,
+        "tpch_q17": """
+            SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#23'
+              AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = p_partkey)
+        """,
+        "streaming_session_stats": f"""
+            WITH sig AS ({_SIG}),
+            flagged AS (
+              SELECT metric, series, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                             >= 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM sig
+              WINDOW w AS (PARTITION BY metric, series ORDER BY ts)
+            ),
+            sessions AS (
+              SELECT metric, series, ts, value,
+                     (sum(is_new) OVER (
+                         PARTITION BY metric, series ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ))::BIGINT AS sid
+              FROM flagged
+            )
+            SELECT metric, series,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+                   CAST(floor(epoch(max(ts))) + 1800 AS BIGINT)
+                       AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM sessions GROUP BY metric, series, sid
+        """,
+        "rolling_time_avg": f"""
+            WITH sig AS ({_SIG})
+            SELECT metric, series,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+                   round(value, 6) AS value,
+                   round(avg(value) OVER (
+                       PARTITION BY metric, series
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+                   ), 6) AS trail_avg_1h
+            FROM sig
+        """,
+        "embedding_centroids": """
+            SELECT vec_id % 8 AS shard, i::INT AS dim,
+                   round(avg(embedding[i+1]::DOUBLE), 6) AS mean_x,
+                   count(*) AS n_vecs
+            FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
+            GROUP BY 1, 2
         """,
         "tpch_q5": """
             SELECT n_name,
