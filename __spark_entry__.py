@@ -50,6 +50,22 @@ from metrics_advisor_spark.operators.xcorr import (
     rank_correlations,
 )
 from metrics_advisor_spark.plans import analyze
+from metrics_advisor_spark.plans.tpch import (
+    q_tpch_q2,
+    q_tpch_q6,
+    q_tpch_q7,
+    q_tpch_q8,
+    q_tpch_q9,
+    q_tpch_q11,
+    q_tpch_q12,
+    q_tpch_q13,
+    q_tpch_q14,
+    q_tpch_q15,
+    q_tpch_q19,
+    q_tpch_q20,
+    q_tpch_q21,
+    q_tpch_q22,
+)
 from metrics_advisor_spark.sources.signals import signals_from_events
 
 HOUR = 3600
@@ -1182,6 +1198,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         "lateral_topk_per_nation": q_lateral_topk_per_nation,
         "ntile_price_quartiles": q_ntile_price_quartiles,
         "grouping_sets_orders": q_grouping_sets_orders,
@@ -1403,6 +1433,216 @@ def oracle_sql() -> dict[str, str]:
               AND l_quantity < (SELECT 0.2 * avg(l_quantity)
                                 FROM lineitem l2
                                 WHERE l2.l_partkey = p_partkey)
+        """,
+        "tpch_q2": """
+            WITH offers AS (
+              SELECT l_partkey, l_suppkey,
+                     min(l_extendedprice / l_quantity) AS raw_cost
+              FROM lineitem GROUP BY 1, 2
+            ),
+            eu AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+            ),
+            cand AS (
+              SELECT o.l_partkey, o.raw_cost, s_name, s_acctbal, n_name
+              FROM offers o
+              JOIN eu ON o.l_suppkey = s_suppkey
+              JOIN part ON o.l_partkey = p_partkey
+              WHERE p_size = 15 AND p_type = 'ECONOMY'
+            )
+            SELECT round(s_acctbal, 6) AS s_acctbal, s_name, n_name,
+                   l_partkey, round(raw_cost, 6) AS supply_cost
+            FROM cand
+            WHERE raw_cost = (SELECT min(c2.raw_cost) FROM cand c2
+                              WHERE c2.l_partkey = cand.l_partkey)
+        """,
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                                 AND TIMESTAMP '1996-12-31'
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q8": """
+            WITH vol AS (
+              SELECT year(o_orderdate) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS volume,
+                     n1.n_name AS supp_nation
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              JOIN region ON n2.n_regionkey = r_regionkey
+              WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+            )
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_3'
+                                  THEN volume ELSE 0 END) / sum(volume),
+                         6) AS mkt_share
+            FROM vol GROUP BY o_year
+        """,
+        "tpch_q9": """
+            SELECT n_name,
+                   year(o_orderdate) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - 0.5 * p_retailprice * l_quantity), 6) AS profit
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY 1, 2
+        """,
+        "tpch_q11": """
+            WITH val AS (
+              SELECT l_partkey,
+                     sum(l_extendedprice * l_quantity) AS v
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_7'
+              GROUP BY 1
+            )
+            SELECT l_partkey, round(v, 6) AS part_value
+            FROM val
+            WHERE v > (SELECT sum(v) * 0.001 FROM val)
+        """,
+        "tpch_q12": """
+            SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 120
+                        THEN 'very_late' ELSE 'late' END AS band,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS high_cnt,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END)::BIGINT AS low_cnt
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE date_diff('day', o_orderdate, l_shipdate) > 60
+            GROUP BY 1
+        """,
+        "tpch_q13": """
+            WITH per_cust AS (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer
+              LEFT JOIN orders ON c_custkey = o_custkey
+                              AND o_orderpriority <> '4-NOT SPECIFIED'
+              GROUP BY 1
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        "tpch_q14": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                     THEN l_extendedprice * (1 - l_discount)
+                                     ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)),
+                         6) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "tpch_q15": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 6)
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1
+            )
+            SELECT l_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "tpch_q19": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 6)
+                     AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q20": """
+            SELECT s_name, round(s_acctbal, 6) AS s_acctbal
+            FROM supplier
+            WHERE s_suppkey IN (
+              SELECT l_suppkey
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'small%'
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY l_suppkey
+              HAVING sum(l_quantity) > 400
+            )
+        """,
+        "tpch_q21": """
+            WITH late AS (
+              SELECT DISTINCT l_orderkey, l_suppkey
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+            ),
+            n_supp AS (
+              SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns
+              FROM lineitem GROUP BY 1
+            ),
+            n_late AS (
+              SELECT l_orderkey, count(*) AS nl FROM late GROUP BY 1
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM late
+            JOIN n_supp USING (l_orderkey)
+            JOIN n_late USING (l_orderkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE ns > 1 AND nl = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 20
+        """,
+        "tpch_q22": """
+            WITH pool AS (
+              SELECT * FROM customer
+              WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+            )
+            SELECT c_nationkey,
+                   count(*) AS numcust,
+                   round(sum(c_acctbal), 6) AS totacctbal
+            FROM pool
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM pool
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey
         """,
         "streaming_session_stats": f"""
             WITH sig AS ({_SIG}),
