@@ -40,7 +40,17 @@ from metrics_advisor_spark.functions.text import (
     text_stats,
     token_count,
 )
+from metrics_advisor_spark.functions.text import bm25_search, tfidf_top_terms
 from metrics_advisor_spark.operators.detect import smooth_median
+from metrics_advisor_spark.operators.rangejoin import (
+    incident_intervals,
+    range_join_count,
+)
+from metrics_advisor_spark.operators.trend import (
+    ewma,
+    mad_outliers,
+    series_regression,
+)
 from metrics_advisor_spark.operators.normalize import get_relative
 from metrics_advisor_spark.operators.resample import resample
 from metrics_advisor_spark.operators.validity import series_stats
@@ -1171,6 +1181,52 @@ def _srp_sql(src: str, n_bits: int = 8, n_tables: int = 2) -> str:
     """
 
 
+def q_series_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend fit (slope/day, intercept, r²)."""
+    return series_regression(_signals(spark, sf_dir))
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outliers (3 × 1.4826 × MAD gate) per series."""
+    return mad_outliers(_signals(spark, sf_dir))
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-window EWMA (alpha 0.2, depth 12) per series."""
+    return ewma(_signals(spark, sf_dir))
+
+
+def q_incident_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: events inside padded anomalous buckets,
+    executed block-and-refine (hash equality on 600 s blocks, exact
+    range predicate as refinement)."""
+    from metrics_advisor_spark.sources.signals import _as_timestamp
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = events.withColumn("ts", _as_timestamp(events, "ts"))
+    iv = incident_intervals(events, factor=1.5, pad_s=300)
+    return range_join_count(events, iv)
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, k=3)
+
+
+BM25_QUERY = ("spark", "join", "vector")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for a fixed bag-of-words query."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_search(docs, BM25_QUERY, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "series_stats": q_series_stats,
@@ -1228,6 +1284,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_stats": q_streaming_session_stats,
         "rolling_time_avg": q_rolling_time_avg,
         "embedding_centroids": q_embedding_centroids,
+        "series_regression": q_series_regression,
+        "mad_outliers": q_mad_outliers,
+        "ewma_smooth": q_ewma_smooth,
+        "incident_range_join": q_incident_range_join,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_search": q_bm25_search,
         "text_stats": q_text_stats,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
@@ -1251,8 +1313,134 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _ewma_sql(alpha: float = 0.2, depth: int = 12) -> str:
+    """Finite-window EWMA oracle: the identical lag expansion the Spark
+    plan uses, so both engines evaluate the same IEEE expression tree."""
+    decay = 1.0 - alpha
+    num = " + ".join(
+        f"coalesce(lag(value, {k}) OVER w * {decay**k!r}, 0.0)"
+        for k in range(depth)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {k}) OVER w IS NOT NULL"
+        f" THEN {decay**k!r} ELSE 0.0 END"
+        for k in range(depth)
+    )
+    return f"""
+        SELECT metric, series,
+               CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+               round(({num}) / ({den}), 6) AS ewma
+        FROM ({_SIG})
+        WINDOW w AS (PARTITION BY metric, series ORDER BY ts)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "series_regression": f"""
+            WITH sig AS ({_SIG}),
+            ext AS (SELECT min(floor(epoch(ts))) AS t0 FROM sig),
+            f AS (
+              SELECT metric, series, count(*) AS n_samples,
+                     covar_pop(floor(epoch(ts)) - t0, value) AS sxy,
+                     var_pop(floor(epoch(ts)) - t0) AS sxx,
+                     avg(floor(epoch(ts)) - t0) AS mx,
+                     avg(value) AS my,
+                     corr(floor(epoch(ts)) - t0, value) AS r
+              FROM sig, ext GROUP BY 1, 2
+            )
+            SELECT metric, series, n_samples,
+                   round(sxy / sxx * 86400, 6) AS slope_per_day,
+                   round(my - sxy / sxx * mx, 6) AS intercept,
+                   round(pow(r, 2), 6) AS r2
+            FROM f WHERE n_samples >= 3 AND sxx > 0
+        """,
+        "mad_outliers": f"""
+            WITH sig AS ({_SIG}),
+            med AS (SELECT metric, series,
+                           quantile_cont(value, 0.5) AS med
+                    FROM sig GROUP BY 1, 2),
+            dev AS (SELECT s.metric, s.series,
+                           floor(epoch(ts)) AS epoch, value,
+                           abs(value - med) AS dev
+                    FROM sig s JOIN med USING (metric, series)),
+            mad AS (SELECT metric, series,
+                           quantile_cont(dev, 0.5) AS mad
+                    FROM dev GROUP BY 1, 2)
+            SELECT d.metric, d.series,
+                   CAST(d.epoch AS BIGINT) AS epoch,
+                   round(value, 6) AS value
+            FROM dev d JOIN mad USING (metric, series)
+            WHERE dev > 3 * 1.4826 * mad
+        """,
+        "ewma_smooth": _ewma_sql(),
+        "incident_range_join": """
+            WITH ev AS (SELECT event_type AS metric, event_id,
+                               floor(epoch(ts)) AS epoch, value
+                        FROM events),
+            ext AS (SELECT min(epoch) AS tmin FROM ev),
+            bucketed AS (SELECT metric,
+                                floor((epoch - tmin) / 600) AS bucket_id,
+                                avg(value) AS bucket_avg,
+                                min(tmin) AS tmin
+                         FROM ev, ext GROUP BY 1, 2),
+            gavg AS (SELECT metric, avg(value) AS metric_avg
+                     FROM ev GROUP BY 1),
+            iv AS (SELECT b.metric,
+                          tmin + bucket_id * 600 - 300 AS lo,
+                          tmin + bucket_id * 600 + 900 AS hi
+                   FROM bucketed b JOIN gavg g USING (metric)
+                   WHERE bucket_avg > 1.5 * metric_avg)
+            SELECT e.metric, count(DISTINCT event_id) AS n_events
+            FROM ev e JOIN iv ON e.metric = iv.metric
+                       AND e.epoch >= iv.lo AND e.epoch < iv.hi
+            GROUP BY 1
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id, t AS term FROM (
+                SELECT doc_id,
+                       unnest(string_split(regexp_replace(lower(text),
+                              '[^a-z0-9 ]', '', 'g'), ' ')) AS t
+                FROM documents) WHERE len(t) > 0),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (SELECT doc_id, term,
+                              tf * ln((n_docs + 1.0) / (df + 1.0)) AS score
+                       FROM tf JOIN dfreq USING (term), n),
+            ranked AS (SELECT doc_id, term, score,
+                              row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rank
+                       FROM scored)
+            SELECT doc_id, rank, term, round(score, 6) AS tfidf
+            FROM ranked WHERE rank <= 3
+        """,
+        "bm25_search": """
+            WITH toks AS (
+              SELECT doc_id, t AS term FROM (
+                SELECT doc_id,
+                       unnest(string_split(regexp_replace(lower(text),
+                              '[^a-z0-9 ]', '', 'g'), ' ')) AS t
+                FROM documents) WHERE len(t) > 0),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                   WHERE term IN ('spark', 'join', 'vector')
+                   GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id,
+                     ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                       AS contrib
+              FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats)
+            SELECT doc_id, round(sum(contrib), 6) AS bm25
+            FROM scored GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+        """,
         "series_stats": f"""
             SELECT metric, series, count(value) AS n_samples,
                    round(min(value), 6) AS min_value,

@@ -134,3 +134,92 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
     # min is duplicate-insensitive → skip the shingle dedup shuffle
     sh = shingle(df, text_col=text_col, n=ngram, distinct=False)
     return sh.groupBy("doc_id").agg(F.min("shingle_hash").alias("fingerprint"))
+
+
+# --- ranked retrieval ------------------------------------------------------
+
+def _terms(df: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, term) tokens: lowercase, punctuation-stripped, space-split."""
+    clean = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
+    return df.select(
+        "doc_id", F.explode(F.split(clean, " ")).alias("term")
+    ).filter(F.length("term") > 0)
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF.
+
+    tf is the in-document term count; idf = ln((N+1)/(df+1)).  The
+    document-frequency table is vocabulary-sized, so it broadcasts here;
+    at 100 TB the same plan holds with a shuffle join keyed on the term
+    (term df is computed from the already-aggregated (doc, term) pairs,
+    never the raw token stream, so skewed stopwords cost one count each).
+    Ties rank by term ascending — fully deterministic.
+    """
+    from pyspark.sql import Window
+
+    tf = _terms(df, text_col).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id", "rank", "term", F.round("score", 6).alias("tfidf")
+        )
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25.
+
+    Only query-term postings are aggregated (the filter lands before the
+    (doc, term) shuffle), document length and the single-row avgdl/N
+    aggregate broadcast — the classic scatter-gather ranked retrieval
+    plan, linear in corpus size.
+    """
+    terms = _terms(df, text_col)
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        terms.filter(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", idf * F.col("tf") * (k1 + 1) / denom)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

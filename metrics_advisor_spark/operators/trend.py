@@ -1,0 +1,113 @@
+"""Per-series trend statistics: OLS regression, MAD outliers, EWMA.
+
+Beyond-reference operators extending the detection family
+(reference analogue: the k-sigma residual test in
+``/root/reference/metrics_advisor.py:56`` is a location/scale gate; these
+add slope, robust-scale and recency-weighted variants).
+
+All three are expressible with built-in JVM aggregates/windows — no
+Python in the hot path.  Shuffle profile at 100 TB:
+
+* ``series_regression`` — one hash aggregate keyed (metric, series)
+  after a broadcast of the single-row global-epoch-min (the x shift
+  keeps x² sums ~1e14 instead of 1e18, far from double trouble even
+  with naive summation; Spark and DuckDB both use stable central-moment
+  merges anyway).
+* ``mad_outliers`` — two (metric, series)-keyed aggregates + two
+  broadcast-back joins; medians are exact interpolated percentiles.
+* ``ewma`` — one window sort per series; the exponential weights use a
+  fixed-depth lag expansion so the whole thing stays inside
+  whole-stage codegen (no UDF, no recursion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SERIES_KEY = ("metric", "series")
+
+
+def series_regression(signals: DataFrame, min_points: int = 3) -> DataFrame:
+    """Per-series OLS fit of value against time.
+
+    slope is reported per *day* so 6-decimal rounding keeps significant
+    digits (per-second slopes on metric data are ~1e-9).
+    """
+    ext = signals.agg(F.min(F.unix_timestamp("ts")).alias("t0"))
+    x = F.unix_timestamp("ts") - F.col("t0")
+    fitted = (
+        signals.crossJoin(F.broadcast(ext))
+        .groupBy(*SERIES_KEY)
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.covar_pop(x, F.col("value")).alias("sxy"),
+            F.var_pop(x).alias("sxx"),
+            F.avg(x).alias("mx"),
+            F.avg("value").alias("my"),
+            F.corr(x, F.col("value")).alias("r"),
+        )
+        .filter((F.col("n_samples") >= min_points) & (F.col("sxx") > 0))
+    )
+    slope = F.col("sxy") / F.col("sxx")
+    return fitted.select(
+        "metric",
+        "series",
+        "n_samples",
+        F.round(slope * 86400, 6).alias("slope_per_day"),
+        F.round(F.col("my") - slope * F.col("mx"), 6).alias("intercept"),
+        F.round(F.pow(F.col("r"), 2), 6).alias("r2"),
+    )
+
+
+def mad_outliers(signals: DataFrame, n_mads: float = 3.0) -> DataFrame:
+    """Robust outliers: |value - median| > n_mads * 1.4826 * MAD.
+
+    The MAD (median absolute deviation) resists the masking that makes
+    k-sigma miss outliers in contaminated series; 1.4826 rescales MAD to
+    σ under normality.  Exact interpolated medians on both engines.
+    """
+    med = signals.groupBy(*SERIES_KEY).agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = signals.join(med, list(SERIES_KEY)).withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy(*SERIES_KEY).agg(F.percentile("dev", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(mad, list(SERIES_KEY))
+        .filter(F.col("dev") > F.lit(n_mads) * F.lit(1.4826) * F.col("mad"))
+        .select(
+            "metric",
+            "series",
+            F.unix_timestamp("ts").alias("epoch"),
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
+def ewma(signals: DataFrame, alpha: float = 0.2, depth: int = 12) -> DataFrame:
+    """Recency-weighted rolling mean (pandas ``ewm(adjust=True)`` over a
+    finite window): weights (1-alpha)^k over the last ``depth`` samples,
+    normalized by the weights actually present.
+
+    The fixed-depth lag expansion is deliberate: a closed-form
+    ``(1-alpha)^(-i)`` prefix trick overflows for long series, and a
+    recursive definition needs a sequential scan — both engines get the
+    identical finite-window formula instead, fully inside codegen.
+    """
+    w = Window.partitionBy(*SERIES_KEY).orderBy("ts")
+    decay = 1.0 - alpha
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(depth):
+        lagged = F.lag("value", k).over(w)
+        weight = F.lit(decay**k)
+        num = num + F.coalesce(lagged * weight, F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), weight).otherwise(F.lit(0.0))
+    return signals.select(
+        "metric",
+        "series",
+        F.unix_timestamp("ts").alias("epoch"),
+        F.round(num / den, 6).alias("ewma"),
+    )

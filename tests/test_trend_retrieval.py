@@ -1,0 +1,119 @@
+"""Unit goldens for trend (regression/MAD/EWMA), range join and ranked
+retrieval (TF-IDF / BM25) operators."""
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from metrics_advisor_spark.functions.text import bm25_search, tfidf_top_terms
+from metrics_advisor_spark.operators.rangejoin import (
+    incident_intervals,
+    range_join_count,
+)
+from metrics_advisor_spark.operators.trend import ewma, mad_outliers, series_regression
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _sig(spark, values, step_s=60):
+    rows = [
+        ("m", "s", T0 + dt.timedelta(seconds=i * step_s), float(v))
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(rows, "metric string, series string, ts timestamp, value double")
+
+
+def test_series_regression_matches_polyfit(spark):
+    rng = np.random.default_rng(7)
+    y = 0.5 + 0.001 * np.arange(200) * 60 + rng.normal(0, 0.1, 200)
+    out = series_regression(_sig(spark, y)).collect()[0]
+    x = np.arange(200) * 60.0
+    slope, intercept = np.polyfit(x, y, 1)
+    assert out.n_samples == 200
+    assert out.slope_per_day == pytest.approx(slope * 86400, abs=2e-6)
+    assert out.intercept == pytest.approx(intercept, abs=2e-6)
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert out.r2 == pytest.approx(r2, abs=2e-6)
+
+
+def test_series_regression_skips_degenerate(spark):
+    # constant time axis (single point) and short series are filtered out
+    assert series_regression(_sig(spark, [1.0, 2.0])).count() == 0
+
+
+def test_mad_outliers_flags_spike_ksigma_misses(spark):
+    # heavy contamination: two big spikes inflate σ but not the MAD
+    vals = [1.0] * 40 + [50.0, 60.0]
+    out = mad_outliers(_sig(spark, vals)).collect()
+    assert sorted(r.value for r in out) == [50.0, 60.0]
+
+
+def test_ewma_matches_reference_loop(spark):
+    rng = np.random.default_rng(3)
+    vals = rng.normal(0, 1, 30)
+    out = {r.epoch: r.ewma for r in ewma(_sig(spark, vals)).collect()}
+    decay, depth = 0.8, 12
+    for t in range(len(vals)):
+        lo = max(0, t - depth + 1)
+        ws = [decay**k for k in range(t - lo + 1)]
+        expect = sum(w * vals[t - k] for k, w in enumerate(ws)) / sum(ws)
+        epoch = int((T0 + dt.timedelta(seconds=t * 60)).timestamp())
+        assert out[epoch] == pytest.approx(expect, abs=1e-6)
+
+
+def test_range_join_blocked_equals_naive(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    from metrics_advisor_spark.sources.signals import _as_timestamp
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts", _as_timestamp(ev, "ts"))
+    iv = incident_intervals(ev, factor=1.2)
+    blocked = {r.metric: r.n_events for r in range_join_count(ev, iv).collect()}
+
+    e = ev.select(
+        F.col("event_type").alias("metric"),
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch"),
+    )
+    naive = {
+        r.metric: r.n
+        for r in e.join(iv, "metric")
+        .filter((F.col("epoch") >= F.col("lo")) & (F.col("epoch") < F.col("hi")))
+        .groupBy("metric")
+        .agg(F.countDistinct("event_id").alias("n"))
+        .collect()
+    }
+    assert blocked == naive and blocked
+
+
+def _docs(spark):
+    rows = [
+        (1, "spark spark join fast"),
+        (2, "join join join slow table"),
+        (3, "vector spark table table"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tfidf_values_and_ranking(spark):
+    out = tfidf_top_terms(_docs(spark), k=1).collect()
+    top = {r.doc_id: (r.term, r.tfidf) for r in out}
+    # doc 1: 'fast' tf=1 df=1 → ln(2)=0.693 beats 'spark' tf=2 df=2 →
+    # 2*ln(4/3)=0.575 — rarity outweighs repetition at this ratio
+    assert top[1][0] == "fast"
+    assert top[1][1] == pytest.approx(math.log(2), abs=1e-6)
+    assert top[2][0] == "join"  # tf=3, unique to the pair {1,2}
+    assert top[3][0] == "vector"  # df=1 beats table tf=2 df=2
+
+
+def test_bm25_prefers_matching_docs(spark):
+    out = bm25_search(_docs(spark), ("spark", "vector")).collect()
+    ranked = [r.doc_id for r in out]
+    # doc 3 has both query terms; doc 2 has neither
+    assert ranked[0] == 3
+    assert 2 not in ranked
+    assert all(r.bm25 > 0 for r in out)
