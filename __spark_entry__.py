@@ -888,7 +888,14 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.array_join(F.slice(words, 1, F.size(words) - 1), " ").alias("text"),
     )
-    return d.unionByName(copies).unionByName(near)
+    # local-bench ergonomics: the sf0.x documents parquet is a single
+    # small file (1-3 input splits), which would cap the parallelism of
+    # map-side shingle hashing at 3 tasks.  One cheap round-robin shuffle
+    # of the raw docs restores full-core parallelism for every dedup
+    # query downstream.  At real scale the input has thousands of splits
+    # and a user would NOT pre-repartition (see SCALE.md §9).
+    n = spark.sparkContext.defaultParallelism
+    return d.unionByName(copies).unionByName(near).repartition(n)
 
 
 def _emb_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1181,6 +1188,28 @@ def _srp_sql(src: str, n_bits: int = 8, n_tables: int = 2) -> str:
     """
 
 
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all 4 grouping combinations in one
+    pass — completes the grouping-sets/rollup/pivot family."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 6).alias("total_price"),
+    )
+
+
+def q_percent_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of order price within each priority."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
 def q_series_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series OLS trend fit (slope/day, intercept, r²)."""
     return series_regression(_signals(spark, sf_dir))
@@ -1284,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_stats": q_streaming_session_stats,
         "rolling_time_avg": q_rolling_time_avg,
         "embedding_centroids": q_embedding_centroids,
+        "cube_counts": q_cube_counts,
+        "percent_rank_orders": q_percent_rank_orders,
         "series_regression": q_series_regression,
         "mad_outliers": q_mad_outliers,
         "ewma_smooth": q_ewma_smooth,
@@ -1337,6 +1368,20 @@ def _ewma_sql(alpha: float = 0.2, depth: int = 12) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cube_counts": """
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 6) AS total_price
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
+        "percent_rank_orders": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume_dist
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        """,
         "series_regression": f"""
             WITH sig AS ({_SIG}),
             ext AS (SELECT min(floor(epoch(ts))) AS t0 FROM sig),

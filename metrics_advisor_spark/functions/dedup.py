@@ -89,8 +89,23 @@ def jaccard_pairs(
     high-threshold near-dups still need many specific shared shingles.
     None (default) is the exact parity mode.
     """
-    sh = shingle(df, text_col, n)
-    join_sh = sh
+    # Per-doc shingle-hash sets dedup'd MAP-SIDE (array_distinct) and the
+    # set size carried as a column — this removes two whole shuffles vs
+    # the naive formulation (a global DISTINCT over exploded shingles and
+    # a sizes groupBy joined back twice): the only exchanges left are the
+    # self-join on shingle_hash (whose two sides reuse one exchange) and
+    # the (doc_a, doc_b) intersection count.
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: _hash56(F.array_join(F.slice(words, i + 1, n), " ")),
+    )
+    hashed = df.select(
+        "doc_id", F.array_distinct(grams).alias("hashes")
+    ).withColumn("set_size", F.size("hashes"))
+    sh = hashed.select(
+        "doc_id", "set_size", F.explode("hashes").alias("shingle_hash")
+    )
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("shingle_hash")
@@ -98,27 +113,19 @@ def jaccard_pairs(
             .filter(F.col("df_count") <= max_shingle_df)
             .select("shingle_hash")
         )
-        join_sh = sh.join(rare, "shingle_hash", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    a = join_sh.alias("a")
-    b = join_sh.alias("b")
-    inter = (
+        sh = sh.join(rare, "shingle_hash", "left_semi")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
         a.join(b, F.col("a.shingle_hash") == F.col("b.shingle_hash"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
-    )
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
