@@ -866,7 +866,13 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the sf0.x documents parquet is one small file (≤3 input splits);
+    # a cheap round-robin repartition restores full-core parallelism for
+    # the map-heavy text/dedup work.  At real scale the input has
+    # thousands of splits and this shuffle would be wrong — it exists
+    # for the single-file local harness only (SCALE.md §9).
+    n = spark.sparkContext.defaultParallelism
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(n)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -888,14 +894,9 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.array_join(F.slice(words, 1, F.size(words) - 1), " ").alias("text"),
     )
-    # local-bench ergonomics: the sf0.x documents parquet is a single
-    # small file (1-3 input splits), which would cap the parallelism of
-    # map-side shingle hashing at 3 tasks.  One cheap round-robin shuffle
-    # of the raw docs restores full-core parallelism for every dedup
-    # query downstream.  At real scale the input has thousands of splits
-    # and a user would NOT pre-repartition (see SCALE.md §9).
-    n = spark.sparkContext.defaultParallelism
-    return d.unionByName(copies).unionByName(near).repartition(n)
+    # parallelism comes from _docs' repartition; the union just
+    # concatenates those partitions (no extra shuffle)
+    return d.unionByName(copies).unionByName(near)
 
 
 def _emb_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1243,8 +1244,7 @@ def q_incident_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed TF-IDF."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return tfidf_top_terms(docs, k=3)
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
 BM25_QUERY = ("spark", "join", "vector")
@@ -1252,8 +1252,7 @@ BM25_QUERY = ("spark", "join", "vector")
 
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 documents for a fixed bag-of-words query."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return bm25_search(docs, BM25_QUERY, k=10)
+    return bm25_search(_docs(spark, sf_dir), BM25_QUERY, k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
