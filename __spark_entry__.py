@@ -1189,6 +1189,18 @@ def _srp_sql(src: str, n_bits: int = 8, n_tables: int = 2) -> str:
     """
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine k-NN graph (k=3): every 20th vector as a graph node
+    against the FULL corpus — exact-by-definition O(|nodes|·n) form kept
+    bench-sized by node sampling; the 100 TB paths are the shipped
+    approximate variants (`srp_buckets`+re-rank, `ivf_topk`)."""
+    from metrics_advisor_spark.functions.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    nodes = emb.filter(F.col("vec_id") % 20 == 0)
+    return brute_force_topk(nodes, emb, k=3)
+
+
 def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (priority, status): all 4 grouping combinations in one
     pass — completes the grouping-sets/rollup/pivot family."""
@@ -1312,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_stats": q_streaming_session_stats,
         "rolling_time_avg": q_rolling_time_avg,
         "embedding_centroids": q_embedding_centroids,
+        "knn_graph": q_knn_graph,
         "cube_counts": q_cube_counts,
         "percent_rank_orders": q_percent_rank_orders,
         "series_regression": q_series_regression,
@@ -2354,6 +2367,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(t.i AS INT) AS frame_idx,
                    (t.i * 5000)::BIGINT AS frame_ts_ms
             FROM m, unnest(range(0, duration_ms // 5000 + 1)) AS t(i)
+        """,
+        "knn_graph": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                  c.embedding::DOUBLE[]), 6)
+                         AS cosine
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id % 20 = 0
+            )
+            SELECT query_id, vec_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored)
+            WHERE rank <= 3
         """,
         "ann_topk": """
             WITH q AS (
