@@ -7,6 +7,7 @@ signs, scales and offsets)."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -100,3 +101,61 @@ def test_duplicate_doc_identical_signature(spark):
     assert by_doc[0] == by_doc[2] == by_doc[4]
     assert by_doc[1] == by_doc[3] == by_doc[5]
     assert by_doc[0] != by_doc[1]
+
+
+@PROP
+@given(
+    scale=st.floats(min_value=0.1, max_value=50.0, allow_nan=False),
+    offset=st.floats(min_value=-100.0, max_value=100.0, allow_nan=False),
+)
+def test_regression_affine_equivariance(spark, scale, offset):
+    """y → a·y + b maps slope → a·slope, intercept → a·intercept + b and
+    leaves r² unchanged (the invariances that define an OLS fit)."""
+    from metrics_advisor_spark.operators.trend import series_regression
+
+    rng = np.random.default_rng(5)
+    vals = rng.normal(0, 1, 60).cumsum()
+    base = make_signals_df(spark, {("m", "s"): vals})
+    fit0 = series_regression(base).collect()[0]
+    fit1 = series_regression(
+        base.withColumn("value", F.col("value") * scale + offset)
+    ).collect()[0]
+    assert fit1.slope_per_day == pytest.approx(
+        fit0.slope_per_day * scale, rel=1e-3, abs=2e-5
+    )
+    assert fit1.intercept == pytest.approx(
+        fit0.intercept * scale + offset, rel=1e-3, abs=2e-5
+    )
+    assert fit1.r2 == pytest.approx(fit0.r2, abs=2e-5)
+
+
+@PROP
+@given(offset=st.floats(min_value=-100.0, max_value=100.0, allow_nan=False))
+def test_mad_outliers_shift_invariant(spark, offset):
+    """MAD outlier membership is invariant under y → y + b."""
+    from metrics_advisor_spark.operators.trend import mad_outliers
+
+    rng = np.random.default_rng(6)
+    vals = np.concatenate([rng.normal(0, 0.5, 50), [25.0, -30.0]])
+    base = make_signals_df(spark, {("m", "s"): vals})
+    e0 = sorted(r.epoch for r in mad_outliers(base).collect())
+    e1 = sorted(
+        r.epoch
+        for r in mad_outliers(
+            base.withColumn("value", F.col("value") + offset)
+        ).collect()
+    )
+    assert e0 == e1 and e0
+
+
+@PROP
+@given(seed=st.integers(min_value=0, max_value=2**16))
+def test_ewma_bounded_by_window_extrema(spark, seed):
+    """A normalized convex combination stays inside the window's range."""
+    from metrics_advisor_spark.operators.trend import ewma
+
+    rng = np.random.default_rng(seed)
+    vals = rng.uniform(-10, 10, 40)
+    out = ewma(make_signals_df(spark, {("m", "s"): vals})).collect()
+    lo, hi = vals.min() - 1e-6, vals.max() + 1e-6
+    assert all(lo <= r.ewma <= hi for r in out)
