@@ -1189,6 +1189,22 @@ def _srp_sql(src: str, n_bits: int = 8, n_tables: int = 2) -> str:
     """
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct counting: Datasketches HLL estimate next to
+    the exact count per metric.  No oracle by design (DuckDB's
+    approx_count_distinct is a different sketch); the unit test bounds
+    the relative error instead.  At 100 TB the HLL path aggregates a
+    fixed-size sketch per group — no distinct-shuffle of the key stream,
+    mergeable across partitions (the point of the sketch family)."""
+    sig = _signals(spark, sf_dir)
+    return sig.groupBy("metric").agg(
+        F.countDistinct("series").alias("exact_distinct"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("series")).alias(
+            "hll_estimate"
+        ),
+    )
+
+
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine k-NN graph (k=3): every 20th vector as a graph node
     against the FULL corpus — exact-by-definition O(|nodes|·n) form kept
@@ -1324,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_stats": q_streaming_session_stats,
         "rolling_time_avg": q_rolling_time_avg,
         "embedding_centroids": q_embedding_centroids,
+        "hll_distinct": q_hll_distinct,
         "knn_graph": q_knn_graph,
         "cube_counts": q_cube_counts,
         "percent_rank_orders": q_percent_rank_orders,

@@ -117,3 +117,13 @@ def test_bm25_prefers_matching_docs(spark):
     assert ranked[0] == 3
     assert 2 not in ranked
     assert all(r.bm25 > 0 for r in out)
+
+
+def test_hll_distinct_error_bounded(spark):
+    import __spark_entry__ as m
+
+    out = m.queries()["hll_distinct"](spark, "/root/testdata/sf0.01").collect()
+    assert out
+    for r in out:
+        rel = abs(r.hll_estimate - r.exact_distinct) / max(r.exact_distinct, 1)
+        assert rel < 0.02, (r.metric, r.exact_distinct, r.hll_estimate)
