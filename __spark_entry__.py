@@ -1189,6 +1189,39 @@ def _srp_sql(src: str, n_bits: int = 8, n_tables: int = 2) -> str:
     """
 
 
+def q_streaming_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third Structured Streaming contract surface: the training-corpus
+    ingestion gate (length-quality filter → exact dedup) as a REAL
+    streaming query — file source over the planted-dup corpus, md5
+    groupBy in complete mode, availableNow drain.  Dedup keeps
+    min(doc_id) (an aggregate, not dropDuplicates, so the keeper is
+    arrival-order independent and oracle-checkable)."""
+    import tempfile
+    import uuid
+
+    from metrics_advisor_spark.streaming import run_to_memory
+
+    key = f"{sf_dir}#docs"
+    src = _STREAM_SRC_CACHE.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="ma_stream_docs_") + "/docs"
+        _docs_with_dups(spark, sf_dir).write.mode("overwrite").parquet(src)
+        _STREAM_SRC_CACHE[key] = src
+    gated = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(src)
+        .filter(F.length("text") >= 200)
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    name = f"stream_corpus_{uuid.uuid4().hex[:8]}"
+    run_to_memory(gated, name, output_mode="complete")
+    return spark.table(name)
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting: Datasketches HLL estimate next to
     the exact count per metric.  No oracle by design (DuckDB's
@@ -1340,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_stats": q_streaming_session_stats,
         "rolling_time_avg": q_rolling_time_avg,
         "embedding_centroids": q_embedding_centroids,
+        "streaming_corpus_gate": q_streaming_corpus_gate,
         "hll_distinct": q_hll_distinct,
         "knn_graph": q_knn_graph,
         "cube_counts": q_cube_counts,
@@ -2209,6 +2243,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, count(*) AS n_docs,
                    min(doc_id) AS keeper_doc_id
             FROM ({_DOCS_DUPS}) GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "streaming_corpus_gate": f"""
+            SELECT md5(text) AS content_hash,
+                   min(doc_id) AS keeper_doc_id,
+                   count(*) AS n_docs
+            FROM ({_DOCS_DUPS})
+            WHERE length(text) >= 200
+            GROUP BY 1
         """,
         "hamming_pairs_blocked": f"""
             WITH sk AS ({_simhash_sql(_DOCS_DUPS)})
