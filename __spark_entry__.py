@@ -1189,6 +1189,33 @@ def _srp_sql(src: str, n_bits: int = 8, n_tables: int = 2) -> str:
     """
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-20-bin value histogram per metric over the global
+    [min, max] extent — one broadcast of the 1-row extent, one hash
+    aggregate; the standard distribution profile pass.  The bin formula
+    is written out explicitly (not width_bucket) so the identical IEEE
+    expression runs on both engines."""
+    sig = _signals(spark, sf_dir)
+    ext = sig.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    bin_col = F.least(
+        F.floor(
+            (F.col("value") - F.col("vmin"))
+            / (F.col("vmax") - F.col("vmin"))
+            * 20
+        )
+        + 1,
+        F.lit(20),
+    )
+    return (
+        sig.crossJoin(F.broadcast(ext))
+        .withColumn("bin", bin_col.cast("long"))
+        .groupBy("metric", "bin")
+        .agg(F.count(F.lit(1)).alias("n_samples"))
+    )
+
+
 def q_streaming_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third Structured Streaming contract surface: the training-corpus
     ingestion gate (length-quality filter → exact dedup) as a REAL
@@ -1373,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_stats": q_streaming_session_stats,
         "rolling_time_avg": q_rolling_time_avg,
         "embedding_centroids": q_embedding_centroids,
+        "value_histogram": q_value_histogram,
         "streaming_corpus_gate": q_streaming_corpus_gate,
         "hll_distinct": q_hll_distinct,
         "knn_graph": q_knn_graph,
@@ -2243,6 +2271,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, count(*) AS n_docs,
                    min(doc_id) AS keeper_doc_id
             FROM ({_DOCS_DUPS}) GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "value_histogram": f"""
+            WITH sig AS ({_SIG}),
+            ext AS (SELECT min(value) AS vmin, max(value) AS vmax FROM sig)
+            SELECT metric,
+                   least(floor((value - vmin) / (vmax - vmin) * 20) + 1,
+                         20)::BIGINT AS bin,
+                   count(*) AS n_samples
+            FROM sig, ext GROUP BY 1, 2
         """,
         "streaming_corpus_gate": f"""
             SELECT md5(text) AS content_hash,

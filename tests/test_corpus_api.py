@@ -1,0 +1,73 @@
+"""Fluent Corpus pipeline: each stage delegates to the tested operators
+and composes lazily."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrics_advisor_spark.functions.corpus_api import Corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = [
+        (1, base * 3),                      # good en doc
+        (2, base * 3),                      # exact dup of 1
+        (3, (base * 3) + " extra"),         # near dup of 1
+        (4, "el la de y que en " * 12),     # spanish
+        (5, "!!! ??? ..."),                 # junk (low quality)
+        (6, "a completely different english text about spark and the data " * 4),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_quality_and_lang_gates_fuse_lazily(docs):
+    c = Corpus(docs).quality_filter(min_score=0.05).lang_filter("en")
+    kept = {r.doc_id for r in c.df.select("doc_id").collect()}
+    assert 5 not in kept          # junk filtered
+    assert 4 not in kept          # spanish filtered
+    assert {1, 2, 3, 6} <= kept
+    # whole chain is one plan: no exchange needed for two row filters
+    plan = c.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_exact_then_near_dedup(docs):
+    c = Corpus(docs).exact_dedup()
+    kept = {r.doc_id for r in c.df.select("doc_id").collect()}
+    assert 2 not in kept and 1 in kept      # min doc_id kept
+
+    c2 = c.near_dedup(method="jaccard", threshold=0.5)
+    kept2 = {r.doc_id for r in c2.df.select("doc_id").collect()}
+    assert 3 not in kept2 and 1 in kept2    # near-dup of 1 dropped
+    assert 6 in kept2                       # distinct doc survives
+
+
+def test_sample_tokens_budget(docs):
+    from metrics_advisor_spark.functions.text import token_count_col
+
+    c = Corpus(docs).sample_tokens(budget=60)
+    out = c.df.select(
+        "doc_id", token_count_col(F.col("text")).alias("n")
+    ).collect()
+    assert out  # something survives
+    assert sum(r.n for r in out) <= 60 + max(r.n for r in out)
+
+
+def test_minhash_and_simhash_paths_run(docs):
+    kept_mh = {
+        r.doc_id
+        for r in Corpus(docs).near_dedup(method="minhash").df.select("doc_id").collect()
+    }
+    assert 2 not in kept_mh and 1 in kept_mh  # exact dups are LSH-certain
+    kept_sh = {
+        r.doc_id
+        for r in Corpus(docs)
+        .near_dedup(method="simhash", max_distance=4)
+        .df.select("doc_id")
+        .collect()
+    }
+    assert 2 not in kept_sh and 1 in kept_sh
+
+    with pytest.raises(ValueError):
+        Corpus(docs).near_dedup(method="nope")
