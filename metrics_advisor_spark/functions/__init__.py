@@ -3,7 +3,10 @@ from metrics_advisor_spark.functions.text import (
     token_count,
     lang_id,
     doc_fingerprint,
+    tfidf_top_terms,
+    bm25_search,
 )
+from metrics_advisor_spark.functions.corpus_api import Corpus
 from metrics_advisor_spark.functions.dedup import (
     apply_pair_dedup,
     exact_dup_groups,
@@ -31,6 +34,9 @@ from metrics_advisor_spark.functions.multimodal import (
 )
 
 __all__ = [
+    "Corpus",
+    "tfidf_top_terms",
+    "bm25_search",
     "text_stats",
     "token_count",
     "lang_id",

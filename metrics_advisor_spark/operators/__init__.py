@@ -20,6 +20,8 @@ from metrics_advisor_spark.operators.detect import (
     detect_anomalies,
 )
 from metrics_advisor_spark.operators.asof import asof_join
+from metrics_advisor_spark.operators.trend import ewma, mad_outliers, series_regression
+from metrics_advisor_spark.operators.rangejoin import incident_intervals, range_join_count
 from metrics_advisor_spark.operators.resample import fill_gaps, resample
 from metrics_advisor_spark.operators.sessions import session_stats, sessionize
 from metrics_advisor_spark.operators.xcorr import (
@@ -29,6 +31,11 @@ from metrics_advisor_spark.operators.xcorr import (
 )
 
 __all__ = [
+    "ewma",
+    "mad_outliers",
+    "series_regression",
+    "incident_intervals",
+    "range_join_count",
     "asof_join",
     "best_lag",
     "fill_gaps",
