@@ -1480,15 +1480,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT metric, series, count(*) AS n_samples,
                      covar_pop(floor(epoch(ts)) - t0, value) AS sxy,
                      var_pop(floor(epoch(ts)) - t0) AS sxx,
+                     var_pop(value) AS syy,
                      avg(floor(epoch(ts)) - t0) AS mx,
-                     avg(value) AS my,
-                     corr(floor(epoch(ts)) - t0, value) AS r
+                     avg(value) AS my
               FROM sig, ext GROUP BY 1, 2
             )
             SELECT metric, series, n_samples,
                    round(sxy / sxx * 86400, 6) AS slope_per_day,
                    round(my - sxy / sxx * mx, 6) AS intercept,
-                   round(pow(r, 2), 6) AS r2
+                   round(CASE WHEN sxx * syy = 0 THEN NULL
+                              ELSE (sxy * sxy) / (sxx * syy) END, 6) AS r2
             FROM f WHERE n_samples >= 3 AND sxx > 0
         """,
         "mad_outliers": f"""

@@ -36,6 +36,10 @@ def series_regression(signals: DataFrame, min_points: int = 3) -> DataFrame:
     """
     ext = signals.agg(F.min(F.unix_timestamp("ts")).alias("t0"))
     x = F.unix_timestamp("ts") - F.col("t0")
+    # r² is assembled from covar/var aggregates rather than corr():
+    # under ANSI mode (Spark 4 default) corr() THROWS DIVIDE_BY_ZERO on a
+    # zero-variance group — a constant series is a legitimate input, and
+    # the NULL-on-degenerate contract (try_divide) is what we want.
     fitted = (
         signals.crossJoin(F.broadcast(ext))
         .groupBy(*SERIES_KEY)
@@ -43,20 +47,23 @@ def series_regression(signals: DataFrame, min_points: int = 3) -> DataFrame:
             F.count(F.lit(1)).alias("n_samples"),
             F.covar_pop(x, F.col("value")).alias("sxy"),
             F.var_pop(x).alias("sxx"),
+            F.var_pop("value").alias("syy"),
             F.avg(x).alias("mx"),
             F.avg("value").alias("my"),
-            F.corr(x, F.col("value")).alias("r"),
         )
         .filter((F.col("n_samples") >= min_points) & (F.col("sxx") > 0))
     )
     slope = F.col("sxy") / F.col("sxx")
+    r2 = F.try_divide(
+        F.col("sxy") * F.col("sxy"), F.col("sxx") * F.col("syy")
+    )
     return fitted.select(
         "metric",
         "series",
         "n_samples",
         F.round(slope * 86400, 6).alias("slope_per_day"),
         F.round(F.col("my") - slope * F.col("mx"), 6).alias("intercept"),
-        F.round(F.pow(F.col("r"), 2), 6).alias("r2"),
+        F.round(r2, 6).alias("r2"),
     )
 
 
@@ -105,9 +112,11 @@ def ewma(signals: DataFrame, alpha: float = 0.2, depth: int = 12) -> DataFrame:
         weight = F.lit(decay**k)
         num = num + F.coalesce(lagged * weight, F.lit(0.0))
         den = den + F.when(lagged.isNotNull(), weight).otherwise(F.lit(0.0))
+    # try_divide: an all-NULL window (possible with NULL-valued samples)
+    # yields NULL instead of an ANSI divide-by-zero error
     return signals.select(
         "metric",
         "series",
         F.unix_timestamp("ts").alias("epoch"),
-        F.round(num / den, 6).alias("ewma"),
+        F.round(F.try_divide(num, den), 6).alias("ewma"),
     )

@@ -127,3 +127,55 @@ def test_hll_distinct_error_bounded(spark):
     for r in out:
         rel = abs(r.hll_estimate - r.exact_distinct) / max(r.exact_distinct, 1)
         assert rel < 0.02, (r.metric, r.exact_distinct, r.hll_estimate)
+
+
+# --- degenerate inputs ------------------------------------------------------
+
+
+def test_trend_ops_on_degenerate_series(spark):
+    empty = spark.createDataFrame(
+        [], "metric string, series string, ts timestamp, value double"
+    )
+    assert series_regression(empty).count() == 0
+    assert mad_outliers(empty).count() == 0
+    assert ewma(empty).count() == 0
+
+    # constant series: MAD=0 and dev=0 → nothing flagged; regression has
+    # sxx>0 but r is NULL (zero y-variance) → r2 NULL, row kept
+    const = _sig(spark, [5.0] * 30)
+    assert mad_outliers(const).count() == 0
+    fit = series_regression(const).collect()[0]
+    assert fit.slope_per_day == 0.0 and fit.r2 is None
+    # EWMA of a constant is that constant
+    assert all(r.ewma == 5.0 for r in ewma(const).collect())
+
+    # single point: below min_points
+    assert series_regression(_sig(spark, [1.0])).count() == 0
+    one = ewma(_sig(spark, [7.0])).collect()
+    assert len(one) == 1 and one[0].ewma == 7.0
+
+
+def test_retrieval_on_degenerate_corpora(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert tfidf_top_terms(empty).count() == 0
+    assert bm25_search(empty, ("spark",)).count() == 0
+
+    # no query term present anywhere → empty result, no crash
+    docs = _docs(spark)
+    assert bm25_search(docs, ("zzzmissing",)).count() == 0
+
+    # punctuation-only text tokenizes to nothing
+    punct = spark.createDataFrame([(1, "!!! ??? ...")], "doc_id long, text string")
+    assert tfidf_top_terms(punct).count() == 0
+
+
+def test_range_join_without_incidents(spark):
+    from pyspark.sql import functions as SF
+
+    ev = spark.createDataFrame(
+        [(1, "m", 1.0)], "event_id long, event_type string, value double"
+    ).withColumn("ts", SF.to_timestamp(SF.lit("2024-01-01 00:00:00")))
+    # factor high enough that no bucket qualifies → empty both stages
+    iv = incident_intervals(ev, factor=1e9)
+    assert iv.count() == 0
+    assert range_join_count(ev, iv).count() == 0
