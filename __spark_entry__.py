@@ -25,6 +25,17 @@ from metrics_advisor_spark.functions.dedup import (
     minhash_signatures,
     simhash,
 )
+from metrics_advisor_spark.functions.curation import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    contamination_check,
+    line_dedup,
+    ngram_repetition,
+    pii_scrub,
+    quality_flags,
+    stratified_sample,
+)
 from metrics_advisor_spark.functions.multimodal import (
     attach_fake_payload,
     extract_media_meta,
@@ -47,6 +58,7 @@ from metrics_advisor_spark.operators.rangejoin import (
     range_join_count,
 )
 from metrics_advisor_spark.operators.trend import (
+    counter_rate,
     ewma,
     mad_outliers,
     series_regression,
@@ -1063,6 +1075,93 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# planted PII rows — shared verbatim with the oracle's VALUES list so the
+# two corpora cannot drift (the synthetic corpus itself contains no PII)
+_PII_ROWS: tuple[tuple[int, str], ...] = (
+    (300001, "contact alice.smith+test@example.com or bob@mail.co for details"),
+    (300002, "server at 192.168.0.1 and 10.0.0.255 responded ok"),
+    (300003, "call +1-415-555-2671 today"),
+    (300004, "eve@corp.io from 172.16.4.2 phone +44-020-794-0123"),
+)
+
+_PII_VALUES_SQL = ", ".join(
+    "({}, '{}')".format(i, t) for i, t in _PII_ROWS
+)
+
+_LINE_HEADER = "shared header alpha"
+_LINE_FOOTER = "shared footer omega"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over documents ∪ planted PII rows."""
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = spark.createDataFrame(
+        list(_PII_ROWS), "doc_id long, text string"
+    )
+    return pii_scrub(base.unionByName(planted))
+
+
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signal: duplicate word-3-gram fraction per doc."""
+    return ngram_repetition(_docs(spark, sf_dir), n=3)
+
+
+def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate flags per document."""
+    return quality_flags(_docs(spark, sf_dir))
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 5-gram overlap of corpus docs against a
+    benchmark subset (doc_id % 97 == 0), with planted contaminated docs
+    (+300000: first-15-word prefix of each benchmark doc)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    words = F.split(F.col("text"), " ")
+    planted = bench.select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, 15), " ").alias("text"),
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).unionByName(planted)
+    return contamination_check(corpus, bench, n=5)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsample to ~30 docs per stratum."""
+    return stratified_sample(
+        _docs(spark, sf_dir), stratum_col="lang", cap=30
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus line dedup over a planted multi-line corpus:
+    docs <40 wrapped in shared header/footer lines, docs 40-59 as-is,
+    plus one all-boilerplate doc (300000)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    wrapped = docs.filter(F.col("doc_id") < 40).select(
+        "doc_id",
+        F.concat(
+            F.lit(_LINE_HEADER + "\n"), F.col("text"),
+            F.lit("\n" + _LINE_FOOTER),
+        ).alias("text"),
+    )
+    plain = docs.filter(
+        (F.col("doc_id") >= 40) & (F.col("doc_id") < 60)
+    )
+    allboiler = spark.createDataFrame(
+        [(300000, _LINE_HEADER + "\n" + _LINE_FOOTER)],
+        "doc_id long, text string",
+    )
+    return line_dedup(
+        wrapped.unionByName(plain).unionByName(allboiler), min_df=2
+    )
+
+
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style sum-of-increase / rate per metric and 10-min bucket."""
+    return counter_rate(_signals(spark, sf_dir), bucket_s=600)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -1432,6 +1531,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
         "distinct_series": q_distinct_series,
+        "pii_scrub": q_pii_scrub,
+        "ngram_repetition": q_ngram_repetition,
+        "quality_flags": q_quality_flags,
+        "contamination": q_contamination,
+        "stratified_sample": q_stratified_sample,
+        "line_dedup": q_line_dedup,
+        "counter_rate": q_counter_rate,
     }
 
 
@@ -2525,6 +2631,171 @@ def oracle_sql() -> dict[str, str]:
               JOIN e ea ON ea.vec_id = vec_a
               JOIN e eb ON eb.vec_id = vec_b
             ) WHERE cosine >= 0.95
+        """,
+        "pii_scrub": f"""
+            WITH src AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES {_PII_VALUES_SQL}) AS v(doc_id, text)
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+                   len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ipv4,
+                   len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{IPV4_RE}', '<IP>', 'g'),
+                       '{PHONE_RE}', '<PHONE>', 'g') AS redacted_text
+            FROM src
+        """,
+        "ngram_repetition": """
+            WITH sh AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(array_to_string(w[i+1:i+3], ' ')),
+                      1, 14))::BIGINT AS shingle_hash
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+                   unnest(range(0, greatest(len(w) - 3, 0) + 1)) AS t(i)
+            )
+            SELECT doc_id,
+                   count(*) AS n_ngrams,
+                   count(DISTINCT shingle_hash) AS n_distinct,
+                   round(1.0 - count(DISTINCT shingle_hash) / count(*), 6)
+                       AS dup_frac
+            FROM sh GROUP BY doc_id
+        """,
+        "quality_flags": f"""
+            SELECT doc_id, n_words, round(mean_wl, 6) AS mean_word_len,
+                   round(alpha_frac, 6) AS alpha_frac,
+                   n_stop AS n_stopwords,
+                   f_words AS flag_words, f_wl AS flag_word_len,
+                   f_alpha AS flag_alpha, f_stop AS flag_stopwords,
+                   (f_words AND f_wl AND f_alpha AND f_stop) AS pass_quality
+            FROM (
+              SELECT *,
+                     (n_words >= 20 AND n_words <= 100000) AS f_words,
+                     (mean_wl >= 3.0 AND mean_wl <= 10.0) AS f_wl,
+                     (alpha_frac >= 0.8) AS f_alpha,
+                     (n_stop >= 2) AS f_stop
+              FROM (
+                SELECT doc_id,
+                       len(w) AS n_words,
+                       length(replace(text, ' ', ''))
+                           / greatest(len(w), 1) AS mean_wl,
+                       len(list_filter(w,
+                           x -> regexp_matches(x, '[A-Za-z]')))
+                           / greatest(len(w), 1) AS alpha_frac,
+                       len(list_filter(w, x -> x IN {_STOP_EN})) AS n_stop
+                FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+                      FROM documents)
+              )
+            )
+        """,
+        "contamination": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+              UNION ALL
+              SELECT doc_id + 300000 AS doc_id,
+                     array_to_string(w[1:15], ' ') AS text
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents WHERE doc_id % 97 = 0)
+            ),
+            doc_sh AS (
+              SELECT DISTINCT doc_id,
+                     ('0x' || substr(md5(array_to_string(w[i+1:i+5], ' ')),
+                      1, 14))::BIGINT AS shingle_hash
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+                   unnest(range(0, greatest(len(w) - 5, 0) + 1)) AS t(i)
+            ),
+            bench_sh AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5(array_to_string(w[i+1:i+5], ' ')),
+                      1, 14))::BIGINT AS shingle_hash
+              FROM (SELECT string_split(text, ' ') AS w FROM documents
+                    WHERE doc_id % 97 = 0),
+                   unnest(range(0, greatest(len(w) - 5, 0) + 1)) AS t(i)
+            ),
+            totals AS (
+              SELECT doc_id, count(*) AS n_shingles
+              FROM doc_sh GROUP BY doc_id
+            ),
+            hits AS (
+              SELECT doc_id, count(*) AS n_overlap
+              FROM doc_sh JOIN bench_sh USING (shingle_hash)
+              GROUP BY doc_id
+            )
+            SELECT h.doc_id, h.n_overlap, t.n_shingles,
+                   round(h.n_overlap / t.n_shingles, 6) AS contam_frac
+            FROM hits h JOIN totals t ON h.doc_id = t.doc_id
+        """,
+        "stratified_sample": """
+            WITH counts AS (
+              SELECT lang, count(*) AS n_stratum
+              FROM documents GROUP BY lang
+            )
+            SELECT doc_id, lang, n_stratum, round(u, 6) AS sample_key
+            FROM (
+              SELECT d.doc_id, d.lang, c.n_stratum,
+                     ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 14))::BIGINT
+                         / 72057594037927936.0 AS u
+              FROM documents d JOIN counts c USING (lang)
+            )
+            WHERE u < least(1.0, 30.0 / n_stratum)
+        """,
+        "line_dedup": f"""
+            WITH src AS (
+              SELECT doc_id, '{_LINE_HEADER}' || chr(10) || text ||
+                     chr(10) || '{_LINE_FOOTER}' AS text
+              FROM documents WHERE doc_id < 40
+              UNION ALL
+              SELECT doc_id, text FROM documents
+              WHERE doc_id >= 40 AND doc_id < 60
+              UNION ALL
+              SELECT 300000 AS doc_id,
+                     '{_LINE_HEADER}' || chr(10) || '{_LINE_FOOTER}' AS text
+            ),
+            lines AS (
+              SELECT doc_id, unnest(ls) AS line,
+                     generate_subscripts(ls, 1) AS pos
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                    FROM src)
+            ),
+            ldf AS (
+              SELECT line, count(*) AS line_df
+              FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY line
+            ),
+            kept AS (
+              SELECT l.doc_id, l.pos, l.line
+              FROM lines l JOIN ldf USING (line) WHERE line_df < 2
+            ),
+            tot AS (
+              SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '')
+                       AS clean_text,
+                   count(k.line) AS n_kept,
+                   (t.n_lines - count(k.line)) AS n_dropped
+            FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+            GROUP BY t.doc_id, t.n_lines
+        """,
+        "counter_rate": f"""
+            WITH d AS (
+              SELECT metric, series,
+                     CAST(floor(epoch(ts)/600)*600 AS BIGINT)
+                         AS bucket_epoch,
+                     value,
+                     lag(value) OVER (PARTITION BY metric, series
+                                      ORDER BY ts) AS prev
+              FROM ({_SIG})
+            )
+            SELECT metric, bucket_epoch,
+                   round(sum(CASE WHEN value - prev < 0 THEN value
+                             ELSE value - prev END), 6) AS increase,
+                   round(sum(CASE WHEN value - prev < 0 THEN value
+                             ELSE value - prev END) / 600, 6) AS rate_per_s
+            FROM d WHERE prev IS NOT NULL
+            GROUP BY metric, bucket_epoch
         """,
     }
 

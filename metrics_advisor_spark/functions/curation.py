@@ -1,0 +1,271 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+The standard curation ladder between raw crawl and tokenizer: PII
+redaction, Gopher-style quality gating, within-document repetition
+measurement, benchmark decontamination, stratified downsampling, and
+corpus-level line deduplication (the CCNet trick of dropping boilerplate
+lines that repeat across many documents).
+
+Everything is built from JVM-side ``pyspark.sql.functions`` expressions
+(regexes, array HOFs, hash aggregates) — no Python in the hot path — so
+every operator is also ANSI-SQL-expressible for the DuckDB oracle.
+
+Scale design (100 TB corpus):
+- ``pii_scrub`` / ``quality_flags`` / ``ngram_repetition``: narrow
+  per-document projections or one doc-keyed aggregate; embarrassingly
+  parallel, no skew risk (keys are doc ids).
+- ``contamination_check``: inverted-index join on shingle hashes where
+  one side is a benchmark suite (MMLU-sized, i.e. tiny) — the benchmark
+  shingle set broadcasts, so the scan side never shuffles.
+- ``stratified_sample``: two passes — a stratum-count aggregate (rows =
+  #strata, broadcasts back) and a stateless hash-threshold filter.
+  Deterministic: membership depends only on doc_id, never on partition
+  layout or RNG state.
+- ``line_dedup``: the one genuinely shuffle-heavy op (explode lines →
+  count line doc-frequency → rejoin).  Line df counts are computed from
+  per-document *distinct* lines so a single spammy document cannot
+  promote its own repeated line past the threshold, and hot boilerplate
+  lines (the skew risk) are exactly the rows AQE skew-join splits.
+
+Reference analogue: the reference pipeline (/root/reference/
+metrics_advisor.py) has no corpus operators; these extend SURVEY §2's
+beyond-reference training-data family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from metrics_advisor_spark.functions.dedup import _hash56, shingle
+from metrics_advisor_spark.functions.text import LANG_STOPWORDS
+
+# Regexes shared with the DuckDB oracle: kept inside the common
+# Java-regex / RE2 subset (no backrefs, no lookaround, ASCII classes)
+# so both engines match identically.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def _count_re(col: F.Column, pattern: str) -> F.Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect and redact emails / IPv4 addresses / phone numbers.
+
+    Counts are taken on the raw text; redaction applies email → ip →
+    phone in that fixed order (phone runs last so an IP inside an
+    already-redacted token can't be double-counted).  Pure
+    ``regexp_replace`` projection — linear scan, no shuffle.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, IPV4_RE, "<IP>")
+    redacted = F.regexp_replace(redacted, PHONE_RE, "<PHONE>")
+    return df.select(
+        "doc_id",
+        _count_re(t, EMAIL_RE).alias("n_emails"),
+        _count_re(t, IPV4_RE).alias("n_ipv4"),
+        _count_re(t, PHONE_RE).alias("n_phones"),
+        redacted.alias("redacted_text"),
+    )
+
+
+def ngram_repetition(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Within-document repetition: fraction of duplicate word n-grams.
+
+    The Gopher repetition signal: dup_frac = 1 − distinct/total over the
+    document's n-gram multiset.  One doc-keyed aggregate over the
+    (non-distinct) shingle stream; count-distinct on 56-bit hashes is
+    exact at any document length that fits a task.
+    """
+    sh = shingle(df, text_col=text_col, n=n, distinct=False)
+    return sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.count_distinct("shingle_hash").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.count_distinct("shingle_hash") / F.count(F.lit(1)),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+def quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality gates as boolean flags.
+
+    Four cheap rules (word-count bounds, mean word length band, fraction
+    of words containing a letter, minimum stopword hits) and their
+    conjunction ``pass_quality``.  Thresholds are the Gopher defaults
+    scaled to short synthetic documents.  Narrow projection, no shuffle.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    mean_wl = F.length(F.regexp_replace(F.col(text_col), " ", "")) / F.greatest(
+        n_words, F.lit(1)
+    )
+    alpha_frac = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ) / F.greatest(n_words, F.lit(1))
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin(*LANG_STOPWORDS["en"]))
+    )
+    f_words = (n_words >= min_words) & (n_words <= max_words)
+    f_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    f_alpha = alpha_frac >= min_alpha_frac
+    f_stop = n_stop >= min_stopwords
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+        f_words.alias("flag_words"),
+        f_wl.alias("flag_word_len"),
+        f_alpha.alias("flag_alpha"),
+        f_stop.alias("flag_stopwords"),
+        (f_words & f_wl & f_alpha & f_stop).alias("pass_quality"),
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: word-n-gram overlap per document.
+
+    The GPT-3-style check — a document is contaminated when it shares
+    word n-grams with an evaluation benchmark.  Returns one row per
+    contaminated document: distinct overlapping shingles, the document's
+    own distinct-shingle count, and the overlap fraction.
+
+    The benchmark shingle set is aggregated first (benchmark suites are
+    tiny relative to the corpus) and broadcast, so the corpus-side scan
+    joins without a shuffle; per-doc counting shuffles once on doc_id.
+    """
+    doc_sh = shingle(df, text_col=text_col, n=n, distinct=True)
+    bench_sh = (
+        shingle(benchmark, text_col=text_col, n=n, distinct=False)
+        .select("shingle_hash")
+        .distinct()
+    )
+    totals = doc_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle_hash")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        hits.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n_overlap",
+            "n_shingles",
+            F.round(F.col("n_overlap") / F.col("n_shingles"), 6).alias(
+                "contam_frac"
+            ),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    cap: int = 30,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling to ~``cap`` docs each.
+
+    Every stratum gets rate = min(1, cap/count); a document is kept when
+    its content-free hash coordinate u = md5(doc_id)/2^56 falls below
+    the stratum's rate.  Membership is a pure function of doc_id — rerun
+    a month later on a rebalanced cluster, the sample is identical —
+    and expected stratum sizes are cap·(1 ± O(1/√cap)).
+
+    Two-pass plan: stratum counts (rows = #strata → broadcast back) then
+    a stateless filter; no global sort, no RNG.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_stratum"))
+    rate = F.least(F.lit(1.0), F.lit(float(cap)) / F.col("n_stratum"))
+    u = _hash56(F.col(id_col).cast("string")) / F.lit(float(1 << 56))
+    return (
+        df.join(F.broadcast(counts), stratum_col)
+        .filter(u < rate)
+        .select(
+            id_col,
+            stratum_col,
+            "n_stratum",
+            F.round(u, 6).alias("sample_key"),
+        )
+    )
+
+
+def line_dedup(
+    df: DataFrame, text_col: str = "text", min_df: int = 2
+) -> DataFrame:
+    """Corpus-level line deduplication (CCNet boilerplate removal).
+
+    Drops every line that appears in ≥ ``min_df`` distinct documents
+    (headers, footers, cookie banners) and reassembles the survivors in
+    original order.  Returns (doc_id, clean_text, n_kept, n_dropped);
+    documents whose lines are all boilerplate survive with empty text.
+
+    Plan: posexplode lines → line-keyed doc-frequency aggregate (distinct
+    lines per doc first, so a document repeating its own line can't
+    self-promote it past the threshold) → hash-join back → doc-keyed
+    reassembly.  Hot boilerplate lines are the skew case AQE skew-join
+    splits; the df table is usually small enough to broadcast outright.
+    """
+    lines = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    ldf = (
+        lines.select("doc_id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+    )
+    kept = (
+        lines.join(ldf, "line")
+        .filter(F.col("line_df") < min_df)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s.line,
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

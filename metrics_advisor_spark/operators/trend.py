@@ -120,3 +120,44 @@ def ewma(signals: DataFrame, alpha: float = 0.2, depth: int = 12) -> DataFrame:
         F.unix_timestamp("ts").alias("epoch"),
         F.round(F.try_divide(num, den), 6).alias("ewma"),
     )
+
+
+def counter_rate(
+    signals: DataFrame,
+    bucket_s: int = 600,
+    order_col: str | None = None,
+) -> DataFrame:
+    """PromQL-style counter ``increase``/``rate`` per metric and bucket.
+
+    Treats each (metric, series) as a counter sample stream: adjacent
+    differences, with a counter *reset* (value dropped) contributing the
+    post-reset value — the Prometheus extrapolation-free semantics.
+    Per-series increases are then summed into fixed buckets per metric
+    (the ``sum(rate(m[10m]))`` shape every metrics stack renders).
+
+    One window sort per series plus one (metric, bucket)-keyed hash
+    aggregate; both stages shuffle on uniform keys.  Pass ``order_col``
+    to break equal-timestamp ties when the source can produce them
+    (the driver's events table has unique per-series timestamps).
+    """
+    order = ["ts"] + ([order_col] if order_col else [])
+    w = Window.partitionBy(*SERIES_KEY).orderBy(*order)
+    prev = F.lag("value").over(w)
+    delta = F.col("value") - prev
+    increase = F.when(prev.isNull(), F.lit(None)).otherwise(
+        F.when(delta < 0, F.col("value")).otherwise(delta)
+    )
+    bucket = (F.floor(F.unix_timestamp("ts") / bucket_s) * bucket_s).cast(
+        "long"
+    )
+    return (
+        signals.select(
+            "metric", bucket.alias("bucket_epoch"), increase.alias("inc")
+        )
+        .filter(F.col("inc").isNotNull())
+        .groupBy("metric", "bucket_epoch")
+        .agg(
+            F.round(F.sum("inc"), 6).alias("increase"),
+            F.round(F.sum("inc") / bucket_s, 6).alias("rate_per_s"),
+        )
+    )
