@@ -49,6 +49,10 @@ def main() -> None:
     timings["flagship_analyze"] = round(dt, 3)
     total += dt
 
+    # Full per-query line first (for logs/humans), then a compact summary
+    # line LAST: the driver retains only an output tail, and with ~100
+    # queries the full line exceeds it — the compact line always fits and
+    # stays parseable (VERDICT r02 item 2: BENCH_r02 parsed=null).
     print(
         json.dumps(
             {
@@ -57,6 +61,21 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+            }
+        )
+    )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "slowest15": slowest,
             }
         )
     )

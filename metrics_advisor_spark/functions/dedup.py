@@ -281,19 +281,32 @@ def apply_pair_dedup(
     ``transitive=False`` is the cheap common practice: drop every doc
     that appears as doc_b of any pair (one anti-join; keeps more docs on
     long chains).
+
+    Each round is ONE equi-join + ONE aggregate: self-loop edges make
+    ``min(neighbor labels)`` already include the node's own label, and the
+    convergence probe rides along as a second aggregate column
+    (``prev_label`` = the self-loop's label) — no separate probe join.
+    The per-round ``count()`` action is deliberate: it fully materializes
+    the round's cache AND answers convergence.  (Running rounds WITHOUT a
+    per-round action was a measured dead end: the nested unevaluated
+    plans re-evaluate shared branches and ran ~10× slower — see
+    ROUND_NOTES.)
     """
     if not transitive:
         losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         return df.join(losers, "doc_id", "left_anti")
 
-    # The edge list is re-scanned every propagation round AND by the
-    # convergence check — persist it once or the (possibly expensive)
-    # upstream pair pipeline re-executes per round.
+    # The edge list is re-scanned every propagation round — persist it
+    # once or the (possibly expensive) upstream pair pipeline re-executes
+    # per round.  Self-loops (u, u) fold "own label" into the neighbor
+    # minimum so each round needs no second join against the old labels.
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
     edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-        )
+        sym.unionByName(sym.select("u", F.col("u").alias("v")))
         .distinct()
         .persist()
     )
@@ -303,8 +316,9 @@ def apply_pair_dedup(
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
+    cached = labels
     for _ in range(max_iterations):
-        neighbor_min = (
+        updated = (
             edges.join(
                 labels.withColumnRenamed("doc_id", "v").withColumnRenamed(
                     "label", "v_label"
@@ -312,32 +326,24 @@ def apply_pair_dedup(
                 "v",
             )
             .groupBy("u")
-            .agg(F.min("v_label").alias("n_label"))
-        )
-        updated = (
-            labels.join(
-                neighbor_min.withColumnRenamed("u", "doc_id"), "doc_id", "left"
+            .agg(
+                F.min("v_label").alias("label"),
+                # the self-loop row carries the node's OLD label — the
+                # convergence probe rides the same aggregate for free
+                F.min(
+                    F.when(F.col("v") == F.col("u"), F.col("v_label"))
+                ).alias("prev_label"),
             )
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("n_label"), F.col("label"))
-                ).alias("label"),
-            )
+            .withColumnRenamed("u", "doc_id")
             .persist()
         )
-        # convergence check: any label still above a neighbor's?  This
-        # action also materializes `updated`, so each round computes the
-        # propagation exactly once and truncates it behind the cache.
-        changed = (
-            updated.alias("l")
-            .join(labels.alias("o"), F.col("l.doc_id") == F.col("o.doc_id"))
-            .filter(F.col("l.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = updated
+        # Full count (not limit(1)): materializes EVERY partition of the
+        # round's cache, so later rounds never fall back onto unpersisted
+        # lineage, and answers convergence in the same job.
+        changed = updated.filter(F.col("label") != F.col("prev_label")).count()
+        cached.unpersist()
+        cached = updated
+        labels = updated.select("doc_id", "label")
         if changed == 0:
             break
     losers = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
