@@ -4,7 +4,9 @@ from metrics_advisor_spark.operators.validity import (
     range_filter,
 )
 from metrics_advisor_spark.operators.buckets import (
+    attach_extent,
     time_extent,
+    time_extent_df,
     with_bucket_id,
     bucket_windows,
 )
@@ -47,7 +49,9 @@ __all__ = [
     "series_stats",
     "valid_signals",
     "range_filter",
+    "attach_extent",
     "time_extent",
+    "time_extent_df",
     "with_bucket_id",
     "bucket_windows",
     "get_relative",

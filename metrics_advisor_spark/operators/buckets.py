@@ -15,17 +15,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def time_extent(signals: DataFrame) -> tuple[int, int]:
-    """T1/A2: global (min, max) epoch-seconds across all signals.
+def time_extent_df(signals: DataFrame) -> DataFrame:
+    """T1/A2 as a LAZY one-row (tmin, tmax) aggregate.
 
-    A two-value aggregate — collect it; it parameterizes the bucket
-    expression as a literal so Catalyst can constant-fold it.
-    """
-    row = signals.agg(
+    crossJoin(broadcast(...)) this into any frame that needs the global
+    extent — the whole pipeline then stays one Spark job with no driver
+    action (the broadcast of a 1-row aggregate is free)."""
+    return signals.agg(
         F.min(F.unix_timestamp("ts")).alias("tmin"),
         F.max(F.unix_timestamp("ts")).alias("tmax"),
-    ).first()
+    )
+
+
+def time_extent(signals: DataFrame) -> tuple[int, int]:
+    """T1/A2: global (min, max) epoch-seconds across all signals,
+    collected to driver ints.  Use :func:`time_extent_df` +
+    :func:`attach_extent` when the extent only parameterizes further
+    plan expressions — that form never syncs the driver.
+    """
+    row = time_extent_df(signals).first()
     return int(row["tmin"]), int(row["tmax"])
+
+
+def attach_extent(df: DataFrame, extent: DataFrame) -> DataFrame:
+    """Broadcast the 1-row extent aggregate onto every row of ``df``
+    (adds ``tmin``/``tmax`` columns; drop them when done)."""
+    return df.crossJoin(F.broadcast(extent))
+
+
+def bucket_expr_col(bucket_seconds: int, tmin_col: str = "tmin") -> F.Column:
+    """T3 bucket-id expression against an attached extent COLUMN (see
+    :func:`attach_extent`) instead of a collected literal."""
+    return F.floor(
+        (F.unix_timestamp("ts") - F.col(tmin_col)) / F.lit(bucket_seconds)
+    )
 
 
 def bucket_expr(tmin: int, bucket_seconds: int) -> F.Column:

@@ -35,13 +35,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def lag_explode(candidates: DataFrame, lag_max: int, step_seconds: int) -> DataFrame:
+def lag_explode(
+    candidates: DataFrame,
+    lag_max: int,
+    step_seconds: int,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Replicate candidate rows for each lag, shifting the join timestamp.
 
     Row (series, ts, value) → (series, lag, join_ts = ts − lag·step, value)
     for lag ∈ [−lag_max, lag_max]: candidate value at time t is paired with
     objective time t − lag·step, i.e. positive lag means the candidate
     LAGS the objective (reference ncc(a, b, lag) convention).
+    ``passthrough`` columns are carried along unchanged.
     """
     return candidates.select(
         F.col("metric").alias("cand_metric"),
@@ -49,6 +55,7 @@ def lag_explode(candidates: DataFrame, lag_max: int, step_seconds: int) -> DataF
         F.explode(F.sequence(F.lit(-lag_max), F.lit(lag_max))).alias("lag"),
         F.col("ts"),
         F.col("value").alias("cand_value"),
+        *[F.col(c) for c in passthrough],
     ).withColumn(
         "join_ts",
         F.timestamp_add("SECOND", (-F.col("lag") * step_seconds).cast("int"), F.col("ts")),
@@ -59,7 +66,7 @@ def bucket_correlation(
     objectives: DataFrame,
     candidates: DataFrame,
     *,
-    tmin: int,
+    tmin: int | DataFrame,
     bucket_seconds: int = 600,
     lag_max: int = 3,
     step_seconds: int = 15,
@@ -77,23 +84,38 @@ def bucket_correlation(
     reference's truncated-overlap windows (a lag-k correlation uses
     40−|k| pairs, metrics_advisor.py:186-187); False allows full overlap
     across bucket edges.
+
+    ``tmin`` may be a driver int OR a lazy 1-row ``(tmin, ...)`` aggregate
+    DataFrame (``buckets.time_extent_df``): the latter is broadcast onto
+    both sides, keeping the whole pipeline collect-free.
     """
+    if isinstance(tmin, DataFrame):
+        ext = tmin.select("tmin")
+        objectives = objectives.crossJoin(F.broadcast(ext))
+        candidates = candidates.crossJoin(F.broadcast(ext))
+        tmin_obj = F.col("tmin")
+    else:
+        tmin_obj = F.lit(tmin)
     obj = objectives.select(
         F.col("metric").alias("obj_metric"),
         F.col("series").alias("obj_series"),
         F.col("ts").alias("obj_ts"),
         F.col("value").alias("obj_value"),
-    ).withColumn(
-        "bucket_id",
-        F.floor((F.unix_timestamp("obj_ts") - F.lit(tmin)) / F.lit(bucket_seconds)),
+        F.floor(
+            (F.unix_timestamp("ts") - tmin_obj) / F.lit(bucket_seconds)
+        ).alias("bucket_id"),
     )
-    cand = lag_explode(candidates, lag_max, step_seconds)
+    cand_in = candidates.select(
+        "metric", "series", "ts", "value",
+        F.floor(
+            (F.unix_timestamp("ts") - tmin_obj) / F.lit(bucket_seconds)
+        ).alias("cand_bucket_id"),
+    )
+    cand = lag_explode(
+        cand_in, lag_max, step_seconds, passthrough=("cand_bucket_id",)
+    )
     cond = cand["join_ts"] == obj["obj_ts"]
     if same_bucket:
-        cand = cand.withColumn(
-            "cand_bucket_id",
-            F.floor((F.unix_timestamp("ts") - F.lit(tmin)) / F.lit(bucket_seconds)),
-        )
         cond = cond & (cand["cand_bucket_id"] == obj["bucket_id"])
     joined = cand.join(F.broadcast(obj), cond, "inner")
     return (

@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from metrics_advisor_spark.config import AdvisorConfig
-from metrics_advisor_spark.operators.buckets import bucket_expr, time_extent
+from metrics_advisor_spark.operators.buckets import (
+    attach_extent,
+    bucket_expr_col,
+    time_extent_df,
+)
 from metrics_advisor_spark.operators.detect import detect_anomalies
 from metrics_advisor_spark.operators.validity import range_filter, valid_signals
 from metrics_advisor_spark.operators.xcorr import (
@@ -33,7 +37,12 @@ from metrics_advisor_spark.operators.xcorr import (
 
 @dataclass
 class Analysis:
-    """Lazy handles on every stage's output (all DataFrames)."""
+    """Lazy handles on every stage's output (all DataFrames).
+
+    ``extent`` is the LAZY 1-row (tmin, tmax) aggregate — building an
+    Analysis triggers no Spark action; ``tmin``/``tmax`` collect it on
+    first access (report-render time, alongside the ranked collect).
+    """
 
     signals: DataFrame        # validated canonical input
     anomalies: DataFrame      # (metric, series, kind, idx, ts, value)
@@ -41,8 +50,22 @@ class Analysis:
     correlations: DataFrame   # per (bucket, obj, cand, lag)
     best: DataFrame           # best lag per pair (A4)
     ranked: DataFrame         # top-k per (bucket, objective) (K1–K3)
-    tmin: int
-    tmax: int
+    extent: DataFrame         # lazy 1-row (tmin, tmax)
+
+    def _extent_row(self):
+        cached = getattr(self, "_extent_cache", None)
+        if cached is None:
+            cached = self.extent.first()
+            object.__setattr__(self, "_extent_cache", cached)
+        return cached
+
+    @property
+    def tmin(self) -> int:
+        return int(self._extent_row()["tmin"])
+
+    @property
+    def tmax(self) -> int:
+        return int(self._extent_row()["tmax"])
 
 
 def analyze(signals: DataFrame, cfg: AdvisorConfig = AdvisorConfig()) -> Analysis:
@@ -50,7 +73,9 @@ def analyze(signals: DataFrame, cfg: AdvisorConfig = AdvisorConfig()) -> Analysi
     # Cache: the validated table feeds detection, the extent aggregate and
     # both correlation sides.
     valid = valid.cache()
-    tmin, tmax = time_extent(valid)
+    # Lazy global extent (T1): broadcast onto consumers instead of a
+    # driver-side collect — analyze() itself never runs a Spark action.
+    ext = time_extent_df(valid)
 
     active = range_filter(valid, cfg.min_range)
     anomalies = detect_anomalies(
@@ -71,7 +96,8 @@ def analyze(signals: DataFrame, cfg: AdvisorConfig = AdvisorConfig()) -> Analysi
         else anomalies
     )
     membership = (
-        bucketable.withColumn("bucket_id", bucket_expr(tmin, cfg.bucket_seconds))
+        attach_extent(bucketable, ext)
+        .withColumn("bucket_id", bucket_expr_col(cfg.bucket_seconds))
         .select("bucket_id", "metric", "series")
         .dropDuplicates(["bucket_id", "metric", "series"])
         .withColumn("is_obj", F.col("metric").isin(*cfg.obj_signals))
@@ -127,9 +153,9 @@ def analyze(signals: DataFrame, cfg: AdvisorConfig = AdvisorConfig()) -> Analysi
         # each side's sample rows to its membership (bucket, metric, series)
         # triples.  Membership is tiny (≤ #anomalous series × #buckets)
         # → broadcast the semi-joins.
-        bucketed = valid.withColumn(
-            "bucket_id", bucket_expr(tmin, cfg.bucket_seconds)
-        )
+        bucketed = attach_extent(valid, ext).withColumn(
+            "bucket_id", bucket_expr_col(cfg.bucket_seconds)
+        ).drop("tmin", "tmax")
         obj_samples = bucketed.join(
             F.broadcast(obj_keys), ["bucket_id", "metric", "series"], "left_semi"
         ).drop("bucket_id")
@@ -139,7 +165,7 @@ def analyze(signals: DataFrame, cfg: AdvisorConfig = AdvisorConfig()) -> Analysi
         correlations = bucket_correlation(
             obj_samples,
             cand_samples,
-            tmin=tmin,
+            tmin=ext,
             bucket_seconds=cfg.bucket_seconds,
             lag_max=cfg.lag_max,
             step_seconds=cfg.sample_time_step,
@@ -153,6 +179,5 @@ def analyze(signals: DataFrame, cfg: AdvisorConfig = AdvisorConfig()) -> Analysi
         correlations=correlations,
         best=best,
         ranked=ranked,
-        tmin=tmin,
-        tmax=tmax,
+        extent=ext,
     )
