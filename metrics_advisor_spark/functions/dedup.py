@@ -296,10 +296,21 @@ def apply_pair_dedup(
         losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         return df.join(losers, "doc_id", "left_anti")
 
-    # The edge list is re-scanned every propagation round — persist it
-    # once or the (possibly expensive) upstream pair pipeline re-executes
-    # per round.  Self-loops (u, u) fold "own label" into the neighbor
-    # minimum so each round needs no second join against the old labels.
+    labels = propagate_labels(pairs, max_iterations)
+    losers = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
+    return df.join(losers, "doc_id", "left_anti")
+
+
+def propagate_labels(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """Connected components of the (doc_a, doc_b) pair graph by iterative
+    min-label propagation: returns (doc_id, label) for every doc that
+    appears in a pair; label = the component's min doc_id.
+
+    The edge list is re-scanned every propagation round — persist it
+    once or the (possibly expensive) upstream pair pipeline re-executes
+    per round.  Self-loops (u, u) fold "own label" into the neighbor
+    minimum so each round needs no second join against the old labels.
+    """
     sym = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(
@@ -346,8 +357,23 @@ def apply_pair_dedup(
         labels = updated.select("doc_id", "label")
         if changed == 0:
             break
-    losers = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
-    return df.join(losers, "doc_id", "left_anti")
+    return labels
+
+
+def dup_cluster_sizes(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """Duplicate-cluster size distribution: (cluster_size, n_clusters).
+
+    Connected components via :func:`propagate_labels`, then two tiny
+    hash aggregates (per-label count → per-size count).  The shape every
+    dedup audit reports — how much of the corpus sits in 2-doc mirrors
+    vs 1000-doc boilerplate explosions."""
+    labels = propagate_labels(pairs, max_iterations)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -284,3 +284,32 @@ def embedding_near_dup_pairs(
         "vec_b",
         F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+def embedding_norms(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shards: int = 8,
+) -> DataFrame:
+    """Per-shard embedding L2-norm profile: (shard, n_vecs, avg/min/max
+    norm).  The standard pre-ANN sanity pass (catches unnormalized or
+    zero vectors before they poison cosine blocking).  One narrow
+    projection + one tiny hash aggregate keyed by shard."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    return (
+        df.select((F.col(id_col) % shards).alias("shard"), norm.alias("norm"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+    )

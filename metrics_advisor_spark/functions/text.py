@@ -223,3 +223,49 @@ def bm25_search(
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def heavy_hitters(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Top-k corpus terms by document frequency (the exact form).
+
+    Counts each term once per document (the (doc, term) distinct rides
+    the tf aggregate), then one vocabulary-sized count + a single top-k.
+    At 100 TB the first aggregate keys on (doc_id, term) — uniform — and
+    the second on term; stopword skew costs one combiner row per
+    partition, not a hot reducer, because the per-doc distinct already
+    collapsed multiplicity map-side.  The approximate path at extreme
+    vocabularies is a count-min/SpaceSaving sketch per partition +
+    merge; exact stays cheaper until the vocabulary itself won't fit.
+    """
+    from pyspark.sql import Window
+
+    dfreq = (
+        _terms(df, text_col)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf"))
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return (
+        dfreq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "term", "df", "total_tf")
+    )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text cleaning: lowercase, strip non-alphanumerics,
+    collapse whitespace runs, trim.  The standard pre-tokenization
+    normalizer — a pure narrow projection (no shuffle at any scale);
+    emits before/after lengths so the cleaning loss is measurable.
+    """
+    lowered = F.lower(F.col(text_col))
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
+    collapsed = F.trim(F.regexp_replace(stripped, " +", " "))
+    return df.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars_raw"),
+        F.length(collapsed).alias("n_chars_clean"),
+        F.substring(collapsed, 1, 60).alias("clean_prefix"),
+    )

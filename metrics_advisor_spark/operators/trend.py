@@ -161,3 +161,97 @@ def counter_rate(
             F.round(F.sum("inc") / bucket_s, 6).alias("rate_per_s"),
         )
     )
+
+
+def quantile_over_time(
+    signals: DataFrame,
+    slot_s: int = 3600,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """PromQL ``quantile_over_time``: exact interpolated quantiles of each
+    series within fixed time slots.
+
+    One (metric, series, slot)-keyed hash aggregate; ``percentile`` is
+    Spark's exact interpolated quantile (DuckDB ``quantile_cont`` parity).
+    At 100 TB the slot key bounds group size by series cadence, so no
+    single group can outgrow an executor.
+    """
+    slot = (F.floor(F.unix_timestamp("ts") / slot_s) * slot_s).cast("long")
+    aggs = [
+        F.round(F.percentile("value", F.lit(q)), 6).alias(f"p{round(q * 100)}")
+        for q in quantiles
+    ]
+    return (
+        signals.select("metric", "series", slot.alias("slot_epoch"), "value")
+        .groupBy("metric", "series", "slot_epoch")
+        .agg(*aggs, F.count(F.lit(1)).alias("n_samples"))
+    )
+
+
+def irate(
+    signals: DataFrame,
+    bucket_s: int = 600,
+) -> DataFrame:
+    """PromQL ``irate``: instantaneous rate from the LAST two samples of
+    each series in each bucket (counter resets clamp to the post-reset
+    value, as in :func:`counter_rate`).
+
+    One window sort per series (lag + row_number share the same sort) —
+    no second shuffle: the bucket key is a prefix function of the sort
+    key."""
+    w = Window.partitionBy(*SERIES_KEY).orderBy("ts")
+    prev_v = F.lag("value").over(w)
+    prev_t = F.lag("ts").over(w)
+    delta = F.col("value") - prev_v
+    inc = F.when(delta < 0, F.col("value")).otherwise(delta)
+    dt = F.unix_timestamp("ts") - F.unix_timestamp(prev_t)
+    bucket = (F.floor(F.unix_timestamp("ts") / bucket_s) * bucket_s).cast("long")
+    stamped = signals.select(
+        "metric", "series", "ts", bucket.alias("bucket_epoch"),
+        inc.alias("inc"), dt.alias("dt"),
+    ).filter(F.col("inc").isNotNull() & (F.col("dt") > 0))
+    wb = Window.partitionBy("metric", "series", "bucket_epoch").orderBy(
+        F.col("ts").desc()
+    )
+    return (
+        stamped.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "metric", "series", "bucket_epoch",
+            F.round(F.try_divide(F.col("inc"), F.col("dt")), 6).alias(
+                "irate_per_s"
+            ),
+        )
+    )
+
+
+def gap_detect(signals: DataFrame, factor: float = 2.0) -> DataFrame:
+    """Missing-sample detection: rows whose gap to the previous sample is
+    ≥ ``factor`` × the series' own base cadence (min positive gap).
+
+    Two passes over the same (metric, series) partitioning — the lag
+    window and the min-gap aggregate reuse one shuffle; the tiny
+    per-series cadence table broadcasts back."""
+    w = Window.partitionBy(*SERIES_KEY).orderBy("ts")
+    gapped = signals.select(
+        "metric", "series",
+        F.unix_timestamp("ts").alias("epoch"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+            "gap_s"
+        ),
+    ).filter(F.col("gap_s").isNotNull() & (F.col("gap_s") > 0))
+    cadence = gapped.groupBy("metric", "series").agg(
+        F.min("gap_s").alias("step_s")
+    )
+    return (
+        gapped.join(F.broadcast(cadence), ["metric", "series"])
+        .filter(F.col("gap_s") >= F.lit(factor) * F.col("step_s"))
+        .select(
+            "metric", "series", "epoch", "gap_s", "step_s",
+            # floor(x + 0.5) instead of round(): HALF_UP vs banker's
+            # rounding differs between engines at exact .5 ratios
+            (F.floor(F.col("gap_s") / F.col("step_s") + F.lit(0.5)) - 1)
+            .cast("long")
+            .alias("n_missing"),
+        )
+    )

@@ -104,3 +104,51 @@ def test_ivf_topk_recall_against_brute_force(spark):
     }
     recall = len(partial & exact) / len(exact)
     assert recall >= 0.5, f"recall {recall}"
+
+
+def test_blocked_knn_graph_vs_exact(vectors):
+    """The SRP-blocked k-NN graph (the 100 TB path) agrees with the exact
+    graph on everything the blocking admits: every planted near-dup is
+    recovered as the rank-1 neighbor, every reported cosine equals the
+    exact cosine for that pair, and overall recall@3 against the exact
+    graph clears a floor (deterministic planes → deterministic recall)."""
+    df, base = vectors
+    nodes = df.filter(F.col("vec_id") % 5 == 0)
+    # 4 bits × 6 tables: on STRUCTURELESS gaussian data (worst case for
+    # LSH — every "neighbor" sits near cosine 0) this measures 0.53
+    # recall deterministically; real corpora with actual near-neighbor
+    # structure do far better (the planted dup is always recovered)
+    approx = lsh_topk(nodes, df, k=3, n_bits=4, n_tables=6).collect()
+    exact = brute_force_topk(nodes, df, k=3).collect()
+
+    # planted near-dup (0, 1): identical-signs collision guarantees recovery
+    got0 = sorted((r for r in approx if r["query_id"] == 0),
+                  key=lambda r: r["rank"])
+    assert got0 and got0[0]["vec_id"] == 1
+
+    # reported cosines are EXACT for the admitted pairs
+    exact_cos = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in brute_force_topk(nodes, df, k=N).collect()
+    }
+    for r in approx:
+        assert abs(r["cosine"] - exact_cos[(r["query_id"], r["vec_id"])]) < 1e-9
+
+    # deterministic recall floor of the approximate graph
+    approx_edges = {(r["query_id"], r["vec_id"]) for r in approx}
+    exact_edges = {(r["query_id"], r["vec_id"]) for r in exact}
+    recall = len(approx_edges & exact_edges) / len(exact_edges)
+    assert recall >= 0.4, f"recall collapsed: {recall}"
+
+
+def test_embedding_norms_matches_numpy(vectors):
+    from metrics_advisor_spark.functions.similarity import embedding_norms
+
+    df, base = vectors
+    got = {r["shard"]: r for r in embedding_norms(df, shards=4).collect()}
+    norms = np.linalg.norm(base.astype(np.float64), axis=1)
+    for shard in range(4):
+        mask = (np.arange(N) % 4) == shard
+        assert got[shard]["n_vecs"] == int(mask.sum())
+        assert abs(got[shard]["avg_norm"] - norms[mask].mean()) < 1e-5
+        assert abs(got[shard]["max_norm"] - norms[mask].max()) < 1e-5

@@ -179,3 +179,94 @@ def test_range_join_without_incidents(spark):
     iv = incident_intervals(ev, factor=1e9)
     assert iv.count() == 0
     assert range_join_count(ev, iv).count() == 0
+
+
+def test_quantile_over_time_matches_numpy(spark):
+    import numpy as np
+    from metrics_advisor_spark.operators.trend import quantile_over_time
+
+    vals = [float(v) for v in (1, 5, 2, 8, 3, 9, 4, 7, 6, 0)]
+    rows = [("m", "s", 1700000000 + 60 * i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "metric string, series string, epoch long, value double"
+    ).withColumn("ts", F.col("epoch").cast("timestamp")).drop("epoch")
+    got = quantile_over_time(df, slot_s=3600).collect()
+    # 10 samples spanning 9 min → a single 1-hour slot
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_samples"] == 10
+    assert abs(r["p50"] - np.percentile(vals, 50)) < 1e-6
+    assert abs(r["p95"] - np.percentile(vals, 95)) < 1e-6
+
+
+def test_irate_uses_last_pair_and_handles_reset(spark):
+    from metrics_advisor_spark.operators.trend import irate
+
+    # counter: +10/min, then a reset (drop to 5) at the bucket's end
+    rows = [
+        ("m", "s", 0, 100.0),
+        ("m", "s", 60, 110.0),
+        ("m", "s", 120, 120.0),
+        ("m", "s", 180, 5.0),  # reset → inc = post-reset value (5)
+    ]
+    df = spark.createDataFrame(
+        rows, "metric string, series string, epoch long, value double"
+    ).withColumn("ts", F.col("epoch").cast("timestamp")).drop("epoch")
+    got = irate(df, bucket_s=600).collect()
+    assert len(got) == 1  # one bucket
+    assert abs(got[0]["irate_per_s"] - 5.0 / 60) < 1e-6
+
+
+def test_gap_detect_finds_planted_gap(spark):
+    from metrics_advisor_spark.operators.trend import gap_detect
+
+    epochs = [0, 15, 30, 45, 120, 135]  # 75 s gap = 5 steps → 4 missing
+    df = spark.createDataFrame(
+        [("m", "s", e, 1.0) for e in epochs],
+        "metric string, series string, epoch long, value double",
+    ).withColumn("ts", F.col("epoch").cast("timestamp")).drop("epoch")
+    got = gap_detect(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["epoch"], r["gap_s"], r["step_s"], r["n_missing"]) == (
+        120, 75, 15, 4,
+    )
+
+
+def test_heavy_hitters_exact_counts(spark):
+    from metrics_advisor_spark.functions.text import heavy_hitters
+
+    docs = [
+        (0, "the cat sat"),
+        (1, "the dog sat sat"),
+        (2, "the bird"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["term"]: r for r in heavy_hitters(df, k=10).collect()}
+    assert got["the"]["df"] == 3 and got["the"]["rank"] == 1
+    assert got["sat"]["df"] == 2 and got["sat"]["total_tf"] == 3
+    assert got["cat"]["df"] == 1
+
+
+def test_normalize_text_cleaning(spark):
+    from metrics_advisor_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(0, "  Hello,   WORLD!! 42  ")], "doc_id long, text string"
+    )
+    r = normalize_text(df).collect()[0]
+    assert r["clean_prefix"] == "hello world 42"
+    assert r["n_chars_clean"] == len("hello world 42")
+    assert r["n_chars_raw"] == len("  Hello,   WORLD!! 42  ")
+
+
+def test_dup_cluster_sizes(spark):
+    from metrics_advisor_spark.functions.dedup import dup_cluster_sizes
+
+    # components: {1,2,3} (chain) and {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r["cluster_size"]: r["n_clusters"]
+           for r in dup_cluster_sizes(pairs).collect()}
+    assert got == {3: 1, 2: 1}
