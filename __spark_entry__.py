@@ -1324,17 +1324,10 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_streaming_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Third Structured Streaming contract surface: the training-corpus
-    ingestion gate (length-quality filter → exact dedup) as a REAL
-    streaming query — file source over the planted-dup corpus, md5
-    groupBy in complete mode, availableNow drain.  Dedup keeps
-    min(doc_id) (an aggregate, not dropDuplicates, so the keeper is
-    arrival-order independent and oracle-checkable)."""
+def _stream_docs_src(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf_dir) the planted-dup corpus as a parquet dir for
+    file-source streaming queries; cached across contract queries."""
     import tempfile
-    import uuid
-
-    from metrics_advisor_spark.streaming import run_to_memory
 
     key = f"{sf_dir}#docs"
     src = _STREAM_SRC_CACHE.get(key)
@@ -1342,6 +1335,21 @@ def q_streaming_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = tempfile.mkdtemp(prefix="ma_stream_docs_") + "/docs"
         _docs_with_dups(spark, sf_dir).write.mode("overwrite").parquet(src)
         _STREAM_SRC_CACHE[key] = src
+    return src
+
+
+def q_streaming_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third Structured Streaming contract surface: the training-corpus
+    ingestion gate (length-quality filter → exact dedup) as a REAL
+    streaming query — file source over the planted-dup corpus, md5
+    groupBy in complete mode, availableNow drain.  Dedup keeps
+    min(doc_id) (an aggregate, not dropDuplicates, so the keeper is
+    arrival-order independent and oracle-checkable)."""
+    import uuid
+
+    from metrics_advisor_spark.streaming import run_to_memory
+
+    src = _stream_docs_src(spark, sf_dir)
     gated = (
         spark.readStream.schema("doc_id long, text string")
         .parquet(src)
@@ -1637,6 +1645,41 @@ def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-estimate vs exact Jaccard per LSH candidate pair — the
+    estimator-quality audit for the (k=16, bands=4) dedup setting."""
+    from metrics_advisor_spark.functions.dedup import minhash_jaccard_estimate
+
+    return minhash_jaccard_estimate(_docs_with_dups(spark, sf_dir))
+
+
+def q_streaming_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth Structured Streaming contract surface: streaming corpus
+    term counts (tokenize → explode → groupBy(term)) in complete mode,
+    availableNow drain.  Term frequency, not document frequency: df
+    needs a per-doc distinct BEFORE the count — two chained stateful
+    aggregates, which a single streaming query cannot run (documented
+    Spark limitation); the batch `heavy_hitters` covers df."""
+    import uuid
+
+    from metrics_advisor_spark.streaming import run_to_memory
+
+    src = _stream_docs_src(spark, sf_dir)
+    clean = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    counts = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(src)
+        .select(F.explode(F.split(clean, " ")).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 5)
+    )
+    name = f"stream_terms_{uuid.uuid4().hex[:8]}"
+    run_to_memory(counts, name, output_mode="complete")
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST
     # 50 entries (VERDICT r02).  Rotation discipline (ROUND_NOTES):
@@ -1689,6 +1732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_revenue": q_salted_join_revenue,
         "embedding_norms": q_embedding_norms,
         "histogram_quantile": q_histogram_quantile,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
+        "streaming_term_counts": q_streaming_term_counts,
         # (c) r01-green, not re-checked since (oldest rows first)
         "text_stats": q_text_stats,
         "token_count": q_token_count,
@@ -3228,6 +3273,67 @@ def oracle_sql() -> dict[str, str]:
                    round(vmin + ((bin - 1) + (target - (cum - n)) / n)
                          * (vmax - vmin) / 20, 6) AS p90_est
             FROM hit WHERE rn = 1
+        """,
+        "minhash_jaccard_est": f"""
+            WITH sh AS ({_shingle_sql(_DOCS_DUPS)}),
+            perms AS ({_PERMS_SQL}),
+            sig AS (
+              SELECT doc_id, perm_id,
+                     min((a * (shingle_hash % 2147483647) + b) % 2147483647)
+                         AS minhash
+              FROM sh CROSS JOIN perms GROUP BY 1, 2
+            ),
+            band AS (
+              SELECT doc_id, (perm_id // 4) AS band_id,
+                     md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm_id))
+                         AS band_hash
+              FROM sig GROUP BY doc_id, (perm_id // 4)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM band a JOIN band b
+                ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+            ),
+            est AS (
+              SELECT c.doc_a, c.doc_b,
+                     round(avg(CASE WHEN sa.minhash = sb.minhash
+                               THEN 1.0 ELSE 0.0 END), 6) AS jaccard_est
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.doc_a
+              JOIN sig sb ON sb.doc_id = c.doc_b
+                         AND sb.perm_id = sa.perm_id
+              GROUP BY 1, 2
+            ),
+            sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b
+                ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            exact AS (
+              SELECT doc_a, doc_b,
+                     round(n_inter / (sa.set_size + sb.set_size - n_inter), 6)
+                         AS jaccard_exact
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+            )
+            SELECT e.doc_a, e.doc_b, e.jaccard_est,
+                   coalesce(x.jaccard_exact, 0.0) AS jaccard_exact
+            FROM est e
+            LEFT JOIN exact x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+        """,
+        "streaming_term_counts": f"""
+            WITH toks AS (
+              SELECT unnest(string_split(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', '', 'g'), ' ')) AS term
+              FROM ({_DOCS_DUPS})
+            )
+            SELECT term, count(*) AS n_occurrences
+            FROM toks WHERE len(term) > 0
+            GROUP BY 1 HAVING count(*) >= 5
         """,
     }
 

@@ -496,3 +496,49 @@ def hamming_pairs_blocked(
         .filter(F.col("hamming") <= max_distance)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Estimator-quality audit: MinHash Jaccard estimate (share of equal
+    signature minima) NEXT TO the exact n-gram Jaccard, per LSH candidate
+    pair — the table you eyeball before trusting a (k, bands) setting on
+    a real corpus.
+
+    Cost shape: the candidate set comes from LSH (never all-pairs); the
+    estimate joins two k-row signature slices per pair; the exact value
+    reuses the shared-shingle intersection join.  All three inputs block
+    on content keys, so the audit scales exactly like the dedup pipeline
+    it audits."""
+    cand = minhash_lsh_pairs(df, text_col, n, k, bands)
+    sig = minhash_signatures(df, text_col, n, k)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), "perm_id",
+        F.col("minhash").alias("mh_a"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), "perm_id",
+        F.col("minhash").alias("mh_b"),
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "perm_id"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.avg((F.col("mh_a") == F.col("mh_b")).cast("double")), 6
+            ).alias("jaccard_est")
+        )
+    )
+    exact = jaccard_pairs(df, text_col, n, threshold=0.0).withColumnRenamed(
+        "jaccard", "jaccard_exact"
+    )
+    return est.join(exact, ["doc_a", "doc_b"], "left").select(
+        "doc_a", "doc_b", "jaccard_est",
+        F.coalesce(F.col("jaccard_exact"), F.lit(0.0)).alias("jaccard_exact"),
+    )

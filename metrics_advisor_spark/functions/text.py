@@ -246,10 +246,13 @@ def heavy_hitters(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFra
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf"))
     )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # partial top-k, no single-partition sort of the vocabulary); the
+    # rank window then runs over k rows only.
+    top = dfreq.orderBy(F.col("df").desc(), F.col("term").asc()).limit(k)
     w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
     return (
-        dfreq.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "term", "df", "total_tf")
     )
 
