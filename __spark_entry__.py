@@ -1645,6 +1645,33 @@ def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: volume / size / quality / exact-dup
+    profile by provenance."""
+    from metrics_advisor_spark.functions.curation import source_stats
+
+    return source_stats(_docs(spark, sf_dir))
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS fit over the top-200 corpus terms."""
+    from metrics_advisor_spark.functions.text import zipf_slope
+
+    return zipf_slope(_docs(spark, sf_dir), top_n=200)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis–Spirakis weighted sample (w = n_chars,
+    k = 50)."""
+    from metrics_advisor_spark.functions.curation import weighted_sample
+
+    return weighted_sample(
+        _docs(spark, sf_dir, fanout=False).select("doc_id", "n_chars"),
+        weight_col="n_chars",
+        k=50,
+    )
+
+
 def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-estimate vs exact Jaccard per LSH candidate pair — the
     estimator-quality audit for the (k=16, bands=4) dedup setting."""
@@ -1734,6 +1761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantile": q_histogram_quantile,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "streaming_term_counts": q_streaming_term_counts,
+        "source_stats": q_source_stats,
+        "zipf_slope": q_zipf_slope,
+        "weighted_sample": q_weighted_sample,
         # (c) r01-green, not re-checked since (oldest rows first)
         "text_stats": q_text_stats,
         "token_count": q_token_count,
@@ -3334,6 +3364,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(*) AS n_occurrences
             FROM toks WHERE len(term) > 0
             GROUP BY 1 HAVING count(*) >= 5
+        """,
+        "source_stats": """
+            WITH f AS (
+              SELECT source, lang, length(text) AS n_chars, md5(text) AS h,
+                     round(least(len(string_split(text, ' ')) / 100.0, 1.0)
+                           * (1.0 - round((length(text) -
+                                length(regexp_replace(text, '[^A-Za-z0-9 ]',
+                                       '', 'g')))
+                               / greatest(length(text), 1), 6)), 6) AS q
+              FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+                   round(avg(n_chars), 6) AS avg_chars,
+                   round(avg(q), 6) AS avg_quality,
+                   count(DISTINCT lang) AS n_langs,
+                   count(*) - count(DISTINCT h) AS n_exact_dups
+            FROM f GROUP BY 1
+        """,
+        "zipf_slope": """
+            WITH toks AS (
+              SELECT t AS term FROM (
+                SELECT unnest(string_split(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', '', 'g'), ' ')) AS t
+                FROM documents) WHERE len(t) > 0),
+            tf AS (SELECT term, count(*) AS freq FROM toks GROUP BY 1),
+            top AS (SELECT term, freq FROM tf
+                    ORDER BY freq DESC, term ASC LIMIT 200),
+            ranked AS (
+              SELECT freq, row_number() OVER (
+                  ORDER BY freq DESC, term ASC) AS rank
+              FROM top
+            )
+            SELECT round(covar_pop(ln(rank), ln(freq))
+                         / var_pop(ln(rank)), 6) AS zipf_slope,
+                   count(*) AS n_terms
+            FROM ranked
+        """,
+        "weighted_sample": """
+            SELECT doc_id, weight, round(k, 6) AS sample_key FROM (
+              SELECT doc_id, n_chars AS weight,
+                     pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT
+                          + 1) / 72057594037927936.0,
+                         1.0 / n_chars) AS k
+              FROM documents
+            )
+            ORDER BY k DESC, doc_id ASC LIMIT 50
         """,
     }
 

@@ -269,3 +269,61 @@ def line_dedup(
             .alias("n_dropped"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str = "n_chars",
+    k: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): key = u^(1/w) with u a content-free
+    uniform from md5(doc_id); keep the k largest keys.
+
+    Inclusion probability rises with weight, membership is a pure
+    function of (doc_id, weight) — reproducible across reruns and
+    cluster layouts.  Plan: one narrow projection + a distributed
+    TakeOrdered top-k; no global sort, no RNG state.
+    """
+    u = (_hash56(F.col(id_col).cast("string")) + 1) / F.lit(float(1 << 56))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.select(
+            id_col,
+            F.col(weight_col).alias("weight"),
+            F.round(key, 6).alias("sample_key"),
+            key.alias("_k"),
+        )
+        .orderBy(F.col("_k").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_k")
+    )
+
+
+def source_stats(df: DataFrame) -> DataFrame:
+    """Per-source curation dashboard: volume, size, quality and exact-dup
+    profile per provenance bucket — the first table any corpus triage
+    produces.  One md5 projection + one hash aggregate keyed by source
+    (provenance cardinality is small → no skew concern; the dup-rate
+    needs no self-join because count(*) − count(DISTINCT hash) IS the
+    duplicate count)."""
+    from metrics_advisor_spark.functions.text import quality_score_col
+
+    return (
+        df.select(
+            "source",
+            "lang",
+            F.length("text").alias("n_chars"),
+            quality_score_col(F.col("text")).alias("q"),
+            F.md5("text").alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+            F.countDistinct("lang").alias("n_langs"),
+            (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
+        )
+    )

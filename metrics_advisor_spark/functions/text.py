@@ -272,3 +272,27 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(collapsed).alias("n_chars_clean"),
         F.substring(collapsed, 1, 60).alias("clean_prefix"),
     )
+
+
+def zipf_slope(df: DataFrame, text_col: str = "text", top_n: int = 200) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(freq) against ln(rank) over the
+    top-n corpus terms (natural text ≈ −1; strong deviation flags
+    synthetic/boilerplate corpora).  The term count is one vocabulary
+    aggregate, the top-n a distributed TakeOrdered, the fit a single
+    covar/var aggregate over n rows — nothing driver-side."""
+    from pyspark.sql import Window
+
+    tf = _terms(df, text_col).groupBy("term").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    top = tf.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(top_n)
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    return ranked.agg(
+        F.round(F.try_divide(F.covar_pop(x, y), F.var_pop(x)), 6).alias(
+            "zipf_slope"
+        ),
+        F.count(F.lit(1)).alias("n_terms"),
+    )

@@ -143,3 +143,35 @@ def test_counter_rate_first_sample_excluded(spark):
     # a single-sample series contributes nothing (no prev → no increase)
     sig = make_signals_df(spark, {("m", "only"): [42.0]}, t0=1640588400)
     assert counter_rate(sig, bucket_s=600).count() == 0
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    from metrics_advisor_spark.functions.curation import weighted_sample
+
+    # 200 light docs (w=10) vs 200 heavy docs (w=10000)
+    rows = [(i, 10 if i < 200 else 10000) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    s1 = [r["doc_id"] for r in weighted_sample(df, k=50).collect()]
+    s2 = [r["doc_id"] for r in weighted_sample(df, k=50).collect()]
+    assert s1 == s2  # pure function of (doc_id, weight)
+    heavy = sum(1 for d in s1 if d >= 200)
+    assert heavy >= 40  # inclusion probability follows weight
+
+
+def test_source_stats_counts_dups_and_langs(spark):
+    from metrics_advisor_spark.functions.curation import source_stats
+
+    rows = [
+        (0, "alpha beta", "en", "web", 10),
+        (1, "alpha beta", "en", "web", 10),   # exact dup within web
+        (2, "gamma delta", "fr", "web", 11),
+        (3, "epsilon", "en", "books", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["source"]: r for r in source_stats(df).collect()}
+    assert got["web"]["n_docs"] == 3
+    assert got["web"]["n_exact_dups"] == 1
+    assert got["web"]["n_langs"] == 2
+    assert got["books"]["n_exact_dups"] == 0

@@ -270,3 +270,18 @@ def test_dup_cluster_sizes(spark):
     got = {r["cluster_size"]: r["n_clusters"]
            for r in dup_cluster_sizes(pairs).collect()}
     assert got == {3: 1, 2: 1}
+
+
+def test_zipf_slope_on_synthetic_zipf(spark):
+    """A corpus drawn EXACTLY from freq(rank) = C/rank must fit slope −1."""
+    from metrics_advisor_spark.functions.text import zipf_slope
+
+    words = []
+    for rank in range(1, 51):
+        words += [f"w{rank:03d}"] * (1000 // rank)
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    r = zipf_slope(df, top_n=50).collect()[0]
+    assert r["n_terms"] == 50
+    assert abs(r["zipf_slope"] - (-1.0)) < 0.02  # floor(1000/rank) jitter
