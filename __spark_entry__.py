@@ -1472,11 +1472,12 @@ def q_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket join keys on (table, bucket) — uniform by construction.
     Deterministic md5-parity hyperplanes make the oracle reproduce the
     same buckets bit-for-bit."""
-    from metrics_advisor_spark.functions.similarity import lsh_topk
+    from metrics_advisor_spark.functions.similarity import lsh_knn_graph
 
     emb = _emb(spark, sf_dir)
-    nodes = emb.filter(F.col("vec_id") % 20 == 0)
-    return lsh_topk(nodes, emb, k=3, n_bits=6, n_tables=2)
+    return lsh_knn_graph(
+        emb, F.col("vec_id") % 20 == 0, k=3, n_bits=6, n_tables=2
+    )
 
 
 def q_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:

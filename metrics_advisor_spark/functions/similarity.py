@@ -313,3 +313,50 @@ def embedding_norms(
             F.round(F.max("norm"), 6).alias("max_norm"),
         )
     )
+
+
+def lsh_knn_graph(
+    corpus: DataFrame,
+    node_pred: F.Column,
+    k: int = 3,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 2,
+) -> DataFrame:
+    """Approximate k-NN graph over ``corpus`` for the node subset
+    selected by ``node_pred`` — :func:`lsh_topk` specialized for
+    nodes ⊆ corpus: SRP buckets are computed ONCE for the corpus and the
+    node side is a filter of that result (halves the bucket pass, which
+    dominates the query)."""
+    cb = srp_buckets(corpus, n_bits, id_col, vec_col, n_tables)
+    qb = cb.filter(node_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("table_id").alias("q_table"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    q = corpus.filter(node_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).join(qb, "query_id")
+    c = corpus.join(cb, id_col)
+    cand = (
+        c.join(
+            F.broadcast(q),
+            (F.col("table_id") == F.col("q_table"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col(id_col) != F.col("query_id")),
+        )
+        .select("query_id", id_col, "q_vec", vec_col)
+        .dropDuplicates(["query_id", id_col])
+    )
+    scored = cand.select(
+        "query_id",
+        id_col,
+        F.round(cosine_col(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -229,10 +229,12 @@ def gap_detect(signals: DataFrame, factor: float = 2.0) -> DataFrame:
     """Missing-sample detection: rows whose gap to the previous sample is
     ≥ ``factor`` × the series' own base cadence (min positive gap).
 
-    Two passes over the same (metric, series) partitioning — the lag
-    window and the min-gap aggregate reuse one shuffle; the tiny
-    per-series cadence table broadcasts back."""
+    ONE pass: the per-series cadence is a whole-partition window ``min``
+    over the same (metric, series) partitioning as the lag window, so
+    both share a single exchange+sort — no aggregate, no join-back, and
+    the signal scan executes once."""
     w = Window.partitionBy(*SERIES_KEY).orderBy("ts")
+    wp = Window.partitionBy(*SERIES_KEY)
     gapped = signals.select(
         "metric", "series",
         F.unix_timestamp("ts").alias("epoch"),
@@ -240,11 +242,8 @@ def gap_detect(signals: DataFrame, factor: float = 2.0) -> DataFrame:
             "gap_s"
         ),
     ).filter(F.col("gap_s").isNotNull() & (F.col("gap_s") > 0))
-    cadence = gapped.groupBy("metric", "series").agg(
-        F.min("gap_s").alias("step_s")
-    )
     return (
-        gapped.join(F.broadcast(cadence), ["metric", "series"])
+        gapped.withColumn("step_s", F.min("gap_s").over(wp))
         .filter(F.col("gap_s") >= F.lit(factor) * F.col("step_s"))
         .select(
             "metric", "series", "epoch", "gap_s", "step_s",
