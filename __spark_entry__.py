@@ -1673,6 +1673,57 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucket_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 (timestamp rendering) with an oracle: per-metric 10-min buckets
+    with the bucket boundaries rendered as strings — session timezone is
+    pinned UTC (session.py), so `from_unixtime`+`date_format` matches
+    DuckDB's `to_timestamp`+`strftime` bit-for-bit."""
+    sig = _signals(spark, sf_dir)
+    bucket = (F.floor(F.unix_timestamp("ts") / 600) * 600).cast("long")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        sig.groupBy("metric", bucket.alias("bucket_epoch"))
+        .agg(F.count(F.lit(1)).alias("n_samples"))
+        .select(
+            "metric",
+            "bucket_epoch",
+            F.date_format(
+                F.from_unixtime(F.col("bucket_epoch")), fmt
+            ).alias("bucket_start"),
+            F.date_format(
+                F.from_unixtime(F.col("bucket_epoch") + 600), fmt
+            ).alias("bucket_end"),
+            "n_samples",
+        )
+    )
+
+
+def q_series_outer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join coverage: hourly 'error' vs 'purchase' activity
+    aligned on the hour slot, keeping hours where either side is absent
+    (the gap-visible comparison an inner join would silently drop)."""
+    sig = _signals(spark, sf_dir)
+    slot = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    hourly = sig.groupBy(
+        "metric", slot.alias("slot_epoch")
+    ).agg(F.round(F.avg("value"), 6).alias("v"), F.count(F.lit(1)).alias("n"))
+    a = hourly.filter(F.col("metric") == "error").select(
+        "slot_epoch", F.col("v").alias("error_avg"), F.col("n").alias("error_n")
+    )
+    b = hourly.filter(F.col("metric") == "purchase").select(
+        "slot_epoch",
+        F.col("v").alias("purchase_avg"),
+        F.col("n").alias("purchase_n"),
+    )
+    return a.join(b, "slot_epoch", "full_outer").select(
+        "slot_epoch",
+        "error_avg",
+        F.coalesce("error_n", F.lit(0)).alias("error_n"),
+        "purchase_avg",
+        F.coalesce("purchase_n", F.lit(0)).alias("purchase_n"),
+    )
+
+
 def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-estimate vs exact Jaccard per LSH candidate pair — the
     estimator-quality audit for the (k=16, bands=4) dedup setting."""
@@ -1765,6 +1816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "zipf_slope": q_zipf_slope,
         "weighted_sample": q_weighted_sample,
+        "bucket_render": q_bucket_render,
+        "series_outer_compare": q_series_outer_compare,
         # (c) r01-green, not re-checked since (oldest rows first)
         "text_stats": q_text_stats,
         "token_count": q_token_count,
@@ -3401,6 +3454,37 @@ def oracle_sql() -> dict[str, str]:
                          / var_pop(ln(rank)), 6) AS zipf_slope,
                    count(*) AS n_terms
             FROM ranked
+        """,
+        "bucket_render": f"""
+            WITH b AS (
+              SELECT metric,
+                     CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS bucket_epoch,
+                     count(*) AS n_samples
+              FROM ({_SIG}) GROUP BY 1, 2
+            )
+            SELECT metric, bucket_epoch,
+                   strftime(to_timestamp(bucket_epoch),
+                            '%Y-%m-%d %H:%M:%S') AS bucket_start,
+                   strftime(to_timestamp(bucket_epoch + 600),
+                            '%Y-%m-%d %H:%M:%S') AS bucket_end,
+                   n_samples
+            FROM b
+        """,
+        "series_outer_compare": f"""
+            WITH hourly AS (
+              SELECT metric,
+                     CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS slot_epoch,
+                     round(avg(value), 6) AS v, count(*) AS n
+              FROM ({_SIG}) GROUP BY 1, 2
+            ),
+            a AS (SELECT slot_epoch, v AS error_avg, n AS error_n
+                  FROM hourly WHERE metric = 'error'),
+            b AS (SELECT slot_epoch, v AS purchase_avg, n AS purchase_n
+                  FROM hourly WHERE metric = 'purchase')
+            SELECT coalesce(a.slot_epoch, b.slot_epoch) AS slot_epoch,
+                   a.error_avg, coalesce(a.error_n, 0) AS error_n,
+                   b.purchase_avg, coalesce(b.purchase_n, 0) AS purchase_n
+            FROM a FULL OUTER JOIN b ON a.slot_epoch = b.slot_epoch
         """,
         "weighted_sample": """
             SELECT doc_id, weight, round(k, 6) AS sample_key FROM (
