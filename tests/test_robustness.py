@@ -86,3 +86,57 @@ def test_kmeans_outlier_detector_flags_jump(spark):
     # the spike (plus its delta neighbors and at most a few distance-tail
     # points) — not a mass flagging
     assert len(idx) <= 6
+
+
+def test_round3_ops_on_degenerate_inputs(spark):
+    """New round-3 operators must survive empty / single-row / constant
+    inputs (the shapes a driver edge-case or an empty partition feeds)."""
+    from metrics_advisor_spark.functions.curation import (
+        source_stats,
+        weighted_sample,
+    )
+    from metrics_advisor_spark.functions.dedup import dup_cluster_sizes
+    from metrics_advisor_spark.functions.text import (
+        heavy_hitters,
+        normalize_text,
+        zipf_slope,
+    )
+    from pyspark.sql import functions as F
+
+    from metrics_advisor_spark.operators.trend import (
+        gap_detect,
+        irate,
+        quantile_over_time,
+    )
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert heavy_hitters(empty_docs).count() == 0
+    assert normalize_text(empty_docs).count() == 0
+    assert source_stats(empty_docs).count() == 0
+    assert weighted_sample(empty_docs).count() == 0
+    # zipf on an empty corpus: single row of NULL slope, zero terms
+    z = zipf_slope(empty_docs).collect()[0]
+    assert z["n_terms"] == 0 and z["zipf_slope"] is None
+
+    # punctuation-only doc tokenizes to nothing
+    punct = spark.createDataFrame(
+        [(0, "!!! ???", "en", "w", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert heavy_hitters(punct).count() == 0
+    assert normalize_text(punct).collect()[0]["n_chars_clean"] == 0
+
+    empty_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dup_cluster_sizes(empty_pairs).count() == 0
+
+    # single-sample series: no gaps, no rates, one quantile row
+    one = spark.createDataFrame(
+        [("m", "s", 100, 1.0)],
+        "metric string, series string, epoch long, value double",
+    ).withColumn("ts", F.col("epoch").cast("timestamp")).drop("epoch")
+    assert gap_detect(one).count() == 0
+    assert irate(one).count() == 0
+    q = quantile_over_time(one).collect()
+    assert len(q) == 1 and q[0]["p50"] == 1.0
