@@ -1673,6 +1673,32 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-family audit: `approx_percentile` (GK sketch — mergeable,
+    fixed-size state, the 100 TB path) next to the exact interpolated
+    percentile, with the absolute error.  No oracle by design (DuckDB's
+    approx sketch differs); the unit test bounds the error instead —
+    same weaker-check pattern as `hll_distinct`."""
+    sig = _signals(spark, sf_dir)
+    return (
+        sig.groupBy("metric")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_exact"),
+            F.round(
+                F.percentile_approx("value", F.lit(0.95), F.lit(10000)), 6
+            ).alias("p95_sketch"),
+        )
+        .select(
+            "metric",
+            "p95_exact",
+            "p95_sketch",
+            F.round(F.abs(F.col("p95_exact") - F.col("p95_sketch")), 6).alias(
+                "abs_err"
+            ),
+        )
+    )
+
+
 def q_bucket_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 (timestamp rendering) with an oracle: per-metric 10-min buckets
     with the bucket boundaries rendered as strings — session timezone is
@@ -1818,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "bucket_render": q_bucket_render,
         "series_outer_compare": q_series_outer_compare,
+        "quantile_sketch_audit": q_quantile_sketch_audit,
         # (c) r01-green, not re-checked since (oldest rows first)
         "text_stats": q_text_stats,
         "token_count": q_token_count,

@@ -285,3 +285,18 @@ def test_zipf_slope_on_synthetic_zipf(spark):
     r = zipf_slope(df, top_n=50).collect()[0]
     assert r["n_terms"] == 50
     assert abs(r["zipf_slope"] - (-1.0)) < 0.02  # floor(1000/rank) jitter
+
+
+def test_quantile_sketch_audit_error_bounded(spark):
+    """The GK sketch at accuracy 10000 must sit within 1% relative rank
+    of the exact p95 on the driver's events table (the same bounded-error
+    contract hll_distinct carries)."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.q_quantile_sketch_audit(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    for r in rows:
+        spread = abs(r["p95_exact"]) + 1e-9
+        assert r["abs_err"] / spread < 0.05, r
