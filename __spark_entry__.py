@@ -1324,6 +1324,20 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_signals_src(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf_dir) the canonical signals table as a parquet
+    dir for file-source streaming queries; cached across queries."""
+    import tempfile
+
+    key = f"{sf_dir}#signals"
+    src = _STREAM_SRC_CACHE.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="ma_stream_sig_") + "/sig"
+        _signals(spark, sf_dir).write.mode("overwrite").parquet(src)
+        _STREAM_SRC_CACHE[key] = src
+    return src
+
+
 def _stream_docs_src(spark: SparkSession, sf_dir: str) -> str:
     """Write (once per sf_dir) the planted-dup corpus as a parquet dir for
     file-source streaming queries; cached across contract queries."""
@@ -1673,6 +1687,34 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth Structured Streaming contract surface: EXACT per-metric
+    quantiles over the signal stream (complete-mode ObjectHashAggregate,
+    availableNow drain) — the streaming re-skin of `metric_quantiles`,
+    and oracle-checkable because `percentile` is exact, unlike the
+    sketch the usual streaming example reaches for."""
+    import uuid
+
+    from metrics_advisor_spark.streaming import run_to_memory
+
+    src = _stream_signals_src(spark, sf_dir)
+    q = (
+        spark.readStream.schema(
+            "metric string, series string, ts timestamp, value double"
+        )
+        .parquet(src)
+        .groupBy("metric")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+    name = f"stream_quant_{uuid.uuid4().hex[:8]}"
+    run_to_memory(q, name, output_mode="complete")
+    return spark.table(name)
+
+
 def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-family audit: `approx_percentile` (GK sketch — mergeable,
     fixed-size state, the 100 TB path) next to the exact interpolated
@@ -1845,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_render": q_bucket_render,
         "series_outer_compare": q_series_outer_compare,
         "quantile_sketch_audit": q_quantile_sketch_audit,
+        "streaming_quantiles": q_streaming_quantiles,
         # (c) r01-green, not re-checked since (oldest rows first)
         "text_stats": q_text_stats,
         "token_count": q_token_count,
@@ -3481,6 +3524,13 @@ def oracle_sql() -> dict[str, str]:
                          / var_pop(ln(rank)), 6) AS zipf_slope,
                    count(*) AS n_terms
             FROM ranked
+        """,
+        "streaming_quantiles": f"""
+            SELECT metric,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   count(*) AS n_samples
+            FROM ({_SIG}) GROUP BY metric
         """,
         "bucket_render": f"""
             WITH b AS (
