@@ -159,3 +159,63 @@ def test_ewma_bounded_by_window_extrema(spark, seed):
     out = ewma(make_signals_df(spark, {("m", "s"): vals})).collect()
     lo, hi = vals.min() - 1e-6, vals.max() + 1e-6
     assert all(lo <= r.ewma <= hi for r in out)
+
+
+@PROP
+@given(n_copies=st.integers(min_value=2, max_value=4))
+def test_zipf_slope_invariant_under_corpus_duplication(spark, n_copies):
+    """Replicating every document k× multiplies every term frequency by
+    k — a constant shift in ln(freq) — so the fitted Zipf slope must not
+    move (ranks, and rank ties, are also preserved because relative
+    frequencies are)."""
+    from metrics_advisor_spark.functions.text import zipf_slope
+
+    words = []
+    for rank in range(1, 21):
+        words += [f"w{rank:02d}"] * (200 // rank)
+    docs = [(0, " ".join(words)), (1, "alpha beta alpha")]
+    base = spark.createDataFrame(docs, "doc_id long, text string")
+    dup = spark.createDataFrame(
+        [(d + 1000 * c, t) for c in range(n_copies) for d, t in docs],
+        "doc_id long, text string",
+    )
+    s_base = zipf_slope(base, top_n=15).collect()[0]["zipf_slope"]
+    s_dup = zipf_slope(dup, top_n=15).collect()[0]["zipf_slope"]
+    assert abs(s_base - s_dup) < 1e-6
+
+
+@PROP
+@given(scale=st.floats(min_value=0.1, max_value=50.0, allow_nan=False))
+def test_quantile_over_time_scale_equivariance(spark, scale):
+    """Positive scaling of values scales every exact quantile by the
+    same factor (order statistics + linear interpolation are
+    positively homogeneous)."""
+    from metrics_advisor_spark.operators.trend import quantile_over_time
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(10, 3, 50)
+    a = make_signals_df(spark, {("m", "s"): vals})
+    b = make_signals_df(spark, {("m", "s"): vals * scale})
+    qa = quantile_over_time(a).orderBy("slot_epoch").collect()
+    qb = quantile_over_time(b).orderBy("slot_epoch").collect()
+    assert len(qa) == len(qb)
+    for ra, rb in zip(qa, qb):
+        assert rb["p50"] == pytest.approx(ra["p50"] * scale, rel=1e-4, abs=1e-4)
+        assert rb["p95"] == pytest.approx(ra["p95"] * scale, rel=1e-4, abs=1e-4)
+
+
+@PROP
+@given(shift_buckets=st.integers(min_value=-20, max_value=20))
+def test_irate_time_shift_equivariance(spark, shift_buckets):
+    """Shifting all timestamps by a whole number of buckets shifts
+    bucket_epoch by exactly that and leaves every rate unchanged."""
+    from metrics_advisor_spark.operators.trend import irate
+
+    rng = np.random.default_rng(13)
+    vals = np.cumsum(rng.uniform(0, 5, 60))  # a counter
+    t0 = 1640588400
+    a = make_signals_df(spark, {("m", "s"): vals}, t0=t0)
+    b = make_signals_df(spark, {("m", "s"): vals}, t0=t0 + shift_buckets * 600)
+    ra = {r["bucket_epoch"]: r["irate_per_s"] for r in irate(a).collect()}
+    rb = {r["bucket_epoch"]: r["irate_per_s"] for r in irate(b).collect()}
+    assert rb == {k + shift_buckets * 600: v for k, v in ra.items()}
