@@ -1687,6 +1687,24 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character chunks (512/64) per document —
+    the pre-tokenization splitter; pure narrow explode, no shuffle."""
+    from metrics_advisor_spark.functions.corpus import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir, fanout=False), chunk_chars=512, overlap=64
+    )
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence-packing bins (2048-token budget, 8 shards):
+    per-bin doc count and token fill."""
+    from metrics_advisor_spark.functions.corpus import sequence_packing
+
+    return sequence_packing(_docs(spark, sf_dir), budget_tokens=2048)
+
+
 def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fifth Structured Streaming contract surface: EXACT per-metric
     quantiles over the signal stream (complete-mode ObjectHashAggregate,
@@ -1888,6 +1906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_outer_compare": q_series_outer_compare,
         "quantile_sketch_audit": q_quantile_sketch_audit,
         "streaming_quantiles": q_streaming_quantiles,
+        "chunk_documents": q_chunk_documents,
+        "sequence_packing": q_sequence_packing,
         # (c) r01-green, not re-checked since (oldest rows first)
         "text_stats": q_text_stats,
         "token_count": q_token_count,
@@ -3524,6 +3544,38 @@ def oracle_sql() -> dict[str, str]:
                          / var_pop(ln(rank)), 6) AS zipf_slope,
                    count(*) AS n_terms
             FROM ranked
+        """,
+        "chunk_documents": """
+            WITH d AS (
+              SELECT doc_id, text,
+                     greatest(CAST(ceil((length(text) - 64) / 448.0) AS INT),
+                              1) AS n_chunks
+              FROM documents
+            )
+            SELECT doc_id, i::INT AS chunk_id,
+                   (i * 448)::BIGINT AS chunk_start,
+                   substr(text, (i * 448 + 1)::INT, 512) AS chunk_text,
+                   n_chunks
+            FROM d, unnest(range(0, n_chunks)) AS t(i)
+        """,
+        "sequence_packing": f"""
+            WITH t AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                     len(regexp_extract_all(text, {_TOKEN_RE_SQL}))
+                         AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT shard, doc_id, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t
+            )
+            SELECT shard, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT)
+                       AS bin_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+            FROM c GROUP BY 1, 2
         """,
         "streaming_quantiles": f"""
             SELECT metric,

@@ -169,3 +169,85 @@ def token_budget_sample(
     return full_rows.unionByName(boundary_rows).select(
         "doc_id", "lang_pred", "n_tokens", "cum_tokens"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split each document into fixed-size character windows with
+    overlap — the pre-tokenization chunker every training pipeline runs
+    before embedding/packing.  Pure narrow explode (sequence →
+    substring): no shuffle at any scale, output rows ≈ chars/stride.
+
+    Emits (doc_id, chunk_id, chunk_start, chunk_text, n_chunks)."""
+    stride = chunk_chars - overlap
+    n_chunks = F.greatest(
+        F.ceil(
+            (F.length(F.col(text_col)) - F.lit(overlap))
+            / F.lit(float(stride))
+        ),
+        F.lit(1),
+    ).cast("int")
+    return df.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.col(text_col).substr(
+                    i * stride + 1, F.lit(chunk_chars)
+                ),
+            )
+        ).alias("chunk_id", "chunk_text"),
+        n_chunks.alias("n_chunks"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * stride).alias("chunk_start"),
+        "chunk_text",
+        "n_chunks",
+    )
+
+
+def sequence_packing(
+    df: DataFrame,
+    text_col: str = "text",
+    budget_tokens: int = 2048,
+) -> DataFrame:
+    """Deterministic sequence-packing assignment: documents (in doc_id
+    order) fill training sequences of ``budget_tokens`` by cumulative
+    token count — bin = floor((cumsum − n_tokens) / budget).
+
+    This is the streaming-order approximation of bin packing (what
+    packed-dataset builders actually do); it is fully deterministic,
+    one window cumsum + one aggregate.  At 100 TB the cumsum window is
+    the scale risk (single global ordering) — shard first (e.g. by
+    hash(doc_id) % n_writers, mirroring parallel dataset writers), then
+    cumsum within shard: the shard key keeps every partition's window
+    independent.  Emits per-bin stats: (shard, bin_id, n_docs,
+    bin_tokens)."""
+    from metrics_advisor_spark.functions.text import token_count_col
+
+    toks = df.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        token_count_col(F.col(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = toks.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / F.lit(budget_tokens)
+        ).cast("long"),
+    )
+    return binned.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )

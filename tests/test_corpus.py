@@ -74,3 +74,48 @@ def test_token_budget_sample_budget_monotone(docs):
     small = {r["doc_id"] for r in token_budget_sample(docs, 300).collect()}
     large = {r["doc_id"] for r in token_budget_sample(docs, 900).collect()}
     assert small <= large
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from metrics_advisor_spark.functions.corpus import chunk_documents
+
+    text = "".join(chr(ord("a") + (i % 26)) for i in range(1200))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    chunks = (
+        chunk_documents(df, chunk_chars=512, overlap=64)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    # stride 448 → ceil((1200-64)/448) = 3 chunks
+    assert len(chunks) == 3 and chunks[0]["n_chunks"] == 3
+    for i, c in enumerate(chunks):
+        assert c["chunk_start"] == i * 448
+        assert c["chunk_text"] == text[i * 448 : i * 448 + 512]
+    # consecutive chunks overlap by exactly 64 chars
+    assert chunks[0]["chunk_text"][-64:] == chunks[1]["chunk_text"][:64]
+    # full coverage: chunks reassemble the document
+    assert chunks[0]["chunk_text"][:448] + chunks[1]["chunk_text"][:448] \
+        + chunks[2]["chunk_text"] == text
+    # short doc → single chunk
+    short = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
+    one = chunk_documents(short).collect()
+    assert len(one) == 1 and one[0]["chunk_text"] == "tiny"
+
+
+def test_sequence_packing_fills_budget(spark):
+    from metrics_advisor_spark.functions.corpus import sequence_packing
+
+    # 40 docs × 100 tokens, single shard (doc_id multiples of 8)
+    docs = [(i * 8, " ".join(["tok"] * 100)) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bins = {
+        r["bin_id"]: r
+        for r in sequence_packing(df, budget_tokens=2048).collect()
+    }
+    # cumsum packing: bins 0.. hold floor-boundary splits of 4000 tokens
+    assert sum(r["n_docs"] for r in bins.values()) == 40
+    assert sum(r["bin_tokens"] for r in bins.values()) == 4000
+    # every bin except the last holds 20-21 docs (2048/100)
+    full_bins = [r for r in bins.values() if r["bin_id"] < max(bins)]
+    for r in full_bins:
+        assert 2000 <= r["bin_tokens"] <= 2148
