@@ -22,7 +22,15 @@ from metrics_advisor_spark.operators.detect import (
     detect_anomalies,
 )
 from metrics_advisor_spark.operators.asof import asof_join
-from metrics_advisor_spark.operators.trend import ewma, mad_outliers, series_regression
+from metrics_advisor_spark.operators.trend import (
+    counter_rate,
+    ewma,
+    gap_detect,
+    irate,
+    mad_outliers,
+    quantile_over_time,
+    series_regression,
+)
 from metrics_advisor_spark.operators.rangejoin import incident_intervals, range_join_count
 from metrics_advisor_spark.operators.resample import fill_gaps, resample
 from metrics_advisor_spark.operators.sessions import session_stats, sessionize
@@ -33,7 +41,11 @@ from metrics_advisor_spark.operators.xcorr import (
 )
 
 __all__ = [
+    "counter_rate",
     "ewma",
+    "gap_detect",
+    "irate",
+    "quantile_over_time",
     "mad_outliers",
     "series_regression",
     "incident_intervals",
