@@ -177,6 +177,40 @@ def q_bucket_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_report_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: the report Summary line's anomalous-slice count, through the
+    SAME membership construction analyze()/render_markdown use
+    (attach_extent + bucket_expr_col + T4 dedup + F4 obj routing +
+    plans.report.summary_slice_count).  The anomaly set feeding it is
+    the oracle-expressible per-series 2σ gate (the E-Divisive default
+    is covered rows-only by `detect_anomalies`); objective = 'error',
+    as in the xcorr contract queries."""
+    from metrics_advisor_spark.operators.buckets import (
+        attach_extent,
+        bucket_expr_col,
+        time_extent_df,
+    )
+    from metrics_advisor_spark.plans.report import summary_slice_count
+
+    sig = _signals(spark, sf_dir)
+    ext = time_extent_df(sig)
+    stats = sig.groupBy("metric", "series").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
+    )
+    anoms = sig.join(F.broadcast(stats), ["metric", "series"]).filter(
+        (F.col("sd") > 0)
+        & (F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sd"))
+    )
+    membership = (
+        attach_extent(anoms, ext)
+        .withColumn("bucket_id", bucket_expr_col(600))
+        .select("bucket_id", "metric", "series")
+        .dropDuplicates(["bucket_id", "metric", "series"])
+        .withColumn("is_obj", F.col("metric") == F.lit("error"))
+    )
+    return summary_slice_count(membership)
+
+
 def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resample operator: per-metric hourly average grid."""
     out = _hourly_by_metric(spark, sf_dir)
@@ -1084,6 +1118,20 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: KMeans cells + within-cell exact cosine
+    ≥ 0.9 + min-label components; kept vec_ids over embeddings ∪ planted
+    copies.  Oracle-checkable despite the nondeterministic quantizer:
+    identical vectors always share a cell, the synthetic corpus's max
+    natural cosine (~0.51) sits far below the threshold, so the dup
+    graph equals the all-pairs one the oracle computes."""
+    from metrics_advisor_spark.functions.similarity import semdedup
+
+    return semdedup(
+        _emb_with_dups(spark, sf_dir), threshold=0.9, n_lists=16
+    ).select("vec_id")
+
+
 # planted PII rows — shared verbatim with the oracle's VALUES list so the
 # two corpora cannot drift (the synthetic corpus itself contains no PII)
 _PII_ROWS: tuple[tuple[int, str], ...] = (
@@ -1379,6 +1427,29 @@ def q_streaming_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth Structured Streaming contract surface: the
+    `streaming_exact_dedup` operator itself (stateful dropDuplicates on
+    md5(text), append mode, availableNow drain) over the planted-dup
+    corpus.  Which doc_id wins per content is arrival-order dependent
+    under parallelism, so the contract projects the deterministic part —
+    the emitted content-hash set: exactly ONE row per distinct content
+    (the dedup guarantee the operator exists for)."""
+    import uuid
+
+    from metrics_advisor_spark.streaming import run_to_memory
+    from metrics_advisor_spark.streaming.pipeline import (
+        streaming_exact_dedup,
+    )
+
+    src = _stream_docs_src(spark, sf_dir)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    deduped = streaming_exact_dedup(stream)
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    run_to_memory(deduped, name)
+    return spark.table(name).select("content_hash")
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting: Datasketches HLL estimate next to
     the exact count per metric.  No oracle by design (DuckDB's
@@ -1612,14 +1683,18 @@ def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines evaluate the identical interpolation expression."""
     sig = _signals(spark, sf_dir)
     ext = sig.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
-    bin_col = F.least(
-        F.floor(
-            (F.col("value") - F.col("vmin"))
-            / (F.col("vmax") - F.col("vmin"))
-            * 20
+    # degenerate extent (all values equal) → everything in bin 1 and the
+    # estimate is the constant itself; unguarded division would yield NaN
+    bin_col = F.when(F.col("vmax") == F.col("vmin"), F.lit(1)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * 20
+            )
+            + 1,
+            F.lit(20),
         )
-        + 1,
-        F.lit(20),
     )
     binned = (
         sig.crossJoin(F.broadcast(ext))
@@ -1644,16 +1719,20 @@ def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "metric",
             F.round(
-                F.col("vmin")
-                + (
-                    (F.col("bin") - 1)
-                    + F.try_divide(
-                        F.col("target") - (F.col("cum") - F.col("n")),
-                        F.col("n"),
+                F.when(
+                    F.col("vmax") == F.col("vmin"), F.col("vmin")
+                ).otherwise(
+                    F.col("vmin")
+                    + (
+                        (F.col("bin") - 1)
+                        + F.try_divide(
+                            F.col("target") - (F.col("cum") - F.col("n")),
+                            F.col("n"),
+                        )
                     )
-                )
-                * (F.col("vmax") - F.col("vmin"))
-                / 20,
+                    * (F.col("vmax") - F.col("vmin"))
+                    / 20
+                ),
                 6,
             ).alias("p90_est"),
         )
@@ -1854,6 +1933,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oldest-driver-green first.  Entries past 50 were all driver-green
     # in r01/r02.
     return {
+        # (a') new round-4 queries — never driver-checked by definition
+        "semdedup": q_semdedup,
+        "report_summary": q_report_summary,
+        "streaming_dedup": q_streaming_dedup,
         # (a) r01 hash-reds whose oracle fixes landed in r02 — driver
         # must finally re-check these
         "simhash": q_simhash,
@@ -2155,6 +2238,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((floor(epoch(ts)) - tmin) / 600) AS BIGINT) AS bucket_id,
                    metric, series
             FROM sig, ext
+        """,
+        "report_summary": f"""
+            WITH sig AS ({_SIG}),
+            ext AS (SELECT floor(epoch(min(ts))) AS tmin FROM sig),
+            stats AS (
+              SELECT metric, series, avg(value) AS mu,
+                     stddev_pop(value) AS sd
+              FROM sig GROUP BY 1, 2
+            ),
+            anoms AS (
+              SELECT s.metric, s.series, s.ts
+              FROM sig s JOIN stats t
+                ON s.metric = t.metric AND s.series = t.series
+              WHERE t.sd > 0 AND abs(s.value - t.mu) > 2 * t.sd
+            ),
+            memb AS (
+              SELECT DISTINCT
+                     CAST(floor((floor(epoch(ts)) - tmin) / 600) AS BIGINT)
+                         AS bucket_id,
+                     metric
+              FROM anoms, ext
+            )
+            SELECT CAST(count(DISTINCT bucket_id) AS BIGINT)
+                       AS n_anomalous_slices
+            FROM memb WHERE metric = 'error'
         """,
         "resample_hourly": f"""
             SELECT metric, slot_epoch, round(value, 6) AS value
@@ -2834,6 +2942,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE length(text) >= 200
             GROUP BY 1
         """,
+        "streaming_dedup": f"""
+            SELECT DISTINCT md5(text) AS content_hash
+            FROM ({_DOCS_DUPS})
+        """,
         "hamming_pairs_blocked": f"""
             WITH sk AS ({_simhash_sql(_DOCS_DUPS)})
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -3070,6 +3182,33 @@ def oracle_sql() -> dict[str, str]:
               JOIN e eb ON eb.vec_id = vec_b
             ) WHERE cosine >= 0.95
         """,
+        "semdedup": f"""
+            WITH RECURSIVE e AS ({_EMB_DUPS}),
+            pairs AS (
+              SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[]), 6)
+                    >= 0.9
+            ),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM pairs
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+            ),
+            comp AS (
+              SELECT u AS vec_id, least(u, min(v)) AS label
+              FROM reach GROUP BY u
+            )
+            SELECT s.vec_id FROM e s
+            LEFT JOIN comp c ON s.vec_id = c.vec_id
+            WHERE c.vec_id IS NULL OR c.label = c.vec_id
+        """,
         "pii_scrub": f"""
             WITH src AS (
               SELECT doc_id, text FROM documents
@@ -3279,7 +3418,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(floor(epoch(ts)) AS BIGINT)
                        - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS dt
               FROM ({_SIG})
-              WINDOW w AS (PARTITION BY metric, series ORDER BY ts)
+              WINDOW w AS (PARTITION BY metric, series ORDER BY ts, value)
             ),
             f AS (
               SELECT *, CASE WHEN value - prev < 0 THEN value
@@ -3290,7 +3429,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT metric, series, bucket_epoch, inc, dt,
                      row_number() OVER (
                          PARTITION BY metric, series, bucket_epoch
-                         ORDER BY ts DESC) AS rn
+                         ORDER BY ts DESC, inc DESC, dt DESC) AS rn
               FROM f
             )
             SELECT metric, series, bucket_epoch,
@@ -3426,8 +3565,10 @@ def oracle_sql() -> dict[str, str]:
             ext AS (SELECT min(value) AS vmin, max(value) AS vmax FROM sig),
             binned AS (
               SELECT metric, vmin, vmax,
-                     least(floor((value - vmin) / (vmax - vmin) * 20) + 1,
-                           20)::BIGINT AS bin,
+                     CASE WHEN vmax = vmin THEN 1
+                          ELSE least(floor((value - vmin) / (vmax - vmin)
+                                           * 20) + 1, 20)
+                     END::BIGINT AS bin,
                      count(*) AS n
               FROM sig, ext GROUP BY 1, 2, 3, 4
             ),
@@ -3444,8 +3585,9 @@ def oracle_sql() -> dict[str, str]:
               FROM cum WHERE cum >= target
             )
             SELECT metric,
-                   round(vmin + ((bin - 1) + (target - (cum - n)) / n)
-                         * (vmax - vmin) / 20, 6) AS p90_est
+                   round(CASE WHEN vmax = vmin THEN vmin
+                         ELSE vmin + ((bin - 1) + (target - (cum - n)) / n)
+                              * (vmax - vmin) / 20 END, 6) AS p90_est
             FROM hit WHERE rn = 1
         """,
         "minhash_jaccard_est": f"""
@@ -3560,7 +3702,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sequence_packing": f"""
             WITH t AS (
-              SELECT doc_id, doc_id % 8 AS shard,
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT % 8
+                         AS shard,
                      len(regexp_extract_all(text, {_TOKEN_RE_SQL}))
                          AS n_tokens
               FROM documents
@@ -3621,7 +3765,7 @@ def oracle_sql() -> dict[str, str]:
                      pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT
                           + 1) / 72057594037927936.0,
                          1.0 / n_chars) AS k
-              FROM documents
+              FROM documents WHERE n_chars > 0
             )
             ORDER BY k DESC, doc_id ASC LIMIT 50
         """,

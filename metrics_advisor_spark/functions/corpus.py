@@ -215,6 +215,7 @@ def sequence_packing(
     df: DataFrame,
     text_col: str = "text",
     budget_tokens: int = 2048,
+    n_shards: int = 8,
 ) -> DataFrame:
     """Deterministic sequence-packing assignment: documents (in doc_id
     order) fill training sequences of ``budget_tokens`` by cumulative
@@ -223,16 +224,19 @@ def sequence_packing(
     This is the streaming-order approximation of bin packing (what
     packed-dataset builders actually do); it is fully deterministic,
     one window cumsum + one aggregate.  At 100 TB the cumsum window is
-    the scale risk (single global ordering) — shard first (e.g. by
-    hash(doc_id) % n_writers, mirroring parallel dataset writers), then
-    cumsum within shard: the shard key keeps every partition's window
-    independent.  Emits per-bin stats: (shard, bin_id, n_docs,
+    the scale risk (single global ordering) — shard first by
+    hash(doc_id) % ``n_shards`` (mirroring parallel dataset writers),
+    then cumsum within shard: the shard key keeps every partition's
+    window independent.  The md5-derived hash works for any doc_id type
+    (string ids included) and is engine-portable (same expression in the
+    DuckDB oracle).  Emits per-bin stats: (shard, bin_id, n_docs,
     bin_tokens)."""
+    from metrics_advisor_spark.functions.dedup import _hash56
     from metrics_advisor_spark.functions.text import token_count_col
 
     toks = df.select(
         "doc_id",
-        (F.col("doc_id") % 8).alias("shard"),
+        (_hash56(F.col("doc_id").cast("string")) % n_shards).alias("shard"),
         token_count_col(F.col(text_col)).alias("n_tokens"),
     )
     w = (

@@ -285,11 +285,16 @@ def weighted_sample(
     function of (doc_id, weight) — reproducible across reruns and
     cluster layouts.  Plan: one narrow projection + a distributed
     TakeOrdered top-k; no global sort, no RNG state.
+
+    A-ES is defined for POSITIVE weights only: zero/negative/null weights
+    would yield inf/NaN/null sort keys that silently distort membership,
+    so such rows are filtered out up front (mirrored in the oracle SQL).
     """
     u = (_hash56(F.col(id_col).cast("string")) + 1) / F.lit(float(1 << 56))
     key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
     return (
-        df.select(
+        df.filter(F.col(weight_col) > 0)
+        .select(
             id_col,
             F.col(weight_col).alias("weight"),
             F.round(key, 6).alias("sample_key"),

@@ -286,6 +286,67 @@ def embedding_near_dup_pairs(
     ).filter(F.col("cosine") >= threshold)
 
 
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a KMeans coarse quantizer,
+    score exact cosine only WITHIN each cluster, and drop every
+    non-keeper of the ≥ ``threshold`` pair graph (keeper = component min
+    id, matching the engine's other dedup materializers; the paper keeps
+    the lowest-centroid-similarity member — a policy knob, not a
+    structural difference).
+
+    100 TB design: the quadratic pair work is confined to single cells —
+    never corpus×corpus — and the cell id is the natural partition key
+    for the self-join.  Cluster granularity IS the skew/cost control:
+    size ``n_lists`` so cells hold ~1k vectors (the paper uses 50k
+    clusters for 5B docs); the KMeans fit itself is a Spark job whose
+    model broadcast is tiny (n_lists × dim doubles).  Label propagation
+    then runs on the (sparse) dup graph only.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from metrics_advisor_spark.functions.dedup import propagate_labels
+
+    corp = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
+    )
+    model = KMeans(
+        k=n_lists, seed=seed, featuresCol="_feat", predictionCol="_cell"
+    ).fit(corp)
+    assigned = model.transform(corp).select(id_col, vec_col, "_cell")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._cell") == F.col("b._cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.round(
+                cosine_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    labels = propagate_labels(pairs)
+    losers = labels.filter(F.col("doc_id") != F.col("label")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return corpus.join(losers, id_col, "left_anti")
+
+
 def embedding_norms(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -198,8 +198,10 @@ def irate(
 
     One window sort per series (lag + row_number share the same sort) —
     no second shuffle: the bucket key is a prefix function of the sort
-    key."""
-    w = Window.partitionBy(*SERIES_KEY).orderBy("ts")
+    key.  ``value`` is the secondary sort key on BOTH windows (and in the
+    oracle SQL) so duplicate timestamps within a series pick a
+    deterministic sample pair."""
+    w = Window.partitionBy(*SERIES_KEY).orderBy("ts", "value")
     prev_v = F.lag("value").over(w)
     prev_t = F.lag("ts").over(w)
     delta = F.col("value") - prev_v
@@ -211,7 +213,7 @@ def irate(
         inc.alias("inc"), dt.alias("dt"),
     ).filter(F.col("inc").isNotNull() & (F.col("dt") > 0))
     wb = Window.partitionBy("metric", "series", "bucket_epoch").orderBy(
-        F.col("ts").desc()
+        F.col("ts").desc(), F.col("inc").desc(), F.col("dt").desc()
     )
     return (
         stamped.withColumn("_rn", F.row_number().over(wb))

@@ -13,6 +13,8 @@ from __future__ import annotations
 from datetime import datetime, timezone
 
 import jinja2
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from metrics_advisor_spark.plans.analyze import Analysis
 
@@ -49,6 +51,19 @@ objective metrics: {% for s in slices %}{{ s }}{{ ", " if not loop.last }}{% end
 def _fmt_ts(epoch: int) -> str:
     return datetime.fromtimestamp(epoch, tz=timezone.utc).strftime(
         "%Y-%m-%d %H:%M:%S"
+    )
+
+
+def summary_slice_count(membership: DataFrame) -> DataFrame:
+    """A6: the report Summary line's number — the count of time slices
+    holding ≥1 anomalous OBJECTIVE series (templates/report.tpl "There
+    are N time slice(s) with anomalous objective metrics"; reference
+    summary math at /root/reference/metrics_advisor.py:237-247) —
+    computed as a lazy aggregate over the SAME membership DF
+    ``render_markdown`` renders, so the driver's oracle can check the
+    rendered count without collecting the report."""
+    return membership.filter("is_obj").agg(
+        F.countDistinct("bucket_id").alias("n_anomalous_slices")
     )
 
 

@@ -105,12 +105,14 @@ def test_chunk_documents_overlap_and_coverage(spark):
 def test_sequence_packing_fills_budget(spark):
     from metrics_advisor_spark.functions.corpus import sequence_packing
 
-    # 40 docs × 100 tokens, single shard (doc_id multiples of 8)
+    # 40 docs × 100 tokens; n_shards=1 keeps one cumsum chain so the
+    # bin arithmetic is exactly checkable (shard is hash-derived now)
     docs = [(i * 8, " ".join(["tok"] * 100)) for i in range(40)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     bins = {
         r["bin_id"]: r
-        for r in sequence_packing(df, budget_tokens=2048).collect()
+        for r in sequence_packing(df, budget_tokens=2048, n_shards=1)
+        .collect()
     }
     # cumsum packing: bins 0.. hold floor-boundary splits of 4000 tokens
     assert sum(r["n_docs"] for r in bins.values()) == 40
@@ -119,3 +121,8 @@ def test_sequence_packing_fills_budget(spark):
     full_bins = [r for r in bins.values() if r["bin_id"] < max(bins)]
     for r in full_bins:
         assert 2000 <= r["bin_tokens"] <= 2148
+    # hash sharding: every doc still packed exactly once across shards
+    sharded = sequence_packing(df, budget_tokens=2048, n_shards=8).collect()
+    assert sum(r["n_docs"] for r in sharded) == 40
+    assert sum(r["bin_tokens"] for r in sharded) == 4000
+    assert len({r["shard"] for r in sharded}) > 1  # ids actually spread

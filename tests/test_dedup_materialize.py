@@ -48,6 +48,38 @@ def test_transitive_dedup_two_components(spark):
     assert kept == [1, 5, 9]
 
 
+def test_long_chain_converges_fully(spark):
+    # diameter-24 chain: the old fixed 10-round cap silently mislabeled
+    # this; default (no cap) now always reaches the transitive closure
+    n = 25
+    docs = _docs(spark, list(range(n)) + [99])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in apply_pair_dedup(docs, pairs).collect()
+    )
+    assert kept == [0, 99]
+
+
+def test_capped_propagation_warns(spark):
+    import warnings
+
+    from metrics_advisor_spark.functions.dedup import propagate_labels
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(24)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        propagate_labels(pairs, max_iterations=3).collect()
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "max_iterations" in str(w.message)
+        for w in caught
+    )
+
+
 def test_streaming_exact_dedup(spark, tmp_path):
     from metrics_advisor_spark.streaming.pipeline import (
         run_to_memory,

@@ -152,3 +152,29 @@ def test_embedding_norms_matches_numpy(vectors):
         assert got[shard]["n_vecs"] == int(mask.sum())
         assert abs(got[shard]["avg_norm"] - norms[mask].mean()) < 1e-5
         assert abs(got[shard]["max_norm"] - norms[mask].max()) < 1e-5
+
+
+def test_semdedup_recovers_planted_dups(spark):
+    from metrics_advisor_spark.functions.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 1, (40, DIM)).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # plant: exact copies of 0..4 (ids 100..104) and a light perturbation
+    # of 5 (id 105, cosine ~0.999) — all must be dropped; an orthogonal-ish
+    # random vector (id 106) must survive
+    for i in range(5):
+        rows.append((100 + i, [float(x) for x in base[i]]))
+    pert = base[5] + rng.normal(0, 0.01, DIM).astype(np.float32)
+    rows.append((105, [float(x) for x in pert]))
+    rows.append((106, [float(x) for x in rng.normal(0, 1, DIM)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    kept = sorted(
+        r["vec_id"] for r in semdedup(df, threshold=0.9, n_lists=4).collect()
+    )
+    assert kept == sorted(list(range(40)) + [106])
+
+    # keeper is the component min id: drop the ORIGINAL ids' copies, not
+    # the originals themselves
+    assert all(i in kept for i in range(6))
