@@ -1927,71 +1927,29 @@ def q_streaming_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST
     # 50 entries (VERDICT r02).  Rotation discipline (ROUND_NOTES):
-    # lead with (a) queries whose last driver verdict was red, (b)
-    # queries the driver has NEVER checked (this round: every round-2
-    # addition past position 50 plus new round-3 queries), then (c)
-    # oldest-driver-green first.  Entries past 50 were all driver-green
-    # in r01/r02.
+    # lead with (a) new-this-round queries, (b) green queries whose CODE
+    # PATH changed this round, then (c) oldest-driver-green first, so no
+    # green row ages past two rounds.  Round-4 state: every r03 first-50
+    # row is green; stale = 16 r01 rows + 50 r02 rows.  This round's
+    # first 50 = 3 new + 6 changed + 16 r01 + 25 r02; the remaining 25
+    # r02 rows sit immediately after the cap (round-5 front of queue).
     return {
-        # (a') new round-4 queries — never driver-checked by definition
+        # (a) new round-4 queries — never driver-checked by definition
         "semdedup": q_semdedup,
         "report_summary": q_report_summary,
         "streaming_dedup": q_streaming_dedup,
-        # (a) r01 hash-reds whose oracle fixes landed in r02 — driver
-        # must finally re-check these
-        "simhash": q_simhash,
-        "srp_buckets": q_srp_buckets,
-        # (b) never driver-checked (round-2 additions past the cap)
+        # (b) r03-green but code/oracle changed this round (propagation
+        # localCheckpoint; irate tiebreak; degenerate-extent guard;
+        # weight>0 filter; hash-derived shards) — re-check now
         "dedup_materialize": q_dedup_materialize,
-        "knn_graph": q_knn_graph,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "bm25_search": q_bm25_search,
-        "pii_scrub": q_pii_scrub,
-        "contamination": q_contamination,
-        "line_dedup": q_line_dedup,
-        "counter_rate": q_counter_rate,
-        "embedding_centroids": q_embedding_centroids,
-        "streaming_corpus_gate": q_streaming_corpus_gate,
-        "streaming_session_stats": q_streaming_session_stats,
-        "rolling_time_avg": q_rolling_time_avg,
-        "value_histogram": q_value_histogram,
-        "hll_distinct": q_hll_distinct,
-        "cube_counts": q_cube_counts,
-        "percent_rank_orders": q_percent_rank_orders,
-        "series_regression": q_series_regression,
-        "mad_outliers": q_mad_outliers,
-        "ewma_smooth": q_ewma_smooth,
-        "incident_range_join": q_incident_range_join,
-        "hamming_pairs_blocked": q_hamming_pairs_blocked,
-        "corpus_prep": q_corpus_prep,
-        "token_budget_sample": q_token_budget_sample,
-        "ngram_repetition": q_ngram_repetition,
-        "quality_flags": q_quality_flags,
-        "stratified_sample": q_stratified_sample,
-        # (b') new this round — never driver-checked by definition
-        "knn_graph_blocked": q_knn_graph_blocked,
-        "quantile_over_time": q_quantile_over_time,
-        "irate": q_irate,
-        "gap_detect": q_gap_detect,
-        "heavy_hitters": q_heavy_hitters,
-        "text_normalize": q_text_normalize,
         "dup_cluster_sizes": q_dup_cluster_sizes,
-        "cohort_retention": q_cohort_retention,
-        "salted_join_revenue": q_salted_join_revenue,
-        "embedding_norms": q_embedding_norms,
+        "irate": q_irate,
         "histogram_quantile": q_histogram_quantile,
-        "minhash_jaccard_est": q_minhash_jaccard_est,
-        "streaming_term_counts": q_streaming_term_counts,
-        "source_stats": q_source_stats,
-        "zipf_slope": q_zipf_slope,
         "weighted_sample": q_weighted_sample,
-        "bucket_render": q_bucket_render,
-        "series_outer_compare": q_series_outer_compare,
-        "quantile_sketch_audit": q_quantile_sketch_audit,
-        "streaming_quantiles": q_streaming_quantiles,
-        "chunk_documents": q_chunk_documents,
         "sequence_packing": q_sequence_packing,
-        # (c) r01-green, not re-checked since (oldest rows first)
+        # (c) oldest driver rows first: the 16 r01-green queries
+        "rollup_counts": q_rollup_counts,
+        "streaming_bucket_stats": q_streaming_bucket_stats,
         "text_stats": q_text_stats,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
@@ -2006,11 +1964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
         "distinct_series": q_distinct_series,
-        "rollup_counts": q_rollup_counts,
-        "streaming_bucket_stats": q_streaming_bucket_stats,
-        "detect_anomalies": q_detect_anomalies,
-        "kmeans_outliers": q_kmeans_outliers,
-        # ---- driver cap (50) usually lands around here ----
+        # (c) continued: 25 of the 50 r02-green queries (flagship core
+        # first, then TPC-H Q1–Q8)
         "series_stats": q_series_stats,
         "valid_active_series": q_valid_active_series,
         "time_extent": q_time_extent,
@@ -2025,6 +1980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_correlated": q_topk_correlated,
         "xcorr_bucketed": q_xcorr_bucketed,
         "corr_matrix": q_corr_matrix,
+        "detect_anomalies": q_detect_anomalies,
+        "kmeans_outliers": q_kmeans_outliers,
         "corr_matrix_blocked": q_corr_matrix_blocked,
         "tpch_q1": q_tpch_q1,
         "tpch_q2": q_tpch_q2,
@@ -2034,6 +1991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
+        # ---- driver cap (50) lands here ----
+        # remaining r02-green rows — front of the round-5 queue
         "tpch_q9": q_tpch_q9,
         "tpch_q10": q_tpch_q10,
         "tpch_q11": q_tpch_q11,
@@ -2059,6 +2018,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "series_set_ops": q_series_set_ops,
         "metric_quantiles": q_metric_quantiles,
+        # r03-green (checked last round; rotate forward in round 6)
+        "simhash": q_simhash,
+        "srp_buckets": q_srp_buckets,
+        "knn_graph": q_knn_graph,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_search": q_bm25_search,
+        "pii_scrub": q_pii_scrub,
+        "contamination": q_contamination,
+        "line_dedup": q_line_dedup,
+        "counter_rate": q_counter_rate,
+        "embedding_centroids": q_embedding_centroids,
+        "streaming_corpus_gate": q_streaming_corpus_gate,
+        "streaming_session_stats": q_streaming_session_stats,
+        "rolling_time_avg": q_rolling_time_avg,
+        "value_histogram": q_value_histogram,
+        "hll_distinct": q_hll_distinct,
+        "cube_counts": q_cube_counts,
+        "percent_rank_orders": q_percent_rank_orders,
+        "series_regression": q_series_regression,
+        "mad_outliers": q_mad_outliers,
+        "ewma_smooth": q_ewma_smooth,
+        "incident_range_join": q_incident_range_join,
+        "hamming_pairs_blocked": q_hamming_pairs_blocked,
+        "corpus_prep": q_corpus_prep,
+        "token_budget_sample": q_token_budget_sample,
+        "ngram_repetition": q_ngram_repetition,
+        "quality_flags": q_quality_flags,
+        "stratified_sample": q_stratified_sample,
+        "knn_graph_blocked": q_knn_graph_blocked,
+        "quantile_over_time": q_quantile_over_time,
+        "gap_detect": q_gap_detect,
+        "heavy_hitters": q_heavy_hitters,
+        "text_normalize": q_text_normalize,
+        "cohort_retention": q_cohort_retention,
+        "salted_join_revenue": q_salted_join_revenue,
+        "embedding_norms": q_embedding_norms,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
+        "streaming_term_counts": q_streaming_term_counts,
+        "source_stats": q_source_stats,
+        "zipf_slope": q_zipf_slope,
+        "bucket_render": q_bucket_render,
+        "series_outer_compare": q_series_outer_compare,
+        "quantile_sketch_audit": q_quantile_sketch_audit,
+        "streaming_quantiles": q_streaming_quantiles,
+        "chunk_documents": q_chunk_documents,
     }
 
 
