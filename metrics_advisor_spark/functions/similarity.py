@@ -293,6 +293,8 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    max_iter: int = 10,
+    init_mode: str = "random",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with a KMeans coarse quantizer,
@@ -309,6 +311,12 @@ def semdedup(
     clusters for 5B docs); the KMeans fit itself is a Spark job whose
     model broadcast is tiny (n_lists × dim doubles).  Label propagation
     then runs on the (sparse) dup graph only.
+
+    The quantizer only needs dedup-grade cells (identical/near-identical
+    vectors land together for ANY centroid set), so the default fit is
+    deliberately cheap: random init (k-means|| init alone costs several
+    distributed passes) and ``max_iter`` capped — each Lloyd iteration
+    is a full corpus pass.  Raise both only if cell balance matters.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -320,9 +328,43 @@ def semdedup(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
     )
     model = KMeans(
-        k=n_lists, seed=seed, featuresCol="_feat", predictionCol="_cell"
+        k=n_lists, seed=seed, featuresCol="_feat", predictionCol="_cell",
+        maxIter=max_iter, initMode=init_mode,
     ).fit(corp)
-    assigned = model.transform(corp).select(id_col, vec_col, "_cell")
+    # Pre-normalize ONCE per vector so the per-pair cosine is a single
+    # dot product (one HOF aggregate) instead of dot + two norms — the
+    # per-pair HOF evaluation is interpreted, not codegen'd, and the
+    # within-cell self-join evaluates it O(Σ cell²) times.  Exactness:
+    # only the ≥ threshold DECISION is consumed (kept ids), so the
+    # ulp-level difference vs dot/(|a||b|) cannot surface in output.
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    # persisted: BOTH sides of the self-join read it, and the edge
+    # materialization inside propagate_labels (eager) is its only
+    # consumer — unpersisted right after propagation returns
+    assigned = (
+        model.transform(corp)
+        .withColumn("_norm", norm)
+        .withColumn(
+            "_nvec",
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.try_divide(x.cast("double"), F.col("_norm")),
+            ),
+        )
+        .select(id_col, "_nvec", "_cell")
+        .persist()
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a._nvec"), F.col("b._nvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (
         a.join(
@@ -333,14 +375,13 @@ def semdedup(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.round(
-                cosine_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
-            ).alias("cosine"),
+            F.round(dot, 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b")
     )
     labels = propagate_labels(pairs)
+    assigned.unpersist()
     losers = labels.filter(F.col("doc_id") != F.col("label")).select(
         F.col("doc_id").alias(id_col)
     )
