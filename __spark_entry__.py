@@ -1190,6 +1190,94 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a DataFrame-built Bloom prefilter before the
+    exact shingle join — output is identical to `contamination` by
+    construction (false positives die in the exact join), so the two
+    queries share an oracle; the bloom only changes the PLAN (broadcast
+    ~128 KB of bits instead of the raw benchmark shingle set)."""
+    from metrics_advisor_spark.functions.curation import (
+        bloom_contamination_check,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    words = F.split(F.col("text"), " ")
+    planted = bench.select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, 15), " ").alias("text"),
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).unionByName(planted)
+    return bloom_contamination_check(corpus, bench, n=5)
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture recipe: per-source token budget, sampling rate
+    and epoch count for a 60/30/10 web/wiki/github target mix."""
+    from metrics_advisor_spark.functions.curation import mixture_plan
+
+    return mixture_plan(
+        _docs(spark, sf_dir),
+        weights={"src0": 0.6, "src1": 0.3, "src2": 0.1},
+        token_budget=1_000_000,
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel over the events table."""
+    from metrics_advisor_spark.operators.sessions import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, steps=("view", "click", "purchase"))
+
+
+def q_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: the latest event per user (event_id tiebreak)."""
+    from metrics_advisor_spark.operators.history import latest_by_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return latest_by_key(ev, key_cols=("user_id",)).select(
+        "user_id",
+        F.unix_timestamp("ts").alias("epoch"),
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval construction over each user's event stream."""
+    from metrics_advisor_spark.operators.history import scd2_intervals
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return scd2_intervals(ev, key_cols=("user_id",))
+
+
+def q_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL predict_linear: per-series OLS value 1 h past the last
+    sample."""
+    from metrics_advisor_spark.operators.trend import predict_linear
+
+    return predict_linear(_signals(spark, sf_dir), horizon_s=3600)
+
+
+def q_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL resets: counter-reset counts per series and 10-min
+    bucket."""
+    from metrics_advisor_spark.operators.trend import resets
+
+    return resets(_signals(spark, sf_dir), bucket_s=600)
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded global shuffle of the corpus (training
+    order)."""
+    from metrics_advisor_spark.functions.corpus import global_shuffle
+
+    return global_shuffle(_docs(spark, sf_dir, fanout=False), n_shards=8)
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus line dedup over a planted multi-line corpus:
     docs <40 wrapped in shared header/footer lines, docs 40-59 as-is,
@@ -1931,13 +2019,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # PATH changed this round, then (c) oldest-driver-green first, so no
     # green row ages past two rounds.  Round-4 state: every r03 first-50
     # row is green; stale = 16 r01 rows + 50 r02 rows.  This round's
-    # first 50 = 3 new + 6 changed + 16 r01 + 25 r02; the remaining 25
+    # first 50 = 11 new + 6 changed + 16 r01 + 17 r02; the remaining 33
     # r02 rows sit immediately after the cap (round-5 front of queue).
     return {
         # (a) new round-4 queries — never driver-checked by definition
         "semdedup": q_semdedup,
         "report_summary": q_report_summary,
         "streaming_dedup": q_streaming_dedup,
+        "bloom_contamination": q_bloom_contamination,
+        "mixture_plan": q_mixture_plan,
+        "funnel": q_funnel,
+        "cdc_latest": q_cdc_latest,
+        "scd2_history": q_scd2_history,
+        "predict_linear": q_predict_linear,
+        "resets": q_resets,
+        "global_shuffle": q_global_shuffle,
         # (b) r03-green but code/oracle changed this round (propagation
         # localCheckpoint; irate tiebreak; degenerate-extent guard;
         # weight>0 filter; hash-derived shards) — re-check now
@@ -1983,6 +2079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_anomalies": q_detect_anomalies,
         "kmeans_outliers": q_kmeans_outliers,
         "corr_matrix_blocked": q_corr_matrix_blocked,
+        # ---- driver cap (50) lands here ----
+        # remaining r02-green rows — front of the round-5 queue
         "tpch_q1": q_tpch_q1,
         "tpch_q2": q_tpch_q2,
         "tpch_q3": q_tpch_q3,
@@ -1991,8 +2089,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
-        # ---- driver cap (50) lands here ----
-        # remaining r02-green rows — front of the round-5 queue
         "tpch_q9": q_tpch_q9,
         "tpch_q10": q_tpch_q10,
         "tpch_q11": q_tpch_q11,
@@ -2089,7 +2185,118 @@ def _ewma_sql(alpha: float = 0.2, depth: int = 12) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
+        # ---- round-4 additions ----
+        "mixture_plan": f"""
+            WITH w(source, weight) AS (
+              VALUES ('src0', 0.6), ('src1', 0.3), ('src2', 0.1)
+            ),
+            avail AS (
+              SELECT source,
+                     CAST(sum(len(regexp_extract_all(text, {_TOKEN_RE_SQL})))
+                          AS BIGINT) AS available_tokens
+              FROM documents GROUP BY source
+            )
+            SELECT a.source, available_tokens,
+                   CAST(round(weight * 1000000) AS BIGINT) AS target_tokens,
+                   round(CAST(round(weight * 1000000) AS BIGINT)
+                         / available_tokens, 6) AS sampling_rate,
+                   CAST(ceil(CAST(round(weight * 1000000) AS BIGINT)
+                             / available_tokens) AS BIGINT) AS n_epochs
+            FROM avail a JOIN w USING (source)
+        """,
+        "funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+            ),
+            counts AS (
+              SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_users
+              FROM s1
+              UNION ALL
+              SELECT 2, 'click', count(*) FROM s2
+              UNION ALL
+              SELECT 3, 'purchase', count(*) FROM s3
+            )
+            SELECT step_idx, step, n_users,
+                   round(n_users / (SELECT n_users FROM counts
+                                    WHERE step_idx = 1), 6) AS pct_of_first
+            FROM counts
+        """,
+        "cdc_latest": """
+            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+                   event_type, round(value, 6) AS value
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "scd2_history": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+                   lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS valid_to,
+                   (lead(ts) OVER w IS NULL) AS is_current,
+                   event_id, event_type
+            FROM (SELECT user_id, ts, event_id, event_type FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "predict_linear": f"""
+            WITH sig AS ({{_SIG_PLACEHOLDER}}),
+            ext AS (SELECT min(floor(epoch(ts))) AS t0 FROM sig),
+            f AS (
+              SELECT metric, series, count(*) AS n_samples,
+                     covar_pop(floor(epoch(ts)) - t0, value) AS sxy,
+                     var_pop(floor(epoch(ts)) - t0) AS sxx,
+                     avg(floor(epoch(ts)) - t0) AS mx,
+                     avg(value) AS my,
+                     max(floor(epoch(ts)) - t0) AS x_end
+              FROM sig, ext GROUP BY 1, 2
+            )
+            SELECT metric, series, n_samples,
+                   round((my - sxy / sxx * mx)
+                         + sxy / sxx * (x_end + 3600), 6) AS predicted
+            FROM f WHERE n_samples >= 3 AND sxx > 0
+        """.replace("{_SIG_PLACEHOLDER}", _SIG),
+        "resets": f"""
+            WITH d AS (
+              SELECT metric, series,
+                     CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS bucket_epoch,
+                     CASE WHEN value < lag(value) OVER w THEN 1 ELSE 0 END
+                         AS r,
+                     CASE WHEN lag(value) OVER w IS NOT NULL THEN 1 ELSE 0
+                         END AS p
+              FROM ({_SIG})
+              WINDOW w AS (PARTITION BY metric, series ORDER BY ts, value)
+            )
+            SELECT metric, series, bucket_epoch,
+                   CAST(sum(r) AS BIGINT) AS n_resets,
+                   CAST(sum(p) AS BIGINT) AS n_pairs
+            FROM d GROUP BY 1, 2, 3 HAVING sum(p) > 0
+        """,
+        "global_shuffle": """
+            WITH t AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('0_' || doc_id::VARCHAR), 1, 14))
+                         ::BIGINT AS sort_key
+              FROM documents
+            )
+            SELECT doc_id, sort_key % 8 AS shard, sort_key,
+                   row_number() OVER (
+                       PARTITION BY sort_key % 8
+                       ORDER BY sort_key, doc_id) - 1 AS shard_pos
+            FROM t
+        """,
         "cube_counts": """
             SELECT o_orderpriority, o_orderstatus,
                    count(*) AS n_orders,
@@ -3774,6 +3981,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY k DESC, doc_id ASC LIMIT 50
         """,
     }
+    # bloom_contamination's bloom is plan-level only (false positives are
+    # removed by the exact join) — byte-identical output, shared oracle
+    out["bloom_contamination"] = out["contamination"]
+    return out
 
 
 # ---------------------------------------------------------------------------

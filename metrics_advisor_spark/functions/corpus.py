@@ -211,6 +211,43 @@ def chunk_documents(
     )
 
 
+def global_shuffle(
+    df: DataFrame,
+    n_shards: int = 8,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization:
+    every document gets a content-free pseudo-random sort key
+    (md5(seed, doc_id)), a writer shard, and its 0-based position within
+    the shard.  The global order is (shard, shard_pos) — rerunning on a
+    rebalanced cluster, or with a different input partitioning, yields
+    the IDENTICAL permutation, and a new ``seed`` yields an independent
+    one (epoch reshuffling).
+
+    Scale shape: a single global ``row_number`` would serialize through
+    one partition — instead the hash key both assigns the shard AND
+    orders within it, so the one exchange is shard-keyed and each
+    shard's window sorts independently (exactly how parallel dataset
+    writers emit shuffled shards)."""
+    from metrics_advisor_spark.functions.dedup import _hash56
+
+    key = _hash56(
+        F.concat_ws("_", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return (
+        df.select(
+            id_col,
+            F.pmod(key, F.lit(n_shards)).cast("long").alias("shard"),
+            key.alias("sort_key"),
+        )
+        .withColumn(
+            "shard_pos", (F.row_number().over(w) - 1).cast("long")
+        )
+    )
+
+
 def sequence_packing(
     df: DataFrame,
     text_col: str = "text",

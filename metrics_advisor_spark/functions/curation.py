@@ -184,6 +184,177 @@ def contamination_check(
     )
 
 
+def build_bloom(
+    hashes: DataFrame,
+    m_bits: int,
+    k: int = 7,
+    hash_col: str = "shingle_hash",
+) -> DataFrame:
+    """Build a Bloom filter over a column of integer hashes as a 1-row
+    DataFrame holding a bit-packed ``array<long>`` of ``m_bits`` bits.
+
+    Spark exposes no public bloom aggregate (``bloom_filter_agg`` is
+    internal to runtime join filters), so this composes one from
+    built-ins: double hashing pos_j = (h1 + j·h2) mod m (Kirsch &
+    Mitzenmacher 2006 — k probe positions from two derived hashes),
+    explode over j, OR the bit masks per 64-bit word, densify against a
+    ``range(m/64)`` and fold into one sorted array.  Everything stays in
+    codegen; the result is a few hundred KB to broadcast regardless of
+    the input's size.
+    """
+    n_words = (m_bits + 63) // 64
+    h1 = F.pmod(F.col(hash_col), F.lit(m_bits))
+    h2 = F.lit(1) + F.pmod(
+        F.floor(F.col(hash_col) / m_bits), F.lit(m_bits - 1)
+    )
+    probes = hashes.select(
+        h1.alias("_h1"), h2.alias("_h2"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_j"),
+    )
+    pos = F.pmod(F.col("_h1") + F.col("_j") * F.col("_h2"), F.lit(m_bits))
+    sparse = (
+        probes.select(pos.alias("_pos"))
+        .select(
+            F.floor(F.col("_pos") / 64).cast("long").alias("_word"),
+            # shiftleft's python API takes only a literal shift — the
+            # column-shift form exists in SQL only
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"
+            ).alias("_mask"),
+        )
+        .groupBy("_word")
+        .agg(F.expr("bit_or(_mask)").alias("_bits"))
+    )
+    spark = hashes.sparkSession
+    dense = (
+        spark.range(n_words)
+        .withColumnRenamed("id", "_word")
+        .join(sparse, "_word", "left")
+        .select("_word", F.coalesce("_bits", F.lit(0)).alias("_bits"))
+    )
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_word", "_bits"))),
+            lambda s: s["_bits"],
+        ).alias("bits")
+    )
+
+
+def bloom_probe_col(
+    hash_expr: str, m_bits: int, k: int = 7, bits_col: str = "bits"
+) -> F.Column:
+    """Membership probe against a broadcast :func:`build_bloom` row: true
+    iff ALL k double-hashed bit positions are set (may false-positive at
+    the design rate, never false-negative).  ``hash_expr`` is a SQL
+    expression string naming the hash column (the column-shift form of
+    shiftrightunsigned exists only in SQL)."""
+    h1 = f"pmod({hash_expr}, {m_bits})"
+    h2 = (
+        f"(1 + pmod(CAST(floor({hash_expr} / {m_bits}) AS BIGINT), "
+        f"{m_bits - 1}))"
+    )
+    conds = []
+    for j in range(k):
+        pos = f"pmod({h1} + {j} * {h2}, {m_bits})"
+        word = f"element_at({bits_col}, CAST(floor({pos} / 64) AS INT) + 1)"
+        conds.append(
+            f"((shiftrightunsigned({word}, CAST({pos} % 64 AS INT)) & 1)"
+            f" = 1)"
+        )
+    return F.expr(" AND ".join(conds))
+
+
+def bloom_contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 1 << 20,
+    k: int = 7,
+) -> DataFrame:
+    """:func:`contamination_check` with a Bloom-filter prefilter — the
+    100 TB-benchmark variant.
+
+    When the benchmark suite is too large to broadcast raw (hundreds of
+    eval sets × long prompts), broadcast a bit-packed Bloom filter of
+    its shingle hashes instead (~m_bits/8 bytes, vs 8 bytes/shingle for
+    the raw set): the corpus-side scan drops every shingle the filter
+    rejects BEFORE the shuffle join, so the exact join sees only true
+    hits plus the ~fpp false-positive trickle.  The exact join still
+    runs — false positives are removed, so the output is IDENTICAL to
+    the exact check (shared oracle); the bloom only cuts shuffled rows.
+    """
+    doc_sh = shingle(df, text_col=text_col, n=n, distinct=True)
+    bench_sh = (
+        shingle(benchmark, text_col=text_col, n=n, distinct=False)
+        .select("shingle_hash")
+        .distinct()
+    )
+    bloom = build_bloom(bench_sh, m_bits=m_bits, k=k)
+    prefiltered = (
+        doc_sh.crossJoin(F.broadcast(bloom))
+        .filter(bloom_probe_col("shingle_hash", m_bits, k))
+        .drop("bits")
+    )
+    totals = doc_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        prefiltered.join(bench_sh, "shingle_hash")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return hits.join(totals, "doc_id").select(
+        "doc_id",
+        "n_overlap",
+        "n_shingles",
+        F.round(F.col("n_overlap") / F.col("n_shingles"), 6).alias(
+            "contam_frac"
+        ),
+    )
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mixture planning: given target mixture ``weights`` per
+    source and a total ``token_budget``, compute each source's token
+    allocation, sampling rate and epoch count (rate > 1 means the
+    source repeats — the Llama/DoReMi-style data recipe table).
+
+    One token-count aggregate keyed by source (narrow projection, no
+    shuffle beyond the aggregate) joined to the broadcast weight list;
+    everything downstream of this plan (stratified/weighted sampling,
+    packing) already exists as operators.
+    """
+    from metrics_advisor_spark.functions.text import token_count_col
+
+    spark = df.sparkSession
+    total_w = sum(weights.values())
+    wdf = spark.createDataFrame(
+        [(s, float(w) / total_w) for s, w in sorted(weights.items())],
+        f"{source_col} string, weight double",
+    )
+    avail = df.select(
+        source_col, token_count_col(F.col(text_col)).alias("_tok")
+    ).groupBy(source_col).agg(
+        F.sum("_tok").cast("long").alias("available_tokens")
+    )
+    target = F.round(F.col("weight") * token_budget).cast("long")
+    rate = F.try_divide(target, F.col("available_tokens"))
+    return avail.join(F.broadcast(wdf), source_col).select(
+        source_col,
+        "available_tokens",
+        target.alias("target_tokens"),
+        F.round(rate, 6).alias("sampling_rate"),
+        F.ceil(rate).cast("long").alias("n_epochs"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str = "lang",

@@ -22,18 +22,28 @@ from metrics_advisor_spark.operators.detect import (
     detect_anomalies,
 )
 from metrics_advisor_spark.operators.asof import asof_join
+from metrics_advisor_spark.operators.history import (
+    latest_by_key,
+    scd2_intervals,
+)
 from metrics_advisor_spark.operators.trend import (
     counter_rate,
     ewma,
     gap_detect,
     irate,
     mad_outliers,
+    predict_linear,
     quantile_over_time,
+    resets,
     series_regression,
 )
 from metrics_advisor_spark.operators.rangejoin import incident_intervals, range_join_count
 from metrics_advisor_spark.operators.resample import fill_gaps, resample
-from metrics_advisor_spark.operators.sessions import session_stats, sessionize
+from metrics_advisor_spark.operators.sessions import (
+    funnel,
+    session_stats,
+    sessionize,
+)
 from metrics_advisor_spark.operators.xcorr import (
     best_lag,
     ncc_cogrouped,
@@ -43,8 +53,13 @@ from metrics_advisor_spark.operators.xcorr import (
 __all__ = [
     "counter_rate",
     "ewma",
+    "funnel",
     "gap_detect",
     "irate",
+    "latest_by_key",
+    "predict_linear",
+    "resets",
+    "scd2_intervals",
     "quantile_over_time",
     "mad_outliers",
     "series_regression",

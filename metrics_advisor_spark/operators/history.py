@@ -1,0 +1,74 @@
+"""Change-history operators: CDC compaction (latest record per key) and
+SCD2 interval construction — the two materializations every warehouse
+built from change streams needs (beyond the reference's surface; the
+signals/events model is a change stream per SURVEY.md §1.5).
+
+Spark-first shapes:
+
+* ``latest_by_key`` — one ``row_number`` window over a single shuffle on
+  the (uniform) business key.  This is the standard "compact a CDC/log
+  table to current state" pattern; at 100 TB the key cardinality is the
+  parallelism and no group outgrows an executor (one row per change).
+* ``scd2_intervals`` — one ``lead`` window on the same partitioning:
+  each change row becomes a [valid_from, valid_to) interval, the open
+  row gets NULL valid_to.  Interval joins against it use the
+  block-and-refine range join (``operators/rangejoin.py``).
+
+Both take an explicit deterministic ``order_col`` tiebreak (change
+streams carry a log sequence number; the driver's events table has
+``event_id``) so duplicate timestamps cannot flake results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    order_col: str | None = "event_id",
+) -> DataFrame:
+    """Keep the most recent row per business key (CDC compaction).
+
+    ``order_col`` breaks equal-timestamp ties (latest wins on the higher
+    sequence value), keeping the result deterministic under any
+    partitioning."""
+    order = [F.col(ts_col).desc()]
+    if order_col is not None:
+        order.append(F.col(order_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    order_col: str | None = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: each change row becomes a
+    [valid_from, valid_to) interval per key; the current row's
+    ``valid_to`` is NULL and ``is_current`` is true.
+
+    One ``lead`` window per key — the interval end is simply the next
+    change's timestamp, so history construction is a single pass with
+    no self-join."""
+    order = [F.col(ts_col).asc()]
+    if order_col is not None:
+        order.append(F.col(order_col).asc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    nxt = F.lead(F.unix_timestamp(ts_col)).over(w)
+    return df.select(
+        *key_cols,
+        F.unix_timestamp(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        *[c for c in df.columns if c not in (*key_cols, ts_col)],
+    )

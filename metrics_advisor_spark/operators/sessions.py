@@ -40,6 +40,58 @@ def sessionize(
     )
 
 
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel conversion: for each step k, how many users
+    performed steps 1..k IN ORDER (each step strictly after the
+    previous one's first occurrence — the standard product-analytics
+    funnel, the batch analogue of SQL MATCH_RECOGNIZE).
+
+    Plan shape: one filtered min-aggregate per step, chained by
+    co-partitioned equi-joins on the user key — every stage shuffles on
+    the (uniform) user id and carries ONE row per qualifying user, so
+    depth-k funnels cost k small aggregates over progressively shrinking
+    sets, never a per-user event sort.  Returns (step_idx, step,
+    n_users, pct_of_first) — pct is vs the step-1 population.
+    """
+    t_prev = None
+    counts = []
+    for idx, step in enumerate(steps):
+        stage = events.filter(F.col(type_col) == step)
+        if t_prev is not None:
+            stage = stage.join(t_prev, user_col).filter(
+                F.col("ts") > F.col("_t_prev")
+            )
+        t_prev = stage.groupBy(user_col).agg(
+            F.min("ts").alias("_t_prev")
+        )
+        counts.append(
+            t_prev.agg(
+                F.lit(idx + 1).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    first = out.filter(F.col("step_idx") == 1).select(
+        F.col("n_users").alias("_n1")
+    )
+    return out.crossJoin(F.broadcast(first)).select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.round(F.try_divide(F.col("n_users"), F.col("_n1")), 6).alias(
+            "pct_of_first"
+        ),
+    )
+
+
 def session_stats(
     signals: DataFrame,
     gap_seconds: int = 1800,

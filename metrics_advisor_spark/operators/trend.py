@@ -163,6 +163,71 @@ def counter_rate(
     )
 
 
+def predict_linear(signals: DataFrame, horizon_s: int = 3600) -> DataFrame:
+    """PromQL ``predict_linear``: per-series OLS extrapolation
+    ``horizon_s`` seconds past the series' LAST sample (the alerting
+    primitive "disk full in 4 h?").
+
+    Same single hash aggregate as :func:`series_regression` (covariance
+    moments keyed by series, x shifted by the broadcast global epoch
+    min), plus the per-series max-x carried in the same pass — one
+    shuffle total, no window sort."""
+    ext = signals.agg(F.min(F.unix_timestamp("ts")).alias("t0"))
+    x = F.unix_timestamp("ts") - F.col("t0")
+    fitted = (
+        signals.crossJoin(F.broadcast(ext))
+        .groupBy(*SERIES_KEY)
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.covar_pop(x, F.col("value")).alias("sxy"),
+            F.var_pop(x).alias("sxx"),
+            F.avg(x).alias("mx"),
+            F.avg("value").alias("my"),
+            F.max(x).alias("x_end"),
+        )
+        .filter((F.col("n_samples") >= 3) & (F.col("sxx") > 0))
+    )
+    slope = F.col("sxy") / F.col("sxx")
+    intercept = F.col("my") - slope * F.col("mx")
+    return fitted.select(
+        "metric",
+        "series",
+        "n_samples",
+        F.round(
+            intercept + slope * (F.col("x_end") + F.lit(horizon_s)), 6
+        ).alias("predicted"),
+    )
+
+
+def resets(signals: DataFrame, bucket_s: int = 600) -> DataFrame:
+    """PromQL ``resets``: count of counter resets (value drops between
+    adjacent samples) per series and fixed bucket; boundary pairs belong
+    to the later sample's bucket, as in :func:`irate`.
+
+    One window sort per series (``value`` as the deterministic tiebreak
+    for duplicate timestamps, mirrored in the oracle) feeding a
+    (series, bucket)-keyed aggregate whose key prefixes the sort key —
+    one exchange total."""
+    w = Window.partitionBy(*SERIES_KEY).orderBy("ts", "value")
+    prev = F.lag("value").over(w)
+    bucket = (F.floor(F.unix_timestamp("ts") / bucket_s) * bucket_s).cast(
+        "long"
+    )
+    return (
+        signals.select(
+            "metric", "series", bucket.alias("bucket_epoch"),
+            F.when(F.col("value") < prev, 1).otherwise(0).alias("_r"),
+            prev.isNotNull().cast("int").alias("_p"),
+        )
+        .groupBy("metric", "series", "bucket_epoch")
+        .agg(
+            F.sum("_r").cast("long").alias("n_resets"),
+            F.sum("_p").cast("long").alias("n_pairs"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )
+
+
 def quantile_over_time(
     signals: DataFrame,
     slot_s: int = 3600,
