@@ -116,3 +116,74 @@ class Corpus:
             self.df, budget, text_col=self.text_col, two_phase=two_phase
         ).select("doc_id")
         return self._with(self.df.join(sampled, "doc_id", "left_semi"))
+
+    def decontaminate(
+        self,
+        benchmark: DataFrame,
+        n: int = 5,
+        max_frac: float = 0.0,
+        bloom: bool = False,
+        **kwargs,
+    ) -> "Corpus":
+        """Drop documents whose benchmark n-gram overlap exceeds
+        ``max_frac`` (0.0 = any overlap).  ``bloom=True`` routes through
+        the Bloom-prefiltered variant (same output, broadcast-friendly
+        for benchmark suites too large to broadcast raw)."""
+        from metrics_advisor_spark.functions.curation import (
+            bloom_contamination_check,
+            contamination_check,
+        )
+
+        check = bloom_contamination_check if bloom else contamination_check
+        hits = (
+            check(self.df, benchmark, text_col=self.text_col, n=n, **kwargs)
+            .filter(F.col("contam_frac") > max_frac)
+            .select("doc_id")
+        )
+        return self._with(self.df.join(hits, "doc_id", "left_anti"))
+
+    def semantic_dedup(
+        self,
+        embeddings: DataFrame,
+        threshold: float = 0.9,
+        n_lists: int = 16,
+        id_col: str = "doc_id",
+        vec_col: str = "embedding",
+    ) -> "Corpus":
+        """SemDeDup: drop docs whose embeddings are within-cluster
+        cosine near-dups of a kept representative.  ``embeddings`` maps
+        ``id_col`` → ``vec_col``; docs without an embedding are kept."""
+        from metrics_advisor_spark.functions.similarity import semdedup
+
+        kept = semdedup(
+            embeddings, threshold=threshold, n_lists=n_lists,
+            id_col=id_col, vec_col=vec_col,
+        ).select(id_col)
+        dropped = embeddings.select(id_col).join(kept, id_col, "left_anti")
+        return self._with(
+            self.df.join(
+                dropped.withColumnRenamed(id_col, "doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+        )
+
+    def shuffle(self, n_shards: int = 8, seed: int = 0) -> "Corpus":
+        """Attach the deterministic training order (shard, shard_pos)."""
+        from metrics_advisor_spark.functions.corpus import global_shuffle
+
+        order = global_shuffle(
+            self.df, n_shards=n_shards, seed=seed
+        ).select("doc_id", "shard", "shard_pos")
+        return self._with(self.df.join(order, "doc_id"))
+
+    def mixture(
+        self, weights: dict[str, float], token_budget: int
+    ) -> DataFrame:
+        """The per-source sampling-rate/epoch recipe table (terminal —
+        returns the plan DataFrame, not a Corpus)."""
+        from metrics_advisor_spark.functions.curation import mixture_plan
+
+        return mixture_plan(
+            self.df, weights, token_budget, text_col=self.text_col
+        )

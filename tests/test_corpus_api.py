@@ -71,3 +71,57 @@ def test_minhash_and_simhash_paths_run(docs):
 
     with pytest.raises(ValueError):
         Corpus(docs).near_dedup(method="nope")
+
+
+def test_decontaminate_and_shuffle_and_mixture(spark, docs):
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog and runs far away")],
+        "doc_id long, text string",
+    )
+    for use_bloom in (False, True):
+        kept = {
+            r.doc_id
+            for r in Corpus(docs)
+            .decontaminate(bench, n=5, bloom=use_bloom)
+            .df.select("doc_id")
+            .collect()
+        }
+        # docs 1-3 share the benchmark 5-grams; 4-6 don't
+        assert kept == {4, 5, 6}, kept
+
+    shuffled = Corpus(docs).shuffle(n_shards=2, seed=3).df.collect()
+    assert {r.doc_id for r in shuffled} == {1, 2, 3, 4, 5, 6}
+    assert all(r.shard in (0, 1) for r in shuffled)
+
+    plan = {
+        r["source"]: r
+        for r in Corpus(
+            docs.withColumn(
+                "source",
+                F.when(F.col("doc_id") <= 3, "web").otherwise("books"),
+            )
+        )
+        .mixture(weights={"web": 0.5, "books": 0.5}, token_budget=100)
+        .collect()
+    }
+    assert set(plan) == {"web", "books"}
+    assert all(r["n_epochs"] >= 1 for r in plan.values())
+
+
+def test_semantic_dedup_stage(spark, docs):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = {i: [float(x) for x in rng.normal(0, 1, 8)] for i in (1, 3, 4, 5, 6)}
+    vecs[2] = vecs[1]  # doc 2's embedding duplicates doc 1's
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "doc_id long, embedding array<float>"
+    )
+    kept = {
+        r.doc_id
+        for r in Corpus(docs)
+        .semantic_dedup(emb, threshold=0.95, n_lists=2)
+        .df.select("doc_id")
+        .collect()
+    }
+    assert kept == {1, 3, 4, 5, 6}  # 2 dropped; keeper (1) survives

@@ -219,3 +219,86 @@ def test_irate_time_shift_equivariance(spark, shift_buckets):
     ra = {r["bucket_epoch"]: r["irate_per_s"] for r in irate(a).collect()}
     rb = {r["bucket_epoch"]: r["irate_per_s"] for r in irate(b).collect()}
     assert rb == {k + shift_buckets * 600: v for k, v in ra.items()}
+
+
+@PROP
+@given(seed=st.integers(min_value=0, max_value=10**6))
+def test_global_shuffle_is_permutation_for_any_seed(spark, seed):
+    """Whatever the seed, global_shuffle emits each doc exactly once
+    with dense per-shard positions (a true permutation)."""
+    from metrics_advisor_spark.functions.corpus import global_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in range(97)], "doc_id long")
+    rows = global_shuffle(docs, n_shards=4, seed=seed).collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(97))
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    for pos in by_shard.values():
+        assert sorted(pos) == list(range(len(pos)))
+
+
+@PROP
+@given(
+    n_users=st.integers(min_value=5, max_value=40),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_funnel_counts_monotone_nonincreasing(spark, n_users, seed):
+    """Completing step k requires completing step k-1 first, so funnel
+    counts can never increase with depth — for ANY event history."""
+    import numpy as np
+
+    from metrics_advisor_spark.operators.sessions import funnel
+
+    rng = np.random.default_rng(seed)
+    types = ["view", "click", "purchase"]
+    rows = []
+    for u in range(n_users):
+        for i in range(rng.integers(1, 8)):
+            rows.append(
+                (
+                    u,
+                    _ts_prop(int(rng.integers(0, 10_000))),
+                    types[int(rng.integers(0, 3))],
+                )
+            )
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = sorted(
+        funnel(ev, steps=tuple(types)).collect(),
+        key=lambda r: r["step_idx"],
+    )
+    counts = [r["n_users"] for r in got]
+    assert counts == sorted(counts, reverse=True)
+
+
+def _ts_prop(s: int):
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+
+@PROP
+@given(seed=st.integers(min_value=0, max_value=10**6))
+def test_bloom_never_false_negative(spark, seed):
+    """Every inserted hash must probe true — the Bloom guarantee the
+    decontamination prefilter's losslessness rests on."""
+    import numpy as np
+
+    from metrics_advisor_spark.functions.curation import (
+        bloom_probe_col,
+        build_bloom,
+    )
+
+    rng = np.random.default_rng(seed)
+    hashes = [int(x) for x in rng.integers(0, 2**55, 200)]
+    df = spark.createDataFrame([(h,) for h in hashes], "shingle_hash long")
+    m, k = 1 << 14, 5
+    bloom = build_bloom(df, m_bits=m, k=k)
+    admitted = (
+        df.crossJoin(F.broadcast(bloom))
+        .filter(bloom_probe_col("shingle_hash", m, k))
+        .count()
+    )
+    assert admitted == df.distinct().count()
