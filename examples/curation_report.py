@@ -60,6 +60,24 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
           f"sequences, weighted sample head: "
           f"{[r['doc_id'] for r in sample.collect()[:5]]}")
 
+    from metrics_advisor_spark.functions.corpus import global_shuffle
+    from metrics_advisor_spark.functions.curation import mixture_plan
+
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    weights = {s: 1.0 for s in sorted(srcs)[:3]}
+    print("== mixture recipe (uniform over 3 sources, 1M tokens) ==")
+    for r in mixture_plan(docs, weights, token_budget=1_000_000).orderBy(
+        "source"
+    ).collect():
+        print(f"  {r['source']:<8s} avail={r['available_tokens']:>7d} "
+              f"target={r['target_tokens']:>7d} rate={r['sampling_rate']} "
+              f"epochs={r['n_epochs']}")
+
+    order = global_shuffle(docs, n_shards=4, seed=0)
+    head = order.orderBy("shard", "shard_pos").limit(5).collect()
+    print("== training order (seed 0) ==",
+          [(r["shard"], r["shard_pos"], r["doc_id"]) for r in head])
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:2])
