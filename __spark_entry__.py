@@ -2012,6 +2012,173 @@ def q_streaming_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# ---------------------------------------------------------------------------
+# round-4b queries: time-series resampling, PromQL tail, corpus analytics
+# ---------------------------------------------------------------------------
+
+
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per metric — open/close via min_by/max_by with a
+    (ts, value) struct tiebreak, ONE hash aggregate (no window sort)."""
+    from metrics_advisor_spark.operators.resample import ohlc
+
+    bars = ohlc(_signals(spark, sf_dir).drop("series"), 3600, keys=("metric",))
+    return bars.select(
+        "metric",
+        "slot_epoch",
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        "n_ticks",
+    )
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-weighted average per series (hold-until-next-sample
+    integration, clipped at the last in-bucket observation)."""
+    from metrics_advisor_spark.operators.resample import time_weighted_avg
+
+    out = time_weighted_avg(_signals(spark, sf_dir), 86400)
+    return out.select(
+        "metric",
+        "series",
+        "slot_epoch",
+        F.round("twap", 6).alias("twap"),
+        "n_samples",
+    )
+
+
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densified per-metric hourly series with linear interpolation of
+    interior gaps (leading/trailing half-open gaps dropped)."""
+    from metrics_advisor_spark.operators.resample import interpolate_hourly
+
+    out = interpolate_hourly(_signals(spark, sf_dir))
+    return out.select(
+        "metric",
+        "slot_epoch",
+        F.round("value", 6).alias("value"),
+        "is_interpolated",
+    )
+
+
+def q_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL changes(): per series per day, count of consecutive-sample
+    value changes (within-bucket lag, (ts, value) deterministic order)."""
+    from metrics_advisor_spark.operators.trend import changes
+
+    return changes(_signals(spark, sf_dir), 86400)
+
+
+def q_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL deriv(): per series per day, least-squares slope of value
+    over seconds-since-bucket-start.  Completes the PromQL family
+    (counter_rate / irate / resets / predict_linear / quantile_over_time)."""
+    from metrics_advisor_spark.operators.trend import deriv
+
+    out = deriv(_signals(spark, sf_dir), 86400)
+    return out.select(
+        "metric",
+        "series",
+        "bucket_epoch",
+        "n_samples",
+        F.round("slope", 6).alias("slope"),
+    )
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the letter distribution — a
+    gibberish/low-diversity quality gate."""
+    from metrics_advisor_spark.functions.text import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
+def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution —
+    domain novelty scoring for mixture design."""
+    from metrics_advisor_spark.functions.text import kl_by_group
+
+    return kl_by_group(_docs(spark, sf_dir), "source")
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 adjacent token pairs (one BPE merge-loop counting step),
+    deterministic (count desc, pair) ranking."""
+    from metrics_advisor_spark.functions.text import token_pair_counts
+
+    return token_pair_counts(_docs(spark, sf_dir), top_k=30)
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split via the id-hash
+    threshold; per (source, split) doc and token counts."""
+    from metrics_advisor_spark.functions.curation import train_val_test_split
+    from metrics_advisor_spark.functions.text import token_count_col
+
+    split = train_val_test_split(_docs(spark, sf_dir))
+    return split.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_col(F.col("text"))).alias("n_tokens"),
+    )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the SimHash near-dup pair graph — cohesion
+    audit of the dedup candidate set (dup clusters are near-cliques)."""
+    from metrics_advisor_spark.functions.dedup import (
+        hamming_pairs_blocked,
+        simhash,
+        triangle_count,
+    )
+
+    sk = simhash(_docs_with_dups(spark, sf_dir))
+    return triangle_count(hamming_pairs_blocked(sk, max_distance=8))
+
+
+_MERGE_SPLIT_TS = "2024-01-15"
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE: apply the second half of the event stream as a CDC batch
+    (error events = deletes, everything else = upserts) onto the
+    first-half per-user snapshot."""
+    from metrics_advisor_spark.operators.history import (
+        latest_by_key,
+        merge_upsert,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_type", "value", "event_id"
+    )
+    split_ts = F.lit(_MERGE_SPLIT_TS).cast("timestamp")
+    base = latest_by_key(ev.where(F.col("ts") < split_ts), ("user_id",)).select(
+        "user_id", "ts", "event_type", "value"
+    )
+    chg = ev.where(F.col("ts") >= split_ts).withColumn(
+        "is_delete", F.col("event_type") == "error"
+    )
+    merged = merge_upsert(
+        base, chg, key_cols=("user_id",), order_cols=("ts", "event_id")
+    )
+    return merged.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("epoch"),
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user activity intervals with a 30-minute
+    merge gap."""
+    from metrics_advisor_spark.operators.sessions import interval_merge
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return interval_merge(ev, gap_seconds=1800)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST
     # 50 entries (VERDICT r02).  Rotation discipline (ROUND_NOTES):
@@ -2019,10 +2186,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # PATH changed this round, then (c) oldest-driver-green first, so no
     # green row ages past two rounds.  Round-4 state: every r03 first-50
     # row is green; stale = 16 r01 rows + 50 r02 rows.  This round's
-    # first 50 = 11 new + 6 changed + 16 r01 + 17 r02; the remaining 33
-    # r02 rows sit immediately after the cap (round-5 front of queue).
+    # first 50 = 23 new + 6 changed + 16 r01 + 5 r02 (flagship core);
+    # the remaining r02 rows queue immediately after the cap (round-5
+    # front of queue), then the r03 block.
     return {
         # (a) new round-4 queries — never driver-checked by definition
+        "ohlc": q_ohlc,
+        "twap": q_twap,
+        "interpolate": q_interpolate,
+        "changes": q_changes,
+        "deriv": q_deriv,
+        "char_entropy": q_char_entropy,
+        "kl_divergence": q_kl_divergence,
+        "bpe_pairs": q_bpe_pairs,
+        "train_split": q_train_split,
+        "triangle_count": q_triangle_count,
+        "merge_upsert": q_merge_upsert,
+        "interval_merge": q_interval_merge,
         "semdedup": q_semdedup,
         "report_summary": q_report_summary,
         "streaming_dedup": q_streaming_dedup,
@@ -2186,6 +2366,277 @@ def _ewma_sql(alpha: float = 0.2, depth: int = 12) -> str:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        # ---- round-4b additions ----
+        "ohlc": f"""
+            WITH sig AS ({_SIG}),
+            b AS (
+              SELECT metric,
+                     CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS slot_epoch,
+                     ts, value
+              FROM sig
+            ),
+            r AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY metric, slot_epoch
+                                        ORDER BY ts, value) AS rn_a,
+                     row_number() OVER (PARTITION BY metric, slot_epoch
+                                        ORDER BY ts DESC, value DESC) AS rn_d
+              FROM b
+            )
+            SELECT metric, slot_epoch,
+                   round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+                   round(max(value), 6) AS high,
+                   round(min(value), 6) AS low,
+                   round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+                   count(*) AS n_ticks
+            FROM r GROUP BY 1, 2
+        """,
+        "twap": f"""
+            WITH sig AS ({_SIG}),
+            b AS (
+              SELECT metric, series,
+                     CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS slot_epoch,
+                     ts, value
+              FROM sig
+            ),
+            seg AS (
+              SELECT *,
+                     floor(epoch(lead(ts) OVER (
+                         PARTITION BY metric, series, slot_epoch
+                         ORDER BY ts, value)))
+                       - floor(epoch(ts)) AS dur
+              FROM b
+            )
+            SELECT metric, series, slot_epoch,
+                   round(CASE WHEN sum(dur) > 0
+                              THEN sum(value * dur) / sum(dur)
+                              ELSE avg(value) END, 6) AS twap,
+                   count(*) AS n_samples
+            FROM seg GROUP BY 1, 2, 3
+        """,
+        "interpolate": """
+            WITH hourly AS (
+              SELECT event_type AS metric,
+                     CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS slot_epoch,
+                     avg(value) AS value
+              FROM events GROUP BY 1, 2
+            ),
+            ext AS (
+              SELECT metric, min(slot_epoch) AS tmin, max(slot_epoch) AS tmax
+              FROM hourly GROUP BY 1
+            ),
+            grid AS (
+              SELECT metric,
+                     unnest(range(tmin, tmax + 3600, 3600::BIGINT)) AS slot_epoch
+              FROM ext
+            ),
+            dense AS (
+              SELECT g.metric, g.slot_epoch, h.value
+              FROM grid g LEFT JOIN hourly h USING (metric, slot_epoch)
+            ),
+            win AS (
+              SELECT metric, slot_epoch, value,
+                last_value(value IGNORE NULLS) OVER wp AS pv,
+                last_value(CASE WHEN value IS NOT NULL THEN slot_epoch END
+                           IGNORE NULLS) OVER wp AS pt,
+                first_value(value IGNORE NULLS) OVER wn AS nv,
+                first_value(CASE WHEN value IS NOT NULL THEN slot_epoch END
+                            IGNORE NULLS) OVER wn AS nt
+              FROM dense
+              WINDOW
+                wp AS (PARTITION BY metric ORDER BY slot_epoch
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                wn AS (PARTITION BY metric ORDER BY slot_epoch
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT metric, slot_epoch,
+                   round(CASE WHEN value IS NOT NULL THEN value
+                              ELSE pv + (nv - pv) * (slot_epoch - pt)
+                                        / (nt - pt) END, 6) AS value,
+                   (value IS NULL) AS is_interpolated
+            FROM win WHERE pv IS NOT NULL AND nv IS NOT NULL
+        """,
+        "changes": f"""
+            WITH sig AS ({_SIG}),
+            b AS (
+              SELECT metric, series,
+                     CAST(floor(epoch(ts)/86400)*86400 AS BIGINT)
+                         AS bucket_epoch,
+                     ts, value
+              FROM sig
+            ),
+            l AS (
+              SELECT *, lag(value) OVER (
+                  PARTITION BY metric, series, bucket_epoch
+                  ORDER BY ts, value) AS pv
+              FROM b
+            )
+            SELECT metric, series, bucket_epoch,
+                   CAST(sum(CASE WHEN pv IS NOT NULL AND value <> pv
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                   count(*) AS n_samples
+            FROM l GROUP BY 1, 2, 3
+        """,
+        "deriv": f"""
+            WITH sig AS ({_SIG}),
+            b AS (
+              SELECT metric, series,
+                     CAST(floor(epoch(ts)/86400)*86400 AS BIGINT)
+                         AS bucket_epoch,
+                     floor(epoch(ts))
+                       - floor(epoch(ts)/86400)*86400 AS x,
+                     value
+              FROM sig
+            )
+            SELECT metric, series, bucket_epoch,
+                   count(*) AS n_samples,
+                   round(regr_slope(value, x), 6) AS slope
+            FROM b GROUP BY 1, 2, 3
+            HAVING count(*) >= 2
+        """,
+        "char_entropy": """
+            WITH d AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]')) AS ch
+              FROM documents
+            ),
+            c AS (SELECT doc_id, ch, count(*) AS c FROM d GROUP BY 1, 2),
+            t AS (SELECT doc_id, sum(c) AS n_letters FROM c GROUP BY 1)
+            SELECT c.doc_id, CAST(n_letters AS BIGINT) AS n_letters,
+                   round(-sum((c / n_letters) * ln(c / n_letters)), 6)
+                       AS entropy
+            FROM c JOIN t USING (doc_id) GROUP BY 1, 2
+        """,
+        "kl_divergence": """
+            WITH wrd AS (
+              SELECT source,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents
+            ),
+            gw AS (SELECT source, w, count(*) AS c FROM wrd GROUP BY 1, 2),
+            corpus AS (SELECT w, sum(c) AS cq FROM gw GROUP BY 1),
+            totals AS (SELECT source, sum(c) AS n_g FROM gw GROUP BY 1),
+            grand AS (SELECT sum(cq) AS n_q FROM corpus)
+            SELECT source, CAST(n_g AS BIGINT) AS n_tokens,
+                   round(sum((c / n_g) * ln((c / n_g) / (cq / n_q))), 6)
+                       AS kl_divergence
+            FROM gw JOIN corpus USING (w) JOIN totals USING (source)
+            CROSS JOIN grand
+            GROUP BY 1, 2
+        """,
+        "bpe_pairs": """
+            WITH toks AS (
+              SELECT regexp_extract_all(lower(text), '[a-z]+') AS t
+              FROM documents
+            ),
+            pairs AS (
+              SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+              FROM toks WHERE len(t) >= 2
+            ),
+            c AS (
+              SELECT p[1] || ' ' || p[2] AS pair, count(*) AS n_pairs
+              FROM pairs GROUP BY 1
+            ),
+            r AS (
+              SELECT *, CAST(row_number() OVER (
+                  ORDER BY n_pairs DESC, pair) AS INT) AS rank
+              FROM c
+            )
+            SELECT rank, pair, n_pairs FROM r WHERE rank <= 30
+        """,
+        "train_split": """
+            WITH s AS (
+              SELECT source, text,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT
+                       / 72057594037927936.0 AS u
+              FROM documents
+            ),
+            lab AS (
+              SELECT source, text,
+                     CASE WHEN u < 0.8 THEN 'train'
+                          WHEN u < 0.9 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM s
+            )
+            SELECT source, split, count(*) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(text, {TOKEN_RE})))
+                        AS BIGINT) AS n_tokens
+            FROM lab GROUP BY 1, 2
+        """.replace("{TOKEN_RE}", _TOKEN_RE_SQL),
+        "triangle_count": f"""
+            WITH sk AS ({_simhash_sql(_DOCS_DUPS)}),
+            e AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+            ),
+            w AS (
+              SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+              FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+            )
+            SELECT (SELECT count(*) FROM w
+                    JOIN e e3 ON w.a = e3.doc_a AND w.c = e3.doc_b)
+                       AS n_triangles,
+                   (SELECT count(*) FROM e) AS n_edges
+        """,
+        "merge_upsert": f"""
+            WITH base AS (
+              SELECT user_id, ts, event_type, value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+                WHERE ts < TIMESTAMP '{_MERGE_SPLIT_TS}'
+              ) WHERE rn = 1
+            ),
+            latest AS (
+              SELECT user_id, ts, event_type, value,
+                     (event_type = 'error') AS is_delete FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+                WHERE ts >= TIMESTAMP '{_MERGE_SPLIT_TS}'
+              ) WHERE rn = 1
+            )
+            SELECT user_id,
+                   CAST(floor(epoch(CASE WHEN c.ts IS NOT NULL THEN c.ts
+                                         ELSE b.ts END)) AS BIGINT) AS epoch,
+                   CASE WHEN c.ts IS NOT NULL THEN c.event_type
+                        ELSE b.event_type END AS event_type,
+                   round(CASE WHEN c.ts IS NOT NULL THEN c.value
+                              ELSE b.value END, 6) AS value
+            FROM base b FULL OUTER JOIN latest c USING (user_id)
+            WHERE c.is_delete IS NULL OR NOT c.is_delete
+        """,
+        "interval_merge": """
+            WITH l AS (
+              SELECT user_id, ts, event_id,
+                     floor(epoch(ts)) - floor(epoch(lag(ts) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id))) AS gap
+              FROM events
+            ),
+            n AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN gap IS NULL OR gap > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM l
+            ),
+            i AS (
+              SELECT user_id, ts,
+                     CAST(sum(is_new) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS island_id
+              FROM n
+            )
+            SELECT user_id, island_id,
+                   CAST(min(floor(epoch(ts))) AS BIGINT) AS island_start,
+                   CAST(max(floor(epoch(ts))) AS BIGINT) AS island_end,
+                   count(*) AS n_events
+            FROM i GROUP BY 1, 2
+        """,
         # ---- round-4 additions ----
         "mixture_plan": f"""
             WITH w(source, weight) AS (

@@ -503,3 +503,29 @@ def source_stats(df: DataFrame) -> DataFrame:
             (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
         )
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fractions: tuple[float, float] = (0.8, 0.1),
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment from a content-free id
+    hash — the standard "salted hash mod" split every training pipeline
+    needs so re-runs (and late-arriving shards) land each document in
+    the SAME split.
+
+    ``fractions`` = (train, val); test gets the remainder.  The
+    assignment is a pure narrow projection on the md5 of the id — no
+    shuffle, no RNG, reproducible across engines (same trick as
+    `stratified_sample`, functions/curation.py:377).
+    """
+    u = _hash56(F.col(id_col).cast("string")) / F.lit(float(1 << 56))
+    train_f, val_f = fractions
+    split = (
+        F.when(u < train_f, F.lit("train"))
+        .when(u < train_f + val_f, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(out_col, split)

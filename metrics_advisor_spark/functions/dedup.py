@@ -576,3 +576,40 @@ def minhash_jaccard_estimate(
         "doc_a", "doc_b", "jaccard_est",
         F.coalesce(F.col("jaccard_exact"), F.lit(0.0)).alias("jaccard_exact"),
     )
+
+
+def triangle_count(pairs: DataFrame) -> DataFrame:
+    """Count triangles in a canonical (doc_a < doc_b) pair graph — a
+    one-number cohesion audit of a near-dup pair set (dup clusters are
+    near-cliques, so triangles/edges ≈ how clique-like the graph is;
+    a bipartite-looking pair graph signals a bad LSH threshold).
+
+    Standard oriented-triangle join: every triangle a<b<c is counted
+    exactly once as (a,b)+(b,c) closed by (a,c).
+
+    Scale: two equi-joins on single doc-id keys over the (already
+    blocked, already capped) pair set — never over the corpus.  The
+    first join's fan-out is Σ deg_in·deg_out per vertex; the LSH/
+    pigeonhole producers upstream cap bucket sizes (`max_bucket_size`,
+    `max_shingle_df`), which bounds degree and hence the join blow-up.
+    """
+    e = pairs.select("doc_a", "doc_b")
+    wedge = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"),
+            F.col("e1.doc_b") == F.col("e2.doc_a"),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    tri = wedge.join(
+        e.alias("e3"),
+        (F.col("a") == F.col("e3.doc_a")) & (F.col("c") == F.col("e3.doc_b")),
+    )
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
+        e.agg(F.count("*").alias("n_edges"))
+    )

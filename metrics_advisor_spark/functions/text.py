@@ -296,3 +296,112 @@ def zipf_slope(df: DataFrame, text_col: str = "text", top_n: int = 200) -> DataF
         ),
         F.count(F.lit(1)).alias("n_terms"),
     )
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon entropy (natural log) of the lowercase
+    letter distribution — a cheap gibberish / low-diversity signal for
+    corpus quality gating (near-zero entropy = repeated characters).
+
+    Scale: the explode fans out one row per LETTER, but the per-(doc,
+    char) count collapses map-side (partial hash aggregate) to ≤26 rows
+    per doc before any exchange, and the second aggregate is keyed by
+    doc_id — uniform, no skew.  Entirely JVM-side expressions.
+    """
+    chars = F.explode(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]"), 0)
+    )
+    per_char = (
+        df.select(F.col(id_col), chars.alias("ch"))
+        .groupBy(id_col, "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    p = F.col("c") / F.col("n_letters")
+    return (
+        per_char.withColumn(
+            "n_letters", F.sum("c").over(Window.partitionBy(id_col))
+        )
+        .groupBy(id_col, "n_letters")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+    )
+
+
+def kl_by_group(df: DataFrame, group_col: str = "source",
+                text_col: str = "text") -> DataFrame:
+    """KL divergence of each group's unigram word distribution from the
+    whole-corpus distribution — "how unusual is this source's language"
+    (domain novelty scoring for mixture design).
+
+    KL(P_group ‖ Q_corpus) = Σ_w p(w) · ln(p(w)/q(w)).  Every group word
+    is by construction in the corpus vocabulary, so q(w) > 0 always.
+
+    Scale: one explode → ONE (group, word) hash aggregate (map-side
+    partial collapses repeats), the corpus distribution is a second
+    aggregate OVER that result (no second scan of the text), and the
+    vocab join is keyed by word — high cardinality, uniform.  No Python.
+    """
+    words = F.explode(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+    )
+    gw = (
+        df.select(F.col(group_col).alias("grp"), words.alias("w"))
+        .groupBy("grp", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    gw = gw.persist()
+    corpus = gw.groupBy("w").agg(F.sum("c").alias("cq"))
+    totals = gw.groupBy("grp").agg(F.sum("c").alias("n_g"))
+    grand = corpus.agg(F.sum("cq").alias("n_q"))
+    p = F.col("c") / F.col("n_g")
+    q = F.col("cq") / F.col("n_q")
+    return (
+        gw.join(corpus, "w")
+        .join(totals, "grp")
+        .crossJoin(F.broadcast(grand))
+        .groupBy(F.col("grp").alias(group_col), "n_g")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_divergence"))
+        .withColumnRenamed("n_g", "n_tokens")
+    )
+
+
+def token_pair_counts(df: DataFrame, text_col: str = "text",
+                      top_k: int = 30) -> DataFrame:
+    """Most frequent ADJACENT token pairs across the corpus — one
+    counting step of a BPE-style merge loop (and a collocation miner).
+
+    Pairs are formed inside the array with `arrays_zip` over two slices
+    (no per-token explode until the count), then counted in one hash
+    aggregate.  Ranking is deterministic: (count desc, pair asc) via
+    row_number, so a tie at the k-boundary cannot flake.
+
+    Scale: pair cardinality ~ vocab², but the map-side partial aggregate
+    collapses repeats per partition before the exchange; top-k is a
+    TakeOrdered over the aggregate, never a global sort.
+    """
+    toked = df.select(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+        ).alias("t")
+    ).where(F.size("t") >= 2)  # slice() rejects negative lengths
+    n = F.size(F.col("t"))
+    pairs = F.arrays_zip(
+        F.slice(F.col("t"), 1, n - 1).alias("l"),
+        F.slice(F.col("t"), 2, n - 1).alias("r"),
+    )
+    pair_str = toked.select(
+        F.explode(pairs).alias("p")
+    ).select(F.concat_ws(" ", "p.l", "p.r").alias("pair"))
+    counts = pair_str.groupBy("pair").agg(F.count("*").alias("n_pairs"))
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.orderBy(F.col("n_pairs").desc(), F.col("pair"))
+    )
+    return (
+        counts.withColumn("rank", rn)
+        .where(F.col("rank") <= top_k)
+        .select("rank", "pair", "n_pairs")
+    )

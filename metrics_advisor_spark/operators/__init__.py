@@ -24,10 +24,13 @@ from metrics_advisor_spark.operators.detect import (
 from metrics_advisor_spark.operators.asof import asof_join
 from metrics_advisor_spark.operators.history import (
     latest_by_key,
+    merge_upsert,
     scd2_intervals,
 )
 from metrics_advisor_spark.operators.trend import (
+    changes,
     counter_rate,
+    deriv,
     ewma,
     gap_detect,
     irate,
@@ -38,9 +41,16 @@ from metrics_advisor_spark.operators.trend import (
     series_regression,
 )
 from metrics_advisor_spark.operators.rangejoin import incident_intervals, range_join_count
-from metrics_advisor_spark.operators.resample import fill_gaps, resample
+from metrics_advisor_spark.operators.resample import (
+    fill_gaps,
+    interpolate_hourly,
+    ohlc,
+    resample,
+    time_weighted_avg,
+)
 from metrics_advisor_spark.operators.sessions import (
     funnel,
+    interval_merge,
     session_stats,
     sessionize,
 )
@@ -51,6 +61,13 @@ from metrics_advisor_spark.operators.xcorr import (
 )
 
 __all__ = [
+    "changes",
+    "deriv",
+    "interpolate_hourly",
+    "interval_merge",
+    "merge_upsert",
+    "ohlc",
+    "time_weighted_avg",
     "counter_rate",
     "ewma",
     "funnel",

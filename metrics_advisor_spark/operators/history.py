@@ -72,3 +72,52 @@ def scd2_intervals(
         nxt.isNull().alias("is_current"),
         *[c for c in df.columns if c not in (*key_cols, ts_col)],
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    order_cols: tuple[str, ...] = ("ts",),
+    delete_col: str = "is_delete",
+) -> DataFrame:
+    """MERGE semantics: apply a CDC batch (upserts + deletes) to a base
+    snapshot.
+
+    Per key, the LAST change in ``order_cols`` order wins; if that
+    change is a delete the key disappears, else its row replaces (or
+    inserts over) the base row.  Keys untouched by the batch keep their
+    base row.  This is the batch-apply counterpart of `latest_by_key`
+    (operators/history.py:28).
+
+    Scale: compact the change batch first (one window over the — much
+    smaller — change set), then a single full-outer join on the key.
+    The change side is usually a tiny fraction of the snapshot, so AQE
+    broadcasts it; the base table is never windowed or re-sorted.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    data_cols = [c for c in base.columns if c not in key_cols]
+    joined = base.alias("b").join(
+        latest.alias("c"), list(key_cols), "full_outer"
+    )
+    picked = [
+        F.when(F.col(f"c.{order_cols[0]}").isNotNull(), F.col(f"c.{col}"))
+        .otherwise(F.col(f"b.{col}"))
+        .alias(col)
+        for col in data_cols
+    ]
+    return (
+        joined.where(
+            F.col(f"c.{delete_col}").isNull() | ~F.col(f"c.{delete_col}")
+        )
+        .select(*key_cols, *picked)
+    )

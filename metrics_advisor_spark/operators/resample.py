@@ -99,3 +99,150 @@ def resample(signals: DataFrame, step_seconds: int, agg: str = "avg") -> DataFra
             "value",
         )
     )
+
+
+def ohlc(
+    signals: DataFrame,
+    step_seconds: int,
+    keys: tuple[str, ...] = ("metric",),
+) -> DataFrame:
+    """Open/high/low/close bars per key per step-aligned slot.
+
+    open/close pick the value at the earliest/latest sample of the slot,
+    with a deterministic (ts, value) tiebreak so duplicate timestamps
+    cannot flake a comparison against an external oracle.
+
+    Scale: ONE hash aggregate on (keys, slot) — `min_by`/`max_by` with a
+    struct ordering key do the endpoint selection inside the partial
+    aggregate, so no window sort and no second shuffle.  Slot keys are
+    uniform; skew only if one key dominates, in which case the partial
+    (map-side) aggregate already collapses each partition to one row per
+    (key, slot).
+    """
+    slot = (F.floor(F.unix_timestamp("ts") / step_seconds) * step_seconds).cast(
+        "long"
+    )
+    tie = F.struct(F.col("ts"), F.col("value"))
+    return (
+        signals.groupBy(*keys, slot.alias("slot_epoch"))
+        .agg(
+            F.min_by("value", tie).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", tie).alias("close"),
+            F.count("value").alias("n_ticks"),
+        )
+    )
+
+
+def time_weighted_avg(
+    signals: DataFrame,
+    step_seconds: int,
+    keys: tuple[str, ...] = ("metric", "series"),
+) -> DataFrame:
+    """Time-weighted average per key per slot (TWAP).
+
+    Each sample is weighted by its holding time — the gap to the NEXT
+    sample within the same slot.  The slot's last sample has no
+    successor, so a single-sample slot degrades to the plain value and a
+    multi-sample slot is the duration-weighted mean of all but the last
+    sample (the standard "integrate the step function between observed
+    points" definition, clipped at the last observation).
+
+    Scale: one window (partitioned by key+slot, ordered by ts) to fetch
+    `lead(ts)`, then one hash aggregate on the same key — the window and
+    the aggregate share a partitioning, so Catalyst plans a single
+    exchange.
+    """
+    from pyspark.sql import Window
+
+    slot = (F.floor(F.unix_timestamp("ts") / step_seconds) * step_seconds).cast(
+        "long"
+    )
+    with_slot = signals.withColumn("slot_epoch", slot)
+    w = Window.partitionBy(*keys, "slot_epoch").orderBy("ts", "value")
+    dur = (
+        F.unix_timestamp(F.lead("ts").over(w)).cast("double")
+        - F.unix_timestamp("ts").cast("double")
+    )
+    seg = with_slot.withColumn("dur", dur)
+    return seg.groupBy(*keys, "slot_epoch").agg(
+        F.when(
+            F.sum("dur") > 0,
+            F.sum(F.col("value") * F.col("dur")) / F.sum("dur"),
+        )
+        .otherwise(F.avg("value"))
+        .alias("twap"),
+        F.count("value").alias("n_samples"),
+    )
+
+
+def interpolate_hourly(signals: DataFrame) -> DataFrame:
+    """Densify per-metric hourly averages and linearly interpolate
+    interior gaps.
+
+    Emits every hourly slot in each metric's [min, max] extent with
+    ``value`` = the hourly average where observed, else the linear
+    interpolation between the nearest observed neighbours, plus an
+    ``is_interpolated`` flag.  Leading/trailing slots (no neighbour on
+    one side) are dropped — interpolation is defined only between two
+    observations.
+
+    Scale: hourly pre-aggregation first (the only pass over the raw
+    table), then the grid explode is `sequence()` over each metric's own
+    extent — never a global cross join — and the neighbour lookup is two
+    `last/first(ignorenulls)` windows over the same (metric → slot)
+    partitioning, so the densified frame is shuffled once.
+    """
+    from pyspark.sql import Window
+
+    hourly = (
+        signals.groupBy(
+            "metric",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("slot_epoch"),
+        )
+        .agg(F.avg("value").alias("value"))
+    )
+    ext = hourly.groupBy("metric").agg(
+        F.min("slot_epoch").alias("tmin"), F.max("slot_epoch").alias("tmax")
+    )
+    grid = ext.select(
+        "metric",
+        F.explode(
+            F.sequence("tmin", "tmax", F.lit(3600).cast("long"))
+        ).alias("slot_epoch"),
+    )
+    dense = grid.join(hourly, ["metric", "slot_epoch"], "left")
+    wp = (
+        Window.partitionBy("metric")
+        .orderBy("slot_epoch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("metric")
+        .orderBy("slot_epoch")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_slot = F.when(F.col("value").isNotNull(), F.col("slot_epoch"))
+    prev_v = F.last("value", ignorenulls=True).over(wp)
+    prev_t = F.last(obs_slot, ignorenulls=True).over(wp)
+    next_v = F.first("value", ignorenulls=True).over(wn)
+    next_t = F.first(obs_slot, ignorenulls=True).over(wn)
+    frac = (F.col("slot_epoch") - prev_t) / (next_t - prev_t)
+    interp = F.when(
+        F.col("value").isNotNull(), F.col("value")
+    ).otherwise(prev_v + (next_v - prev_v) * frac)
+    return (
+        dense.select(
+            "metric",
+            "slot_epoch",
+            interp.alias("value"),
+            F.col("value").isNull().alias("is_interpolated"),
+            prev_v.alias("_pv"),
+            next_v.alias("_nv"),
+        )
+        .where(F.col("_pv").isNotNull() & F.col("_nv").isNotNull())
+        .drop("_pv", "_nv")
+    )

@@ -123,3 +123,37 @@ def session_stats(
         ).alias("duration_s"),
         F.sum("value").alias("total_value"),
     )
+
+
+def interval_merge(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gaps-and-islands: merge each key's event stream into maximal
+    activity intervals where consecutive events are ≤ ``gap_seconds``
+    apart.
+
+    Classic two-window form: flag island starts with a lag comparison,
+    number islands with a running sum of the flags, then one aggregate
+    per (key, island).  All three steps share the per-key partitioning,
+    so the whole operator is a single exchange + one partition sort.
+
+    Scale: per-key history is the unit of parallelism (same contract as
+    `sessionize`, operators/sessions.py:21); a hot key serializes only
+    its own timeline.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    numbered = events.withColumn(
+        "island_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy(key_col, "island_id").agg(
+        F.min(F.unix_timestamp("ts")).alias("island_start"),
+        F.max(F.unix_timestamp("ts")).alias("island_end"),
+        F.count("*").alias("n_events"),
+    )

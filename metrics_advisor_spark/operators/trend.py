@@ -321,3 +321,71 @@ def gap_detect(signals: DataFrame, factor: float = 2.0) -> DataFrame:
             .alias("n_missing"),
         )
     )
+
+
+def changes(signals: DataFrame, bucket_s: int = 86400) -> DataFrame:
+    """PromQL-style ``changes()``: per series per bucket, how many times
+    the value changed between consecutive samples.
+
+    The comparison window is scoped WITHIN the bucket (the first sample
+    of a bucket has no predecessor to compare against), with a
+    deterministic (ts, value) sample order so duplicate timestamps
+    cannot flake the lag comparison.
+
+    Scale: one window sort per (metric, series, bucket) partition and
+    one hash aggregate on the same key — a single exchange; per-series
+    data is the unit of parallelism, same as `resets`/`counter_rate`.
+    """
+    from pyspark.sql import Window
+
+    bucket = (
+        F.floor(F.unix_timestamp("ts") / bucket_s) * bucket_s
+    ).cast("long")
+    with_b = signals.withColumn("bucket_epoch", bucket)
+    w = Window.partitionBy("metric", "series", "bucket_epoch").orderBy(
+        "ts", "value"
+    )
+    changed = (
+        F.lag("value").over(w).isNotNull()
+        & (F.col("value") != F.lag("value").over(w))
+    ).cast("long")
+    return (
+        with_b.withColumn("chg", changed)
+        .groupBy("metric", "series", "bucket_epoch")
+        .agg(
+            F.sum("chg").alias("n_changes"),
+            F.count("value").alias("n_samples"),
+        )
+    )
+
+
+def deriv(signals: DataFrame, bucket_s: int = 86400) -> DataFrame:
+    """PromQL-style ``deriv()``: per series per bucket, the simple
+    least-squares slope of value over time (units: value per second).
+
+    The x axis is re-based to the bucket start so the regression sums
+    stay small regardless of the absolute epoch — identical formula to
+    ``predict_linear`` (operators/trend.py:166) but per-bucket.
+
+    Scale: ONE hash aggregate — `regr_slope` computes its moment sums in
+    the partial (map-side) aggregate; no window, no second pass.
+    """
+    bucket = (
+        F.floor(F.unix_timestamp("ts") / bucket_s) * bucket_s
+    ).cast("long")
+    x = (F.unix_timestamp("ts") - bucket).cast("double")
+    return (
+        signals.select(
+            "metric",
+            "series",
+            bucket.alias("bucket_epoch"),
+            x.alias("x"),
+            "value",
+        )
+        .groupBy("metric", "series", "bucket_epoch")
+        .agg(
+            F.count("value").alias("n_samples"),
+            F.regr_slope("value", "x").alias("slope"),
+        )
+        .where(F.col("n_samples") >= 2)
+    )

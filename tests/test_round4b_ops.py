@@ -1,0 +1,254 @@
+"""Round-4b operators: OHLC bars, TWAP, linear interpolation, PromQL
+changes/deriv, char entropy, KL novelty, token-pair counts, train/val/
+test split, triangle count, MERGE upsert, gaps-and-islands."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+
+def _ts(s: int):
+    return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+
+def _sig(spark, rows):
+    return spark.createDataFrame(
+        rows, "metric string, series string, ts timestamp, value double"
+    )
+
+
+def test_ohlc_endpoints_and_extremes(spark):
+    from metrics_advisor_spark.operators.resample import ohlc
+
+    rows = [
+        ("m", "s", _ts(10), 5.0),
+        ("m", "s", _ts(20), 9.0),
+        ("m", "s", _ts(30), 1.0),
+        ("m", "s", _ts(40), 7.0),
+        # second hour: single tick
+        ("m", "s", _ts(3700), 2.0),
+    ]
+    out = {
+        r["slot_epoch"]: r
+        for r in ohlc(_sig(spark, rows), 3600, keys=("metric",)).collect()
+    }
+    bar = out[0]
+    assert (bar["open"], bar["high"], bar["low"], bar["close"]) == (
+        5.0, 9.0, 1.0, 7.0,
+    )
+    assert bar["n_ticks"] == 4
+    one = out[3600]
+    assert (one["open"], one["close"]) == (2.0, 2.0)
+
+
+def test_ohlc_duplicate_ts_tiebreak_deterministic(spark):
+    from metrics_advisor_spark.operators.resample import ohlc
+
+    # two samples at the SAME timestamp: the (ts, value) struct order
+    # must pick the smaller value as open, larger as close
+    rows = [("m", "s", _ts(10), 8.0), ("m", "s", _ts(10), 3.0)]
+    bar = ohlc(_sig(spark, rows), 3600, keys=("metric",)).collect()[0]
+    assert bar["open"] == 3.0 and bar["close"] == 8.0
+
+
+def test_twap_weights_by_holding_time(spark):
+    from metrics_advisor_spark.operators.resample import time_weighted_avg
+
+    # value 10 held for 30 s, value 20 held for 10 s, last sample
+    # (value 99) has no successor → weight 0
+    rows = [
+        ("m", "s", _ts(0), 10.0),
+        ("m", "s", _ts(30), 20.0),
+        ("m", "s", _ts(40), 99.0),
+    ]
+    out = time_weighted_avg(_sig(spark, rows), 3600).collect()[0]
+    assert abs(out["twap"] - (10.0 * 30 + 20.0 * 10) / 40) < 1e-9
+    assert out["n_samples"] == 3
+
+
+def test_twap_single_sample_degrades_to_value(spark):
+    from metrics_advisor_spark.operators.resample import time_weighted_avg
+
+    out = time_weighted_avg(
+        _sig(spark, [("m", "s", _ts(5), 42.0)]), 3600
+    ).collect()[0]
+    assert out["twap"] == 42.0
+
+
+def test_interpolate_fills_interior_gap_linearly(spark):
+    from metrics_advisor_spark.operators.resample import interpolate_hourly
+
+    # hourly slots 0, 3600, 7200, 10800 with 3600 and 7200 missing:
+    # 0 → 0.0, 10800 → 30.0 ⇒ interpolated 10.0 and 20.0
+    rows = [("m", "s", _ts(0), 0.0), ("m", "s", _ts(10800), 30.0)]
+    out = {
+        r["slot_epoch"]: r
+        for r in interpolate_hourly(_sig(spark, rows)).collect()
+    }
+    assert len(out) == 4
+    assert not out[0]["is_interpolated"]
+    assert out[3600]["is_interpolated"]
+    assert abs(out[3600]["value"] - 10.0) < 1e-9
+    assert abs(out[7200]["value"] - 20.0) < 1e-9
+    assert not out[10800]["is_interpolated"]
+
+
+def test_changes_counts_within_bucket_only(spark):
+    from metrics_advisor_spark.operators.trend import changes
+
+    rows = [
+        # bucket 0: 1 → 1 → 2 → 2 → 3  ⇒ 2 changes
+        ("m", "s", _ts(0), 1.0),
+        ("m", "s", _ts(10), 1.0),
+        ("m", "s", _ts(20), 2.0),
+        ("m", "s", _ts(30), 2.0),
+        ("m", "s", _ts(40), 3.0),
+        # bucket 600: first sample differs from bucket-0 tail but has no
+        # in-bucket predecessor ⇒ 0 changes
+        ("m", "s", _ts(600), 9.0),
+    ]
+    out = {
+        r["bucket_epoch"]: r["n_changes"]
+        for r in changes(_sig(spark, rows), 600).collect()
+    }
+    assert out == {0: 2, 600: 0}
+
+
+def test_deriv_exact_on_linear_series(spark):
+    from metrics_advisor_spark.operators.trend import deriv
+
+    rows = [("m", "s", _ts(t), 2.5 * t + 1.0) for t in (0, 60, 120, 300)]
+    out = deriv(_sig(spark, rows), 86400).collect()[0]
+    assert abs(out["slope"] - 2.5) < 1e-9
+    # singleton series is filtered (needs ≥ 2 samples)
+    single = deriv(_sig(spark, [("m", "s", _ts(0), 1.0)]), 86400).collect()
+    assert single == []
+
+
+def test_char_entropy_extremes(spark):
+    from metrics_advisor_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "  123  ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert out[1]["entropy"] == 0.0  # single symbol ⇒ zero entropy
+    assert abs(out[2]["entropy"] - math.log(2)) < 1e-6  # uniform over 2
+    assert 3 not in out  # no letters ⇒ no row
+
+
+def test_kl_zero_when_group_matches_corpus(spark):
+    from metrics_advisor_spark.functions.text import kl_by_group
+
+    # both sources have the IDENTICAL word distribution ⇒ KL = 0 each
+    df = spark.createDataFrame(
+        [("a", "x x y"), ("b", "x x y")], "source string, text string"
+    )
+    for r in kl_by_group(df).collect():
+        assert r["kl_divergence"] == 0.0
+        assert r["n_tokens"] == 3
+    # skewed source has strictly positive KL
+    df2 = spark.createDataFrame(
+        [("a", "x x x x"), ("b", "y y y y")], "source string, text string"
+    )
+    for r in kl_by_group(df2).collect():
+        assert r["kl_divergence"] > 0.0
+
+
+def test_token_pair_counts_ranking(spark):
+    from metrics_advisor_spark.functions.text import token_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "new york new york"), (2, "new york city"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = token_pair_counts(df, top_k=10).collect()
+    assert out[0]["pair"] == "new york" and out[0]["n_pairs"] == 3
+    pairs = {r["pair"] for r in out}
+    assert "york new" in pairs and "york city" in pairs
+    assert "solo" not in " ".join(pairs).split("  ")  # 1-token doc dropped
+
+
+def test_train_split_deterministic_and_partitioned(spark):
+    from metrics_advisor_spark.functions.curation import train_val_test_split
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = train_val_test_split(df).groupBy("split").count().collect()
+    b = train_val_test_split(df).groupBy("split").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    counts = dict(map(tuple, a))
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 1000
+    assert counts["train"] > counts["val"]  # ~80/10/10
+    # membership itself is stable row-by-row, not just in aggregate
+    rows = train_val_test_split(df).orderBy("doc_id").collect()
+    rows2 = train_val_test_split(df).orderBy("doc_id").collect()
+    assert rows == rows2
+
+
+def test_triangle_count_known_graph(spark):
+    from metrics_advisor_spark.functions.dedup import triangle_count
+
+    # triangle 1-2-3 plus pendant edge 3-4 ⇒ 1 triangle, 4 edges
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    out = triangle_count(edges).collect()[0]
+    assert out["n_triangles"] == 1 and out["n_edges"] == 4
+
+
+def test_merge_upsert_semantics(spark):
+    from metrics_advisor_spark.operators.history import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, _ts(10), "a", 1.0), (2, _ts(10), "b", 2.0), (3, _ts(10), "c", 3.0)],
+        "user_id long, ts timestamp, event_type string, value double",
+    )
+    chg = spark.createDataFrame(
+        [
+            # user 1: two updates — the later one wins
+            (1, _ts(20), "a2", 10.0, False, 1),
+            (1, _ts(30), "a3", 11.0, False, 2),
+            # user 2: deleted
+            (2, _ts(20), "gone", 0.0, True, 3),
+            # user 4: pure insert
+            (4, _ts(20), "d", 4.0, False, 4),
+        ],
+        "user_id long, ts timestamp, event_type string, value double,"
+        " is_delete boolean, event_id long",
+    )
+    out = {
+        r["user_id"]: r
+        for r in merge_upsert(
+            base, chg, order_cols=("ts", "event_id")
+        ).collect()
+    }
+    assert set(out) == {1, 3, 4}  # 2 deleted, 3 untouched, 4 inserted
+    assert out[1]["event_type"] == "a3" and out[1]["value"] == 11.0
+    assert out[3]["event_type"] == "c"
+    assert out[4]["value"] == 4.0
+
+
+def test_interval_merge_islands(spark):
+    from metrics_advisor_spark.operators.sessions import interval_merge
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: 0, 100, 200 merge; 5000 starts a new island
+            (1, 1, _ts(0)), (2, 1, _ts(100)), (3, 1, _ts(200)),
+            (4, 1, _ts(5000)),
+            (5, 2, _ts(0)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = interval_merge(ev, gap_seconds=1800)
+    u1 = sorted(
+        [tuple(r) for r in out.where("user_id = 1").collect()],
+        key=lambda t: t[1],
+    )
+    assert u1 == [(1, 1, 0, 200, 3), (1, 2, 5000, 5000, 1)]
+    assert out.where("user_id = 2").collect()[0]["n_events"] == 1
