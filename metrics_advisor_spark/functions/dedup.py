@@ -593,7 +593,9 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
     pigeonhole producers upstream cap bucket sizes (`max_bucket_size`,
     `max_shingle_df`), which bounds degree and hence the join blow-up.
     """
-    e = pairs.select("doc_a", "doc_b")
+    # the pair set feeds THREE join legs — persist it once or the whole
+    # upstream producer (simhash + blocking) re-executes per leg
+    e = pairs.select("doc_a", "doc_b").persist()
     wedge = (
         e.alias("e1")
         .join(

@@ -304,6 +304,10 @@ def char_entropy(df: DataFrame, text_col: str = "text",
     letter distribution — a cheap gibberish / low-diversity signal for
     corpus quality gating (near-zero entropy = repeated characters).
 
+    Uses the algebraic form H = ln(n) − (Σ c·ln c)/n so the total and
+    the per-char sum come out of ONE aggregate (no window pass; agrees
+    with −Σ p·ln p to ~1e-13, far inside the 6dp rounding).
+
     Scale: the explode fans out one row per LETTER, but the per-(doc,
     char) count collapses map-side (partial hash aggregate) to ≤26 rows
     per doc before any exchange, and the second aggregate is keyed by
@@ -317,15 +321,12 @@ def char_entropy(df: DataFrame, text_col: str = "text",
         .groupBy(id_col, "ch")
         .agg(F.count("*").alias("c"))
     )
-    from pyspark.sql import Window
-
-    p = F.col("c") / F.col("n_letters")
-    return (
-        per_char.withColumn(
-            "n_letters", F.sum("c").over(Window.partitionBy(id_col))
-        )
-        .groupBy(id_col, "n_letters")
-        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+    n = F.sum("c")
+    return per_char.groupBy(id_col).agg(
+        n.alias("n_letters"),
+        F.round(
+            F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
+        ).alias("entropy"),
     )
 
 
