@@ -2179,6 +2179,122 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_merge(ev, gap_seconds=1800)
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution of purchases to the preceding non-purchase
+    event within a 7-day lookback ('none' when there is no eligible
+    touch)."""
+    from metrics_advisor_spark.operators.sessions import (
+        last_touch_attribution,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return last_touch_attribution(ev, "purchase", 7 * 86400)
+
+
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair content overlap over a corpus with a planted 'mirror'
+    source (every doc_id % 7 == 0 doc re-tagged) — the mixing audit."""
+    from metrics_advisor_spark.functions.dedup import cross_source_overlap
+
+    docs = _docs(spark, sf_dir, fanout=False).select(
+        "doc_id", "text", "source"
+    )
+    mirror = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    return cross_source_overlap(docs.unionByName(mirror))
+
+
+def q_source_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated token-count percentiles per source — the
+    length-distribution audit behind chunking / packing decisions."""
+    from metrics_advisor_spark.functions.text import token_count_col
+
+    return (
+        _docs(spark, sf_dir, fanout=False)
+        .select("source", token_count_col(F.col("text")).alias("n"))
+        .groupBy("source")
+        .agg(
+            F.round(F.percentile("n", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("n", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("n", F.lit(0.9)), 6).alias("p90"),
+        )
+    )
+
+
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series robust normalization (value − median)/IQR; IQR = 0
+    series yield NULL."""
+    from metrics_advisor_spark.operators.normalize import robust_scale
+
+    out = robust_scale(_signals(spark, sf_dir))
+    return out.select(
+        "metric",
+        "series",
+        F.unix_timestamp("ts").alias("epoch"),
+        "scaled_value",
+    )
+
+
+def q_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day sliding distinct active users per day (contribution explode
+    — no per-day self-join)."""
+    from metrics_advisor_spark.operators.sessions import (
+        sliding_distinct_users,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sliding_distinct_users(ev, window_days=7)
+
+
+def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 pairs over the corpus vocabulary (len ≥ 4) plus
+    planted insertion typos, via the exact SymSpell deletion-
+    neighborhood join."""
+    from metrics_advisor_spark.functions.text import typo_pairs
+
+    words = _docs(spark, sf_dir, fanout=False).select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("w")
+    )
+    v1 = words.where(F.length("w") >= 4).distinct()
+    vocab = v1.unionByName(
+        v1.select(F.concat(F.col("w"), F.lit("x")).alias("w"))
+    ).distinct()
+    return typo_pairs(vocab)
+
+
+def q_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate bursts per metric: buckets more than 2σ above
+    that metric's own mean bucket count."""
+    from metrics_advisor_spark.operators.trend import burst_detect
+
+    return burst_detect(
+        _signals(spark, sf_dir).drop("series"), bucket_s=3600, n_sigmas=2.0
+    )
+
+
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-seasonality diagnostic per metric: seasonal-naive (t−24h)
+    vs persistence (t−1h) mean absolute error over the hourly series."""
+    from metrics_advisor_spark.operators.trend import seasonal_strength
+
+    hourly = (
+        _signals(spark, sf_dir)
+        .groupBy(
+            "metric",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("slot_epoch"),
+        )
+        .agg(F.avg("value").alias("value"))
+    )
+    return seasonal_strength(hourly, period_slots=24, slot_s=3600)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST
     # 50 entries (VERDICT r02).  Rotation discipline (ROUND_NOTES):
@@ -2191,6 +2307,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # front of queue), then the r03 block.
     return {
         # (a) new round-4 queries — never driver-checked by definition
+        "attribution": q_attribution,
+        "cross_source_dups": q_cross_source_dups,
+        "source_token_quantiles": q_source_token_quantiles,
+        "robust_scale": q_robust_scale,
+        "sliding_active_users": q_sliding_active_users,
+        "typo_pairs": q_typo_pairs,
+        "burst_detect": q_burst_detect,
+        "seasonal_strength": q_seasonal_strength,
         "ohlc": q_ohlc,
         "twap": q_twap,
         "interpolate": q_interpolate,
@@ -2366,6 +2490,144 @@ def _ewma_sql(alpha: float = 0.2, depth: int = 12) -> str:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        # ---- round-4c additions ----
+        "attribution": """
+            WITH c AS (
+              SELECT user_id, ts, event_type, value,
+                     last_value(CASE WHEN event_type <> 'purchase'
+                         THEN struct_pack(ts := ts, event_id := event_id,
+                                          event_type := event_type) END
+                         IGNORE NULLS) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS lt
+              FROM events
+            )
+            SELECT CASE WHEN lt IS NOT NULL
+                             AND floor(epoch(ts)) - floor(epoch(lt.ts))
+                                 <= 604800
+                        THEN lt.event_type ELSE 'none' END AS touch_type,
+                   count(*) AS n_conversions,
+                   round(sum(value), 6) AS total_value
+            FROM c WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        "cross_source_dups": """
+            WITH docs2 AS (
+              SELECT doc_id, text, source FROM documents
+              UNION ALL
+              SELECT doc_id + 300000, text, 'mirror' FROM documents
+              WHERE doc_id % 7 = 0
+            ),
+            hs AS (
+              SELECT DISTINCT md5(text) AS content_hash, source AS src
+              FROM docs2
+            )
+            SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+            FROM hs a JOIN hs b
+              ON a.content_hash = b.content_hash AND a.src < b.src
+            GROUP BY 1, 2
+        """,
+        "source_token_quantiles": """
+            SELECT source,
+                   round(quantile_cont(n, 0.25), 6) AS p25,
+                   round(quantile_cont(n, 0.5), 6) AS p50,
+                   round(quantile_cont(n, 0.9), 6) AS p90
+            FROM (
+              SELECT source,
+                     len(regexp_extract_all(text, {TOKEN_RE})) AS n
+              FROM documents
+            ) GROUP BY 1
+        """.replace("{TOKEN_RE}", _TOKEN_RE_SQL),
+        "robust_scale": f"""
+            WITH sig AS ({_SIG}),
+            st AS (
+              SELECT metric, series,
+                     quantile_cont(value, 0.5) AS med,
+                     quantile_cont(value, 0.75)
+                       - quantile_cont(value, 0.25) AS iqr
+              FROM sig GROUP BY 1, 2
+            )
+            SELECT s.metric, s.series,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+                   round(CASE WHEN iqr > 0
+                              THEN (value - med) / iqr END, 6)
+                       AS scaled_value
+            FROM sig s JOIN st USING (metric, series)
+        """,
+        "sliding_active_users": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day_epoch
+              FROM events
+            ),
+            mx AS (SELECT max(day_epoch) AS max_day FROM ud),
+            f AS (
+              SELECT user_id,
+                     unnest(range(day_epoch, day_epoch + 7*86400,
+                                  86400::BIGINT)) AS report_day
+              FROM ud
+            )
+            SELECT report_day, count(DISTINCT user_id) AS active_users
+            FROM f CROSS JOIN mx WHERE report_day <= max_day GROUP BY 1
+        """,
+        "typo_pairs": """
+            WITH v0 AS (
+              SELECT DISTINCT
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents
+            ),
+            v1 AS (SELECT w FROM v0 WHERE len(w) >= 4),
+            vocab AS (SELECT w FROM v1 UNION SELECT w || 'x' FROM v1)
+            SELECT a.w AS word_a, b.w AS word_b
+            FROM vocab a JOIN vocab b
+              ON a.w < b.w AND abs(len(a.w) - len(b.w)) <= 1
+            WHERE levenshtein(a.w, b.w) <= 1
+        """,
+        "burst_detect": """
+            WITH c AS (
+              SELECT event_type AS metric,
+                     CAST(floor(epoch(ts)/3600)*3600 AS BIGINT)
+                         AS bucket_epoch,
+                     count(*) AS n_events
+              FROM events GROUP BY 1, 2
+            ),
+            st AS (
+              SELECT metric, avg(n_events) AS mu,
+                     stddev_pop(n_events) AS sigma
+              FROM c GROUP BY 1
+            )
+            SELECT metric, bucket_epoch, n_events,
+                   round((n_events - mu) / sigma, 6) AS z
+            FROM c JOIN st USING (metric)
+            WHERE sigma > 0 AND (n_events - mu) / sigma > 2
+        """,
+        "seasonal_strength": f"""
+            WITH h AS ({_HOURLY}),
+            n AS (
+              SELECT a.metric, sum(abs(a.value - b.value)) AS naive_err,
+                     count(*) AS n_naive
+              FROM h a JOIN h b
+                ON a.metric = b.metric
+                AND a.slot_epoch = b.slot_epoch + 3600
+              GROUP BY 1
+            ),
+            s AS (
+              SELECT a.metric, sum(abs(a.value - b.value)) AS seasonal_err,
+                     count(*) AS n_seasonal
+              FROM h a JOIN h b
+                ON a.metric = b.metric
+                AND a.slot_epoch = b.slot_epoch + 86400
+              GROUP BY 1
+            )
+            SELECT metric, n_naive, n_seasonal,
+                   round(naive_err, 6) AS naive_err,
+                   round(seasonal_err, 6) AS seasonal_err,
+                   round(CASE WHEN naive_err > 0
+                              THEN (seasonal_err / n_seasonal)
+                                   / (naive_err / n_naive) END, 6)
+                       AS strength_ratio
+            FROM n JOIN s USING (metric)
+        """,
         # ---- round-4b additions ----
         "ohlc": f"""
             WITH sig AS ({_SIG}),

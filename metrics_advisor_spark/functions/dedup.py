@@ -615,3 +615,34 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
     return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
         e.agg(F.count("*").alias("n_edges"))
     )
+
+
+def cross_source_overlap(df: DataFrame, text_col: str = "text",
+                         source_col: str = "source") -> DataFrame:
+    """Source-pair content overlap: for every pair of sources, how many
+    distinct content hashes appear in BOTH — the standard audit before
+    mixing crawls/snapshots that may mirror each other.
+
+    Distinct (hash, source) first (collapses per-source repeats
+    map-side), then a hash-keyed self-join restricted to src_a < src_b.
+
+    Scale: the join key is the content hash — uniform by construction;
+    the per-hash fan-out is (#sources containing it choose 2), bounded
+    by the source count, not by corpus size.  Never joins raw text.
+    """
+    hs = df.select(
+        F.md5(F.col(text_col)).alias("content_hash"),
+        F.col(source_col).alias("src"),
+    ).distinct()
+    return (
+        hs.alias("a")
+        .join(
+            hs.alias("b"),
+            (F.col("a.content_hash") == F.col("b.content_hash"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )

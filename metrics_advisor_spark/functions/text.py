@@ -406,3 +406,48 @@ def token_pair_counts(df: DataFrame, text_col: str = "text",
         .where(F.col("rank") <= top_k)
         .select("rank", "pair", "n_pairs")
     )
+
+
+def typo_pairs(vocab: DataFrame, word_col: str = "w") -> DataFrame:
+    """Edit-distance-1 word pairs over a vocabulary via the SymSpell
+    deletion-neighborhood join — EXACT, never all-pairs.
+
+    Two words within edit distance 1 (insert/delete/substitute) always
+    share a member of each other's {self} ∪ {1-deletion variants} set,
+    so the variant equi-join yields a complete candidate set; a final
+    `levenshtein ≤ 1` filter removes the false candidates the shared-
+    variant trick admits (e.g. transposes at distance 2).  Candidates
+    are deduped before the verify so a pair sharing several variants is
+    scored once.
+
+    Scale: per-word fan-out is len(word)+1 variants; the join key is a
+    variant string whose bucket size is bounded by the number of words
+    within distance 1 of it — vocabulary-shaped, not corpus-shaped.
+    Callers should pre-filter very short words (a 1-char word's empty-
+    string variant would bucket with every other 1-char word).
+    """
+    w = F.col(word_col)
+    n = F.length(w)
+    dels = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(w.substr(F.lit(1), i - 1), w.substr(i + 1, n)),
+    )
+    variants = vocab.select(
+        w.alias("word"),
+        F.explode(F.array_union(F.array(w), dels)).alias("variant"),
+    )
+    cand = (
+        variants.alias("a")
+        .join(
+            variants.alias("b"),
+            (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .select(
+            F.col("a.word").alias("word_a"), F.col("b.word").alias("word_b")
+        )
+        .distinct()
+    )
+    return cand.where(
+        F.levenshtein("word_a", "word_b") <= 1
+    ).select("word_a", "word_b")

@@ -20,3 +20,37 @@ def get_relative(signals: DataFrame, value_col: str = "value",
     else:
         denom = F.max(F.abs(F.col(value_col))).over(w) + F.lit(1e-10)
     return signals.withColumn(out_col, F.col(value_col) / denom)
+
+
+def robust_scale(signals: DataFrame) -> DataFrame:
+    """Robust per-series normalization: (value − median) / IQR.
+
+    Outlier-resistant alternative to z-scoring (the reference's
+    max-abs normalization, normalize.py:15, keeps its Q4 parity quirk;
+    this is the statistics-grade variant).  Series with IQR = 0
+    (constant or near-constant) yield NULL rather than ±inf.
+
+    Scale: one per-series percentile aggregate (exact interpolated
+    `percentile`, a single shuffle on the series key) broadcast-joined
+    back onto the samples — the sample table is never sorted, and the
+    stats side is one row per series.
+    """
+    stats = signals.groupBy("metric", "series").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"),
+        (
+            F.percentile("value", F.lit(0.75))
+            - F.percentile("value", F.lit(0.25))
+        ).alias("iqr"),
+    )
+    scaled = F.when(
+        F.col("iqr") > 0, (F.col("value") - F.col("med")) / F.col("iqr")
+    )
+    return (
+        signals.join(F.broadcast(stats), ["metric", "series"])
+        .select(
+            "metric",
+            "series",
+            "ts",
+            F.round(scaled, 6).alias("scaled_value"),
+        )
+    )

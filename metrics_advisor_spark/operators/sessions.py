@@ -157,3 +157,95 @@ def interval_merge(
         F.max(F.unix_timestamp("ts")).alias("island_end"),
         F.count("*").alias("n_events"),
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    lookback_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Last-touch attribution: credit each conversion to the user's most
+    recent PRECEDING non-conversion event within the lookback window;
+    conversions with no eligible touch report as ``none``.
+
+    One window per user key carries the latest touch (ts, event_id,
+    event_type) struct forward with `last(ignorenulls)` over an
+    unbounded-to-previous-row frame — no self-join, no per-conversion
+    re-scan of the history.  The struct ordering makes equal-timestamp
+    ties deterministic via event_id.
+
+    Scale: single exchange on the user key plus a tiny final aggregate;
+    a power user serializes only their own timeline.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type") != conversion_type,
+        F.struct("ts", "event_id", "event_type"),
+    )
+    carried = events.withColumn(
+        "last_touch", F.last(touch, ignorenulls=True).over(w)
+    )
+    conv = carried.where(F.col("event_type") == conversion_type)
+    in_window = (
+        F.col("last_touch").isNotNull()
+        & (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp("last_touch.ts")
+            <= lookback_seconds
+        )
+    )
+    attributed = conv.select(
+        F.when(in_window, F.col("last_touch.event_type"))
+        .otherwise(F.lit("none"))
+        .alias("touch_type"),
+        "value",
+    )
+    return attributed.groupBy("touch_type").agg(
+        F.count("*").alias("n_conversions"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def sliding_distinct_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Sliding-window distinct actives (e.g. weekly-active-users per
+    day): for each day d, the count of users with ≥1 event in
+    [d−(window_days−1), d].
+
+    Contribution explode: each distinct (user, active_day) fans out to
+    the ``window_days`` report days it supports, then one distinct
+    aggregate per report day.  This is the scalable reformulation of a
+    sliding COUNT DISTINCT — no per-day self-join against the event
+    table, and the fan-out is bounded by window_days × distinct
+    (user, day), not by raw event volume (the first distinct collapses
+    events map-side).
+
+    Report days past the data's last day are clipped so every reported
+    window is fully contained in the observed range.
+    """
+    day = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+    ud = events.select(
+        F.col("user_id"), day.alias("day_epoch")
+    ).distinct()
+    max_day = ud.agg(F.max("day_epoch").alias("max_day"))
+    fanout = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day_epoch"),
+                F.col("day_epoch") + (window_days - 1) * 86400,
+                F.lit(86400).cast("long"),
+            )
+        ).alias("report_day"),
+    )
+    return (
+        fanout.crossJoin(F.broadcast(max_day))
+        .where(F.col("report_day") <= F.col("max_day"))
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

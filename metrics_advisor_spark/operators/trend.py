@@ -389,3 +389,101 @@ def deriv(signals: DataFrame, bucket_s: int = 86400) -> DataFrame:
         )
         .where(F.col("n_samples") >= 2)
     )
+
+
+def burst_detect(signals: DataFrame, bucket_s: int = 60,
+                 n_sigmas: float = 3.0) -> DataFrame:
+    """Rate-burst detection: bucket event counts per metric and flag
+    buckets whose count exceeds mean + n·σ of that metric's own bucket
+    distribution.
+
+    Two aggregates: per-(metric, bucket) counts, then per-metric
+    mean/σ over those counts, broadcast-joined back (the stats side is
+    one row per metric).  No window over raw events, no second scan.
+
+    Scale: the counting aggregate collapses map-side; the stats join is
+    a broadcast of a metric-cardinality table.  Same shape at 1000×.
+    """
+    bucket = (F.floor(F.unix_timestamp("ts") / bucket_s) * bucket_s).cast(
+        "long"
+    )
+    counts = signals.groupBy(
+        F.col("metric"), bucket.alias("bucket_epoch")
+    ).agg(F.count("*").alias("n_events"))
+    stats = counts.groupBy("metric").agg(
+        F.avg("n_events").alias("mu"),
+        F.stddev_pop("n_events").alias("sigma"),
+    )
+    z = (F.col("n_events") - F.col("mu")) / F.col("sigma")
+    return (
+        counts.join(F.broadcast(stats), "metric")
+        .where(F.col("sigma") > 0)
+        .where(z > n_sigmas)  # filter on the RAW z; round only for output
+        .select(
+            "metric", "bucket_epoch", "n_events", F.round(z, 6).alias("z")
+        )
+    )
+
+
+def seasonal_strength(hourly: DataFrame, period_slots: int = 24,
+                      slot_s: int = 3600) -> DataFrame:
+    """Seasonality diagnostic per metric: MASE-style ratio of the
+    seasonal-naive forecast error (|v_t − v_{t−period}|) to the plain
+    naive error (|v_t − v_{t−1 slot}|) over a step-aligned series.
+    ratio < 1 ⇒ the seasonal pattern explains more than persistence.
+
+    Expects the ``(metric, slot_epoch, value)`` hourly frame (the
+    resample operator's output).  Lag lookups are equi-JOINs on exact
+    slot offsets — gaps in the grid simply contribute no comparison
+    row, rather than silently comparing across a gap as a positional
+    lag would.
+
+    Scale: two self-equi-joins on (metric, slot) — co-partitioned, AQE
+    broadcasts the smaller post-filter sides — then one per-metric
+    aggregate.
+    """
+    h = hourly.select("metric", "slot_epoch", "value")
+    naive = h.alias("a").join(
+        h.alias("b"),
+        (F.col("a.metric") == F.col("b.metric"))
+        & (F.col("a.slot_epoch") == F.col("b.slot_epoch") + slot_s),
+    ).select(
+        F.col("a.metric").alias("metric"),
+        F.abs(F.col("a.value") - F.col("b.value")).alias("err"),
+    )
+    seasonal = h.alias("a").join(
+        h.alias("b"),
+        (F.col("a.metric") == F.col("b.metric"))
+        & (
+            F.col("a.slot_epoch")
+            == F.col("b.slot_epoch") + period_slots * slot_s
+        ),
+    ).select(
+        F.col("a.metric").alias("metric"),
+        F.abs(F.col("a.value") - F.col("b.value")).alias("err"),
+    )
+    n_agg = naive.groupBy("metric").agg(
+        F.sum("err").alias("naive_err"), F.count("*").alias("n_naive")
+    )
+    s_agg = seasonal.groupBy("metric").agg(
+        F.sum("err").alias("seasonal_err"),
+        F.count("*").alias("n_seasonal"),
+    )
+    return (
+        n_agg.join(s_agg, "metric")
+        .select(
+            "metric",
+            "n_naive",
+            "n_seasonal",
+            F.round("naive_err", 6).alias("naive_err"),
+            F.round("seasonal_err", 6).alias("seasonal_err"),
+            F.round(
+                F.when(
+                    F.col("naive_err") > 0,
+                    (F.col("seasonal_err") / F.col("n_seasonal"))
+                    / (F.col("naive_err") / F.col("n_naive")),
+                ),
+                6,
+            ).alias("strength_ratio"),
+        )
+    )

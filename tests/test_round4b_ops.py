@@ -252,3 +252,140 @@ def test_interval_merge_islands(spark):
     )
     assert u1 == [(1, 1, 0, 200, 3), (1, 2, 5000, 5000, 1)]
     assert out.where("user_id = 2").collect()[0]["n_events"] == 1
+
+
+# --- round-4c batch --------------------------------------------------------
+
+
+def test_last_touch_attribution(spark):
+    from metrics_advisor_spark.operators.sessions import (
+        last_touch_attribution,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: click then purchase within window → 'click'
+            (1, 1, _ts(100), "click", 0.0),
+            (2, 1, _ts(200), "purchase", 10.0),
+            # user 2: touch far outside the lookback → 'none'
+            (3, 2, _ts(0), "view", 0.0),
+            (4, 2, _ts(10 * 86400), "purchase", 5.0),
+            # user 3: purchase with no history at all → 'none'
+            (5, 3, _ts(100), "purchase", 1.0),
+            # user 4: a LATER touch must not attribute backwards
+            (6, 4, _ts(100), "purchase", 2.0),
+            (7, 4, _ts(200), "click", 0.0),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    out = {
+        r["touch_type"]: r
+        for r in last_touch_attribution(ev, "purchase", 7 * 86400).collect()
+    }
+    assert out["click"]["n_conversions"] == 1
+    assert out["click"]["total_value"] == 10.0
+    assert out["none"]["n_conversions"] == 3
+
+
+def test_sliding_distinct_users_window(spark):
+    from metrics_advisor_spark.operators.sessions import (
+        sliding_distinct_users,
+    )
+
+    # user 1 active day 0; user 2 active day 2 — with a 3-day window,
+    # day 2 sees both; day 3 exceeds the data extent and is clipped
+    ev = spark.createDataFrame(
+        [(1, _ts(0)), (2, _ts(2 * 86400))], "user_id long, ts timestamp"
+    )
+    out = {
+        r["report_day"]: r["active_users"]
+        for r in sliding_distinct_users(ev, window_days=3).collect()
+    }
+    assert out == {0: 1, 86400: 1, 2 * 86400: 2}
+
+
+def test_robust_scale_median_iqr(spark):
+    from metrics_advisor_spark.operators.normalize import robust_scale
+
+    rows = [("m", "s", _ts(i), float(v)) for i, v in enumerate(
+        [1.0, 2.0, 3.0, 4.0, 5.0]
+    )]
+    out = robust_scale(_sig(spark, rows)).collect()
+    # median 3, IQR = 4 − 2 = 2 → values map to −1, −.5, 0, .5, 1
+    vals = sorted(r["scaled_value"] for r in out)
+    assert vals == [-1.0, -0.5, 0.0, 0.5, 1.0]
+    # constant series → IQR 0 → NULL, rows preserved
+    const = robust_scale(
+        _sig(spark, [("m", "s", _ts(0), 7.0), ("m", "s", _ts(1), 7.0)])
+    ).collect()
+    assert len(const) == 2 and all(r["scaled_value"] is None for r in const)
+
+
+def test_typo_pairs_exact_and_no_false_positives(spark):
+    from metrics_advisor_spark.functions.text import typo_pairs
+
+    vocab = spark.createDataFrame(
+        [("spark",), ("spa_k",), ("sprk",), ("sparks",), ("table",),
+         ("tabel",)],
+        "w string",
+    )
+    got = {
+        (r["word_a"], r["word_b"]) for r in typo_pairs(vocab).collect()
+    }
+    # substitution, deletion, insertion all found
+    assert ("spa_k", "spark") in got
+    assert ("spark", "sprk") in got
+    assert ("spark", "sparks") in got
+    # transpose is distance 2 — candidate via shared variants, must be
+    # rejected by the verify step
+    assert ("tabel", "table") not in got
+    assert all(a < b for a, b in got)
+
+
+def test_burst_detect_flags_spike_bucket(spark):
+    from metrics_advisor_spark.operators.trend import burst_detect
+
+    rows = (
+        [("m", "s", _ts(b * 60 + i), 1.0) for b in range(10) for i in range(2)]
+        + [("m", "s", _ts(10 * 60 + i), 1.0) for i in range(40)]
+    )
+    out = burst_detect(
+        _sig(spark, rows).drop("series"), bucket_s=60, n_sigmas=2.0
+    ).collect()
+    assert [r["bucket_epoch"] for r in out] == [600]
+    assert out[0]["n_events"] == 40
+
+
+def test_seasonal_strength_prefers_seasonal_series(spark):
+    from metrics_advisor_spark.operators.trend import seasonal_strength
+
+    # period-24 sawtooth: v(t) = t mod 24 → seasonal error 0, naive > 0
+    hourly = spark.createDataFrame(
+        [("m", t * 3600, float(t % 24)) for t in range(72)],
+        "metric string, slot_epoch long, value double",
+    )
+    out = seasonal_strength(hourly, period_slots=24, slot_s=3600).collect()[0]
+    assert out["seasonal_err"] == 0.0
+    assert out["naive_err"] > 0
+    assert out["strength_ratio"] == 0.0
+
+
+def test_cross_source_overlap_counts(spark):
+    from metrics_advisor_spark.functions.dedup import cross_source_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", "s1"), (2, "beta", "s1"),
+            (3, "alpha", "s2"), (4, "beta", "s2"), (5, "gamma", "s2"),
+            (6, "alpha", "s3"),
+            # in-source repeat must not inflate the pair count
+            (7, "alpha", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["src_a"], r["src_b"]): r["n_shared"]
+        for r in cross_source_overlap(df).collect()
+    }
+    assert out == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}
