@@ -10,7 +10,7 @@ from metrics_advisor_spark.operators.buckets import (
     with_bucket_id,
     bucket_windows,
 )
-from metrics_advisor_spark.operators.normalize import get_relative
+from metrics_advisor_spark.operators.normalize import get_relative, robust_scale
 from metrics_advisor_spark.operators.xcorr import (
     bucket_correlation,
     rank_correlations,
@@ -28,9 +28,11 @@ from metrics_advisor_spark.operators.history import (
     scd2_intervals,
 )
 from metrics_advisor_spark.operators.trend import (
+    burst_detect,
     changes,
     counter_rate,
     deriv,
+    seasonal_strength,
     ewma,
     gap_detect,
     irate,
@@ -51,8 +53,10 @@ from metrics_advisor_spark.operators.resample import (
 from metrics_advisor_spark.operators.sessions import (
     funnel,
     interval_merge,
+    last_touch_attribution,
     session_stats,
     sessionize,
+    sliding_distinct_users,
 )
 from metrics_advisor_spark.operators.xcorr import (
     best_lag,
@@ -61,7 +65,12 @@ from metrics_advisor_spark.operators.xcorr import (
 )
 
 __all__ = [
+    "burst_detect",
     "changes",
+    "last_touch_attribution",
+    "robust_scale",
+    "seasonal_strength",
+    "sliding_distinct_users",
     "deriv",
     "interpolate_hourly",
     "interval_merge",
