@@ -302,3 +302,146 @@ def test_bloom_never_false_negative(spark, seed):
         .count()
     )
     assert admitted == df.distinct().count()
+
+
+@PROP
+@given(seed=st.integers(min_value=0, max_value=10**6))
+def test_interval_merge_partitions_events(spark, seed):
+    """Islands partition each user's events exactly: total n_events over
+    islands == event count, islands are disjoint, ordered and ≥ gap
+    apart."""
+    from metrics_advisor_spark.operators.sessions import interval_merge
+    from conftest import epoch_dt
+
+    rng = np.random.default_rng(seed)
+    times = np.cumsum(rng.integers(1, 4000, size=30))
+    ev = spark.createDataFrame(
+        [(int(i), 1, epoch_dt(int(t))) for i, t in enumerate(times)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    islands = sorted(
+        interval_merge(ev, gap_seconds=1800).collect(),
+        key=lambda r: r["island_start"],
+    )
+    assert sum(r["n_events"] for r in islands) == 30
+    for a, b in zip(islands, islands[1:]):
+        assert b["island_start"] - a["island_end"] > 1800
+    for r in islands:
+        assert r["island_start"] <= r["island_end"]
+
+
+@PROP
+@given(seed=st.integers(min_value=0, max_value=10**6))
+def test_twap_bounded_by_extrema(spark, seed):
+    """TWAP of any sample set lies within [min, max] of the values."""
+    from metrics_advisor_spark.operators.resample import time_weighted_avg
+    from conftest import epoch_dt
+
+    rng = np.random.default_rng(seed)
+    times = np.cumsum(rng.integers(1, 500, size=20))
+    vals = rng.normal(0, 100, size=20)
+    df = spark.createDataFrame(
+        [
+            ("m", "s", epoch_dt(int(t)), float(v))
+            for t, v in zip(times, vals)
+        ],
+        "metric string, series string, ts timestamp, value double",
+    )
+    for r in time_weighted_avg(df, 3600).collect():
+        assert vals.min() - 1e-9 <= r["twap"] <= vals.max() + 1e-9
+
+
+@PROP
+@given(seed=st.integers(min_value=0, max_value=10**6))
+def test_interpolation_bounded_by_neighbours(spark, seed):
+    """Every interpolated value lies between its two observed
+    neighbours (linear interpolation cannot overshoot)."""
+    from metrics_advisor_spark.operators.resample import interpolate_hourly
+    from conftest import epoch_dt
+
+    rng = np.random.default_rng(seed)
+    # observed hourly points at random slots in [0, 48), values random
+    slots = sorted(rng.choice(48, size=8, replace=False).tolist())
+    vals = {s: float(rng.normal(0, 10)) for s in slots}
+    df = spark.createDataFrame(
+        [
+            ("m", "s", epoch_dt(s * 3600), v)
+            for s, v in vals.items()
+        ],
+        "metric string, series string, ts timestamp, value double",
+    )
+    out = sorted(
+        interpolate_hourly(df).collect(), key=lambda r: r["slot_epoch"]
+    )
+    obs_slots = sorted(vals)
+    for r in out:
+        if not r["is_interpolated"]:
+            continue
+        s = r["slot_epoch"] // 3600
+        lo = max(x for x in obs_slots if x < s)
+        hi = min(x for x in obs_slots if x > s)
+        lo_v, hi_v = sorted((vals[lo], vals[hi]))
+        assert lo_v - 1e-9 <= r["value"] <= hi_v + 1e-9
+
+
+@PROP
+@given(seed=st.integers(min_value=0, max_value=10**6))
+def test_typo_pairs_match_bruteforce(spark, seed):
+    """The deletion-neighborhood join returns EXACTLY the brute-force
+    levenshtein ≤ 1 pair set on a random vocabulary."""
+    import itertools
+
+    from metrics_advisor_spark.functions.text import typo_pairs
+
+    rng = np.random.default_rng(seed)
+    base = ["spark", "table", "query", "batch", "merge"]
+    words = set(base)
+    for w in base:  # perturbations: delete, substitute, insert
+        i = int(rng.integers(0, len(w)))
+        words.add(w[:i] + w[i + 1:])
+        words.add(w[:i] + "z" + w[i + 1:])
+        words.add(w[:i] + "q" + w[i:])
+    words = {w for w in words if len(w) >= 4}
+
+    def lev(a, b):
+        d = np.zeros((len(a) + 1, len(b) + 1), dtype=int)
+        d[:, 0] = np.arange(len(a) + 1)
+        d[0, :] = np.arange(len(b) + 1)
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                d[i, j] = min(
+                    d[i - 1, j] + 1,
+                    d[i, j - 1] + 1,
+                    d[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return d[len(a), len(b)]
+
+    expected = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(words), 2)
+        if lev(a, b) <= 1
+    }
+    vocab = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        (r["word_a"], r["word_b"]) for r in typo_pairs(vocab).collect()
+    }
+    assert got == expected
+
+
+@PROP
+@given(
+    train_f=st.floats(min_value=0.5, max_value=0.9),
+    val_f=st.floats(min_value=0.05, max_value=0.1),
+)
+def test_train_split_fractions_approximate(spark, train_f, val_f):
+    """Split sizes track the requested fractions (id-hash uniformity)
+    and every doc lands in exactly one split."""
+    from metrics_advisor_spark.functions.curation import train_val_test_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = train_val_test_split(df, fractions=(train_f, val_f))
+    counts = dict(
+        map(tuple, out.groupBy("split").count().collect())
+    )
+    assert sum(counts.values()) == 2000
+    assert abs(counts.get("train", 0) / 2000 - train_f) < 0.05
