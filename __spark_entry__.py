@@ -2295,18 +2295,57 @@ def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_strength(hourly, period_slots=24, slot_s=3600)
 
 
+def q_streaming_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seventh Structured Streaming contract surface: hourly event-rate
+    counts maintained as a streaming tumbling-window aggregate (complete
+    mode, availableNow drain); the per-metric burst flag (>2σ above that
+    metric's own mean bucket count) is a batch view over the drained
+    state — two chained stateful aggregates in one streaming query is a
+    documented Spark limitation, and the flag needs the FULL count
+    distribution anyway."""
+    import tempfile
+    import uuid
+
+    from metrics_advisor_spark.operators.trend import flag_bursts
+    from metrics_advisor_spark.streaming import run_to_memory, stream_signals
+
+    src = _STREAM_SRC_CACHE.get(sf_dir)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="ma_stream_src_") + "/sig"
+        _signals(spark, sf_dir).write.mode("overwrite").parquet(src)
+        _STREAM_SRC_CACHE[sf_dir] = src
+    counts = (
+        stream_signals(spark, src)
+        .withWatermark("ts", "2 hours")
+        .groupBy("metric", F.window("ts", "3600 seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"stream_burst_{uuid.uuid4().hex[:8]}"
+    run_to_memory(counts, name, output_mode="complete")
+    drained = spark.table(name).select(
+        "metric",
+        F.unix_timestamp("window.start").alias("bucket_epoch"),
+        "n_events",
+    )
+    # flag_bursts self-references its input (counts + per-metric stats);
+    # Catalyst cannot dedup the conflicting attributes of a memory-sink
+    # view on both join sides — cut lineage on the (tiny) drained state
+    return flag_bursts(drained.localCheckpoint(eager=True), n_sigmas=2.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST
     # 50 entries (VERDICT r02).  Rotation discipline (ROUND_NOTES):
     # lead with (a) new-this-round queries, (b) green queries whose CODE
     # PATH changed this round, then (c) oldest-driver-green first, so no
-    # green row ages past two rounds.  Round-4 state: every r03 first-50
-    # row is green; stale = 16 r01 rows + 50 r02 rows.  This round's
-    # first 50 = 23 new + 6 changed + 16 r01 + 5 r02 (flagship core);
-    # the remaining r02 rows queue immediately after the cap (round-5
-    # front of queue), then the r03 block.
+    # green row ages past two rounds.  Round-4 state: 32 never-checked
+    # new queries + 6 changed fill positions 1-38; the 12 oldest r01
+    # rows fill the rest of the gate.  Round-5 front of queue: the 4
+    # remaining r01 rows (ann_topk … distinct_series), then the r02
+    # block, then r03.
     return {
         # (a) new round-4 queries — never driver-checked by definition
+        "streaming_burst": q_streaming_burst,
         "attribution": q_attribution,
         "cross_source_dups": q_cross_source_dups,
         "source_token_quantiles": q_source_token_quantiles,
@@ -4697,6 +4736,9 @@ def oracle_sql() -> dict[str, str]:
     # bloom_contamination's bloom is plan-level only (false positives are
     # removed by the exact join) — byte-identical output, shared oracle
     out["bloom_contamination"] = out["contamination"]
+    # streaming hourly tumbling windows == floor(epoch/3600) buckets, and
+    # the burst flag is the same batch view — one shared oracle
+    out["streaming_burst"] = out["burst_detect"]
     return out
 
 

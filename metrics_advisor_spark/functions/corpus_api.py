@@ -187,3 +187,20 @@ class Corpus:
         return mixture_plan(
             self.df, weights, token_budget, text_col=self.text_col
         )
+
+    def split(
+        self, fractions: tuple[float, float] = (0.8, 0.1)
+    ) -> "Corpus":
+        """Attach the deterministic train/val/test assignment (id-hash
+        threshold — re-runs and late shards route identically)."""
+        from metrics_advisor_spark.functions.curation import (
+            train_val_test_split,
+        )
+
+        return self._with(
+            train_val_test_split(self.df, fractions=fractions)
+        )
+
+    def only_split(self, name: str) -> "Corpus":
+        """Keep one split (after ``.split()``): 'train' | 'val' | 'test'."""
+        return self._with(self.df.where(F.col("split") == name))

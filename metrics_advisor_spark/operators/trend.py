@@ -410,6 +410,13 @@ def burst_detect(signals: DataFrame, bucket_s: int = 60,
     counts = signals.groupBy(
         F.col("metric"), bucket.alias("bucket_epoch")
     ).agg(F.count("*").alias("n_events"))
+    return flag_bursts(counts, n_sigmas)
+
+
+def flag_bursts(counts: DataFrame, n_sigmas: float = 3.0) -> DataFrame:
+    """The stats-and-flag half of `burst_detect`, reusable over any
+    (metric, bucket_epoch, n_events) frame — e.g. the drained state of
+    a streaming windowed count."""
     stats = counts.groupBy("metric").agg(
         F.avg("n_events").alias("mu"),
         F.stddev_pop("n_events").alias("sigma"),

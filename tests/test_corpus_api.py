@@ -125,3 +125,17 @@ def test_semantic_dedup_stage(spark, docs):
         .collect()
     }
     assert kept == {1, 3, 4, 5, 6}  # 2 dropped; keeper (1) survives
+
+
+def test_split_stage_partitions_and_filters(docs):
+    split = Corpus(docs).split(fractions=(0.5, 0.25))
+    rows = split.df.select("doc_id", "split").collect()
+    assert len(rows) == 6
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # re-running routes every doc identically (hash, not RNG)
+    again = Corpus(docs).split(fractions=(0.5, 0.25)).df.collect()
+    assert sorted(map(tuple, rows)) == sorted(
+        (r["doc_id"], r["split"]) for r in again
+    )
+    train = split.only_split("train").df
+    assert train.where(F.col("split") != "train").count() == 0
