@@ -2333,6 +2333,100 @@ def q_streaming_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag_bursts(drained.localCheckpoint(eager=True), n_sigmas=2.0)
 
 
+def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch audit: deterministic md5-hashed CMS of the word
+    counts, every vocabulary word probed, estimate next to exact (the
+    OVERESTIMATE itself is oracle-checked, not just bounded)."""
+    from metrics_advisor_spark.functions.sketch import cms_estimate
+
+    counts = (
+        _docs(spark, sf_dir, fanout=False)
+        .select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probes = counts.select("term")
+    return cms_estimate(counts, probes, depth=4, width=64)
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-slot Pearson correlation between the hourly error and
+    click series (trailing row frame over the aligned slots)."""
+    from metrics_advisor_spark.operators.trend import rolling_corr
+
+    hourly = (
+        _signals(spark, sf_dir)
+        .groupBy(
+            "metric",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("slot_epoch"),
+        )
+        .agg(F.avg("value").alias("value"))
+    )
+    a = hourly.where(F.col("metric") == "error").select(
+        "slot_epoch", F.col("value").alias("va")
+    )
+    b = hourly.where(F.col("metric") == "click").select(
+        "slot_epoch", F.col("value").alias("vb")
+    )
+    return rolling_corr(a.join(b, "slot_epoch"), window_slots=24)
+
+
+def q_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan/null FK counts for the three
+    warehouse edges (orders→customer, lineitem→orders, lineitem→part)."""
+    from metrics_advisor_spark.operators.quality import fk_violations
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        fk_violations(orders, customer, "o_custkey", "c_custkey",
+                      "orders_customer")
+        .unionByName(
+            fk_violations(lineitem, orders, "l_orderkey", "o_orderkey",
+                          "lineitem_orders")
+        )
+        .unionByName(
+            fk_violations(lineitem, part, "l_partkey", "p_partkey",
+                          "lineitem_part")
+        )
+        .withColumnRenamed("check", "check_name")
+    )
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of the events table (nulls, distincts,
+    numeric min/max) — the load-validation report."""
+    from metrics_advisor_spark.operators.quality import profile_columns
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return profile_columns(
+        ev, numeric_cols=("event_id", "user_id", "value")
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the SimHash near-dup pair graph (keeper
+    selection signal).  Iterative message passing — not SQL-expressible
+    (aggregation inside recursion); numpy power-iteration golden in
+    tests/test_round4b_ops.py."""
+    from metrics_advisor_spark.functions.dedup import (
+        hamming_pairs_blocked,
+        simhash,
+    )
+    from metrics_advisor_spark.functions.graph import pagerank
+
+    sk = simhash(_docs_with_dups(spark, sf_dir))
+    return pagerank(hamming_pairs_blocked(sk, max_distance=8), iterations=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST
     # 50 entries (VERDICT r02).  Rotation discipline (ROUND_NOTES):
@@ -2346,6 +2440,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # (a) new round-4 queries — never driver-checked by definition
         "streaming_burst": q_streaming_burst,
+        "cms_estimate": q_cms_estimate,
+        "rolling_corr": q_rolling_corr,
+        "fk_violations": q_fk_violations,
+        "table_profile": q_table_profile,
+        "pagerank": q_pagerank,
         "attribution": q_attribution,
         "cross_source_dups": q_cross_source_dups,
         "source_token_quantiles": q_source_token_quantiles,
@@ -2529,6 +2628,122 @@ def _ewma_sql(alpha: float = 0.2, depth: int = 12) -> str:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        # ---- round-4d additions ----
+        "cms_estimate": """
+            WITH counts AS (
+              SELECT w AS term, count(*) AS n FROM (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                FROM documents
+              ) GROUP BY 1
+            ),
+            cells AS (
+              SELECT d,
+                     ('0x' || substr(md5(d::VARCHAR || '_' || term), 1, 14))
+                       ::BIGINT % 64 AS col,
+                     CAST(sum(n) AS BIGINT) AS cell
+              FROM counts CROSS JOIN (SELECT unnest(range(0, 4)) AS d)
+              GROUP BY 1, 2
+            ),
+            probe AS (
+              SELECT term, d,
+                     ('0x' || substr(md5(d::VARCHAR || '_' || term), 1, 14))
+                       ::BIGINT % 64 AS col
+              FROM counts CROSS JOIN (SELECT unnest(range(0, 4)) AS d)
+            )
+            SELECT term,
+                   min(coalesce(cell, 0)) AS cms_estimate,
+                   min(n) AS exact
+            FROM probe
+            LEFT JOIN cells USING (d, col)
+            JOIN counts USING (term)
+            GROUP BY term
+        """,
+        "rolling_corr": f"""
+            WITH h AS ({_HOURLY}),
+            j AS (
+              SELECT a.slot_epoch, a.value AS va, b.value AS vb
+              FROM h a JOIN h b ON a.slot_epoch = b.slot_epoch
+              WHERE a.metric = 'error' AND b.metric = 'click'
+            ),
+            w AS (
+              SELECT slot_epoch,
+                     count(*) OVER win AS n_slots,
+                     corr(va, vb) OVER win AS r
+              FROM j
+              WINDOW win AS (ORDER BY slot_epoch
+                             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+            )
+            SELECT slot_epoch, n_slots, round(r, 6) AS r
+            FROM w WHERE r IS NOT NULL AND NOT isnan(r)
+        """,
+        "fk_violations": """
+            SELECT 'orders_customer' AS check_name,
+                   (SELECT count(*) FROM orders o
+                    WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+                      SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)) AS n_orphans,
+                   (SELECT count(*) FROM orders
+                    WHERE o_custkey IS NULL) AS n_null
+            UNION ALL
+            SELECT 'lineitem_orders',
+                   (SELECT count(*) FROM lineitem l
+                    WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+                      SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)),
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_orderkey IS NULL)
+            UNION ALL
+            SELECT 'lineitem_part',
+                   (SELECT count(*) FROM lineitem l
+                    WHERE l.l_partkey IS NOT NULL AND NOT EXISTS (
+                      SELECT 1 FROM part p
+                      WHERE p.p_partkey = l.l_partkey)),
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_partkey IS NULL)
+        """,
+        "table_profile": """
+            SELECT 'event_id' AS column_name,
+                   CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   count(DISTINCT event_id) AS n_distinct,
+                   round(CAST(min(event_id) AS DOUBLE), 6) AS min_value,
+                   round(CAST(max(event_id) AS DOUBLE), 6) AS max_value
+            FROM events
+            UNION ALL
+            SELECT 'ts',
+                   CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   count(DISTINCT ts), NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'user_id',
+                   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   count(DISTINCT user_id),
+                   round(CAST(min(user_id) AS DOUBLE), 6),
+                   round(CAST(max(user_id) AS DOUBLE), 6)
+            FROM events
+            UNION ALL
+            SELECT 'event_type',
+                   CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   count(DISTINCT event_type), NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'value',
+                   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   count(DISTINCT value),
+                   round(CAST(min(value) AS DOUBLE), 6),
+                   round(CAST(max(value) AS DOUBLE), 6)
+            FROM events
+            UNION ALL
+            SELECT 'props',
+                   CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   count(DISTINCT props), NULL, NULL
+            FROM events
+        """,
         # ---- round-4c additions ----
         "attribution": """
             WITH c AS (

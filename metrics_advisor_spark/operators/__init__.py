@@ -27,11 +27,17 @@ from metrics_advisor_spark.operators.history import (
     merge_upsert,
     scd2_intervals,
 )
+from metrics_advisor_spark.operators.quality import (
+    fk_violations,
+    profile_columns,
+)
 from metrics_advisor_spark.operators.trend import (
     burst_detect,
     changes,
     counter_rate,
     deriv,
+    flag_bursts,
+    rolling_corr,
     seasonal_strength,
     ewma,
     gap_detect,
@@ -67,6 +73,10 @@ from metrics_advisor_spark.operators.xcorr import (
 __all__ = [
     "burst_detect",
     "changes",
+    "fk_violations",
+    "flag_bursts",
+    "profile_columns",
+    "rolling_corr",
     "last_touch_attribution",
     "robust_scale",
     "seasonal_strength",

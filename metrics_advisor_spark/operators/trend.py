@@ -494,3 +494,38 @@ def seasonal_strength(hourly: DataFrame, period_slots: int = 24,
             ).alias("strength_ratio"),
         )
     )
+
+
+def rolling_corr(
+    joined: DataFrame,
+    window_slots: int = 24,
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Rolling Pearson correlation between two aligned series: over each
+    trailing ``window_slots``-row frame of a (slot_epoch, va, vb) frame,
+    corr(va, vb).
+
+    Zero-variance / single-row frames produce no output row (Spark
+    yields NaN, engines differ — filtered on both sides by contract).
+
+    Scale: the window partitions on ``partition_cols`` — for ONE series
+    pair that is a single timeline (inherently sequential, ~10⁴ slots);
+    a production sweep over many pairs passes the pair id here and every
+    pair's timeline sorts independently.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy("slot_epoch")
+        .rowsBetween(-(window_slots - 1), 0)
+    )
+    out = joined.select(
+        *partition_cols,
+        "slot_epoch",
+        F.count("*").over(w).alias("n_slots"),
+        F.corr("va", "vb").over(w).alias("r"),
+    )
+    return out.where(
+        F.col("r").isNotNull() & ~F.isnan("r")
+    ).withColumn("r", F.round("r", 6))

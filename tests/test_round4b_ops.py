@@ -389,3 +389,113 @@ def test_cross_source_overlap_counts(spark):
         for r in cross_source_overlap(df).collect()
     }
     assert out == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+
+# --- round-4d batch --------------------------------------------------------
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from metrics_advisor_spark.functions.graph import pagerank
+
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 3)]
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, damping=0.85, iterations=10).collect()
+    }
+
+    # numpy reference: undirected, column-stochastic, same fixed iters
+    n = 4
+    adj = np.zeros((n, n))
+    for a, b in pairs:
+        adj[a, b] = adj[b, a] = 1.0
+    deg = adj.sum(axis=1)
+    m = adj / deg[:, None]  # row i spreads to neighbours
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        r = (1 - 0.85) / n + 0.85 * (m.T @ r)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-5
+    # high-degree node 2 outranks the pendant node 3
+    assert got[2] > got[3]
+
+
+def test_cms_never_underestimates_and_is_exact_when_sparse(spark):
+    from metrics_advisor_spark.functions.sketch import cms_estimate
+
+    counts = spark.createDataFrame(
+        [("a", 100), ("b", 10), ("c", 1)], "term string, n long"
+    )
+    probes = counts.select("term")
+    # wide sketch: no collisions possible with 3 keys → exact
+    out = {
+        r["term"]: r
+        for r in cms_estimate(
+            counts, probes, depth=4, width=1024
+        ).collect()
+    }
+    for t, n in (("a", 100), ("b", 10), ("c", 1)):
+        assert out[t]["cms_estimate"] == out[t]["exact"] == n
+    # 1-wide sketch: every row collides everything → est = total
+    tight = cms_estimate(counts, probes, depth=4, width=1).collect()
+    assert all(r["cms_estimate"] == 111 for r in tight)
+    assert all(r["cms_estimate"] >= r["exact"] for r in tight)
+
+
+def test_cms_unknown_probe_reports_zero_or_collision(spark):
+    from metrics_advisor_spark.functions.sketch import cms_estimate
+
+    counts = spark.createDataFrame([("a", 5)], "term string, n long")
+    probes = spark.createDataFrame([("zzz",)], "term string")
+    out = cms_estimate(counts, probes, depth=4, width=1024).collect()[0]
+    assert out["exact"] == 0
+    assert out["cms_estimate"] >= 0
+
+
+def test_fk_violations_counts_orphans_and_nulls(spark):
+    from metrics_advisor_spark.operators.quality import fk_violations
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,)], "pk long")
+    out = fk_violations(child, parent, "fk", "pk", "t").collect()[0]
+    assert out["n_orphans"] == 1  # fk=99
+    assert out["n_null"] == 1
+
+
+def test_profile_columns_single_pass(spark):
+    from metrics_advisor_spark.operators.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "x", 2.0), (2, None, 4.0), (3, "x", None)],
+        "id long, s string, v double",
+    )
+    out = {
+        r["column_name"]: r
+        for r in profile_columns(df, numeric_cols=("id", "v")).collect()
+    }
+    assert out["id"]["n_nulls"] == 0 and out["id"]["n_distinct"] == 3
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 1
+    assert out["v"]["min_value"] == 2.0 and out["v"]["max_value"] == 4.0
+    assert out["s"]["min_value"] is None  # non-numeric: no min/max
+
+
+def test_rolling_corr_tracks_relationship_flip(spark):
+    from metrics_advisor_spark.operators.trend import rolling_corr
+
+    # first 10 slots: vb = va (r=1); last 10: vb = -va
+    rows = [(s, float(s % 5), float(s % 5)) for s in range(10)]
+    rows += [(s, float(s % 5), -float(s % 5)) for s in range(10, 20)]
+    j = spark.createDataFrame(
+        rows, "slot_epoch long, va double, vb double"
+    )
+    out = {
+        r["slot_epoch"]: r["r"]
+        for r in rolling_corr(j, window_slots=5).collect()
+    }
+    assert out[9] == 1.0  # pure positive regime
+    assert out[19] == -1.0  # pure negative regime
+    assert -1.0 < out[11] < 1.0  # mixed window
