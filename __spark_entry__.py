@@ -2427,6 +2427,39 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(hamming_pairs_blocked(sk, max_distance=8), iterations=3)
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series winsorization at [p05, p95] with an auditable clip
+    flag."""
+    from metrics_advisor_spark.operators.normalize import winsorize
+
+    out = winsorize(_signals(spark, sf_dir), 0.05, 0.95)
+    return out.select(
+        "metric",
+        "series",
+        F.unix_timestamp("ts").alias("epoch"),
+        "value",
+        "was_clipped",
+    )
+
+
+def q_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session first-order Markov transition counts between
+    event types (30-minute session gap)."""
+    from metrics_advisor_spark.operators.sessions import transition_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return transition_counts(ev, gap_seconds=1800)
+
+
+def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI between event-type pairs over per-user baskets (basket
+    affinity / lift)."""
+    from metrics_advisor_spark.operators.sessions import pmi_cooccurrence
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return pmi_cooccurrence(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST
     # 50 entries (VERDICT r02).  Rotation discipline (ROUND_NOTES):
@@ -2440,6 +2473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # (a) new round-4 queries — never driver-checked by definition
         "streaming_burst": q_streaming_burst,
+        "winsorize": q_winsorize,
+        "transition_counts": q_transition_counts,
+        "pmi_cooccurrence": q_pmi_cooccurrence,
         "cms_estimate": q_cms_estimate,
         "rolling_corr": q_rolling_corr,
         "fk_violations": q_fk_violations,
@@ -2629,6 +2665,72 @@ def _ewma_sql(alpha: float = 0.2, depth: int = 12) -> str:
 def oracle_sql() -> dict[str, str]:
     out = {
         # ---- round-4d additions ----
+        "winsorize": f"""
+            WITH sig AS ({_SIG}),
+            st AS (
+              SELECT metric, series,
+                     quantile_cont(value, 0.05) AS lo,
+                     quantile_cont(value, 0.95) AS hi
+              FROM sig GROUP BY 1, 2
+            )
+            SELECT s.metric, s.series,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+                   round(least(greatest(value, lo), hi), 6) AS value,
+                   (value < lo OR value > hi) AS was_clipped
+            FROM sig s JOIN st USING (metric, series)
+        """,
+        "transition_counts": """
+            WITH l AS (
+              SELECT user_id, ts, event_id, event_type,
+                     floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) AS gap
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT user_id, ts, event_id, event_type,
+                     sum(CASE WHEN gap IS NULL OR gap > 1800
+                              THEN 1 ELSE 0 END) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+              FROM l
+            ),
+            pairs AS (
+              SELECT lag(event_type) OVER (
+                         PARTITION BY user_id, session_id
+                         ORDER BY ts, event_id) AS from_type,
+                     event_type AS to_type
+              FROM sess
+            )
+            SELECT from_type, to_type, count(*) AS n_transitions
+            FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+        """,
+        "pmi_cooccurrence": """
+            WITH ut AS (
+              SELECT DISTINCT user_id, event_type FROM events
+            ),
+            nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+            totals AS (
+              SELECT event_type, count(*) AS n_with FROM ut GROUP BY 1
+            ),
+            pc AS (
+              SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     count(*) AS n_both
+              FROM ut a JOIN ut b
+                ON a.user_id = b.user_id
+                AND a.event_type < b.event_type
+              GROUP BY 1, 2
+            )
+            SELECT type_a, type_b, n_both,
+                   ta.n_with AS n_a, tb.n_with AS n_b,
+                   round(ln((n_both / n_users)
+                            / ((ta.n_with / n_users)
+                               * (tb.n_with / n_users))), 6) AS pmi
+            FROM pc
+            JOIN totals ta ON ta.event_type = pc.type_a
+            JOIN totals tb ON tb.event_type = pc.type_b
+            CROSS JOIN nu
+        """,
         "cms_estimate": """
             WITH counts AS (
               SELECT w AS term, count(*) AS n FROM (

@@ -10,7 +10,11 @@ from metrics_advisor_spark.operators.buckets import (
     with_bucket_id,
     bucket_windows,
 )
-from metrics_advisor_spark.operators.normalize import get_relative, robust_scale
+from metrics_advisor_spark.operators.normalize import (
+    get_relative,
+    robust_scale,
+    winsorize,
+)
 from metrics_advisor_spark.operators.xcorr import (
     bucket_correlation,
     rank_correlations,
@@ -60,9 +64,11 @@ from metrics_advisor_spark.operators.sessions import (
     funnel,
     interval_merge,
     last_touch_attribution,
+    pmi_cooccurrence,
     session_stats,
     sessionize,
     sliding_distinct_users,
+    transition_counts,
 )
 from metrics_advisor_spark.operators.xcorr import (
     best_lag,
@@ -75,8 +81,11 @@ __all__ = [
     "changes",
     "fk_violations",
     "flag_bursts",
+    "pmi_cooccurrence",
     "profile_columns",
     "rolling_corr",
+    "transition_counts",
+    "winsorize",
     "last_touch_attribution",
     "robust_scale",
     "seasonal_strength",

@@ -54,3 +54,36 @@ def robust_scale(signals: DataFrame) -> DataFrame:
             F.round(scaled, 6).alias("scaled_value"),
         )
     )
+
+
+def winsorize(
+    signals: DataFrame,
+    lower_p: float = 0.01,
+    upper_p: float = 0.99,
+) -> DataFrame:
+    """Winsorization: clip each series' values to its own [p_lo, p_hi]
+    exact interpolated percentiles — the standard tail-taming transform
+    before means/regressions on heavy-tailed metrics.
+
+    Same shape as `robust_scale` (normalize.py): one per-series
+    percentile aggregate broadcast-joined back; the sample table is
+    never sorted.  A ``was_clipped`` flag makes the transform auditable.
+    """
+    stats = signals.groupBy("metric", "series").agg(
+        F.percentile("value", F.lit(lower_p)).alias("lo"),
+        F.percentile("value", F.lit(upper_p)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        signals.join(F.broadcast(stats), ["metric", "series"])
+        .select(
+            "metric",
+            "series",
+            "ts",
+            F.round(clipped, 6).alias("value"),
+            (
+                (F.col("value") < F.col("lo"))
+                | (F.col("value") > F.col("hi"))
+            ).alias("was_clipped"),
+        )
+    )

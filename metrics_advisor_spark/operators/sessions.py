@@ -249,3 +249,90 @@ def sliding_distinct_users(events: DataFrame, window_days: int = 7) -> DataFrame
         .groupBy("report_day")
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+def transition_counts(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """First-order Markov transition counts between event types WITHIN
+    sessions (lag bigrams per user session) — the "what do users do
+    next" table behind funnel design.
+
+    Sessionizes inline with the same lag-flag + prefix-sum islands as
+    `interval_merge`, then counts (prev_type → event_type) pairs.  All
+    three windows share the user-key partitioning: one exchange, one
+    partition sort, then a small (type × type) aggregate.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    sess = events.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    pairs = sess.select(
+        F.lag("event_type").over(ws).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+
+
+def pmi_cooccurrence(events: DataFrame) -> DataFrame:
+    """Pointwise mutual information between event-type pairs over user
+    "baskets": PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) where p counts the
+    fraction of users whose history contains the type (pair).
+
+    The basket-affinity primitive (market-basket lift, co-engagement).
+    Distinct (user, type) first — raw event volume collapses before any
+    pairing — then a user-keyed self-join bounded by types-per-user
+    (≤ #event types, tiny), and 1-row/per-type totals broadcast in.
+    """
+    ut = events.select("user_id", "event_type").distinct()
+    n_users_df = ut.agg(
+        F.count_distinct("user_id").alias("n_users")
+    )  # 1-row, broadcast below — the plan stays fully lazy
+    totals = ut.groupBy("event_type").agg(
+        F.count("*").alias("n_with")
+    )
+    pair_counts = (
+        ut.alias("a")
+        .join(
+            ut.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    ta = totals.select(
+        F.col("event_type").alias("type_a"), F.col("n_with").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("event_type").alias("type_b"), F.col("n_with").alias("n_b")
+    )
+    n_users = F.col("n_users")
+    pmi = F.log(
+        (F.col("n_both") / n_users)
+        / ((F.col("n_a") / n_users) * (F.col("n_b") / n_users))
+    )
+    return (
+        pair_counts.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(n_users_df))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(pmi, 6).alias("pmi"),
+        )
+    )

@@ -499,3 +499,61 @@ def test_rolling_corr_tracks_relationship_flip(spark):
     assert out[9] == 1.0  # pure positive regime
     assert out[19] == -1.0  # pure negative regime
     assert -1.0 < out[11] < 1.0  # mixed window
+
+
+def test_winsorize_clips_tails_only(spark):
+    from metrics_advisor_spark.operators.normalize import winsorize
+
+    rows = [("m", "s", _ts(i), float(v)) for i, v in enumerate(
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]
+    )]
+    out = winsorize(_sig(spark, rows), 0.1, 0.9).collect()
+    clipped = [r for r in out if r["was_clipped"]]
+    assert len(clipped) >= 1  # the 1000 outlier
+    assert max(r["value"] for r in out) < 1000  # upper tail tamed
+    assert len(out) == 10  # no rows dropped
+
+
+def test_transition_counts_session_scoped(spark):
+    from metrics_advisor_spark.operators.sessions import transition_counts
+
+    ev = spark.createDataFrame(
+        [
+            # session 1: view → click → purchase
+            (1, 1, _ts(0), "view"), (2, 1, _ts(60), "click"),
+            (3, 1, _ts(120), "purchase"),
+            # big gap → new session: purchase → view must NOT bridge
+            (4, 1, _ts(99999), "view"), (5, 1, _ts(99999 + 60), "click"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    out = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in transition_counts(ev, gap_seconds=1800).collect()
+    }
+    assert out == {
+        ("view", "click"): 2,
+        ("click", "purchase"): 1,
+    }  # no (purchase → view) across the session break
+
+
+def test_pmi_positive_for_coupled_negative_for_disjoint(spark):
+    import math
+
+    from metrics_advisor_spark.operators.sessions import pmi_cooccurrence
+
+    rows = []
+    # users 1-4: always a AND b together (coupled)
+    for u in range(1, 5):
+        rows += [(u, "a"), (u, "b")]
+    # users 5-8: c alone
+    for u in range(5, 9):
+        rows.append((u, "c"))
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {
+        (r["type_a"], r["type_b"]): r for r in pmi_cooccurrence(ev).collect()
+    }
+    ab = out[("a", "b")]
+    # p(a,b)=.5, p(a)=p(b)=.5 → PMI = ln(.5/.25) = ln 2
+    assert abs(ab["pmi"] - math.log(2)) < 1e-6
+    assert ("a", "c") not in out  # never co-occur → no pair row
