@@ -2427,6 +2427,48 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(hamming_pairs_blocked(sk, max_distance=8), iterations=3)
 
 
+def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eighth Structured Streaming contract surface: hourly OHLC bars
+    maintained as a streaming tumbling-window aggregate — min_by/max_by
+    with the same (ts, value) struct tiebreak as the batch operator, so
+    the drained state shares the batch `ohlc` oracle."""
+    import uuid
+
+    from metrics_advisor_spark.streaming import run_to_memory, stream_signals
+
+    src = _STREAM_SRC_CACHE.get(sf_dir)
+    if src is None:
+        import tempfile
+
+        src = tempfile.mkdtemp(prefix="ma_stream_src_") + "/sig"
+        _signals(spark, sf_dir).write.mode("overwrite").parquet(src)
+        _STREAM_SRC_CACHE[sf_dir] = src
+    tie = F.struct(F.col("ts"), F.col("value"))
+    bars = (
+        stream_signals(spark, src)
+        .withWatermark("ts", "2 hours")
+        .groupBy("metric", F.window("ts", "3600 seconds"))
+        .agg(
+            F.min_by("value", tie).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", tie).alias("close"),
+            F.count("value").alias("n_ticks"),
+        )
+    )
+    name = f"stream_ohlc_{uuid.uuid4().hex[:8]}"
+    run_to_memory(bars, name, output_mode="complete")
+    return spark.table(name).select(
+        "metric",
+        F.unix_timestamp("window.start").alias("slot_epoch"),
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        "n_ticks",
+    )
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series winsorization at [p05, p95] with an auditable clip
     flag."""
@@ -2465,14 +2507,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries (VERDICT r02).  Rotation discipline (ROUND_NOTES):
     # lead with (a) new-this-round queries, (b) green queries whose CODE
     # PATH changed this round, then (c) oldest-driver-green first, so no
-    # green row ages past two rounds.  Round-4 state: 32 never-checked
-    # new queries + 6 changed fill positions 1-38; the 12 oldest r01
-    # rows fill the rest of the gate.  Round-5 front of queue: the 4
-    # remaining r01 rows (ann_topk … distinct_series), then the r02
+    # green row ages past two rounds.  Round-4 state: 41 never-checked
+    # new queries + 6 changed fill positions 1-47; the 3 oldest r01
+    # rows fill the rest of the gate.  Round-5 front of queue: the 13
+    # remaining r01 rows (token_count … distinct_series), then the r02
     # block, then r03.
     return {
         # (a) new round-4 queries — never driver-checked by definition
         "streaming_burst": q_streaming_burst,
+        "streaming_ohlc": q_streaming_ohlc,
         "winsorize": q_winsorize,
         "transition_counts": q_transition_counts,
         "pmi_cooccurrence": q_pmi_cooccurrence,
@@ -5056,6 +5099,8 @@ def oracle_sql() -> dict[str, str]:
     # streaming hourly tumbling windows == floor(epoch/3600) buckets, and
     # the burst flag is the same batch view — one shared oracle
     out["streaming_burst"] = out["burst_detect"]
+    # streaming OHLC: identical windows + identical struct tiebreak
+    out["streaming_ohlc"] = out["ohlc"]
     return out
 
 

@@ -90,6 +90,11 @@ def merge_upsert(
     base row.  This is the batch-apply counterpart of `latest_by_key`
     (operators/history.py:28).
 
+    Precondition: ``order_cols[0]`` must be non-null on every change
+    row — it doubles as the "a change exists for this key" sentinel
+    after the full-outer join (a CDC feed without an event time is not
+    a CDC feed).
+
     Scale: compact the change batch first (one window over the — much
     smaller — change set), then a single full-outer join on the key.
     The change side is usually a tiny fraction of the snapshot, so AQE

@@ -225,8 +225,10 @@ def sliding_distinct_users(events: DataFrame, window_days: int = 7) -> DataFrame
     (user, day), not by raw event volume (the first distinct collapses
     events map-side).
 
-    Report days past the data's last day are clipped so every reported
-    window is fully contained in the observed range.
+    Report days past the data's last day are clipped (no window is
+    reported whose anchor day has no data yet).  Report days near the
+    START of the range have the standard partial lookback — a WAU for
+    day 2 of a feed counts whoever was active in the 2 observed days.
     """
     day = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
     ud = events.select(
