@@ -2502,6 +2502,54 @@ def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_cooccurrence(ev)
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z readout per event type between deterministic
+    hash-assigned 50/50 arms (null-hypothesis data ⇒ |z| small — the
+    A/A sanity check every experiment platform runs first)."""
+    from metrics_advisor_spark.operators.experiments import ab_test_zscores
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ab_test_zscores(ev)
+
+
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization: per metric, decile bucket counts
+    and bounds (deterministic (value, ts, series) ordering)."""
+    from pyspark.sql import Window
+
+    sig = _signals(spark, sf_dir)
+    w = Window.partitionBy("metric").orderBy(
+        "value", F.unix_timestamp("ts"), "series"
+    )
+    return (
+        sig.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("metric", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting feature frame over the hourly series: value, lag-1h,
+    lag-24h and the trailing 24-slot mean, one window sort."""
+    from metrics_advisor_spark.operators.resample import lag_features
+
+    hourly = (
+        _signals(spark, sf_dir)
+        .groupBy(
+            "metric",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("slot_epoch"),
+        )
+        .agg(F.avg("value").alias("value"))
+    )
+    return lag_features(hourly, lags=(1, 24), rolling_mean_slots=24)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST
     # 50 entries (VERDICT r02).  Rotation discipline (ROUND_NOTES):
@@ -2516,6 +2564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) new round-4 queries — never driver-checked by definition
         "streaming_burst": q_streaming_burst,
         "streaming_ohlc": q_streaming_ohlc,
+        "ab_test": q_ab_test,
+        "value_deciles": q_value_deciles,
+        "lag_features": q_lag_features,
         "winsorize": q_winsorize,
         "transition_counts": q_transition_counts,
         "pmi_cooccurrence": q_pmi_cooccurrence,
@@ -2708,6 +2759,63 @@ def _ewma_sql(alpha: float = 0.2, depth: int = 12) -> str:
 def oracle_sql() -> dict[str, str]:
     out = {
         # ---- round-4d additions ----
+        "ab_test": """
+            WITH a AS (
+              SELECT event_type,
+                     CAST(('0x' || substr(md5('exp1_' || user_id::VARCHAR),
+                                          1, 14))::BIGINT % 2 AS INT) AS arm,
+                     value
+              FROM events
+            ),
+            pa AS (
+              SELECT event_type, arm, count(value) AS n, avg(value) AS mean,
+                     var_samp(value) AS var
+              FROM a GROUP BY 1, 2
+            ),
+            w AS (
+              SELECT event_type,
+                     coalesce(max(CASE WHEN arm = 0 THEN n END), 0) AS n_a,
+                     coalesce(max(CASE WHEN arm = 1 THEN n END), 0) AS n_b,
+                     max(CASE WHEN arm = 0 THEN mean END) AS mean_a,
+                     max(CASE WHEN arm = 1 THEN mean END) AS mean_b,
+                     max(CASE WHEN arm = 0 THEN var END) AS var_a,
+                     max(CASE WHEN arm = 1 THEN var END) AS var_b
+              FROM pa GROUP BY 1
+            )
+            SELECT event_type, n_a, n_b,
+                   round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+                   round(CASE WHEN sqrt(var_a/n_a + var_b/n_b) > 0
+                              THEN (mean_b - mean_a)
+                                   / sqrt(var_a/n_a + var_b/n_b) END, 6)
+                       AS z
+            FROM w
+        """,
+        "value_deciles": f"""
+            WITH sig AS ({_SIG}),
+            t AS (
+              SELECT metric, value,
+                     CAST(ntile(10) OVER (PARTITION BY metric
+                                          ORDER BY value, floor(epoch(ts)),
+                                                   series) AS INT) AS decile
+              FROM sig
+            )
+            SELECT metric, decile, count(*) AS n,
+                   round(min(value), 6) AS lo,
+                   round(max(value), 6) AS hi
+            FROM t GROUP BY 1, 2
+        """,
+        "lag_features": f"""
+            WITH h AS ({_HOURLY})
+            SELECT metric, slot_epoch, round(value, 6) AS value,
+                   round(lag(value, 1) OVER w, 6) AS lag_1,
+                   round(lag(value, 24) OVER w, 6) AS lag_24,
+                   round(avg(value) OVER (
+                       PARTITION BY metric ORDER BY slot_epoch
+                       ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 6)
+                       AS rmean_24
+            FROM h
+            WINDOW w AS (PARTITION BY metric ORDER BY slot_epoch)
+        """,
         "winsorize": f"""
             WITH sig AS ({_SIG}),
             st AS (

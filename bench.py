@@ -83,6 +83,11 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         total += best
+        # Queries that persist intermediates (kl_divergence, pagerank,
+        # triangle_count, dedup pipelines) must not leak cached blocks
+        # into later queries' memory budget — each timing measures the
+        # query's own plan, nothing inherited.
+        spark.catalog.clearCache()
 
     # Full per-query line first (for logs/humans), then a compact summary
     # line LAST: the driver retains only an output tail, and with ~100

@@ -246,3 +246,40 @@ def interpolate_hourly(signals: DataFrame) -> DataFrame:
         .where(F.col("_pv").isNotNull() & F.col("_nv").isNotNull())
         .drop("_pv", "_nv")
     )
+
+
+def lag_features(
+    hourly: DataFrame,
+    lags: tuple[int, ...] = (1, 24),
+    rolling_mean_slots: int = 24,
+) -> DataFrame:
+    """Forecasting feature frame: per (metric, slot), the value plus
+    positional lags and a trailing rolling mean over the step-aligned
+    series — the standard supervised-training table for a per-metric
+    forecaster.
+
+    Positional semantics on the resampled grid: a gap slot simply isn't
+    a row, so lag_1 is "previous OBSERVED slot" (densify with
+    `fill_gaps`/`interpolate_hourly` first if calendar lags are
+    needed — composability is the point of keeping this positional).
+
+    Scale: all features ride ONE window sort per metric; output stays
+    one row per input slot (no fan-out).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("metric").orderBy("slot_epoch")
+    wr = w.rowsBetween(-(rolling_mean_slots - 1), 0)
+    cols = [
+        F.col("metric"),
+        F.col("slot_epoch"),
+        F.round("value", 6).alias("value"),
+    ]
+    for k in lags:
+        cols.append(F.round(F.lag("value", k).over(w), 6).alias(f"lag_{k}"))
+    cols.append(
+        F.round(F.avg("value").over(wr), 6).alias(
+            f"rmean_{rolling_mean_slots}"
+        )
+    )
+    return hourly.select(*cols)
