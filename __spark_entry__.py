@@ -2550,18 +2550,171 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lag_features(hourly, lags=(1, 24), rolling_mean_slots=24)
 
 
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: per-doc unigram cross-entropy
+    against the corpus's own unigram LM (distinct (doc, token) rows
+    reduce map-side before the vocabulary join)."""
+    from metrics_advisor_spark.functions.text import unigram_surprisal
+
+    return unigram_surprisal(_docs(spark, sf_dir))
+
+
+def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup signal: share of each doc's distinct 3-gram
+    shingles that occur in ≥1 other doc (planted-dup corpus)."""
+    from metrics_advisor_spark.functions.dedup import dup_ngram_fraction
+
+    return dup_ngram_fraction(_docs_with_dups(spark, sf_dir))
+
+
+def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking: candidate pairs among docs whose
+    normalized 24-char prefix key ties within a window-3 neighborhood
+    of the global sort order."""
+    from metrics_advisor_spark.functions.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(
+        _docs_with_dups(spark, sf_dir), window=3, key_len=24
+    )
+
+
+def q_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup cluster (Jaccard
+    ≥ 0.5 closure) keep the best-quality member, doc_id tiebreak."""
+    from metrics_advisor_spark.functions.curation import (
+        canonical_representatives,
+    )
+    from metrics_advisor_spark.functions.dedup import jaccard_pairs
+
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    return canonical_representatives(docs, pairs)
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per metric over the hourly grid: median
+    pairwise slope (per hour)."""
+    from metrics_advisor_spark.operators.trend import theil_sen
+
+    hourly = (
+        _signals(spark, sf_dir)
+        .groupBy(
+            "metric",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("slot_epoch"),
+        )
+        .agg(F.avg("value").alias("value"))
+    )
+    return theil_sen(hourly)
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank-correlation matrix between metric pairs on shared
+    hourly slots (min-rank ties, deterministic)."""
+    from metrics_advisor_spark.operators.trend import spearman_corr
+
+    hourly = (
+        _signals(spark, sf_dir)
+        .groupBy(
+            "metric",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("slot_epoch"),
+        )
+        .agg(F.avg("value").alias("value"))
+    )
+    return spearman_corr(hourly)
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per metric between the first and
+    second half of each metric's time range (reference-decile bins)."""
+    from metrics_advisor_spark.operators.quality import psi_drift
+
+    return psi_drift(_signals(spark, sf_dir))
+
+
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for two prospective shuffle keys
+    (lineitem.l_suppkey, orders.o_custkey) in one audit table."""
+    from metrics_advisor_spark.operators.quality import key_skew_audit
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return key_skew_audit(li, "l_suppkey").unionByName(
+        key_skew_audit(od, "o_custkey")
+    )
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label audit: declared language vs stopword-vote prediction, with
+    each cell's share of its declared-lang rows."""
+    from metrics_advisor_spark.functions.text import lang_agreement
+
+    return lang_agreement(_docs(spark, sf_dir, fanout=False))
+
+
+def q_streaming_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ninth Structured Streaming contract surface: CDC compaction as a
+    continuously-maintained latest-row-per-key view — one plain `max`
+    over a (ts, event_id, …) struct per user_id (partial-aggregatable
+    state, complete-mode drain).  Same tiebreak as the batch
+    `latest_by_key`, so the drained state shares the `cdc_latest`
+    oracle."""
+    import tempfile
+    import uuid
+
+    from metrics_advisor_spark.streaming import run_to_memory
+    from metrics_advisor_spark.streaming.pipeline import latest_by_key_stream
+
+    key = sf_dir + "/events"
+    src = _STREAM_SRC_CACHE.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="ma_stream_src_") + "/ev"
+        spark.read.parquet(f"{sf_dir}/events.parquet").write.mode(
+            "overwrite"
+        ).parquet(src)
+        _STREAM_SRC_CACHE[key] = src
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    latest = latest_by_key_stream(stream)
+    name = f"stream_cdc_{uuid.uuid4().hex[:8]}"
+    run_to_memory(latest, name, output_mode="complete")
+    return spark.table(name).select(
+        "user_id",
+        F.unix_timestamp("ts").alias("epoch"),
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST
     # 50 entries (VERDICT r02).  Rotation discipline (ROUND_NOTES):
     # lead with (a) new-this-round queries, (b) green queries whose CODE
     # PATH changed this round, then (c) oldest-driver-green first, so no
-    # green row ages past two rounds.  Round-4 state: 41 never-checked
-    # new queries + 6 changed fill positions 1-47; the 3 oldest r01
-    # rows fill the rest of the gate.  Round-5 front of queue: the 13
-    # remaining r01 rows (token_count … distinct_series), then the r02
-    # block, then r03.
+    # green row ages past two rounds.  Round-4 state: 54 never-checked
+    # new queries — four more than the gate, so the last four
+    # (scd2_history, predict_linear, resets, global_shuffle) plus the 6
+    # changed and the stale blocks overflow to the round-5 front of
+    # queue.  Builder-side, every oracled query is parity-checked per
+    # run by tests/test_oracle_parity.py regardless of gate position.
     return {
-        # (a) new round-4 queries — never driver-checked by definition
+        # (a) new round-4e queries — never driver-checked by definition
+        "unigram_surprisal": q_unigram_surprisal,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
+        "snm_pairs": q_snm_pairs,
+        "canonical_select": q_canonical_select,
+        "theil_sen": q_theil_sen,
+        "spearman_corr": q_spearman_corr,
+        "psi_drift": q_psi_drift,
+        "skew_audit": q_skew_audit,
+        "lang_confusion": q_lang_confusion,
+        "streaming_cdc_latest": q_streaming_cdc_latest,
+        # (a) new round-4a–4d queries
         "streaming_burst": q_streaming_burst,
         "streaming_ohlc": q_streaming_ohlc,
         "ab_test": q_ab_test,
@@ -5200,6 +5353,228 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY k DESC, doc_id ASC LIMIT 50
         """,
+        "unigram_surprisal": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, {_TOKEN_RE_SQL})) AS tok
+              FROM documents
+            ),
+            dt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+            vocab AS (SELECT tok, sum(c) AS cf FROM dt GROUP BY 1),
+            tot AS (SELECT sum(cf) AS n_corpus FROM vocab)
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   round(sum(c * -ln(cf / n_corpus)) / sum(c), 6) AS surprisal
+            FROM dt JOIN vocab USING (tok) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
+        "dup_ngram_fraction": f"""
+            WITH sh AS ({_shingle_sql(_DOCS_DUPS)}),
+            dfreq AS (SELECT shingle_hash, count(*) AS sdf FROM sh GROUP BY 1)
+            SELECT doc_id, count(*) AS n_shingles,
+                   CAST(sum(CASE WHEN sdf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_shingles,
+                   round(sum(CASE WHEN sdf > 1 THEN 1.0 ELSE 0.0 END)
+                         / count(*), 6) AS dup_fraction
+            FROM sh JOIN dfreq USING (shingle_hash)
+            GROUP BY doc_id
+        """,
+        "snm_pairs": f"""
+            WITH r AS (
+              SELECT doc_id,
+                     substr(lower(regexp_replace(text, '[^A-Za-z0-9]', '',
+                                                 'g')), 1, 24) AS block_key,
+                     length(text)::INT AS n_chars,
+                     row_number() OVER (ORDER BY
+                         substr(lower(regexp_replace(text, '[^A-Za-z0-9]',
+                                                     '', 'g')), 1, 24),
+                         doc_id) AS rank
+              FROM ({_DOCS_DUPS})
+            )
+            SELECT least(a.doc_id, b.doc_id) AS doc_lo,
+                   greatest(a.doc_id, b.doc_id) AS doc_hi,
+                   a.block_key, j::INT AS rank_gap,
+                   abs(a.n_chars - b.n_chars)::INT AS len_delta
+            FROM r a, unnest(range(1, 3)) AS t(j), r b
+            WHERE b.rank = a.rank + j AND a.block_key = b.block_key
+        """,
+        "canonical_select": f"""
+            WITH RECURSIVE sh AS ({_shingle_sql(_DOCS_DUPS)}),
+            sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b
+                ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT doc_a, doc_b FROM (
+                SELECT doc_a, doc_b,
+                       round(n_inter / (sa.set_size + sb.set_size - n_inter), 6)
+                           AS jaccard
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+              ) WHERE jaccard >= 0.5
+            ),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM pairs
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ),
+            comp AS (
+              SELECT u AS doc_id, least(u, min(v)) AS label
+              FROM reach GROUP BY u
+            ),
+            q AS (
+              SELECT doc_id,
+                     round(least(len(string_split(text, ' ')) / 100.0, 1.0)
+                           * (1.0 - round((length(text) -
+                                length(regexp_replace(text, '[^A-Za-z0-9 ]',
+                                                      '', 'g')))
+                               / greatest(length(text), 1), 6)), 6) AS q
+              FROM ({_DOCS_DUPS})
+            ),
+            m AS (
+              SELECT q.doc_id, q.q, coalesce(c.label, q.doc_id) AS cluster
+              FROM q LEFT JOIN comp c ON q.doc_id = c.doc_id
+            ),
+            rk AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY cluster ORDER BY q DESC, doc_id ASC) AS rn
+              FROM m
+            )
+            SELECT cluster, max(CASE WHEN rn = 1 THEN doc_id END)
+                       AS canonical_id,
+                   max(q) AS best_quality, count(*) AS n_members
+            FROM rk GROUP BY cluster
+        """,
+        "theil_sen": f"""
+            WITH hourly AS ({_HOURLY}),
+            p AS (
+              SELECT a.metric,
+                     (b.value - a.value)
+                         / ((b.slot_epoch - a.slot_epoch) / 3600.0) AS slope
+              FROM hourly a JOIN hourly b
+                ON a.metric = b.metric AND a.slot_epoch < b.slot_epoch
+            )
+            SELECT metric, round(quantile_cont(slope, 0.5), 6)
+                       AS slope_per_hour,
+                   count(*) AS n_pairs
+            FROM p GROUP BY 1
+        """,
+        "spearman_corr": f"""
+            WITH hourly AS ({_HOURLY}),
+            r AS (
+              SELECT metric, slot_epoch,
+                     CAST(rank() OVER (PARTITION BY metric ORDER BY value)
+                          AS DOUBLE) AS rk
+              FROM hourly
+            )
+            SELECT a.metric AS metric_a, b.metric AS metric_b,
+                   round(covar_samp(a.rk, b.rk)
+                         / (stddev_samp(a.rk) * stddev_samp(b.rk)), 6) AS rho,
+                   count(*) AS n_slots
+            FROM r a JOIN r b
+              ON a.slot_epoch = b.slot_epoch AND a.metric < b.metric
+            GROUP BY 1, 2
+            HAVING count(*) >= 3
+               AND stddev_samp(a.rk) > 0 AND stddev_samp(b.rk) > 0
+        """,
+        "psi_drift": f"""
+            WITH s AS (
+              SELECT event_type AS metric,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS epoch, value
+              FROM events
+            ),
+            ext AS (SELECT metric, (min(epoch) + max(epoch)) / 2.0 AS mid
+                    FROM s GROUP BY 1),
+            sides AS (
+              SELECT s.metric, value, epoch <= mid AS is_ref
+              FROM s JOIN ext USING (metric)
+            ),
+            cuts AS (
+              SELECT metric,
+                     list_transform(
+                         quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                               0.6, 0.7, 0.8, 0.9]),
+                         c -> round(c, 6)) AS cuts
+              FROM sides WHERE is_ref GROUP BY 1
+            ),
+            binned AS (
+              SELECT sides.metric, is_ref,
+                     len(list_filter(cuts, c -> value > c)) AS bin
+              FROM sides JOIN cuts USING (metric)
+            ),
+            cells AS (
+              SELECT metric, bin,
+                     sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+                     sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS nc
+              FROM binned GROUP BY 1, 2
+            ),
+            tot AS (SELECT metric, sum(nr) AS tr, sum(nc) AS tc
+                    FROM cells GROUP BY 1)
+            SELECT metric, CAST(max(tr) AS BIGINT) AS n_ref,
+                   CAST(max(tc) AS BIGINT) AS n_cur,
+                   round(sum((nc / tc - nr / tr)
+                             * ln((nc / tc + 1e-6) / (nr / tr + 1e-6))), 6)
+                       AS psi
+            FROM cells JOIN tot USING (metric) GROUP BY 1
+        """,
+        "skew_audit": """
+            WITH f1 AS (SELECT l_suppkey, count(*) AS n FROM lineitem
+                        GROUP BY 1),
+            f2 AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
+            a1 AS (
+              SELECT 'l_suppkey' AS key, CAST(sum(n) AS BIGINT) AS n_rows,
+                     count(*) AS n_keys, CAST(max(n) AS BIGINT) AS max_freq,
+                     round(max(n) / sum(n), 6) AS top1_share,
+                     round(quantile_cont(n, 0.5), 6) AS p50_freq,
+                     round(quantile_cont(n, 0.99), 6) AS p99_freq,
+                     round(quantile_cont(n, 0.99) / quantile_cont(n, 0.5), 6)
+                         AS skew_ratio
+              FROM f1
+            ),
+            a2 AS (
+              SELECT 'o_custkey' AS key, CAST(sum(n) AS BIGINT) AS n_rows,
+                     count(*) AS n_keys, CAST(max(n) AS BIGINT) AS max_freq,
+                     round(max(n) / sum(n), 6) AS top1_share,
+                     round(quantile_cont(n, 0.5), 6) AS p50_freq,
+                     round(quantile_cont(n, 0.99), 6) AS p99_freq,
+                     round(quantile_cont(n, 0.99) / quantile_cont(n, 0.5), 6)
+                         AS skew_ratio
+              FROM f2
+            )
+            SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        """,
+        "lang_confusion": f"""
+            WITH cells AS (
+              SELECT lang,
+                     CASE WHEN greatest(s_en, s_es, s_fr) <= 0 THEN 'und'
+                          WHEN s_en = greatest(s_en, s_es, s_fr) THEN 'en'
+                          WHEN s_es = greatest(s_en, s_es, s_fr) THEN 'es'
+                          ELSE 'fr' END AS lang_pred,
+                     count(*) AS n
+              FROM (
+                SELECT lang,
+                  len(list_filter(string_split(text, ' '),
+                      x -> x IN {_STOP_EN})) AS s_en,
+                  len(list_filter(string_split(text, ' '),
+                      x -> x IN ('el','la','de','y','que','en'))) AS s_es,
+                  len(list_filter(string_split(text, ' '),
+                      x -> x IN ('le','la','et','les','des','un'))) AS s_fr
+                FROM documents
+              ) GROUP BY 1, 2
+            )
+            SELECT lang, lang_pred, n,
+                   round(n / sum(n) OVER (PARTITION BY lang), 6)
+                       AS share_of_lang
+            FROM cells
+        """,
     }
     # bloom_contamination's bloom is plan-level only (false positives are
     # removed by the exact join) — byte-identical output, shared oracle
@@ -5209,6 +5584,8 @@ def oracle_sql() -> dict[str, str]:
     out["streaming_burst"] = out["burst_detect"]
     # streaming OHLC: identical windows + identical struct tiebreak
     out["streaming_ohlc"] = out["ohlc"]
+    # streaming CDC: identical (ts, event_id) latest-wins tiebreak
+    out["streaming_cdc_latest"] = out["cdc_latest"]
     return out
 
 

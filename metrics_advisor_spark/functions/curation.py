@@ -529,3 +529,41 @@ def train_val_test_split(
         .otherwise(F.lit("test"))
     )
     return df.withColumn(out_col, split)
+
+
+def canonical_representatives(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    keep the HIGHEST-QUALITY member (not the arbitrary min-id member) —
+    the curation policy real pipelines want, since the truncated /
+    mangled variant often has the smaller id.
+
+    ``pairs`` is any verified near-dup pair set (jaccard_pairs,
+    minhash_lsh_pairs + verify, …); clusters come from transitive
+    closure (`propagate_labels`).  Ordering inside a cluster is the
+    6dp-rounded quality score, doc_id ascending on ties — deterministic
+    and engine-neutral.
+
+    Scale: closure over the (tiny, pair-shaped) edge set; the corpus
+    itself is touched once for the score projection and once for the
+    label join — never paired.
+    """
+    from metrics_advisor_spark.functions.dedup import propagate_labels
+    from metrics_advisor_spark.functions.text import quality_score_col
+
+    labels = propagate_labels(pairs)
+    scored = df.select(
+        "doc_id",
+        F.round(quality_score_col(F.col(text_col)), 6).alias("q"),
+    )
+    member = scored.join(labels, "doc_id", "left").select(
+        "doc_id", "q", F.coalesce("label", "doc_id").alias("cluster")
+    )
+    return member.groupBy("cluster").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("q"), (-F.col("doc_id")).alias("nid"))
+        ).alias("canonical_id"),
+        F.max("q").alias("best_quality"),
+        F.count("*").cast("long").alias("n_members"),
+    )

@@ -646,3 +646,102 @@ def cross_source_overlap(df: DataFrame, text_col: str = "text",
         )
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def dup_ngram_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction: the share of a doc's
+    DISTINCT word n-grams that also occur in at least one other doc —
+    the RefinedWeb / "Deduplicating Training Data" span-level signal
+    that catches partial copies exact- and pair-dedup both miss.
+
+    Plan: the distinct (doc, shingle) set feeds (a) a shingle-keyed
+    document-frequency aggregate and (b) a join back on shingle_hash,
+    then one per-doc aggregate.  Never pairs docs — cost is linear in
+    the shingle table.  ``max_shingle_df`` drops ultra-hot boilerplate
+    shingles from BOTH sides (they stop distinguishing anything and are
+    the only skew risk at corpus scale); the fraction then reads "share
+    of informative shingles that are duplicated".
+    """
+    sh = shingle(df, text_col, n=n).persist()
+    dfreq = sh.groupBy("shingle_hash").agg(
+        F.count("*").alias("sdf")
+    )
+    if max_shingle_df is not None:
+        dfreq = dfreq.where(F.col("sdf") <= max_shingle_df)
+    return (
+        sh.join(dfreq, "shingle_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("sdf") > 1).cast("long")).alias("n_dup_shingles"),
+            F.round(
+                F.sum((F.col("sdf") > 1).cast("double")) / F.count("*"), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    key_len: int = 24,
+) -> DataFrame:
+    """Sorted-neighborhood-method blocking (classic entity-resolution):
+    sort the corpus by a normalized prefix key and emit candidate pairs
+    only among docs whose key TIES within ``window`` positions of each
+    other in that order.
+
+    Complements hash blocking (LSH bands, pigeonhole): SNM catches
+    near-dups whose difference is past the key prefix (e.g. truncated
+    tails) with one sort instead of signature fan-out.  Output is the
+    candidate set with cheap features (rank gap, length delta) — feed
+    it to an exact verifier (jaccard / levenshtein) downstream.
+
+    Scale: row_number over a global sort = one range-partitioned
+    exchange (Spark samples boundaries; no single-task sort); the
+    neighbor pairing is an equi-join on rank+j with j ∈ [1, window−1],
+    so each row meets at most window−1 others.  Key collisions
+    (boilerplate prefixes) bound bucket sizes exactly like any blocking
+    key — pick key_len so prefixes stay discriminative.
+    """
+    from pyspark.sql import Window
+
+    key = F.substring(
+        F.lower(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9]", "")),
+        1,
+        key_len,
+    )
+    ranked = df.select(
+        "doc_id",
+        key.alias("block_key"),
+        F.length(text_col).alias("n_chars"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("block_key"), F.col("doc_id"))
+        ),
+    )
+    offs = ranked.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("j")
+    ).select((F.col("rank") + F.col("j")).alias("rank"),
+             F.col("doc_id").alias("doc_a"),
+             F.col("block_key").alias("key_a"),
+             F.col("n_chars").alias("chars_a"),
+             "j")
+    return (
+        offs.join(ranked, "rank")
+        .where(F.col("key_a") == F.col("block_key"))
+        .select(
+            F.least("doc_a", "doc_id").alias("doc_lo"),
+            F.greatest("doc_a", "doc_id").alias("doc_hi"),
+            F.col("key_a").alias("block_key"),
+            F.col("j").alias("rank_gap"),
+            F.abs(F.col("n_chars") - F.col("chars_a")).alias("len_delta"),
+        )
+    )

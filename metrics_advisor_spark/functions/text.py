@@ -451,3 +451,73 @@ def typo_pairs(vocab: DataFrame, word_col: str = "w") -> DataFrame:
     return cand.where(
         F.levenshtein("word_a", "word_b") <= 1
     ).select("word_a", "word_b")
+
+
+def unigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document unigram cross-entropy (nats/token) against a unigram
+    LM fit on the corpus itself — the CCNet-style "perplexity" quality
+    signal, here with the cheapest possible LM so the whole pipeline
+    stays inside Spark SQL (no external model, oracle-checkable).
+
+    surprisal(d) = (1/|d|) · Σ_{tok∈d} c_d(tok) · −ln(cf(tok)/N)
+
+    where cf is the corpus token frequency and N the corpus token count.
+    Low values ≈ docs made of common tokens (boilerplate-ish); high
+    values ≈ rare-token-heavy docs (noise, code, other languages).
+
+    Scale plan: tokens reduce map-side to distinct (doc_id, token,
+    c_d) rows before any shuffle, so the vocabulary join moves one row
+    per distinct in-doc token, not one per token occurrence.  The
+    vocabulary aggregate and the scoring join both key on the token —
+    hot tokens are the skew risk (AQE skew-join; or a stopword cap
+    upstream).  N rides in via a 1-row broadcast crossJoin.
+    """
+    toks = df.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+        ).alias("tok"),
+    )
+    doc_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    vocab = doc_tok.groupBy("tok").agg(F.sum("c").alias("cf"))
+    total = vocab.agg(F.sum("cf").alias("n_corpus"))
+    return (
+        doc_tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * -F.log(F.col("cf") / F.col("n_corpus")))
+                / F.sum("c"),
+                6,
+            ).alias("surprisal"),
+        )
+    )
+
+
+def lang_agreement(df: DataFrame, text_col: str = "text",
+                   lang_col: str = "lang") -> DataFrame:
+    """Label-audit confusion matrix: declared language vs the stopword-
+    vote prediction, with each cell's share of its declared-lang row
+    count.  The standard agreement check before trusting either label
+    in downstream routing.
+
+    One narrow projection + one hash aggregate; the per-lang share is a
+    window over the (tiny) cell table, not a second scan.
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            lang_pred_col(F.col(text_col)).alias("lang_pred"),
+        )
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = F.sum("n").over(Window.partitionBy("lang"))
+    return cells.select(
+        "lang", "lang_pred", "n",
+        F.round(F.col("n") / tot, 6).alias("share_of_lang"),
+    )

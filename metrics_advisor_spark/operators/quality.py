@@ -88,3 +88,97 @@ def profile_columns(
             "(column_name, n_nulls, n_distinct, min_value, max_value)"
         )
     )
+
+
+def psi_drift(
+    signals: DataFrame, n_bins: int = 10, eps: float = 1e-6
+) -> DataFrame:
+    """Population Stability Index per metric between the first and
+    second half of each metric's own time range — the standard ML-ops
+    drift gate (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
+
+    Bin edges are the REFERENCE half's deciles (6dp-rounded so the edge
+    set is engine-neutral); both halves are histogrammed against those
+    edges and PSI = Σ (p_cur − p_ref)·ln((p_cur+ε)/(p_ref+ε)) with a
+    symmetric ε guard for empty bins.
+
+    Plan: three narrow passes over the signal table — per-metric extent
+    aggregate, per-metric exact-decile aggregate on the reference half,
+    then one binning aggregate with the (tiny) edge table broadcast on
+    the metric key.  No windows, no self-joins; scales with rows, and
+    the per-metric edge list is O(metrics · n_bins).
+    """
+    qs = [i / n_bins for i in range(1, n_bins)]
+    sig = signals.select(
+        "metric", F.unix_timestamp("ts").alias("epoch"), "value"
+    )
+    extent = sig.groupBy("metric").agg(
+        ((F.min("epoch") + F.max("epoch")) / 2.0).alias("mid")
+    )
+    sides = sig.join(F.broadcast(extent), "metric").select(
+        "metric", "value", (F.col("epoch") <= F.col("mid")).alias("is_ref")
+    )
+    cuts = (
+        sides.where("is_ref")
+        .groupBy("metric")
+        .agg(
+            F.transform(
+                F.percentile("value", F.array(*[F.lit(q) for q in qs])),
+                lambda c: F.round(c, 6),
+            ).alias("cuts")
+        )
+    )
+    binned = sides.join(F.broadcast(cuts), "metric").select(
+        "metric",
+        "is_ref",
+        F.size(
+            F.filter(F.col("cuts"), lambda c: F.col("value") > c)
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("metric", "bin").agg(
+        F.sum(F.col("is_ref").cast("long")).alias("nr"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("nc"),
+    )
+    tot = cells.groupBy("metric").agg(
+        F.sum("nr").alias("tr"), F.sum("nc").alias("tc")
+    )
+    p_ref = F.col("nr") / F.col("tr")
+    p_cur = F.col("nc") / F.col("tc")
+    term = (p_cur - p_ref) * F.log((p_cur + eps) / (p_ref + eps))
+    return (
+        cells.join(tot, "metric")
+        .groupBy("metric")
+        .agg(
+            F.max("tr").cast("long").alias("n_ref"),
+            F.max("tc").cast("long").alias("n_cur"),
+            F.round(F.sum(term), 6).alias("psi"),
+        )
+    )
+
+
+def key_skew_audit(df: DataFrame, key_col: str) -> DataFrame:
+    """Join-key skew profile: the distribution of per-key row counts for
+    a prospective join/groupBy key — the number every shuffle-sizing
+    decision at 100 TB starts from (hot-key share decides whether a join
+    needs salting or AQE skew handling).
+
+    One aggregate to key frequencies, one tiny aggregate to the profile
+    row: distinct keys, max frequency, top-1 share, p50/p99 frequency
+    and their ratio.  Composable with unionByName across keys into one
+    audit table.
+    """
+    freq = df.groupBy(key_col).agg(F.count("*").alias("n"))
+    return freq.agg(
+        F.lit(key_col).alias("key"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_freq"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top1_share"),
+        F.round(F.percentile("n", F.lit(0.5)), 6).alias("p50_freq"),
+        F.round(F.percentile("n", F.lit(0.99)), 6).alias("p99_freq"),
+        F.round(
+            F.percentile("n", F.lit(0.99))
+            / F.percentile("n", F.lit(0.5)),
+            6,
+        ).alias("skew_ratio"),
+    )

@@ -338,3 +338,109 @@ def pmi_cooccurrence(events: DataFrame) -> DataFrame:
             F.round(pmi, 6).alias("pmi"),
         )
     )
+
+
+def conversion_latency(
+    events: DataFrame,
+    start: str = "view",
+    end: str = "purchase",
+) -> DataFrame:
+    """Time-to-convert distribution: for each user, latency from their
+    FIRST ``start`` event to the first ``end`` event at-or-after it;
+    output is one row of corpus-level latency quantiles.
+
+    Two keyed aggregates and one user-key join — no windows over the
+    raw event stream, so the plan is the same three exchanges at any
+    scale and the quantile aggregate runs over one row per converted
+    user (tiny relative to events).
+    """
+    ue = events.select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("epoch")
+    )
+    starts = (
+        ue.where(F.col("event_type") == start)
+        .groupBy("user_id")
+        .agg(F.min("epoch").alias("t0"))
+    )
+    conv = (
+        ue.where(F.col("event_type") == end)
+        .join(starts, "user_id")
+        .where(F.col("epoch") >= F.col("t0"))
+        .groupBy("user_id", "t0")
+        .agg(F.min("epoch").alias("t1"))
+        .select((F.col("t1") - F.col("t0")).alias("lat_s"))
+    )
+    return conv.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(F.percentile("lat_s", F.lit(0.5)), 6).alias("p50_s"),
+        F.round(F.percentile("lat_s", F.lit(0.9)), 6).alias("p90_s"),
+        F.round(F.percentile("lat_s", F.lit(0.99)), 6).alias("p99_s"),
+        F.round(F.avg("lat_s"), 6).alias("avg_s"),
+    )
+
+
+def rfm_segments(events: DataFrame, n_tiles: int = 5) -> DataFrame:
+    """RFM segmentation: per-user Recency / Frequency / Monetary
+    quantile tiles, aggregated to segment counts — the classic
+    customer-value grid.
+
+    Tile boundaries are exact corpus quantile cut points (6dp-rounded,
+    engine-neutral), and a user lands in tile 1 + #{cuts below it} —
+    NOT a global ntile window, which would funnel every user through
+    one sorting task; here the only global object is the (n_tiles−1)-
+    element cut array, broadcast to the per-user frame.  Ties at a cut
+    share a tile (quantile semantics), so tiles are equal-sized only up
+    to ties — the price of a scale-safe assignment.  Tile 1 = most
+    recent / least frequent / lowest spend.
+    """
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+    per_user = (
+        events.select(
+            "user_id", F.unix_timestamp("ts").alias("epoch"), "value"
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("epoch").alias("last_epoch"),
+            F.count("*").alias("freq"),
+            F.sum("value").alias("monetary"),
+        )
+    )
+    corpus_max = per_user.agg(F.max("last_epoch").alias("max_epoch"))
+    scored = per_user.crossJoin(F.broadcast(corpus_max)).select(
+        "user_id",
+        (F.col("max_epoch") - F.col("last_epoch"))
+        .cast("double")
+        .alias("recency_s"),
+        F.col("freq").cast("double").alias("freq"),
+        "monetary",
+    )
+    qarr = F.array(*[F.lit(q) for q in qs])
+    cuts = scored.agg(
+        *[
+            F.transform(
+                F.percentile(c, qarr), lambda x: F.round(x, 6)
+            ).alias(f"{c}_cuts")
+            for c in ("recency_s", "freq", "monetary")
+        ]
+    )
+
+    def tile(col: str):
+        return (
+            F.size(
+                F.filter(
+                    F.col(f"{col}_cuts"), lambda c: F.col(col) > c
+                )
+            )
+            + 1
+        )
+
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            tile("recency_s").alias("r_tile"),
+            tile("freq").alias("f_tile"),
+            tile("monetary").alias("m_tile"),
+        )
+        .groupBy("r_tile", "f_tile", "m_tile")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

@@ -529,3 +529,101 @@ def rolling_corr(
     return out.where(
         F.col("r").isNotNull() & ~F.isnan("r")
     ).withColumn("r", F.round("r", 6))
+
+
+def theil_sen(
+    hourly: DataFrame,
+    slot_col: str = "slot_epoch",
+    value_col: str = "value",
+    max_slots: int | None = None,
+) -> DataFrame:
+    """Theil–Sen robust trend per metric: the MEDIAN of all pairwise
+    slopes over the (resampled) series — breakdown point ~29%, so a
+    minority of outlier samples cannot fake or hide a trend the way
+    they can with OLS (`series_regression`).
+
+    Slopes are per HOUR of slot gap.  O(L²) pairs per series, joined
+    within the metric key only — parallel across metrics, never across
+    the corpus.  For very long series pass ``max_slots`` to subsample
+    the tail deterministically (every k-th slot by rank) before pairing;
+    the estimator is rank-based and degrades gracefully under regular
+    thinning.
+    """
+    from pyspark.sql import Window
+
+    s = hourly.select(
+        "metric",
+        F.col(slot_col).alias("slot"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    if max_slots is not None:
+        w = Window.partitionBy("metric").orderBy("slot")
+        n = Window.partitionBy("metric")
+        s = (
+            s.withColumn("_rn", F.row_number().over(w) - 1)
+            .withColumn(
+                "_k",
+                F.greatest(
+                    F.ceil(F.count("*").over(n) / max_slots), F.lit(1)
+                ),
+            )
+            .where(F.col("_rn") % F.col("_k") == 0)
+            .drop("_rn", "_k")
+        )
+    a = s.select("metric", F.col("slot").alias("s1"), F.col("v").alias("v1"))
+    b = s.select("metric", F.col("slot").alias("s2"), F.col("v").alias("v2"))
+    pairs = a.join(b, "metric").where(F.col("s1") < F.col("s2"))
+    slope = (F.col("v2") - F.col("v1")) / ((F.col("s2") - F.col("s1")) / 3600.0)
+    return pairs.groupBy("metric").agg(
+        F.round(F.percentile(slope, F.lit(0.5)), 6).alias("slope_per_hour"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+def spearman_corr(hourly: DataFrame, min_slots: int = 3) -> DataFrame:
+    """Spearman rank correlation between every metric pair on their
+    shared hourly slots: Pearson over per-metric value ranks — the
+    monotone-association matrix, robust to nonlinear but monotone
+    coupling that `corr_matrix` understates.
+
+    Ties take the MIN rank (SQL `rank()`), identical in Spark and every
+    ANSI engine, so the statistic is deterministic without an
+    average-rank convention.  Plan: one rank window per metric (narrow,
+    partitioned by metric), then the same slot-equi-join upper-triangle
+    shape as `corr_matrix` — rows meet only within equal slots, the
+    quadratic term is the OUTPUT (metric pairs), never the shuffle.
+    """
+    from pyspark.sql import Window
+
+    ranked = hourly.select(
+        "metric",
+        "slot_epoch",
+        F.rank()
+        .over(Window.partitionBy("metric").orderBy("value"))
+        .cast("double")
+        .alias("rk"),
+    )
+    a = ranked.select(
+        F.col("metric").alias("metric_a"), "slot_epoch",
+        F.col("rk").alias("ra"),
+    )
+    b = ranked.select(
+        F.col("metric").alias("metric_b"), "slot_epoch",
+        F.col("rk").alias("rb"),
+    )
+    out = (
+        a.join(b, "slot_epoch")
+        .where(F.col("metric_a") < F.col("metric_b"))
+        .groupBy("metric_a", "metric_b")
+        .agg(
+            F.try_divide(
+                F.covar_samp("ra", "rb"),
+                F.stddev_samp("ra") * F.stddev_samp("rb"),
+            ).alias("rho"),
+            F.count(F.lit(1)).alias("n_slots"),
+        )
+        .where(F.col("n_slots") >= min_slots)
+    )
+    return out.where(
+        F.col("rho").isNotNull() & ~F.isnan("rho")
+    ).withColumn("rho", F.round("rho", 6))

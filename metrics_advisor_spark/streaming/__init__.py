@@ -4,6 +4,7 @@ from metrics_advisor_spark.streaming.pipeline import (
     SIGNAL_SCHEMA,
     detect_anomalies_stateful,
     detect_anomalies_tws,
+    latest_by_key_stream,
     run_to_memory,
     session_stats_stream,
     stream_signals,
@@ -18,6 +19,7 @@ __all__ = [
     "SIGNAL_SCHEMA",
     "detect_anomalies_stateful",
     "detect_anomalies_tws",
+    "latest_by_key_stream",
     "run_to_memory",
     "session_stats_stream",
     "stream_signals",

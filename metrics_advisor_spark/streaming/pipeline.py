@@ -604,3 +604,32 @@ def run_to_memory(
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def latest_by_key_stream(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_cols: tuple[str, ...] = ("event_type", "value"),
+) -> DataFrame:
+    """Streaming CDC compaction: the continuously-maintained
+    latest-row-per-key materialized view (the streaming analog of
+    `operators.history.latest_by_key`, same (ts, order) tiebreak).
+
+    One `max` over a (ts, order, values…) struct — a plain aggregate,
+    so Spark keeps ONE struct per key in the state store and merges
+    partial maxima map-side; no windows, no watermark needed (complete
+    mode; at production scale this feeds an upsert sink keyed on
+    ``key_cols`` in update mode instead).
+    """
+    latest = F.max(
+        F.struct(F.col(ts_col), F.col(order_col), *[F.col(c) for c in value_cols])
+    ).alias("latest")
+    out = stream.groupBy(*key_cols).agg(latest)
+    return out.select(
+        *key_cols,
+        F.col(f"latest.{ts_col}").alias(ts_col),
+        F.col(f"latest.{order_col}").alias(order_col),
+        *[F.col(f"latest.{c}").alias(c) for c in value_cols],
+    )
