@@ -2691,6 +2691,247 @@ def q_streaming_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: first 'view' → first 'purchase' at-or-after it
+    per user; corpus-level latency quantiles (one row)."""
+    from metrics_advisor_spark.operators.sessions import conversion_latency
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return conversion_latency(ev, start="view", end="purchase")
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer-value grid: quintile tiles by exact corpus quantile
+    cut points (scale-safe — no global ntile sort), segment counts."""
+    from metrics_advisor_spark.operators.sessions import rfm_segments
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rfm_segments(ev, n_tiles=5)
+
+
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard between source pairs (inverted-index join on
+    the token — sources never cross-product over docs)."""
+    from metrics_advisor_spark.functions.text import vocab_overlap
+
+    return vocab_overlap(_docs(spark, sf_dir))
+
+
+def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of the token-frequency distribution
+    (head-heaviness / boilerplate-creep indicator)."""
+    from metrics_advisor_spark.functions.text import token_gini
+
+    return token_gini(_docs(spark, sf_dir))
+
+
+def q_curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: quality-quantile bands with doc and token
+    budgets per stage (broadcast cut points, no global sort)."""
+    from metrics_advisor_spark.functions.corpus import curriculum_plan
+
+    return curriculum_plan(_docs(spark, sf_dir), n_stages=5)
+
+
+def q_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation profile: per metric, Pearson r at lags 1..12 h
+    over the hourly grid (narrow lag explode + equi-join)."""
+    from metrics_advisor_spark.operators.trend import acf_profile
+
+    hourly = (
+        _signals(spark, sf_dir)
+        .groupBy(
+            "metric",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("slot_epoch"),
+        )
+        .agg(F.avg("value").alias("value"))
+    )
+    return acf_profile(hourly, max_lag=12)
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the edit-distance-1 word graph:
+    the corpus vocabulary plus a planted suffix AND prefix insertion
+    variant per word — each variant is distance 1 from its base but
+    (generally) distance 2 from its sibling, so the graph has open
+    wedges and AA has non-adjacent pairs to score."""
+    from metrics_advisor_spark.functions.graph import adamic_adar
+    from metrics_advisor_spark.functions.text import typo_pairs
+
+    words = _docs(spark, sf_dir, fanout=False).select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("w")
+    )
+    v1 = words.where(F.length("w") >= 4).distinct()
+    vocab = (
+        v1.unionByName(
+            v1.select(F.concat(F.col("w"), F.lit("x")).alias("w"))
+        )
+        .unionByName(
+            v1.select(F.concat(F.lit("x"), F.col("w")).alias("w"))
+        )
+        .distinct()
+    )
+    pairs = typo_pairs(vocab).select(
+        F.col("word_a").alias("doc_a"), F.col("word_b").alias("doc_b")
+    )
+    return adamic_adar(pairs).select(
+        F.col("doc_a").alias("word_a"),
+        F.col("doc_b").alias("word_b"),
+        "n_common",
+        "aa_score",
+    )
+
+
+def q_streaming_ksigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tenth Structured Streaming contract surface: the train-batch /
+    score-stream split — per-series (μ, σ_pop) baseline computed batch,
+    broadcast into a STATELESS stream-static join that flags samples
+    beyond 3σ.  Append mode, no watermark, no streaming state at all;
+    the drained output equals the same filter run batch (the oracle)."""
+    import tempfile
+    import uuid
+
+    from metrics_advisor_spark.streaming import run_to_memory, stream_signals
+    from metrics_advisor_spark.streaming.pipeline import streaming_ksigma
+
+    src = _STREAM_SRC_CACHE.get(sf_dir)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="ma_stream_src_") + "/sig"
+        _signals(spark, sf_dir).write.mode("overwrite").parquet(src)
+        _STREAM_SRC_CACHE[sf_dir] = src
+    baseline = (
+        _signals(spark, sf_dir)
+        .groupBy("metric", "series")
+        .agg(
+            F.avg("value").alias("mu"),
+            F.stddev_pop("value").alias("sd"),
+        )
+    )
+    scored = streaming_ksigma(stream_signals(spark, src), baseline, level=3.0)
+    name = f"stream_ksigma_{uuid.uuid4().hex[:8]}"
+    run_to_memory(scored, name)
+    return spark.table(name).select(
+        "metric",
+        "series",
+        F.unix_timestamp("ts").alias("epoch"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-aware LM quality signal: per-doc bigram cross-entropy
+    against the corpus's own MLE bigram model."""
+    from metrics_advisor_spark.functions.text import bigram_surprisal
+
+    return bigram_surprisal(_docs(spark, sf_dir))
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 and TF-IDF top-10 lists for
+    the fixed contract query — hybrid-retrieval rank combination."""
+    from pyspark.sql import Window
+
+    from metrics_advisor_spark.functions.text import (
+        bm25_search,
+        rrf_fuse,
+        tfidf_search,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bmr = bm25_search(docs, BM25_QUERY, k=10).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        ),
+    )
+    tfr = tfidf_search(docs, BM25_QUERY, k=10).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("tfidf").desc(), F.col("doc_id").asc())
+        ),
+    )
+    return rrf_fuse(bmr, tfr, k_const=60, topk=10)
+
+
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU over trailing-7-day actives per day (contribution-explode
+    sliding distinct count — no per-day rescans)."""
+    from metrics_advisor_spark.operators.sessions import stickiness
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stickiness(ev, mau_days=7)
+
+
+def q_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event time distribution (one lag window per user
+    stream, corpus-level quantiles)."""
+    from metrics_advisor_spark.operators.sessions import interevent_gaps
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return interevent_gaps(ev)
+
+
+def q_weekly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week activity fingerprint per metric (epoch-arithmetic
+    day-of-week — engine-neutral, timezone-free)."""
+    from metrics_advisor_spark.operators.trend import weekly_profile
+
+    return weekly_profile(_signals(spark, sf_dir))
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit per metric (string-based
+    digit extraction — float log10 is not engine-neutral)."""
+    from metrics_advisor_spark.operators.quality import benford_audit
+
+    return benford_audit(_signals(spark, sf_dir))
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic per metric between time halves — the
+    binning-free companion to psi_drift."""
+    from metrics_advisor_spark.operators.quality import ks_drift
+
+    return ks_drift(_signals(spark, sf_dir))
+
+
+def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eleventh Structured Streaming contract surface: SLIDING-window
+    event counts (2 h window, 1 h slide) — each event lives in two
+    overlapping windows, state is per (metric, window), complete-mode
+    drain.  The batch oracle explodes each event's two contributing
+    window starts."""
+    import tempfile
+    import uuid
+
+    from metrics_advisor_spark.streaming import run_to_memory, stream_signals
+
+    src = _STREAM_SRC_CACHE.get(sf_dir)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="ma_stream_src_") + "/sig"
+        _signals(spark, sf_dir).write.mode("overwrite").parquet(src)
+        _STREAM_SRC_CACHE[sf_dir] = src
+    counts = (
+        stream_signals(spark, src)
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            "metric", F.window("ts", "7200 seconds", "3600 seconds")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    run_to_memory(counts, name, output_mode="complete")
+    return spark.table(name).select(
+        "metric",
+        F.unix_timestamp("window.start").alias("win_start"),
+        "n_events",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST
     # 50 entries (VERDICT r02).  Rotation discipline (ROUND_NOTES):
@@ -2703,7 +2944,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queue.  Builder-side, every oracled query is parity-checked per
     # run by tests/test_oracle_parity.py regardless of gate position.
     return {
-        # (a) new round-4e queries — never driver-checked by definition
+        # (a) new round-4g queries — never driver-checked by definition
+        "bigram_surprisal": q_bigram_surprisal,
+        "rrf_fusion": q_rrf_fusion,
+        "stickiness": q_stickiness,
+        "interevent_gaps": q_interevent_gaps,
+        "weekly_profile": q_weekly_profile,
+        "benford_audit": q_benford_audit,
+        "ks_drift": q_ks_drift,
+        "streaming_sliding_counts": q_streaming_sliding_counts,
+        # (a) new round-4f queries
+        "conversion_latency": q_conversion_latency,
+        "rfm_segments": q_rfm_segments,
+        "vocab_overlap": q_vocab_overlap,
+        "token_gini": q_token_gini,
+        "curriculum_plan": q_curriculum_plan,
+        "acf_profile": q_acf_profile,
+        "adamic_adar": q_adamic_adar,
+        "streaming_ksigma": q_streaming_ksigma,
+        # (a) new round-4e queries
         "unigram_surprisal": q_unigram_surprisal,
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "snm_pairs": q_snm_pairs,
@@ -5550,6 +5809,358 @@ def oracle_sql() -> dict[str, str]:
               FROM f2
             )
             SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        """,
+        "bigram_surprisal": f"""
+            WITH d AS (
+              SELECT doc_id, regexp_extract_all(text, {_TOKEN_RE_SQL}) AS l
+              FROM documents
+            ),
+            db AS (
+              SELECT doc_id, l[i+1] AS prev, l[i+2] AS tok, count(*) AS c
+              FROM d, unnest(range(0, len(l) - 1)) AS t(i)
+              GROUP BY 1, 2, 3
+            ),
+            bi AS (SELECT prev, tok, sum(c) AS cb FROM db GROUP BY 1, 2),
+            ctx AS (SELECT prev, sum(cb) AS cp FROM bi GROUP BY 1)
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   round(sum(c * -ln(cb / cp)) / sum(c), 6)
+                       AS bigram_surprisal
+            FROM db JOIN bi USING (prev, tok) JOIN ctx USING (prev)
+            GROUP BY 1
+        """,
+        "rrf_fusion": """
+            WITH toks AS (
+              SELECT doc_id, t AS term FROM (
+                SELECT doc_id,
+                       unnest(string_split(regexp_replace(lower(text),
+                              '[^a-z0-9 ]', '', 'g'), ' ')) AS t
+                FROM documents) WHERE len(t) > 0),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                   WHERE term IN ('spark', 'join', 'vector')
+                   GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id,
+                     ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                       AS contrib
+              FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats),
+            bm AS (
+              SELECT doc_id, round(sum(contrib), 6) AS bm25
+              FROM scored GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+            ),
+            bmr AS (SELECT doc_id, row_number() OVER (
+                        ORDER BY bm25 DESC, doc_id ASC) AS ra FROM bm),
+            ti AS (
+              SELECT tf.doc_id,
+                     round(sum(tf * ln((n_docs + 1.0) / (df + 1.0))), 6)
+                         AS tfidf
+              FROM tf JOIN dfreq USING (term), stats
+              GROUP BY 1
+              ORDER BY tfidf DESC, doc_id ASC LIMIT 10
+            ),
+            tfr AS (SELECT doc_id, row_number() OVER (
+                        ORDER BY tfidf DESC, doc_id ASC) AS rb FROM ti),
+            f AS (
+              SELECT coalesce(bmr.doc_id, tfr.doc_id) AS doc_id,
+                     round(coalesce(1.0 / (60 + ra), 0)
+                           + coalesce(1.0 / (60 + rb), 0), 6) AS rrf_score
+              FROM bmr FULL OUTER JOIN tfr ON bmr.doc_id = tfr.doc_id
+            )
+            SELECT doc_id, rrf_score,
+                   row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                       AS rank
+            FROM f
+            QUALIFY rank <= 10
+        """,
+        "stickiness": """
+            WITH ua AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+              FROM events
+            ),
+            dau AS (SELECT day, count(*)::BIGINT AS dau FROM ua GROUP BY 1),
+            mau AS (
+              SELECT day, count(*)::BIGINT AS mau FROM (
+                SELECT DISTINCT user_id, day + o AS day
+                FROM ua, unnest(range(0, 7)) AS t(o)
+              ) GROUP BY 1
+            )
+            SELECT day, dau, mau, round(dau / mau, 6) AS stickiness
+            FROM dau JOIN mau USING (day)
+        """,
+        "interevent_gaps": """
+            WITH g AS (
+              SELECT epoch - lag(epoch) OVER (
+                  PARTITION BY user_id ORDER BY epoch, event_id) AS gap_s
+              FROM (SELECT user_id, event_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+                    FROM events)
+            )
+            SELECT count(gap_s)::BIGINT AS n_gaps,
+                   round(quantile_cont(gap_s, 0.5), 6) AS p50_s,
+                   round(quantile_cont(gap_s, 0.9), 6) AS p90_s,
+                   round(quantile_cont(gap_s, 0.99), 6) AS p99_s,
+                   round(avg(gap_s), 6) AS avg_s,
+                   CAST(max(gap_s) AS BIGINT) AS max_s
+            FROM g WHERE gap_s IS NOT NULL
+        """,
+        "weekly_profile": """
+            SELECT event_type AS metric,
+                   ((floor(epoch(ts) / 86400) + 4) % 7)::INT AS dow,
+                   (floor((CAST(floor(epoch(ts)) AS BIGINT) % 86400)
+                          / 3600))::INT AS hour,
+                   count(*) AS n_events,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "benford_audit": """
+            WITH cells AS (
+              SELECT event_type AS metric,
+                     CAST(regexp_extract(value::VARCHAR, '[1-9]') AS INT)
+                         AS digit,
+                     count(*) AS n
+              FROM events
+              WHERE regexp_extract(value::VARCHAR, '[1-9]') <> ''
+              GROUP BY 1, 2
+            )
+            SELECT metric, digit, n,
+                   round(n / sum(n) OVER (PARTITION BY metric), 6) AS share,
+                   round(log10(1 + 1.0 / digit), 6) AS expected
+            FROM cells
+        """,
+        "ks_drift": """
+            WITH s AS (
+              SELECT event_type AS metric,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS epoch, value
+              FROM events
+            ),
+            ext AS (SELECT metric, (min(epoch) + max(epoch)) / 2.0 AS mid
+                    FROM s GROUP BY 1),
+            sides AS (
+              SELECT s.metric, value, epoch <= mid AS is_ref
+              FROM s JOIN ext USING (metric)
+            ),
+            pv AS (
+              SELECT metric, value,
+                     sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cr,
+                     sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc
+              FROM sides GROUP BY 1, 2
+            ),
+            st AS (
+              SELECT metric,
+                     sum(cr) OVER (PARTITION BY metric ORDER BY value
+                         ROWS UNBOUNDED PRECEDING) AS sr,
+                     sum(cc) OVER (PARTITION BY metric ORDER BY value
+                         ROWS UNBOUNDED PRECEDING) AS sc,
+                     sum(cr) OVER (PARTITION BY metric) AS tr,
+                     sum(cc) OVER (PARTITION BY metric) AS tc
+              FROM pv
+            )
+            SELECT metric, CAST(max(tr) AS BIGINT) AS n_ref,
+                   CAST(max(tc) AS BIGINT) AS n_cur,
+                   round(max(abs(sr / tr - sc / tc)), 6) AS ks
+            FROM st GROUP BY 1
+        """,
+        "streaming_sliding_counts": """
+            SELECT metric, win_start, count(*) AS n_events FROM (
+              SELECT event_type AS metric,
+                     CAST((floor(epoch(ts) / 3600) - o) * 3600 AS BIGINT)
+                         AS win_start
+              FROM events, unnest(range(0, 2)) AS t(o)
+            ) GROUP BY 1, 2
+        """,
+        "conversion_latency": """
+            WITH ue AS (
+              SELECT user_id, event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+              FROM events
+            ),
+            s AS (SELECT user_id, min(epoch) AS t0 FROM ue
+                  WHERE event_type = 'view' GROUP BY 1),
+            c AS (
+              SELECT ue.user_id, s.t0, min(epoch) AS t1
+              FROM ue JOIN s ON ue.user_id = s.user_id
+              WHERE event_type = 'purchase' AND epoch >= t0
+              GROUP BY 1, 2
+            ),
+            lat AS (SELECT t1 - t0 AS lat_s FROM c)
+            SELECT count(*)::BIGINT AS n_converted,
+                   round(quantile_cont(lat_s, 0.5), 6) AS p50_s,
+                   round(quantile_cont(lat_s, 0.9), 6) AS p90_s,
+                   round(quantile_cont(lat_s, 0.99), 6) AS p99_s,
+                   round(avg(lat_s), 6) AS avg_s
+            FROM lat
+        """,
+        "rfm_segments": """
+            WITH pu AS (
+              SELECT user_id,
+                     max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_epoch,
+                     count(*) AS freq, sum(value) AS monetary
+              FROM events GROUP BY 1
+            ),
+            mx AS (SELECT max(last_epoch) AS max_epoch FROM pu),
+            sc AS (
+              SELECT CAST(max_epoch - last_epoch AS DOUBLE) AS recency_s,
+                     CAST(freq AS DOUBLE) AS freq, monetary
+              FROM pu CROSS JOIN mx
+            ),
+            cu AS (
+              SELECT
+                list_transform(quantile_cont(recency_s,
+                    [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS rc,
+                list_transform(quantile_cont(freq,
+                    [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS fc,
+                list_transform(quantile_cont(monetary,
+                    [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS mc
+              FROM sc
+            )
+            SELECT r_tile, f_tile, m_tile, count(*)::BIGINT AS n_users
+            FROM (
+              SELECT
+                (len(list_filter(rc, c -> recency_s > c)) + 1)::INT AS r_tile,
+                (len(list_filter(fc, c -> freq > c)) + 1)::INT AS f_tile,
+                (len(list_filter(mc, c -> monetary > c)) + 1)::INT AS m_tile
+              FROM sc CROSS JOIN cu
+            ) GROUP BY 1, 2, 3
+        """,
+        "vocab_overlap": f"""
+            WITH st AS (
+              SELECT DISTINCT source, tok FROM (
+                SELECT source,
+                       unnest(regexp_extract_all(text, {_TOKEN_RE_SQL}))
+                           AS tok
+                FROM documents)
+            ),
+            sizes AS (SELECT source, count(*) AS vsize FROM st GROUP BY 1),
+            inter AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     count(*) AS n_inter
+              FROM st a JOIN st b
+                ON a.tok = b.tok AND a.source < b.source
+              GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, n_inter,
+                   round(n_inter / (sa.vsize + sb.vsize - n_inter), 6)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.source = source_a
+            JOIN sizes sb ON sb.source = source_b
+        """,
+        "token_gini": f"""
+            WITH tf AS (
+              SELECT source, tok, count(*) AS freq FROM (
+                SELECT source,
+                       unnest(regexp_extract_all(text, {_TOKEN_RE_SQL}))
+                           AS tok
+                FROM documents)
+              GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT source, freq, row_number() OVER (
+                  PARTITION BY source ORDER BY freq, tok) AS i
+              FROM tf
+            )
+            SELECT source, count(*) AS n_terms,
+                   round((2.0 * sum(i * freq)) / (count(*) * sum(freq))
+                         - (count(*) + 1) / count(*), 6) AS gini
+            FROM r GROUP BY 1
+        """,
+        "curriculum_plan": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                     round(least(len(string_split(text, ' ')) / 100.0, 1.0)
+                           * (1.0 - round((length(text) -
+                                length(regexp_replace(text, '[^A-Za-z0-9 ]',
+                                                      '', 'g')))
+                               / greatest(length(text), 1), 6)), 6) AS q,
+                     len(regexp_extract_all(text, {_TOKEN_RE_SQL}))
+                         AS n_tokens
+              FROM documents
+            ),
+            cu AS (
+              SELECT list_transform(quantile_cont(q, [0.2, 0.4, 0.6, 0.8]),
+                                    x -> round(x, 6)) AS cuts
+              FROM scored
+            )
+            SELECT stage, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS stage_tokens,
+                   round(min(q), 6) AS min_q, round(max(q), 6) AS max_q
+            FROM (
+              SELECT (len(list_filter(cuts, c -> q > c)) + 1)::INT AS stage,
+                     q, n_tokens
+              FROM scored CROSS JOIN cu
+            ) GROUP BY 1
+        """,
+        "acf_profile": f"""
+            WITH hourly AS ({_HOURLY}),
+            l AS (
+              SELECT metric, lag, slot_epoch + lag * 3600 AS slot_epoch,
+                     value AS v_lag
+              FROM hourly, unnest(range(1, 13)) AS t(lag)
+            )
+            SELECT h.metric, lag::INT AS lag,
+                   round(covar_samp(h.value, l.v_lag)
+                         / (stddev_samp(h.value) * stddev_samp(l.v_lag)), 6)
+                       AS acf,
+                   count(*) AS n_pairs
+            FROM hourly h JOIN l
+              ON h.metric = l.metric AND h.slot_epoch = l.slot_epoch
+            GROUP BY 1, 2
+            HAVING count(*) >= 3
+               AND stddev_samp(h.value) > 0 AND stddev_samp(l.v_lag) > 0
+        """,
+        "adamic_adar": """
+            WITH v0 AS (
+              SELECT DISTINCT
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents
+            ),
+            v1 AS (SELECT w FROM v0 WHERE len(w) >= 4),
+            vocab AS (SELECT w FROM v1 UNION SELECT w || 'x' FROM v1
+                      UNION SELECT 'x' || w FROM v1),
+            tp AS (
+              SELECT a.w AS wa, b.w AS wb
+              FROM vocab a JOIN vocab b
+                ON a.w < b.w AND abs(len(a.w) - len(b.w)) <= 1
+              WHERE levenshtein(a.w, b.w) <= 1
+            ),
+            e AS (SELECT wa AS u, wb AS v FROM tp
+                  UNION SELECT wb AS u, wa AS v FROM tp),
+            deg AS (SELECT v, count(*) AS deg FROM e GROUP BY 1),
+            cand AS (
+              SELECT a.u AS wa, a.v AS z, b.v AS wb
+              FROM e a JOIN e b ON a.v = b.u
+              WHERE a.u < b.v
+            ),
+            sc AS (
+              SELECT wa, wb, count(*) AS n_common,
+                     round(sum(1.0 / ln(deg)), 6) AS aa_score
+              FROM cand JOIN deg ON cand.z = deg.v
+              GROUP BY 1, 2
+            )
+            SELECT wa AS word_a, wb AS word_b, n_common, aa_score
+            FROM sc
+            WHERE NOT EXISTS (
+              SELECT 1 FROM tp WHERE tp.wa = sc.wa AND tp.wb = sc.wb
+            )
+        """,
+        "streaming_ksigma": f"""
+            WITH s AS ({_SIG}),
+            st AS (
+              SELECT metric, series, avg(value) AS mu,
+                     stddev_pop(value) AS sd
+              FROM s GROUP BY 1, 2
+            )
+            SELECT s.metric, s.series,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+                   round(value, 6) AS value
+            FROM s JOIN st USING (metric, series)
+            WHERE sd > 0 AND abs(value - mu) > 3 * sd
         """,
         "lang_confusion": f"""
             WITH cells AS (

@@ -292,3 +292,49 @@ def sequence_packing(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
     )
+
+
+def curriculum_plan(
+    docs: DataFrame, n_stages: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Curriculum staging: bucket the corpus into quality bands and
+    report each stage's document and token budget — the plan a
+    quality-ordered training run (easy/clean first, noisy last) is
+    scheduled from.
+
+    Stage boundaries are exact corpus quantiles of the 6dp-rounded
+    quality score (cut array broadcast; stage = 1 + #{cuts below}),
+    NOT a global ntile sort — same scale-safe assignment as
+    `operators.sessions.rfm_segments`.  Stage 1 = lowest-quality band,
+    stage n = highest; ties at a cut share a stage.
+    """
+    from metrics_advisor_spark.functions.text import (
+        quality_score_col,
+        token_count_col,
+    )
+
+    qs = [i / n_stages for i in range(1, n_stages)]
+    scored = docs.select(
+        "doc_id",
+        F.round(quality_score_col(F.col(text_col)), 6).alias("q"),
+        token_count_col(F.col(text_col)).alias("n_tokens"),
+    )
+    cuts = scored.agg(
+        F.transform(
+            F.percentile("q", F.array(*[F.lit(x) for x in qs])),
+            lambda c: F.round(c, 6),
+        ).alias("cuts")
+    )
+    staged = scored.crossJoin(F.broadcast(cuts)).select(
+        (
+            F.size(F.filter(F.col("cuts"), lambda c: F.col("q") > c)) + 1
+        ).alias("stage"),
+        "q",
+        "n_tokens",
+    )
+    return staged.groupBy("stage").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("stage_tokens"),
+        F.round(F.min("q"), 6).alias("min_q"),
+        F.round(F.max("q"), 6).alias("max_q"),
+    )

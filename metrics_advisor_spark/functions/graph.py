@@ -98,3 +98,55 @@ def pagerank(
         if (it + 1) % checkpoint_interval == 0 or it == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def adamic_adar(pairs: DataFrame) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected pair graph:
+    for every NON-adjacent pair (a, b) sharing ≥1 neighbor,
+    AA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) — rare shared neighbors
+    count more.  On a dedup graph this surfaces "probably the same
+    cluster, edge missed by the verifier" candidates.
+
+    Plan: two joins through the shared neighbor z (adjacency is
+    edge-shaped, never a node cross-product), one degree aggregate
+    broadcast-joined on z, an anti-join to drop existing edges.  A
+    common neighbor has degree ≥2 by construction, so ln(deg) > 0.
+    Hub nodes are the skew risk (a degree-d hub contributes d² candidate
+    pairs) — cap or drop top-degree nodes upstream for hub-heavy graphs.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    adj = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    deg = adj.groupBy("v").agg(F.count("*").alias("deg"))
+    cand = (
+        adj.select(F.col("u").alias("a"), F.col("v").alias("z"))
+        .join(
+            adj.select(F.col("u").alias("z"), F.col("v").alias("b")),
+            "z",
+        )
+        .where(F.col("a") < F.col("b"))
+    )
+    scored = (
+        cand.join(F.broadcast(deg.select(F.col("v").alias("z"), "deg")), "z")
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.round(F.sum(1.0 / F.log(F.col("deg"))), 6).alias("aa_score"),
+        )
+    )
+    return (
+        scored.join(
+            edges.select(
+                F.col("u").alias("a"), F.col("v").alias("b")
+            ),
+            ["a", "b"],
+            "left_anti",
+        )
+        .select(
+            F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
+            "n_common", "aa_score",
+        )
+    )

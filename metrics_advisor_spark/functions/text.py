@@ -521,3 +521,202 @@ def lang_agreement(df: DataFrame, text_col: str = "text",
         "lang", "lang_pred", "n",
         F.round(F.col("n") / tot, 6).alias("share_of_lang"),
     )
+
+
+def vocab_overlap(df: DataFrame, text_col: str = "text",
+                  source_col: str = "source") -> DataFrame:
+    """Vocabulary Jaccard between source pairs: |V_a ∩ V_b| / |V_a ∪ V_b|
+    over each source's distinct token set — the cheap corpus-composition
+    comparison run before mixing sources into one training blend.
+
+    Inverted-index shape: the only pairing is the self-join on the
+    token, so two sources meet once per SHARED token (never a source
+    cross-product over docs).  Pairs with an empty intersection drop
+    out (inner join) — by definition their Jaccard is 0.
+    """
+    st = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+        ).alias("tok"),
+    ).distinct()
+    sizes = st.groupBy("source").agg(F.count("*").alias("vsize"))
+    inter = (
+        st.alias("a")
+        .join(st.alias("b"),
+              (F.col("a.tok") == F.col("b.tok"))
+              & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("source").alias("source_a"),
+                         F.col("vsize").alias("size_a")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("source_b"),
+                         F.col("vsize").alias("size_b")),
+            "source_b",
+        )
+        .select(
+            "source_a", "source_b", "n_inter",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def token_gini(df: DataFrame, text_col: str = "text",
+               source_col: str = "source") -> DataFrame:
+    """Gini coefficient of each source's token-frequency distribution —
+    one number for "how head-heavy is this source's vocabulary"
+    (0 = uniform, →1 = a few tokens dominate).  Rising Gini across
+    snapshots is the classic boilerplate-creep smell.
+
+    G = (2·Σ_i i·x_(i)) / (n·Σ x_i) − (n+1)/n with x ascending;
+    the rank window partitions BY SOURCE (ordered by (freq, token) —
+    total and deterministic), so each source's vocabulary sorts
+    independently; nothing global except the per-source 1-row result.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+            ).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.partitionBy("source").orderBy("freq", "tok")
+    ranked = tf.withColumn("i", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("freq")))
+            / (F.count("*") * F.sum("freq"))
+            - (F.count("*") + 1) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+
+
+def bigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document bigram cross-entropy (nats/bigram) under the
+    corpus's own MLE bigram LM: p(tok|prev) = c(prev,tok)/c(prev,·).
+    The order-aware upgrade of `unigram_surprisal` — word-salad docs
+    score high here even when their unigram profile looks normal.
+
+    Same scale shape as the unigram form: (doc, prev, tok) counts
+    reduce map-side, the corpus bigram and context tables join on the
+    bigram/context key (hot boilerplate bigrams are the skew risk —
+    AQE skew-join).  Docs with < 2 tokens produce no bigrams and drop
+    out, mirroring the MLE's domain.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("prev"),
+            F.element_at(toks, i + 1).alias("tok"),
+        ),
+    )
+    doc_bi = (
+        df.where(F.size(toks) >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .groupBy("doc_id", F.col("p.prev").alias("prev"),
+                 F.col("p.tok").alias("tok"))
+        .agg(F.count("*").alias("c"))
+    )
+    bi = doc_bi.groupBy("prev", "tok").agg(F.sum("c").alias("cb"))
+    ctx = bi.groupBy("prev").agg(F.sum("cb").alias("cp"))
+    return (
+        doc_bi.join(bi, ["prev", "tok"])
+        .join(ctx, "prev")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("c") * -F.log(F.col("cb") / F.col("cp")))
+                / F.sum("c"),
+                6,
+            ).alias("bigram_surprisal"),
+        )
+    )
+
+
+def tfidf_search(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under plain TF-IDF
+    (same smoothed idf as `tfidf_top_terms`): the second lexical
+    scorer a rank-fusion stage wants next to BM25.
+
+    Query-term postings only (filter before the (doc, term) shuffle);
+    document frequency comes from the full-corpus (doc, term) pairs of
+    the QUERY terms — one tiny aggregate, broadcast.
+    """
+    terms = _terms(df, text_col)
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        terms.filter(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("tf") * idf), 6).alias("tfidf"))
+        .orderBy(F.col("tfidf").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k_const: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists: score(d) =
+    Σ_lists 1/(k + rank_d) — the standard way to combine retrievers
+    with incomparable score scales (BM25 + TF-IDF, lexical + vector).
+
+    Inputs are (doc_id, rank) frames (rank 1 = best); a doc missing
+    from one list simply contributes nothing for it.  Both lists are
+    top-k-sized, so the fusion is driver-free arithmetic over tiny
+    frames; ranks re-assign deterministically (score desc, doc_id asc).
+    """
+    from pyspark.sql import Window
+
+    ar = a.select("doc_id", F.col("rank").alias("ra"))
+    br = b.select("doc_id", F.col("rank").alias("rb"))
+    fused = ar.join(br, "doc_id", "full").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(k_const) + F.col("ra")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k_const) + F.col("rb")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+    )

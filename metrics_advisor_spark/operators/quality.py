@@ -182,3 +182,92 @@ def key_skew_audit(df: DataFrame, key_col: str) -> DataFrame:
             6,
         ).alias("skew_ratio"),
     )
+
+
+def benford_audit(signals: DataFrame) -> DataFrame:
+    """Benford's-law first-significant-digit audit per metric: observed
+    digit shares next to the log10(1 + 1/d) expectation — the classic
+    fabricated-/truncated-data smell test for positive, scale-spanning
+    measurements.
+
+    The digit is the first [1-9] of the value's string form — sign,
+    leading zeros and scientific notation all skip naturally, and the
+    leading significant digit is representation-independent, so the
+    extraction is engine-neutral (float log10 + floor near powers of
+    ten is NOT: log10(1000) rounds below 3).  Zero values have no
+    significant digit and drop out.  One projection + one bounded
+    (metric × 9) aggregate; the share window runs over that tiny frame.
+    """
+    from pyspark.sql import Window
+
+    digit = F.regexp_extract(
+        F.col("value").cast("string"), "[1-9]", 0
+    )
+    cells = (
+        signals.select("metric", digit.alias("d"))
+        .where(F.col("d") != "")
+        .select("metric", F.col("d").cast("int").alias("digit"))
+        .groupBy("metric", "digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = F.sum("n").over(Window.partitionBy("metric"))
+    return cells.select(
+        "metric",
+        "digit",
+        "n",
+        F.round(F.col("n") / tot, 6).alias("share"),
+        F.round(F.log10(1 + 1 / F.col("digit")), 6).alias("expected"),
+    )
+
+
+def ks_drift(signals: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per metric between the
+    first and second half of each metric's time range: D = max over the
+    merged sample of |F_ref(x) − F_cur(x)| — the distribution-free
+    companion to `psi_drift` (no binning to hide a shift in).
+
+    The running CDFs ride ONE window partitioned by metric over the
+    per-(metric, value) grouped frame (so ties advance both CDFs
+    atomically — the right-continuous convention); each metric's value
+    axis sorts independently, nothing global.
+    """
+    from pyspark.sql import Window
+
+    sig = signals.select(
+        "metric", F.unix_timestamp("ts").alias("epoch"), "value"
+    )
+    extent = sig.groupBy("metric").agg(
+        ((F.min("epoch") + F.max("epoch")) / 2.0).alias("mid")
+    )
+    sides = sig.join(F.broadcast(extent), "metric").select(
+        "metric", "value", (F.col("epoch") <= F.col("mid")).alias("is_ref")
+    )
+    per_val = sides.groupBy("metric", "value").agg(
+        F.sum(F.col("is_ref").cast("long")).alias("cr"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("cc"),
+    )
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = Window.partitionBy("metric")
+    stepped = per_val.select(
+        "metric",
+        F.sum("cr").over(w).alias("sr"),
+        F.sum("cc").over(w).alias("sc"),
+        F.sum("cr").over(t).alias("tr"),
+        F.sum("cc").over(t).alias("tc"),
+    )
+    return stepped.groupBy("metric").agg(
+        F.max("tr").cast("long").alias("n_ref"),
+        F.max("tc").cast("long").alias("n_cur"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("sr") / F.col("tr") - F.col("sc") / F.col("tc")
+                )
+            ),
+            6,
+        ).alias("ks"),
+    )

@@ -444,3 +444,70 @@ def rfm_segments(events: DataFrame, n_tiles: int = 5) -> DataFrame:
         .groupBy("r_tile", "f_tile", "m_tile")
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+def stickiness(events: DataFrame, mau_days: int = 30) -> DataFrame:
+    """DAU / MAU stickiness per day: daily actives over trailing
+    ``mau_days``-day actives — the engagement ratio every consumer
+    dashboard tracks.
+
+    Sliding distinct-count via the CONTRIBUTION EXPLODE: each distinct
+    (user, active day) row fans out to the ``mau_days`` target days it
+    keeps the user "monthly active" for, then one distinct-count per
+    target day — no per-day rescans, no quadratic self-join; fan-out is
+    a fixed ×mau_days on the (small) distinct-activity frame.  Days
+    beyond the observed extent are clipped by the DAU inner join.
+    """
+    ua = events.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).distinct()
+    dau = ua.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    mau = (
+        ua.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + (mau_days - 1))
+            ).alias("day"),
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day", "dau", "mau",
+            F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+    )
+
+
+def interevent_gaps(events: DataFrame) -> DataFrame:
+    """Distribution of per-user inter-event times: one lag window per
+    user stream ((ts, event_id) ordering — total and deterministic),
+    then corpus-level gap quantiles over one row per consecutive pair.
+
+    The window partitions by user — each user's (short) timeline sorts
+    independently; nothing global but the final 1-row quantile
+    aggregate.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    gaps = (
+        events.select(
+            "user_id", "event_id",
+            F.unix_timestamp("ts").alias("epoch"),
+        )
+        .withColumn("gap_s", F.col("epoch") - F.lag("epoch").over(w))
+        .where(F.col("gap_s").isNotNull())
+    )
+    return gaps.agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("p50_s"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 6).alias("p90_s"),
+        F.round(F.percentile("gap_s", F.lit(0.99)), 6).alias("p99_s"),
+        F.round(F.avg("gap_s"), 6).alias("avg_s"),
+        F.max("gap_s").cast("long").alias("max_s"),
+    )

@@ -627,3 +627,67 @@ def spearman_corr(hourly: DataFrame, min_slots: int = 3) -> DataFrame:
     return out.where(
         F.col("rho").isNotNull() & ~F.isnan("rho")
     ).withColumn("rho", F.round("rho", 6))
+
+
+def acf_profile(hourly: DataFrame, max_lag: int = 12,
+                min_pairs: int = 3) -> DataFrame:
+    """Autocorrelation profile: Pearson r between the series and its
+    own lag for every lag 1..max_lag per metric — the diagnostic that
+    picks the seasonality period / AR order before fitting anything.
+
+    The lag dimension is a narrow `explode(sequence)` (same trick as
+    the xcorr lag sweep): each sample row fans out max_lag times and
+    equi-joins back on (metric, slot+lag) — no window over the whole
+    series, no per-lag rescan; one shuffle keyed by (metric, slot).
+    Correlations over fewer than ``min_pairs`` overlaps or with a
+    constant side are dropped (NaN across engines otherwise).
+    """
+    s = hourly.select("metric", F.col("slot_epoch").alias("slot"), "value")
+    lagged = s.select(
+        "metric",
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+        (F.col("slot") + F.col("lag") * 3600).alias("slot"),
+        F.col("value").alias("v_lag"),
+    )
+    out = (
+        s.join(lagged, ["metric", "slot"])
+        .groupBy("metric", "lag")
+        .agg(
+            F.try_divide(
+                F.covar_samp("value", "v_lag"),
+                F.stddev_samp("value") * F.stddev_samp("v_lag"),
+            ).alias("acf"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .where(F.col("n_pairs") >= min_pairs)
+    )
+    return out.where(
+        F.col("acf").isNotNull() & ~F.isnan("acf")
+    ).withColumn("acf", F.round("acf", 6))
+
+
+def weekly_profile(signals: DataFrame) -> DataFrame:
+    """Hour-of-week activity profile per metric: (day-of-week, hour)
+    event counts and mean value — the fingerprint seasonal baselines
+    and on-call heatmaps are built from.
+
+    Day-of-week derives from epoch arithmetic ((epoch//86400 + 4) % 7,
+    0 = Sunday), NOT calendar functions, so the bucketing is identical
+    in every engine and timezone-free.  One narrow projection + one
+    hash aggregate on a 7×24-bounded key.
+    """
+    epoch = F.unix_timestamp("ts")
+    day = F.floor(epoch / 86400)
+    return (
+        signals.select(
+            "metric",
+            ((day + 4) % 7).cast("int").alias("dow"),
+            F.floor((epoch % 86400) / 3600).cast("int").alias("hour"),
+            "value",
+        )
+        .groupBy("metric", "dow", "hour")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
