@@ -2932,6 +2932,95 @@ def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment near-dups over the planted corpus — the
+    truncation-dup detector symmetric Jaccard dilutes."""
+    from metrics_advisor_spark.functions.dedup import containment_pairs
+
+    return containment_pairs(_docs_with_dups(spark, sf_dir), threshold=0.8)
+
+
+def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 in-session three-step behavior paths (lead windows over
+    the sessionization sort — no extra exchange)."""
+    from metrics_advisor_spark.operators.sessions import path_trigrams
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return path_trigrams(ev, gap_seconds=1800, top_k=20)
+
+
+def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral entropy per user (algebraic one-pass Shannon form
+    over per-(user, type) counts)."""
+    from metrics_advisor_spark.operators.sessions import user_entropy
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return user_entropy(ev)
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted median quality per source: what quality the
+    typical TOKEN (not document) is exposed to."""
+    from metrics_advisor_spark.functions.curation import weighted_quantile
+    from metrics_advisor_spark.functions.text import (
+        quality_score_col,
+        token_count_col,
+    )
+
+    feats = _docs(spark, sf_dir).select(
+        "source",
+        F.round(quality_score_col(F.col("text")), 6).alias("q"),
+        token_count_col(F.col("text")).alias("n_tokens"),
+    )
+    return weighted_quantile(
+        feats, value_col="q", weight_col="n_tokens",
+        group_col="source", q=0.5,
+    )
+
+
+def q_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 quantization table (scale from [min, max])
+    with mean reconstruction error."""
+    from metrics_advisor_spark.functions.similarity import quantization_audit
+
+    return quantization_audit(_emb(spark, sf_dir))
+
+
+def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity between per-label embedding centroids
+    (cluster-separability snapshot)."""
+    from metrics_advisor_spark.functions.similarity import label_centroid_sim
+
+    return label_centroid_sim(_emb(spark, sf_dir))
+
+
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 6 h SLO burn rate for the 'error' event share against a
+    5% target (range-framed window over the hourly rollup)."""
+    from metrics_advisor_spark.operators.trend import slo_burn
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return slo_burn(ev, error_type="error", slo=0.05, window_hours=6)
+
+
+def q_rolling_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-only level-shift score per hourly slot (|mean_right −
+    mean_left| / pooled σ) — the cheap E-Divisive companion."""
+    from metrics_advisor_spark.operators.trend import rolling_level_shift
+
+    hourly = (
+        _signals(spark, sf_dir)
+        .groupBy(
+            "metric",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("slot_epoch"),
+        )
+        .agg(F.avg("value").alias("value"))
+    )
+    return rolling_level_shift(hourly, k=12, min_points=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST
     # 50 entries (VERDICT r02).  Rotation discipline (ROUND_NOTES):
@@ -2944,7 +3033,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queue.  Builder-side, every oracled query is parity-checked per
     # run by tests/test_oracle_parity.py regardless of gate position.
     return {
-        # (a) new round-4g queries — never driver-checked by definition
+        # (a) new round-4h queries — never driver-checked by definition
+        "containment_pairs": q_containment_pairs,
+        "path_trigrams": q_path_trigrams,
+        "user_entropy": q_user_entropy,
+        "weighted_median": q_weighted_median,
+        "quantization_audit": q_quantization_audit,
+        "label_centroid_sim": q_label_centroid_sim,
+        "slo_burn": q_slo_burn,
+        "rolling_level_shift": q_rolling_level_shift,
+        # (a) new round-4g queries
         "bigram_surprisal": q_bigram_surprisal,
         "rrf_fusion": q_rrf_fusion,
         "stickiness": q_stickiness,
@@ -5809,6 +5907,171 @@ def oracle_sql() -> dict[str, str]:
               FROM f2
             )
             SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        """,
+        "containment_pairs": f"""
+            WITH sh AS ({_shingle_sql(_DOCS_DUPS)}),
+            sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b
+                ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            sc AS (
+              SELECT doc_a, doc_b,
+                     round(n_inter / sa.set_size, 6) AS containment_ab,
+                     round(n_inter / sb.set_size, 6) AS containment_ba,
+                     round(n_inter / (sa.set_size + sb.set_size - n_inter), 6)
+                         AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+            )
+            SELECT * FROM sc
+            WHERE containment_ab >= 0.8 OR containment_ba >= 0.8
+        """,
+        "path_trigrams": """
+            WITH o AS (
+              SELECT user_id, event_id, event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+              FROM events
+            ),
+            s AS (
+              SELECT *, sum(CASE WHEN prev IS NULL OR epoch - prev > 1800
+                                 THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY epoch, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+              FROM (SELECT *, lag(epoch) OVER (
+                        PARTITION BY user_id ORDER BY epoch, event_id)
+                        AS prev FROM o)
+            ),
+            t AS (
+              SELECT event_type AS e1,
+                     lead(event_type, 1) OVER (
+                         PARTITION BY user_id ORDER BY epoch, event_id) AS e2,
+                     lead(event_type, 2) OVER (
+                         PARTITION BY user_id ORDER BY epoch, event_id) AS e3,
+                     lead(sid, 2) OVER (
+                         PARTITION BY user_id ORDER BY epoch, event_id)
+                         AS sid3,
+                     sid
+              FROM s
+            ),
+            c AS (SELECT e1, e2, e3, count(*)::BIGINT AS n FROM t
+                  WHERE sid3 = sid GROUP BY 1, 2, 3)
+            SELECT row_number() OVER (ORDER BY n DESC, e1, e2, e3)::INT
+                       AS rank,
+                   e1, e2, e3, n
+            FROM c QUALIFY rank <= 20
+        """,
+        "user_entropy": """
+            WITH ct AS (
+              SELECT user_id, event_type, count(*) AS c
+              FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+                   count(*) AS n_types,
+                   round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+            FROM ct GROUP BY 1
+        """,
+        "weighted_median": """
+            WITH f AS (
+              SELECT source,
+                     round(least(len(string_split(text, ' ')) / 100.0, 1.0)
+                           * (1.0 - round((length(text) -
+                                length(regexp_replace(text, '[^A-Za-z0-9 ]',
+                                                      '', 'g')))
+                               / greatest(length(text), 1), 6)), 6) AS v,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::DOUBLE AS wt
+              FROM documents
+            ),
+            c AS (
+              SELECT source, v,
+                     sum(wt) OVER (PARTITION BY source ORDER BY v, wt
+                         ROWS UNBOUNDED PRECEDING) AS cw,
+                     sum(wt) OVER (PARTITION BY source) AS tw
+              FROM f
+            )
+            SELECT source, round(min(v), 6) AS wq50,
+                   round(max(tw), 6) AS total_weight
+            FROM c WHERE cw >= 0.5 * tw GROUP BY 1
+        """,
+        "quantization_audit": """
+            WITH ex AS (
+              SELECT i::INT AS dim, embedding[i+1]::DOUBLE AS x
+              FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
+            ),
+            rng AS (
+              SELECT dim, min(x) AS lo, max(x) AS hi,
+                     CASE WHEN max(x) > min(x)
+                          THEN (max(x) - min(x)) / 255.0 ELSE 1.0 END AS sc
+              FROM ex GROUP BY 1
+            )
+            SELECT dim, round(max(lo), 6) AS lo, round(max(hi), 6) AS hi,
+                   round(max(sc), 6) AS scale,
+                   round(avg(pow(x - (round((x - lo) / sc) * sc + lo), 2)), 6)
+                       AS mse
+            FROM ex JOIN rng USING (dim)
+            GROUP BY 1
+        """,
+        "label_centroid_sim": """
+            WITH ex AS (
+              SELECT label, i::INT AS dim, embedding[i+1]::DOUBLE AS x
+              FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
+            ),
+            cent AS (SELECT label, dim, avg(x) AS c FROM ex GROUP BY 1, 2)
+            SELECT a.label AS label_a, b.label AS label_b,
+                   round(sum(a.c * b.c)
+                         / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))), 6)
+                       AS cosine
+            FROM cent a JOIN cent b
+              ON a.dim = b.dim AND a.label < b.label
+            GROUP BY 1, 2
+        """,
+        "slo_burn": """
+            WITH h AS (
+              SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS slot,
+                     sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                         AS errs,
+                     count(*) AS total
+              FROM events GROUP BY 1
+            ),
+            w AS (
+              SELECT slot,
+                     CAST(sum(errs) OVER (ORDER BY slot RANGE BETWEEN
+                         18000 PRECEDING AND CURRENT ROW) AS BIGINT)
+                         AS win_errors,
+                     CAST(sum(total) OVER (ORDER BY slot RANGE BETWEEN
+                         18000 PRECEDING AND CURRENT ROW) AS BIGINT)
+                         AS win_total
+              FROM h
+            )
+            SELECT slot, win_errors, win_total,
+                   round((win_errors / win_total) / 0.05, 6) AS burn_rate
+            FROM w
+        """,
+        "rolling_level_shift": f"""
+            WITH hourly AS ({_HOURLY}),
+            sc AS (
+              SELECT metric, slot_epoch,
+                     avg(value) OVER (PARTITION BY metric ORDER BY slot_epoch
+                         ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS mu_l,
+                     count(value) OVER (PARTITION BY metric ORDER BY slot_epoch
+                         ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS n_l,
+                     avg(value) OVER (PARTITION BY metric ORDER BY slot_epoch
+                         ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) AS mu_r,
+                     count(value) OVER (PARTITION BY metric ORDER BY slot_epoch
+                         ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) AS n_r,
+                     stddev_samp(value) OVER (PARTITION BY metric
+                         ORDER BY slot_epoch
+                         ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS sd
+              FROM hourly
+            )
+            SELECT metric, slot_epoch,
+                   round(abs(mu_r - mu_l) / sd, 6) AS shift_score
+            FROM sc
+            WHERE n_l >= 6 AND n_r >= 6 AND sd > 0
         """,
         "bigram_surprisal": f"""
             WITH d AS (

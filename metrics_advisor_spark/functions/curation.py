@@ -567,3 +567,49 @@ def canonical_representatives(
         F.max("q").alias("best_quality"),
         F.count("*").cast("long").alias("n_members"),
     )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_col: str = "source",
+    q: float = 0.5,
+) -> DataFrame:
+    """Weighted quantile per group: the smallest value whose cumulative
+    weight reaches q·total — e.g. the TOKEN-weighted median quality
+    score, which answers "what quality is the typical TOKEN exposed
+    to", not "the typical document" (long docs dominate training; the
+    unweighted median hides that).
+
+    One cumulative-weight window per group over the (value, tiebreak)
+    sort — each group's axis sorts independently — then a min_by pick
+    of the crossing row; deterministic for any weight distribution.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("v", "wt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = Window.partitionBy(group_col)
+    base = df.select(
+        group_col,
+        F.col(value_col).alias("v"),
+        F.col(weight_col).cast("double").alias("wt"),
+    )
+    cum = base.select(
+        group_col,
+        "v",
+        F.sum("wt").over(w).alias("cw"),
+        F.sum("wt").over(t).alias("tw"),
+    )
+    return (
+        cum.where(F.col("cw") >= q * F.col("tw"))
+        .groupBy(group_col)
+        .agg(
+            F.round(F.min("v"), 6).alias(f"wq{int(q * 100)}"),
+            F.round(F.max("tw"), 6).alias("total_weight"),
+        )
+    )

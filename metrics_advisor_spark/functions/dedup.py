@@ -745,3 +745,78 @@ def sorted_neighborhood_pairs(
             F.abs(F.col("n_chars") - F.col("chars_a")).alias("len_delta"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Directional containment near-dup pairs: |A∩B| / |A| — the
+    asymmetric cousin of Jaccard that catches TRUNCATION and quote
+    dups, where a short doc is mostly inside a long one but the
+    symmetric Jaccard is diluted by the length gap.
+
+    Same inverted-index plan as `jaccard_pairs` (shared-shingle join,
+    never a doc cross-product, same ``max_shingle_df`` skew cap); emits
+    one row per ORDERED pair direction that clears the threshold, with
+    both directions' containment and the Jaccard for context.
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    sets = df.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(grams, lambda g: _hash56(g))
+        ).alias("hs"),
+    ).select(
+        "doc_id", F.size("hs").alias("set_size"),
+        F.explode("hs").alias("shingle_hash"),
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sets.groupBy("shingle_hash")
+            .agg(F.count("*").alias("sdf"))
+            .where(F.col("sdf") > max_shingle_df)
+            .select("shingle_hash")
+        )
+        sets = sets.join(hot, "shingle_hash", "left_anti")
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("set_size").alias("sa"),
+        "shingle_hash",
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("set_size").alias("sb"),
+        "shingle_hash",
+    )
+    inter = (
+        a.join(b, "shingle_hash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sa", "sb")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    c_ab = F.round(F.col("n_inter") / F.col("sa"), 6)
+    c_ba = F.round(F.col("n_inter") / F.col("sb"), 6)
+    return (
+        inter.select(
+            "doc_a", "doc_b",
+            c_ab.alias("containment_ab"),
+            c_ba.alias("containment_ba"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa") + F.col("sb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(
+            (F.col("containment_ab") >= threshold)
+            | (F.col("containment_ba") >= threshold)
+        )
+    )

@@ -462,3 +462,75 @@ def lsh_knn_graph(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def quantization_audit(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension int8 affine quantization audit: scale / zero-point
+    from the dimension's [min, max] plus the mean reconstruction error
+    — the go/no-go table before shipping a quantized ANN index.
+
+    One posexplode + one (dim-keyed, bounded-cardinality) aggregate for
+    the ranges; the error re-uses the same exploded frame joined to the
+    (tiny, broadcast) per-dim table.  Degenerate dims (min == max)
+    quantize to the constant with zero error.
+    """
+    ex = emb.select(
+        F.posexplode(vec_col).alias("dim", "x")
+    ).select("dim", F.col("x").cast("double").alias("x"))
+    rng = ex.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    scale = F.when(
+        F.col("hi") > F.col("lo"), (F.col("hi") - F.col("lo")) / 255.0
+    ).otherwise(F.lit(1.0))
+    q = F.round((F.col("x") - F.col("lo")) / F.col("sc"))
+    deq = q * F.col("sc") + F.col("lo")
+    return (
+        ex.join(F.broadcast(rng.withColumn("sc", scale)), "dim")
+        .select("dim", "lo", "hi", "sc", ((F.col("x") - deq) ** 2).alias("e2"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.max("lo"), 6).alias("lo"),
+            F.round(F.max("hi"), 6).alias("hi"),
+            F.round(F.max("sc"), 6).alias("scale"),
+            F.round(F.avg("e2"), 6).alias("mse"),
+        )
+    )
+
+
+def label_centroid_sim(emb: DataFrame, vec_col: str = "embedding",
+                       label_col: str = "label") -> DataFrame:
+    """Cosine similarity between per-label mean embeddings — the
+    cluster-separability / class-drift snapshot (labels whose centroids
+    collide are candidates for merging or relabeling).
+
+    Centroids come from one (label, dim)-keyed aggregate over the
+    exploded vectors (never a vector collect); the pairwise cosine runs
+    on the label×dim frame — label-count-squared OUTPUT, dim-keyed
+    join, both tiny next to the corpus.
+    """
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim", "x"),
+    ).select("label", "dim", F.col("x").cast("double").alias("x"))
+    cent = ex.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    a = cent.select(F.col("label").alias("label_a"), "dim",
+                    F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "dim",
+                    F.col("c").alias("cb"))
+    return (
+        a.join(b, "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.round(
+                F.try_divide(
+                    F.sum(F.col("ca") * F.col("cb")),
+                    F.sqrt(F.sum(F.col("ca") ** 2))
+                    * F.sqrt(F.sum(F.col("cb") ** 2)),
+                ),
+                6,
+            ).alias("cosine")
+        )
+    )

@@ -511,3 +511,74 @@ def interevent_gaps(events: DataFrame) -> DataFrame:
         F.round(F.avg("gap_s"), 6).alias("avg_s"),
         F.max("gap_s").cast("long").alias("max_s"),
     )
+
+
+def path_trigrams(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k three-step behavior paths: within each user session
+    (gap-based), count consecutive event-type trigrams — the sequence-
+    mining summary product analytics builds sankeys from.
+
+    Two lead windows over the per-user sort ALREADY REQUIRED for
+    sessionization (no extra exchange), session boundary respected by
+    comparing the lead rows' session ids; counts collapse on the (tiny,
+    type³-bounded) trigram key and a TakeOrdered top-k — the vocabulary
+    never sorts in one task.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_epoch = F.lag(F.unix_timestamp("ts")).over(w)
+    is_new = F.when(
+        prev_epoch.isNull()
+        | ((F.unix_timestamp("ts") - prev_epoch) > gap_seconds),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = events.withColumn("sid", F.sum(is_new).over(run))
+    tri = s.select(
+        "user_id", "sid",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.lead("sid", 2).over(w).alias("sid3"),
+    ).where(F.col("sid3") == F.col("sid"))
+    counts = tri.groupBy("e1", "e2", "e3").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    from pyspark.sql import Window as W2
+
+    rn = F.row_number().over(
+        W2.orderBy(F.col("n").desc(), "e1", "e2", "e3")
+    )
+    return (
+        counts.withColumn("rank", rn)
+        .where(F.col("rank") <= top_k)
+        .select("rank", "e1", "e2", "e3", "n")
+    )
+
+
+def user_entropy(events: DataFrame) -> DataFrame:
+    """Behavioral entropy per user: Shannon entropy (nats) of the
+    user's event-type distribution — low = habitual single-action
+    users, high = diverse explorers.  The per-user feature standard
+    churn/segmentation models start from.
+
+    Algebraic one-pass form H = ln n − (Σ c·ln c)/n over the per-
+    (user, type) counts — two keyed aggregates, no window, no explode.
+    """
+    ct = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    return ct.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round(
+            F.log(F.sum("c"))
+            - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+            6,
+        ).alias("entropy"),
+    )

@@ -691,3 +691,112 @@ def weekly_profile(signals: DataFrame) -> DataFrame:
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
     )
+
+
+def slo_burn(
+    events: DataFrame,
+    error_type: str = "error",
+    slo: float = 0.05,
+    window_hours: int = 6,
+) -> DataFrame:
+    """SLO burn rate: rolling error-budget consumption speed — burn =
+    (rolling error share) / (SLO target); burn > 1 means the budget
+    dies before the period does (the SRE multi-window alert input).
+
+    Hourly (errors, total) counts first — ONE aggregate collapses the
+    raw stream, so the rolling window runs over the tiny hourly frame,
+    ordered by slot within a single global timeline (per-service
+    deployments would partition by service key).  Slots with no events
+    at all simply don't exist; the rolling sums span the PRESENT slots
+    in range (range-based frame, so absent hours don't stretch the
+    window).
+    """
+    from pyspark.sql import Window
+
+    hourly = (
+        events.select(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("slot"),
+            (F.col("event_type") == error_type).cast("long").alias("is_err"),
+        )
+        .groupBy("slot")
+        .agg(
+            F.sum("is_err").alias("errs"),
+            F.count("*").alias("total"),
+        )
+    )
+    w = (
+        Window.orderBy("slot")
+        .rangeBetween(-(window_hours - 1) * 3600, 0)
+    )
+    out = hourly.select(
+        "slot",
+        F.sum("errs").over(w).cast("long").alias("win_errors"),
+        F.sum("total").over(w).cast("long").alias("win_total"),
+    )
+    return out.select(
+        "slot",
+        "win_errors",
+        "win_total",
+        F.round(
+            (F.col("win_errors") / F.col("win_total")) / slo, 6
+        ).alias("burn_rate"),
+    )
+
+
+def rolling_level_shift(
+    hourly: DataFrame,
+    k: int = 12,
+    min_points: int = 6,
+) -> DataFrame:
+    """Cheap SQL-only level-shift score per slot: |mean of next k −
+    mean of previous k| / pooled σ over the 2k-slot neighborhood — the
+    streaming-friendly complement to E-Divisive (no permutation test,
+    one window pass, monotone with the actual jump size).
+
+    Slots without ``min_points`` history on BOTH sides emit nothing
+    (edge windows understate σ).  One window per metric timeline —
+    partition-parallel across metrics exactly like every rolling
+    operator here.
+    """
+    from pyspark.sql import Window
+
+    left = (
+        Window.partitionBy("metric")
+        .orderBy("slot_epoch")
+        .rowsBetween(-k, -1)
+    )
+    right = (
+        Window.partitionBy("metric")
+        .orderBy("slot_epoch")
+        .rowsBetween(0, k - 1)
+    )
+    both = (
+        Window.partitionBy("metric")
+        .orderBy("slot_epoch")
+        .rowsBetween(-k, k - 1)
+    )
+    scored = hourly.select(
+        "metric",
+        "slot_epoch",
+        F.avg("value").over(left).alias("mu_l"),
+        F.count("value").over(left).alias("n_l"),
+        F.avg("value").over(right).alias("mu_r"),
+        F.count("value").over(right).alias("n_r"),
+        F.stddev_samp("value").over(both).alias("sd"),
+    )
+    return (
+        scored.where(
+            (F.col("n_l") >= min_points)
+            & (F.col("n_r") >= min_points)
+            & (F.col("sd") > 0)
+        )
+        .select(
+            "metric",
+            "slot_epoch",
+            F.round(
+                F.abs(F.col("mu_r") - F.col("mu_l")) / F.col("sd"), 6
+            ).alias("shift_score"),
+        )
+    )
