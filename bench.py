@@ -63,21 +63,38 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Each query runs TWICE and we record the best of the two.  The
-    # `queries()` dict order rotates every round for the driver's
-    # correctness gate, so a single-shot timing makes per-query numbers
-    # an artifact of position (r03: pii_scrub 0.55→2.43 s and simhash
-    # 1.57→2.94 s with zero code changes, purely from moving to cold
-    # positions 1/7).  Best-of-2 measures the plan, not the rotation.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Warm-number discipline without doubling the suite: every query runs
+    # once, and gets a SECOND run (best of the two reported) only when the
+    # first run exceeds a threshold.  Rationale: the `queries()` dict order
+    # rotates every round for the driver's correctness gate, so single-shot
+    # timings make per-query numbers an artifact of position (r03:
+    # pii_scrub 0.55→2.43 s, simhash 1.57→2.94 s with zero code changes,
+    # purely from moving to cold positions 1/7).  A query inflated by cold
+    # position necessarily LOOKS slow on run 1, so the threshold gate
+    # re-runs exactly the entries whose numbers could be position noise —
+    # while a genuinely-cheap warm first run is already the right number.
+    # At ~190 queries an unconditional best-of-2 pushed the suite past the
+    # 10-minute mark; this keeps it driver-budget-safe.
+    # SPARK_GRAFT_BENCH_RUNS=N forces unconditional N runs (old behavior).
+    runs_env = os.environ.get("SPARK_GRAFT_BENCH_RUNS")
+    rerun_above = float(
+        os.environ.get("SPARK_GRAFT_BENCH_RERUN_THRESHOLD", "0.7")
+    )
     timings: dict[str, float] = {}
     total = 0.0
     bench_fns = dict(entry_mod.queries())
     # flagship end-to-end pipeline (detection UDFs + correlation + rank)
     bench_fns["flagship_analyze"] = entry_mod.flagship
     for name, fn in bench_fns.items():
-        best = float("inf")
-        for _ in range(max(1, runs)):
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        best = time.perf_counter() - t0
+        extra = (
+            max(1, int(runs_env)) - 1
+            if runs_env
+            else (1 if best > rerun_above else 0)
+        )
+        for _ in range(extra):
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

@@ -61,6 +61,16 @@ def pagerank(
             "node", F.lit(0.0).alias("rank")
         )
 
+    # Small graphs (dup graphs are pair-shaped, usually ≪ the corpus)
+    # inherit the session's 32-way shuffle partitioning, so every
+    # per-round join/aggregate pays ~100 task launches for a few
+    # hundred rows — scheduling overhead dominated the sf0.1 bench
+    # (11.1 s, ~4 s of it the edge producer).  Coalesce the iteration
+    # state to a handful of partitions when the graph is small; big
+    # graphs keep their natural partitioning.
+    if n_nodes < 100_000:
+        edges = edges.coalesce(4)
+        nodes = nodes.coalesce(4)
     ranks = nodes.select(
         "node", (F.lit(1.0) / n_nodes).alias("rank")
     ).localCheckpoint(eager=True)
@@ -148,5 +158,55 @@ def adamic_adar(pairs: DataFrame) -> DataFrame:
         .select(
             F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
             "n_common", "aa_score",
+        )
+    )
+
+
+def clustering_coeff(pairs: DataFrame) -> DataFrame:
+    """Global clustering coefficient of a canonical (doc_a < doc_b)
+    pair graph: C = 3·triangles / wedges — "when two things share a
+    neighbor, how often are they directly linked"; near 1 for clean
+    dup cliques, near 0 for star/chain artifacts of a bad threshold.
+
+    Triangles via the oriented wedge join (each a<b<c counted once);
+    wedges as Σ deg·(deg−1)/2 from one degree aggregate.  The pair set
+    feeds three join legs — persisted once, same contract as
+    `dedup.triangle_count`.
+    """
+    e = pairs.select("doc_a", "doc_b").persist()
+    wedge = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    tri = wedge.join(
+        e.alias("e3"),
+        (F.col("a") == F.col("e3.doc_a")) & (F.col("c") == F.col("e3.doc_b")),
+    ).agg(F.count("*").alias("n_triangles"))
+    adj = e.unionByName(
+        e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    deg = adj.groupBy("doc_a").agg(F.count("*").alias("deg"))
+    stats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    return (
+        tri.crossJoin(e.agg(F.count("*").cast("long").alias("n_edges")))
+        .crossJoin(stats)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            "n_wedges",
+            F.round(
+                F.try_divide(3.0 * F.col("n_triangles"), F.col("n_wedges")),
+                6,
+            ).alias("global_coeff"),
         )
     )

@@ -631,12 +631,16 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.element_at(toks, i + 1).alias("tok"),
         ),
     )
+    # doc_bi feeds the corpus bigram aggregate AND the scoring join —
+    # persist it or the explode+reduce pipeline executes twice (measured
+    # ~2× on the sf0.1 bench)
     doc_bi = (
         df.where(F.size(toks) >= 2)
         .select("doc_id", F.explode(pairs).alias("p"))
         .groupBy("doc_id", F.col("p.prev").alias("prev"),
                  F.col("p.tok").alias("tok"))
         .agg(F.count("*").alias("c"))
+        .persist()
     )
     bi = doc_bi.groupBy("prev", "tok").agg(F.sum("c").alias("cb"))
     ctx = bi.groupBy("prev").agg(F.sum("cb").alias("cp"))
@@ -719,4 +723,30 @@ def rrf_fuse(
     return (
         fused.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= topk)
+    )
+
+
+def tokenizer_fertility(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tokenizer fertility per (source, lang): tokens per whitespace
+    word and characters per token — the table that decides whether a
+    tokenizer is wasting sequence length on some slice of the corpus.
+
+    One narrow projection (all three counts fuse into one pass over the
+    text) + one bounded-key aggregate.
+    """
+    toks = token_count_col(F.col(text_col))
+    words = F.size(F.split(F.col(text_col), " "))
+    chars = F.length(text_col)
+    return (
+        df.select(
+            "source", "lang",
+            toks.alias("t"), words.alias("w"), chars.alias("c"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("n_tokens"),
+            F.round(F.sum("t") / F.sum("w"), 6).alias("tokens_per_word"),
+            F.round(F.sum("c") / F.sum("t"), 6).alias("chars_per_token"),
+        )
     )

@@ -72,3 +72,115 @@ def ab_test_zscores(
         F.round("mean_b", 6).alias("mean_b"),
         F.round(z, 6).alias("z"),
     )
+
+
+def cuped_ab(
+    events: DataFrame,
+    metric_col: str = "value",
+    unit_col: str = "user_id",
+    salt: str = "exp1",
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout: adjust each unit's
+    post-period outcome by its PRE-period covariate, Y' = Y − θ(X − X̄)
+    with θ = cov(X, Y)/var(X) — the industry-standard trick that cuts
+    outcome variance (and experiment runtime) without biasing the
+    treatment effect, since X predates assignment.
+
+    Pre/post split at the global time midpoint (1-row broadcast); units
+    without a post-period outcome drop (no outcome to adjust), units
+    without pre data keep Y' = Y − θ(X̄₀…) via a zero-centered covariate
+    of 0 (standard missing-covariate handling: no adjustment).  One
+    per-unit aggregate, two 1-row moment aggregates, no windows.
+    Returns a single row with raw and CUPED z alongside the variance
+    reduction actually achieved.
+    """
+    ue = events.select(
+        F.col(unit_col).alias("unit"),
+        F.unix_timestamp("ts").alias("epoch"),
+        F.col(metric_col).cast("double").alias("y"),
+    )
+    mid = ue.agg(((F.min("epoch") + F.max("epoch")) / 2.0).alias("mid"))
+    per_unit = (
+        ue.crossJoin(F.broadcast(mid))
+        .groupBy("unit")
+        .agg(
+            F.avg(F.when(F.col("epoch") <= F.col("mid"), F.col("y")))
+            .alias("pre"),
+            F.avg(F.when(F.col("epoch") > F.col("mid"), F.col("y")))
+            .alias("post"),
+        )
+        .where(F.col("post").isNotNull())
+    )
+    from metrics_advisor_spark.functions.dedup import _hash56
+
+    arm = (
+        _hash56(F.concat(F.lit(salt + "_"), F.col("unit").cast("string")))
+        % 2
+    ).cast("int")
+    assigned = per_unit.select("unit", "pre", "post", arm.alias("arm"))
+    moments = assigned.where(F.col("pre").isNotNull()).agg(
+        F.try_divide(
+            F.covar_samp("pre", "post"), F.var_samp("pre")
+        ).alias("theta"),
+        F.avg("pre").alias("pre_mean"),
+    )
+    adj = assigned.crossJoin(F.broadcast(moments)).select(
+        "arm",
+        "post",
+        (
+            F.col("post")
+            - F.coalesce(
+                F.col("theta") * (F.col("pre") - F.col("pre_mean")),
+                F.lit(0.0),
+            )
+        ).alias("post_adj"),
+        "theta",
+    )
+    per_arm = adj.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.avg("post").alias("m_raw"),
+        F.var_samp("post").alias("v_raw"),
+        F.avg("post_adj").alias("m_adj"),
+        F.var_samp("post_adj").alias("v_adj"),
+        F.max("theta").alias("theta"),
+    )
+
+    def pick(col: str, a: int):
+        return F.max(F.when(F.col("arm") == a, F.col(col)))
+
+    wide = per_arm.agg(
+        pick("n", 0).alias("n_a"),
+        pick("n", 1).alias("n_b"),
+        pick("m_raw", 0).alias("mra"),
+        pick("m_raw", 1).alias("mrb"),
+        pick("v_raw", 0).alias("vra"),
+        pick("v_raw", 1).alias("vrb"),
+        pick("m_adj", 0).alias("maa"),
+        pick("m_adj", 1).alias("mab"),
+        pick("v_adj", 0).alias("vaa"),
+        pick("v_adj", 1).alias("vab"),
+        F.max("theta").alias("theta"),
+    )
+    # try_divide throughout: a CUPED adjustment that removes (almost)
+    # all outcome variance makes the adjusted SE exactly 0 — NULL z
+    # beats an ANSI divide-by-zero error (oracle mirrors with CASE).
+    z_raw = F.try_divide(
+        F.col("mrb") - F.col("mra"),
+        F.sqrt(F.col("vra") / F.col("n_a") + F.col("vrb") / F.col("n_b")),
+    )
+    z_adj = F.try_divide(
+        F.col("mab") - F.col("maa"),
+        F.sqrt(F.col("vaa") / F.col("n_a") + F.col("vab") / F.col("n_b")),
+    )
+    pooled_raw = (F.col("vra") + F.col("vrb")) / 2
+    pooled_adj = (F.col("vaa") + F.col("vab")) / 2
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("theta", 6).alias("theta"),
+        F.round(z_raw, 6).alias("z_raw"),
+        F.round(z_adj, 6).alias("z_cuped"),
+        F.round(
+            1 - F.try_divide(pooled_adj, pooled_raw), 6
+        ).alias("var_reduction"),
+    )

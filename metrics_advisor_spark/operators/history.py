@@ -126,3 +126,48 @@ def merge_upsert(
         )
         .select(*key_cols, *picked)
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    compare_cols: tuple[str, ...] = ("event_type", "value"),
+) -> DataFrame:
+    """Reconciliation diff between two table versions: per-status row
+    counts (added / removed / changed / unchanged) — the data-eng
+    sanity check after a backfill, migration, or CDC replay.
+
+    One full-outer join on the business key; change detection uses
+    null-safe typed comparison on the raw columns (NO row-hash of
+    stringified values — float→string formatting is engine- and
+    locale-dependent, typed eqNullSafe is not).  Output is a tiny
+    4-row aggregate; the join shuffles once on the (uniform) key.
+    """
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("_o_present"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(True).alias("_n_present"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, list(key_cols), "full")
+    present_old = F.col("_o_present").isNotNull()
+    present_new = F.col("_n_present").isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    status = (
+        F.when(~present_old, F.lit("added"))
+        .when(~present_new, F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )

@@ -582,3 +582,69 @@ def user_entropy(events: DataFrame) -> DataFrame:
             6,
         ).alias("entropy"),
     )
+
+
+def event_throttle(
+    events: DataFrame,
+    tolerance_s: int = 60,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+) -> DataFrame:
+    """Telemetry throttling audit: collapse each key's events into
+    ≤``tolerance_s``-gap islands and keep only the island's first event
+    — the dedup a client SDK should have done; the kept/dropped ratio
+    per type sizes how much a real throttle would save.
+
+    Island semantics (first-of-burst survives, a long slow burst still
+    collapses to one) — deterministic, single exchange on the key, the
+    same lag + running-sum shape as `interval_merge`.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > tolerance_s), 1).otherwise(0)
+    flagged = events.withColumn(
+        "_first",
+        is_new,
+    )
+    return flagged.groupBy("event_type").agg(
+        F.sum("_first").cast("long").alias("n_kept"),
+        (F.count("*") - F.sum("_first")).cast("long").alias("n_dropped"),
+        F.round(F.sum("_first") / F.count("*"), 6).alias("kept_ratio"),
+    )
+
+
+def retention_curve(events: DataFrame, max_days: int = 14) -> DataFrame:
+    """Day-N retention: share of all users active again exactly N days
+    after their FIRST active day, N = 0..max_days−1 — the aggregate
+    curve (cohort-collapsed) that headlines every growth dashboard.
+
+    Distinct (user, day) first (one aggregate), first day per user
+    rides the same keyed shuffle, offsets are a projection; the final
+    frame is max_days rows.
+    """
+    ua = events.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).distinct()
+    first = ua.groupBy("user_id").agg(F.min("day").alias("f"))
+    offs = (
+        ua.join(first, "user_id")
+        .select("user_id", (F.col("day") - F.col("f")).alias("off"))
+        .where(F.col("off") < max_days)
+        .distinct()
+    )
+    n_users = first.agg(F.count("*").alias("n_users"))
+    return (
+        offs.groupBy("off")
+        .agg(F.count("*").cast("long").alias("n_active"))
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            F.col("off").cast("int").alias("day_n"),
+            "n_active",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round(F.col("n_active") / F.col("n_users"), 6).alias(
+                "retention"
+            ),
+        )
+    )

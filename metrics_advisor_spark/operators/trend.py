@@ -800,3 +800,62 @@ def rolling_level_shift(
             ).alias("shift_score"),
         )
     )
+
+
+def seasonal_decompose(
+    hourly: DataFrame,
+    period_slots: int = 24,
+    trend_halfwidth: int = 12,
+) -> DataFrame:
+    """Additive seasonal decomposition on the SQL surface: trend =
+    centered rolling mean, seasonal = per-phase mean of the detrended
+    series, residual = the rest — the classical-decomposition shape of
+    STL without the loess fits, fully engine-neutral (the numpy STL
+    path in operators/detect.py stays the high-fidelity variant; this
+    is the cheap, oracle-checkable one).
+
+    Slots without a COMPLETE centered trend window drop (edge trend is
+    biased).  One window per metric timeline + one (metric × period)
+    phase aggregate joined back broadcast.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("slot_epoch")
+        .rowsBetween(-trend_halfwidth, trend_halfwidth)
+    )
+    full = 2 * trend_halfwidth + 1
+    detr = (
+        hourly.select(
+            "metric",
+            "slot_epoch",
+            "value",
+            F.avg("value").over(w).alias("trend"),
+            F.count("value").over(w).alias("_n"),
+        )
+        .where(F.col("_n") == full)
+        .select(
+            "metric",
+            "slot_epoch",
+            "value",
+            "trend",
+            (F.col("value") - F.col("trend")).alias("detr"),
+            (F.floor(F.col("slot_epoch") / 3600) % period_slots)
+            .cast("int")
+            .alias("phase"),
+        )
+    )
+    seasonal = detr.groupBy("metric", "phase").agg(
+        F.avg("detr").alias("seasonal")
+    )
+    return (
+        detr.join(F.broadcast(seasonal), ["metric", "phase"])
+        .select(
+            "metric",
+            "slot_epoch",
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(F.col("detr") - F.col("seasonal"), 6).alias("resid"),
+        )
+    )
