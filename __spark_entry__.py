@@ -3173,6 +3173,70 @@ def q_streaming_weekly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative LTV curve: average per-user cumulative value at day
+    N since first activity (explode-to-later-offsets, no per-user
+    ordered window)."""
+    from metrics_advisor_spark.operators.sessions import ltv_curve
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ltv_curve(ev, max_days=14)
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% trimmed mean per metric (closed-interval exact-quantile
+    bounds, engine-neutral 6dp cuts)."""
+    from metrics_advisor_spark.operators.normalize import trimmed_mean
+
+    return trimmed_mean(_signals(spark, sf_dir), trim=0.1)
+
+
+def q_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise covariance/correlation between the first 16 embedding
+    dimensions — the pre-PCA redundancy snapshot."""
+    from metrics_advisor_spark.functions.similarity import dim_covariance
+
+    return dim_covariance(_emb(spark, sf_dir), max_dims=16)
+
+
+def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric staleness vs the table high-water mark (ingestion
+    SLA table)."""
+    from metrics_advisor_spark.operators.quality import freshness_audit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return freshness_audit(ev)
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation by CMS inner product: the
+    l_suppkey SELF-join size (what a suppkey co-grouping would cost),
+    sketch estimate vs exact Σf(k)² — never underestimates."""
+    from metrics_advisor_spark.functions.sketch import cms_join_size
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    counts = li.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count("*").alias("n")
+    )
+    return cms_join_size(counts, counts, key_col="k", count_col="n")
+
+
+def q_dist_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-intersection overlap between metric pairs on a shared
+    global decile grid."""
+    from metrics_advisor_spark.operators.quality import dist_overlap
+
+    return dist_overlap(_signals(spark, sf_dir))
+
+
+def q_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert debouncing: hourly 2σ anomalies merged into episodes
+    across ≤2-slot gaps, with span and peak z."""
+    from metrics_advisor_spark.operators.trend import alert_episodes
+
+    return alert_episodes(_signals(spark, sf_dir), n_sigmas=2.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST
     # 50 entries (VERDICT r02).  Rotation discipline (ROUND_NOTES):
@@ -3185,7 +3249,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queue.  Builder-side, every oracled query is parity-checked per
     # run by tests/test_oracle_parity.py regardless of gate position.
     return {
-        # (a) new round-4i queries — never driver-checked by definition
+        # (a) new round-4j queries — never driver-checked by definition
+        "ltv_curve": q_ltv_curve,
+        "trimmed_mean": q_trimmed_mean,
+        "dim_covariance": q_dim_covariance,
+        "freshness_audit": q_freshness_audit,
+        "join_size_estimate": q_join_size_estimate,
+        "dist_overlap": q_dist_overlap,
+        "alert_episodes": q_alert_episodes,
+        # (a) new round-4i queries
         "cuped_ab": q_cuped_ab,
         "table_diff": q_table_diff,
         "seasonal_decompose": q_seasonal_decompose,
@@ -6079,6 +6151,145 @@ def oracle_sql() -> dict[str, str]:
               FROM f2
             )
             SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        """,
+        "ltv_curve": """
+            WITH ud AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                     sum(value) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            f AS (SELECT user_id, min(day) AS f FROM ud GROUP BY 1),
+            offs AS (
+              SELECT ud.user_id, ud.day - f.f AS off, v
+              FROM ud JOIN f USING (user_id)
+              WHERE ud.day - f.f < 14
+            ),
+            contrib AS (
+              SELECT user_id, v, d AS day_n
+              FROM offs, unnest(range(off, 14)) AS t(d)
+            ),
+            nu AS (SELECT count(*) AS n_users FROM f)
+            SELECT day_n::INT AS day_n, round(sum(v), 6) AS cum_value,
+                   round(sum(v) / max(n_users), 6) AS ltv_per_user
+            FROM contrib, nu GROUP BY 1
+        """,
+        "trimmed_mean": f"""
+            WITH s AS ({_SIG}),
+            b AS (
+              SELECT metric,
+                     round(quantile_cont(value, 0.1), 6) AS lo,
+                     round(quantile_cont(value, 0.9), 6) AS hi
+              FROM s GROUP BY 1
+            )
+            SELECT s.metric, count(*)::BIGINT AS n_kept,
+                   round(avg(value), 6) AS trimmed_mean,
+                   round(max(lo), 6) AS lo, round(max(hi), 6) AS hi
+            FROM s JOIN b USING (metric)
+            WHERE value >= lo AND value <= hi
+            GROUP BY 1
+        """,
+        "dim_covariance": """
+            WITH ex AS (
+              SELECT vec_id, i::INT AS dim, embedding[i+1]::DOUBLE AS x
+              FROM embeddings,
+                   unnest(range(0, least(len(embedding), 16))) AS t(i)
+            )
+            SELECT a.dim AS dim_a, b.dim AS dim_b,
+                   round(covar_samp(a.x, b.x), 6) AS cov,
+                   round(CASE WHEN stddev_samp(a.x) * stddev_samp(b.x) > 0
+                              THEN covar_samp(a.x, b.x)
+                                   / (stddev_samp(a.x) * stddev_samp(b.x))
+                         END, 6) AS corr,
+                   count(*) AS n_vecs
+            FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim < b.dim
+            GROUP BY 1, 2
+        """,
+        "freshness_audit": """
+            WITH s AS (
+              SELECT event_type AS metric,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+              FROM events
+            ),
+            p AS (SELECT metric, max(epoch) AS last_epoch,
+                         count(*)::BIGINT AS n_events
+                  FROM s GROUP BY 1),
+            h AS (SELECT max(epoch) AS hwm FROM s)
+            SELECT metric, n_events,
+                   CAST(hwm - last_epoch AS BIGINT) AS staleness_s
+            FROM p, h
+        """,
+        "join_size_estimate": """
+            WITH ca AS (SELECT l_suppkey AS k, count(*) AS n
+                        FROM lineitem GROUP BY 1),
+            sa AS (
+              SELECT d,
+                     ('0x' || substr(md5(d::VARCHAR || '_' || k::VARCHAR),
+                                     1, 14))::BIGINT % 256 AS col,
+                     sum(n) AS cell
+              FROM ca, unnest(range(0, 4)) AS t(d)
+              GROUP BY 1, 2
+            ),
+            est AS (
+              SELECT CAST(min(ip) AS BIGINT) AS cms_join_size FROM (
+                SELECT d, sum(cell * cell) AS ip FROM sa GROUP BY 1)
+            ),
+            ex AS (SELECT CAST(sum(n * n) AS BIGINT) AS exact_join_size
+                   FROM ca)
+            SELECT exact_join_size, cms_join_size,
+                   round(cms_join_size / exact_join_size, 6) AS over_ratio
+            FROM ex, est
+        """,
+        "dist_overlap": f"""
+            WITH s AS ({_SIG}),
+            cu AS (
+              SELECT list_transform(
+                  quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                        0.6, 0.7, 0.8, 0.9]),
+                  x -> round(x, 6)) AS cuts
+              FROM s
+            ),
+            b AS (
+              SELECT metric, len(list_filter(cuts, c -> value > c)) AS bin,
+                     count(*) AS n
+              FROM s, cu GROUP BY 1, 2
+            ),
+            t AS (SELECT metric, sum(n) AS t FROM b GROUP BY 1),
+            sh AS (SELECT metric, bin, n / t AS p
+                   FROM b JOIN t USING (metric))
+            SELECT a.metric AS metric_a, b2.metric AS metric_b,
+                   round(sum(least(a.p, b2.p)), 6) AS overlap
+            FROM sh a JOIN sh b2
+              ON a.bin = b2.bin AND a.metric < b2.metric
+            GROUP BY 1, 2
+        """,
+        "alert_episodes": """
+            WITH hourly AS (
+              SELECT event_type AS metric,
+                     CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS slot,
+                     avg(value) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            st AS (SELECT metric, avg(v) AS mu, stddev_pop(v) AS sd
+                   FROM hourly GROUP BY 1),
+            anom AS (
+              SELECT hourly.metric, slot, abs(v - mu) / sd AS z
+              FROM hourly JOIN st USING (metric)
+              WHERE sd > 0 AND abs(v - mu) > 2 * sd
+            ),
+            e AS (
+              SELECT *, CAST(sum(CASE WHEN prev IS NULL
+                                      OR (slot - prev) / 3600 > 2
+                                 THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY metric ORDER BY slot
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ep
+              FROM (SELECT *, lag(slot) OVER (
+                        PARTITION BY metric ORDER BY slot) AS prev
+                    FROM anom)
+            )
+            SELECT metric, ep, min(slot) AS ep_start, max(slot) AS ep_end,
+                   count(*)::BIGINT AS n_slots, round(max(z), 6) AS peak_z
+            FROM e GROUP BY 1, 2
         """,
         "cuped_ab": """
             WITH ue AS (

@@ -534,3 +534,50 @@ def label_centroid_sim(emb: DataFrame, vec_col: str = "embedding",
             ).alias("cosine")
         )
     )
+
+
+def dim_covariance(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    max_dims: int = 16,
+    min_abs_cov: float = 0.0,
+) -> DataFrame:
+    """Pairwise covariance (and correlation) between the first
+    ``max_dims`` embedding dimensions — the redundancy snapshot that
+    justifies (or kills) a PCA/whitening stage before quantization.
+
+    Exact, no sampling: one posexplode limited to the audited dims,
+    a vec-keyed self-join (fan-out max_dims² per vector, bounded by
+    construction), one covariance aggregate per dim pair.  Output is
+    max_dims·(max_dims−1)/2 rows regardless of corpus size.
+    """
+    ex = emb.select(
+        F.col("vec_id"), F.posexplode(vec_col).alias("dim", "x")
+    ).where(F.col("dim") < max_dims).select(
+        "vec_id", "dim", F.col("x").cast("double").alias("x")
+    )
+    a = ex.select(
+        "vec_id", F.col("dim").alias("dim_a"), F.col("x").alias("xa")
+    )
+    b = ex.select(
+        "vec_id", F.col("dim").alias("dim_b"), F.col("x").alias("xb")
+    )
+    out = (
+        a.join(b, "vec_id")
+        .where(F.col("dim_a") < F.col("dim_b"))
+        .groupBy("dim_a", "dim_b")
+        .agg(
+            F.round(F.covar_samp("xa", "xb"), 6).alias("cov"),
+            F.round(
+                F.try_divide(
+                    F.covar_samp("xa", "xb"),
+                    F.stddev_samp("xa") * F.stddev_samp("xb"),
+                ),
+                6,
+            ).alias("corr"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+    if min_abs_cov > 0:
+        out = out.where(F.abs(F.col("cov")) >= min_abs_cov)
+    return out

@@ -98,3 +98,54 @@ def cms_estimate(
             F.coalesce("exact", F.lit(0)).alias("exact"),
         )
     )
+
+
+def cms_join_size(
+    counts_a: DataFrame,
+    counts_b: DataFrame,
+    key_col: str = "k",
+    count_col: str = "n",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Join-cardinality estimation by Count-Min inner product:
+    |A ⋈_k B| = Σ_k f_A(k)·f_B(k), estimated as min_d Σ_col
+    CMS_A[d,col]·CMS_B[d,col] — the classic sketch trick a query
+    planner uses to size a join without touching either table again.
+    Like the point query, the inner product NEVER underestimates.
+
+    Output is one row: exact size (from the per-key count frames),
+    sketch estimate, and the overestimate ratio.  Both sketches are
+    depth×width rows — the estimate join is constant-size regardless
+    of table size.
+    """
+    sa = cms_build(counts_a, key_col, count_col, depth, width)
+    sb = cms_build(counts_b, key_col, count_col, depth, width)
+    est = (
+        sa.alias("a")
+        .join(
+            sb.alias("b"),
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.col") == F.col("b.col")),
+        )
+        .groupBy(F.col("a.d"))
+        .agg(F.sum(F.col("a.cell") * F.col("b.cell")).alias("ip"))
+        .agg(F.min("ip").cast("long").alias("cms_join_size"))
+    )
+    exact = (
+        counts_a.select(F.col(key_col).alias("k"), F.col(count_col).alias("na"))
+        .join(
+            counts_b.select(
+                F.col(key_col).alias("k"), F.col(count_col).alias("nb")
+            ),
+            "k",
+        )
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("long").alias("exact_join_size"))
+    )
+    return exact.crossJoin(est).select(
+        "exact_join_size",
+        "cms_join_size",
+        F.round(
+            F.try_divide(F.col("cms_join_size"), F.col("exact_join_size")), 6
+        ).alias("over_ratio"),
+    )

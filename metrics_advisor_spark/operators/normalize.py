@@ -87,3 +87,33 @@ def winsorize(
             ).alias("was_clipped"),
         )
     )
+
+
+def trimmed_mean(
+    signals: DataFrame, trim: float = 0.1
+) -> DataFrame:
+    """Trimmed mean per metric: the mean over values strictly inside
+    the [trim, 1−trim] exact-quantile bounds — the robust location
+    estimate between median (throws away everything) and mean (throws
+    away nothing).
+
+    Two aggregates: exact percentile bounds per metric (6dp-rounded,
+    engine-neutral), then a broadcast-join filter + mean.  Values
+    EQUAL to a bound stay (closed interval) so ties don't flap
+    membership across engines.
+    """
+    bounds = signals.groupBy("metric").agg(
+        F.round(F.percentile("value", F.lit(trim)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(1 - trim)), 6).alias("hi"),
+    )
+    return (
+        signals.join(F.broadcast(bounds), "metric")
+        .where((F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi")))
+        .groupBy("metric")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.round(F.avg("value"), 6).alias("trimmed_mean"),
+            F.round(F.max("lo"), 6).alias("lo"),
+            F.round(F.max("hi"), 6).alias("hi"),
+        )
+    )

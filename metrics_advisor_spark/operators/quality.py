@@ -271,3 +271,76 @@ def ks_drift(signals: DataFrame) -> DataFrame:
             6,
         ).alias("ks"),
     )
+
+
+def freshness_audit(events: DataFrame) -> DataFrame:
+    """Data-freshness profile per metric: staleness of each metric's
+    latest sample vs the table's global high-water mark — the first
+    number every ingestion-SLA dashboard shows (a silently-stalled
+    source is exactly a metric whose staleness grows while the
+    high-water mark advances).
+
+    One per-metric aggregate + one 1-row global max broadcast.
+    """
+    s = events.select(
+        F.col("event_type").alias("metric"),
+        F.unix_timestamp("ts").alias("epoch"),
+    )
+    per = s.groupBy("metric").agg(
+        F.max("epoch").alias("last_epoch"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    hwm = s.agg(F.max("epoch").alias("hwm"))
+    return per.crossJoin(F.broadcast(hwm)).select(
+        "metric",
+        "n_events",
+        (F.col("hwm") - F.col("last_epoch")).cast("long").alias("staleness_s"),
+    )
+
+
+def dist_overlap(signals: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Histogram-intersection overlap between every metric pair:
+    Σ_bins min(p_a, p_b) over a SHARED decile grid of the combined
+    values — 1 for identical distributions, →0 for disjoint; the
+    pairwise companion to the drift gates (psi_drift / ks_drift).
+
+    Global decile cuts (6dp-rounded, broadcast), per-(metric, bin)
+    shares, then the bin-keyed pair join — quadratic only in metrics,
+    shuffle keyed by bin.
+    """
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cuts = signals.agg(
+        F.transform(
+            F.percentile("value", F.array(*[F.lit(q) for q in qs])),
+            lambda c: F.round(c, 6),
+        ).alias("cuts")
+    )
+    binned = (
+        signals.crossJoin(F.broadcast(cuts))
+        .select(
+            "metric",
+            F.size(
+                F.filter(F.col("cuts"), lambda c: F.col("value") > c)
+            ).alias("bin"),
+        )
+        .groupBy("metric", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = binned.groupBy("metric").agg(F.sum("n").alias("t"))
+    shares = binned.join(tot, "metric").select(
+        "metric", "bin", (F.col("n") / F.col("t")).alias("p")
+    )
+    a = shares.select(
+        F.col("metric").alias("metric_a"), "bin", F.col("p").alias("pa")
+    )
+    b = shares.select(
+        F.col("metric").alias("metric_b"), "bin", F.col("p").alias("pb")
+    )
+    return (
+        a.join(b, "bin")
+        .where(F.col("metric_a") < F.col("metric_b"))
+        .groupBy("metric_a", "metric_b")
+        .agg(
+            F.round(F.sum(F.least("pa", "pb")), 6).alias("overlap")
+        )
+    )

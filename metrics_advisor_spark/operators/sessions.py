@@ -648,3 +648,49 @@ def retention_curve(events: DataFrame, max_days: int = 14) -> DataFrame:
             ),
         )
     )
+
+
+def ltv_curve(events: DataFrame, max_days: int = 14) -> DataFrame:
+    """Cumulative lifetime-value curve: average per-user cumulative
+    value at day N since the user's first activity — the growth-team
+    companion to `retention_curve` (value accrued, not just presence).
+
+    Per-user daily value collapses first (one aggregate), the first
+    day rides the same keyed shuffle; the cumulative step runs over
+    day offsets 0..max_days−1 via a small explode (each user-day's
+    value contributes to every LATER offset's cumulative bucket), so
+    no per-user ordered window is needed at all.
+    """
+    ud = (
+        events.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+            "value",
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("value").alias("v"))
+    )
+    first = ud.groupBy("user_id").agg(F.min("day").alias("f"))
+    offs = ud.join(first, "user_id").select(
+        "user_id", (F.col("day") - F.col("f")).alias("off"), "v"
+    ).where(F.col("off") < max_days)
+    contrib = offs.select(
+        "user_id",
+        "v",
+        F.explode(
+            F.sequence(F.col("off"), F.lit(max_days - 1))
+        ).alias("day_n"),
+    )
+    n_users = first.agg(F.count("*").alias("n_users"))
+    return (
+        contrib.groupBy("day_n")
+        .agg(F.sum("v").alias("cum_value"))
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            F.col("day_n").cast("int").alias("day_n"),
+            F.round("cum_value", 6).alias("cum_value"),
+            F.round(F.col("cum_value") / F.col("n_users"), 6).alias(
+                "ltv_per_user"
+            ),
+        )
+    )

@@ -859,3 +859,57 @@ def seasonal_decompose(
             F.round(F.col("detr") - F.col("seasonal"), 6).alias("resid"),
         )
     )
+
+
+def alert_episodes(
+    signals: DataFrame,
+    n_sigmas: float = 2.0,
+    cooldown_slots: int = 2,
+    slot_s: int = 3600,
+) -> DataFrame:
+    """Alert debouncing: collapse point anomalies (k-sigma hourly
+    slots) into alert EPISODES — consecutive anomalous slots, merged
+    across gaps shorter than ``cooldown_slots`` — so one incident pages
+    once, with its span and peak severity, not once per datapoint.
+
+    Composes the k-sigma gate (two aggregates + broadcast stats) with
+    the gaps-and-islands merge (one per-metric window) — the same two
+    shapes the batch pipeline already uses, chained.
+    """
+    from pyspark.sql import Window
+
+    hourly = (
+        signals.groupBy(
+            "metric",
+            (F.floor(F.unix_timestamp("ts") / slot_s) * slot_s)
+            .cast("long")
+            .alias("slot"),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    stats = hourly.groupBy("metric").agg(
+        F.avg("v").alias("mu"), F.stddev_pop("v").alias("sd")
+    )
+    anom = (
+        hourly.join(F.broadcast(stats), "metric")
+        .where(
+            (F.col("sd") > 0)
+            & (F.abs(F.col("v") - F.col("mu")) > n_sigmas * F.col("sd"))
+        )
+        .select(
+            "metric",
+            "slot",
+            (F.abs(F.col("v") - F.col("mu")) / F.col("sd")).alias("z"),
+        )
+    )
+    w = Window.partitionBy("metric").orderBy("slot")
+    gap = (F.col("slot") - F.lag("slot").over(w)) / slot_s
+    is_new = F.when(gap.isNull() | (gap > cooldown_slots), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    episodes = anom.withColumn("ep", F.sum(is_new).over(run))
+    return episodes.groupBy("metric", "ep").agg(
+        F.min("slot").alias("ep_start"),
+        F.max("slot").alias("ep_end"),
+        F.count("*").cast("long").alias("n_slots"),
+        F.round(F.max("z"), 6).alias("peak_z"),
+    )
