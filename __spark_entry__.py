@@ -3237,6 +3237,54 @@ def q_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alert_episodes(_signals(spark, sf_dir), n_sigmas=2.0)
 
 
+def q_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly scoring: hourly slots vs their own
+    hour-of-week cell baseline (3σ, min 3 observations per cell)."""
+    from metrics_advisor_spark.operators.trend import seasonal_zscore
+
+    return seasonal_zscore(_signals(spark, sf_dir), n_sigmas=3.0)
+
+
+def q_anomaly_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric pairs that go wrong together: count + Jaccard of
+    co-anomalous hourly slots (per-metric 2σ gates)."""
+    from metrics_advisor_spark.operators.trend import anomaly_cooccurrence
+
+    return anomaly_cooccurrence(_signals(spark, sf_dir), n_sigmas=2.0)
+
+
+def q_daily_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(metric, day) p50/p95/p99 — the time-sliced SLA report."""
+    from metrics_advisor_spark.operators.trend import daily_quantiles
+
+    return daily_quantiles(_signals(spark, sf_dir))
+
+
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church–Gale burstiness (df₂/df) for the top-20 df terms."""
+    from metrics_advisor_spark.functions.text import term_burstiness
+
+    return term_burstiness(_docs(spark, sf_dir), top_k=20)
+
+
+def q_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row session-quality digest: count, bounce rate, depth and
+    duration quantiles."""
+    from metrics_advisor_spark.operators.sessions import session_summary
+
+    return session_summary(_signals(spark, sf_dir), gap_seconds=1800)
+
+
+def q_quantile_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-mapping table: each source's n_chars deciles next to
+    the corpus reference deciles (distribution matching lookup)."""
+    from metrics_advisor_spark.operators.normalize import quantile_align
+
+    return quantile_align(
+        _docs(spark, sf_dir, fanout=False), "n_chars", "source", n_bins=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST
     # 50 entries (VERDICT r02).  Rotation discipline (ROUND_NOTES):
@@ -3249,7 +3297,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queue.  Builder-side, every oracled query is parity-checked per
     # run by tests/test_oracle_parity.py regardless of gate position.
     return {
-        # (a) new round-4j queries — never driver-checked by definition
+        # (a) new round-4k queries — never driver-checked by definition
+        "seasonal_zscore": q_seasonal_zscore,
+        "anomaly_cooccurrence": q_anomaly_cooccurrence,
+        "daily_quantiles": q_daily_quantiles,
+        "term_burstiness": q_term_burstiness,
+        "session_summary": q_session_summary,
+        "quantile_align": q_quantile_align,
+        # (a) new round-4j queries
         "ltv_curve": q_ltv_curve,
         "trimmed_mean": q_trimmed_mean,
         "dim_covariance": q_dim_covariance,
@@ -6151,6 +6206,140 @@ def oracle_sql() -> dict[str, str]:
               FROM f2
             )
             SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        """,
+        "seasonal_zscore": """
+            WITH hourly AS (
+              SELECT event_type AS metric,
+                     CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS slot,
+                     avg(value) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            h2 AS (
+              SELECT *, ((floor(slot / 86400) + 4) % 7)::INT AS dow,
+                     (floor((slot % 86400) / 3600))::INT AS hour
+              FROM hourly
+            ),
+            base AS (
+              SELECT metric, dow, hour, avg(v) AS mu,
+                     stddev_pop(v) AS sd, count(*) AS n_obs
+              FROM h2 GROUP BY 1, 2, 3
+            )
+            SELECT h2.metric, slot, h2.dow, h2.hour,
+                   round(v, 6) AS value, round((v - mu) / sd, 6) AS z
+            FROM h2 JOIN base USING (metric, dow, hour)
+            WHERE n_obs >= 3 AND sd > 0 AND abs(v - mu) > 3 * sd
+        """,
+        "anomaly_cooccurrence": """
+            WITH hourly AS (
+              SELECT event_type AS metric,
+                     CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS slot,
+                     avg(value) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            st AS (SELECT metric, avg(v) AS mu, stddev_pop(v) AS sd
+                   FROM hourly GROUP BY 1),
+            anom AS (
+              SELECT hourly.metric, slot
+              FROM hourly JOIN st USING (metric)
+              WHERE sd > 0 AND abs(v - mu) > 2 * sd
+            ),
+            sizes AS (SELECT metric, count(*) AS n FROM anom GROUP BY 1),
+            inter AS (
+              SELECT a.metric AS metric_a, b.metric AS metric_b,
+                     count(*) AS n_common
+              FROM anom a JOIN anom b
+                ON a.slot = b.slot AND a.metric < b.metric
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT metric_a, metric_b,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.metric = metric_a
+            JOIN sizes sb ON sb.metric = metric_b
+        """,
+        "daily_quantiles": f"""
+            SELECT metric,
+                   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                   count(*)::BIGINT AS n,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM ({_SIG}) GROUP BY 1, 2
+        """,
+        "term_burstiness": """
+            WITH toks AS (
+              SELECT doc_id, t AS term FROM (
+                SELECT doc_id,
+                       unnest(string_split(regexp_replace(lower(text),
+                              '[^a-z0-9 ]', '', 'g'), ' ')) AS t
+                FROM documents) WHERE len(t) > 0),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                   GROUP BY 1, 2),
+            st AS (
+              SELECT term, count(*) AS df,
+                     sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS df2,
+                     sum(tf) AS cf
+              FROM tf GROUP BY 1
+            )
+            SELECT row_number() OVER (ORDER BY df DESC, term ASC)::INT
+                       AS rank,
+                   term, CAST(df AS BIGINT) AS df,
+                   CAST(df2 AS BIGINT) AS df2, CAST(cf AS BIGINT) AS cf,
+                   round(df2 / df, 6) AS burstiness
+            FROM st QUALIFY rank <= 20
+        """,
+        "session_summary": f"""
+            WITH sig AS ({_SIG}),
+            flagged AS (
+              SELECT series, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                             > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM sig WINDOW w AS (PARTITION BY series ORDER BY ts)
+            ),
+            sessions AS (
+              SELECT series, ts,
+                     sum(is_new) OVER (
+                         PARTITION BY series ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS session_id
+              FROM flagged
+            ),
+            per AS (
+              SELECT series, session_id, count(*) AS n_events,
+                     floor(epoch(max(ts))) - floor(epoch(min(ts)))
+                         AS duration_s
+              FROM sessions GROUP BY 1, 2
+            )
+            SELECT count(*)::BIGINT AS n_sessions,
+                   round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                         / count(*), 6) AS bounce_rate,
+                   round(quantile_cont(n_events, 0.5), 6) AS p50_depth,
+                   round(quantile_cont(n_events, 0.9), 6) AS p90_depth,
+                   round(quantile_cont(duration_s, 0.5), 6)
+                       AS p50_duration_s,
+                   round(avg(duration_s), 6) AS avg_duration_s
+            FROM per
+        """,
+        "quantile_align": """
+            WITH per AS (
+              SELECT source,
+                     list_transform(quantile_cont(n_chars::DOUBLE,
+                         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                         x -> round(x, 6)) AS gq
+              FROM documents GROUP BY 1
+            ),
+            ref AS (
+              SELECT list_transform(quantile_cont(n_chars::DOUBLE,
+                         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                         x -> round(x, 6)) AS rq
+              FROM documents
+            )
+            SELECT source, ((i + 1) * 10)::INT AS pct,
+                   gq[i + 1] AS group_value, rq[i + 1] AS ref_value
+            FROM per, ref, unnest(range(0, 9)) AS t(i)
         """,
         "ltv_curve": """
             WITH ud AS (

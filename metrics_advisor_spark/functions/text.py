@@ -750,3 +750,41 @@ def tokenizer_fertility(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.sum("c") / F.sum("t"), 6).alias("chars_per_token"),
         )
     )
+
+
+def term_burstiness(df: DataFrame, text_col: str = "text",
+                    top_k: int = 20) -> DataFrame:
+    """Church–Gale burstiness for the top-df terms: P(term appears
+    again | it appeared at all) = df₂/df — content words burst
+    (repeat within the docs that use them), function words don't;
+    the signal topic-model feature selection and stopword induction
+    both use.
+
+    One (doc, term, tf) aggregate feeds both document frequencies;
+    top-k by df via TakeOrdered (the vocabulary never sorts in one
+    task).
+    """
+    from pyspark.sql import Window
+
+    tf = _terms(df, text_col).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum((F.col("tf") >= 2).cast("long")).alias("df2"),
+        F.sum("tf").alias("cf"),
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    )
+    return (
+        stats.withColumn("rank", rn)
+        .where(F.col("rank") <= top_k)
+        .select(
+            "rank", "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("df2").cast("long").alias("df2"),
+            F.col("cf").cast("long").alias("cf"),
+            F.round(F.col("df2") / F.col("df"), 6).alias("burstiness"),
+        )
+    )

@@ -117,3 +117,48 @@ def trimmed_mean(
             F.round(F.max("hi"), 6).alias("hi"),
         )
     )
+
+
+def quantile_align(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Quantile-mapping table between each group's value distribution
+    and the corpus reference: for every interior quantile q, the
+    group's value next to the corpus value — the lookup a
+    quantile-normalization / distribution-matching stage applies (map
+    a source's lengths onto the global shape before mixing).
+
+    Two exact-percentile aggregates (per-group and global), the global
+    array broadcast; output is groups × (n_bins−1) rows.
+    """
+    qs = [i / n_bins for i in range(1, n_bins)]
+    qarr = F.array(*[F.lit(q) for q in qs])
+    per = df.groupBy(group_col).agg(
+        F.transform(
+            F.percentile(F.col(value_col).cast("double"), qarr),
+            lambda c: F.round(c, 6),
+        ).alias("gq")
+    )
+    ref = df.agg(
+        F.transform(
+            F.percentile(F.col(value_col).cast("double"), qarr),
+            lambda c: F.round(c, 6),
+        ).alias("rq")
+    )
+    exploded = (
+        per.crossJoin(F.broadcast(ref))
+        .select(
+            group_col,
+            F.posexplode(F.arrays_zip("gq", "rq")).alias("i", "p"),
+        )
+        .select(
+            group_col,
+            ((F.col("i") + 1) * (100 // n_bins)).cast("int").alias("pct"),
+            F.col("p.gq").alias("group_value"),
+            F.col("p.rq").alias("ref_value"),
+        )
+    )
+    return exploded

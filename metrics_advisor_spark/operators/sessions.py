@@ -694,3 +694,30 @@ def ltv_curve(events: DataFrame, max_days: int = 14) -> DataFrame:
             ),
         )
     )
+
+
+def session_summary(
+    signals: DataFrame,
+    gap_seconds: int = 1800,
+    key_cols: tuple[str, ...] = ("series",),
+) -> DataFrame:
+    """One-row session-quality digest: session count, bounce rate
+    (single-event sessions), depth and duration quantiles — the
+    sanity panel read before trusting any downstream journey metric.
+
+    Rides the existing sessionize window (one exchange); the digest
+    aggregates one row per session, tiny vs the stream.
+    """
+    per = session_stats(signals, gap_seconds, key_cols)
+    return per.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.round(
+            F.sum((F.col("n_events") == 1).cast("long")) / F.count("*"), 6
+        ).alias("bounce_rate"),
+        F.round(F.percentile("n_events", F.lit(0.5)), 6).alias("p50_depth"),
+        F.round(F.percentile("n_events", F.lit(0.9)), 6).alias("p90_depth"),
+        F.round(F.percentile("duration_s", F.lit(0.5)), 6).alias(
+            "p50_duration_s"
+        ),
+        F.round(F.avg("duration_s"), 6).alias("avg_duration_s"),
+    )

@@ -913,3 +913,146 @@ def alert_episodes(
         F.count("*").cast("long").alias("n_slots"),
         F.round(F.max("z"), 6).alias("peak_z"),
     )
+
+
+def seasonal_zscore(
+    signals: DataFrame, n_sigmas: float = 3.0, min_cell: int = 3
+) -> DataFrame:
+    """Seasonality-aware anomaly scoring: each hourly slot scored
+    against ITS OWN hour-of-week cell's (μ, σ) — the baseline that
+    stops Monday-morning ramps from paging (a plain global k-sigma
+    flags every weekly peak).
+
+    Hourly rollup first, then a (metric, dow, hour)-keyed baseline
+    aggregate (7×24-bounded, broadcast back).  Cells with fewer than
+    ``min_cell`` observations score nothing (μ, σ untrustworthy).
+    """
+    hourly = (
+        signals.groupBy(
+            "metric",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("slot"),
+        )
+        .agg(F.avg("value").alias("v"))
+        .select(
+            "metric", "slot", "v",
+            ((F.floor(F.col("slot") / 86400) + 4) % 7)
+            .cast("int")
+            .alias("dow"),
+            F.floor((F.col("slot") % 86400) / 3600).cast("int").alias("hour"),
+        )
+    )
+    base = hourly.groupBy("metric", "dow", "hour").agg(
+        F.avg("v").alias("mu"),
+        F.stddev_pop("v").alias("sd"),
+        F.count("*").alias("n_obs"),
+    )
+    return (
+        hourly.join(F.broadcast(base), ["metric", "dow", "hour"])
+        .where(
+            (F.col("n_obs") >= min_cell)
+            & (F.col("sd") > 0)
+            & (F.abs(F.col("v") - F.col("mu")) > n_sigmas * F.col("sd"))
+        )
+        .select(
+            "metric", "slot", "dow", "hour",
+            F.round("v", 6).alias("value"),
+            F.round((F.col("v") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+        )
+    )
+
+
+def anomaly_cooccurrence(
+    signals: DataFrame, n_sigmas: float = 2.0, min_common: int = 2
+) -> DataFrame:
+    """Which metrics go wrong TOGETHER: per metric pair, the count and
+    Jaccard of co-anomalous hourly slots (each metric's anomalies from
+    its own k-sigma gate) — the exploratory cut of the reference's
+    bucket-correlation idea, over anomaly SETS instead of values.
+
+    The pair join runs over anomaly slots only (tiny vs the stream),
+    keyed by slot; per-metric anomaly counts broadcast back for the
+    union sizes.
+    """
+    hourly = (
+        signals.groupBy(
+            "metric",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("slot"),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    stats = hourly.groupBy("metric").agg(
+        F.avg("v").alias("mu"), F.stddev_pop("v").alias("sd")
+    )
+    anom = (
+        hourly.join(F.broadcast(stats), "metric")
+        .where(
+            (F.col("sd") > 0)
+            & (F.abs(F.col("v") - F.col("mu")) > n_sigmas * F.col("sd"))
+        )
+        .select("metric", "slot")
+    )
+    sizes = anom.groupBy("metric").agg(F.count("*").alias("n"))
+    a = anom.select(F.col("metric").alias("metric_a"), "slot")
+    b = anom.select(F.col("metric").alias("metric_b"), "slot")
+    inter = (
+        a.join(b, "slot")
+        .where(F.col("metric_a") < F.col("metric_b"))
+        .groupBy("metric_a", "metric_b")
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("metric").alias("metric_a"), F.col("n").alias("na")
+                )
+            ),
+            "metric_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("metric").alias("metric_b"), F.col("n").alias("nb")
+                )
+            ),
+            "metric_b",
+        )
+        .select(
+            "metric_a", "metric_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def daily_quantiles(signals: DataFrame) -> DataFrame:
+    """Per-(metric, day) latency-style quantile profile (p50/p95/p99)
+    — the time-sliced version of the global metric_quantiles, the
+    shape every latency SLA report takes.
+
+    One exact-percentile hash aggregate keyed on (metric, day); no
+    windows, no joins.
+    """
+    return (
+        signals.select(
+            "metric",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+            "value",
+        )
+        .groupBy("metric", "day")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+    )
