@@ -445,3 +445,128 @@ def test_train_split_fractions_approximate(spark, train_f, val_f):
     )
     assert sum(counts.values()) == 2000
     assert abs(counts.get("train", 0) / 2000 - train_f) < 0.05
+
+
+@PROP
+@given(shift=st.floats(min_value=-100.0, max_value=100.0),
+       scale=st.floats(min_value=0.1, max_value=50.0))
+def test_theil_sen_affine_equivariance(spark, shift, scale):
+    """slope(a·x + b) = a·slope(x): the Theil–Sen estimator is affine-
+    equivariant (medians commute with monotone affine maps)."""
+    from metrics_advisor_spark.operators.trend import theil_sen
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 5, 30)
+
+    def slope(vals):
+        df = spark.createDataFrame(
+            [("m", h * 3600, float(v)) for h, v in enumerate(vals)],
+            "metric string, slot_epoch long, value double",
+        )
+        return theil_sen(df).collect()[0]["slope_per_hour"]
+
+    s0 = slope(base)
+    s1 = slope(base * scale + shift)
+    assert abs(s1 - s0 * scale) < max(1e-4, abs(s0 * scale) * 1e-3)
+
+
+@PROP
+@given(seed=st.integers(min_value=0, max_value=10**6))
+def test_ks_drift_bounded_and_zero_on_identical(spark, seed):
+    """KS ∈ [0, 1] for any data; ~0 when both halves share the values."""
+    from datetime import datetime, timezone
+
+    from metrics_advisor_spark.operators.quality import ks_drift
+
+    rng = np.random.default_rng(seed)
+    vals = rng.normal(0, 1, 60)
+    rows = []
+    for half in range(2):  # identical value multiset in each half
+        for i, v in enumerate(vals):
+            t = half * 100000 + i * 60
+            rows.append(("m", datetime.fromtimestamp(
+                t, tz=timezone.utc).replace(tzinfo=None), float(v)))
+    sig = spark.createDataFrame(
+        rows, "metric string, ts timestamp, value double"
+    )
+    got = ks_drift(sig).collect()[0]
+    assert 0.0 <= got["ks"] <= 1.0
+    assert got["ks"] < 1e-9
+
+
+@PROP
+@given(seed=st.integers(min_value=0, max_value=10**6))
+def test_token_gini_bounds(spark, seed):
+    """Gini ∈ [0, 1) for any corpus; 0 exactly for uniform counts."""
+    from metrics_advisor_spark.functions.text import token_gini
+
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(20)]
+    text = " ".join(rng.choice(words, size=300))
+    docs = spark.createDataFrame(
+        [(1, text, "s")], "doc_id long, text string, source string"
+    )
+    g = token_gini(docs).collect()[0]["gini"]
+    assert 0.0 <= g < 1.0
+
+
+@PROP
+@given(k=st.integers(min_value=10, max_value=200))
+def test_rrf_fusion_agreement_tops_the_list(spark, k):
+    """A document ranked #1 by BOTH lists outranks every doc present
+    in only one list, for any RRF constant."""
+    from metrics_advisor_spark.functions.text import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(100, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(100, 1), (4, 2), (5, 3)], "doc_id long, rank int"
+    )
+    got = rrf_fuse(a, b, k_const=k, topk=10).collect()
+    best = min(got, key=lambda r: r["rank"])
+    assert best["doc_id"] == 100
+
+
+@PROP
+@given(mult=st.integers(min_value=2, max_value=5))
+def test_dup_ngram_fraction_copies_saturate(spark, mult):
+    """Replicating a doc m times drives every copy's dup_fraction to
+    exactly 1 while leaving a unique doc at 0."""
+    from metrics_advisor_spark.functions.dedup import dup_ngram_fraction
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base) for i in range(mult)]
+    rows.append((999, "one two three four five six seven eight nine ten"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["dup_fraction"]
+           for r in dup_ngram_fraction(docs).collect()}
+    assert all(got[i] == 1.0 for i in range(mult))
+    assert got[999] == 0.0
+
+
+@PROP
+@given(tol=st.integers(min_value=1, max_value=3600))
+def test_event_throttle_partition(spark, tol):
+    """kept + dropped = total for every tolerance; kept ≥ 1 per
+    non-empty (user, type) stream."""
+    from datetime import datetime, timezone
+
+    from metrics_advisor_spark.operators.sessions import event_throttle
+
+    rng = np.random.default_rng(3)
+    rows = []
+    eid = 0
+    for u in range(5):
+        t = 0
+        for _ in range(20):
+            t += int(rng.integers(1, 120))
+            rows.append((u, eid, datetime.fromtimestamp(
+                t, tz=timezone.utc).replace(tzinfo=None), "e"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = event_throttle(ev, tolerance_s=tol).collect()[0]
+    assert got["n_kept"] + got["n_dropped"] == 100
+    assert got["n_kept"] >= 5  # at least one island per user stream
