@@ -3285,6 +3285,96 @@ def q_quantile_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row LSH scorecard: precision/recall of the MinHash band
+    candidates vs the exact Jaccard≥0.5 pair set (planted corpus)."""
+    from metrics_advisor_spark.functions.dedup import lsh_eval
+
+    return lsh_eval(_docs_with_dups(spark, sf_dir), threshold=0.5,
+                    k=16, bands=4)
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test per metric (S statistic +
+    normal-approximation Z; same thinned pair frame as theil_sen)."""
+    from metrics_advisor_spark.operators.trend import mann_kendall
+
+    hourly = (
+        _signals(spark, sf_dir)
+        .groupBy(
+            "metric",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("slot_epoch"),
+        )
+        .agg(F.avg("value").alias("value"))
+    )
+    return mann_kendall(hourly, max_slots=240)
+
+
+def q_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing table: per metric, lateness vs the running max
+    event time in arrival (event_id) order — p99/max lateness and the
+    share beyond 60 s / 10 min / 1 h candidate watermarks."""
+    from metrics_advisor_spark.operators.trend import late_arrival_audit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return late_arrival_audit(ev)
+
+
+def q_wide_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide export: hourly slots × pinned metric columns (avg value) —
+    the classic observability pivot for BI handoff."""
+    sig = _signals(spark, sf_dir)
+    slot = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    return (
+        sig.select("metric", slot.alias("slot_epoch"), "value")
+        .groupBy("slot_epoch")
+        .pivot("metric", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.round(F.avg("value"), 6))
+    )
+
+
+def q_streaming_daily_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thirteenth Structured Streaming contract surface: the per-
+    (metric, day) p50/p95/p99 SLA table maintained as a complete-mode
+    exact-percentile aggregate (ObjectHashAggregate state, bounded
+    (metric × day) keys); shares the batch daily_quantiles oracle."""
+    import tempfile
+    import uuid
+
+    from metrics_advisor_spark.streaming import run_to_memory, stream_signals
+
+    src = _STREAM_SRC_CACHE.get(sf_dir)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="ma_stream_src_") + "/sig"
+        _signals(spark, sf_dir).write.mode("overwrite").parquet(src)
+        _STREAM_SRC_CACHE[sf_dir] = src
+    q = (
+        stream_signals(spark, src)
+        .groupBy(
+            "metric",
+            F.floor(F.unix_timestamp("ts") / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.percentile("value", F.lit(0.5)).alias("_p50"),
+            F.percentile("value", F.lit(0.95)).alias("_p95"),
+            F.percentile("value", F.lit(0.99)).alias("_p99"),
+        )
+    )
+    name = f"stream_dq_{uuid.uuid4().hex[:8]}"
+    run_to_memory(q, name, output_mode="complete")
+    return spark.table(name).select(
+        "metric", "day", "n",
+        F.round("_p50", 6).alias("p50"),
+        F.round("_p95", 6).alias("p95"),
+        F.round("_p99", 6).alias("p99"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST
     # 50 entries (VERDICT r02).  Rotation discipline (ROUND_NOTES):
@@ -3297,7 +3387,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queue.  Builder-side, every oracled query is parity-checked per
     # run by tests/test_oracle_parity.py regardless of gate position.
     return {
-        # (a) new round-4k queries — never driver-checked by definition
+        # (a) new round-4l queries — never driver-checked by definition
+        "lsh_eval": q_lsh_eval,
+        "mann_kendall": q_mann_kendall,
+        "late_arrival_audit": q_late_arrival_audit,
+        "wide_metrics": q_wide_metrics,
+        "streaming_daily_quantiles": q_streaming_daily_quantiles,
+        # (a) new round-4k queries
         "seasonal_zscore": q_seasonal_zscore,
         "anomaly_cooccurrence": q_anomaly_cooccurrence,
         "daily_quantiles": q_daily_quantiles,
@@ -6207,6 +6303,126 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM a1 UNION ALL SELECT * FROM a2
         """,
+        "lsh_eval": f"""
+            WITH sh AS ({_shingle_sql(_DOCS_DUPS)}),
+            sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b
+                ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            exact AS (
+              SELECT doc_a, doc_b FROM (
+                SELECT doc_a, doc_b,
+                       round(n_inter / (sa.set_size + sb.set_size - n_inter), 6)
+                           AS jaccard
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+              ) WHERE jaccard >= 0.5
+            ),
+            perms AS ({_PERMS_SQL}),
+            sig AS (
+              SELECT doc_id, perm_id,
+                     min((a * (shingle_hash % 2147483647) + b) % 2147483647)
+                         AS minhash
+              FROM sh CROSS JOIN perms GROUP BY 1, 2
+            ),
+            band AS (
+              SELECT doc_id, (perm_id // 4) AS band_id,
+                     md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm_id))
+                         AS band_hash
+              FROM sig GROUP BY 1, 2
+            ),
+            lsh AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM band a JOIN band b
+                ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+            ),
+            c AS (SELECT count(*) AS n_common
+                  FROM exact JOIN lsh USING (doc_a, doc_b)),
+            ne AS (SELECT count(*)::BIGINT AS n_exact FROM exact),
+            nl AS (SELECT count(*)::BIGINT AS n_lsh FROM lsh)
+            SELECT n_exact, n_lsh, CAST(n_common AS BIGINT) AS n_common,
+                   round(CASE WHEN n_lsh > 0 THEN n_common / n_lsh END, 6)
+                       AS precision,
+                   round(CASE WHEN n_exact > 0 THEN n_common / n_exact END, 6)
+                       AS recall
+            FROM ne, nl, c
+        """,
+        "mann_kendall": f"""
+            WITH hourly AS ({_HOURLY}),
+            rk AS (
+              SELECT metric, slot_epoch, value,
+                     row_number() OVER (PARTITION BY metric
+                         ORDER BY slot_epoch) - 1 AS rn,
+                     count(*) OVER (PARTITION BY metric) AS n
+              FROM hourly
+            ),
+            s AS (
+              SELECT metric, slot_epoch, value FROM rk
+              WHERE rn % greatest(CAST(ceil(n / 240.0) AS BIGINT), 1) = 0
+            ),
+            agg AS (
+              SELECT a.metric,
+                     CAST(sum(sign(b.value - a.value)) AS BIGINT) AS s_stat,
+                     count(*) AS n_pairs
+              FROM s a JOIN s b
+                ON a.metric = b.metric AND a.slot_epoch < b.slot_epoch
+              GROUP BY 1
+            )
+            SELECT metric, s_stat, n_pairs,
+                   round(CASE
+                     WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(
+                       ((1 + sqrt(1 + 8 * n_pairs)) / 2)
+                       * (((1 + sqrt(1 + 8 * n_pairs)) / 2) - 1)
+                       * (2 * ((1 + sqrt(1 + 8 * n_pairs)) / 2) + 5) / 18)
+                     WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(
+                       ((1 + sqrt(1 + 8 * n_pairs)) / 2)
+                       * (((1 + sqrt(1 + 8 * n_pairs)) / 2) - 1)
+                       * (2 * ((1 + sqrt(1 + 8 * n_pairs)) / 2) + 5) / 18)
+                     ELSE 0.0 END, 6) AS z
+            FROM agg
+        """,
+        "late_arrival_audit": """
+            WITH l AS (
+              SELECT metric,
+                     greatest(coalesce(max(epoch) OVER (
+                         PARTITION BY metric ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         epoch) - epoch, 0) AS late_s
+              FROM (SELECT event_type AS metric, event_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+                    FROM events)
+            )
+            SELECT metric, count(*)::BIGINT AS n_events,
+                   round(quantile_cont(late_s, 0.99), 6) AS p99_late_s,
+                   CAST(max(late_s) AS BIGINT) AS max_late_s,
+                   round(sum(CASE WHEN late_s > 60 THEN 1 ELSE 0 END)
+                         / count(*), 6) AS share_gt_60s,
+                   round(sum(CASE WHEN late_s > 600 THEN 1 ELSE 0 END)
+                         / count(*), 6) AS share_gt_600s,
+                   round(sum(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END)
+                         / count(*), 6) AS share_gt_3600s
+            FROM l GROUP BY 1
+        """,
+        "wide_metrics": """
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                       AS slot_epoch,
+                   round(avg(CASE WHEN event_type = 'click'
+                             THEN value END), 6) AS click,
+                   round(avg(CASE WHEN event_type = 'error'
+                             THEN value END), 6) AS error,
+                   round(avg(CASE WHEN event_type = 'purchase'
+                             THEN value END), 6) AS purchase,
+                   round(avg(CASE WHEN event_type = 'signup'
+                             THEN value END), 6) AS signup,
+                   round(avg(CASE WHEN event_type = 'view'
+                             THEN value END), 6) AS view
+            FROM events GROUP BY 1
+        """,
         "seasonal_zscore": """
             WITH hourly AS (
               SELECT event_type AS metric,
@@ -7232,6 +7448,9 @@ def oracle_sql() -> dict[str, str]:
     # streaming weekly profile: identical epoch-arithmetic (dow, hour)
     # keys, complete-mode aggregate == batch aggregate
     out["streaming_weekly_profile"] = out["weekly_profile"]
+    # streaming daily quantiles: exact percentile in complete mode over
+    # identical (metric, day) keys == the batch aggregate
+    out["streaming_daily_quantiles"] = out["daily_quantiles"]
     return out
 
 

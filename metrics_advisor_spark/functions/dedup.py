@@ -820,3 +820,46 @@ def containment_pairs(
             | (F.col("containment_ba") >= threshold)
         )
     )
+
+
+def lsh_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Precision/recall of the MinHash-LSH CANDIDATE set against the
+    exact Jaccard pair set at ``threshold`` — the one-row scorecard
+    that justifies (k, bands) before anyone trusts the approximate
+    path at scale.  Precision < 1 measures wasted verification work;
+    recall < 1 measures silently-missed near-dups (the number that
+    actually matters).
+
+    Composes two existing pipelines (exact inverted-index Jaccard;
+    LSH banding); both are pair-shaped, the comparison is a join of
+    two small pair sets.
+    """
+    exact = jaccard_pairs(df, text_col, threshold=threshold).select(
+        "doc_a", "doc_b"
+    ).persist()
+    lsh = minhash_lsh_pairs(
+        df, text_col, k=k, bands=bands
+    ).select("doc_a", "doc_b").persist()
+    common = exact.join(lsh, ["doc_a", "doc_b"]).agg(
+        F.count("*").alias("n_common")
+    )
+    return (
+        exact.agg(F.count("*").cast("long").alias("n_exact"))
+        .crossJoin(lsh.agg(F.count("*").cast("long").alias("n_lsh")))
+        .crossJoin(common)
+        .select(
+            "n_exact",
+            "n_lsh",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(F.try_divide(F.col("n_common"), F.col("n_lsh")), 6)
+            .alias("precision"),
+            F.round(F.try_divide(F.col("n_common"), F.col("n_exact")), 6)
+            .alias("recall"),
+        )
+    )

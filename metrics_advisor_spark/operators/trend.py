@@ -1056,3 +1056,108 @@ def daily_quantiles(signals: DataFrame) -> DataFrame:
             F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
         )
     )
+
+
+def mann_kendall(
+    hourly: DataFrame,
+    slot_col: str = "slot_epoch",
+    value_col: str = "value",
+    max_slots: int | None = None,
+) -> DataFrame:
+    """Mann–Kendall trend TEST per metric: S = Σ_{i<j} sign(x_j − x_i)
+    with the normal-approximation Z (no-ties variance) — the
+    nonparametric "is there a monotone trend at all" companion to the
+    Theil–Sen ESTIMATOR (same pair frame; run them together).
+
+    Same O(L²)-with-thinning contract as `theil_sen` (``max_slots``
+    caps the per-series pair count; deterministic every-k-th rank
+    selection).  Z uses the tie-free variance n(n−1)(2n+5)/18 — with
+    continuous values ties are measure-zero; documented approximation.
+    """
+    from pyspark.sql import Window
+
+    s = hourly.select(
+        "metric",
+        F.col(slot_col).alias("slot"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    if max_slots is not None:
+        w = Window.partitionBy("metric").orderBy("slot")
+        n = Window.partitionBy("metric")
+        s = (
+            s.withColumn("_rn", F.row_number().over(w) - 1)
+            .withColumn(
+                "_k",
+                F.greatest(
+                    F.ceil(F.count("*").over(n) / max_slots), F.lit(1)
+                ),
+            )
+            .where(F.col("_rn") % F.col("_k") == 0)
+            .drop("_rn", "_k")
+        )
+    a = s.select("metric", F.col("slot").alias("s1"), F.col("v").alias("v1"))
+    b = s.select("metric", F.col("slot").alias("s2"), F.col("v").alias("v2"))
+    pairs = a.join(b, "metric").where(F.col("s1") < F.col("s2"))
+    sgn = F.signum(F.col("v2") - F.col("v1"))
+    agg = pairs.groupBy("metric").agg(
+        F.sum(sgn).cast("long").alias("s_stat"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    # n from n_pairs = n(n−1)/2 → n = (1+sqrt(1+8p))/2
+    n_est = (1 + F.sqrt(1 + 8 * F.col("n_pairs"))) / 2
+    var = n_est * (n_est - 1) * (2 * n_est + 5) / 18
+    z = F.when(
+        F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var)
+    ).when(
+        F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "metric", "s_stat", "n_pairs", F.round(z, 6).alias("z")
+    )
+
+
+def late_arrival_audit(
+    events: DataFrame, thresholds_s: tuple[int, ...] = (60, 600, 3600)
+) -> DataFrame:
+    """Out-of-orderness profile per metric: each event's lateness vs
+    the running max event-time in ARRIVAL order (event_id), then the
+    share of events later than each candidate threshold and the p99
+    lateness — the measurement that SIZES A STREAMING WATERMARK
+    instead of guessing it.
+
+    One window per metric in arrival order; the running max is the
+    same pattern every resequencer uses.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = events.select(
+        F.col("event_type").alias("metric"),
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch"),
+    ).select(
+        "metric",
+        # coalesce the empty first-row window explicitly — NULL handling
+        # in greatest() differs across engines
+        F.greatest(
+            F.coalesce(F.max("epoch").over(w), F.col("epoch"))
+            - F.col("epoch"),
+            F.lit(0),
+        ).alias("late_s"),
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.percentile("late_s", F.lit(0.99)), 6).alias("p99_late_s"),
+        F.max("late_s").cast("long").alias("max_late_s"),
+    ]
+    for t in thresholds_s:
+        aggs.append(
+            F.round(
+                F.sum((F.col("late_s") > t).cast("long")) / F.count("*"), 6
+            ).alias(f"share_gt_{t}s")
+        )
+    return late.groupBy("metric").agg(*aggs)
