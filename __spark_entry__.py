@@ -3375,6 +3375,30 @@ def q_streaming_daily_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_holdout_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval leakage audit on the planted-dup corpus: exact-
+    content groups spanning the hash split, counted by leak type."""
+    from metrics_advisor_spark.functions.curation import holdout_leakage
+
+    return holdout_leakage(_docs_with_dups(spark, sf_dir))
+
+
+def q_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure: doc share and matches per doc (same
+    regexes as pii_scrub, aggregated)."""
+    from metrics_advisor_spark.functions.curation import pii_density_by_source
+
+    return pii_density_by_source(_docs(spark, sf_dir, fanout=False))
+
+
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact-dedup savings report on the planted-dup corpus:
+    docs and tokens before/after, token savings share."""
+    from metrics_advisor_spark.functions.curation import dedup_savings
+
+    return dedup_savings(_docs_with_dups(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST
     # 50 entries (VERDICT r02).  Rotation discipline (ROUND_NOTES):
@@ -3387,7 +3411,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queue.  Builder-side, every oracled query is parity-checked per
     # run by tests/test_oracle_parity.py regardless of gate position.
     return {
-        # (a) new round-4l queries — never driver-checked by definition
+        # (a) new round-4m queries — never driver-checked by definition
+        "holdout_leakage": q_holdout_leakage,
+        "pii_density": q_pii_density,
+        "dedup_savings": q_dedup_savings,
+        # (a) new round-4l queries
         "lsh_eval": q_lsh_eval,
         "mann_kendall": q_mann_kendall,
         "late_arrival_audit": q_late_arrival_audit,
@@ -6302,6 +6330,73 @@ def oracle_sql() -> dict[str, str]:
               FROM f2
             )
             SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        """,
+        "holdout_leakage": f"""
+            WITH d AS ({_DOCS_DUPS}),
+            s AS (
+              SELECT text,
+                     CASE WHEN u < 0.8 THEN 'train'
+                          WHEN u < 0.9 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT text,
+                           ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))
+                             ::BIGINT / 72057594037927936.0 AS u
+                    FROM d)
+            ),
+            per AS (
+              SELECT md5(text) AS h,
+                     sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                         AS n_train,
+                     sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+                     sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+              FROM s GROUP BY 1
+            )
+            SELECT kind, count(*)::BIGINT AS n_groups FROM (
+              SELECT CASE
+                WHEN n_train > 0 AND n_test > 0 THEN 'train_test_leak'
+                WHEN n_train > 0 AND n_val > 0 THEN 'train_val_leak'
+                WHEN n_val > 0 AND n_test > 0 THEN 'val_test_leak'
+                ELSE 'clean' END AS kind
+              FROM per
+            ) GROUP BY 1
+        """,
+        "pii_density": """
+            WITH f AS (
+              SELECT source,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     + len(regexp_extract_all(text,
+                         '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))
+                     + len(regexp_extract_all(text,
+                         '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+                         AS n_pii
+              FROM documents
+            )
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   CAST(sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_docs_with_pii,
+                   round(sum(CASE WHEN n_pii > 0 THEN 1.0 ELSE 0.0 END)
+                         / count(*), 6) AS pii_doc_share,
+                   round(sum(n_pii) / count(*), 6) AS pii_per_doc
+            FROM f GROUP BY 1
+        """,
+        "dedup_savings": f"""
+            WITH d AS ({_DOCS_DUPS}),
+            per AS (
+              SELECT md5(text) AS h, count(*) AS n_docs,
+                     sum(len(regexp_extract_all(text, {_TOKEN_RE_SQL})))
+                         AS tok_all,
+                     min_by(len(regexp_extract_all(text, {_TOKEN_RE_SQL})),
+                            doc_id) AS tok_kept
+              FROM d GROUP BY 1
+            )
+            SELECT CAST(sum(n_docs) AS BIGINT) AS docs_before,
+                   count(*)::BIGINT AS docs_after,
+                   CAST(sum(tok_all) AS BIGINT) AS tokens_before,
+                   CAST(sum(tok_kept) AS BIGINT) AS tokens_after,
+                   round(1 - sum(tok_kept) / sum(tok_all), 6)
+                       AS token_savings
+            FROM per
         """,
         "lsh_eval": f"""
             WITH sh AS ({_shingle_sql(_DOCS_DUPS)}),

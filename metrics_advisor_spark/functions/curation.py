@@ -613,3 +613,101 @@ def weighted_quantile(
             F.round(F.max("tw"), 6).alias("total_weight"),
         )
     )
+
+
+def holdout_leakage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fractions: tuple[float, float] = (0.8, 0.1),
+) -> DataFrame:
+    """Train→eval leakage check: exact-content duplicate groups that
+    SPAN the hash split — the hygiene audit that catches "the test set
+    is in the training set" before anyone reports a score.  (The id
+    hash is content-free, so duplicates land in independent splits;
+    dedup-then-split is the fix this table motivates.)
+
+    One md5 aggregate over the split-assigned corpus: per content hash,
+    docs per split; groups with train AND (val|test) members leak.
+    Output: one row per split-pair leak type + the clean-group row.
+    """
+    assigned = train_val_test_split(df, id_col, fractions)
+    per = assigned.groupBy(F.md5(F.col(text_col)).alias("h")).agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("split") == "val").cast("long")).alias("n_val"),
+        F.sum((F.col("split") == "test").cast("long")).alias("n_test"),
+    )
+    kind = (
+        F.when((F.col("n_train") > 0) & (F.col("n_test") > 0),
+               F.lit("train_test_leak"))
+        .when((F.col("n_train") > 0) & (F.col("n_val") > 0),
+              F.lit("train_val_leak"))
+        .when((F.col("n_val") > 0) & (F.col("n_test") > 0),
+              F.lit("val_test_leak"))
+        .otherwise(F.lit("clean"))
+    )
+    return (
+        per.select(kind.alias("kind"))
+        .groupBy("kind")
+        .agg(F.count("*").cast("long").alias("n_groups"))
+    )
+
+
+def pii_density_by_source(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source PII exposure: share of documents containing any
+    email/IPv4/phone match and the mean matches per document — the
+    slice-level risk table that decides which sources need scrubbing
+    before release.
+
+    Same regex projections as `pii_scrub`, aggregated per source —
+    linear scan, one bounded-key aggregate.
+    """
+    t = F.col(text_col)
+    n_pii = (
+        _count_re(t, EMAIL_RE) + _count_re(t, IPV4_RE)
+        + _count_re(t, PHONE_RE)
+    )
+    return (
+        df.select(F.col(source_col).alias("source"), n_pii.alias("n_pii"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("n_pii") > 0).cast("long")).alias("n_docs_with_pii"),
+            F.round(
+                F.sum((F.col("n_pii") > 0).cast("double")) / F.count("*"), 6
+            ).alias("pii_doc_share"),
+            F.round(F.sum("n_pii") / F.count("*"), 6).alias("pii_per_doc"),
+        )
+    )
+
+
+def dedup_savings(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row exact-dedup savings report: documents and tokens before
+    vs after keeping one representative per content hash — the headline
+    number a dedup stage reports to justify itself.
+
+    One md5 aggregate (per-group doc count + token sum + one kept
+    token count via min_by), then a 1-row rollup.
+    """
+    from metrics_advisor_spark.functions.text import token_count_col
+
+    per = df.select(
+        F.md5(F.col(text_col)).alias("h"),
+        F.col("doc_id"),
+        token_count_col(F.col(text_col)).alias("n_tok"),
+    ).groupBy("h").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("tok_all"),
+        F.min_by("n_tok", "doc_id").alias("tok_kept"),
+    )
+    return per.agg(
+        F.sum("n_docs").cast("long").alias("docs_before"),
+        F.count("*").cast("long").alias("docs_after"),
+        F.sum("tok_all").cast("long").alias("tokens_before"),
+        F.sum("tok_kept").cast("long").alias("tokens_after"),
+        F.round(
+            1 - F.sum("tok_kept") / F.sum("tok_all"), 6
+        ).alias("token_savings"),
+    )

@@ -73,3 +73,51 @@ def test_wide_metrics_pivot_shape(spark):
     assert cols[0] == "slot_epoch"
     assert set(cols[1:]) == {"click", "error", "purchase", "signup", "view"}
     assert df.count() > 0
+
+
+def test_holdout_leakage_planted_duplicates(spark):
+    """Exact copies with independent ids split independently — leak
+    groups must appear; a clean corpus shows only 'clean'."""
+    from metrics_advisor_spark.functions.curation import holdout_leakage
+
+    rows = [(i, f"unique doc number {i} with its own words") for i in range(40)]
+    # plant 30 copies of one doc under fresh ids — some land cross-split
+    rows += [(1000 + i, "the copied document text") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["kind"]: r["n_groups"] for r in holdout_leakage(docs).collect()}
+    assert sum(got.values()) == 41  # 40 unique + 1 copy group
+    assert any(k.endswith("_leak") for k in got)
+
+    clean = spark.createDataFrame(rows[:40], "doc_id long, text string")
+    gc = {r["kind"]: r["n_groups"] for r in holdout_leakage(clean).collect()}
+    assert set(gc) == {"clean"}
+
+
+def test_dedup_savings_accounting(spark):
+    from metrics_advisor_spark.functions.curation import dedup_savings
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "d e")],
+        "doc_id long, text string",
+    )
+    got = dedup_savings(docs).collect()[0]
+    assert got["docs_before"] == 3 and got["docs_after"] == 2
+    assert got["tokens_before"] == 8 and got["tokens_after"] == 5
+    assert abs(got["token_savings"] - 0.375) < 1e-9
+
+
+def test_pii_density_by_source(spark):
+    from metrics_advisor_spark.functions.curation import pii_density_by_source
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at jane@example.com today", "risky"),
+            (2, "two hits: a@b.co and 10.0.0.1 here", "risky"),
+            (3, "nothing sensitive at all", "clean"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in pii_density_by_source(docs).collect()}
+    assert got["risky"]["n_docs_with_pii"] == 2
+    assert got["risky"]["pii_doc_share"] == 1.0
+    assert got["clean"]["pii_per_doc"] == 0.0
