@@ -3404,12 +3404,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries (VERDICT r02).  Rotation discipline (ROUND_NOTES):
     # lead with (a) new-this-round queries, (b) green queries whose CODE
     # PATH changed this round, then (c) oldest-driver-green first, so no
-    # green row ages past two rounds.  Round-4 state: 54 never-checked
-    # new queries — four more than the gate, so the last four
-    # (scd2_history, predict_linear, resets, global_shuffle) plus the 6
-    # changed and the stale blocks overflow to the round-5 front of
-    # queue.  Builder-side, every oracled query is parity-checked per
-    # run by tests/test_oracle_parity.py regardless of gate position.
+    # green row ages past two rounds.  Round-4 state: 107 never-checked
+    # new queries — far beyond the 50-slot gate; the first 50 below get
+    # driver rows this round and the remaining new entries (4e tail
+    # through 4a blocks), then the stale r01/r02/r03 blocks, form the
+    # round-5+ queue IN ORDER.  Builder-side, every oracled query is
+    # parity-checked per run by tests/test_oracle_parity.py regardless
+    # of gate position, so "never driver-checked" ≠ "unchecked".
     return {
         # (a) new round-4m queries — never driver-checked by definition
         "holdout_leakage": q_holdout_leakage,
