@@ -3399,6 +3399,75 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_savings(_docs_with_dups(spark, sf_dir))
 
 
+def q_cohort_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by first-activity-week cohort (view→purchase)."""
+    from metrics_advisor_spark.operators.sessions import cohort_conversion
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_conversion(ev)
+
+
+def q_period_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-period detection per metric: argmax-ACF lag ≥ 2 over
+    the hourly grid (min peak ACF 0.2)."""
+    from metrics_advisor_spark.operators.trend import period_detect
+
+    hourly = (
+        _signals(spark, sf_dir)
+        .groupBy(
+            "metric",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("slot_epoch"),
+        )
+        .agg(F.avg("value").alias("value"))
+    )
+    return period_detect(hourly, max_lag=48, min_acf=0.2)
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per metric over the hourly series (running-
+    peak window + one aggregate)."""
+    from metrics_advisor_spark.operators.trend import max_drawdown
+
+    hourly = (
+        _signals(spark, sf_dir)
+        .groupBy(
+            "metric",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("slot_epoch"),
+        )
+        .agg(F.avg("value").alias("value"))
+    )
+    return max_drawdown(hourly)
+
+
+def q_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict local maxima above μ+2σ per metric (hourly)."""
+    from metrics_advisor_spark.operators.trend import peak_detect
+
+    hourly = (
+        _signals(spark, sf_dir)
+        .groupBy(
+            "metric",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("long")
+            .alias("slot_epoch"),
+        )
+        .agg(F.avg("value").alias("value"))
+    )
+    return peak_detect(hourly, n_sigmas=2.0)
+
+
+def q_ecdf_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size ECDF export per metric: P(value ≤ x) on a 21-point
+    grid across the metric's own range."""
+    from metrics_advisor_spark.operators.trend import ecdf_sample
+
+    return ecdf_sample(_signals(spark, sf_dir), n_grid=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST
     # 50 entries (VERDICT r02).  Rotation discipline (ROUND_NOTES):
@@ -3412,7 +3481,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # parity-checked per run by tests/test_oracle_parity.py regardless
     # of gate position, so "never driver-checked" ≠ "unchecked".
     return {
-        # (a) new round-4m queries — never driver-checked by definition
+        # (a) new round-4n queries — never driver-checked by definition
+        "cohort_conversion": q_cohort_conversion,
+        "period_detect": q_period_detect,
+        "max_drawdown": q_max_drawdown,
+        "peak_detect": q_peak_detect,
+        "ecdf_sample": q_ecdf_sample,
+        # (a) new round-4m queries
         "holdout_leakage": q_holdout_leakage,
         "pii_density": q_pii_density,
         "dedup_savings": q_dedup_savings,
@@ -6331,6 +6406,109 @@ def oracle_sql() -> dict[str, str]:
               FROM f2
             )
             SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        """,
+        "cohort_conversion": """
+            WITH ue AS (
+              SELECT user_id, event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+              FROM events
+            ),
+            f AS (
+              SELECT user_id,
+                     CAST(floor(min(epoch) / 604800.0) AS BIGINT) AS cohort
+              FROM ue GROUP BY 1
+            ),
+            s AS (SELECT user_id, min(epoch) AS t0 FROM ue
+                  WHERE event_type = 'view' GROUP BY 1),
+            conv AS (
+              SELECT DISTINCT ue.user_id
+              FROM ue JOIN s ON ue.user_id = s.user_id
+              WHERE event_type = 'purchase' AND epoch >= t0
+            )
+            SELECT cohort, count(*)::BIGINT AS n_users,
+                   CAST(sum(CASE WHEN conv.user_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+                   round(sum(CASE WHEN conv.user_id IS NOT NULL
+                             THEN 1 ELSE 0 END) / count(*), 6)
+                       AS conversion_rate
+            FROM f LEFT JOIN conv ON f.user_id = conv.user_id
+            GROUP BY 1
+        """,
+        "period_detect": f"""
+            WITH hourly AS ({_HOURLY}),
+            l AS (
+              SELECT metric, lag, slot_epoch + lag * 3600 AS slot_epoch,
+                     value AS v_lag
+              FROM hourly, unnest(range(1, 49)) AS t(lag)
+            ),
+            acf AS (
+              SELECT h.metric, lag::INT AS lag,
+                     round(covar_samp(h.value, l.v_lag)
+                           / (stddev_samp(h.value) * stddev_samp(l.v_lag)),
+                           6) AS acf,
+                     count(*) AS n_pairs
+              FROM hourly h JOIN l
+                ON h.metric = l.metric AND h.slot_epoch = l.slot_epoch
+              GROUP BY 1, 2
+              HAVING count(*) >= 3
+                 AND stddev_samp(h.value) > 0 AND stddev_samp(l.v_lag) > 0
+            ),
+            cand AS (SELECT * FROM acf WHERE lag >= 2 AND acf >= 0.2),
+            rk AS (
+              SELECT *, row_number() OVER (PARTITION BY metric
+                         ORDER BY acf DESC, lag ASC) AS rn
+              FROM cand
+            )
+            SELECT metric, lag AS period_slots, round(acf, 6) AS peak_acf
+            FROM rk WHERE rn = 1
+        """,
+        "max_drawdown": f"""
+            WITH hourly AS ({_HOURLY}),
+            r AS (
+              SELECT metric, slot_epoch, value,
+                     max(value) OVER (PARTITION BY metric ORDER BY slot_epoch
+                         ROWS UNBOUNDED PRECEDING) AS peak
+              FROM hourly
+            )
+            SELECT metric, round(max(peak - value), 6) AS max_drawdown,
+                   round(max(CASE WHEN abs(peak) > 0
+                             THEN (peak - value) / abs(peak) END), 6)
+                       AS max_drawdown_rel
+            FROM r GROUP BY 1
+        """,
+        "peak_detect": f"""
+            WITH hourly AS ({_HOURLY}),
+            st AS (SELECT metric, avg(value) AS mu, stddev_pop(value) AS sd
+                   FROM hourly GROUP BY 1),
+            c AS (
+              SELECT metric, slot_epoch, value,
+                     lag(value) OVER (PARTITION BY metric
+                         ORDER BY slot_epoch) AS prev,
+                     lead(value) OVER (PARTITION BY metric
+                         ORDER BY slot_epoch) AS nxt
+              FROM hourly
+            )
+            SELECT c.metric, slot_epoch, round(value, 6) AS value,
+                   round((value - mu) / sd, 6) AS z
+            FROM c JOIN st USING (metric)
+            WHERE prev IS NOT NULL AND nxt IS NOT NULL
+              AND value > prev AND value > nxt
+              AND sd > 0 AND value > mu + 2 * sd
+        """,
+        "ecdf_sample": f"""
+            WITH s AS ({_SIG}),
+            ext AS (SELECT metric, min(value) AS lo, max(value) AS hi
+                    FROM s GROUP BY 1),
+            g AS (
+              SELECT s.metric, value, i::INT AS i,
+                     round(lo + (hi - lo) * i / 20.0, 6) AS x
+              FROM s JOIN ext USING (metric),
+                   unnest(range(0, 21)) AS t(i)
+            )
+            SELECT metric, i, x,
+                   round(sum(CASE WHEN value <= x THEN 1 ELSE 0 END)
+                         / count(*), 6) AS cdf
+            FROM g GROUP BY 1, 2, 3
         """,
         "holdout_leakage": f"""
             WITH d AS ({_DOCS_DUPS}),

@@ -721,3 +721,53 @@ def session_summary(
         ),
         F.round(F.avg("duration_s"), 6).alias("avg_duration_s"),
     )
+
+
+def cohort_conversion(
+    events: DataFrame,
+    start: str = "view",
+    end: str = "purchase",
+    cohort_days: int = 7,
+) -> DataFrame:
+    """Conversion rate by signup cohort: users grouped by their FIRST-
+    activity week, each counted converted when a ``start`` event is
+    followed (at-or-after) by an ``end`` event — the "are newer
+    cohorts converting better?" readout.
+
+    All user-keyed aggregates + one keyed join; the cohort readout is
+    a bounded-key aggregate.
+    """
+    ue = events.select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("epoch")
+    )
+    first = ue.groupBy("user_id").agg(
+        F.floor(F.min("epoch") / (86400 * cohort_days))
+        .cast("long")
+        .alias("cohort")
+    )
+    starts = (
+        ue.where(F.col("event_type") == start)
+        .groupBy("user_id")
+        .agg(F.min("epoch").alias("t0"))
+    )
+    conv = (
+        ue.where(F.col("event_type") == end)
+        .join(starts, "user_id")
+        .where(F.col("epoch") >= F.col("t0"))
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    return (
+        first.join(conv, "user_id", "left")
+        .groupBy("cohort")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(F.coalesce("converted", F.lit(0)))
+            .cast("long")
+            .alias("n_converted"),
+            F.round(
+                F.sum(F.coalesce("converted", F.lit(0))) / F.count("*"), 6
+            ).alias("conversion_rate"),
+        )
+    )

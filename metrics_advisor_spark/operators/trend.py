@@ -1161,3 +1161,136 @@ def late_arrival_audit(
             ).alias(f"share_gt_{t}s")
         )
     return late.groupBy("metric").agg(*aggs)
+
+
+def period_detect(hourly: DataFrame, max_lag: int = 48,
+                  min_acf: float = 0.2) -> DataFrame:
+    """Dominant-period detection per metric: the lag (≥ 2 slots, so the
+    trivial lag-1 continuity peak doesn't win) with the highest
+    autocorrelation, reported only when it clears ``min_acf`` — the
+    automated version of eyeballing the ACF for "is this daily or
+    weekly?".
+
+    Rides `acf_profile`'s single lag-explode join; the argmax is a
+    max_by over the (metric × max_lag)-bounded ACF frame.
+    """
+    acf = acf_profile(hourly, max_lag=max_lag)
+    cand = acf.where((F.col("lag") >= 2) & (F.col("acf") >= min_acf))
+    return cand.groupBy("metric").agg(
+        F.max_by(
+            "lag", F.struct(F.col("acf"), (-F.col("lag")).alias("nl"))
+        ).alias("period_slots"),
+        F.round(F.max("acf"), 6).alias("peak_acf"),
+    )
+
+
+def max_drawdown(hourly: DataFrame) -> DataFrame:
+    """Maximum drawdown per metric: the deepest drop from a running
+    peak over the (time-ordered) hourly series — the worst-case
+    "how far did it fall before recovering" number (finance's risk
+    stat; equally meaningful for throughput/capacity metrics).
+
+    One running-max window per metric + one aggregate; relative
+    drawdown guards zero/negative peaks with try_divide.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("slot_epoch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = hourly.select(
+        "metric",
+        "slot_epoch",
+        "value",
+        (F.max("value").over(w) - F.col("value")).alias("dd"),
+        F.max("value").over(w).alias("peak"),
+    )
+    return dd.groupBy("metric").agg(
+        F.round(F.max("dd"), 6).alias("max_drawdown"),
+        F.round(
+            F.max(F.try_divide(F.col("dd"), F.abs(F.col("peak")))), 6
+        ).alias("max_drawdown_rel"),
+    )
+
+
+def peak_detect(hourly: DataFrame, n_sigmas: float = 2.0) -> DataFrame:
+    """Local-maximum peaks per metric: slots strictly above BOTH
+    neighbours AND above μ + kσ — the spike list a capacity review
+    reads (strict local max keeps plateaus out; the σ gate keeps
+    noise wiggles out).
+
+    One lag/lead window per metric + broadcast per-metric stats.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("metric").orderBy("slot_epoch")
+    stats = hourly.groupBy("metric").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
+    )
+    cand = hourly.select(
+        "metric",
+        "slot_epoch",
+        "value",
+        F.lag("value").over(w).alias("prev"),
+        F.lead("value").over(w).alias("nxt"),
+    )
+    return (
+        cand.join(F.broadcast(stats), "metric")
+        .where(
+            F.col("prev").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("value") > F.col("prev"))
+            & (F.col("value") > F.col("nxt"))
+            & (F.col("sd") > 0)
+            & (F.col("value") > F.col("mu") + n_sigmas * F.col("sd"))
+        )
+        .select(
+            "metric", "slot_epoch",
+            F.round("value", 6).alias("value"),
+            F.round(
+                (F.col("value") - F.col("mu")) / F.col("sd"), 6
+            ).alias("z"),
+        )
+    )
+
+
+def ecdf_sample(signals: DataFrame, n_grid: int = 20) -> DataFrame:
+    """Exportable ECDF snapshot per metric: P(value ≤ x) at n_grid+1
+    evenly spaced points across the metric's own [min, max] — the
+    fixed-size distribution export a BI layer can chart without
+    shipping raw rows.
+
+    One per-metric extent aggregate (broadcast), a bounded grid
+    explode, and one aggregate keyed on (metric, grid point).
+    """
+    ext = signals.groupBy("metric").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    gridded = (
+        signals.join(F.broadcast(ext), "metric")
+        .select(
+            "metric", "value", "lo", "hi",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_grid))
+            ).alias("i"),
+        )
+        .select(
+            "metric",
+            "i",
+            F.round(
+                F.col("lo")
+                + (F.col("hi") - F.col("lo")) * F.col("i") / n_grid,
+                6,
+            ).alias("x"),
+            "value",
+        )
+    )
+    return gridded.groupBy("metric", "i", "x").agg(
+        F.round(
+            F.sum((F.col("value") <= F.col("x")).cast("long"))
+            / F.count("*"),
+            6,
+        ).alias("cdf")
+    )
