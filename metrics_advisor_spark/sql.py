@@ -108,3 +108,60 @@ def register_all(spark: SparkSession, signals=None) -> None:
     register_udtfs(spark)
     if signals is not None:
         register_signals(spark, signals)
+
+
+def register_analytics_views(
+    spark: SparkSession,
+    signals=None,
+    events=None,
+    gap_seconds: int = 1800,
+) -> None:
+    """Publish the round-4 analytics building blocks as temp views so
+    the whole journey/time-series surface is reachable from plain
+    ``spark.sql``:
+
+    - ``signals``      — canonical long table (when given)
+    - ``hourly``       — (metric, slot_epoch, value) hourly means
+    - ``sessions``     — per-session aggregates (gap-based)
+    - ``user_daily``   — (user_id, day, n_events, total_value)
+
+    Views are lazy — registering costs nothing until queried, and every
+    SQL query against them plans through the same Catalyst pipeline as
+    the DataFrame API (shared shuffles, AQE, pushdown).
+    """
+    from pyspark.sql import functions as F
+
+    from metrics_advisor_spark.operators.sessions import session_stats
+
+    if signals is not None:
+        register_signals(spark, signals)
+        hourly = (
+            signals.groupBy(
+                "metric",
+                (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+                .cast("long")
+                .alias("slot_epoch"),
+            )
+            .agg(F.avg("value").alias("value"))
+        )
+        hourly.createOrReplaceTempView("hourly")
+        session_stats(signals, gap_seconds).createOrReplaceTempView(
+            "sessions"
+        )
+    if events is not None:
+        events.createOrReplaceTempView("events")
+        (
+            events.select(
+                "user_id",
+                F.floor(F.unix_timestamp("ts") / 86400)
+                .cast("long")
+                .alias("day"),
+                "value",
+            )
+            .groupBy("user_id", "day")
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                F.sum("value").alias("total_value"),
+            )
+            .createOrReplaceTempView("user_daily")
+        )

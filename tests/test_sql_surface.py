@@ -70,3 +70,38 @@ def test_relational_sql_over_signals_view(spark):
         """
     ).collect()
     assert [(r["series"], r["n"]) for r in rows] == [("a", 30), ("b", 30)]
+
+
+def test_analytics_views_sql_reachable(spark):
+    """The analytics views answer plain SQL — hourly grid, sessions,
+    and the user-day rollup — through the same Catalyst plans as the
+    DataFrame API."""
+    from metrics_advisor_spark.sql import register_analytics_views
+    from metrics_advisor_spark.sources.signals import signals_from_events
+
+    sf = "/root/testdata/sf0.001"
+    signals = signals_from_events(spark, sf)
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    register_analytics_views(spark, signals=signals, events=events)
+
+    hourly = spark.sql(
+        "SELECT metric, count(*) AS n FROM hourly GROUP BY 1"
+    ).collect()
+    assert len(hourly) > 0 and all(r["n"] > 0 for r in hourly)
+
+    sess = spark.sql(
+        "SELECT count(*) AS n, max(n_events) AS mx FROM sessions"
+    ).collect()[0]
+    assert sess["n"] > 0 and sess["mx"] >= 1
+
+    ud = spark.sql(
+        "SELECT count(*) AS n FROM user_daily WHERE n_events > 0"
+    ).collect()[0]
+    assert ud["n"] > 0
+
+    # compose: top metric by hourly volatility, in one SQL statement
+    vol = spark.sql("""
+        SELECT metric, stddev_samp(value) AS sd
+        FROM hourly GROUP BY 1 ORDER BY sd DESC, metric LIMIT 1
+    """).collect()
+    assert len(vol) == 1
