@@ -3468,6 +3468,21 @@ def q_ecdf_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ecdf_sample(_signals(spark, sf_dir), n_grid=20)
 
 
+def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week totals and percent change per metric."""
+    from metrics_advisor_spark.operators.trend import wow_change
+
+    return wow_change(_signals(spark, sf_dir))
+
+
+def q_grid_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-grid completeness per metric (present vs extent-implied
+    slots)."""
+    from metrics_advisor_spark.operators.trend import grid_completeness
+
+    return grid_completeness(_signals(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST
     # 50 entries (VERDICT r02).  Rotation discipline (ROUND_NOTES):
@@ -3481,7 +3496,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # parity-checked per run by tests/test_oracle_parity.py regardless
     # of gate position, so "never driver-checked" ≠ "unchecked".
     return {
-        # (a) new round-4n queries — never driver-checked by definition
+        # (a) new round-4o queries — never driver-checked by definition
+        "wow_change": q_wow_change,
+        "grid_completeness": q_grid_completeness,
+        # (a) new round-4n queries
         "cohort_conversion": q_cohort_conversion,
         "period_detect": q_period_detect,
         "max_drawdown": q_max_drawdown,
@@ -6406,6 +6424,36 @@ def oracle_sql() -> dict[str, str]:
               FROM f2
             )
             SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        """,
+        "wow_change": f"""
+            WITH weekly AS (
+              SELECT metric,
+                     CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+                     count(*)::BIGINT AS n_events, sum(value) AS total
+              FROM ({_SIG}) GROUP BY 1, 2
+            )
+            SELECT metric, week, n_events, round(total, 6) AS total,
+                   round(lag(total) OVER (PARTITION BY metric
+                       ORDER BY week), 6) AS prev_total,
+                   round(CASE WHEN abs(lag(total) OVER (PARTITION BY metric
+                                  ORDER BY week)) > 0
+                         THEN (total - lag(total) OVER (PARTITION BY metric
+                                  ORDER BY week))
+                              / abs(lag(total) OVER (PARTITION BY metric
+                                  ORDER BY week)) END, 6) AS wow_pct
+            FROM weekly
+        """,
+        "grid_completeness": f"""
+            WITH slots AS (
+              SELECT metric,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) AS slot
+              FROM ({_SIG}) GROUP BY 1, 2
+            )
+            SELECT metric, count(*)::BIGINT AS n_present,
+                   CAST(max(slot) - min(slot) + 1 AS BIGINT) AS n_expected,
+                   round(count(*) / (max(slot) - min(slot) + 1), 6)
+                       AS completeness
+            FROM slots GROUP BY 1
         """,
         "cohort_conversion": """
             WITH ue AS (

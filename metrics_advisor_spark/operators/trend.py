@@ -1294,3 +1294,68 @@ def ecdf_sample(signals: DataFrame, n_grid: int = 20) -> DataFrame:
             6,
         ).alias("cdf")
     )
+
+
+def wow_change(signals: DataFrame) -> DataFrame:
+    """Week-over-week change per metric: weekly value totals with the
+    previous week's total and the percent change — the first table in
+    every weekly business review.
+
+    One (metric, week) aggregate + one lag window over the tiny weekly
+    frame; try_divide yields NULL (not an error) against a zero prior
+    week.
+    """
+    from pyspark.sql import Window
+
+    weekly = (
+        signals.select(
+            "metric",
+            F.floor(F.unix_timestamp("ts") / 604800).cast("long")
+            .alias("week"),
+            "value",
+        )
+        .groupBy("metric", "week")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("total"),
+        )
+    )
+    w = Window.partitionBy("metric").orderBy("week")
+    prev = F.lag("total").over(w)
+    return weekly.select(
+        "metric",
+        "week",
+        "n_events",
+        F.round("total", 6).alias("total"),
+        F.round(prev, 6).alias("prev_total"),
+        F.round(
+            F.try_divide(F.col("total") - prev, F.abs(prev)), 6
+        ).alias("wow_pct"),
+    )
+
+
+def grid_completeness(signals: DataFrame, slot_s: int = 3600) -> DataFrame:
+    """Sampling-grid completeness per metric: slots with ≥1 sample over
+    the slots the metric's own [min, max] extent implies — the "is this
+    feed actually continuous" number gap-sensitive consumers (rolling
+    windows, seasonal baselines) should check first.
+
+    One (metric, slot) distinct-ish aggregate + one per-metric rollup;
+    the expected count is closed-form from the extent, no grid explode.
+    """
+    slots = (
+        signals.select(
+            "metric",
+            (F.floor(F.unix_timestamp("ts") / slot_s)).cast("long")
+            .alias("slot"),
+        )
+        .groupBy("metric", "slot")
+        .agg(F.count("*").alias("_n"))
+    )
+    return slots.groupBy("metric").agg(
+        F.count("*").cast("long").alias("n_present"),
+        (F.max("slot") - F.min("slot") + 1).cast("long").alias("n_expected"),
+        F.round(
+            F.count("*") / (F.max("slot") - F.min("slot") + 1), 6
+        ).alias("completeness"),
+    )

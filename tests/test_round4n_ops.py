@@ -89,3 +89,35 @@ def test_ecdf_sample_endpoints_and_monotone(spark):
     cdfs = [r["cdf"] for r in got]
     assert cdfs == sorted(cdfs)          # monotone
     assert abs(got[10]["cdf"] - 0.504950) < 1e-6  # 51/101 at midpoint
+
+
+def test_wow_change_known_ratio(spark):
+    from metrics_advisor_spark.operators.trend import wow_change
+
+    week = 604800
+    rows = []
+    for i in range(7):
+        rows.append(("m", "s", _ts(i * 86400), 10.0))          # week 0: 70
+    for i in range(7):
+        rows.append(("m", "s", _ts(week + i * 86400), 15.0))   # week 1: 105
+    sig = spark.createDataFrame(
+        rows, "metric string, series string, ts timestamp, value double"
+    )
+    got = {r["week"]: r for r in wow_change(sig).collect()}
+    assert got[0]["prev_total"] is None and got[0]["wow_pct"] is None
+    assert got[1]["prev_total"] == 70.0
+    assert abs(got[1]["wow_pct"] - 0.5) < 1e-9
+
+
+def test_grid_completeness_counts_holes(spark):
+    from metrics_advisor_spark.operators.trend import grid_completeness
+
+    # hours 0..9 with hours 3 and 7 missing → 8 of 10 slots
+    rows = [("m", "s", _ts(h * 3600 + 5), 1.0)
+            for h in range(10) if h not in (3, 7)]
+    sig = spark.createDataFrame(
+        rows, "metric string, series string, ts timestamp, value double"
+    )
+    got = grid_completeness(sig).collect()[0]
+    assert got["n_present"] == 8 and got["n_expected"] == 10
+    assert abs(got["completeness"] - 0.8) < 1e-9
