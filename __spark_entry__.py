@@ -3488,7 +3488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries (VERDICT r02).  Rotation discipline (ROUND_NOTES):
     # lead with (a) new-this-round queries, (b) green queries whose CODE
     # PATH changed this round, then (c) oldest-driver-green first, so no
-    # green row ages past two rounds.  Round-4 state: 107 never-checked
+    # green row ages past two rounds.  Round-4 state: 114 never-checked
     # new queries — far beyond the 50-slot gate; the first 50 below get
     # driver rows this round and the remaining new entries (4e tail
     # through 4a blocks), then the stale r01/r02/r03 blocks, form the
