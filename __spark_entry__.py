@@ -6917,20 +6917,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "dim_covariance": """
+            -- Same closed-form sufficient-sums expression as the Spark
+            -- plan (n, Σx, Σy, Σxy, Σx², Σy²), with the identical
+            -- round(round(·,9),6) snap, so summation-order ulp noise
+            -- on either engine cannot flip a 6dp half-boundary cell.
             WITH ex AS (
               SELECT vec_id, i::INT AS dim, embedding[i+1]::DOUBLE AS x
               FROM embeddings,
                    unnest(range(0, least(len(embedding), 16))) AS t(i)
+            ),
+            s AS (
+              SELECT a.dim AS dim_a, b.dim AS dim_b,
+                     count(*)::DOUBLE AS n,
+                     sum(a.x) AS sx, sum(b.x) AS sy,
+                     sum(a.x * b.x) AS sxy,
+                     sum(a.x * a.x) AS sxx,
+                     sum(b.x * b.x) AS syy
+              FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim < b.dim
+              GROUP BY 1, 2
             )
-            SELECT a.dim AS dim_a, b.dim AS dim_b,
-                   round(covar_samp(a.x, b.x), 6) AS cov,
-                   round(CASE WHEN stddev_samp(a.x) * stddev_samp(b.x) > 0
-                              THEN covar_samp(a.x, b.x)
-                                   / (stddev_samp(a.x) * stddev_samp(b.x))
-                         END, 6) AS corr,
-                   count(*) AS n_vecs
-            FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim < b.dim
-            GROUP BY 1, 2
+            SELECT dim_a, dim_b,
+                   round(round((sxy - sx * sy / n) / (n - 1), 9), 6) AS cov,
+                   round(round(
+                     CASE WHEN (sxx - sx * sx / n) > 0
+                           AND (syy - sy * sy / n) > 0
+                          THEN ((sxy - sx * sy / n) / (n - 1))
+                               / (sqrt((sxx - sx * sx / n) / (n - 1))
+                                  * sqrt((syy - sy * sy / n) / (n - 1)))
+                     END, 9), 6) AS corr,
+                   n::BIGINT AS n_vecs
+            FROM s
         """,
         "freshness_audit": """
             WITH s AS (

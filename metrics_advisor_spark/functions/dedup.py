@@ -703,12 +703,17 @@ def sorted_neighborhood_pairs(
     candidate set with cheap features (rank gap, length delta) — feed
     it to an exact verifier (jaccard / levenshtein) downstream.
 
-    Scale: row_number over a global sort = one range-partitioned
-    exchange (Spark samples boundaries; no single-task sort); the
-    neighbor pairing is an equi-join on rank+j with j ∈ [1, window−1],
-    so each row meets at most window−1 others.  Key collisions
-    (boilerplate prefixes) bound bucket sizes exactly like any blocking
-    key — pick key_len so prefixes stay discriminative.
+    Scale (round-5 fix): pairs only ever form between docs whose
+    block_key TIES, and under orderBy(block_key, doc_id) a tie group is
+    contiguous in the global order — so the global-rank gap between two
+    tied docs equals their within-group rank gap.  Ranking can
+    therefore partition by block_key (hash exchange, no global
+    single-task window — the previous Window.orderBy() with no
+    partitionBy moved the whole corpus through one task); the neighbor
+    pairing is an equi-join on (block_key, rank+j) with
+    j ∈ [1, window−1], so each row meets at most window−1 others.  Key
+    collisions (boilerplate prefixes) bound bucket sizes exactly like
+    any blocking key — pick key_len so prefixes stay discriminative.
     """
     from pyspark.sql import Window
 
@@ -724,23 +729,22 @@ def sorted_neighborhood_pairs(
     ).withColumn(
         "rank",
         F.row_number().over(
-            Window.orderBy(F.col("block_key"), F.col("doc_id"))
+            Window.partitionBy("block_key").orderBy(F.col("doc_id"))
         ),
     )
     offs = ranked.select(
         "*", F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("j")
     ).select((F.col("rank") + F.col("j")).alias("rank"),
+             F.col("block_key"),
              F.col("doc_id").alias("doc_a"),
-             F.col("block_key").alias("key_a"),
              F.col("n_chars").alias("chars_a"),
              "j")
     return (
-        offs.join(ranked, "rank")
-        .where(F.col("key_a") == F.col("block_key"))
+        offs.join(ranked, ["block_key", "rank"])
         .select(
             F.least("doc_a", "doc_id").alias("doc_lo"),
             F.greatest("doc_a", "doc_id").alias("doc_hi"),
-            F.col("key_a").alias("block_key"),
+            F.col("block_key"),
             F.col("j").alias("rank_gap"),
             F.abs(F.col("n_chars") - F.col("chars_a")).alias("len_delta"),
         )
@@ -763,29 +767,43 @@ def containment_pairs(
     never a doc cross-product, same ``max_shingle_df`` skew cap); emits
     one row per ORDERED pair direction that clears the threshold, with
     both directions' containment and the Jaccard for context.
+
+    With a cap set, per-doc set sizes are recomputed AFTER the
+    hot-shingle anti-join (round-5 fix), so numerator and denominator
+    share the same informative-shingle universe — previously the
+    denominators still counted dropped shingles, systematically
+    underestimating containment (``dup_ngram_fraction`` already
+    handled the cap this way).
     """
     words = F.split(F.col(text_col), " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(words, i + 1, n), " "),
     )
-    sets = df.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(grams, lambda g: _hash56(g))
-        ).alias("hs"),
-    ).select(
-        "doc_id", F.size("hs").alias("set_size"),
-        F.explode("hs").alias("shingle_hash"),
-    )
-    if max_shingle_df is not None:
+    hs = F.array_distinct(F.transform(grams, lambda g: _hash56(g)))
+    if max_shingle_df is None:
+        # no cap → per-doc size known pre-explode, no extra exchange
+        sets = df.select(
+            "doc_id", hs.alias("hs")
+        ).select(
+            "doc_id", F.size("hs").alias("set_size"),
+            F.explode("hs").alias("shingle_hash"),
+        )
+    else:
+        from pyspark.sql import Window
+
+        sets = df.select(
+            "doc_id", F.explode(hs).alias("shingle_hash")
+        )
         hot = (
             sets.groupBy("shingle_hash")
             .agg(F.count("*").alias("sdf"))
             .where(F.col("sdf") > max_shingle_df)
             .select("shingle_hash")
         )
-        sets = sets.join(hot, "shingle_hash", "left_anti")
+        sets = sets.join(hot, "shingle_hash", "left_anti").withColumn(
+            "set_size", F.count("*").over(Window.partitionBy("doc_id"))
+        )
     a = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("set_size").alias("sa"),

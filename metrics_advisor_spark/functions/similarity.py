@@ -541,6 +541,7 @@ def dim_covariance(
     vec_col: str = "embedding",
     max_dims: int = 16,
     min_abs_cov: float = 0.0,
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Pairwise covariance (and correlation) between the first
     ``max_dims`` embedding dimensions — the redundancy snapshot that
@@ -548,8 +549,21 @@ def dim_covariance(
 
     Exact, no sampling: one posexplode limited to the audited dims,
     a vec-keyed self-join (fan-out max_dims² per vector, bounded by
-    construction), one covariance aggregate per dim pair.  Output is
-    max_dims·(max_dims−1)/2 rows regardless of corpus size.
+    construction), one sufficient-sums aggregate per dim pair.  Output
+    is max_dims·(max_dims−1)/2 rows regardless of corpus size.
+
+    Determinism (round-4 fix): ``covar_samp`` at higher parallelism
+    reassociates its partial sums, shifting the result ~1 ulp and
+    flipping round(·, 6) cells sitting on a half-boundary.  Here the
+    sufficient sums (n, Σx, Σy, Σxy, Σx², Σy²) are folded in a FIXED
+    order: level 1 sums each (pair, vec_id mod n_buckets) group over a
+    vec_id-sorted array, level 2 sums the ≤n_buckets partials over a
+    bucket-sorted array, so the IEEE expression tree is identical at
+    any partition count.  Per-task array length is bounded by
+    corpus/n_buckets — raise ``n_buckets`` with corpus size (the
+    level-2 arrays stay ≤n_buckets rows per pair either way).  A
+    round(round(·, 9), 6) snap absorbs the residual cross-engine
+    (oracle-side) summation-order noise.
     """
     ex = emb.select(
         F.col("vec_id"), F.posexplode(vec_col).alias("dim", "x")
@@ -562,21 +576,76 @@ def dim_covariance(
     b = ex.select(
         "vec_id", F.col("dim").alias("dim_b"), F.col("x").alias("xb")
     )
-    out = (
+
+    def _fold(arr, field):
+        return F.aggregate(
+            arr, F.lit(0.0), lambda acc, v: acc + v[field]
+        )
+
+    lvl1 = (
         a.join(b, "vec_id")
         .where(F.col("dim_a") < F.col("dim_b"))
-        .groupBy("dim_a", "dim_b")
+        .withColumn("bkt", F.pmod(F.col("vec_id"), F.lit(n_buckets)))
+        .groupBy("dim_a", "dim_b", "bkt")
         .agg(
-            F.round(F.covar_samp("xa", "xb"), 6).alias("cov"),
-            F.round(
-                F.try_divide(
-                    F.covar_samp("xa", "xb"),
-                    F.stddev_samp("xa") * F.stddev_samp("xb"),
-                ),
-                6,
-            ).alias("corr"),
-            F.count(F.lit(1)).alias("n_vecs"),
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "xa", "xb"))
+            ).alias("vs")
         )
+        .select(
+            "dim_a",
+            "dim_b",
+            "bkt",
+            F.size("vs").cast("double").alias("n"),
+            _fold(F.col("vs"), "xa").alias("sx"),
+            _fold(F.col("vs"), "xb").alias("sy"),
+            F.aggregate(
+                "vs", F.lit(0.0), lambda acc, v: acc + v.xa * v.xb
+            ).alias("sxy"),
+            F.aggregate(
+                "vs", F.lit(0.0), lambda acc, v: acc + v.xa * v.xa
+            ).alias("sxx"),
+            F.aggregate(
+                "vs", F.lit(0.0), lambda acc, v: acc + v.xb * v.xb
+            ).alias("syy"),
+        )
+    )
+    folded = (
+        lvl1.groupBy("dim_a", "dim_b")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("bkt", "n", "sx", "sy", "sxy", "sxx", "syy")
+                )
+            ).alias("ps")
+        )
+        .select(
+            "dim_a",
+            "dim_b",
+            _fold(F.col("ps"), "n").alias("n"),
+            _fold(F.col("ps"), "sx").alias("sx"),
+            _fold(F.col("ps"), "sy").alias("sy"),
+            _fold(F.col("ps"), "sxy").alias("sxy"),
+            _fold(F.col("ps"), "sxx").alias("sxx"),
+            _fold(F.col("ps"), "syy").alias("syy"),
+        )
+    )
+    n = F.col("n")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    var_a = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    var_b = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+
+    def _snap(c):
+        return F.round(F.round(c, 9), 6)
+
+    out = folded.select(
+        "dim_a",
+        "dim_b",
+        _snap(cov).alias("cov"),
+        _snap(
+            F.try_divide(cov, F.sqrt(var_a) * F.sqrt(var_b))
+        ).alias("corr"),
+        n.cast("long").alias("n_vecs"),
     )
     if min_abs_cov > 0:
         out = out.where(F.abs(F.col("cov")) >= min_abs_cov)
