@@ -1538,6 +1538,33 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("content_hash")
 
 
+def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourteenth Structured Streaming contract surface: the MinHash-LSH
+    near-dup ADMISSION GATE (`streaming_neardup_gate`) over the
+    planted-dup corpus — foreachBatch reusing the batch `minhash_bands`
+    pipeline, with an admitted-band parquet store for cross-batch
+    suppression.  A single availableNow drain admits exactly the docs
+    where no lower-doc_id doc shares an LSH band, so the admitted
+    doc_id set is batch-oracle-checkable like the other 13 surfaces."""
+    import tempfile
+
+    from metrics_advisor_spark.streaming.pipeline import (
+        streaming_neardup_gate,
+    )
+
+    src = _stream_docs_src(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="ma_neardup_")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    streaming_neardup_gate(
+        stream, store_dir=f"{base}/store", out_dir=f"{base}/admitted"
+    )
+    return (
+        spark.read.parquet(f"{base}/admitted")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting: Datasketches HLL estimate next to
     the exact count per metric.  No oracle by design (DuckDB's
@@ -2414,9 +2441,9 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the SimHash near-dup pair graph (keeper
-    selection signal).  Iterative message passing — not SQL-expressible
-    (aggregation inside recursion); numpy power-iteration golden in
-    tests/test_round4b_ops.py."""
+    selection signal).  Rows-only by design: iterative message passing
+    is not SQL-expressible (aggregation inside recursion); numpy
+    power-iteration golden in tests/test_round4b_ops.py."""
     from metrics_advisor_spark.functions.dedup import (
         hamming_pairs_blocked,
         simhash,
@@ -3483,81 +3510,291 @@ def q_grid_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_completeness(_signals(spark, sf_dir))
 
 
+CURRENT_ROUND = 5
+DRIVER_GATE = 50
+
+# Rotation state machine (VERDICT r04 item 5): the driver's correctness
+# gate checks only the FIRST `DRIVER_GATE` entries of `queries()` each
+# round.  `ROTATION` maps every contract query to the latest round whose
+# CORRECTNESS_r0N.json contains a row for it (None = never
+# driver-checked); `tests/test_rotation.py` rebuilds this mapping from
+# the committed CORRECTNESS files and asserts (a) it matches, (b) the
+# window is stalest-first (every never-checked query precedes every
+# checked one, modulo ROTATION_EXCEPTIONS), and (c) no checked query
+# outside the window is staler than CURRENT_ROUND - MAX_STALE_ROUNDS.
+# Update ROTATION + CURRENT_ROUND when a new CORRECTNESS file lands.
+ROTATION: dict[str, int | None] = {
+    "semdedup": None,
+    "report_summary": None,
+    "streaming_dedup": None,
+    "dim_covariance": 4,
+    "flagship_positional": None,
+    "containment_pairs": 4,
+    "snm_pairs": None,
+    "streaming_neardup": None,
+    "ks_drift": None,
+    "streaming_sliding_counts": None,
+    "conversion_latency": None,
+    "rfm_segments": None,
+    "vocab_overlap": None,
+    "token_gini": None,
+    "curriculum_plan": None,
+    "acf_profile": None,
+    "adamic_adar": None,
+    "streaming_ksigma": None,
+    "unigram_surprisal": None,
+    "dup_ngram_fraction": None,
+    "canonical_select": None,
+    "theil_sen": None,
+    "spearman_corr": None,
+    "psi_drift": None,
+    "skew_audit": None,
+    "lang_confusion": None,
+    "streaming_cdc_latest": None,
+    "streaming_burst": None,
+    "streaming_ohlc": None,
+    "ab_test": None,
+    "value_deciles": None,
+    "lag_features": None,
+    "winsorize": None,
+    "transition_counts": None,
+    "pmi_cooccurrence": None,
+    "cms_estimate": None,
+    "rolling_corr": None,
+    "fk_violations": None,
+    "table_profile": None,
+    "pagerank": None,
+    "attribution": None,
+    "cross_source_dups": None,
+    "source_token_quantiles": None,
+    "robust_scale": None,
+    "sliding_active_users": None,
+    "typo_pairs": None,
+    "burst_detect": None,
+    "seasonal_strength": None,
+    "ohlc": None,
+    "twap": None,
+    "interpolate": None,
+    "changes": None,
+    "deriv": None,
+    "char_entropy": None,
+    "kl_divergence": None,
+    "bpe_pairs": None,
+    "train_split": None,
+    "triangle_count": None,
+    "merge_upsert": None,
+    "interval_merge": None,
+    "bloom_contamination": None,
+    "mixture_plan": None,
+    "funnel": None,
+    "cdc_latest": None,
+    "scd2_history": None,
+    "predict_linear": None,
+    "resets": None,
+    "global_shuffle": None,
+    "rollup_counts": 1,
+    "streaming_bucket_stats": 1,
+    "text_stats": 1,
+    "token_count": 1,
+    "lang_id": 1,
+    "doc_fingerprint": 1,
+    "exact_dedup": 1,
+    "jaccard_pairs": 1,
+    "minhash_signatures": 1,
+    "minhash_lsh_pairs": 1,
+    "media_meta": 1,
+    "media_frames": 1,
+    "ann_topk": 1,
+    "embedding_near_dup": 1,
+    "ivf_topk": 1,
+    "distinct_series": 1,
+    "series_stats": 2,
+    "valid_active_series": 2,
+    "time_extent": 2,
+    "bucket_agg": 2,
+    "bucket_membership": 2,
+    "resample_hourly": 2,
+    "moving_median": 2,
+    "ksigma_outliers": 2,
+    "relative_normalize": 2,
+    "xcorr_lagged": 2,
+    "xcorr_best_lag": 2,
+    "topk_correlated": 2,
+    "xcorr_bucketed": 2,
+    "corr_matrix": 2,
+    "detect_anomalies": 2,
+    "kmeans_outliers": 2,
+    "corr_matrix_blocked": 2,
+    "tpch_q1": 2,
+    "tpch_q2": 2,
+    "tpch_q3": 2,
+    "tpch_q4": 2,
+    "tpch_q5": 2,
+    "tpch_q6": 2,
+    "tpch_q7": 2,
+    "tpch_q8": 2,
+    "tpch_q9": 2,
+    "tpch_q10": 2,
+    "tpch_q11": 2,
+    "tpch_q12": 2,
+    "tpch_q13": 2,
+    "tpch_q14": 2,
+    "tpch_q15": 2,
+    "tpch_q16": 2,
+    "tpch_q17": 2,
+    "tpch_q18": 2,
+    "tpch_q19": 2,
+    "tpch_q20": 2,
+    "tpch_q21": 2,
+    "tpch_q22": 2,
+    "lateral_topk_per_nation": 2,
+    "ntile_price_quartiles": 2,
+    "grouping_sets_orders": 2,
+    "pivot_status_by_priority": 2,
+    "join_revenue_by_nation": 2,
+    "window_running_sum": 2,
+    "fill_forward": 2,
+    "session_stats": 2,
+    "asof_join": 2,
+    "series_set_ops": 2,
+    "metric_quantiles": 2,
+    "dedup_materialize": 3,
+    "dup_cluster_sizes": 3,
+    "irate": 3,
+    "histogram_quantile": 3,
+    "weighted_sample": 3,
+    "sequence_packing": 3,
+    "simhash": 3,
+    "srp_buckets": 3,
+    "knn_graph": 3,
+    "tfidf_top_terms": 3,
+    "bm25_search": 3,
+    "pii_scrub": 3,
+    "contamination": 3,
+    "line_dedup": 3,
+    "counter_rate": 3,
+    "embedding_centroids": 3,
+    "streaming_corpus_gate": 3,
+    "streaming_session_stats": 3,
+    "rolling_time_avg": 3,
+    "value_histogram": 3,
+    "hll_distinct": 3,
+    "cube_counts": 3,
+    "percent_rank_orders": 3,
+    "series_regression": 3,
+    "mad_outliers": 3,
+    "ewma_smooth": 3,
+    "incident_range_join": 3,
+    "hamming_pairs_blocked": 3,
+    "corpus_prep": 3,
+    "token_budget_sample": 3,
+    "ngram_repetition": 3,
+    "quality_flags": 3,
+    "stratified_sample": 3,
+    "knn_graph_blocked": 3,
+    "quantile_over_time": 3,
+    "gap_detect": 3,
+    "heavy_hitters": 3,
+    "text_normalize": 3,
+    "cohort_retention": 3,
+    "salted_join_revenue": 3,
+    "embedding_norms": 3,
+    "minhash_jaccard_est": 3,
+    "streaming_term_counts": 3,
+    "source_stats": 3,
+    "zipf_slope": 3,
+    "bucket_render": 3,
+    "series_outer_compare": 3,
+    "quantile_sketch_audit": 3,
+    "streaming_quantiles": 3,
+    "chunk_documents": 3,
+    "wow_change": 4,
+    "grid_completeness": 4,
+    "cohort_conversion": 4,
+    "period_detect": 4,
+    "max_drawdown": 4,
+    "peak_detect": 4,
+    "ecdf_sample": 4,
+    "holdout_leakage": 4,
+    "pii_density": 4,
+    "dedup_savings": 4,
+    "lsh_eval": 4,
+    "mann_kendall": 4,
+    "late_arrival_audit": 4,
+    "wide_metrics": 4,
+    "streaming_daily_quantiles": 4,
+    "seasonal_zscore": 4,
+    "anomaly_cooccurrence": 4,
+    "daily_quantiles": 4,
+    "term_burstiness": 4,
+    "session_summary": 4,
+    "quantile_align": 4,
+    "ltv_curve": 4,
+    "trimmed_mean": 4,
+    "freshness_audit": 4,
+    "join_size_estimate": 4,
+    "dist_overlap": 4,
+    "alert_episodes": 4,
+    "cuped_ab": 4,
+    "table_diff": 4,
+    "seasonal_decompose": 4,
+    "clustering_coeff": 4,
+    "event_throttle": 4,
+    "retention_curve": 4,
+    "tokenizer_fertility": 4,
+    "streaming_weekly_profile": 4,
+    "path_trigrams": 4,
+    "user_entropy": 4,
+    "weighted_median": 4,
+    "quantization_audit": 4,
+    "label_centroid_sim": 4,
+    "slo_burn": 4,
+    "rolling_level_shift": 4,
+    "bigram_surprisal": 4,
+    "rrf_fusion": 4,
+    "stickiness": 4,
+    "interevent_gaps": 4,
+    "weekly_profile": 4,
+    "benford_audit": 4,
+}
+
+# Checked queries deliberately re-queued inside the round-5 window:
+# dim_covariance (r04 hash-red, determinism fixed this round) and
+# containment_pairs (r04-green, cap semantics touched this round).
+ROTATION_EXCEPTIONS = {"dim_covariance", "containment_pairs"}
+
+# With 232 contract queries and a 50-slot gate, a full rotation takes
+# ceil(232/50) = 5 rounds; queries beyond the window may be at most
+# this many rounds stale before the ordering itself is a bug.
+MAX_STALE_ROUNDS = 5
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver's correctness gate checks only the FIRST
-    # 50 entries (VERDICT r02).  Rotation discipline (ROUND_NOTES):
-    # lead with (a) new-this-round queries, (b) green queries whose CODE
-    # PATH changed this round, then (c) oldest-driver-green first, so no
-    # green row ages past two rounds.  Round-4 state: 114 never-checked
-    # new queries — far beyond the 50-slot gate; the first 50 below get
-    # driver rows this round and the remaining new entries (4e tail
-    # through 4a blocks), then the stale r01/r02/r03 blocks, form the
-    # round-5+ queue IN ORDER.  Builder-side, every oracled query is
-    # parity-checked per run by tests/test_oracle_parity.py regardless
-    # of gate position, so "never driver-checked" ≠ "unchecked".
+    # ORDER MATTERS: the driver checks only the first DRIVER_GATE (50)
+    # entries.  Stalest-first discipline, machine-checked by
+    # tests/test_rotation.py against ROTATION above: the 50-slot window
+    # holds the round-3-mandated trio, the two round-5 re-checks
+    # (ROTATION_EXCEPTIONS), the two new round-5 surfaces, then the
+    # never-checked backlog in its original (oldest-first) order.  The
+    # backlog exceeds one window by 18 queries; those lead the round-6
+    # window, followed by r01/r02/r03/r04 blocks oldest-first.
     return {
-        # (a) new round-4o queries — never driver-checked by definition
-        "wow_change": q_wow_change,
-        "grid_completeness": q_grid_completeness,
-        # (a) new round-4n queries
-        "cohort_conversion": q_cohort_conversion,
-        "period_detect": q_period_detect,
-        "max_drawdown": q_max_drawdown,
-        "peak_detect": q_peak_detect,
-        "ecdf_sample": q_ecdf_sample,
-        # (a) new round-4m queries
-        "holdout_leakage": q_holdout_leakage,
-        "pii_density": q_pii_density,
-        "dedup_savings": q_dedup_savings,
-        # (a) new round-4l queries
-        "lsh_eval": q_lsh_eval,
-        "mann_kendall": q_mann_kendall,
-        "late_arrival_audit": q_late_arrival_audit,
-        "wide_metrics": q_wide_metrics,
-        "streaming_daily_quantiles": q_streaming_daily_quantiles,
-        # (a) new round-4k queries
-        "seasonal_zscore": q_seasonal_zscore,
-        "anomaly_cooccurrence": q_anomaly_cooccurrence,
-        "daily_quantiles": q_daily_quantiles,
-        "term_burstiness": q_term_burstiness,
-        "session_summary": q_session_summary,
-        "quantile_align": q_quantile_align,
-        # (a) new round-4j queries
-        "ltv_curve": q_ltv_curve,
-        "trimmed_mean": q_trimmed_mean,
-        "dim_covariance": q_dim_covariance,
-        "freshness_audit": q_freshness_audit,
-        "join_size_estimate": q_join_size_estimate,
-        "dist_overlap": q_dist_overlap,
-        "alert_episodes": q_alert_episodes,
-        # (a) new round-4i queries
-        "cuped_ab": q_cuped_ab,
-        "table_diff": q_table_diff,
-        "seasonal_decompose": q_seasonal_decompose,
-        "clustering_coeff": q_clustering_coeff,
-        "event_throttle": q_event_throttle,
-        "retention_curve": q_retention_curve,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "streaming_weekly_profile": q_streaming_weekly_profile,
-        # (a) new round-4h queries
+        # ---- round-5 driver window (first 50 = stalest-first; see
+        # ROTATION below) ----
+        # (1) round-3-mandated trio, never driver-checked (r04 positions
+        # 103-105)
+        "semdedup": q_semdedup,
+        "report_summary": q_report_summary,
+        "streaming_dedup": q_streaming_dedup,
+        "dim_covariance": q_dim_covariance,  # r04 red; determinism fixed r05
+        "flagship_positional": q_flagship_positional,
         "containment_pairs": q_containment_pairs,
-        "path_trigrams": q_path_trigrams,
-        "user_entropy": q_user_entropy,
-        "weighted_median": q_weighted_median,
-        "quantization_audit": q_quantization_audit,
-        "label_centroid_sim": q_label_centroid_sim,
-        "slo_burn": q_slo_burn,
-        "rolling_level_shift": q_rolling_level_shift,
-        # (a) new round-4g queries
-        "bigram_surprisal": q_bigram_surprisal,
-        "rrf_fusion": q_rrf_fusion,
-        "stickiness": q_stickiness,
-        "interevent_gaps": q_interevent_gaps,
-        "weekly_profile": q_weekly_profile,
-        "benford_audit": q_benford_audit,
+        "snm_pairs": q_snm_pairs,
+        "streaming_neardup": q_streaming_neardup,
+        # (2) remainder of the never-driver-checked backlog, oldest
+        # blocks first (r04 4g-4a order preserved)
         "ks_drift": q_ks_drift,
         "streaming_sliding_counts": q_streaming_sliding_counts,
-        # (a) new round-4f queries
         "conversion_latency": q_conversion_latency,
         "rfm_segments": q_rfm_segments,
         "vocab_overlap": q_vocab_overlap,
@@ -3566,10 +3803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_profile": q_acf_profile,
         "adamic_adar": q_adamic_adar,
         "streaming_ksigma": q_streaming_ksigma,
-        # (a) new round-4e queries
         "unigram_surprisal": q_unigram_surprisal,
         "dup_ngram_fraction": q_dup_ngram_fraction,
-        "snm_pairs": q_snm_pairs,
         "canonical_select": q_canonical_select,
         "theil_sen": q_theil_sen,
         "spearman_corr": q_spearman_corr,
@@ -3577,7 +3812,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_audit": q_skew_audit,
         "lang_confusion": q_lang_confusion,
         "streaming_cdc_latest": q_streaming_cdc_latest,
-        # (a) new round-4a–4d queries
         "streaming_burst": q_streaming_burst,
         "streaming_ohlc": q_streaming_ohlc,
         "ab_test": q_ab_test,
@@ -3601,6 +3835,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_strength": q_seasonal_strength,
         "ohlc": q_ohlc,
         "twap": q_twap,
+        # ---- driver cap (50) lands here ----
+        # leftover never-checked (backlog exceeds one 50-slot window by
+        # these 18; they lead the round-6 window)
         "interpolate": q_interpolate,
         "changes": q_changes,
         "deriv": q_deriv,
@@ -3611,9 +3848,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "merge_upsert": q_merge_upsert,
         "interval_merge": q_interval_merge,
-        "semdedup": q_semdedup,
-        "report_summary": q_report_summary,
-        "streaming_dedup": q_streaming_dedup,
         "bloom_contamination": q_bloom_contamination,
         "mixture_plan": q_mixture_plan,
         "funnel": q_funnel,
@@ -3622,16 +3856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predict_linear": q_predict_linear,
         "resets": q_resets,
         "global_shuffle": q_global_shuffle,
-        # (b) r03-green but code/oracle changed this round (propagation
-        # localCheckpoint; irate tiebreak; degenerate-extent guard;
-        # weight>0 filter; hash-derived shards) — re-check now
-        "dedup_materialize": q_dedup_materialize,
-        "dup_cluster_sizes": q_dup_cluster_sizes,
-        "irate": q_irate,
-        "histogram_quantile": q_histogram_quantile,
-        "weighted_sample": q_weighted_sample,
-        "sequence_packing": q_sequence_packing,
-        # (c) oldest driver rows first: the 16 r01-green queries
+        # stalest driver rows next: r01-green block
         "rollup_counts": q_rollup_counts,
         "streaming_bucket_stats": q_streaming_bucket_stats,
         "text_stats": q_text_stats,
@@ -3648,8 +3873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_topk": q_ivf_topk,
         "distinct_series": q_distinct_series,
-        # (c) continued: 25 of the 50 r02-green queries (flagship core
-        # first, then TPC-H Q1–Q8)
+        # r02-green block
         "series_stats": q_series_stats,
         "valid_active_series": q_valid_active_series,
         "time_extent": q_time_extent,
@@ -3667,8 +3891,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_anomalies": q_detect_anomalies,
         "kmeans_outliers": q_kmeans_outliers,
         "corr_matrix_blocked": q_corr_matrix_blocked,
-        # ---- driver cap (50) lands here ----
-        # remaining r02-green rows — front of the round-5 queue
         "tpch_q1": q_tpch_q1,
         "tpch_q2": q_tpch_q2,
         "tpch_q3": q_tpch_q3,
@@ -3702,7 +3924,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "series_set_ops": q_series_set_ops,
         "metric_quantiles": q_metric_quantiles,
-        # r03-green (checked last round; rotate forward in round 6)
+        # r03-green block
+        "dedup_materialize": q_dedup_materialize,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
+        "irate": q_irate,
+        "histogram_quantile": q_histogram_quantile,
+        "weighted_sample": q_weighted_sample,
+        "sequence_packing": q_sequence_packing,
         "simhash": q_simhash,
         "srp_buckets": q_srp_buckets,
         "knn_graph": q_knn_graph,
@@ -3747,6 +3975,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_audit": q_quantile_sketch_audit,
         "streaming_quantiles": q_streaming_quantiles,
         "chunk_documents": q_chunk_documents,
+        # r04-green block (freshest; rotates last)
+        "wow_change": q_wow_change,
+        "grid_completeness": q_grid_completeness,
+        "cohort_conversion": q_cohort_conversion,
+        "period_detect": q_period_detect,
+        "max_drawdown": q_max_drawdown,
+        "peak_detect": q_peak_detect,
+        "ecdf_sample": q_ecdf_sample,
+        "holdout_leakage": q_holdout_leakage,
+        "pii_density": q_pii_density,
+        "dedup_savings": q_dedup_savings,
+        "lsh_eval": q_lsh_eval,
+        "mann_kendall": q_mann_kendall,
+        "late_arrival_audit": q_late_arrival_audit,
+        "wide_metrics": q_wide_metrics,
+        "streaming_daily_quantiles": q_streaming_daily_quantiles,
+        "seasonal_zscore": q_seasonal_zscore,
+        "anomaly_cooccurrence": q_anomaly_cooccurrence,
+        "daily_quantiles": q_daily_quantiles,
+        "term_burstiness": q_term_burstiness,
+        "session_summary": q_session_summary,
+        "quantile_align": q_quantile_align,
+        "ltv_curve": q_ltv_curve,
+        "trimmed_mean": q_trimmed_mean,
+        "freshness_audit": q_freshness_audit,
+        "join_size_estimate": q_join_size_estimate,
+        "dist_overlap": q_dist_overlap,
+        "alert_episodes": q_alert_episodes,
+        "cuped_ab": q_cuped_ab,
+        "table_diff": q_table_diff,
+        "seasonal_decompose": q_seasonal_decompose,
+        "clustering_coeff": q_clustering_coeff,
+        "event_throttle": q_event_throttle,
+        "retention_curve": q_retention_curve,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "streaming_weekly_profile": q_streaming_weekly_profile,
+        "path_trigrams": q_path_trigrams,
+        "user_entropy": q_user_entropy,
+        "weighted_median": q_weighted_median,
+        "quantization_audit": q_quantization_audit,
+        "label_centroid_sim": q_label_centroid_sim,
+        "slo_burn": q_slo_burn,
+        "rolling_level_shift": q_rolling_level_shift,
+        "bigram_surprisal": q_bigram_surprisal,
+        "rrf_fusion": q_rrf_fusion,
+        "stickiness": q_stickiness,
+        "interevent_gaps": q_interevent_gaps,
+        "weekly_profile": q_weekly_profile,
+        "benford_audit": q_benford_audit,
     }
 
 
@@ -3769,6 +4046,38 @@ def _ewma_sql(alpha: float = 0.2, depth: int = 12) -> str:
                round(({num}) / ({den}), 6) AS ewma
         FROM ({_SIG})
         WINDOW w AS (PARTITION BY metric, series ORDER BY ts)
+    """
+
+
+def _lag_features_sql(lags: tuple[int, ...] = (1, 24), slots: int = 24) -> str:
+    """Oracle mirroring lag_features' fixed left-associated lag
+    expansion (`operators/resample.py`): both engines evaluate the
+    identical IEEE expression tree over 6dp-quantized inputs, so the
+    trailing mean is hash-stable even on round-half boundaries (the
+    `_ewma_sql` pattern)."""
+    num = " + ".join(
+        ["rv"]
+        + [f"coalesce(lag(rv, {k}) OVER w, 0.0)" for k in range(1, slots)]
+    )
+    den = " + ".join(
+        ["1.0"]
+        + [
+            f"CASE WHEN lag(rv, {k}) OVER w IS NOT NULL"
+            f" THEN 1.0 ELSE 0.0 END"
+            for k in range(1, slots)
+        ]
+    )
+    lag_cols = "".join(
+        f",\n               lag(rv, {k}) OVER w AS lag_{k}" for k in lags
+    )
+    return f"""
+        WITH h AS ({_HOURLY}),
+        q AS (SELECT metric, slot_epoch, round(value, 6) AS rv FROM h)
+        SELECT metric, slot_epoch, rv AS value{lag_cols},
+               floor(((0.0 + {num}) / (0.0 + {den})) * 1000000.0 + 0.5)
+                   / 1000000.0 AS rmean_{slots}
+        FROM q
+        WINDOW w AS (PARTITION BY metric ORDER BY slot_epoch)
     """
 
 
@@ -3820,18 +4129,7 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 6) AS hi
             FROM t GROUP BY 1, 2
         """,
-        "lag_features": f"""
-            WITH h AS ({_HOURLY})
-            SELECT metric, slot_epoch, round(value, 6) AS value,
-                   round(lag(value, 1) OVER w, 6) AS lag_1,
-                   round(lag(value, 24) OVER w, 6) AS lag_24,
-                   round(avg(value) OVER (
-                       PARTITION BY metric ORDER BY slot_epoch
-                       ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 6)
-                       AS rmean_24
-            FROM h
-            WINDOW w AS (PARTITION BY metric ORDER BY slot_epoch)
-        """,
+        "lag_features": _lag_features_sql(),
         "winsorize": f"""
             WITH sig AS ({_SIG}),
             st AS (
@@ -5548,6 +5846,36 @@ def oracle_sql() -> dict[str, str]:
               ON a.band_id = b.band_id AND a.band_hash = b.band_hash
              AND a.doc_id < b.doc_id
         """,
+        # single-drain admission-gate semantics: a doc is admitted iff
+        # no lower-doc_id doc shares an LSH band (same banding as
+        # minhash_lsh_pairs)
+        "streaming_neardup": f"""
+            WITH sh AS ({{sh}}),
+            perms AS ({{perms}}),
+            sig AS (
+              SELECT doc_id, perm_id,
+                     min((a * (shingle_hash % 2147483647) + b) % 2147483647)
+                         AS minhash
+              FROM sh CROSS JOIN perms GROUP BY 1, 2
+            ),
+            band AS (
+              SELECT doc_id, (perm_id // 4) AS band_id,
+                     md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm_id))
+                         AS band_hash
+              FROM sig GROUP BY 1, 2
+            ),
+            sup AS (
+              SELECT DISTINCT b.doc_id
+              FROM band a JOIN band b
+                ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+            )
+            SELECT d.doc_id FROM ({{docs}}) d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM sup)
+            ORDER BY d.doc_id
+        """.format(
+            sh=_shingle_sql(_DOCS_DUPS), perms=_PERMS_SQL, docs=_DOCS_DUPS
+        ),
         "simhash": _simhash_sql("SELECT doc_id, text FROM documents"),
         "media_meta": """
             SELECT doc_id, 'image/png' AS media_type,
@@ -7818,6 +8146,44 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         cp_only_anomaly_ts=False,   # Q1 'fix' mode: outliers bucket too
     )
     return analyze(sig, cfg).ranked
+
+
+def q_flagship_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline in Q3 positional-window parity mode
+    (`/root/reference/metrics_advisor.py:186-187` slices correlation
+    windows by sample POSITION, not timestamp).  Rows-only by design:
+    E-Divisive permutation testing inside the detection stage is not
+    SQL-expressible; the e2e positional golden
+    (`tests/test_e2e_reference_bundle.py`) pins the semantics against
+    the reference's own bundle output.
+    """
+    sig = resample(
+        signals_from_events(spark, sf_dir).withColumn(
+            "series", F.lit("all")
+        ),
+        HOUR,
+        "avg",
+    )
+    cfg = AdvisorConfig(
+        obj_signals=("error",),
+        sample_time_step=HOUR,
+        count_bucket=48,
+        min_rows=20,
+        min_range=1e-9,
+        cp_permutations=50,
+        lag_max=3,
+        sigma_level=2.0,
+        cp_only_anomaly_ts=False,
+        positional_windows=True,    # Q3 parity: the one reference mode
+    )
+    return analyze(sig, cfg).ranked.select(
+        "bucket_id",
+        "obj_metric",
+        "cand_metric",
+        F.col("lag").cast("int").alias("lag"),
+        F.round("corr", 6).alias("corr"),
+        "rank",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -121,6 +121,29 @@ def main() -> None:
             }
         )
     )
+    # VERDICT r04 item 7: the driver keeps only a truncated output tail,
+    # so persist the FULL per-query map to a sibling file committed to
+    # the repo — cross-round per-query diffs need all ~230 entries, not
+    # the ~27 that fit in the tail.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(
+                {
+                    "metric": "headline_queries_total_wall",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+    except OSError:
+        pass  # read-only checkout: stdout line above still has the map
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
     )

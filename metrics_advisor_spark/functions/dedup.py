@@ -182,6 +182,44 @@ def minhash_signatures(
     ).select("doc_id", F.col("perm_id").cast("int").alias("perm_id"), "minhash")
 
 
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) LSH band keys — the shared first
+    half of `minhash_lsh_pairs`, factored out so the streaming near-dup
+    gate can join fresh batches against an admitted-band store without
+    re-deriving the banding.
+
+    band_id = perm_id // (k/bands); band_hash = md5 of the ordered
+    minhash values in the band.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, text_col, n, k)
+    return (
+        sig.withColumn(
+            "band_id", (F.col("perm_id") / rows_per_band).cast("int")
+        )
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("perm_id", "minhash"))
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_hash")
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -204,25 +242,7 @@ def minhash_lsh_pairs(
     in O(size) pairs instead of O(size²).  None (default) = exact
     all-pairs parity.
     """
-    rows_per_band = k // bands
-    sig = minhash_signatures(df, text_col, n, k)
-    band = (
-        sig.withColumn("band_id", (F.col("perm_id") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("perm_id", "minhash"))
-                        ),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("band_hash")
-        )
-    )
+    band = minhash_bands(df, text_col, n=n, k=k, bands=bands)
     if max_bucket_size is not None:
         stats = band.groupBy("band_id", "band_hash").agg(
             F.count(F.lit(1)).alias("bucket_n"),

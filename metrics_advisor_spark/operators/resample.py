@@ -265,21 +265,41 @@ def lag_features(
 
     Scale: all features ride ONE window sort per metric; output stays
     one row per input slot (no fan-out).
+
+    Hash determinism (round-5 fix): ``avg().over(rowsBetween)`` sums
+    engine-side doubles in an engine-chosen order, so a trailing mean
+    sitting on a round(·, 6) half-boundary can flip between engines /
+    parallelism levels (the r05 driver-sim caught exactly that).  The
+    rolling mean is instead expanded as a FIXED left-associated sum of
+    ``rolling_mean_slots`` lags of the 6dp-quantized value — the same
+    IEEE expression tree the SQL oracle evaluates (the `_ewma_sql`
+    pattern) — and still rides the same single window sort.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy("metric").orderBy("slot_epoch")
-    wr = w.rowsBetween(-(rolling_mean_slots - 1), 0)
+    rv = F.round("value", 6)
     cols = [
         F.col("metric"),
         F.col("slot_epoch"),
-        F.round("value", 6).alias("value"),
+        rv.alias("value"),
     ]
     for k in lags:
-        cols.append(F.round(F.lag("value", k).over(w), 6).alias(f"lag_{k}"))
+        cols.append(F.lag(rv, k).over(w).alias(f"lag_{k}"))
+    num = F.lit(0.0) + rv
+    den = F.lit(0.0) + F.lit(1.0)
+    for k in range(1, rolling_mean_slots):
+        lk = F.lag(rv, k).over(w)
+        num = num + F.coalesce(lk, F.lit(0.0))
+        den = den + F.when(lk.isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+    # floor-form 6dp rounding: engines disagree on round() of exact
+    # decimal halves (Spark HALF_UP on the shortest repr vs DuckDB's
+    # scaled-double round), but floor(x*1e6 + 0.5)/1e6 is plain IEEE
+    # arithmetic — identical double in, identical double out
     cols.append(
-        F.round(F.avg("value").over(wr), 6).alias(
-            f"rmean_{rolling_mean_slots}"
-        )
+        (
+            F.floor((num / den) * F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias(f"rmean_{rolling_mean_slots}")
     )
     return hourly.select(*cols)

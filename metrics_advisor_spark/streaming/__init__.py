@@ -11,6 +11,7 @@ from metrics_advisor_spark.streaming.pipeline import (
     streaming_exact_dedup,
     streaming_flagship,
     streaming_ksigma,
+    streaming_neardup_gate,
     streaming_xcorr,
     windowed_stats,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_flagship",
     "streaming_ksigma",
+    "streaming_neardup_gate",
     "streaming_xcorr",
     "windowed_stats",
 ]

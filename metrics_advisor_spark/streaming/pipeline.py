@@ -581,6 +581,96 @@ def streaming_flagship(
     return gated
 
 
+def streaming_neardup_gate(
+    stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    checkpoint: str | None = None,
+) -> Any:
+    """14th streaming surface: near-dup ADMISSION GATE on an unbounded
+    document stream — MinHash-LSH per micro-batch via ``foreachBatch``,
+    reusing the batch `minhash_bands` pipeline (the last big batch
+    family with no streaming twin).
+
+    Per micro-batch:
+      1. compute the batch's (doc_id, band_id, band_hash) LSH bands;
+      2. cross-batch: drop any doc sharing ≥1 band with the
+         admitted-band STORE (a parquet dir appended per batch — the
+         dedup state the Spark state store cannot hold because band
+         keys must outlive any watermark; production compacts/buckets
+         it periodically, and the lookup is one equi-join on
+         (band_id, band_hash) against a store partitioned the same
+         way — never a scan of admitted TEXT);
+      3. within-batch: drop any doc sharing a band with a lower-doc_id
+         batch doc (canonical min-id winner, arrival-order
+         independent — same rule as the batch LSH pipeline);
+      4. append survivors' bands to the store and survivors to
+         ``out_dir``.
+
+    For a single availableNow drain of a static source (one batch),
+    the admitted set is exactly "docs where no lower-id doc shares a
+    band" — the SQL-expressible oracle of the contract query.
+    """
+    from metrics_advisor_spark.functions.dedup import minhash_bands
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        bnd = minhash_bands(
+            batch, text_col, n=n, k=k, bands=bands
+        ).persist()
+        try:
+            store = spark.read.parquet(store_dir)
+        except Exception:  # first batch: no store yet
+            store = None
+        if store is not None:
+            hit = (
+                bnd.join(store, ["band_id", "band_hash"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            fresh = bnd.join(hit, "doc_id", "left_anti")
+        else:
+            fresh = bnd
+        a, b = fresh.alias("a"), fresh.alias("b")
+        suppressed = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("b.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        surv_bands = fresh.join(suppressed, "doc_id", "left_anti").persist()
+        survivors = batch.join(
+            surv_bands.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+        # ORDER MATTERS: emit survivors BEFORE appending their bands to
+        # the store — both plans re-read store_dir lazily, and a store
+        # append first would make the survivors pass see its own batch's
+        # bands as "already admitted" and suppress the whole batch.
+        survivors.write.mode("append").parquet(out_dir)
+        surv_bands.select("doc_id", "band_id", "band_hash").write.mode(
+            "append"
+        ).parquet(store_dir)
+        bnd.unpersist()
+        surv_bands.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q
+
+
 def run_to_memory(
     df: DataFrame,
     name: str,

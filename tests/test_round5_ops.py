@@ -1,0 +1,95 @@
+"""Round-5 new surfaces: streaming near-dup gate (14th streaming
+surface) and the flagship positional contract query."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from metrics_advisor_spark.functions.dedup import (
+    minhash_bands,
+    minhash_lsh_pairs,
+)
+from metrics_advisor_spark.streaming.pipeline import streaming_neardup_gate
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def _gate(spark, src, store, out):
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    streaming_neardup_gate(stream, store_dir=store, out_dir=out)
+
+
+def test_neardup_gate_within_batch(spark):
+    base = tempfile.mkdtemp(prefix="ma_t_neardup_")
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, text), (2, text), (3, "a completely different document "
+                                      "about spark structured streaming")]
+    _write_docs(spark, f"{base}/src", rows)
+    _gate(spark, f"{base}/src", f"{base}/store", f"{base}/out")
+    admitted = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{base}/out").collect()
+    )
+    # doc 2 is an exact dup of doc 1 → suppressed; min-id winner stays
+    assert admitted == [1, 3]
+
+
+def test_neardup_gate_cross_batch_store(spark):
+    base = tempfile.mkdtemp(prefix="ma_t_neardup2_")
+    text = "one shared boilerplate paragraph that repeats across batches ok"
+    _write_docs(spark, f"{base}/b1", [(10, text), (11, "unique first doc "
+                                                       "entirely different words")])
+    _write_docs(spark, f"{base}/b2", [(20, text), (21, "another novel doc "
+                                                       "with fresh content words")])
+    # two separate drains sharing the admitted-band store = two batches
+    _gate(spark, f"{base}/b1", f"{base}/store", f"{base}/out")
+    _gate(spark, f"{base}/b2", f"{base}/store", f"{base}/out")
+    admitted = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{base}/out").collect()
+    )
+    # doc 20 collides with admitted doc 10 via the store → suppressed
+    assert admitted == [10, 11, 21]
+
+
+def test_minhash_bands_matches_lsh_pairs(spark):
+    # pairs derived from the factored band helper == the r01-green
+    # minhash_lsh_pairs output (refactor safety net)
+    docs = spark.createDataFrame(
+        [(i, f"shared prefix words here tail {i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    band = minhash_bands(docs)
+    a, b = band.alias("a"), band.alias("b")
+    via_bands = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .collect()
+    )
+    direct = sorted(
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()
+    )
+    assert via_bands == direct and len(direct) > 0
+
+
+def test_flagship_positional_contract(spark):
+    import __spark_entry__ as em
+
+    df = em.q_flagship_positional(spark, "/root/testdata/sf0.001")
+    # schema-stable rows-only contract; sf0.001 may legitimately be empty
+    assert df.columns == [
+        "bucket_id", "obj_metric", "cand_metric", "lag", "corr", "rank"
+    ]
+    df.collect()
