@@ -577,9 +577,30 @@ def dim_covariance(
         "vec_id", F.col("dim").alias("dim_b"), F.col("x").alias("xb")
     )
 
-    def _fold(arr, field):
-        return F.aggregate(
-            arr, F.lit(0.0), lambda acc, v: acc + v[field]
+    zero = F.struct(
+        F.lit(0.0).alias("sx"),
+        F.lit(0.0).alias("sy"),
+        F.lit(0.0).alias("sxy"),
+        F.lit(0.0).alias("sxx"),
+        F.lit(0.0).alias("syy"),
+    )
+
+    def _acc_xy(acc, v):
+        return F.struct(
+            (acc.sx + v.xa).alias("sx"),
+            (acc.sy + v.xb).alias("sy"),
+            (acc.sxy + v.xa * v.xb).alias("sxy"),
+            (acc.sxx + v.xa * v.xa).alias("sxx"),
+            (acc.syy + v.xb * v.xb).alias("syy"),
+        )
+
+    def _acc_partial(acc, v):
+        return F.struct(
+            (acc.sx + v.sx).alias("sx"),
+            (acc.sy + v.sy).alias("sy"),
+            (acc.sxy + v.sxy).alias("sxy"),
+            (acc.sxx + v.sxx).alias("sxx"),
+            (acc.syy + v.syy).alias("syy"),
         )
 
     lvl1 = (
@@ -597,38 +618,25 @@ def dim_covariance(
             "dim_b",
             "bkt",
             F.size("vs").cast("double").alias("n"),
-            _fold(F.col("vs"), "xa").alias("sx"),
-            _fold(F.col("vs"), "xb").alias("sy"),
-            F.aggregate(
-                "vs", F.lit(0.0), lambda acc, v: acc + v.xa * v.xb
-            ).alias("sxy"),
-            F.aggregate(
-                "vs", F.lit(0.0), lambda acc, v: acc + v.xa * v.xa
-            ).alias("sxx"),
-            F.aggregate(
-                "vs", F.lit(0.0), lambda acc, v: acc + v.xb * v.xb
-            ).alias("syy"),
+            F.aggregate("vs", zero, _acc_xy).alias("s"),
         )
     )
     folded = (
         lvl1.groupBy("dim_a", "dim_b")
         .agg(
             F.sort_array(
-                F.collect_list(
-                    F.struct("bkt", "n", "sx", "sy", "sxy", "sxx", "syy")
-                )
+                F.collect_list(F.struct("bkt", "n", F.col("s.*")))
             ).alias("ps")
         )
         .select(
             "dim_a",
             "dim_b",
-            _fold(F.col("ps"), "n").alias("n"),
-            _fold(F.col("ps"), "sx").alias("sx"),
-            _fold(F.col("ps"), "sy").alias("sy"),
-            _fold(F.col("ps"), "sxy").alias("sxy"),
-            _fold(F.col("ps"), "sxx").alias("sxx"),
-            _fold(F.col("ps"), "syy").alias("syy"),
+            F.aggregate(
+                "ps", F.lit(0.0), lambda acc, v: acc + v.n
+            ).alias("n"),
+            F.aggregate("ps", zero, _acc_partial).alias("s"),
         )
+        .select("dim_a", "dim_b", "n", F.col("s.*"))
     )
     n = F.col("n")
     cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
