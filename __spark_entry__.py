@@ -2234,6 +2234,39 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_source_overlap(docs.unionByName(mirror))
 
 
+def q_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-passage pairs (longest run of consecutive shared
+    word 8-grams ≥ 12 words) over the planted-dup corpus — suffix-style
+    substring dedup re-expressed as a positional inverted index +
+    diagonal islands."""
+    from metrics_advisor_spark.functions.dedup import shared_passage_pairs
+
+    return shared_passage_pairs(
+        _docs_with_dups(spark, sf_dir), n=8, min_words=12
+    )
+
+
+def q_cross_source_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source NEAR-dup audit: a planted 'mirror' source re-crawls
+    every doc_id % 7 == 0 doc with the last word dropped — exact
+    content hashing reports zero overlap, the LSH band join finds the
+    mirrors."""
+    from metrics_advisor_spark.functions.dedup import cross_source_neardup
+
+    docs = _docs(spark, sf_dir, fanout=False).select(
+        "doc_id", "text", "source"
+    )
+    words = F.split(F.col("text"), " ")
+    mirror = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, F.size(words) - 1), " ").alias(
+            "text"
+        ),
+        F.lit("mirror").alias("source"),
+    )
+    return cross_source_neardup(docs.unionByName(mirror))
+
+
 def q_source_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated token-count percentiles per source — the
     length-distribution audit behind chunking / packing decisions."""
@@ -3592,6 +3625,8 @@ ROTATION: dict[str, int | None] = {
     "predict_linear": None,
     "resets": None,
     "global_shuffle": None,
+    "shared_passages": None,
+    "cross_source_neardup": None,
     "rollup_counts": 1,
     "streaming_bucket_stats": 1,
     "text_stats": 1,
@@ -3856,6 +3891,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predict_linear": q_predict_linear,
         "resets": q_resets,
         "global_shuffle": q_global_shuffle,
+        # new round-5 surfaces (never-checked; queue behind the
+        # leftover backlog so the mandated re-checks go first)
+        "shared_passages": q_shared_passages,
+        "cross_source_neardup": q_cross_source_neardup,
         # stalest driver rows next: r01-green block
         "rollup_counts": q_rollup_counts,
         "streaming_bucket_stats": q_streaming_bucket_stats,
@@ -5876,6 +5915,78 @@ def oracle_sql() -> dict[str, str]:
         """.format(
             sh=_shingle_sql(_DOCS_DUPS), perms=_PERMS_SQL, docs=_DOCS_DUPS
         ),
+        "shared_passages": f"""
+            WITH g AS (
+              SELECT doc_id, i::INT AS pos,
+                     ('0x' || substr(md5(array_to_string(w[i+1:i+8], ' ')),
+                                     1, 14))::BIGINT AS gh
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM ({_DOCS_DUPS})),
+                   unnest(range(0, greatest(len(w) - 8, 0) + 1)) AS t(i)
+            ),
+            m AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.pos AS pos_a, a.pos - b.pos AS diag
+              FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+            ),
+            r AS (
+              SELECT doc_a, doc_b, diag,
+                     pos_a - row_number() OVER (
+                         PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+                     ) AS grp
+              FROM m
+            ),
+            runs AS (
+              SELECT doc_a, doc_b, count(*) AS run_len
+              FROM r GROUP BY doc_a, doc_b, diag, grp
+            )
+            SELECT doc_a, doc_b,
+                   CAST(max(run_len) + 7 AS BIGINT) AS max_shared_words,
+                   count(*)::BIGINT AS n_runs
+            FROM runs GROUP BY 1, 2
+            HAVING max(run_len) + 7 >= 12
+        """,
+        "cross_source_neardup": f"""
+            WITH src AS (
+              SELECT doc_id, text, source FROM documents
+              UNION ALL
+              SELECT doc_id + 300000 AS doc_id,
+                     array_to_string(w[1:len(w)-1], ' ') AS text,
+                     'mirror' AS source
+              FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+                    FROM documents)
+              WHERE doc_id % 7 = 0
+            ),
+            sh AS ({_shingle_sql("SELECT doc_id, text FROM src")}),
+            perms AS ({_PERMS_SQL}),
+            sig AS (
+              SELECT doc_id, perm_id,
+                     min((a * (shingle_hash % 2147483647) + b) % 2147483647)
+                         AS minhash
+              FROM sh CROSS JOIN perms GROUP BY 1, 2
+            ),
+            band AS (
+              SELECT doc_id, (perm_id // 4) AS band_id,
+                     md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm_id))
+                         AS band_hash
+              FROM sig GROUP BY 1, 2
+            ),
+            lab AS (SELECT doc_id, source FROM src),
+            p AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     least(la.source, lb.source) AS src_a,
+                     greatest(la.source, lb.source) AS src_b
+              FROM band a
+              JOIN band b ON a.band_id = b.band_id
+                         AND a.band_hash = b.band_hash
+                         AND a.doc_id < b.doc_id
+              JOIN lab la ON la.doc_id = a.doc_id
+              JOIN lab lb ON lb.doc_id = b.doc_id
+              WHERE la.source <> lb.source
+            )
+            SELECT src_a, src_b, count(*)::BIGINT AS n_neardup_pairs
+            FROM p GROUP BY 1, 2
+        """,
         "simhash": _simhash_sql("SELECT doc_id, text FROM documents"),
         "media_meta": """
             SELECT doc_id, 'image/png' AS media_type,

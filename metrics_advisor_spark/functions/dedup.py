@@ -901,3 +901,133 @@ def lsh_eval(
             .alias("recall"),
         )
     )
+
+
+def shared_passage_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    min_words: int = 12,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Exact shared-PASSAGE detection: for every doc pair, the longest
+    run of CONSECUTIVE shared word n-grams, reported in words
+    (run_len + n − 1) — the distributed re-expression of suffix-style
+    exact substring dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"): quote/boilerplate/passage
+    reuse that whole-doc Jaccard dilutes and MinHash never localizes.
+
+    Plan: a POSITIONAL inverted index (gram_hash, doc_id, pos); shared
+    grams join on the hash; a pair's co-occurrences fall on diagonals
+    (pos_a − pos_b constant along a shared passage), and the classic
+    rank-difference islands trick turns each diagonal's consecutive
+    positions into maximal runs — no passage text is ever materialized.
+
+    Scale: the only join key is the n-gram hash; ``max_gram_df`` drops
+    boilerplate grams before the join (the same skew cap as
+    `jaccard_pairs`).  Run detection windows partition by
+    (doc_a, doc_b, diag) — each window sorts only one diagonal of one
+    pair.  Output is pair-shaped, filtered by ``min_words``.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: _hash56(F.array_join(F.slice(words, i + 1, n), " ")),
+    )
+    pos = df.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram_hash")
+    )
+    if max_gram_df is not None:
+        hot = (
+            pos.groupBy("gram_hash")
+            .agg(F.count("*").alias("gdf"))
+            .where(F.col("gdf") > max_gram_df)
+            .select("gram_hash")
+        )
+        pos = pos.join(hot, "gram_hash", "left_anti")
+    a = pos.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("pos_a"),
+        "gram_hash",
+    )
+    b = pos.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        "gram_hash",
+    )
+    matched = (
+        a.join(b, "gram_hash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "pos_a",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = (
+        matched.withColumn(
+            "grp", F.col("pos_a") - F.row_number().over(w)
+        )
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("run_len") + F.lit(n - 1)).cast("long").alias(
+                "max_shared_words"
+            ),
+            F.count("*").cast("long").alias("n_runs"),
+        )
+        .where(F.col("max_shared_words") >= min_words)
+    )
+
+
+def cross_source_neardup(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup analog of `cross_source_overlap`: per source pair, the
+    number of DISTINCT cross-source doc pairs sharing ≥1 MinHash-LSH
+    band — the mixing audit that catches mirrors which re-crawl with
+    small edits (truncated tails, boilerplate swaps), where exact
+    content hashing reports zero overlap.
+
+    Same banding as `minhash_lsh_pairs` via the shared `minhash_bands`
+    helper; the self-join key is (band_id, band_hash) — never raw text
+    or a doc cross-product — and the per-bucket fan-out carries the
+    usual LSH bucket-size story.  Output cardinality is bounded by
+    source-pair count.
+    """
+    src = df.select("doc_id", F.col(source_col).alias("src"))
+    bnd = minhash_bands(df, text_col, n=n, k=k, bands=bands).join(
+        src, "doc_id"
+    )
+    a, b = bnd.alias("a"), bnd.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.src") != F.col("b.src")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.least("a.src", "b.src").alias("src_a"),
+            F.greatest("a.src", "b.src").alias("src_b"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("long").alias("n_neardup_pairs")
+    )

@@ -93,3 +93,60 @@ def test_flagship_positional_contract(spark):
         "bucket_id", "obj_metric", "cand_metric", "lag", "corr", "rank"
     ]
     df.collect()
+
+
+def test_shared_passage_pairs_planted(spark):
+    # doc 2 quotes a 15-word passage of doc 1 inside unrelated text;
+    # doc 3 shares nothing
+    passage = " ".join(f"p{i}" for i in range(15))
+    rows = [
+        (1, "intro words here " + passage + " closing remarks now"),
+        (2, "other document starts " + passage + " and then diverges"),
+        (3, " ".join(f"z{i}" for i in range(25))),
+    ]
+    from metrics_advisor_spark.functions.dedup import shared_passage_pairs
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["max_shared_words"]
+        for r in shared_passage_pairs(df, n=8, min_words=12).collect()
+    }
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)] == 15  # exactly the quoted passage length
+
+
+def test_shared_passage_runs_split_by_gap(spark):
+    # two separate 10-word shared passages with a divergent middle →
+    # n_runs == 2 and max == 10 (runs must NOT merge across the gap)
+    p1 = " ".join(f"a{i}" for i in range(10))
+    p2 = " ".join(f"b{i}" for i in range(10))
+    rows = [
+        (1, p1 + " unique middle one " + p2),
+        (2, p1 + " different bridge words " + p2),
+    ]
+    from metrics_advisor_spark.functions.dedup import shared_passage_pairs
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = shared_passage_pairs(df, n=8, min_words=10).collect()
+    assert len(r) == 1
+    assert r[0]["max_shared_words"] == 10
+    assert r[0]["n_runs"] == 2
+
+
+def test_cross_source_neardup_finds_truncated_mirror(spark):
+    from metrics_advisor_spark.functions.dedup import cross_source_neardup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (1, base, "crawl"),
+        (2, " ".join(f"w{i}" for i in range(20)), "crawl"),
+        # mirror re-crawl of doc 1 with the last word dropped
+        (3, base.rsplit(" ", 1)[0], "mirror"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["src_a"], r["src_b"]): r["n_neardup_pairs"]
+        for r in cross_source_neardup(df).collect()
+    }
+    assert out.get(("crawl", "mirror")) == 1
