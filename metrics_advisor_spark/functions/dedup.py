@@ -1008,6 +1008,10 @@ def cross_source_neardup(
     source-pair count.
     """
     src = df.select("doc_id", F.col(source_col).alias("src"))
+    # NOT persisted (measured r05): caching the banded frame coalesces
+    # it to few partitions and starves the self-join's parallelism —
+    # recomputing both sides is faster (2.4 vs 3.5+ s at sf0.1), the
+    # same persist A/B lesson as ROUND_NOTES' unigram case
     bnd = minhash_bands(df, text_col, n=n, k=k, bands=bands).join(
         src, "doc_id"
     )
