@@ -81,19 +81,43 @@ def test_query_matches_oracle(name, spark, ddb):
     assert len(spark_rows) == len(ddb_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(ddb_rows)}"
     )
+    # EXACT compare on the 6dp-canonized values — the same equality the
+    # driver's value hash enforces.  The old isclose tolerance
+    # (rel 1e-9 / abs 2e-6) passed while the driver flagged red twice
+    # (dim_covariance r04, lag_features r05: round-half boundary
+    # flips), so the builder gate now mirrors the driver gate
+    # bit-for-bit.  A near-miss within the old tolerance is reported as
+    # such to speed diagnosis: it means a rounding-boundary/expression-
+    # tree problem, not a logic bug.
     a, b = _canon(spark_rows, spark_cols), _canon(ddb_rows, ddb_cols)
     mismatches = []
+    near_only = True
     for i, (ra, rb) in enumerate(zip(a, b)):
         for va, vb in zip(ra, rb):
             if isinstance(va, float) and isinstance(vb, float):
-                if not (math.isclose(va, vb, rel_tol=1e-9, abs_tol=2e-6)
-                        or (math.isnan(va) and math.isnan(vb))):
+                if math.isnan(va) and math.isnan(vb):
+                    continue
+                if va != vb:
+                    if not math.isclose(
+                        va, vb, rel_tol=1e-9, abs_tol=2e-6
+                    ):
+                        near_only = False
                     mismatches.append((i, ra, rb))
                     break
             elif va != vb:
+                near_only = False
                 mismatches.append((i, ra, rb))
                 break
-    assert not mismatches, f"{name}: {len(mismatches)} rows differ; first: {mismatches[:3]}"
+    hint = (
+        " (all within the old float tolerance — a rounding-boundary/"
+        "IEEE-expression-tree issue; see ROUND_NOTES round 5)"
+        if mismatches and near_only
+        else ""
+    )
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} rows differ{hint}; "
+        f"first: {mismatches[:3]}"
+    )
 
 
 def test_entry_smoke(spark):

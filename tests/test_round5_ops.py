@@ -150,3 +150,63 @@ def test_cross_source_neardup_finds_truncated_mirror(spark):
         for r in cross_source_neardup(df).collect()
     }
     assert out.get(("crawl", "mirror")) == 1
+
+
+def test_shared_passages_match_bruteforce(spark):
+    """Property: shared_passage_pairs == a direct python reference over
+    random corpora drawn from a tiny vocabulary (high collision rate →
+    exercises multi-diagonal and repeated-gram paths)."""
+    import itertools
+    import random
+
+    from metrics_advisor_spark.functions.dedup import shared_passage_pairs
+
+    n, min_words = 3, 4
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        docs = [
+            (i, " ".join(rng.choice("abc") for _ in range(rng.randint(3, 14))))
+            for i in range(8)
+        ]
+
+        def grams(t):
+            w = t.split(" ")
+            if len(w) < n:
+                return [" ".join(w[:n])]  # slice(…, n) pads like Spark? no: short doc → one gram of all words
+            return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+        expect = {}
+        for (ida, ta), (idb, tb) in itertools.combinations(docs, 2):
+            ga, gb = grams(ta), grams(tb)
+            runs = {}
+            for pa, a_ in enumerate(ga):
+                for pb, b_ in enumerate(gb):
+                    if a_ == b_:
+                        runs.setdefault(pa - pb, []).append(pa)
+            best, n_runs = 0, 0
+            for poss in runs.values():
+                poss.sort()
+                lens = []
+                cur_len = 1
+                for x, y in zip(poss, poss[1:]):
+                    if y == x + 1:
+                        cur_len += 1
+                    else:
+                        lens.append(cur_len)
+                        cur_len = 1
+                lens.append(cur_len)
+                best = max(best, max(lens))
+                n_runs += len(lens)
+            if best and best + n - 1 >= min_words:
+                expect[(min(ida, idb), max(ida, idb))] = (
+                    best + n - 1, n_runs
+                )
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["max_shared_words"], r["n_runs"])
+            for r in shared_passage_pairs(
+                df, n=n, min_words=min_words
+            ).collect()
+        }
+        assert got == expect, f"seed={seed}: {got} != {expect}"
