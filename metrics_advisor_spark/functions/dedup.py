@@ -56,13 +56,22 @@ def shingle(
     ``distinct=False`` skips the dedup shuffle — correct (and one whole
     shuffle cheaper) for duplicate-insensitive consumers like min
     aggregations (minhash, fingerprint); set semantics (Jaccard counts)
-    need the default."""
-    words = F.split(F.col(text_col), " ")
+    need the default.
+
+    The word array is materialized into a column BEFORE the gram
+    lambda (round-5 fix, whole shingle family): an outer expression
+    captured inside ``transform`` re-evaluates per element — the
+    split ran O(L) times per doc, O(L²) total splitting (measured 3×
+    end-to-end on the sf0.1 shingle stage)."""
+    wdf = df.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("_w")
+    )
+    words = F.col("_w")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(words, i + 1, n), " "),
     )
-    out = df.select("doc_id", F.explode(grams).alias("shingle")).select(
+    out = wdf.select("doc_id", F.explode(grams).alias("shingle")).select(
         "doc_id", _hash56(F.col("shingle")).alias("shingle_hash")
     )
     return out.distinct() if distinct else out
@@ -94,13 +103,16 @@ def jaccard_pairs(
     # the naive formulation (a global DISTINCT over exploded shingles and
     # a sizes groupBy joined back twice): the only exchanges left are the
     # self-join on shingle_hash (whose two sides reuse one exchange) and
-    # the (doc_a, doc_b) intersection count.
-    words = F.split(F.col(text_col), " ")
+    # the (doc_a, doc_b) intersection count.  Words materialized before
+    # the gram lambda (see `shingle` — captured expressions re-evaluate
+    # per element).
+    wdf = df.select("doc_id", F.split(F.col(text_col), " ").alias("_w"))
+    words = F.col("_w")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
         lambda i: _hash56(F.array_join(F.slice(words, i + 1, n), " ")),
     )
-    hashed = df.select(
+    hashed = wdf.select(
         "doc_id", F.array_distinct(grams).alias("hashes")
     ).withColumn("set_size", F.size("hashes"))
     sh = hashed.select(
@@ -795,7 +807,9 @@ def containment_pairs(
     underestimating containment (``dup_ngram_fraction`` already
     handled the cap this way).
     """
-    words = F.split(F.col(text_col), " ")
+    # words materialized before the gram lambda (see `shingle`)
+    wdf = df.select("doc_id", F.split(F.col(text_col), " ").alias("_w"))
+    words = F.col("_w")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(words, i + 1, n), " "),
@@ -803,7 +817,7 @@ def containment_pairs(
     hs = F.array_distinct(F.transform(grams, lambda g: _hash56(g)))
     if max_shingle_df is None:
         # no cap → per-doc size known pre-explode, no extra exchange
-        sets = df.select(
+        sets = wdf.select(
             "doc_id", hs.alias("hs")
         ).select(
             "doc_id", F.size("hs").alias("set_size"),
@@ -812,7 +826,7 @@ def containment_pairs(
     else:
         from pyspark.sql import Window
 
-        sets = df.select(
+        sets = wdf.select(
             "doc_id", F.explode(hs).alias("shingle_hash")
         )
         hot = (
@@ -931,12 +945,14 @@ def shared_passage_pairs(
     """
     from pyspark.sql import Window
 
-    words = F.split(F.col(text_col), " ")
+    # words materialized before the gram lambda (see `shingle`)
+    wdf = df.select("doc_id", F.split(F.col(text_col), " ").alias("_w"))
+    words = F.col("_w")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
         lambda i: _hash56(F.array_join(F.slice(words, i + 1, n), " ")),
     )
-    pos = df.select(
+    pos = wdf.select(
         "doc_id", F.posexplode(grams).alias("pos", "gram_hash")
     )
     if max_gram_df is not None:
