@@ -807,14 +807,18 @@ def containment_pairs(
     underestimating containment (``dup_ngram_fraction`` already
     handled the cap this way).
     """
-    # words materialized before the gram lambda (see `shingle`)
+    # words materialized before the gram lambda (see `shingle`); hash
+    # inside the same lambda — a second transform pass over
+    # materialized gram STRINGS doubled the HOF work (same fusion as
+    # `jaccard_pairs`)
     wdf = df.select("doc_id", F.split(F.col(text_col), " ").alias("_w"))
     words = F.col("_w")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    hs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: _hash56(F.array_join(F.slice(words, i + 1, n), " ")),
+        )
     )
-    hs = F.array_distinct(F.transform(grams, lambda g: _hash56(g)))
     if max_shingle_df is None:
         # no cap → per-doc size known pre-explode, no extra exchange
         sets = wdf.select(
