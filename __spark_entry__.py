@@ -2267,6 +2267,17 @@ def q_cross_source_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_source_neardup(docs.unionByName(mirror))
 
 
+def q_scrub_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage scrubbing (the removal half of substring dedup): shared
+    runs ≥ 12 words are cut from the higher-doc_id side and the cleaned
+    text rebuilt — one row per input doc with removal accounting."""
+    from metrics_advisor_spark.functions.dedup import scrub_shared_passages
+
+    return scrub_shared_passages(
+        _docs_with_dups(spark, sf_dir), n=8, min_words=12
+    )
+
+
 def q_source_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated token-count percentiles per source — the
     length-distribution audit behind chunking / packing decisions."""
@@ -3627,6 +3638,7 @@ ROTATION: dict[str, int | None] = {
     "global_shuffle": None,
     "shared_passages": None,
     "cross_source_neardup": None,
+    "scrub_passages": None,
     "rollup_counts": 1,
     "streaming_bucket_stats": 1,
     "text_stats": 1,
@@ -3895,6 +3907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # leftover backlog so the mandated re-checks go first)
         "shared_passages": q_shared_passages,
         "cross_source_neardup": q_cross_source_neardup,
+        "scrub_passages": q_scrub_passages,
         # stalest driver rows next: r01-green block
         "rollup_counts": q_rollup_counts,
         "streaming_bucket_stats": q_streaming_bucket_stats,
@@ -5945,6 +5958,61 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_runs
             FROM runs GROUP BY 1, 2
             HAVING max(run_len) + 7 >= 12
+        """,
+        "scrub_passages": f"""
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM ({_DOCS_DUPS})
+            ),
+            g AS (
+              SELECT doc_id, i::INT AS pos,
+                     ('0x' || substr(md5(array_to_string(w[i+1:i+8], ' ')),
+                                     1, 14))::BIGINT AS gh
+              FROM w, unnest(range(0, greatest(len(w) - 8, 0) + 1)) AS t(i)
+            ),
+            m AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     b.pos AS pos_b, a.pos - b.pos AS diag
+              FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+            ),
+            r AS (
+              SELECT doc_a, doc_b, diag, pos_b,
+                     pos_b - row_number() OVER (
+                         PARTITION BY doc_a, doc_b, diag ORDER BY pos_b
+                     ) AS grp
+              FROM m
+            ),
+            runs AS (
+              SELECT doc_b, min(pos_b) AS b_start, count(*) AS run_len
+              FROM r GROUP BY doc_a, doc_b, diag, grp
+              HAVING count(*) + 7 >= 12
+            ),
+            cov AS (
+              SELECT DISTINCT doc_b AS doc_id, (b_start + j)::INT AS pos
+              FROM runs, unnest(range(0, run_len + 7)) AS t(j)
+            ),
+            wp AS (
+              SELECT doc_id, i::INT AS pos, w[i+1] AS word
+              FROM w, unnest(range(0, len(w))) AS t(i)
+            ),
+            kept AS (
+              SELECT wp.doc_id, wp.pos, wp.word
+              FROM wp LEFT JOIN cov
+                ON wp.doc_id = cov.doc_id AND wp.pos = cov.pos
+              WHERE cov.pos IS NULL
+            ),
+            k2 AS (
+              SELECT doc_id,
+                     string_agg(word, ' ' ORDER BY pos) AS clean_text,
+                     count(*)::BIGINT AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   coalesce(k2.clean_text, '') AS clean_text,
+                   len(w.w)::BIGINT AS n_words_in,
+                   (len(w.w) - coalesce(k2.n_kept, 0))::BIGINT
+                       AS n_words_removed
+            FROM w LEFT JOIN k2 USING (doc_id)
         """,
         "cross_source_neardup": f"""
             WITH src AS (

@@ -1055,3 +1055,119 @@ def cross_source_neardup(
     return pairs.groupBy("src_a", "src_b").agg(
         F.count("*").cast("long").alias("n_neardup_pairs")
     )
+
+
+def scrub_shared_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    min_words: int = 12,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Passage SCRUBBING — the removal half of exact substring dedup
+    (Lee et al. 2021 remove duplicated spans rather than whole docs):
+    every shared run found by the `shared_passage_pairs` plan is cut
+    out of the HIGHER-doc_id side (keep-first policy, matching the
+    engine's min-id dedup winners), and the cleaned text is rebuilt.
+
+    Single-pass by design: removal can create new word adjacencies
+    whose n-grams were never in the corpus — the paper's iterative
+    variant reruns until fixpoint; callers loop if they need it.
+
+    Plan: the detection half is `shared_passage_pairs`' positional
+    inverted index + diagonal islands, except each island also carries
+    its doc_b-side span; spans explode to covered WORD positions
+    (O(removed words), bounded by corpus size), distinct-ed, and
+    anti-joined against the doc's positional words; `string_agg`-style
+    ordered reassembly emits one row per INPUT doc with the cleaned
+    text and the removal count.  No doc text ever joins doc text —
+    the only wide shuffle keys are gram hashes and doc ids.
+    """
+    wdf = df.select("doc_id", F.split(F.col(text_col), " ").alias("_w"))
+    words = F.col("_w")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: _hash56(F.array_join(F.slice(words, i + 1, n), " ")),
+    )
+    pos = wdf.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram_hash")
+    )
+    if max_gram_df is not None:
+        hot = (
+            pos.groupBy("gram_hash")
+            .agg(F.count("*").alias("gdf"))
+            .where(F.col("gdf") > max_gram_df)
+            .select("gram_hash")
+        )
+        pos = pos.join(hot, "gram_hash", "left_anti")
+    a = pos.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("pos_a"),
+        "gram_hash",
+    )
+    b = pos.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        "gram_hash",
+    )
+    matched = (
+        a.join(b, "gram_hash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_b")
+    runs = (
+        matched.withColumn(
+            "grp", F.col("pos_b") - F.row_number().over(w)
+        )
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_b").alias("b_start"),
+            F.count("*").alias("run_len"),
+        )
+        .where(F.col("run_len") + F.lit(n - 1) >= min_words)
+    )
+    # covered word positions on the doc_b side: grams b_start …
+    # b_start+run_len−1 cover words b_start … b_start+run_len+n−2
+    covered = runs.select(
+        F.col("doc_b").alias("doc_id"),
+        F.explode(
+            F.sequence(
+                F.col("b_start"),
+                F.col("b_start") + F.col("run_len") + F.lit(n - 2),
+            )
+        ).alias("pos"),
+    ).distinct()
+    wordpos = wdf.select(
+        "doc_id", F.posexplode(words).alias("pos", "word")
+    )
+    kept = wordpos.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s.word,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_words_kept"),
+    )
+    base = wdf.select(
+        "doc_id", F.size(words).alias("n_words_in")
+    )
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_words_in",
+            (
+                F.col("n_words_in") - F.coalesce("n_words_kept", F.lit(0))
+            ).cast("long").alias("n_words_removed"),
+        )
+    )

@@ -210,3 +210,27 @@ def test_shared_passages_match_bruteforce(spark):
             ).collect()
         }
         assert got == expect, f"seed={seed}: {got} != {expect}"
+
+
+def test_scrub_shared_passages_keep_first(spark):
+    from metrics_advisor_spark.functions.dedup import scrub_shared_passages
+
+    passage = " ".join(f"p{i}" for i in range(14))
+    rows = [
+        (1, "intro words here " + passage + " closing remarks now"),
+        (2, "other document starts " + passage + " and then diverges"),
+        (3, " ".join(f"z{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_shared_passages(
+        df, n=8, min_words=12
+    ).collect()}
+    # keep-first: doc 1 untouched, doc 2 loses exactly the passage,
+    # doc 3 untouched
+    assert out[1]["n_words_removed"] == 0
+    assert out[1]["clean_text"] == rows[0][1]
+    assert out[2]["n_words_removed"] == 14
+    assert out[2]["clean_text"] == "other document starts and then diverges"
+    assert out[3]["n_words_removed"] == 0
+    # every input doc present exactly once
+    assert sorted(out) == [1, 2, 3]
