@@ -3810,8 +3810,8 @@ ROTATION: dict[str, int | None] = {
 # containment_pairs (r04-green, cap semantics touched this round).
 ROTATION_EXCEPTIONS = {"dim_covariance", "containment_pairs"}
 
-# With 232 contract queries and a 50-slot gate, a full rotation takes
-# ceil(232/50) = 5 rounds; queries beyond the window may be at most
+# With 235 contract queries and a 50-slot gate, a full rotation takes
+# ceil(235/50) = 5 rounds; queries beyond the window may be at most
 # this many rounds stale before the ordering itself is a bug.
 MAX_STALE_ROUNDS = 5
 
