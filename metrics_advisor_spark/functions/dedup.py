@@ -1171,3 +1171,75 @@ def scrub_shared_passages(
             ).cast("long").alias("n_words_removed"),
         )
     )
+
+
+def scrub_to_fixpoint(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    min_words: int = 12,
+    max_gram_df: int | None = None,
+    max_rounds: int = 5,
+) -> DataFrame:
+    """Iterative passage scrubbing until no shared run ≥ ``min_words``
+    remains: removing a span can create a NEW word adjacency whose
+    n-grams duplicate yet another doc — the single-pass
+    `scrub_shared_passages` leaves those (documented there); this is
+    the paper's fixpoint mode.
+
+    Loop discipline (ROUND_NOTES r04 lesson): each round
+    localCheckpoints the rewritten corpus eagerly — persist alone lets
+    Catalyst re-analyze the ever-nesting plan superlinearly.  The
+    convergence probe is one tiny aggregate per round (a driver-side
+    scalar, same pattern as `propagate_labels`); rounds are bounded by
+    ``max_rounds`` with a warning on a hit cap.
+
+    Returns one row per input doc: (doc_id, clean_text, n_words_in,
+    n_words_removed, n_rounds) with removal accounted against the
+    ORIGINAL text.
+    """
+    import warnings
+
+    base = df.select(
+        "doc_id",
+        F.col(text_col).alias("text"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_words_in"),
+    ).localCheckpoint(eager=True)
+    cur = base.select("doc_id", "text")
+    rounds = 0
+    for _ in range(max_rounds):
+        out = scrub_shared_passages(
+            cur, "text", n=n, min_words=min_words,
+            max_gram_df=max_gram_df,
+        ).localCheckpoint(eager=True)
+        rounds += 1
+        removed = out.agg(
+            F.sum("n_words_removed").alias("r")
+        ).collect()[0]["r"]
+        cur = out.select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+        if not removed:
+            break
+    else:
+        warnings.warn(
+            f"scrub_to_fixpoint: round cap {max_rounds} hit before "
+            f"convergence — residual shared passages may remain",
+            stacklevel=2,
+        )
+    final_words = cur.select(
+        "doc_id",
+        F.col("text").alias("clean_text"),
+        F.when(F.col("text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("text"), " ")))
+        .alias("n_words_left"),
+    )
+    return base.join(final_words, "doc_id").select(
+        "doc_id",
+        "clean_text",
+        "n_words_in",
+        (F.col("n_words_in") - F.col("n_words_left"))
+        .cast("long")
+        .alias("n_words_removed"),
+        F.lit(rounds).cast("int").alias("n_rounds"),
+    )

@@ -234,3 +234,36 @@ def test_scrub_shared_passages_keep_first(spark):
     assert out[3]["n_words_removed"] == 0
     # every input doc present exactly once
     assert sorted(out) == [1, 2, 3]
+
+
+def test_scrub_to_fixpoint_second_round_adjacency(spark):
+    """Removing a span creates a NEW shared passage: doc 2 = P+FOO+S
+    loses FOO (shared with doc 1) in round 1, and the resulting 'P S'
+    adjacency duplicates doc 0 — only the fixpoint pass removes it."""
+    from metrics_advisor_spark.functions.dedup import (
+        scrub_shared_passages,
+        scrub_to_fixpoint,
+    )
+
+    rows = [
+        (0, "p1 p2 s1 s2"),
+        (1, "x1 x2 f1 f2 f3 f4 y1 y2"),
+        (2, "p1 p2 f1 f2 f3 f4 s1 s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    single = {
+        r["doc_id"]: r
+        for r in scrub_shared_passages(df, n=3, min_words=4).collect()
+    }
+    # single pass: only FOO comes out of doc 2
+    assert single[2]["clean_text"] == "p1 p2 s1 s2"
+    assert single[2]["n_words_removed"] == 4
+    fp = {
+        r["doc_id"]: r
+        for r in scrub_to_fixpoint(df, n=3, min_words=4).collect()
+    }
+    assert fp[0]["n_words_removed"] == 0
+    assert fp[1]["n_words_removed"] == 0
+    assert fp[2]["clean_text"] == ""
+    assert fp[2]["n_words_removed"] == 8
+    assert fp[2]["n_rounds"] >= 2
