@@ -7424,34 +7424,57 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "dim_covariance": """
-            -- Same closed-form sufficient-sums expression as the Spark
-            -- plan (n, Σx, Σy, Σxy, Σx², Σy²), with the identical
-            -- round(round(·,9),6) snap, so summation-order ulp noise
-            -- on either engine cannot flip a 6dp half-boundary cell.
+            -- Mirrors the Spark plan's DETERMINISTIC two-level sorted
+            -- fold of the sufficient sums (n, Σx, Σy, Σxy, Σx², Σy²):
+            -- level 1 folds each (pair, vec_id % 256) bucket in
+            -- vec_id order, level 2 folds the bucket partials in bkt
+            -- order, so both engines evaluate one bit-identical IEEE
+            -- expression tree regardless of parallelism.  Final snap
+            -- is floor-form (floor(x*1e6+0.5)/1e6): engines disagree
+            -- on round() of exact decimal halves even given identical
+            -- doubles.
             WITH ex AS (
               SELECT vec_id, i::INT AS dim, embedding[i+1]::DOUBLE AS x
               FROM embeddings,
                    unnest(range(0, least(len(embedding), 16))) AS t(i)
             ),
-            s AS (
-              SELECT a.dim AS dim_a, b.dim AS dim_b,
-                     count(*)::DOUBLE AS n,
-                     sum(a.x) AS sx, sum(b.x) AS sy,
-                     sum(a.x * b.x) AS sxy,
-                     sum(a.x * a.x) AS sxx,
-                     sum(b.x * b.x) AS syy
+            p AS (
+              SELECT a.vec_id, a.vec_id % 256 AS bkt,
+                     a.dim AS dim_a, b.dim AS dim_b,
+                     a.x AS xa, b.x AS xb
               FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim < b.dim
-              GROUP BY 1, 2
+            ),
+            lvl1 AS (
+              SELECT dim_a, dim_b, bkt, count(*)::DOUBLE AS n,
+                list_reduce(list(xa ORDER BY vec_id), (a,v) -> a+v) AS sx,
+                list_reduce(list(xb ORDER BY vec_id), (a,v) -> a+v) AS sy,
+                list_reduce(list(xa*xb ORDER BY vec_id), (a,v) -> a+v)
+                  AS sxy,
+                list_reduce(list(xa*xa ORDER BY vec_id), (a,v) -> a+v)
+                  AS sxx,
+                list_reduce(list(xb*xb ORDER BY vec_id), (a,v) -> a+v)
+                  AS syy
+              FROM p GROUP BY 1, 2, 3
+            ),
+            s AS (
+              SELECT dim_a, dim_b, sum(n) AS n,
+                list_reduce(list(sx ORDER BY bkt), (a,v) -> a+v) AS sx,
+                list_reduce(list(sy ORDER BY bkt), (a,v) -> a+v) AS sy,
+                list_reduce(list(sxy ORDER BY bkt), (a,v) -> a+v) AS sxy,
+                list_reduce(list(sxx ORDER BY bkt), (a,v) -> a+v) AS sxx,
+                list_reduce(list(syy ORDER BY bkt), (a,v) -> a+v) AS syy
+              FROM lvl1 GROUP BY 1, 2
             )
             SELECT dim_a, dim_b,
-                   round(round((sxy - sx * sy / n) / (n - 1), 9), 6) AS cov,
-                   round(round(
+                   floor(((sxy - sx * sy / n) / (n - 1))
+                         * 1000000.0 + 0.5) / 1000000.0 AS cov,
+                   floor((
                      CASE WHEN (sxx - sx * sx / n) > 0
                            AND (syy - sy * sy / n) > 0
                           THEN ((sxy - sx * sy / n) / (n - 1))
                                / (sqrt((sxx - sx * sx / n) / (n - 1))
                                   * sqrt((syy - sy * sy / n) / (n - 1)))
-                     END, 9), 6) AS corr,
+                     END) * 1000000.0 + 0.5) / 1000000.0 AS corr,
                    n::BIGINT AS n_vecs
             FROM s
         """,

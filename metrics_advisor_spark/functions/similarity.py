@@ -546,18 +546,24 @@ def dim_covariance(
     construction), one sufficient-sums aggregate per dim pair.  Output
     is max_dims·(max_dims−1)/2 rows regardless of corpus size.
 
-    Determinism (round-4 fix): ``covar_samp`` at higher parallelism
-    reassociates its partial sums, shifting the result ~1 ulp and
-    flipping round(·, 6) cells sitting on a half-boundary.  Here the
-    sufficient sums (n, Σx, Σy, Σxy, Σx², Σy²) are folded in a FIXED
-    order: level 1 sums each (pair, vec_id mod n_buckets) group over a
-    vec_id-sorted array, level 2 sums the ≤n_buckets partials over a
-    bucket-sorted array, so the IEEE expression tree is identical at
-    any partition count.  Per-task array length is bounded by
-    corpus/n_buckets — raise ``n_buckets`` with corpus size (the
-    level-2 arrays stay ≤n_buckets rows per pair either way).  A
-    round(round(·, 9), 6) snap absorbs the residual cross-engine
-    (oracle-side) summation-order noise.
+    Determinism (round-4 fix, hardened round 6): ``covar_samp`` at
+    higher parallelism reassociates its partial sums, shifting the
+    result ~1 ulp and flipping round(·, 6) cells sitting on a
+    half-boundary.  Here the sufficient sums (n, Σx, Σy, Σxy, Σx²,
+    Σy²) are folded in a FIXED order: level 1 sums each (pair, vec_id
+    mod n_buckets) group over a vec_id-sorted array, level 2 sums the
+    ≤n_buckets partials over a bucket-sorted array, so the IEEE
+    expression tree is identical at any partition count.  Per-task
+    array length is bounded by corpus/n_buckets — raise ``n_buckets``
+    with corpus size (the level-2 arrays stay ≤n_buckets rows per
+    pair either way).  Round 6: the oracle now mirrors the SAME
+    two-level sorted fold (DuckDB ``list(… ORDER BY)`` +
+    ``list_reduce``), so both engines evaluate one bit-identical
+    expression tree, and the final 6dp snap is floor-form
+    (floor(x·1e6+0.5)/1e6, plain IEEE arithmetic) because the round()
+    builtins of Spark and DuckDB disagree on exact decimal halves
+    even given identical doubles — the r05 red was exactly such a
+    flip surviving the old round(round(·,9),6) snap.
     """
     ex = emb.select(
         F.col("vec_id"), F.posexplode(vec_col).alias("dim", "x")
@@ -638,7 +644,13 @@ def dim_covariance(
     var_b = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
 
     def _snap(c):
-        return F.round(F.round(c, 9), 6)
+        # floor-form 6dp rounding: identical double in → identical
+        # double out on every engine (round() builtins differ at
+        # exact decimal halves; see operators/resample.py:297)
+        return (
+            F.floor(c * F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0)
+        )
 
     out = folded.select(
         "dim_a",
