@@ -3554,7 +3554,7 @@ def q_grid_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_completeness(_signals(spark, sf_dir))
 
 
-CURRENT_ROUND = 5
+CURRENT_ROUND = 6
 DRIVER_GATE = 50
 
 # Rotation state machine (VERDICT r04 item 5): the driver's correctness
@@ -3568,56 +3568,56 @@ DRIVER_GATE = 50
 # outside the window is staler than CURRENT_ROUND - MAX_STALE_ROUNDS.
 # Update ROTATION + CURRENT_ROUND when a new CORRECTNESS file lands.
 ROTATION: dict[str, int | None] = {
-    "semdedup": None,
-    "report_summary": None,
-    "streaming_dedup": None,
-    "dim_covariance": 4,
-    "flagship_positional": None,
-    "containment_pairs": 4,
-    "snm_pairs": None,
-    "streaming_neardup": None,
-    "ks_drift": None,
-    "streaming_sliding_counts": None,
-    "conversion_latency": None,
-    "rfm_segments": None,
-    "vocab_overlap": None,
-    "token_gini": None,
-    "curriculum_plan": None,
-    "acf_profile": None,
-    "adamic_adar": None,
-    "streaming_ksigma": None,
-    "unigram_surprisal": None,
-    "dup_ngram_fraction": None,
-    "canonical_select": None,
-    "theil_sen": None,
-    "spearman_corr": None,
-    "psi_drift": None,
-    "skew_audit": None,
-    "lang_confusion": None,
-    "streaming_cdc_latest": None,
-    "streaming_burst": None,
-    "streaming_ohlc": None,
-    "ab_test": None,
-    "value_deciles": None,
-    "lag_features": None,
-    "winsorize": None,
-    "transition_counts": None,
-    "pmi_cooccurrence": None,
-    "cms_estimate": None,
-    "rolling_corr": None,
-    "fk_violations": None,
-    "table_profile": None,
-    "pagerank": None,
-    "attribution": None,
-    "cross_source_dups": None,
-    "source_token_quantiles": None,
-    "robust_scale": None,
-    "sliding_active_users": None,
-    "typo_pairs": None,
-    "burst_detect": None,
-    "seasonal_strength": None,
-    "ohlc": None,
-    "twap": None,
+    "semdedup": 5,
+    "report_summary": 5,
+    "streaming_dedup": 5,
+    "dim_covariance": 5,
+    "flagship_positional": 5,
+    "containment_pairs": 5,
+    "snm_pairs": 5,
+    "streaming_neardup": 5,
+    "ks_drift": 5,
+    "streaming_sliding_counts": 5,
+    "conversion_latency": 5,
+    "rfm_segments": 5,
+    "vocab_overlap": 5,
+    "token_gini": 5,
+    "curriculum_plan": 5,
+    "acf_profile": 5,
+    "adamic_adar": 5,
+    "streaming_ksigma": 5,
+    "unigram_surprisal": 5,
+    "dup_ngram_fraction": 5,
+    "canonical_select": 5,
+    "theil_sen": 5,
+    "spearman_corr": 5,
+    "psi_drift": 5,
+    "skew_audit": 5,
+    "lang_confusion": 5,
+    "streaming_cdc_latest": 5,
+    "streaming_burst": 5,
+    "streaming_ohlc": 5,
+    "ab_test": 5,
+    "value_deciles": 5,
+    "lag_features": 5,
+    "winsorize": 5,
+    "transition_counts": 5,
+    "pmi_cooccurrence": 5,
+    "cms_estimate": 5,
+    "rolling_corr": 5,
+    "fk_violations": 5,
+    "table_profile": 5,
+    "pagerank": 5,
+    "attribution": 5,
+    "cross_source_dups": 5,
+    "source_token_quantiles": 5,
+    "robust_scale": 5,
+    "sliding_active_users": 5,
+    "typo_pairs": 5,
+    "burst_detect": 5,
+    "seasonal_strength": 5,
+    "ohlc": 5,
+    "twap": 5,
     "interpolate": None,
     "changes": None,
     "deriv": None,
@@ -3805,10 +3805,10 @@ ROTATION: dict[str, int | None] = {
     "benford_audit": 4,
 }
 
-# Checked queries deliberately re-queued inside the round-5 window:
-# dim_covariance (r04 hash-red, determinism fixed this round) and
-# containment_pairs (r04-green, cap semantics touched this round).
-ROTATION_EXCEPTIONS = {"dim_covariance", "containment_pairs"}
+# Checked queries deliberately re-queued inside the round-6 window:
+# dim_covariance (r05 hash-red — a cross-engine round()-at-halves flip;
+# rewritten round 6 to a bit-identical mirrored fold + floor-form snap).
+ROTATION_EXCEPTIONS = {"dim_covariance"}
 
 # With 235 contract queries and a 50-slot gate, a full rotation takes
 # ceil(235/50) = 5 rounds; queries beyond the window may be at most
@@ -3816,16 +3816,38 @@ ROTATION_EXCEPTIONS = {"dim_covariance", "containment_pairs"}
 MAX_STALE_ROUNDS = 5
 
 
+def _rotation_order(base: dict) -> dict:
+    """Impose the driver-window order MECHANICALLY from ROTATION
+    (round-5 lesson: hand-reordering the 235-entry literal every round
+    is exactly how the r04 rotation stalled).  Never-driver-checked
+    queries first (registry order), then ROTATION_EXCEPTIONS (checked
+    queries deliberately re-queued for the next window), then checked
+    queries stalest-first (stable on registry order within a round
+    block).  tests/test_rotation.py asserts the invariants."""
+    idx = {n: i for i, n in enumerate(base)}
+    never = [n for n in base if ROTATION[n] is None]
+    exc = [
+        n for n in base
+        if ROTATION[n] is not None and n in ROTATION_EXCEPTIONS
+    ]
+    checked = sorted(
+        (
+            n for n in base
+            if ROTATION[n] is not None and n not in ROTATION_EXCEPTIONS
+        ),
+        key=lambda n: (ROTATION[n], idx[n]),
+    )
+    return {n: base[n] for n in (*never, *exc, *checked)}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks only the first DRIVER_GATE (50)
-    # entries.  Stalest-first discipline, machine-checked by
-    # tests/test_rotation.py against ROTATION above: the 50-slot window
-    # holds the round-3-mandated trio, the two round-5 re-checks
-    # (ROTATION_EXCEPTIONS), the two new round-5 surfaces, then the
-    # never-checked backlog in its original (oldest-first) order.  The
-    # backlog exceeds one window by 18 queries; those lead the round-6
-    # window, followed by r01/r02/r03/r04 blocks oldest-first.
-    return {
+    # entries.  The order is DERIVED by _rotation_order() from ROTATION
+    # (stalest-first; never-checked lead), so the registry dict below
+    # can stay append-only — add new queries anywhere, update ROTATION
+    # when a CORRECTNESS artifact lands, and the window takes care of
+    # itself.  Machine-checked by tests/test_rotation.py.
+    return _rotation_order({
         # ---- round-5 driver window (first 50 = stalest-first; see
         # ROTATION below) ----
         # (1) round-3-mandated trio, never driver-checked (r04 positions
@@ -4076,7 +4098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interevent_gaps": q_interevent_gaps,
         "weekly_profile": q_weekly_profile,
         "benford_audit": q_benford_audit,
-    }
+    })
 
 
 def _ewma_sql(alpha: float = 0.2, depth: int = 12) -> str:
@@ -5935,7 +5957,8 @@ def oracle_sql() -> dict[str, str]:
                                      1, 14))::BIGINT AS gh
               FROM (SELECT doc_id, string_split(text, ' ') AS w
                     FROM ({_DOCS_DUPS})),
-                   unnest(range(0, greatest(len(w) - 8, 0) + 1)) AS t(i)
+                   unnest(range(0, len(w) - 8 + 1)) AS t(i)
+              WHERE len(w) >= 8
             ),
             m AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -5968,7 +5991,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, i::INT AS pos,
                      ('0x' || substr(md5(array_to_string(w[i+1:i+8], ' ')),
                                      1, 14))::BIGINT AS gh
-              FROM w, unnest(range(0, greatest(len(w) - 8, 0) + 1)) AS t(i)
+              FROM w, unnest(range(0, len(w) - 8 + 1)) AS t(i)
+              WHERE len(w) >= 8
             ),
             m AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -953,10 +953,14 @@ def shared_passage_pairs(
     wdf = df.select("doc_id", F.split(F.col(text_col), " ").alias("_w"))
     words = F.col("_w")
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        F.sequence(F.lit(0), F.size(words) - n),
         lambda i: _hash56(F.array_join(F.slice(words, i + 1, n), " ")),
     )
-    pos = wdf.select(
+    # docs shorter than n words have no full n-gram — without this
+    # filter the old greatest(size-n, 0) sentinel emitted ONE truncated
+    # gram, so two identical 2-word docs reported max_shared_words = n
+    # whenever min_words <= n
+    pos = wdf.where(F.size(words) >= n).select(
         "doc_id", F.posexplode(grams).alias("pos", "gram_hash")
     )
     if max_gram_df is not None:
@@ -1086,10 +1090,13 @@ def scrub_shared_passages(
     wdf = df.select("doc_id", F.split(F.col(text_col), " ").alias("_w"))
     words = F.col("_w")
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        F.sequence(F.lit(0), F.size(words) - n),
         lambda i: _hash56(F.array_join(F.slice(words, i + 1, n), " ")),
     )
-    pos = wdf.select(
+    # short docs (< n words) carry no full n-gram — keep them out of
+    # the index (see shared_passage_pairs); they still flow through the
+    # rebuild below untouched
+    pos = wdf.where(F.size(words) >= n).select(
         "doc_id", F.posexplode(grams).alias("pos", "gram_hash")
     )
     if max_gram_df is not None:
@@ -1203,7 +1210,11 @@ def scrub_to_fixpoint(
     base = df.select(
         "doc_id",
         F.col(text_col).alias("text"),
-        F.size(F.split(F.col(text_col), " ")).alias("n_words_in"),
+        # '' symmetric with the n_words_left guard below, else an
+        # empty input doc reports n_words_removed = 1 - 0 = 1
+        F.when(F.col(text_col) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col(text_col), " ")))
+        .alias("n_words_in"),
     ).localCheckpoint(eager=True)
     cur = base.select("doc_id", "text")
     rounds = 0

@@ -295,6 +295,7 @@ def semdedup(
     seed: int = 7,
     max_iter: int = 4,
     init_mode: str = "random",
+    max_tile_cells: int = 16_000_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with a KMeans coarse quantizer,
@@ -321,6 +322,14 @@ def semdedup(
     (identical vectors share a cell) holds for ANY centroid set.  Raise
     both only if near-dup RECALL across cell boundaries matters more
     than fit cost (the paper's regime).
+
+    ``id_col`` may be any orderable type (int, string, …): the pair
+    schema is derived from the input id type and the min/max-id
+    canonicalization runs on the original dtype.  ``max_tile_cells``
+    bounds the per-task score-tile memory: a cell larger than
+    max_tile_cells / cell_size rows is scored in row chunks
+    (S = X[i:j] @ Xᵀ), so a paper-scale 50k-vector cell peaks at
+    ~max_tile_cells·8 bytes instead of cell² (20 GB).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -351,29 +360,47 @@ def semdedup(
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["_id"].to_numpy()
+        empty = pd.DataFrame(
+            {"doc_a": pdf["_id"][:0], "doc_b": pdf["_id"][:0]}
+        )
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+            return empty
         X = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in pdf["_vec"]]
         )
         nrm = np.linalg.norm(X, axis=1, keepdims=True)
         with np.errstate(divide="ignore", invalid="ignore"):
             X = X / nrm  # zero-norm rows → nan → never ≥ threshold
-        # For paper-scale cells, chunk rows here (S = X[i:j] @ X.T) to
-        # bound the score tile; sf-scale cells fit in one tile.
-        S = np.round(X @ X.T, 6)
-        ia, ib = np.nonzero(np.triu(S >= threshold, k=1))
-        doc_a = np.minimum(ids[ia], ids[ib])
-        doc_b = np.maximum(ids[ia], ids[ib])
-        return pd.DataFrame({"doc_a": doc_a, "doc_b": doc_b})
+        # row-chunked matmul: each tile is ≤ max_tile_cells scores, so
+        # a paper-scale cell never materializes the full cell² tile
+        step = max(1, max_tile_cells // len(ids))
+        out_a, out_b = [], []
+        for s in range(0, len(ids), step):
+            S = np.round(X[s:s + step] @ X.T, 6)
+            ia, ib = np.nonzero(S >= threshold)
+            ia = ia + s
+            keep = ib > ia  # strict upper triangle, global indices
+            out_a.append(ia[keep])
+            out_b.append(ib[keep])
+        ia = np.concatenate(out_a) if out_a else np.array([], dtype=int)
+        if ia.size == 0:
+            return empty
+        ib = np.concatenate(out_b)
+        av, bv = ids[ia], ids[ib]
+        swap = av > bv  # canonical (min, max) id order, any dtype
+        return pd.DataFrame(
+            {"doc_a": np.where(swap, bv, av),
+             "doc_b": np.where(swap, av, bv)}
+        )
 
     assigned = model.transform(corp).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_vec"),
         "_cell",
     )
+    id_dt = corpus.schema[id_col].dataType.simpleString()
     pairs = assigned.groupBy("_cell").applyInPandas(
-        cell_pairs, "doc_a long, doc_b long"
+        cell_pairs, f"doc_a {id_dt}, doc_b {id_dt}"
     )
     labels = propagate_labels(pairs)
     losers = labels.filter(F.col("doc_id") != F.col("label")).select(

@@ -615,51 +615,76 @@ def streaming_neardup_gate(
     the admitted set is exactly "docs where no lower-id doc shares a
     band" — the SQL-expressible oracle of the contract query.
     """
+    import uuid
+
+    from pyspark.errors import AnalysisException
+
     from metrics_advisor_spark.functions.dedup import minhash_bands
+
+    # Unique per gate invocation (= per drain): out_dir and store_dir
+    # are laid out as run=<id>/batch=<n> leaf dirs so a foreachBatch
+    # RETRY of the same batch overwrites its own leaves idempotently
+    # instead of append-duplicating survivors, while two drains sharing
+    # one store (batch_id restarts at 0 per query) never collide.
+    # Partition discovery on the root still reads every run's rows.
+    run_id = uuid.uuid4().hex[:12]
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         bnd = minhash_bands(
             batch, text_col, n=n, k=k, bands=bands
         ).persist()
+        surv_bands = None
         try:
-            store = spark.read.parquet(store_dir)
-        except Exception:  # first batch: no store yet
-            store = None
-        if store is not None:
-            hit = (
-                bnd.join(store, ["band_id", "band_hash"], "left_semi")
-                .select("doc_id")
+            try:
+                store = spark.read.parquet(store_dir)
+            except AnalysisException:
+                # PATH_NOT_FOUND / empty dir = first batch ever; any
+                # other failure (transient FS error, corrupt parquet)
+                # propagates — silently treating it as "no store"
+                # would disable cross-batch suppression and admit
+                # near-duplicates.
+                store = None
+            if store is not None:
+                hit = (
+                    bnd.join(store, ["band_id", "band_hash"], "left_semi")
+                    .select("doc_id")
+                    .distinct()
+                )
+                fresh = bnd.join(hit, "doc_id", "left_anti")
+            else:
+                fresh = bnd
+            a, b = fresh.alias("a"), fresh.alias("b")
+            suppressed = (
+                a.join(
+                    b,
+                    (F.col("a.band_id") == F.col("b.band_id"))
+                    & (F.col("a.band_hash") == F.col("b.band_hash"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select(F.col("b.doc_id").alias("doc_id"))
                 .distinct()
             )
-            fresh = bnd.join(hit, "doc_id", "left_anti")
-        else:
-            fresh = bnd
-        a, b = fresh.alias("a"), fresh.alias("b")
-        suppressed = (
-            a.join(
-                b,
-                (F.col("a.band_id") == F.col("b.band_id"))
-                & (F.col("a.band_hash") == F.col("b.band_hash"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            surv_bands = fresh.join(
+                suppressed, "doc_id", "left_anti"
+            ).persist()
+            survivors = batch.join(
+                surv_bands.select("doc_id").distinct(), "doc_id", "left_semi"
             )
-            .select(F.col("b.doc_id").alias("doc_id"))
-            .distinct()
-        )
-        surv_bands = fresh.join(suppressed, "doc_id", "left_anti").persist()
-        survivors = batch.join(
-            surv_bands.select("doc_id").distinct(), "doc_id", "left_semi"
-        )
-        # ORDER MATTERS: emit survivors BEFORE appending their bands to
-        # the store — both plans re-read store_dir lazily, and a store
-        # append first would make the survivors pass see its own batch's
-        # bands as "already admitted" and suppress the whole batch.
-        survivors.write.mode("append").parquet(out_dir)
-        surv_bands.select("doc_id", "band_id", "band_hash").write.mode(
-            "append"
-        ).parquet(store_dir)
-        bnd.unpersist()
-        surv_bands.unpersist()
+            leaf = f"run={run_id}/batch={batch_id}"
+            # ORDER MATTERS: emit survivors BEFORE appending their
+            # bands to the store — both plans re-read store_dir lazily,
+            # and a store append first would make the survivors pass
+            # see its own batch's bands as "already admitted" and
+            # suppress the whole batch.
+            survivors.write.mode("overwrite").parquet(f"{out_dir}/{leaf}")
+            surv_bands.select(
+                "doc_id", "band_id", "band_hash"
+            ).write.mode("overwrite").parquet(f"{store_dir}/{leaf}")
+        finally:
+            bnd.unpersist()
+            if surv_bands is not None:
+                surv_bands.unpersist()
 
     writer = stream.writeStream.foreachBatch(process).trigger(
         availableNow=True
