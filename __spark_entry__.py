@@ -3554,6 +3554,46 @@ def q_grid_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_completeness(_signals(spark, sf_dir))
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): log-likelihood ratio
+    of a hashed unigram+bigram model fit on the src0 slice (the
+    stand-in target domain) over the whole-corpus raw model."""
+    from metrics_advisor_spark.functions.selection import dsir_weights
+
+    return dsir_weights(
+        _docs(spark, sf_dir), target=F.col("source") == "src0"
+    )
+
+
+def q_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated passages (longest span occurring twice
+    in the same doc) over documents ∪ planted self-concatenations
+    (doc_id<50 → doc_id+300000 with text ∥ text)."""
+    from metrics_advisor_spark.functions.dedup import intradoc_repetition
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    selfrep = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat_ws(" ", "text", "text").alias("text"),
+    )
+    return intradoc_repetition(d.unionByName(selfrep))
+
+
+def q_dup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-purity of exact-dup clusters over documents ∪ planted
+    'mirror'-source copies of doc_id<50: n_docs / n_sources / source
+    entropy per cluster."""
+    from metrics_advisor_spark.functions.dedup import dup_cluster_purity
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    mirror = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    return dup_cluster_purity(d.unionByName(mirror))
+
+
 CURRENT_ROUND = 6
 DRIVER_GATE = 50
 
@@ -3803,6 +3843,10 @@ ROTATION: dict[str, int | None] = {
     "interevent_gaps": 4,
     "weekly_profile": 4,
     "benford_audit": 4,
+    # new round-6 surfaces (never driver-checked yet)
+    "dsir_weights": None,
+    "intradoc_repetition": None,
+    "dup_cluster_purity": None,
 }
 
 # Checked queries deliberately re-queued inside the round-6 window:
@@ -4098,6 +4142,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interevent_gaps": q_interevent_gaps,
         "weekly_profile": q_weekly_profile,
         "benford_audit": q_benford_audit,
+        # round-6 surfaces
+        "dsir_weights": q_dsir_weights,
+        "intradoc_repetition": q_intradoc_repetition,
+        "dup_cluster_purity": q_dup_cluster_purity,
     })
 
 
@@ -7501,6 +7549,133 @@ def oracle_sql() -> dict[str, str]:
                      END) * 1000000.0 + 0.5) / 1000000.0 AS corr,
                    n::BIGINT AS n_vecs
             FROM s
+        """,
+        "dsir_weights": """
+            -- Mirrors the Spark plan exactly: hashed unigram+bigram
+            -- models (target = src0 docs, raw = whole corpus), add-one
+            -- smoothing over 4096 buckets, per-doc bucket-ordered
+            -- deterministic fold, floor-form 6dp snap.
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_t,
+                     regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, is_t, t[i+1] AS gram
+              FROM toks, unnest(range(0, len(t))) AS u(i)
+              UNION ALL
+              SELECT doc_id, is_t, t[i+1] || ' ' || t[i+2] AS gram
+              FROM toks, unnest(range(0, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2
+            ),
+            bk AS (
+              SELECT doc_id, is_t,
+                     ('0x' || substr(md5(gram), 1, 14))::BIGINT % 4096
+                       AS bucket
+              FROM grams
+            ),
+            db AS (
+              SELECT doc_id, bucket, count(*)::BIGINT AS c,
+                     max(is_t) AS is_t
+              FROM bk GROUP BY 1, 2
+            ),
+            model AS (
+              SELECT bucket,
+                     sum(CASE WHEN is_t = 1 THEN c ELSE 0 END)::DOUBLE
+                       AS ct,
+                     sum(c)::DOUBLE AS cr
+              FROM db GROUP BY 1
+            ),
+            tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM model),
+            terms AS (
+              SELECT db.doc_id, db.bucket, db.c::DOUBLE AS c,
+                     ln(ct + 1.0) - ln(nt + 4096.0)
+                     - ln(cr + 1.0) + ln(nr + 4096.0) AS term
+              FROM db JOIN model USING (bucket) CROSS JOIN tot
+            )
+            SELECT doc_id,
+                   CAST(list_reduce(list(c ORDER BY bucket),
+                                    (a, v) -> a + v) AS BIGINT)
+                     AS n_grams,
+                   floor(list_reduce(list(c * term ORDER BY bucket),
+                                     (a, v) -> a + v)
+                         * 1000000.0 + 0.5) / 1000000.0 AS log_weight
+            FROM terms GROUP BY doc_id
+        """,
+        "intradoc_repetition": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 300000 AS doc_id,
+                       text || ' ' || text AS text
+                FROM documents WHERE doc_id < 50
+              )
+            ),
+            g AS (
+              SELECT doc_id, i::INT AS pos,
+                     ('0x' || substr(md5(array_to_string(w[i+1:i+8], ' ')),
+                                     1, 14))::BIGINT AS gh
+              FROM w, unnest(range(0, len(w) - 8 + 1)) AS t(i)
+              WHERE len(w) >= 8
+            ),
+            m AS (
+              SELECT a.doc_id, a.pos AS pos_a, b.pos - a.pos AS diag
+              FROM g a JOIN g b
+                ON a.doc_id = b.doc_id AND a.gh = b.gh AND a.pos < b.pos
+            ),
+            r AS (
+              SELECT doc_id, diag,
+                     pos_a - row_number() OVER (
+                         PARTITION BY doc_id, diag ORDER BY pos_a
+                     ) AS grp
+              FROM m
+            ),
+            runs AS (
+              SELECT doc_id, count(*) AS run_len
+              FROM r GROUP BY doc_id, diag, grp
+            )
+            SELECT doc_id,
+                   CAST(max(run_len) + 7 AS BIGINT) AS max_rep_words,
+                   count(*)::BIGINT AS n_rep_runs
+            FROM runs GROUP BY doc_id
+            HAVING max(run_len) + 7 >= 12
+        """,
+        "dup_cluster_purity": """
+            WITH d AS (
+              SELECT doc_id, text, source FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text,
+                     'mirror' AS source
+              FROM documents WHERE doc_id < 50
+            ),
+            ps AS (
+              SELECT md5(text) AS h, source AS src,
+                     count(*)::BIGINT AS c, min(doc_id) AS min_doc
+              FROM d GROUP BY 1, 2
+            ),
+            f1 AS (
+              SELECT h, min(min_doc) AS cluster_id, sum(c)::DOUBLE AS n,
+                     count(*)::BIGINT AS n_sources
+              FROM ps GROUP BY 1
+            ),
+            t AS (
+              SELECT ps.h, ps.src,
+                     -(ps.c / f1.n) * ln(ps.c / f1.n) AS term
+              FROM ps JOIN f1 USING (h)
+            )
+            SELECT f1.cluster_id,
+                   CAST(f1.n AS BIGINT) AS n_docs,
+                   f1.n_sources,
+                   floor(list_reduce(list(t.term ORDER BY t.src),
+                                     (a, v) -> a + v)
+                         * 1000000.0 + 0.5) / 1000000.0 AS src_entropy
+            FROM t JOIN f1 USING (h)
+            WHERE f1.n >= 2
+            GROUP BY f1.cluster_id, f1.n, f1.n_sources
         """,
         "freshness_audit": """
             WITH s AS (

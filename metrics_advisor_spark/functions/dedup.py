@@ -1254,3 +1254,130 @@ def scrub_to_fixpoint(
         .alias("n_words_removed"),
         F.lit(rounds).cast("int").alias("n_rounds"),
     )
+
+
+def intradoc_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    min_words: int = 12,
+) -> DataFrame:
+    """WITHIN-document repeated-passage detection: for each doc, the
+    longest word span that occurs at least twice inside the SAME
+    document — the scraped-page failure mode (navigation boilerplate,
+    repeated paragraphs, templated listings) that cross-doc dedup never
+    sees and that corpus-quality filters (RefinedWeb/CCNet style)
+    gate on.
+
+    Same diagonal-islands machinery as `shared_passage_pairs`, but the
+    positional gram index joins against ITSELF per doc: matches at
+    pos_a < pos_b land on diagonals (pos_b − pos_a constant along a
+    repeated run), and the rank-difference trick turns each diagonal's
+    consecutive positions into maximal runs of length run_len + n − 1
+    words.
+
+    Output: (doc_id, max_rep_words, n_rep_runs) for docs with at least
+    one repeat ≥ ``min_words``.
+
+    100 TB design: the self-join key is (doc_id, gram_hash) — strictly
+    doc-local, so the pair work co-partitions with the doc and never
+    crosses documents; per-doc cost is bounded by the doc's own repeat
+    structure (a doc with no repeated gram contributes nothing after
+    the join).  Windows partition by (doc_id, diag): one diagonal of
+    one doc per sort.
+    """
+    from pyspark.sql import Window
+
+    wdf = df.select("doc_id", F.split(F.col(text_col), " ").alias("_w"))
+    words = F.col("_w")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: _hash56(F.array_join(F.slice(words, i + 1, n), " ")),
+    )
+    pos = wdf.where(F.size(words) >= n).select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram_hash")
+    )
+    a = pos.select("doc_id", F.col("pos").alias("pos_a"), "gram_hash")
+    b = pos.select("doc_id", F.col("pos").alias("pos_b"), "gram_hash")
+    matched = (
+        a.join(b, ["doc_id", "gram_hash"])
+        .where(F.col("pos_a") < F.col("pos_b"))
+        .select(
+            "doc_id",
+            "pos_a",
+            (F.col("pos_b") - F.col("pos_a")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_id", "diag").orderBy("pos_a")
+    runs = (
+        matched.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_id", "diag", "grp")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            (F.max("run_len") + F.lit(n - 1))
+            .cast("long")
+            .alias("max_rep_words"),
+            F.count("*").cast("long").alias("n_rep_runs"),
+        )
+        .where(F.col("max_rep_words") >= min_words)
+    )
+
+
+def dup_cluster_purity(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Source-purity audit of exact-dup clusters: for every duplicated
+    content hash, how many sources contribute copies and the source
+    entropy of the cluster — separates "one crawler re-fetched a page"
+    (pure cluster, entropy 0: dedup is safe per source) from "mirrors
+    across sources" (mixed cluster: dedup changes the source MIXTURE,
+    which matters when sources carry sampling weights downstream).
+
+    Output: (cluster_id, n_docs, n_sources, src_entropy) per cluster
+    with ≥2 docs; cluster_id = min doc_id (the keeper).
+
+    100 TB design: one groupBy(md5, source) map-side-combined count,
+    one per-hash fold — shuffle volume is one row per (cluster,
+    source), never per doc.  Entropy folds the ≤n_sources terms in
+    source order (sorted-array fold, floor-form 6dp) so the value is
+    hash-stable at any parallelism — the `dim_covariance` determinism
+    pattern.
+    """
+    per_src = df.groupBy(
+        F.md5(F.col(text_col)).alias("content_hash"),
+        F.col(source_col).alias("src"),
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min("doc_id").alias("min_doc"),
+    )
+    folded = (
+        per_src.groupBy("content_hash")
+        .agg(
+            F.min("min_doc").alias("cluster_id"),
+            F.sum("c").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.sort_array(F.collect_list(F.struct("src", "c"))).alias("ss"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+    n = F.col("n_docs").cast("double")
+    ent = F.aggregate(
+        "ss",
+        F.lit(0.0),
+        lambda acc, v: acc
+        - (v.c.cast("double") / n) * F.log(v.c.cast("double") / n),
+    )
+    return folded.select(
+        "cluster_id",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_sources",
+        (
+            F.floor(ent * F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("src_entropy"),
+    )

@@ -117,3 +117,79 @@ def test_neardup_gate_batch_retry_idempotent(spark):
     # rows duplicate; doc ids stay unique
     ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
     assert ids == [1, 2]
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from pyspark.sql import functions as F
+
+    from metrics_advisor_spark.functions.selection import dsir_weights
+
+    target_text = "alpha beta gamma alpha beta gamma alpha beta"
+    rows = (
+        [(i, target_text, "tgt") for i in range(5)]
+        + [(10 + i, "omega psi chi omega psi chi omega psi", "raw")
+           for i in range(5)]
+        + [(20, target_text, "raw"),  # target-like doc in the raw pool
+           (21, "omega psi chi omega psi chi omega psi", "tgt2")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_weights(df, target=F.col("source") == "tgt").collect()
+    }
+    # the target-like raw doc must outscore the non-target-like one
+    # (absolute sign is arbitrary — the raw model contains the target
+    # docs too; DSIR resampling consumes the ORDERING)
+    assert w[20] > w[21]
+    assert w[0] > w[10]
+    assert w[20] == w[0]  # identical text → identical weight
+
+
+def test_dsir_single_token_doc_no_bigrams(spark):
+    from pyspark.sql import functions as F
+
+    from metrics_advisor_spark.functions.selection import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "word", "a"), (2, "two tokens", "b")],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r["doc_id"]: r["n_grams"]
+        for r in dsir_weights(df, target=F.col("source") == "a").collect()
+    }
+    assert rows[1] == 1  # one unigram, no (descending-sequence) bigram
+    assert rows[2] == 3  # two unigrams + one bigram
+
+
+def test_intradoc_repetition_detects_self_concat(spark):
+    from metrics_advisor_spark.functions.dedup import intradoc_repetition
+
+    uniq = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, uniq + " " + uniq),  # whole text repeats
+         (2, uniq)],              # no repeats
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in intradoc_repetition(df).collect()}
+    assert 2 not in rows
+    # 40 words, repeated 20-word block: longest repeated span = 20
+    assert rows[1]["max_rep_words"] == 20
+
+
+def test_dup_cluster_purity_entropy(spark):
+    import math
+
+    from metrics_advisor_spark.functions.dedup import dup_cluster_purity
+
+    df = spark.createDataFrame(
+        [(1, "same text", "s1"), (2, "same text", "s1"),
+         (3, "other text", "s1"), (4, "other text", "s2"),
+         (5, "unique text", "s1")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["cluster_id"]: r for r in dup_cluster_purity(df).collect()}
+    assert rows[1]["n_sources"] == 1 and rows[1]["src_entropy"] == 0.0
+    assert rows[3]["n_sources"] == 2
+    assert abs(rows[3]["src_entropy"] - math.log(2)) < 1e-6
+    assert 5 not in rows
