@@ -1358,6 +1358,62 @@ _EMB_DUPS = """
     WHERE vec_id < 50
 """
 
+# DSIR scoring chain (shared by dsir_weights / dsir_resample /
+# streaming_dsir_gate): mirrors the Spark plan exactly — hashed
+# unigram+bigram models (target = src0 docs, raw = whole corpus),
+# add-one smoothing over 4096 buckets, per-doc bucket-ordered
+# deterministic fold, floor-form 6dp snap.
+_DSIR_SQL = """
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_t,
+                     regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, is_t, t[i+1] AS gram
+              FROM toks, unnest(range(0, len(t))) AS u(i)
+              UNION ALL
+              SELECT doc_id, is_t, t[i+1] || ' ' || t[i+2] AS gram
+              FROM toks, unnest(range(0, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2
+            ),
+            bk AS (
+              SELECT doc_id, is_t,
+                     ('0x' || substr(md5(gram), 1, 14))::BIGINT % 4096
+                       AS bucket
+              FROM grams
+            ),
+            db AS (
+              SELECT doc_id, bucket, count(*)::BIGINT AS c,
+                     max(is_t) AS is_t
+              FROM bk GROUP BY 1, 2
+            ),
+            model AS (
+              SELECT bucket,
+                     sum(CASE WHEN is_t = 1 THEN c ELSE 0 END)::DOUBLE
+                       AS ct,
+                     sum(c)::DOUBLE AS cr
+              FROM db GROUP BY 1
+            ),
+            tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM model),
+            terms AS (
+              SELECT db.doc_id, db.bucket, db.c::DOUBLE AS c,
+                     ln(ct + 1.0) - ln(nt + 4096.0)
+                     - ln(cr + 1.0) + ln(nr + 4096.0) AS term
+              FROM db JOIN model USING (bucket) CROSS JOIN tot
+            )
+            SELECT doc_id,
+                   CAST(list_reduce(list(c ORDER BY bucket),
+                                    (a, v) -> a + v) AS BIGINT)
+                     AS n_grams,
+                   floor(list_reduce(list(c * term ORDER BY bucket),
+                                     (a, v) -> a + v)
+                         * 1000000.0 + 0.5) / 1000000.0 AS log_weight
+            FROM terms GROUP BY doc_id
+"""
+
 
 def _shingle_sql(src: str) -> str:
     """56-bit-hashed word-3-gram shingles — mirrors functions.dedup.shingle."""
@@ -3579,6 +3635,65 @@ def q_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return intradoc_repetition(d.unionByName(selfrep))
 
 
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR resampling half: importance weights → A-ES log-key
+    without-replacement top-100 (rank emitted, not the e^|w|-scaled
+    key)."""
+    from metrics_advisor_spark.functions.selection import dsir_resample
+
+    return dsir_resample(
+        _docs(spark, sf_dir), target=F.col("source") == "src0", k=100
+    )
+
+
+def _stream_plain_docs_src(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf_dir) the PLAIN documents (doc_id, text) as a
+    parquet dir for file-source streaming queries."""
+    import tempfile
+
+    key = f"{sf_dir}#plaindocs"
+    src = _STREAM_SRC_CACHE.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="ma_stream_pdocs_") + "/docs"
+        _docs(spark, sf_dir).select("doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(src)
+        _STREAM_SRC_CACHE[key] = src
+    return src
+
+
+def q_streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifteenth Structured Streaming contract surface: the DSIR
+    quality ADMISSION GATE — each micro-batch scored against a PRE-FIT
+    hashed n-gram log-ratio model (fit offline on the documents table,
+    target = src0) and admitted when log_weight ≥ −60.  Batches are
+    independent (static broadcast model, no cross-batch state), so a
+    drain in any batching equals the batch `dsir_score ≥ threshold` —
+    the SQL oracle."""
+    import tempfile
+
+    from metrics_advisor_spark.functions.selection import dsir_model
+    from metrics_advisor_spark.streaming.pipeline import (
+        streaming_dsir_gate,
+    )
+
+    docs = _docs(spark, sf_dir)
+    model = dsir_model(docs, F.col("source") == "src0")
+    src = _stream_plain_docs_src(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="ma_dsirgate_")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        src
+    )
+    streaming_dsir_gate(
+        stream, model, out_dir=f"{base}/admitted", threshold=-60.0
+    )
+    return (
+        spark.read.parquet(f"{base}/admitted")
+        .select("doc_id", "n_grams", "log_weight")
+        .orderBy("doc_id")
+    )
+
+
 def q_dup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-purity of exact-dup clusters over documents ∪ planted
     'mirror'-source copies of doc_id<50: n_docs / n_sources / source
@@ -3847,6 +3962,8 @@ ROTATION: dict[str, int | None] = {
     "dsir_weights": None,
     "intradoc_repetition": None,
     "dup_cluster_purity": None,
+    "dsir_resample": None,
+    "streaming_dsir_gate": None,
 }
 
 # Checked queries deliberately re-queued inside the round-6 window:
@@ -4146,6 +4263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "intradoc_repetition": q_intradoc_repetition,
         "dup_cluster_purity": q_dup_cluster_purity,
+        "dsir_resample": q_dsir_resample,
+        "streaming_dsir_gate": q_streaming_dsir_gate,
     })
 
 
@@ -7550,59 +7669,25 @@ def oracle_sql() -> dict[str, str]:
                    n::BIGINT AS n_vecs
             FROM s
         """,
-        "dsir_weights": """
-            -- Mirrors the Spark plan exactly: hashed unigram+bigram
-            -- models (target = src0 docs, raw = whole corpus), add-one
-            -- smoothing over 4096 buckets, per-doc bucket-ordered
-            -- deterministic fold, floor-form 6dp snap.
-            WITH toks AS (
-              SELECT doc_id,
-                     CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_t,
-                     regexp_extract_all(
-                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS t
-              FROM documents
-            ),
-            grams AS (
-              SELECT doc_id, is_t, t[i+1] AS gram
-              FROM toks, unnest(range(0, len(t))) AS u(i)
-              UNION ALL
-              SELECT doc_id, is_t, t[i+1] || ' ' || t[i+2] AS gram
-              FROM toks, unnest(range(0, len(t) - 1)) AS u(i)
-              WHERE len(t) >= 2
-            ),
-            bk AS (
-              SELECT doc_id, is_t,
-                     ('0x' || substr(md5(gram), 1, 14))::BIGINT % 4096
-                       AS bucket
-              FROM grams
-            ),
-            db AS (
-              SELECT doc_id, bucket, count(*)::BIGINT AS c,
-                     max(is_t) AS is_t
-              FROM bk GROUP BY 1, 2
-            ),
-            model AS (
-              SELECT bucket,
-                     sum(CASE WHEN is_t = 1 THEN c ELSE 0 END)::DOUBLE
-                       AS ct,
-                     sum(c)::DOUBLE AS cr
-              FROM db GROUP BY 1
-            ),
-            tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM model),
-            terms AS (
-              SELECT db.doc_id, db.bucket, db.c::DOUBLE AS c,
-                     ln(ct + 1.0) - ln(nt + 4096.0)
-                     - ln(cr + 1.0) + ln(nr + 4096.0) AS term
-              FROM db JOIN model USING (bucket) CROSS JOIN tot
+        "dsir_weights": _DSIR_SQL,
+        "dsir_resample": f"""
+            -- dsir chain + A-ES log-key (ln(u)·exp(−log_weight)) rank:
+            -- the key spans ~e^|log_weight| so the contract emits the
+            -- RANK, not the key (see functions/selection.py).
+            SELECT doc_id, log_weight,
+                   (row_number() OVER (
+                        ORDER BY k DESC, doc_id ASC))::BIGINT AS rank
+            FROM (
+              SELECT doc_id, log_weight,
+                     ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 14))
+                          ::BIGINT + 1) / 72057594037927936.0)
+                     * exp(-log_weight) AS k
+              FROM ({_DSIR_SQL})
             )
-            SELECT doc_id,
-                   CAST(list_reduce(list(c ORDER BY bucket),
-                                    (a, v) -> a + v) AS BIGINT)
-                     AS n_grams,
-                   floor(list_reduce(list(c * term ORDER BY bucket),
-                                     (a, v) -> a + v)
-                         * 1000000.0 + 0.5) / 1000000.0 AS log_weight
-            FROM terms GROUP BY doc_id
+            ORDER BY k DESC, doc_id ASC LIMIT 100
+        """,
+        "streaming_dsir_gate": f"""
+            SELECT * FROM ({_DSIR_SQL}) WHERE log_weight >= -60.0
         """,
         "intradoc_repetition": """
             WITH w AS (

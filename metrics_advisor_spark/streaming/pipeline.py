@@ -748,3 +748,62 @@ def latest_by_key_stream(
         F.col(f"latest.{order_col}").alias(order_col),
         *[F.col(f"latest.{c}").alias(c) for c in value_cols],
     )
+
+
+def streaming_dsir_gate(
+    stream: DataFrame,
+    model: DataFrame,
+    out_dir: str,
+    threshold: float = 0.0,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint: str | None = None,
+) -> Any:
+    """15th streaming surface: DSIR QUALITY ADMISSION GATE on an
+    unbounded document stream — score each micro-batch against a
+    PRE-FIT hashed n-gram log-ratio model (`dsir_model`, fit offline on
+    a reference corpus) and admit documents whose importance
+    log-weight clears ``threshold``.  The streaming twin of
+    `dsir_score`: a production curation stream gates crawl output on
+    target-domain likeness without a learned classifier.
+
+    Per micro-batch: tokenize → hashed (doc, bucket) counts →
+    broadcast-join the ≤(n_buckets+1)-row model (unseen buckets take
+    the model's sentinel default term) → deterministic bucket-ordered
+    fold → filter ≥ threshold → append survivors.  The model table is
+    static across batches — the only per-batch state is the batch
+    itself, so unlike the near-dup gate no cross-batch store is needed
+    and batches are embarrassingly independent.
+
+    Writes survivors as run=<id>/batch=<n> leaf dirs (idempotent on
+    foreachBatch retry, collision-free across drains — same scheme as
+    `streaming_neardup_gate`).
+
+    For a single availableNow drain of a static source, the admitted
+    set equals the batch `dsir_score(...) >= threshold` — the
+    SQL-expressible oracle of the contract query.
+    """
+    import uuid
+
+    from metrics_advisor_spark.functions.selection import dsir_score
+
+    run_id = uuid.uuid4().hex[:12]
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        admitted = dsir_score(
+            batch, model, n_buckets=n_buckets,
+            text_col=text_col, id_col=id_col,
+        ).where(F.col("log_weight") >= threshold)
+        admitted.write.mode("overwrite").parquet(
+            f"{out_dir}/run={run_id}/batch={batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q

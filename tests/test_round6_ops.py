@@ -193,3 +193,91 @@ def test_dup_cluster_purity_entropy(spark):
     assert rows[3]["n_sources"] == 2
     assert abs(rows[3]["src_entropy"] - math.log(2)) < 1e-6
     assert 5 not in rows
+
+
+def test_dsir_score_unseen_bucket_uses_default(spark):
+    from pyspark.sql import functions as F
+
+    from metrics_advisor_spark.functions.selection import (
+        dsir_model,
+        dsir_score,
+    )
+
+    fit = spark.createDataFrame(
+        [(1, "alpha beta gamma", "tgt"), (2, "delta epsilon zeta", "raw")],
+        "doc_id long, text string, source string",
+    )
+    model = dsir_model(fit, target=F.col("source") == "tgt")
+    # sentinel default row present
+    assert model.where(F.col("bucket") == -1).count() == 1
+    # score a corpus with grams the fit corpus never saw — must not
+    # drop rows or produce nulls
+    new = spark.createDataFrame(
+        [(10, "totally novel words never fitted")],
+        "doc_id long, text string",
+    )
+    rows = dsir_score(new, model).collect()
+    assert len(rows) == 1
+    assert rows[0]["log_weight"] is not None
+    assert rows[0]["n_grams"] == 9  # 5 unigrams + 4 bigrams
+
+
+def test_dsir_resample_prefers_heavy_weights(spark):
+    from pyspark.sql import functions as F
+
+    from metrics_advisor_spark.functions.selection import dsir_resample
+
+    tgt = "alpha beta gamma delta alpha beta gamma delta"
+    rows = (
+        [(i, tgt, "tgt") for i in range(3)]
+        + [(100 + i, "noise words here totally unrelated stuff ok fine",
+            "raw") for i in range(40)]
+        + [(500, tgt, "raw")]  # target-like raw doc
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = dsir_resample(df, target=F.col("source") == "tgt", k=5).collect()
+    assert len(got) == 5
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+    # the target-like raw doc should make the small sample with high
+    # probability; at minimum the sample is deterministic
+    again = dsir_resample(df, target=F.col("source") == "tgt", k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+
+def test_streaming_dsir_gate_matches_batch_score(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from metrics_advisor_spark.functions.selection import (
+        dsir_model,
+        dsir_score,
+    )
+    from metrics_advisor_spark.streaming.pipeline import streaming_dsir_gate
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc {i} with shared words", "tgt" if i < 3 else "raw")
+         for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    model = dsir_model(docs, target=F.col("source") == "tgt")
+    batch_admit = {
+        r["doc_id"]
+        for r in dsir_score(docs.select("doc_id", "text"), model)
+        .where(F.col("log_weight") >= -20.0)
+        .collect()
+    }
+    base = tempfile.mkdtemp(prefix="ma_t_dsirgate_")
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(
+        f"{base}/src"
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"{base}/src"
+    )
+    streaming_dsir_gate(
+        stream, model, out_dir=f"{base}/out", threshold=-20.0
+    )
+    got = {
+        r["doc_id"] for r in spark.read.parquet(f"{base}/out").collect()
+    }
+    assert got == batch_admit and got  # nonempty and identical
