@@ -2541,9 +2541,10 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the SimHash near-dup pair graph (keeper
-    selection signal).  Rows-only by design: iterative message passing
-    is not SQL-expressible (aggregation inside recursion); numpy
-    power-iteration golden in tests/test_round4b_ops.py."""
+    selection signal).  Oracled since round 6 via a DuckDB RECURSIVE
+    CTE mirroring the exact per-iteration expression tree (sorted
+    contribution folds both sides); numpy power-iteration golden in
+    tests/test_round4b_ops.py remains as the semantic check."""
     from metrics_advisor_spark.functions.dedup import (
         hamming_pairs_blocked,
         simhash,
@@ -3968,8 +3969,10 @@ ROTATION: dict[str, int | None] = {
 
 # Checked queries deliberately re-queued inside the round-6 window:
 # dim_covariance (r05 hash-red — a cross-engine round()-at-halves flip;
-# rewritten round 6 to a bit-identical mirrored fold + floor-form snap).
-ROTATION_EXCEPTIONS = {"dim_covariance"}
+# rewritten round 6 to a bit-identical mirrored fold + floor-form snap)
+# and pagerank (upgraded round 6 from rows-only to a recursive-CTE
+# oracle — its r05 row was rows-only; a hash row should replace it).
+ROTATION_EXCEPTIONS = {"dim_covariance", "pagerank"}
 
 # With 235 contract queries and a 50-slot gate, a full rotation takes
 # ceil(235/50) = 5 rounds; queries beyond the window may be at most
@@ -5938,6 +5941,49 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.simhash, b.simhash)) AS hamming
             FROM sk a JOIN sk b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        """,
+        "pagerank": f"""
+            -- Power iteration INSIDE a recursive CTE (DuckDB allows
+            -- aggregation over the recursive reference): mirrors the
+            -- Spark loop's exact IEEE tree — per-node in-rank folded
+            -- in src order, base (1−d)/N and damping applied with the
+            -- identical expression shape, floor-form 6dp final snap.
+            WITH RECURSIVE sk AS ({_simhash_sql(_DOCS_DUPS)}),
+            prs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+            ),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM prs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM prs
+            ),
+            dg AS (
+              SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1
+            ),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM dg),
+            pr(it, node, rank) AS (
+              SELECT 0 AS it, src AS node, 1.0 / n AS rank FROM dg, nn
+              UNION ALL
+              SELECT t.it + 1, t.node,
+                     (1.0 - 0.85) / nn.n + 0.85 * t.s
+              FROM (
+                SELECT p.it AS it, e.dst AS node,
+                       list_reduce(
+                         list(p.rank / d.deg ORDER BY e.src),
+                         (a, v) -> a + v
+                       ) AS s
+                FROM pr p
+                JOIN edges e ON p.node = e.src
+                JOIN dg d ON d.src = e.src
+                WHERE p.it < 3
+                GROUP BY p.it, e.dst
+              ) t, nn
+            )
+            SELECT node,
+                   floor(rank * 1000000.0 + 0.5) / 1000000.0 AS rank
+            FROM pr WHERE it = 3
         """,
         "dedup_materialize": f"""
             WITH RECURSIVE sh AS ({_shingle_sql(_DOCS_DUPS)}),

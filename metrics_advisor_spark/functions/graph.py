@@ -38,8 +38,13 @@ def pagerank(
     sizes upstream; `localCheckpoint` per round keeps round N's plan
     O(1) instead of O(N) (measured superlinear otherwise).
 
-    Not oracle-expressible (aggregation inside recursion); covered by a
-    numpy power-iteration golden in tests.
+    Oracled since round 6: DuckDB's recursive CTEs allow aggregation
+    over the recursive reference, so the oracle mirrors the exact
+    per-iteration expression tree; for that to hash-match, the per-node
+    in-rank here is a SORTED fold over (src, contrib) (deterministic at
+    any parallelism — the `dim_covariance` pattern) and the final snap
+    is floor-form 6dp.  The numpy power-iteration golden in tests
+    remains as an independent semantic check.
     """
     edges = (
         pairs.select(
@@ -82,16 +87,32 @@ def pagerank(
             )
             .join(nodes.withColumnRenamed("node", "src"), "src")
             .select(
+                "src",
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("deg")).alias("contrib"),
+            )
+        )
+        # deterministic in-rank: fold contributions in src order
+        # ((src, dst) is unique after the edge distinct, so the sort
+        # key is total) — engine-order-invariant IEEE tree
+        in_rank = (
+            contribs.groupBy("node")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("src", "contrib"))
+                ).alias("cs")
+            )
+            .select(
+                "node",
+                F.aggregate(
+                    "cs", F.lit(0.0), lambda acc, v: acc + v.contrib
+                ).alias("in_rank"),
             )
         )
         ranks = (
             nodes.select("node")
             .join(
-                contribs.groupBy("node").agg(
-                    F.sum("contrib").alias("in_rank")
-                ),
+                in_rank,
                 "node",
                 "left",
             )
@@ -107,7 +128,13 @@ def pagerank(
         # last): plan depth stays O(interval), materializations halve
         if (it + 1) % checkpoint_interval == 0 or it == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+    return ranks.select(
+        "node",
+        (
+            F.floor(F.col("rank") * F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("rank"),
+    )
 
 
 def adamic_adar(pairs: DataFrame) -> DataFrame:
