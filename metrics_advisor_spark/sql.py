@@ -165,3 +165,50 @@ def register_analytics_views(
             )
             .createOrReplaceTempView("user_daily")
         )
+
+
+def register_corpus_views(
+    spark: SparkSession,
+    documents,
+    target=None,
+) -> None:
+    """Publish the LLM-corpus operator surface as temp views so the
+    curation loop is reachable from plain ``spark.sql``:
+
+    - ``documents``      — the corpus itself
+    - ``doc_quality``    — per-doc text-quality features (text_stats)
+    - ``doc_dsir``       — DSIR importance weights (when ``target`` is
+                           given, e.g. ``F.col('source') == 'wiki'``)
+    - ``doc_intradoc_rep`` — within-doc repeated-passage report
+    - ``dup_clusters``   — exact-dup clusters with source purity
+
+    Views are lazy — registering costs nothing until queried; a SQL
+    user can then e.g.::
+
+        SELECT d.doc_id FROM documents d
+        JOIN doc_dsir w USING (doc_id)
+        LEFT ANTI JOIN doc_intradoc_rep r ON d.doc_id = r.doc_id
+        WHERE w.log_weight >= -60
+
+    (admit target-like docs without internal boilerplate repeats).
+    """
+    from metrics_advisor_spark.functions.dedup import (
+        dup_cluster_purity,
+        intradoc_repetition,
+    )
+    from metrics_advisor_spark.functions.selection import dsir_weights
+    from metrics_advisor_spark.functions.text import text_stats
+
+    documents.createOrReplaceTempView("documents")
+    text_stats(documents).createOrReplaceTempView("doc_quality")
+    if target is not None:
+        dsir_weights(documents, target).createOrReplaceTempView(
+            "doc_dsir"
+        )
+    intradoc_repetition(documents).createOrReplaceTempView(
+        "doc_intradoc_rep"
+    )
+    if "source" in documents.columns:
+        dup_cluster_purity(documents).createOrReplaceTempView(
+            "dup_clusters"
+        )

@@ -281,3 +281,26 @@ def test_streaming_dsir_gate_matches_batch_score(spark):
         r["doc_id"] for r in spark.read.parquet(f"{base}/out").collect()
     }
     assert got == batch_admit and got  # nonempty and identical
+
+
+def test_register_corpus_views_sql_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from metrics_advisor_spark.sql import register_corpus_views
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc number {i} here", "src0" if i < 3 else "src1")
+         for i in range(6)],
+        "doc_id long, text string, source string",
+    )
+    register_corpus_views(spark, docs, target=F.col("source") == "src0")
+    got = spark.sql(
+        """
+        SELECT d.doc_id FROM documents d
+        JOIN doc_dsir w USING (doc_id)
+        WHERE w.log_weight IS NOT NULL
+        ORDER BY d.doc_id
+        """
+    ).count()
+    assert got == 6
+    assert spark.sql("SELECT * FROM doc_quality").count() == 6
