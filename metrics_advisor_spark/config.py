@@ -32,9 +32,13 @@ class AdvisorConfig:
 
     # --- detection knobs (P6/P7; reference :148,150) ---
     median_window: int = 5          # rolling-median width (P1)
-    # filter order (P3) — kept for API parity with the reference's
-    # f_lowpass_filter(n=3); the FFT brick-wall implementation has no
-    # order knob (operators/detect.lowpass_fft_np docstring)
+    # P3 filter family: 'fft' (vectorized brick-wall, bench path) or
+    # 'butterworth' (the reference's own family — zero-phase order-n
+    # Butterworth, pure numpy since scipy is absent; coefficients
+    # validated against published values in tests/test_detect.py)
+    lowpass_mode: str = "fft"
+    # filter order (P3) — reference f_lowpass_filter(n=3); applies in
+    # 'butterworth' mode (the FFT brick-wall has no order knob)
     lowpass_order: int = 3
     lowpass_fmin: float = 0.01 / 15  # cutoff frequency, Hz (P3)
     sigma_level: float = 3.0        # k-sigma outlier threshold (P5)

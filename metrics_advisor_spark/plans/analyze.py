@@ -86,6 +86,8 @@ def analyze(signals: DataFrame, cfg: AdvisorConfig = AdvisorConfig()) -> Analysi
         sigma_level=cfg.sigma_level,
         cp_pvalue=cfg.cp_pvalue,
         cp_permutations=cfg.cp_permutations,
+        lowpass_mode=cfg.lowpass_mode,
+        lowpass_order=cfg.lowpass_order,
     ).cache()
 
     # T3/T4/F4: anomaly → bucket membership.  Parity Q1: only change

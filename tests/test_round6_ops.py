@@ -304,3 +304,77 @@ def test_register_corpus_views_sql_roundtrip(spark):
     ).count()
     assert got == 6
     assert spark.sql("SELECT * FROM doc_quality").count() == 6
+
+
+def test_butterworth_coefficients_match_published_values():
+    import numpy as np
+
+    from metrics_advisor_spark.operators.detect import butter_lowpass_np
+
+    # scipy.signal.butter(3, 0.1) — published reference values
+    b, a = butter_lowpass_np(3, 0.1)
+    assert np.allclose(
+        b, [0.00289819, 0.00869458, 0.00869458, 0.00289819], atol=1e-6
+    )
+    assert np.allclose(
+        a, [1.0, -2.37409474, 1.92935567, -0.53207537], atol=1e-6
+    )
+
+
+def test_filtfilt_zero_phase_and_band_behavior():
+    import numpy as np
+
+    from metrics_advisor_spark.operators.detect import (
+        butter_lowpass_np,
+        filtfilt_np,
+    )
+
+    b, a = butter_lowpass_np(3, 0.1)
+    # DC gain exactly 1 (constant preserved)
+    assert np.allclose(filtfilt_np(b, a, np.full(200, 5.0)), 5.0, atol=1e-9)
+    t = np.arange(2000)
+    slow = np.sin(2 * np.pi * t / 500)
+    fast = np.sin(2 * np.pi * t / 4)
+    ys, yf = filtfilt_np(b, a, slow), filtfilt_np(b, a, fast)
+    core = slice(100, -100)
+    assert np.std(ys[core]) / np.std(slow[core]) > 0.999  # passband flat
+    assert np.std(yf[core]) / np.std(fast[core]) < 1e-4   # stopband killed
+    # zero phase: peak cross-correlation at lag 0
+    c = np.correlate(
+        ys[core] - ys[core].mean(), slow[core] - slow[core].mean(), "full"
+    )
+    assert int(np.argmax(c)) == len(ys[core]) - 1
+
+
+def test_stl_outliers_butterworth_mode_finds_planted_spike():
+    import numpy as np
+
+    from metrics_advisor_spark.operators.detect import stl_outliers_np
+
+    rng = np.random.default_rng(7)
+    t = np.arange(1200)
+    x = (
+        np.sin(2 * np.pi * t / 400)  # seasonality the low-pass removes
+        + 0.01 * rng.standard_normal(t.size)
+    )
+    x[600] += 5.0  # planted spike
+    for mode in ("fft", "butterworth"):
+        idx = stl_outliers_np(
+            x, window=5, step_seconds=15.0, f_min=0.01 / 15, level=3.0,
+            lowpass_mode=mode,
+        )
+        assert 600 in idx, f"spike missed in {mode} mode"
+
+
+def test_filtfilt_short_series_does_not_crash():
+    import numpy as np
+
+    from metrics_advisor_spark.operators.detect import (
+        butter_lowpass_np,
+        filtfilt_np,
+    )
+
+    b, a = butter_lowpass_np(3, 0.1)
+    for n in (1, 2, 5, 11):
+        y = filtfilt_np(b, a, np.arange(n, dtype=float))
+        assert y.size == n and np.isfinite(y).all()
