@@ -1358,6 +1358,79 @@ _EMB_DUPS = """
     WHERE vec_id < 50
 """
 
+# PQ pipeline CTE chain (shared by pq_codebook_audit / pq_codes /
+# pq_search): deterministic seeded one-step-Lloyd codebook, argmin by
+# (floor-form distance, code), per-dim means folded in vec_id order —
+# every FP reduction mirrors the Spark ordered-fold tree.
+_PQ_SQL = """
+            sub AS (
+              SELECT vec_id, t.s::INT AS s,
+                     list_transform(embedding[t.s*16+1 : t.s*16+16],
+                                    x -> x::DOUBLE) AS sub
+              FROM embeddings, unnest(range(0, 4)) AS t(s)
+            ),
+            seeds AS (
+              SELECT s, code, sub AS centroid FROM (
+                SELECT s, vec_id, sub,
+                       row_number() OVER (
+                         PARTITION BY s
+                         ORDER BY ('0x' || substr(md5(vec_id::VARCHAR ||
+                                     '_' || s::VARCHAR), 1, 14))::BIGINT,
+                                  vec_id
+                       ) - 1 AS code
+                FROM sub
+              ) WHERE code < 16
+            ),
+            asg AS (
+              SELECT vec_id, s, code, sub FROM (
+                SELECT p.vec_id, p.s, se.code, p.sub,
+                       row_number() OVER (
+                         PARTITION BY p.vec_id, p.s
+                         ORDER BY floor(list_reduce(
+                             list_transform(range(0, 16), i ->
+                               (p.sub[i+1] - se.centroid[i+1])
+                               * (p.sub[i+1] - se.centroid[i+1])),
+                             (a, v) -> a + v) * 1000000.0 + 0.5)
+                             / 1000000.0,
+                           se.code
+                       ) AS rn
+                FROM sub p JOIN seeds se USING (s)
+              ) WHERE rn = 1
+            ),
+            dims AS (
+              SELECT vec_id, s, code, t.i::INT AS dim, sub[t.i+1] AS x
+              FROM asg, unnest(range(0, 16)) AS t(i)
+            ),
+            cell AS (
+              SELECT s, code, dim, count(*)::DOUBLE AS n,
+                     list_reduce(list(x ORDER BY vec_id),
+                                 (a, v) -> a + v) AS sx
+              FROM dims GROUP BY 1, 2, 3
+            ),
+            cb AS (
+              SELECT s, code,
+                     list(sx / n ORDER BY dim) AS centroid,
+                     max(n)::BIGINT AS n_assigned
+              FROM cell GROUP BY 1, 2
+            ),
+            codes AS (
+              SELECT vec_id, s, code FROM (
+                SELECT p.vec_id, p.s, c.code,
+                       row_number() OVER (
+                         PARTITION BY p.vec_id, p.s
+                         ORDER BY floor(list_reduce(
+                             list_transform(range(0, 16), i ->
+                               (p.sub[i+1] - c.centroid[i+1])
+                               * (p.sub[i+1] - c.centroid[i+1])),
+                             (a, v) -> a + v) * 1000000.0 + 0.5)
+                             / 1000000.0,
+                           c.code
+                       ) AS rn
+                FROM sub p JOIN cb c USING (s)
+              ) WHERE rn = 1
+            )
+"""
+
 # DSIR scoring chain (shared by dsir_weights / dsir_resample /
 # streaming_dsir_gate): mirrors the Spark plan exactly — hashed
 # unigram+bigram models (target = src0 docs, raw = whole corpus),
@@ -3710,6 +3783,52 @@ def q_dup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_cluster_purity(d.unionByName(mirror))
 
 
+def _pq_parts(spark: SparkSession, sf_dir: str):
+    """Shared PQ pipeline for the three contract queries: deterministic
+    codebook (m=4, k=16) on the embeddings table, long-form codes."""
+    from metrics_advisor_spark.functions.pq import pq_codebook, pq_encode
+
+    emb = _emb(spark, sf_dir)
+    cb = pq_codebook(emb, m=4, k=16)
+    codes = pq_encode(emb, cb, m=4)
+    return emb, cb, codes
+
+
+def q_pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook balance audit: per (subspace, code) the assigned
+    count and centroid L2 norm — the cell-balance check that justifies
+    (m, k) before trusting ADC recall."""
+    from metrics_advisor_spark.functions.pq import _floor6
+
+    _, cb, _ = _pq_parts(spark, sf_dir)
+    norm = F.sqrt(
+        F.aggregate(
+            "centroid", F.lit(0.0), lambda acc, v: acc + v * v
+        )
+    )
+    return cb.select(
+        "s", "code", "n_assigned", _floor6(norm).alias("centroid_norm")
+    )
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form PQ code assignment (vec_id, s, code) for the whole
+    embeddings table — the m-byte-per-vector storage layout."""
+    _, _, codes = _pq_parts(spark, sf_dir)
+    return codes
+
+
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 per query (queries = vec_id < 5) over the PQ codes:
+    asymmetric distance = sum of per-subspace query↔codeword lookups."""
+    from metrics_advisor_spark.functions.pq import pq_search
+
+    emb, cb, codes = _pq_parts(spark, sf_dir)
+    return pq_search(
+        emb.filter(F.col("vec_id") < 5), codes, cb, k=10, m=4
+    )
+
+
 CURRENT_ROUND = 6
 DRIVER_GATE = 50
 
@@ -3965,6 +4084,9 @@ ROTATION: dict[str, int | None] = {
     "dup_cluster_purity": None,
     "dsir_resample": None,
     "streaming_dsir_gate": None,
+    "pq_codebook_audit": None,
+    "pq_codes": None,
+    "pq_search": None,
 }
 
 # Checked queries deliberately re-queued inside the round-6 window:
@@ -4268,6 +4390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_purity": q_dup_cluster_purity,
         "dsir_resample": q_dsir_resample,
         "streaming_dsir_gate": q_streaming_dsir_gate,
+        "pq_codebook_audit": q_pq_codebook_audit,
+        "pq_codes": q_pq_codes,
+        "pq_search": q_pq_search,
     })
 
 
@@ -7714,6 +7839,50 @@ def oracle_sql() -> dict[str, str]:
                      END) * 1000000.0 + 0.5) / 1000000.0 AS corr,
                    n::BIGINT AS n_vecs
             FROM s
+        """,
+        "pq_codebook_audit": f"""
+            WITH {_PQ_SQL}
+            SELECT s, code, n_assigned,
+                   floor(sqrt(list_reduce(
+                       list_transform(centroid, v -> v * v),
+                       (a, v) -> a + v)) * 1000000.0 + 0.5)
+                     / 1000000.0 AS centroid_norm
+            FROM cb
+        """,
+        "pq_codes": f"""
+            WITH {_PQ_SQL}
+            SELECT vec_id, s, code FROM codes
+        """,
+        "pq_search": f"""
+            WITH {_PQ_SQL},
+            q AS (SELECT vec_id AS query_id, s, sub AS qsub
+                  FROM sub WHERE vec_id < 5),
+            lut AS (
+              SELECT q.query_id, c.s, c.code,
+                     list_reduce(
+                       list_transform(range(0, 16), i ->
+                         (q.qsub[i+1] - c.centroid[i+1])
+                         * (q.qsub[i+1] - c.centroid[i+1])),
+                       (a, v) -> a + v) AS part
+              FROM q JOIN cb c USING (s)
+            ),
+            scored AS (
+              SELECT l.query_id, e.vec_id,
+                     floor(list_reduce(list(l.part ORDER BY l.s),
+                                       (a, v) -> a + v)
+                           * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+              FROM codes e JOIN lut l
+                ON e.s = l.s AND e.code = l.code
+              WHERE e.vec_id != l.query_id
+              GROUP BY l.query_id, e.vec_id
+            )
+            SELECT query_id, vec_id, adc_dist, rank FROM (
+              SELECT query_id, vec_id, adc_dist,
+                     (row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY adc_dist ASC, vec_id ASC))::INT AS rank
+              FROM scored
+            ) WHERE rank <= 10
         """,
         "dsir_weights": _DSIR_SQL,
         "dsir_resample": f"""

@@ -378,3 +378,80 @@ def test_filtfilt_short_series_does_not_crash():
     for n in (1, 2, 5, 11):
         y = filtfilt_np(b, a, np.arange(n, dtype=float))
         assert y.size == n and np.isfinite(y).all()
+
+
+def test_pq_exact_dup_vectors_share_codes_and_adc_zero(spark):
+    from pyspark.sql import functions as F
+
+    from metrics_advisor_spark.functions.pq import (
+        pq_codebook,
+        pq_encode,
+        pq_search,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    base = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)
+    ]
+    dup = [(1000 + i, v) for i, v in base[:5]]  # exact copies
+    emb = spark.createDataFrame(
+        base + dup, "vec_id long, embedding array<float>"
+    )
+    cb = pq_codebook(emb, m=4, k=8)
+    codes = pq_encode(emb, cb, m=4)
+    by_vec = {}
+    for r in codes.collect():
+        by_vec.setdefault(r["vec_id"], {})[r["s"]] = r["code"]
+    for i in range(5):
+        assert by_vec[i] == by_vec[1000 + i]  # identical vectors, codes
+    # ADC: the exact dup shares the query's codes, so it attains the
+    # minimum possible ADC distance (= the query's own quantization
+    # error — NOT 0: ADC measures query↔codeword, not query↔vector)
+    # and must rank first (vec_id tiebreak among same-code vectors)
+    res = pq_search(
+        emb.filter(F.col("vec_id") < 3), codes, cb, k=3, m=4
+    ).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in range(3):
+        rows = sorted(by_q[q], key=lambda r: r["rank"])
+        assert rows[0]["vec_id"] == 1000 + q
+        assert rows[0]["adc_dist"] <= rows[-1]["adc_dist"]
+
+
+def test_pq_codebook_cells_cover_and_balance(spark):
+    from metrics_advisor_spark.functions.pq import pq_codebook, pq_encode
+
+    import random
+
+    rng = random.Random(9)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    cb = pq_codebook(emb, m=4, k=8)
+    rows = cb.collect()
+    assert {r["s"] for r in rows} == {0, 1, 2, 3}
+    assert sum(r["n_assigned"] for r in rows) == 4 * 200  # total coverage
+    codes = pq_encode(emb, cb, m=4)
+    assert codes.count() == 4 * 200
+
+
+def test_pq_seed_sample_mod_still_yields_codebook(spark):
+    from metrics_advisor_spark.functions.pq import pq_codebook
+
+    import random
+
+    rng = random.Random(11)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    cb = pq_codebook(emb, m=4, k=4, seed_sample_mod=8).collect()
+    # ~50 candidates per subspace survive the 1/8 hash filter; k=4
+    # seeds must still exist and cover all subspaces
+    assert {r["s"] for r in cb} == {0, 1, 2, 3}
+    assert sum(r["n_assigned"] for r in cb) == 4 * 400
