@@ -1431,6 +1431,84 @@ _PQ_SQL = """
             )
 """
 
+
+def _pq_chain_sql(src: str, vec: str, m: int, dsub: int, k: int,
+                  p: str) -> str:
+    """Parameterized DuckDB mirror of the `functions/pq.py` pipeline:
+    CTEs {p}sub / {p}seeds / {p}asg / {p}dims / {p}cell / {p}cb /
+    {p}codes over source CTE ``src`` (vec_id, ``vec`` list<double>).
+    Same ordered-fold / floor-form / (distance, code)-argmin shape as
+    _PQ_SQL — used to compose the IVF-PQ oracle (coarse chain m=1 plus
+    residual chain m=4) without duplicating SQL by hand."""
+    return f"""
+            {p}sub AS (
+              SELECT vec_id, t.s::INT AS s,
+                     list_transform({vec}[t.s*{dsub}+1 : t.s*{dsub}+{dsub}],
+                                    x -> x::DOUBLE) AS sub
+              FROM {src}, unnest(range(0, {m})) AS t(s)
+            ),
+            {p}seeds AS (
+              SELECT s, code, sub AS centroid FROM (
+                SELECT s, vec_id, sub,
+                       row_number() OVER (
+                         PARTITION BY s
+                         ORDER BY ('0x' || substr(md5(vec_id::VARCHAR ||
+                                     '_' || s::VARCHAR), 1, 14))::BIGINT,
+                                  vec_id
+                       ) - 1 AS code
+                FROM {p}sub
+              ) WHERE code < {k}
+            ),
+            {p}asg AS (
+              SELECT vec_id, s, code, sub FROM (
+                SELECT q.vec_id, q.s, se.code, q.sub,
+                       row_number() OVER (
+                         PARTITION BY q.vec_id, q.s
+                         ORDER BY floor(list_reduce(
+                             list_transform(range(0, {dsub}), i ->
+                               (q.sub[i+1] - se.centroid[i+1])
+                               * (q.sub[i+1] - se.centroid[i+1])),
+                             (a, v) -> a + v) * 1000000.0 + 0.5)
+                             / 1000000.0,
+                           se.code
+                       ) AS rn
+                FROM {p}sub q JOIN {p}seeds se USING (s)
+              ) WHERE rn = 1
+            ),
+            {p}dims AS (
+              SELECT vec_id, s, code, t.i::INT AS dim, sub[t.i+1] AS x
+              FROM {p}asg, unnest(range(0, {dsub})) AS t(i)
+            ),
+            {p}cell AS (
+              SELECT s, code, dim, count(*)::DOUBLE AS n,
+                     list_reduce(list(x ORDER BY vec_id),
+                                 (a, v) -> a + v) AS sx
+              FROM {p}dims GROUP BY 1, 2, 3
+            ),
+            {p}cb AS (
+              SELECT s, code,
+                     list(sx / n ORDER BY dim) AS centroid,
+                     max(n)::BIGINT AS n_assigned
+              FROM {p}cell GROUP BY 1, 2
+            ),
+            {p}codes AS (
+              SELECT vec_id, s, code FROM (
+                SELECT q.vec_id, q.s, c.code,
+                       row_number() OVER (
+                         PARTITION BY q.vec_id, q.s
+                         ORDER BY floor(list_reduce(
+                             list_transform(range(0, {dsub}), i ->
+                               (q.sub[i+1] - c.centroid[i+1])
+                               * (q.sub[i+1] - c.centroid[i+1])),
+                             (a, v) -> a + v) * 1000000.0 + 0.5)
+                             / 1000000.0,
+                           c.code
+                       ) AS rn
+                FROM {p}sub q JOIN {p}cb c USING (s)
+              ) WHERE rn = 1
+            )
+"""
+
 # DSIR scoring chain (shared by dsir_weights / dsir_resample /
 # streaming_dsir_gate): mirrors the Spark plan exactly — hashed
 # unigram+bigram models (target = src0 docs, raw = whole corpus),
@@ -3829,6 +3907,20 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC top-10 (queries = vec_id < 5): deterministic coarse
+    quantizer (8 cells) + residual PQ (m=4, k=16), probing the 2
+    nearest cells per query — the standard corpus-scale ANN layout,
+    fully oracle-composed."""
+    from metrics_advisor_spark.functions.pq import ivfpq_search
+
+    emb = _emb(spark, sf_dir)
+    return ivfpq_search(
+        emb.filter(F.col("vec_id") < 5), emb,
+        k_coarse=8, m=4, k_codes=16, nprobe=2, k=10,
+    )
+
+
 CURRENT_ROUND = 6
 DRIVER_GATE = 50
 
@@ -4087,6 +4179,7 @@ ROTATION: dict[str, int | None] = {
     "pq_codebook_audit": None,
     "pq_codes": None,
     "pq_search": None,
+    "ivfpq_search": None,
 }
 
 # Checked queries deliberately re-queued inside the round-6 window:
@@ -4393,6 +4486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codebook_audit": q_pq_codebook_audit,
         "pq_codes": q_pq_codes,
         "pq_search": q_pq_search,
+        "ivfpq_search": q_ivfpq_search,
     })
 
 
@@ -7839,6 +7933,87 @@ def oracle_sql() -> dict[str, str]:
                      END) * 1000000.0 + 0.5) / 1000000.0 AS corr,
                    n::BIGINT AS n_vecs
             FROM s
+        """,
+        "ivfpq_search": f"""
+            -- IVF-PQ composed from two _pq_chain_sql instances: the
+            -- coarse chain (m=1, 8 whole-vector cells) and the fine
+            -- chain on RESIDUALS (m=4, k=16); queries probe their 2
+            -- nearest cells, ADC-score only those cells' codes.
+            WITH embd AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ),
+            {_pq_chain_sql('embd', 'v', 1, 64, 8, 'c_')},
+            amap AS (SELECT vec_id, code AS cell FROM c_codes),
+            resid AS (
+              SELECT e.vec_id,
+                     list_transform(range(0, 64), i ->
+                       e.v[i+1] - cc.centroid[i+1]) AS r
+              FROM embd e JOIN amap a USING (vec_id)
+              JOIN c_cb cc ON cc.s = 0 AND cc.code = a.cell
+            ),
+            {_pq_chain_sql('resid', 'r', 4, 16, 16, 'r_')},
+            qv AS (SELECT vec_id AS query_id, v FROM embd
+                   WHERE vec_id < 5),
+            probe AS (
+              SELECT query_id, cell FROM (
+                SELECT q.query_id, cc.code AS cell,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY floor(list_reduce(
+                             list_transform(range(0, 64), i ->
+                               (q.v[i+1] - cc.centroid[i+1])
+                               * (q.v[i+1] - cc.centroid[i+1])),
+                             (a, v) -> a + v) * 1000000.0 + 0.5)
+                             / 1000000.0,
+                           cc.code
+                       ) AS rn
+                FROM qv q JOIN c_cb cc ON cc.s = 0
+              ) WHERE rn <= 2
+            ),
+            rq AS (
+              SELECT p.query_id, p.cell,
+                     list_transform(range(0, 64), i ->
+                       q.v[i+1] - cc.centroid[i+1]) AS r
+              FROM probe p JOIN qv q USING (query_id)
+              JOIN c_cb cc ON cc.s = 0 AND cc.code = p.cell
+            ),
+            rqsub AS (
+              SELECT query_id, cell, t.s::INT AS s,
+                     r[t.s*16+1 : t.s*16+16] AS qsub
+              FROM rq, unnest(range(0, 4)) AS t(s)
+            ),
+            lut AS (
+              SELECT u.query_id, u.cell, c.s, c.code,
+                     list_reduce(
+                       list_transform(range(0, 16), i ->
+                         (u.qsub[i+1] - c.centroid[i+1])
+                         * (u.qsub[i+1] - c.centroid[i+1])),
+                       (a, v) -> a + v) AS part
+              FROM rqsub u JOIN r_cb c ON c.s = u.s
+            ),
+            cand AS (
+              SELECT r_codes.vec_id, amap.cell, r_codes.s, r_codes.code
+              FROM r_codes JOIN amap USING (vec_id)
+            ),
+            scored AS (
+              SELECT l.query_id, cd.vec_id,
+                     floor(list_reduce(list(l.part ORDER BY l.s),
+                                       (a, v) -> a + v)
+                           * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+              FROM cand cd JOIN lut l
+                ON l.cell = cd.cell AND l.s = cd.s AND l.code = cd.code
+              WHERE cd.vec_id != l.query_id
+              GROUP BY l.query_id, cd.vec_id
+            )
+            SELECT query_id, vec_id, adc_dist, rank FROM (
+              SELECT query_id, vec_id, adc_dist,
+                     (row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY adc_dist ASC, vec_id ASC))::INT AS rank
+              FROM scored
+            ) WHERE rank <= 10
         """,
         "pq_codebook_audit": f"""
             WITH {_PQ_SQL}

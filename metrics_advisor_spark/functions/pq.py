@@ -249,3 +249,140 @@ def pq_search(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    emb: DataFrame,
+    k_coarse: int = 8,
+    m: int = 4,
+    k_codes: int = 16,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_sample_mod: int = 1,
+) -> DataFrame:
+    """IVF-PQ — THE standard 100 TB ANN layout, fully composed from the
+    deterministic building blocks above and therefore oracle-exact:
+
+    1. coarse quantizer = `pq_codebook` with m=1 (whole-vector seeded
+       one-step Lloyd, ``k_coarse`` cells);
+    2. every vector stored as (cell, m residual codes): PQ is trained
+       on RESIDUALS v − centroid(cell), which is what makes the fine
+       codebook spend its 16 codewords on within-cell structure;
+    3. a query probes its ``nprobe`` nearest cells only, builds the
+       per-cell residual lookup table, and ADC-scores just the codes
+       in those cells — corpus work per query is
+       |probed cells|/|cells| of the data, never the full corpus.
+
+    Output (query_id, vec_id, adc_dist, rank), k nearest per query.
+
+    Scale: both codebooks broadcast (k_coarse·d + m·k_codes·d/m
+    doubles); the per-query candidate stream is cut by the IVF factor
+    BEFORE any distance math; all folds ordered, argmins
+    floor-form+id-tiebroken — the same determinism contract as the
+    flat PQ path."""
+    coarse = pq_codebook(
+        emb, m=1, k=k_coarse, id_col=id_col, vec_col=vec_col,
+        seed_sample_mod=seed_sample_mod,
+    )
+    cells = coarse.select(
+        F.col("code").alias("cell"), F.col("centroid").alias("ccent")
+    )
+    amap = pq_encode(emb, coarse, m=1, id_col=id_col, vec_col=vec_col).select(
+        "vec_id", F.col("code").alias("cell")
+    )
+    vec_d = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    resid = (
+        vec_d.join(amap, "vec_id")
+        .join(F.broadcast(cells), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with("v", "ccent", lambda a, b: a - b).alias("residual"),
+        )
+    )
+    pq_cb = pq_codebook(
+        resid, m=m, k=k_codes, id_col="vec_id", vec_col="residual",
+        seed_sample_mod=seed_sample_mod,
+    )
+    codes = pq_encode(
+        resid, pq_cb, m=m, id_col="vec_id", vec_col="residual"
+    ).join(amap, "vec_id")
+    # ---- query side ----
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("cd").asc(), F.col("cell").asc()
+    )
+    probe = (
+        qv.crossJoin(F.broadcast(cells))
+        .select(
+            "query_id",
+            "cell",
+            "qv",
+            "ccent",
+            _floor6(_sq_dist(F.col("qv"), F.col("ccent"))).alias("cd"),
+        )
+        .withColumn("rn", F.row_number().over(wprobe))
+        .where(F.col("rn") <= nprobe)
+    )
+    dsub = F.floor(F.size("rq") / m).cast("int")
+    rq = probe.select(
+        "query_id",
+        "cell",
+        F.zip_with("qv", "ccent", lambda a, b: a - b).alias("rq"),
+    )
+    rqsub = rq.select(
+        "query_id",
+        "cell",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("s"),
+                    F.slice(F.col("rq"), s * dsub + 1, dsub).alias("qsub"),
+                ),
+            )
+        ).alias("sv"),
+    ).select(
+        "query_id", "cell",
+        F.col("sv.s").alias("s"), F.col("sv.qsub").alias("qsub"),
+    )
+    lut = rqsub.join(
+        F.broadcast(pq_cb.select("s", "code", "centroid")), "s"
+    ).select(
+        "query_id",
+        "cell",
+        "s",
+        "code",
+        _sq_dist(F.col("qsub"), F.col("centroid")).alias("part"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "s", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("s", "part"))).alias("ps")
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            _floor6(
+                F.aggregate("ps", F.lit(0.0), lambda acc, v: acc + v.part)
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

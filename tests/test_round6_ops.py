@@ -455,3 +455,52 @@ def test_pq_seed_sample_mod_still_yields_codebook(spark):
     # seeds must still exist and cover all subspaces
     assert {r["s"] for r in cb} == {0, 1, 2, 3}
     assert sum(r["n_assigned"] for r in cb) == 4 * 400
+
+
+def test_ivfpq_exact_dup_ranks_first(spark):
+    from pyspark.sql import functions as F
+
+    from metrics_advisor_spark.functions.pq import ivfpq_search
+
+    import random
+
+    rng = random.Random(5)
+    base = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    dup = [(2000 + i, v) for i, v in base[:3]]
+    emb = spark.createDataFrame(
+        base + dup, "vec_id long, embedding array<float>"
+    )
+    res = ivfpq_search(
+        emb.filter(F.col("vec_id") < 3), emb,
+        k_coarse=4, m=4, k_codes=8, nprobe=2, k=5,
+    ).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in range(3):
+        rows = sorted(by_q[q], key=lambda r: r["rank"])
+        # the exact dup lands in the query's own cell (residual 0 →
+        # same codes) and must rank first
+        assert rows[0]["vec_id"] == 2000 + q
+        assert len(rows) == 5
+
+
+def test_ivfpq_probe_limits_candidates(spark):
+    from pyspark.sql import functions as F
+
+    from metrics_advisor_spark.functions.pq import ivfpq_search
+
+    import random
+
+    rng = random.Random(6)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 2)
+    narrow = ivfpq_search(q, emb, k_coarse=6, nprobe=1, k=100, m=4,
+                          k_codes=8)
+    wide = ivfpq_search(q, emb, k_coarse=6, nprobe=6, k=100, m=4,
+                        k_codes=8)
+    # probing fewer cells can only shrink the candidate set
+    assert narrow.count() < wide.count()
