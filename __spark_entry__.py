@@ -3921,6 +3921,34 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec plumbing (no stub): genuine RIFF/WAVE PCM16
+    payloads synthesized per doc, header PARSED back by mapInPandas;
+    the oracle recomputes the expected header fields from the
+    deterministic generation rule."""
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_wav_payload,
+        audio_meta,
+    )
+
+    media = attach_wav_payload(_docs(spark, sf_dir, fanout=False))
+    return audio_meta(media)
+
+
+def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM frame windowing with integer-exact features (energy sum of
+    squares + zero-crossing count) — numpy frombuffer/reshape framing
+    over real WAV bytes; hash-oracled because the waveform is integer-
+    deterministic."""
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_wav_payload,
+        audio_windows,
+    )
+
+    media = attach_wav_payload(_docs(spark, sf_dir, fanout=False))
+    return audio_windows(media, window=160)
+
+
 CURRENT_ROUND = 6
 DRIVER_GATE = 50
 
@@ -4180,6 +4208,8 @@ ROTATION: dict[str, int | None] = {
     "pq_codes": None,
     "pq_search": None,
     "ivfpq_search": None,
+    "audio_meta": None,
+    "audio_windows": None,
 }
 
 # Checked queries deliberately re-queued inside the round-6 window:
@@ -4487,6 +4517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_search": q_pq_search,
         "ivfpq_search": q_ivfpq_search,
+        "audio_meta": q_audio_meta,
+        "audio_windows": q_audio_windows,
     })
 
 
@@ -7933,6 +7965,48 @@ def oracle_sql() -> dict[str, str]:
                      END) * 1000000.0 + 0.5) / 1000000.0 AS corr,
                    n::BIGINT AS n_vecs
             FROM s
+        """,
+        "audio_meta": """
+            -- The Spark side PARSES real RIFF/WAVE bytes; the oracle
+            -- recomputes the header fields from the deterministic
+            -- synthesis rule (n = 400 + (doc_id % 10)*80, sr = 8000,
+            -- mono PCM16) — a genuine parse-vs-spec check.
+            SELECT doc_id,
+                   8000::INT AS sample_rate,
+                   1::INT AS n_channels,
+                   16::INT AS bits,
+                   (400 + (doc_id % 10) * 80)::BIGINT AS n_samples,
+                   ((400 + (doc_id % 10) * 80) * 1000 // 8000)::BIGINT
+                     AS duration_ms
+            FROM documents
+        """,
+        "audio_windows": """
+            -- Integer-exact PCM window features recomputed from the
+            -- synthesis rule s_i = ((doc_id*31 + i*17) % 65536) - 32768
+            -- (no FP anywhere — sum_sq and zcr are int64).
+            WITH d AS (
+              SELECT doc_id, 400 + (doc_id % 10) * 80 AS n
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, t.i AS i,
+                     ((doc_id * 31 + t.i * 17) % 65536 - 32768)::BIGINT
+                       AS v
+              FROM d, unnest(range(0, n)) AS t(i)
+            ),
+            z AS (
+              SELECT doc_id, (i // 160)::INT AS win_id, v,
+                     lag(v) OVER (
+                       PARTITION BY doc_id, i // 160 ORDER BY i
+                     ) AS pv
+              FROM s
+            )
+            SELECT doc_id, win_id,
+                   count(*)::INT AS n_in_win,
+                   sum(v * v)::BIGINT AS sum_sq,
+                   sum(CASE WHEN pv IS NOT NULL AND v * pv < 0
+                            THEN 1 ELSE 0 END)::BIGINT AS zcr
+            FROM z GROUP BY 1, 2
         """,
         "ivfpq_search": f"""
             -- IVF-PQ composed from two _pq_chain_sql instances: the

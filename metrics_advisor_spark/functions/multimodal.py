@@ -194,3 +194,130 @@ def decode_image(media: DataFrame) -> DataFrame:
         "container; use extract_media_meta (stubbed codec) for plumbing "
         "tests and swap _fake_decode_dims in deployment"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: REAL codec work, no external library.  RIFF/WAVE PCM16 is a
+# 44-byte header + little-endian samples — writable and parseable with
+# struct + numpy alone, so unlike the image path (PIL absent → stubbed)
+# the audio path is fully real end-to-end: genuine WAV bytes in the
+# binary column, genuine header parsing, genuine PCM windowing.
+# The synthesized waveform is integer-deterministic
+# (s_i = ((doc_id·31 + i·17) mod 65536) − 32768), which makes every
+# downstream feature (sum of squares, zero crossings) integer-exact and
+# therefore hash-oracle-checkable — no FP anywhere in the pipeline.
+# ---------------------------------------------------------------------------
+
+
+def _wav_bytes(doc_id: int, sample_rate: int = 8000) -> bytes:
+    """A genuine RIFF/WAVE mono PCM16 payload for ``doc_id``:
+    n_samples = 400 + (doc_id mod 10)·80 of the deterministic integer
+    waveform above."""
+    import struct
+
+    import numpy as np
+
+    n = 400 + (doc_id % 10) * 80
+    i = np.arange(n, dtype=np.int64)
+    samples = ((doc_id * 31 + i * 17) % 65536 - 32768).astype("<i2")
+    data = samples.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, wav binary): real WAV bytes per doc via mapInPandas —
+    the Arrow batch shape a production loader (S3 bytes → binary
+    column) would have."""
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "wav": [
+                        _wav_bytes(int(d)) for d in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(fn, "doc_id long, wav binary")
+
+
+def audio_meta(media: DataFrame, wav_col: str = "wav") -> DataFrame:
+    """Parse the RIFF/fmt header of each payload: (doc_id, sample_rate,
+    n_channels, bits, n_samples, duration_ms).  Real parsing — a
+    malformed payload raises, it is not guessed around."""
+    import struct
+
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sample_rate": [], "n_channels": [],
+                "bits": [], "n_samples": [], "duration_ms": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf[wav_col]):
+                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                    raise ValueError(f"doc {doc_id}: not a RIFF/WAVE payload")
+                (_, ch, sr, _, _, bits) = struct.unpack(
+                    "<HHIIHH", payload[20:36]
+                )
+                (data_len,) = struct.unpack("<I", payload[40:44])
+                n = data_len // (ch * bits // 8)
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(sr)
+                out["n_channels"].append(ch)
+                out["bits"].append(bits)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // sr)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        "doc_id long, sample_rate int, n_channels int, bits int, "
+        "n_samples long, duration_ms long",
+    )
+
+
+def audio_windows(
+    media: DataFrame, window: int = 160, wav_col: str = "wav"
+) -> DataFrame:
+    """Frame each payload's PCM into fixed ``window``-sample frames and
+    emit integer-exact per-frame features: (doc_id, win_id, n_in_win,
+    sum_sq — the energy numerator — and zcr, the strict sign-change
+    count).  numpy.frombuffer → reshape does the framing; the tail
+    partial frame is kept (n_in_win < window)."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "win_id": [], "n_in_win": [],
+                "sum_sq": [], "zcr": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf[wav_col]):
+                s = np.frombuffer(payload[44:], dtype="<i2").astype(
+                    np.int64
+                )
+                for w0 in range(0, s.size, window):
+                    seg = s[w0 : w0 + window]
+                    out["doc_id"].append(doc_id)
+                    out["win_id"].append(w0 // window)
+                    out["n_in_win"].append(int(seg.size))
+                    out["sum_sq"].append(int((seg * seg).sum()))
+                    out["zcr"].append(
+                        int((seg[1:] * seg[:-1] < 0).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        "doc_id long, win_id int, n_in_win int, sum_sq long, zcr long",
+    )

@@ -504,3 +504,57 @@ def test_ivfpq_probe_limits_candidates(spark):
                         k_codes=8)
     # probing fewer cells can only shrink the candidate set
     assert narrow.count() < wide.count()
+
+
+def test_wav_payload_is_genuine_riff(spark):
+    import struct
+
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_wav_payload,
+    )
+
+    df = spark.createDataFrame([(7,), (13,)], "doc_id long")
+    rows = {r["doc_id"]: bytes(r["wav"])
+            for r in attach_wav_payload(df).collect()}
+    for doc_id, wav in rows.items():
+        assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+        (fmt_len, pcm, ch, sr) = struct.unpack("<IHHI", wav[16:28])
+        assert (fmt_len, pcm, ch, sr) == (16, 1, 1, 8000)
+        (data_len,) = struct.unpack("<I", wav[40:44])
+        assert len(wav) == 44 + data_len
+        assert data_len == (400 + (doc_id % 10) * 80) * 2
+
+
+def test_audio_meta_parses_back_synthesis_rule(spark):
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_wav_payload,
+        audio_meta,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    rows = {r["doc_id"]: r
+            for r in audio_meta(attach_wav_payload(df)).collect()}
+    for i in range(12):
+        assert rows[i]["n_samples"] == 400 + (i % 10) * 80
+        assert rows[i]["sample_rate"] == 8000
+        assert rows[i]["duration_ms"] == rows[i]["n_samples"] * 1000 // 8000
+
+
+def test_audio_windows_integer_features(spark):
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_wav_payload,
+        audio_windows,
+    )
+
+    df = spark.createDataFrame([(3,)], "doc_id long")
+    rows = audio_windows(attach_wav_payload(df), window=160).collect()
+    n = 400 + (3 % 10) * 80  # 640 samples → 4 full windows
+    assert len(rows) == n // 160
+    assert sum(r["n_in_win"] for r in rows) == n
+    # recompute window 0 features straight from the synthesis rule
+    s = [((3 * 31 + i * 17) % 65536) - 32768 for i in range(160)]
+    w0 = next(r for r in rows if r["win_id"] == 0)
+    assert w0["sum_sq"] == sum(v * v for v in s)
+    assert w0["zcr"] == sum(
+        1 for a, b in zip(s, s[1:]) if a * b < 0
+    )
