@@ -558,3 +558,73 @@ def test_audio_windows_integer_features(spark):
     assert w0["zcr"] == sum(
         1 for a, b in zip(s, s[1:]) if a * b < 0
     )
+
+
+def test_dsir_weights_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from metrics_advisor_spark.functions.selection import dsir_weights
+
+    rows = [
+        (i, f"some words w{i % 7} and w{i % 3} shared tail tokens here",
+         "src0" if i % 5 == 0 else "srcX")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    base = sorted(
+        tuple(r)
+        for r in dsir_weights(df, target=F.col("source") == "src0").collect()
+    )
+    for parts in (1, 7, 32):
+        got = sorted(
+            tuple(r)
+            for r in dsir_weights(
+                df.repartition(parts), target=F.col("source") == "src0"
+            ).collect()
+        )
+        assert got == base, f"dsir weights changed at repartition({parts})"
+
+
+def test_pq_pipeline_partition_invariant(spark):
+    import random
+
+    from metrics_advisor_spark.functions.pq import pq_codebook, pq_encode
+
+    rng = random.Random(21)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def run(df):
+        cb = pq_codebook(df, m=4, k=8)
+        codes = pq_encode(df, cb, m=4)
+        return (
+            sorted((r["s"], r["code"], tuple(r["centroid"]), r["n_assigned"])
+                   for r in cb.collect()),
+            sorted(tuple(r) for r in codes.collect()),
+        )
+
+    base = run(emb)
+    for parts in (1, 5, 32):
+        assert run(emb.repartition(parts)) == base, (
+            f"pq pipeline changed at repartition({parts})"
+        )
+
+
+def test_pagerank_partition_invariant(spark):
+    from metrics_advisor_spark.functions.graph import pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4), (5, 6)],
+        "doc_a long, doc_b long",
+    )
+    base = sorted(tuple(r) for r in pagerank(pairs, iterations=3).collect())
+    for parts in (1, 8):
+        got = sorted(
+            tuple(r)
+            for r in pagerank(
+                pairs.repartition(parts), iterations=3
+            ).collect()
+        )
+        assert got == base
