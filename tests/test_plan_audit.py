@@ -36,6 +36,8 @@ REPRESENTATIVE = [
     "dup_cluster_purity",     # two-level aggregate
     "dim_covariance",         # sorted sufficient-sum folds
     "topk_correlated",        # xcorr ranking
+    "ivfpq_search",           # composed vector index (two codebooks)
+    "audio_windows",          # real-codec mapInPandas path
 ]
 
 
