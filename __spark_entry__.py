@@ -3949,6 +3949,39 @@ def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_windows(media, window=160)
 
 
+def q_streaming_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixteenth Structured Streaming contract surface: per-batch audio
+    feature extraction over a binary WAV stream (real RIFF parsing +
+    PCM framing, integer-exact features).  Stateless across batches, so
+    a drain in any batching equals the batch `audio_windows` — the SQL
+    oracle."""
+    import tempfile
+
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_wav_payload,
+    )
+    from metrics_advisor_spark.streaming.pipeline import (
+        streaming_audio_features,
+    )
+
+    key = f"{sf_dir}#wav"
+    src = _STREAM_SRC_CACHE.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="ma_stream_wav_") + "/wav"
+        attach_wav_payload(_docs(spark, sf_dir, fanout=False)).write.mode(
+            "overwrite"
+        ).parquet(src)
+        _STREAM_SRC_CACHE[key] = src
+    base = tempfile.mkdtemp(prefix="ma_audiogate_")
+    stream = spark.readStream.schema("doc_id long, wav binary").parquet(src)
+    streaming_audio_features(stream, out_dir=f"{base}/out", window=160)
+    return (
+        spark.read.parquet(f"{base}/out")
+        .select("doc_id", "win_id", "n_in_win", "sum_sq", "zcr")
+        .orderBy("doc_id", "win_id")
+    )
+
+
 CURRENT_ROUND = 6
 DRIVER_GATE = 50
 
@@ -4210,6 +4243,7 @@ ROTATION: dict[str, int | None] = {
     "ivfpq_search": None,
     "audio_meta": None,
     "audio_windows": None,
+    "streaming_audio": None,
 }
 
 # Checked queries deliberately re-queued inside the round-6 window:
@@ -4519,6 +4553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_search": q_ivfpq_search,
         "audio_meta": q_audio_meta,
         "audio_windows": q_audio_windows,
+        "streaming_audio": q_streaming_audio,
     })
 
 
@@ -7965,6 +8000,33 @@ def oracle_sql() -> dict[str, str]:
                      END) * 1000000.0 + 0.5) / 1000000.0 AS corr,
                    n::BIGINT AS n_vecs
             FROM s
+        """,
+        "streaming_audio": """
+            -- identical to the batch audio_windows oracle: the
+            -- streaming surface is stateless per batch
+            WITH d AS (
+              SELECT doc_id, 400 + (doc_id % 10) * 80 AS n
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, t.i AS i,
+                     ((doc_id * 31 + t.i * 17) % 65536 - 32768)::BIGINT
+                       AS v
+              FROM d, unnest(range(0, n)) AS t(i)
+            ),
+            z AS (
+              SELECT doc_id, (i // 160)::INT AS win_id, v,
+                     lag(v) OVER (
+                       PARTITION BY doc_id, i // 160 ORDER BY i
+                     ) AS pv
+              FROM s
+            )
+            SELECT doc_id, win_id,
+                   count(*)::INT AS n_in_win,
+                   sum(v * v)::BIGINT AS sum_sq,
+                   sum(CASE WHEN pv IS NOT NULL AND v * pv < 0
+                            THEN 1 ELSE 0 END)::BIGINT AS zcr
+            FROM z GROUP BY 1, 2
         """,
         "audio_meta": """
             -- The Spark side PARSES real RIFF/WAVE bytes; the oracle

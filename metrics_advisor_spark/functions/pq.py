@@ -74,12 +74,16 @@ def pq_codebook(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_sample_mod: int = 1,
+    iterations: int = 1,
 ) -> DataFrame:
     """Deterministic PQ codebook: per subspace, seeds = the ``k``
-    vectors with the smallest md5 hash of (vec_id, s); one Lloyd step
-    (assign to nearest seed subvector, recompute per-dim means in
-    vec_id-sorted order) yields (s, code, centroid array<double>,
-    n_assigned).
+    vectors with the smallest md5 hash of (vec_id, s); ``iterations``
+    Lloyd steps (assign to nearest centroid, recompute per-dim means in
+    vec_id-sorted order) yield (s, code, centroid array<double>,
+    n_assigned).  The default 1 step is the oracle-mirrored contract
+    mode; more steps lower quantization error at one corpus pass each
+    (still fully deterministic — raise it when recall matters more
+    than fit cost).
 
     Scale: the seed table is m·k rows (broadcast); assignment is one
     broadcast join + ordered-fold distances; the centroid recompute
@@ -106,63 +110,77 @@ def pq_codebook(
         .where(F.col("code") < k)
         .select("s", "code", F.col("sub").alias("centroid"))
     )
-    # assign every subvector to its nearest seed (floor-form-snapped
-    # distance, code tiebreak → engine-order-invariant argmin)
-    assigned = (
-        sub.join(F.broadcast(seeds), "s")
-        .select(
-            "vec_id",
-            "s",
-            "sub",
-            "code",
-            _floor6(_sq_dist(F.col("sub"), F.col("centroid"))).alias("d"),
+
+    def _lloyd_step(centroids: DataFrame) -> DataFrame:
+        # assign every subvector to its nearest centroid (floor-form-
+        # snapped distance, code tiebreak → engine-order-invariant
+        # argmin), then recompute per-dim means in vec_id-sorted order
+        assigned = (
+            sub.join(F.broadcast(centroids), "s")
+            .select(
+                "vec_id",
+                "s",
+                "sub",
+                "code",
+                _floor6(
+                    _sq_dist(F.col("sub"), F.col("centroid"))
+                ).alias("d"),
+            )
+            .groupBy("vec_id", "s")
+            .agg(F.min(F.struct("d", "code", "sub")).alias("best"))
+            .select(
+                "vec_id", "s",
+                F.col("best.code").alias("code"),
+                F.col("best.sub").alias("sub"),
+            )
         )
-        .groupBy("vec_id", "s")
-        .agg(
-            F.min(F.struct("d", "code", "sub")).alias("best")
+        dims = assigned.select(
+            "vec_id", "s", "code", F.posexplode("sub").alias("dim", "x")
         )
-        .select(
-            "vec_id", "s",
-            F.col("best.code").alias("code"),
-            F.col("best.sub").alias("sub"),
+        cell = (
+            dims.groupBy("s", "code", "dim")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("vec_id", "x"))
+                ).alias("xs")
+            )
+            .select(
+                "s",
+                "code",
+                "dim",
+                F.size("xs").cast("double").alias("n"),
+                F.aggregate(
+                    "xs", F.lit(0.0), lambda acc, v: acc + v.x
+                ).alias("sx"),
+            )
         )
-    )
-    # one Lloyd step: per-dim means folded in vec_id order
-    dims = assigned.select(
-        "vec_id", "s", "code", F.posexplode("sub").alias("dim", "x")
-    )
-    cell = (
-        dims.groupBy("s", "code", "dim")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("vec_id", "x"))
-            ).alias("xs")
+        return (
+            cell.groupBy("s", "code")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("dim", (F.col("sx") / F.col("n")).alias("c"))
+                    )
+                ).alias("cs"),
+                F.max("n").cast("long").alias("n_assigned"),
+            )
+            .select(
+                "s",
+                "code",
+                F.transform("cs", lambda v: v.c).alias("centroid"),
+                "n_assigned",
+            )
         )
-        .select(
-            "s",
-            "code",
-            "dim",
-            F.size("xs").cast("double").alias("n"),
-            F.aggregate(
-                "xs", F.lit(0.0), lambda acc, v: acc + v.x
-            ).alias("sx"),
+
+    cb = _lloyd_step(seeds)
+    for _ in range(iterations - 1):
+        # further refinement rounds (each a full corpus pass);
+        # localCheckpoint cuts the nested plan — the contract queries
+        # stay at iterations=1, the oracle-mirrored default
+        cb = _lloyd_step(
+            cb.select("s", "code", "centroid").localCheckpoint(eager=True)
         )
-    )
-    return (
-        cell.groupBy("s", "code")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("dim", (F.col("sx") / F.col("n")).alias("c")))
-            ).alias("cs"),
-            F.max("n").cast("long").alias("n_assigned"),
-        )
-        .select(
-            "s",
-            "code",
-            F.transform("cs", lambda v: v.c).alias("centroid"),
-            "n_assigned",
-        )
-    )
+    return cb
 
 
 def pq_encode(

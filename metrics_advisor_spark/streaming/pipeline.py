@@ -807,3 +807,41 @@ def streaming_dsir_gate(
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def streaming_audio_features(
+    stream: DataFrame,
+    out_dir: str,
+    window: int = 160,
+    checkpoint: str | None = None,
+) -> Any:
+    """16th streaming surface: per-micro-batch AUDIO feature extraction
+    over a binary WAV stream — the multimodal family's streaming twin.
+    Each batch's payloads are header-parsed and PCM-framed by the REAL
+    codec path (`functions/multimodal.audio_windows`: struct header
+    parse + numpy frombuffer framing, integer-exact features), then
+    appended as run=<id>/batch=<n> leaf dirs (idempotent on retry,
+    collision-free across drains — the gate-family write scheme).
+
+    Stateless across batches (a payload's features depend only on its
+    own bytes), so a drain in ANY batching equals the batch operator —
+    the SQL-expressible oracle of the contract query."""
+    import uuid
+
+    from metrics_advisor_spark.functions.multimodal import audio_windows
+
+    run_id = uuid.uuid4().hex[:12]
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        audio_windows(batch, window=window).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/run={run_id}/batch={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q

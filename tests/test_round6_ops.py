@@ -628,3 +628,37 @@ def test_pagerank_partition_invariant(spark):
             ).collect()
         )
         assert got == base
+
+
+def test_pq_more_lloyd_iterations_reduce_quantization_error(spark):
+    import random
+
+    import numpy as np
+
+    from metrics_advisor_spark.functions.pq import pq_codebook, pq_encode
+
+    rng = random.Random(31)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(150)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def quant_err(iters: int) -> float:
+        cb = pq_codebook(emb, m=4, k=8, iterations=iters)
+        cents = {
+            (r["s"], r["code"]): np.array(r["centroid"])
+            for r in cb.collect()
+        }
+        codes = pq_encode(emb, cb, m=4).collect()
+        vecs = {
+            r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()
+        }
+        err = 0.0
+        for r in codes:
+            sub = vecs[r["vec_id"]][r["s"] * 4 : (r["s"] + 1) * 4]
+            err += float(((sub - cents[(r["s"], r["code"])]) ** 2).sum())
+        return err
+
+    e1, e3 = quant_err(1), quant_err(3)
+    assert e3 < e1  # each Lloyd step is a descent step
