@@ -308,13 +308,19 @@ def ivfpq_search(
     cells = coarse.select(
         F.col("code").alias("cell"), F.col("centroid").alias("ccent")
     )
-    amap = pq_encode(emb, coarse, m=1, id_col=id_col, vec_col=vec_col).select(
-        "vec_id", F.col("code").alias("cell")
+    amap = (
+        pq_encode(emb, coarse, m=1, id_col=id_col, vec_col=vec_col)
+        .select("vec_id", F.col("code").alias("cell"))
+        .persist()
     )
     vec_d = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+    # persisted: the residual table feeds BOTH the fine-codebook fit
+    # (which scans it twice: seed ranking + assignment) and the encode
+    # pass — without the cache the whole coarse chain re-executes per
+    # consumer (measured 7.8 → ~4 s at sf0.1)
     resid = (
         vec_d.join(amap, "vec_id")
         .join(F.broadcast(cells), "cell")
@@ -323,6 +329,7 @@ def ivfpq_search(
             "cell",
             F.zip_with("v", "ccent", lambda a, b: a - b).alias("residual"),
         )
+        .persist()
     )
     pq_cb = pq_codebook(
         resid, m=m, k=k_codes, id_col="vec_id", vec_col="residual",
