@@ -3982,6 +3982,15 @@ def q_streaming_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ quantization MSE — the codebook-quality audit
+    justifying (m, k, iterations) before trusting ADC recall."""
+    from metrics_advisor_spark.functions.pq import pq_reconstruction_error
+
+    emb, cb, codes = _pq_parts(spark, sf_dir)
+    return pq_reconstruction_error(emb, cb, codes, m=4)
+
+
 CURRENT_ROUND = 6
 DRIVER_GATE = 50
 
@@ -4244,6 +4253,7 @@ ROTATION: dict[str, int | None] = {
     "audio_meta": None,
     "audio_windows": None,
     "streaming_audio": None,
+    "pq_reconstruction": None,
 }
 
 # Checked queries deliberately re-queued inside the round-6 window:
@@ -4554,6 +4564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta": q_audio_meta,
         "audio_windows": q_audio_windows,
         "streaming_audio": q_streaming_audio,
+        "pq_reconstruction": q_pq_reconstruction,
     })
 
 
@@ -8163,6 +8174,26 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": f"""
             WITH {_PQ_SQL}
             SELECT vec_id, s, code FROM codes
+        """,
+        "pq_reconstruction": f"""
+            WITH {_PQ_SQL},
+            err AS (
+              SELECT p.s, p.vec_id,
+                     list_reduce(
+                       list_transform(range(0, 16), i ->
+                         (p.sub[i+1] - c.centroid[i+1])
+                         * (p.sub[i+1] - c.centroid[i+1])),
+                       (a, v) -> a + v) AS e
+              FROM sub p
+              JOIN codes k ON k.vec_id = p.vec_id AND k.s = p.s
+              JOIN cb c ON c.s = p.s AND c.code = k.code
+            )
+            SELECT s, count(*)::BIGINT AS n_vecs,
+                   floor(list_reduce(list(e ORDER BY vec_id),
+                                     (a, v) -> a + v)
+                         / count(*)::DOUBLE
+                         * 1000000.0 + 0.5) / 1000000.0 AS mse
+            FROM err GROUP BY s
         """,
         "pq_search": f"""
             WITH {_PQ_SQL},

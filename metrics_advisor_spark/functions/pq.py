@@ -411,3 +411,50 @@ def ivfpq_search(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def pq_reconstruction_error(
+    emb: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace quantization MSE — the codebook-quality audit that
+    justifies (m, k, iterations) before trusting ADC recall (pairs
+    with `pq_codebook(iterations=…)`: each Lloyd step must push this
+    down; the unit test pins that).  Output (s, n_vecs, mse).
+
+    Deterministic: per-vector errors are ordered zip_with folds; the
+    per-subspace sum folds in vec_id order; floor-form 6dp snap — one
+    broadcast join and one aggregate, no vector ever shuffles."""
+    sub = _subvectors(emb, m, id_col, vec_col)
+    joined = (
+        sub.join(codes, ["vec_id", "s"])
+        .join(F.broadcast(codebook.select("s", "code", "centroid")),
+              ["s", "code"])
+        .select(
+            "s",
+            "vec_id",
+            _sq_dist(F.col("sub"), F.col("centroid")).alias("e"),
+        )
+    )
+    return (
+        joined.groupBy("s")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "e"))
+            ).alias("es")
+        )
+        .select(
+            "s",
+            F.size("es").cast("long").alias("n_vecs"),
+            _floor6(
+                F.aggregate(
+                    "es", F.lit(0.0), lambda acc, v: acc + v.e
+                )
+                / F.size("es").cast("double")
+            ).alias("mse"),
+        )
+    )

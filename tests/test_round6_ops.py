@@ -662,3 +662,29 @@ def test_pq_more_lloyd_iterations_reduce_quantization_error(spark):
 
     e1, e3 = quant_err(1), quant_err(3)
     assert e3 < e1  # each Lloyd step is a descent step
+
+
+def test_pq_reconstruction_error_drops_with_iterations(spark):
+    import random
+
+    from metrics_advisor_spark.functions.pq import (
+        pq_codebook,
+        pq_encode,
+        pq_reconstruction_error,
+    )
+
+    rng = random.Random(41)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(150)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def total_mse(iters):
+        cb = pq_codebook(emb, m=4, k=8, iterations=iters)
+        codes = pq_encode(emb, cb, m=4)
+        rows = pq_reconstruction_error(emb, cb, codes, m=4).collect()
+        assert {r["s"] for r in rows} == {0, 1, 2, 3}
+        assert all(r["n_vecs"] == 150 for r in rows)
+        return sum(r["mse"] for r in rows)
+
+    assert total_mse(3) < total_mse(1)
