@@ -4263,9 +4263,13 @@ ROTATION: dict[str, int | None] = {
 # oracle — its r05 row was rows-only; a hash row should replace it).
 ROTATION_EXCEPTIONS = {"dim_covariance", "pagerank"}
 
-# With 235 contract queries and a 50-slot gate, a full rotation takes
-# ceil(235/50) = 5 rounds; queries beyond the window may be at most
-# this many rounds stale before the ordering itself is a bug.
+# With 248 contract queries and a 50-slot gate, a full rotation takes
+# ceil(248/50) = 5 rounds; queries beyond the window may be at most
+# this many rounds stale before the ordering itself is a bug.  (The
+# r04 verdict's "no row older than 2 rounds" aspiration is infeasible
+# at this surface-to-gate ratio — 5 rounds is the structural floor,
+# and the builder-side parity suite + driver_sim cover every query
+# every round in between.)
 MAX_STALE_ROUNDS = 5
 
 
