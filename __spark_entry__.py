@@ -3991,7 +3991,7 @@ def q_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_reconstruction_error(emb, cb, codes, m=4)
 
 
-CURRENT_ROUND = 6
+CURRENT_ROUND = 7
 DRIVER_GATE = 50
 
 # Rotation state machine (VERDICT r04 item 5): the driver's correctness
@@ -4008,7 +4008,7 @@ ROTATION: dict[str, int | None] = {
     "semdedup": 5,
     "report_summary": 5,
     "streaming_dedup": 5,
-    "dim_covariance": 5,
+    "dim_covariance": 6,
     "flagship_positional": 5,
     "containment_pairs": 5,
     "snm_pairs": 5,
@@ -4044,7 +4044,7 @@ ROTATION: dict[str, int | None] = {
     "rolling_corr": 5,
     "fk_violations": 5,
     "table_profile": 5,
-    "pagerank": 5,
+    "pagerank": 6,
     "attribution": 5,
     "cross_source_dups": 5,
     "source_token_quantiles": 5,
@@ -4055,41 +4055,41 @@ ROTATION: dict[str, int | None] = {
     "seasonal_strength": 5,
     "ohlc": 5,
     "twap": 5,
-    "interpolate": None,
-    "changes": None,
-    "deriv": None,
-    "char_entropy": None,
-    "kl_divergence": None,
-    "bpe_pairs": None,
-    "train_split": None,
-    "triangle_count": None,
-    "merge_upsert": None,
-    "interval_merge": None,
-    "bloom_contamination": None,
-    "mixture_plan": None,
-    "funnel": None,
-    "cdc_latest": None,
-    "scd2_history": None,
-    "predict_linear": None,
-    "resets": None,
-    "global_shuffle": None,
-    "shared_passages": None,
-    "cross_source_neardup": None,
-    "scrub_passages": None,
-    "rollup_counts": 1,
-    "streaming_bucket_stats": 1,
-    "text_stats": 1,
-    "token_count": 1,
-    "lang_id": 1,
-    "doc_fingerprint": 1,
-    "exact_dedup": 1,
-    "jaccard_pairs": 1,
-    "minhash_signatures": 1,
-    "minhash_lsh_pairs": 1,
-    "media_meta": 1,
-    "media_frames": 1,
-    "ann_topk": 1,
-    "embedding_near_dup": 1,
+    "interpolate": 6,
+    "changes": 6,
+    "deriv": 6,
+    "char_entropy": 6,
+    "kl_divergence": 6,
+    "bpe_pairs": 6,
+    "train_split": 6,
+    "triangle_count": 6,
+    "merge_upsert": 6,
+    "interval_merge": 6,
+    "bloom_contamination": 6,
+    "mixture_plan": 6,
+    "funnel": 6,
+    "cdc_latest": 6,
+    "scd2_history": 6,
+    "predict_linear": 6,
+    "resets": 6,
+    "global_shuffle": 6,
+    "shared_passages": 6,
+    "cross_source_neardup": 6,
+    "scrub_passages": 6,
+    "rollup_counts": 6,
+    "streaming_bucket_stats": 6,
+    "text_stats": 6,
+    "token_count": 6,
+    "lang_id": 6,
+    "doc_fingerprint": 6,
+    "exact_dedup": 6,
+    "jaccard_pairs": 6,
+    "minhash_signatures": 6,
+    "minhash_lsh_pairs": 6,
+    "media_meta": 6,
+    "media_frames": 6,
+    "ann_topk": 6,
+    "embedding_near_dup": 6,
     "ivf_topk": 1,
     "distinct_series": 1,
     "series_stats": 2,
@@ -4240,20 +4240,19 @@ ROTATION: dict[str, int | None] = {
     "interevent_gaps": 4,
     "weekly_profile": 4,
     "benford_audit": 4,
-    # new round-6 surfaces (never driver-checked yet)
-    "dsir_weights": None,
-    "intradoc_repetition": None,
-    "dup_cluster_purity": None,
-    "dsir_resample": None,
-    "streaming_dsir_gate": None,
-    "pq_codebook_audit": None,
-    "pq_codes": None,
-    "pq_search": None,
-    "ivfpq_search": None,
-    "audio_meta": None,
-    "audio_windows": None,
-    "streaming_audio": None,
-    "pq_reconstruction": None,
+    "dsir_weights": 6,
+    "intradoc_repetition": 6,
+    "dup_cluster_purity": 6,
+    "dsir_resample": 6,
+    "streaming_dsir_gate": 6,
+    "pq_codebook_audit": 6,
+    "pq_codes": 6,
+    "pq_search": 6,
+    "ivfpq_search": 6,
+    "audio_meta": 6,
+    "audio_windows": 6,
+    "streaming_audio": 6,
+    "pq_reconstruction": 6,
 }
 
 # Checked queries deliberately re-queued inside the round-6 window:
@@ -4261,7 +4260,7 @@ ROTATION: dict[str, int | None] = {
 # rewritten round 6 to a bit-identical mirrored fold + floor-form snap)
 # and pagerank (upgraded round 6 from rows-only to a recursive-CTE
 # oracle — its r05 row was rows-only; a hash row should replace it).
-ROTATION_EXCEPTIONS = {"dim_covariance", "pagerank"}
+ROTATION_EXCEPTIONS: set[str] = set()
 
 # With 248 contract queries and a 50-slot gate, a full rotation takes
 # ceil(248/50) = 5 rounds; queries beyond the window may be at most
