@@ -1401,11 +1401,20 @@ _PQ_SQL = """
               SELECT vec_id, s, code, t.i::INT AS dim, sub[t.i+1] AS x
               FROM asg, unnest(range(0, 16)) AS t(i)
             ),
-            cell AS (
-              SELECT s, code, dim, count(*)::DOUBLE AS n,
+            cellb AS (
+              SELECT s, code, dim, (vec_id % 256)::INT AS bkt,
+                     count(*)::DOUBLE AS n_b,
                      list_reduce(list(x ORDER BY vec_id),
+                                 (a, v) -> a + v) AS sx_b
+              FROM dims GROUP BY 1, 2, 3, 4
+            ),
+            cell AS (
+              SELECT s, code, dim,
+                     list_reduce(list(n_b ORDER BY bkt),
+                                 (a, v) -> a + v) AS n,
+                     list_reduce(list(sx_b ORDER BY bkt),
                                  (a, v) -> a + v) AS sx
-              FROM dims GROUP BY 1, 2, 3
+              FROM cellb GROUP BY 1, 2, 3
             ),
             cb AS (
               SELECT s, code,
@@ -1479,11 +1488,20 @@ def _pq_chain_sql(src: str, vec: str, m: int, dsub: int, k: int,
               SELECT vec_id, s, code, t.i::INT AS dim, sub[t.i+1] AS x
               FROM {p}asg, unnest(range(0, {dsub})) AS t(i)
             ),
-            {p}cell AS (
-              SELECT s, code, dim, count(*)::DOUBLE AS n,
+            {p}cellb AS (
+              SELECT s, code, dim, (vec_id % 256)::INT AS bkt,
+                     count(*)::DOUBLE AS n_b,
                      list_reduce(list(x ORDER BY vec_id),
+                                 (a, v) -> a + v) AS sx_b
+              FROM {p}dims GROUP BY 1, 2, 3, 4
+            ),
+            {p}cell AS (
+              SELECT s, code, dim,
+                     list_reduce(list(n_b ORDER BY bkt),
+                                 (a, v) -> a + v) AS n,
+                     list_reduce(list(sx_b ORDER BY bkt),
                                  (a, v) -> a + v) AS sx
-              FROM {p}dims GROUP BY 1, 2, 3
+              FROM {p}cellb GROUP BY 1, 2, 3
             ),
             {p}cb AS (
               SELECT s, code,
@@ -8190,13 +8208,25 @@ def oracle_sql() -> dict[str, str]:
               FROM sub p
               JOIN codes k ON k.vec_id = p.vec_id AND k.s = p.s
               JOIN cb c ON c.s = p.s AND c.code = k.code
+            ),
+            errb AS (
+              SELECT s, (vec_id % 256)::INT AS bkt,
+                     count(*)::DOUBLE AS n_b,
+                     list_reduce(list(e ORDER BY vec_id),
+                                 (a, v) -> a + v) AS se_b
+              FROM err GROUP BY 1, 2
+            ),
+            errf AS (
+              SELECT s,
+                     list_reduce(list(n_b ORDER BY bkt),
+                                 (a, v) -> a + v) AS n,
+                     list_reduce(list(se_b ORDER BY bkt),
+                                 (a, v) -> a + v) AS se
+              FROM errb GROUP BY s
             )
-            SELECT s, count(*)::BIGINT AS n_vecs,
-                   floor(list_reduce(list(e ORDER BY vec_id),
-                                     (a, v) -> a + v)
-                         / count(*)::DOUBLE
-                         * 1000000.0 + 0.5) / 1000000.0 AS mse
-            FROM err GROUP BY s
+            SELECT s, n::BIGINT AS n_vecs,
+                   floor(se / n * 1000000.0 + 0.5) / 1000000.0 AS mse
+            FROM errf
         """,
         "pq_search": f"""
             WITH {_PQ_SQL},

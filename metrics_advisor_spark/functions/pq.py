@@ -75,26 +75,35 @@ def pq_codebook(
     vec_col: str = "embedding",
     seed_sample_mod: int = 1,
     iterations: int = 1,
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Deterministic PQ codebook: per subspace, seeds = the ``k``
     vectors with the smallest md5 hash of (vec_id, s); ``iterations``
     Lloyd steps (assign to nearest centroid, recompute per-dim means in
-    vec_id-sorted order) yield (s, code, centroid array<double>,
+    a fixed fold order) yield (s, code, centroid array<double>,
     n_assigned).  The default 1 step is the oracle-mirrored contract
     mode; more steps lower quantization error at one corpus pass each
     (still fully deterministic — raise it when recall matters more
     than fit cost).
 
     Scale: the seed table is m·k rows (broadcast); assignment is one
-    broadcast join + ordered-fold distances; the centroid recompute
-    shuffles one row per (s, code, dim) partial — never a vector
-    collect.  Codes are dense 0..k−1 by seed-hash rank.  The seed-rank
-    window partitions only by subspace (m partitions), so at corpus
-    scale set ``seed_sample_mod`` ≈ corpus/(1000·k): the hash-filter
-    keeps ~corpus/mod uniformly-chosen candidates BEFORE the rank
-    (seed choice stays deterministic — the hash rank is itself a
-    uniform sampler), bounding the per-subspace sort; the default 1
-    ranks every vector (exact-parity mode for small corpora)."""
+    broadcast join + ordered-fold distances; the centroid recompute is
+    the bounded two-level `dim_covariance` fold — level 1 sums each
+    (s, code, dim, vec_id mod n_buckets) group over a vec_id-sorted
+    array (per-task array length ≤ n_assigned/n_buckets), level 2 sums
+    the ≤``n_buckets`` partials in bucket order, so no task ever
+    gathers a cell's full membership and the IEEE expression tree is
+    identical at any partition count (raise ``n_buckets`` with corpus
+    size).  Codes are drawn from 0..k−1 by seed-hash rank; after the
+    Lloyd step a seed's cell can end up empty (snapped-distance ties
+    break to the lower code), dropping that code from the output — do
+    NOT assume exactly k rows per subspace.  The seed-rank window
+    partitions only by subspace (m partitions), so at corpus scale set
+    ``seed_sample_mod`` ≈ corpus/(1000·k): the hash-filter keeps
+    ~corpus/mod uniformly-chosen candidates BEFORE the rank (seed
+    choice stays deterministic — the hash rank is itself a uniform
+    sampler), bounding the per-subspace sort; the default 1 ranks
+    every vector (exact-parity mode for small corpora)."""
     sub = _subvectors(emb, m, id_col, vec_col)
     w = Window.partitionBy("s").orderBy("seed_hash", "vec_id")
     cand = sub.withColumn(
@@ -136,9 +145,13 @@ def pq_codebook(
         )
         dims = assigned.select(
             "vec_id", "s", "code", F.posexplode("sub").alias("dim", "x")
-        )
-        cell = (
-            dims.groupBy("s", "code", "dim")
+        ).withColumn("bkt", F.pmod(F.col("vec_id"), F.lit(n_buckets)))
+        # bounded two-level fold (the dim_covariance pattern,
+        # similarity.py:633): level 1 is keyed by vec_id mod n_buckets
+        # so per-task arrays are ~cell/n_buckets long, never the whole
+        # cell; level 2 folds the ≤n_buckets partials in bucket order
+        lvl1 = (
+            dims.groupBy("s", "code", "dim", "bkt")
             .agg(
                 F.sort_array(
                     F.collect_list(F.struct("vec_id", "x"))
@@ -148,9 +161,29 @@ def pq_codebook(
                 "s",
                 "code",
                 "dim",
-                F.size("xs").cast("double").alias("n"),
+                "bkt",
+                F.size("xs").cast("double").alias("n_b"),
                 F.aggregate(
                     "xs", F.lit(0.0), lambda acc, v: acc + v.x
+                ).alias("sx_b"),
+            )
+        )
+        cell = (
+            lvl1.groupBy("s", "code", "dim")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("bkt", "n_b", "sx_b"))
+                ).alias("ps")
+            )
+            .select(
+                "s",
+                "code",
+                "dim",
+                F.aggregate(
+                    "ps", F.lit(0.0), lambda acc, v: acc + v.n_b
+                ).alias("n"),
+                F.aggregate(
+                    "ps", F.lit(0.0), lambda acc, v: acc + v.sx_b
                 ).alias("sx"),
             )
         )
@@ -280,6 +313,7 @@ def ivfpq_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_sample_mod: int = 1,
+    n_buckets: int = 256,
 ) -> DataFrame:
     """IVF-PQ — THE standard 100 TB ANN layout, fully composed from the
     deterministic building blocks above and therefore oracle-exact:
@@ -303,7 +337,7 @@ def ivfpq_search(
     flat PQ path."""
     coarse = pq_codebook(
         emb, m=1, k=k_coarse, id_col=id_col, vec_col=vec_col,
-        seed_sample_mod=seed_sample_mod,
+        seed_sample_mod=seed_sample_mod, n_buckets=n_buckets,
     )
     cells = coarse.select(
         F.col("code").alias("cell"), F.col("centroid").alias("ccent")
@@ -333,7 +367,7 @@ def ivfpq_search(
     )
     pq_cb = pq_codebook(
         resid, m=m, k=k_codes, id_col="vec_id", vec_col="residual",
-        seed_sample_mod=seed_sample_mod,
+        seed_sample_mod=seed_sample_mod, n_buckets=n_buckets,
     )
     codes = pq_encode(
         resid, pq_cb, m=m, id_col="vec_id", vec_col="residual"
@@ -420,6 +454,7 @@ def pq_reconstruction_error(
     m: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Per-subspace quantization MSE — the codebook-quality audit that
     justifies (m, k, iterations) before trusting ADC recall (pairs
@@ -427,8 +462,12 @@ def pq_reconstruction_error(
     down; the unit test pins that).  Output (s, n_vecs, mse).
 
     Deterministic: per-vector errors are ordered zip_with folds; the
-    per-subspace sum folds in vec_id order; floor-form 6dp snap — one
-    broadcast join and one aggregate, no vector ever shuffles."""
+    per-subspace sum is the bounded two-level `dim_covariance` fold —
+    level 1 sums each (s, vec_id mod n_buckets) group in vec_id order
+    (per-task array ≤ corpus/n_buckets, never the whole subspace),
+    level 2 folds the ≤``n_buckets`` partials in bucket order; floor-
+    form 6dp snap.  One broadcast join; no vector and no corpus-sized
+    array ever lands in a single task."""
     sub = _subvectors(emb, m, id_col, vec_col)
     joined = (
         sub.join(codes, ["vec_id", "s"])
@@ -439,9 +478,10 @@ def pq_reconstruction_error(
             "vec_id",
             _sq_dist(F.col("sub"), F.col("centroid")).alias("e"),
         )
+        .withColumn("bkt", F.pmod(F.col("vec_id"), F.lit(n_buckets)))
     )
-    return (
-        joined.groupBy("s")
+    lvl1 = (
+        joined.groupBy("s", "bkt")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("vec_id", "e"))
@@ -449,12 +489,32 @@ def pq_reconstruction_error(
         )
         .select(
             "s",
-            F.size("es").cast("long").alias("n_vecs"),
-            _floor6(
-                F.aggregate(
-                    "es", F.lit(0.0), lambda acc, v: acc + v.e
-                )
-                / F.size("es").cast("double")
-            ).alias("mse"),
+            "bkt",
+            F.size("es").cast("double").alias("n_b"),
+            F.aggregate(
+                "es", F.lit(0.0), lambda acc, v: acc + v.e
+            ).alias("se_b"),
         )
+    )
+    folded = (
+        lvl1.groupBy("s")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("bkt", "n_b", "se_b"))
+            ).alias("ps")
+        )
+        .select(
+            "s",
+            F.aggregate(
+                "ps", F.lit(0.0), lambda acc, v: acc + v.n_b
+            ).alias("n"),
+            F.aggregate(
+                "ps", F.lit(0.0), lambda acc, v: acc + v.se_b
+            ).alias("se"),
+        )
+    )
+    return folded.select(
+        "s",
+        F.col("n").cast("long").alias("n_vecs"),
+        _floor6(F.col("se") / F.col("n")).alias("mse"),
     )

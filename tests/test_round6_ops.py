@@ -596,8 +596,8 @@ def test_pq_pipeline_partition_invariant(spark):
         "vec_id long, embedding array<float>",
     )
 
-    def run(df):
-        cb = pq_codebook(df, m=4, k=8)
+    def run(df, n_buckets):
+        cb = pq_codebook(df, m=4, k=8, n_buckets=n_buckets)
         codes = pq_encode(df, cb, m=4)
         return (
             sorted((r["s"], r["code"], tuple(r["centroid"]), r["n_assigned"])
@@ -605,11 +605,51 @@ def test_pq_pipeline_partition_invariant(spark):
             sorted(tuple(r) for r in codes.collect()),
         )
 
-    base = run(emb)
-    for parts in (1, 5, 32):
-        assert run(emb.repartition(parts)) == base, (
-            f"pq pipeline changed at repartition({parts})"
+    # the bounded two-level centroid fold must be bit-identical at any
+    # partition count, and must stay so at BOTH a contract-default and
+    # a tiny bucket count (tiny → multi-element level-1 arrays, so the
+    # level-2 bucket-order fold is actually exercised)
+    for n_buckets in (256, 7):
+        base = run(emb, n_buckets)
+        for parts in (1, 5, 32):
+            assert run(emb.repartition(parts), n_buckets) == base, (
+                f"pq pipeline changed at repartition({parts}), "
+                f"n_buckets={n_buckets}"
+            )
+
+
+def test_pq_reconstruction_partition_invariant(spark):
+    import random
+
+    from metrics_advisor_spark.functions.pq import (
+        pq_codebook,
+        pq_encode,
+        pq_reconstruction_error,
+    )
+
+    rng = random.Random(22)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(150)],
+        "vec_id long, embedding array<float>",
+    )
+    cb = pq_codebook(emb, m=4, k=8).localCheckpoint(eager=True)
+    codes = pq_encode(emb, cb, m=4).localCheckpoint(eager=True)
+
+    def run(df, n_buckets):
+        return sorted(
+            tuple(r)
+            for r in pq_reconstruction_error(
+                df, cb, codes, m=4, n_buckets=n_buckets
+            ).collect()
         )
+
+    for n_buckets in (256, 7):
+        base = run(emb, n_buckets)
+        for parts in (1, 8, 32):
+            assert run(emb.repartition(parts), n_buckets) == base, (
+                f"pq mse changed at repartition({parts}), "
+                f"n_buckets={n_buckets}"
+            )
 
 
 def test_pagerank_partition_invariant(spark):
