@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from metrics_advisor_spark.functions.cacheutil import attach_cached
 from metrics_advisor_spark.functions.dedup import _hash56
 
 
@@ -441,9 +442,14 @@ def ivfpq_search(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
     )
-    return (
+    # amap/resid stay persisted while the returned plan executes (it
+    # consumes them several times); `release_cached` frees them once
+    # the caller has materialized the result (cacheutil docstring)
+    return attach_cached(
         scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        .where(F.col("rank") <= k),
+        amap,
+        resid,
     )
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from metrics_advisor_spark.functions.cacheutil import attach_cached
 from metrics_advisor_spark.functions.dedup import _hash56
 from metrics_advisor_spark.functions.text import TOKEN_RE
 
@@ -171,7 +172,9 @@ def dsir_model(
             "term"
         ),
     )
-    return counts.unionByName(default)
+    # db feeds both the per-bucket counts and the totals; freed via
+    # `release_cached` once the (tiny) model table is materialized
+    return attach_cached(counts.unionByName(default), db)
 
 
 def dsir_score(
@@ -241,7 +244,7 @@ def dsir_weights(
         F.col("c").cast("double").alias("c"),
         "term",
     )
-    return _fold_score(scored)
+    return attach_cached(_fold_score(scored), db)
 
 
 def dsir_resample(
@@ -283,8 +286,13 @@ def dsir_resample(
     from pyspark.sql import Window
 
     rw = Window.orderBy(F.col("_k").desc(), F.col("doc_id").asc())
-    return top.select(
-        "doc_id",
-        "log_weight",
-        F.row_number().over(rw).cast("long").alias("rank"),
+    # propagate the scoring pipeline's cached intermediates so
+    # `release_cached` on the sample frees them too
+    return attach_cached(
+        top.select(
+            "doc_id",
+            "log_weight",
+            F.row_number().over(rw).cast("long").alias("rank"),
+        ),
+        *getattr(w, "_ma_cached_frames", ()),
     )
