@@ -4009,6 +4009,49 @@ def q_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_reconstruction_error(emb, cb, codes, m=4)
 
 
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec plumbing (round 7 — the former PIL-blocked
+    stub is gone): genuine 24-bit BI_RGB BMP payloads synthesized per
+    doc, file + DIB header PARSED back by mapInPandas; the oracle
+    recomputes the expected header fields from the deterministic
+    generation rule (width = 8 + id mod 9, height = 6 + id mod 7,
+    4-byte-padded stride)."""
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_bmp_payload,
+        image_meta,
+    )
+
+    media = attach_bmp_payload(_docs(spark, sf_dir, fanout=False))
+    return image_meta(media)
+
+
+def q_image_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BMP pixel decode: frombuffer → stride reshape → crop
+    padding → bottom-up flip, one row per pixel (doc_id, y, x, b, g,
+    r) — integer-exact, so the oracle recomputes every pixel from the
+    synthesis rule and the hash must match bit-for-bit."""
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_bmp_payload,
+        decode_image,
+    )
+
+    media = attach_bmp_payload(_docs(spark, sf_dir, fanout=False))
+    return decode_image(media)
+
+
+def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4×4-tile integer features over the decoded rasters (ragged edge
+    tiles kept): (doc_id, ty, tx, n_px, sum_b, sum_g, sum_r) — the
+    bounded-fan-out scale path (rows per image = tiles, not pixels)."""
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_bmp_payload,
+        image_tile_stats,
+    )
+
+    media = attach_bmp_payload(_docs(spark, sf_dir, fanout=False))
+    return image_tile_stats(media, tile=4)
+
+
 CURRENT_ROUND = 7
 DRIVER_GATE = 50
 
@@ -4270,6 +4313,9 @@ ROTATION: dict[str, int | None] = {
     "audio_meta": 6,
     "audio_windows": 6,
     "streaming_audio": 6,
+    "image_meta": None,
+    "image_pixels": None,
+    "image_tiles": None,
     "pq_reconstruction": 6,
 }
 
@@ -4586,6 +4632,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_windows": q_audio_windows,
         "streaming_audio": q_streaming_audio,
         "pq_reconstruction": q_pq_reconstruction,
+        # ---- round-7 additions: real BMP image codec path ----
+        "image_meta": q_image_meta,
+        "image_pixels": q_image_pixels,
+        "image_tiles": q_image_tiles,
     })
 
 
@@ -8101,6 +8151,60 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN pv IS NOT NULL AND v * pv < 0
                             THEN 1 ELSE 0 END)::BIGINT AS zcr
             FROM z GROUP BY 1, 2
+        """,
+        "image_meta": """
+            -- The Spark side PARSES real BMP file + DIB headers; the
+            -- oracle recomputes the fields from the deterministic
+            -- synthesis rule (w = 8 + id%9, h = 6 + id%7, 24bpp,
+            -- 4-byte-padded stride, 54-byte header) — a genuine
+            -- parse-vs-spec check.
+            SELECT doc_id,
+                   (8 + doc_id % 9)::INT AS width,
+                   (6 + doc_id % 7)::INT AS height,
+                   24::INT AS bpp,
+                   (((8 + doc_id % 9) * 3 + 3) // 4 * 4)::INT
+                     AS row_stride,
+                   (54 + ((8 + doc_id % 9) * 3 + 3) // 4 * 4
+                       * (6 + doc_id % 7))::BIGINT AS n_bytes
+            FROM documents
+        """,
+        "image_pixels": """
+            -- Every decoded pixel recomputed from the synthesis rule
+            -- px(y,x,ch) = (id*31 + y*17 + x*7 + ch*13) % 256 — the
+            -- Spark side must reproduce it by PARSING the bytes
+            -- (stride crop + bottom-up flip included), bit-for-bit.
+            WITH d AS (
+              SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+              FROM documents
+            )
+            SELECT doc_id, ty.y::INT AS y, tx.x::INT AS x,
+                   ((doc_id*31 + ty.y*17 + tx.x*7) % 256)::INT AS b,
+                   ((doc_id*31 + ty.y*17 + tx.x*7 + 13) % 256)::INT AS g,
+                   ((doc_id*31 + ty.y*17 + tx.x*7 + 26) % 256)::INT AS r
+            FROM d,
+                 unnest(range(0, h)) AS ty(y),
+                 unnest(range(0, w)) AS tx(x)
+        """,
+        "image_tiles": """
+            WITH d AS (
+              SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, ty.y AS y, tx.x AS x,
+                     (doc_id*31 + ty.y*17 + tx.x*7) % 256 AS b,
+                     (doc_id*31 + ty.y*17 + tx.x*7 + 13) % 256 AS g,
+                     (doc_id*31 + ty.y*17 + tx.x*7 + 26) % 256 AS r
+              FROM d,
+                   unnest(range(0, h)) AS ty(y),
+                   unnest(range(0, w)) AS tx(x)
+            )
+            SELECT doc_id, (y // 4)::INT AS ty, (x // 4)::INT AS tx,
+                   count(*)::INT AS n_px,
+                   sum(b)::BIGINT AS sum_b,
+                   sum(g)::BIGINT AS sum_g,
+                   sum(r)::BIGINT AS sum_r
+            FROM px GROUP BY 1, 2, 3
         """,
         "ivfpq_search": f"""
             -- IVF-PQ composed from two _pq_chain_sql instances: the

@@ -2,10 +2,14 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct — the Spark-side contract (schema, partitioning,
-Arrow batch shape through mapInPandas) is real and tested; the actual
-codec step is STUBBED (no image/audio libraries in this container) with
-a clearly-marked deterministic fake so pipelines are exercisable
-end-to-end.
+Arrow batch shape through mapInPandas) is real and tested.  Two codec
+paths are fully REAL with struct + numpy alone: RIFF/WAVE PCM16 audio
+(synthesis, header parse, PCM windowing) and 24-bit BI_RGB Windows BMP
+images (synthesis, header parse, pixel decode, tiling).  Only the
+PNG/JPEG/video codecs — which genuinely require PIL/ffmpeg, absent in
+this container — remain clearly-marked deterministic fakes
+(`_fake_decode_dims`, `_fake_extract_frame`) so those pipelines stay
+exercisable end-to-end.
 
 Scale notes: payloads never pass through Python row-at-a-time — the
 metadata extraction is one ``mapInPandas`` over Arrow record batches,
@@ -187,12 +191,234 @@ def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
     return media.mapInPandas(fn, RESIZE_SCHEMA)
 
 
-def decode_image(media: DataFrame) -> DataFrame:
-    """Real image decode — unavailable here by design."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv, not installed in this "
-        "container; use extract_media_meta (stubbed codec) for plumbing "
-        "tests and swap _fake_decode_dims in deployment"
+# ---------------------------------------------------------------------------
+# Images: REAL codec work, no external library.  Windows BMP (24-bit
+# BI_RGB) is a 14-byte file header + 40-byte BITMAPINFOHEADER +
+# bottom-up BGR rows padded to 4 bytes — writable and parseable with
+# struct + numpy alone, so like the WAV path (and unlike the PIL/PNG
+# path, which stays a documented deployment swap) the BMP path is
+# fully real end-to-end: genuine BMP bytes in the binary column,
+# genuine header parsing, genuine pixel decode.  The synthesized
+# raster is integer-deterministic
+# (px(y, x, ch) = (doc_id·31 + y·17 + x·7 + ch·13) mod 256, ch ∈
+# {0,1,2} = B,G,R; width = 8 + doc_id mod 9, height = 6 + doc_id
+# mod 7), which makes every decoded pixel — and any feature over
+# them — integer-exact and therefore hash-oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+def _bmp_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + doc_id % 9, 6 + doc_id % 7
+
+
+def _bmp_bytes(doc_id: int) -> bytes:
+    """A genuine 24-bit BI_RGB Windows BMP for ``doc_id``: bottom-up
+    BGR rows, stride padded to 4 bytes, pixel values from the
+    deterministic rule above."""
+    import struct
+
+    import numpy as np
+
+    w, h = _bmp_dims(doc_id)
+    y, x, ch = np.meshgrid(
+        np.arange(h, dtype=np.int64),
+        np.arange(w, dtype=np.int64),
+        np.arange(3, dtype=np.int64),
+        indexing="ij",
+    )
+    px = ((doc_id * 31 + y * 17 + x * 7 + ch * 13) % 256).astype(np.uint8)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px.reshape(h, w * 3)
+    data = rows[::-1].tobytes()  # bottom-up storage order
+    pix_off = 14 + 40
+    hdr = b"BM" + struct.pack(
+        "<IHHI", pix_off + len(data), 0, 0, pix_off
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return hdr + info + data
+
+
+def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, img binary): real BMP bytes per doc via mapInPandas —
+    the Arrow batch shape a production loader (object-store bytes →
+    binary column) would have."""
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "img": [_bmp_bytes(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(fn, "doc_id long, img binary")
+
+
+def _parse_bmp_header(doc_id, payload: bytes):
+    """Validate + parse the canonical 24-bit BI_RGB layout; malformed
+    payloads raise, they are not guessed around."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError(f"doc {doc_id}: not a BMP payload")
+    (file_sz, _, _, pix_off) = struct.unpack("<IHHI", payload[2:14])
+    (info_sz, w, h, planes, bpp, compression) = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if info_sz != 40:
+        raise ValueError(
+            f"doc {doc_id}: unsupported DIB header size {info_sz} "
+            f"(only BITMAPINFOHEADER/40 is supported)"
+        )
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"doc {doc_id}: unsupported BMP layout (planes={planes}, "
+            f"bpp={bpp}, compression={compression}); only 24-bit "
+            f"BI_RGB is supported"
+        )
+    if h <= 0 or w <= 0:
+        raise ValueError(
+            f"doc {doc_id}: top-down or degenerate bitmap "
+            f"(w={w}, h={h}) not supported"
+        )
+    stride = (w * 3 + 3) // 4 * 4
+    if len(payload) < pix_off + stride * h:
+        raise ValueError(
+            f"doc {doc_id}: truncated pixel array "
+            f"({len(payload)} < {pix_off + stride * h} bytes)"
+        )
+    return w, h, bpp, pix_off, stride
+
+
+def image_meta(media: DataFrame, img_col: str = "img") -> DataFrame:
+    """Parse the BMP file + DIB header of each payload: (doc_id,
+    width, height, bpp, row_stride, n_bytes).  Real parsing — a
+    malformed or non-24-bit-BI_RGB payload raises."""
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "bpp": [],
+                "row_stride": [], "n_bytes": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf[img_col]):
+                w, h, bpp, _, stride = _parse_bmp_header(doc_id, payload)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bpp"].append(bpp)
+                out["row_stride"].append(stride)
+                out["n_bytes"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        "doc_id long, width int, height int, bpp int, row_stride int, "
+        "n_bytes long",
+    )
+
+
+def decode_image(media: DataFrame, img_col: str = "img") -> DataFrame:
+    """REAL image decode (round 7 — the former NotImplementedError
+    stub): numpy-parse each BMP payload into top-down per-pixel rows
+    (doc_id, y, x, b, g, r).  frombuffer → stride reshape → crop
+    padding → vertical flip; one mapInPandas over Arrow batches, and
+    output rows carry 5 small ints each, never the source payload.
+    Fan-out is width·height rows per image — repartition downstream
+    when decoding large rasters.  PNG/JPEG still require PIL (absent
+    in this container); this BMP path is the real-codec template a
+    deployment extends."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "y": [], "x": [],
+                   "b": [], "g": [], "r": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[img_col]):
+                w, h, _, off, stride = _parse_bmp_header(doc_id, payload)
+                arr = (
+                    np.frombuffer(
+                        payload, dtype=np.uint8, count=stride * h,
+                        offset=off,
+                    )
+                    .reshape(h, stride)[:, : w * 3]
+                    .reshape(h, w, 3)[::-1]  # bottom-up → top-down
+                    .astype(np.int64)
+                )
+                yy, xx = np.meshgrid(
+                    np.arange(h, dtype=np.int64),
+                    np.arange(w, dtype=np.int64),
+                    indexing="ij",
+                )
+                out["doc_id"].append(
+                    np.full(w * h, doc_id, dtype=np.int64)
+                )
+                out["y"].append(yy.ravel())
+                out["x"].append(xx.ravel())
+                out["b"].append(arr[:, :, 0].ravel())
+                out["g"].append(arr[:, :, 1].ravel())
+                out["r"].append(arr[:, :, 2].ravel())
+            yield pd.DataFrame(
+                {k: np.concatenate(v) if v else np.array([], dtype=np.int64)
+                 for k, v in out.items()}
+            )
+
+    return media.mapInPandas(
+        fn, "doc_id long, y int, x int, b int, g int, r int"
+    )
+
+
+def image_tile_stats(
+    media: DataFrame, tile: int = 4, img_col: str = "img"
+) -> DataFrame:
+    """Tile each decoded raster into ``tile``×``tile`` blocks (ragged
+    edge tiles kept) and emit integer-exact per-tile features:
+    (doc_id, ty, tx, n_px, sum_b, sum_g, sum_r) — the bounded-fan-out
+    scale path (rows per image = ⌈h/tile⌉·⌈w/tile⌉, not w·h)."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "ty": [], "tx": [], "n_px": [],
+                   "sum_b": [], "sum_g": [], "sum_r": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[img_col]):
+                w, h, _, off, stride = _parse_bmp_header(doc_id, payload)
+                arr = (
+                    np.frombuffer(
+                        payload, dtype=np.uint8, count=stride * h,
+                        offset=off,
+                    )
+                    .reshape(h, stride)[:, : w * 3]
+                    .reshape(h, w, 3)[::-1]
+                    .astype(np.int64)
+                )
+                for ty in range((h + tile - 1) // tile):
+                    for tx in range((w + tile - 1) // tile):
+                        blk = arr[
+                            ty * tile : (ty + 1) * tile,
+                            tx * tile : (tx + 1) * tile,
+                        ]
+                        out["doc_id"].append(doc_id)
+                        out["ty"].append(ty)
+                        out["tx"].append(tx)
+                        out["n_px"].append(blk.shape[0] * blk.shape[1])
+                        out["sum_b"].append(int(blk[:, :, 0].sum()))
+                        out["sum_g"].append(int(blk[:, :, 1].sum()))
+                        out["sum_r"].append(int(blk[:, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        "doc_id long, ty int, tx int, n_px int, sum_b long, sum_g long, "
+        "sum_r long",
     )
 
 
@@ -265,6 +491,28 @@ def audio_meta(media: DataFrame, wav_col: str = "wav") -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf[wav_col]):
                 if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
                     raise ValueError(f"doc {doc_id}: not a RIFF/WAVE payload")
+                # r06 ADVICE: verify the chunk TAGS too — an 18-byte
+                # fmt chunk or an interposed LIST chunk would otherwise
+                # silently misparse into garbage fields at the fixed
+                # offsets below (this parser supports the canonical
+                # 44-byte-header layout only, and says so loudly)
+                if payload[12:16] != b"fmt ":
+                    raise ValueError(
+                        f"doc {doc_id}: expected 'fmt ' chunk at offset "
+                        f"12, got {payload[12:16]!r}"
+                    )
+                (fmt_len,) = struct.unpack("<I", payload[16:20])
+                if fmt_len != 16:
+                    raise ValueError(
+                        f"doc {doc_id}: non-canonical fmt chunk length "
+                        f"{fmt_len} (only the 16-byte PCM layout is "
+                        f"supported)"
+                    )
+                if payload[36:40] != b"data":
+                    raise ValueError(
+                        f"doc {doc_id}: expected 'data' chunk at offset "
+                        f"36, got {payload[36:40]!r}"
+                    )
                 (_, ch, sr, _, _, bits) = struct.unpack(
                     "<HHIIHH", payload[20:36]
                 )

@@ -43,11 +43,94 @@ def test_meta_deterministic(media):
     assert a == b
 
 
-def test_codec_stubs_raise(media):
-    # full image decode stays a clearly-marked stub (no PIL/opencv here);
-    # frame sampling and resize have real plumbing with fake codecs
-    with pytest.raises(NotImplementedError):
-        decode_image(media)
+def test_decode_image_rejects_non_bmp(spark, media):
+    # decode_image is REAL since round 7 (numpy BMP codec) — a payload
+    # that is not a BMP must raise, not be guessed around; the `media`
+    # fixture's payloads are raw utf-8 text
+    with pytest.raises(Exception, match="not a BMP payload"):
+        decode_image(
+            media.select("doc_id", media["payload"].alias("img"))
+        ).collect()
+
+
+def test_bmp_roundtrip_exact(spark):
+    # synth → real bytes → header parse + pixel decode must reproduce
+    # the generation rule exactly (stride crop and bottom-up flip are
+    # where a wrong parser silently corrupts)
+    from metrics_advisor_spark.functions.multimodal import (
+        _bmp_dims,
+        attach_bmp_payload,
+        image_meta,
+        image_tile_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(20)], "doc_id long"
+    )
+    media = attach_bmp_payload(docs).cache()
+    meta = {r["doc_id"]: r for r in image_meta(media).collect()}
+    for i in range(20):
+        w, h = _bmp_dims(i)
+        assert (meta[i]["width"], meta[i]["height"]) == (w, h)
+        assert meta[i]["bpp"] == 24
+        assert meta[i]["row_stride"] % 4 == 0
+        assert meta[i]["n_bytes"] == 54 + meta[i]["row_stride"] * h
+    px = decode_image(media).collect()
+    for r in px[:500]:
+        for ch, col in enumerate(("b", "g", "r")):
+            assert r[col] == (
+                r["doc_id"] * 31 + r["y"] * 17 + r["x"] * 7 + ch * 13
+            ) % 256
+    # tile sums == pixel sums regrouped
+    tiles = {
+        (r["doc_id"], r["ty"], r["tx"]): r
+        for r in image_tile_stats(media, tile=4).collect()
+    }
+    agg = {}
+    for r in px:
+        key = (r["doc_id"], r["y"] // 4, r["x"] // 4)
+        n, b, g, rr = agg.get(key, (0, 0, 0, 0))
+        agg[key] = (n + 1, b + r["b"], g + r["g"], rr + r["r"])
+    assert set(agg) == set(tiles)
+    for key, (n, b, g, rr) in agg.items():
+        t = tiles[key]
+        assert (t["n_px"], t["sum_b"], t["sum_g"], t["sum_r"]) == (
+            n, b, g, rr,
+        )
+    media.unpersist()
+
+
+def test_wav_meta_rejects_noncanonical_chunks(spark):
+    # r06 ADVICE: an 18-byte fmt chunk (or a wrong tag) must raise,
+    # not silently misparse fixed offsets
+    import struct
+
+    from metrics_advisor_spark.functions.multimodal import (
+        _wav_bytes,
+        audio_meta,
+    )
+
+    good = _wav_bytes(3)
+    fmt18 = (
+        good[:16]
+        + struct.pack("<I", 18)
+        + good[20:36]
+        + b"\x00\x00"
+        + good[36:]
+    )
+    bad_tag = good[:12] + b"LIST" + good[16:]
+
+    def run(payload):
+        df = spark.createDataFrame(
+            [(0, bytearray(payload))], "doc_id long, wav binary"
+        )
+        audio_meta(df).collect()
+
+    run(good)  # canonical layout parses
+    with pytest.raises(Exception, match="non-canonical fmt"):
+        run(fmt18)
+    with pytest.raises(Exception, match="expected 'fmt '"):
+        run(bad_tag)
 
 
 def test_sample_frames_fanout_and_determinism(spark):
