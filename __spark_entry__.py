@@ -1527,6 +1527,82 @@ def _pq_chain_sql(src: str, vec: str, m: int, dsub: int, k: int,
             )
 """
 
+# IVF-PQ oracle CTE chain (embeddings → coarse cells → residual PQ →
+# per-query probe → ADC "scored"), shared by the ivfpq_search and
+# ann_recall oracles.  Composes two _pq_chain_sql instances: the
+# coarse chain (m=1, 8 whole-vector cells) and the fine chain on
+# RESIDUALS (m=4, k=16); queries (vec_id < 5) probe their 2 nearest
+# cells and ADC-score only those cells' codes.
+_IVFPQ_CHAIN_SQL = f"""embd AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ),
+            {_pq_chain_sql('embd', 'v', 1, 64, 8, 'c_')},
+            amap AS (SELECT vec_id, code AS cell FROM c_codes),
+            resid AS (
+              SELECT e.vec_id,
+                     list_transform(range(0, 64), i ->
+                       e.v[i+1] - cc.centroid[i+1]) AS r
+              FROM embd e JOIN amap a USING (vec_id)
+              JOIN c_cb cc ON cc.s = 0 AND cc.code = a.cell
+            ),
+            {_pq_chain_sql('resid', 'r', 4, 16, 16, 'r_')},
+            qv AS (SELECT vec_id AS query_id, v FROM embd
+                   WHERE vec_id < 5),
+            probe AS (
+              SELECT query_id, cell FROM (
+                SELECT q.query_id, cc.code AS cell,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY floor(list_reduce(
+                             list_transform(range(0, 64), i ->
+                               (q.v[i+1] - cc.centroid[i+1])
+                               * (q.v[i+1] - cc.centroid[i+1])),
+                             (a, v) -> a + v) * 1000000.0 + 0.5)
+                             / 1000000.0,
+                           cc.code
+                       ) AS rn
+                FROM qv q JOIN c_cb cc ON cc.s = 0
+              ) WHERE rn <= 2
+            ),
+            rq AS (
+              SELECT p.query_id, p.cell,
+                     list_transform(range(0, 64), i ->
+                       q.v[i+1] - cc.centroid[i+1]) AS r
+              FROM probe p JOIN qv q USING (query_id)
+              JOIN c_cb cc ON cc.s = 0 AND cc.code = p.cell
+            ),
+            rqsub AS (
+              SELECT query_id, cell, t.s::INT AS s,
+                     r[t.s*16+1 : t.s*16+16] AS qsub
+              FROM rq, unnest(range(0, 4)) AS t(s)
+            ),
+            lut AS (
+              SELECT u.query_id, u.cell, c.s, c.code,
+                     list_reduce(
+                       list_transform(range(0, 16), i ->
+                         (u.qsub[i+1] - c.centroid[i+1])
+                         * (u.qsub[i+1] - c.centroid[i+1])),
+                       (a, v) -> a + v) AS part
+              FROM rqsub u JOIN r_cb c ON c.s = u.s
+            ),
+            cand AS (
+              SELECT r_codes.vec_id, amap.cell, r_codes.s, r_codes.code
+              FROM r_codes JOIN amap USING (vec_id)
+            ),
+            scored AS (
+              SELECT l.query_id, cd.vec_id,
+                     floor(list_reduce(list(l.part ORDER BY l.s),
+                                       (a, v) -> a + v)
+                           * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+              FROM cand cd JOIN lut l
+                ON l.cell = cd.cell AND l.s = cd.s AND l.code = cd.code
+              WHERE cd.vec_id != l.query_id
+              GROUP BY l.query_id, cd.vec_id
+            )"""
+
+
 # DSIR scoring chain (shared by dsir_weights / dsir_resample /
 # streaming_dsir_gate): mirrors the Spark plan exactly — hashed
 # unigram+bigram models (target = src0 docs, raw = whole corpus),
@@ -4052,6 +4128,22 @@ def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_tile_stats(media, tile=4)
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ-ADC and IVF-PQ search paths against exact
+    L2 top-10 (queries = vec_id < 5) — the index-quality audit that
+    justifies (k_coarse, m, nprobe) at scale, promoted from
+    examples/ann_recall_report.py per the r06 verdict.  Deterministic
+    given the seeded codebooks, so fully oracle-composed from the
+    existing PQ / IVF-PQ SQL chains."""
+    from metrics_advisor_spark.functions.pq import ann_recall_audit
+
+    emb = _emb(spark, sf_dir)
+    return ann_recall_audit(
+        emb.filter(F.col("vec_id") < 5), emb,
+        k=10, k_coarse=8, m=4, k_codes=16, nprobe=2,
+    )
+
+
 CURRENT_ROUND = 7
 DRIVER_GATE = 50
 
@@ -4316,6 +4408,7 @@ ROTATION: dict[str, int | None] = {
     "image_meta": None,
     "image_pixels": None,
     "image_tiles": None,
+    "ann_recall": None,
     "pq_reconstruction": 6,
 }
 
@@ -4636,6 +4729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": q_image_meta,
         "image_pixels": q_image_pixels,
         "image_tiles": q_image_tiles,
+        "ann_recall": q_ann_recall,
     })
 
 
@@ -8207,78 +8301,7 @@ def oracle_sql() -> dict[str, str]:
             FROM px GROUP BY 1, 2, 3
         """,
         "ivfpq_search": f"""
-            -- IVF-PQ composed from two _pq_chain_sql instances: the
-            -- coarse chain (m=1, 8 whole-vector cells) and the fine
-            -- chain on RESIDUALS (m=4, k=16); queries probe their 2
-            -- nearest cells, ADC-score only those cells' codes.
-            WITH embd AS (
-              SELECT vec_id,
-                     list_transform(embedding, x -> x::DOUBLE) AS v
-              FROM embeddings
-            ),
-            {_pq_chain_sql('embd', 'v', 1, 64, 8, 'c_')},
-            amap AS (SELECT vec_id, code AS cell FROM c_codes),
-            resid AS (
-              SELECT e.vec_id,
-                     list_transform(range(0, 64), i ->
-                       e.v[i+1] - cc.centroid[i+1]) AS r
-              FROM embd e JOIN amap a USING (vec_id)
-              JOIN c_cb cc ON cc.s = 0 AND cc.code = a.cell
-            ),
-            {_pq_chain_sql('resid', 'r', 4, 16, 16, 'r_')},
-            qv AS (SELECT vec_id AS query_id, v FROM embd
-                   WHERE vec_id < 5),
-            probe AS (
-              SELECT query_id, cell FROM (
-                SELECT q.query_id, cc.code AS cell,
-                       row_number() OVER (
-                         PARTITION BY q.query_id
-                         ORDER BY floor(list_reduce(
-                             list_transform(range(0, 64), i ->
-                               (q.v[i+1] - cc.centroid[i+1])
-                               * (q.v[i+1] - cc.centroid[i+1])),
-                             (a, v) -> a + v) * 1000000.0 + 0.5)
-                             / 1000000.0,
-                           cc.code
-                       ) AS rn
-                FROM qv q JOIN c_cb cc ON cc.s = 0
-              ) WHERE rn <= 2
-            ),
-            rq AS (
-              SELECT p.query_id, p.cell,
-                     list_transform(range(0, 64), i ->
-                       q.v[i+1] - cc.centroid[i+1]) AS r
-              FROM probe p JOIN qv q USING (query_id)
-              JOIN c_cb cc ON cc.s = 0 AND cc.code = p.cell
-            ),
-            rqsub AS (
-              SELECT query_id, cell, t.s::INT AS s,
-                     r[t.s*16+1 : t.s*16+16] AS qsub
-              FROM rq, unnest(range(0, 4)) AS t(s)
-            ),
-            lut AS (
-              SELECT u.query_id, u.cell, c.s, c.code,
-                     list_reduce(
-                       list_transform(range(0, 16), i ->
-                         (u.qsub[i+1] - c.centroid[i+1])
-                         * (u.qsub[i+1] - c.centroid[i+1])),
-                       (a, v) -> a + v) AS part
-              FROM rqsub u JOIN r_cb c ON c.s = u.s
-            ),
-            cand AS (
-              SELECT r_codes.vec_id, amap.cell, r_codes.s, r_codes.code
-              FROM r_codes JOIN amap USING (vec_id)
-            ),
-            scored AS (
-              SELECT l.query_id, cd.vec_id,
-                     floor(list_reduce(list(l.part ORDER BY l.s),
-                                       (a, v) -> a + v)
-                           * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
-              FROM cand cd JOIN lut l
-                ON l.cell = cd.cell AND l.s = cd.s AND l.code = cd.code
-              WHERE cd.vec_id != l.query_id
-              GROUP BY l.query_id, cd.vec_id
-            )
+            WITH {_IVFPQ_CHAIN_SQL}
             SELECT query_id, vec_id, adc_dist, rank FROM (
               SELECT query_id, vec_id, adc_dist,
                      (row_number() OVER (
@@ -8362,6 +8385,85 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY adc_dist ASC, vec_id ASC))::INT AS rank
               FROM scored
             ) WHERE rank <= 10
+        """,
+        "ann_recall": f"""
+            -- recall@10 of both ANN arms vs exact L2 top-10, composed
+            -- from the shared IVF-PQ chain + the flat PQ chain + a
+            -- brute-force exact arm over the same query set.
+            WITH {_IVFPQ_CHAIN_SQL},
+            ivf_res AS (
+              SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY adc_dist ASC, vec_id ASC) AS rank
+                FROM scored
+              ) WHERE rank <= 10
+            ),
+            {_PQ_SQL},
+            p_q AS (SELECT vec_id AS query_id, s, sub AS qsub
+                    FROM sub WHERE vec_id < 5),
+            p_lut AS (
+              SELECT q.query_id, c.s, c.code,
+                     list_reduce(
+                       list_transform(range(0, 16), i ->
+                         (q.qsub[i+1] - c.centroid[i+1])
+                         * (q.qsub[i+1] - c.centroid[i+1])),
+                       (a, v) -> a + v) AS part
+              FROM p_q q JOIN cb c USING (s)
+            ),
+            p_scored AS (
+              SELECT l.query_id, e.vec_id,
+                     floor(list_reduce(list(l.part ORDER BY l.s),
+                                       (a, v) -> a + v)
+                           * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+              FROM codes e JOIN p_lut l
+                ON e.s = l.s AND e.code = l.code
+              WHERE e.vec_id != l.query_id
+              GROUP BY l.query_id, e.vec_id
+            ),
+            pq_res AS (
+              SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY adc_dist ASC, vec_id ASC) AS rank
+                FROM p_scored
+              ) WHERE rank <= 10
+            ),
+            exact AS (
+              SELECT query_id, vec_id FROM (
+                SELECT q.query_id, c.vec_id,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY list_reduce(
+                             list_transform(range(0, 64), i ->
+                               (q.v[i+1] - c.v[i+1])
+                               * (q.v[i+1] - c.v[i+1])),
+                             (a, v) -> a + v) ASC,
+                           c.vec_id ASC) AS rank
+                FROM qv q JOIN embd c ON c.vec_id != q.query_id
+              ) WHERE rank <= 10
+            ),
+            tagged AS (
+              SELECT 'pq' AS method, query_id, vec_id FROM pq_res
+              UNION ALL
+              SELECT 'ivfpq' AS method, query_id, vec_id FROM ivf_res
+            ),
+            hits AS (
+              SELECT method, count(*)::DOUBLE AS n_hits
+              FROM tagged t JOIN exact e USING (query_id, vec_id)
+              GROUP BY method
+            ),
+            denom AS (SELECT count(*)::DOUBLE AS n_exact FROM exact)
+            SELECT m.method, 10::INT AS k,
+                   coalesce(h.n_hits, 0.0)::BIGINT AS n_hits,
+                   d.n_exact::BIGINT AS n_exact,
+                   floor(coalesce(h.n_hits, 0.0) / d.n_exact
+                         * 1000000.0 + 0.5) / 1000000.0 AS recall
+            FROM (SELECT 'pq' AS method UNION ALL
+                  SELECT 'ivfpq' AS method) m
+            LEFT JOIN hits h USING (method), denom d
         """,
         "dsir_weights": _DSIR_SQL,
         "dsir_resample": f"""

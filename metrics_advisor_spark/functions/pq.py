@@ -453,6 +453,76 @@ def ivfpq_search(
     )
 
 
+def ann_recall_audit(
+    queries: DataFrame,
+    emb: DataFrame,
+    k: int = 10,
+    k_coarse: int = 8,
+    m: int = 4,
+    k_codes: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the PQ ADC and IVF-PQ search paths against exact
+    Euclidean top-k — THE audit that justifies an (k_coarse, m,
+    nprobe) index configuration before trusting it at corpus scale
+    (the vector-side analog of `lsh_eval` for the MinHash family;
+    promoted from examples/ann_recall_report.py per the r06 verdict).
+
+    Output one row per method: (method, k, n_hits, n_exact, recall)
+    with recall = floor-form-6dp n_hits/n_exact.  Fully deterministic
+    (seeded codebooks, integer hit counts) and therefore
+    oracle-exact by composing the existing PQ/IVF-PQ SQL chains.
+
+    Scale: the exact arm is |queries|·|corpus| distance work — audits
+    run on a SAMPLED query set (queries is the small broadcast side),
+    never the full corpus; the approximate arms inherit their own
+    scale paths."""
+    from metrics_advisor_spark.functions.similarity import l2_topk
+
+    cb = pq_codebook(emb, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(emb, cb, m=m, id_col=id_col, vec_col=vec_col)
+    pq_res = pq_search(
+        queries, codes, cb, k=k, m=m, id_col=id_col, vec_col=vec_col
+    )
+    ivf_res = ivfpq_search(
+        queries, emb, k_coarse=k_coarse, m=m, k_codes=k_codes,
+        nprobe=nprobe, k=k, id_col=id_col, vec_col=vec_col,
+    )
+    exact = l2_topk(
+        queries, emb, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "vec_id")
+    tagged = pq_res.select(
+        F.lit("pq").alias("method"), "query_id", "vec_id"
+    ).unionByName(
+        ivf_res.select(F.lit("ivfpq").alias("method"), "query_id", "vec_id")
+    )
+    hits = (
+        tagged.join(exact, ["query_id", "vec_id"])
+        .groupBy("method")
+        .agg(F.count("*").cast("double").alias("n_hits"))
+    )
+    denom = exact.agg(F.count("*").cast("double").alias("n_exact"))
+    methods = emb.sparkSession.createDataFrame(
+        [("pq",), ("ivfpq",)], "method string"
+    )
+    out = (
+        methods.join(hits, "method", "left")
+        .crossJoin(F.broadcast(denom))
+        .select(
+            "method",
+            F.lit(k).cast("int").alias("k"),
+            F.coalesce("n_hits", F.lit(0.0)).cast("long").alias("n_hits"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            _floor6(
+                F.coalesce("n_hits", F.lit(0.0)) / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )
+    return attach_cached(out, *getattr(ivf_res, "_ma_cached_frames", ()))
+
+
 def pq_reconstruction_error(
     emb: DataFrame,
     codebook: DataFrame,

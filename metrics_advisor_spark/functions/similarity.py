@@ -68,6 +68,44 @@ def brute_force_topk(
     )
 
 
+def l2_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact Euclidean top-k: (query_id, vec_id, dist, rank) — the
+    ground truth for PQ/IVF-PQ recall audits (PQ's own metric, so
+    recall measures index quality, not a cosine-vs-L2 mismatch).
+
+    Queries broadcast; distances are ordered zip_with folds (identical
+    IEEE tree in the oracle); ties break on vec_id; self-matches
+    excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    d = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", d.alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _plane_sign(bit: F.Column, dim: F.Column) -> F.Column:
     """Deterministic ±1 hyperplane entry from md5 parity — the same
     expression evaluates identically in DuckDB."""
