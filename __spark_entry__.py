@@ -4144,6 +4144,27 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing WITH document-
+    boundary attention-mask metadata (cu_seqlens, carry-in doc) — the
+    r06-verdict item-8 surface.  Array columns are emitted as
+    canonical comma-joined strings (no contract query emits raw
+    arrays; the driver's value-hash is only proven on scalars)."""
+    from metrics_advisor_spark.functions.corpus import packed_sequences
+
+    def s(col):
+        return F.array_join(
+            F.transform(F.col(col), lambda v: v.cast("string")), ","
+        ).alias(col)
+
+    p = packed_sequences(_docs(spark, sf_dir), budget_tokens=1024)
+    return p.select(
+        "shard", "bin_id", "n_docs", "fill",
+        s("doc_ids"), s("doc_starts"), s("doc_lens"),
+        "carry_doc_id", s("cu_seqlens"),
+    )
+
+
 CURRENT_ROUND = 7
 DRIVER_GATE = 50
 
@@ -4409,6 +4430,7 @@ ROTATION: dict[str, int | None] = {
     "image_pixels": None,
     "image_tiles": None,
     "ann_recall": None,
+    "packed_sequences": None,
     "pq_reconstruction": 6,
 }
 
@@ -4730,6 +4752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pixels": q_image_pixels,
         "image_tiles": q_image_tiles,
         "ann_recall": q_ann_recall,
+        "packed_sequences": q_packed_sequences,
     })
 
 
@@ -7373,6 +7396,86 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
             FROM c GROUP BY 1, 2
+        """,
+        "packed_sequences": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT
+                         % 8 AS shard,
+                     len(regexp_extract_all(text, {_TOKEN_RE_SQL}))
+                         AS n_tokens
+              FROM documents
+            ),
+            tk AS (SELECT * FROM t WHERE n_tokens > 0),
+            pos AS (
+              SELECT shard, doc_id, n_tokens,
+                     (g // 1024)::BIGINT AS bin_id,
+                     (g % 1024)::BIGINT AS off
+              FROM (
+                SELECT shard, doc_id, n_tokens,
+                       sum(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens AS g
+                FROM tk
+              )
+            ),
+            started AS (
+              SELECT shard, bin_id,
+                     list(off ORDER BY off) AS offs,
+                     list(doc_id ORDER BY off) AS dids,
+                     list(n_tokens ORDER BY off) AS lens
+              FROM pos GROUP BY 1, 2
+            ),
+            shardtot AS (
+              SELECT shard, sum(n_tokens)::BIGINT AS shard_tokens
+              FROM tk GROUP BY 1
+            ),
+            bins AS (
+              SELECT shard, shard_tokens, u.b::BIGINT AS bin_id
+              FROM shardtot,
+                   unnest(range(0, (shard_tokens + 1023) // 1024)) AS u(b)
+            ),
+            filled AS (
+              SELECT b.shard, b.bin_id,
+                     least(1024, b.shard_tokens - b.bin_id * 1024)::BIGINT
+                         AS fill,
+                     coalesce(s.offs, []) AS offs,
+                     coalesce(s.dids, []) AS dids,
+                     coalesce(s.lens, []) AS lens
+              FROM bins b LEFT JOIN started s
+                ON s.shard = b.shard AND s.bin_id = b.bin_id
+            ),
+            carry AS (
+              SELECT *,
+                     (len(offs) = 0 OR offs[1] > 0) AS carry_in,
+                     CASE WHEN len(dids) > 0
+                          THEN dids[len(dids)] END AS last_started
+              FROM filled
+            ),
+            carry2 AS (
+              SELECT *,
+                     CASE WHEN carry_in THEN
+                       last_value(last_started IGNORE NULLS) OVER (
+                         PARTITION BY shard ORDER BY bin_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING)
+                     END AS carry_doc_id
+              FROM carry
+            )
+            SELECT shard, bin_id,
+                   len(offs)::BIGINT AS n_docs,
+                   fill,
+                   array_to_string(dids, ',') AS doc_ids,
+                   array_to_string(offs, ',') AS doc_starts,
+                   array_to_string(lens, ',') AS doc_lens,
+                   carry_doc_id,
+                   array_to_string(
+                     list_append(
+                       CASE WHEN carry_in
+                            THEN list_prepend(0::BIGINT, offs)
+                            ELSE offs END,
+                       fill), ',') AS cu_seqlens
+            FROM carry2
         """,
         "streaming_quantiles": f"""
             SELECT metric,

@@ -294,6 +294,139 @@ def sequence_packing(
     )
 
 
+def packed_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    budget_tokens: int = 1024,
+    n_shards: int = 8,
+) -> DataFrame:
+    """GPT-style sequence packing WITH document-boundary attention-mask
+    metadata — the corpus-prep step real pretraining pipelines need
+    beyond `sequence_packing`'s per-bin stats (r06 verdict item 8).
+
+    Semantics: per shard, documents concatenate in doc_id order into a
+    token stream chunked into fixed ``budget_tokens`` sequences;
+    documents may straddle sequences (the standard concat-and-chunk
+    layout), and attention resets at document boundaries.  For EVERY
+    sequence — including ones fully interior to a long document, which
+    contain no doc start — emit:
+
+      (shard, bin_id, n_docs, fill, doc_ids, doc_starts, doc_lens,
+       carry_doc_id, cu_seqlens)
+
+    ``doc_ids``/``doc_starts``/``doc_lens`` describe the docs STARTING
+    in the sequence (offsets within it); ``carry_doc_id`` is the doc
+    whose tokens carry in at offset 0 (null at a clean boundary);
+    ``cu_seqlens`` is the flash-attention-style cumulative-boundary
+    vector ([0, b1, …, fill]) from which the block-diagonal mask is
+    reconstructed; ``fill`` < budget only on a shard's last sequence.
+
+    Scale: one cumsum window per shard (sharding keeps windows
+    independent — the parallel-dataset-writer layout), one groupBy
+    whose per-bin arrays are bounded by ``budget_tokens`` (every doc
+    listed has ≥1 token in-bin), a tiny per-shard sequence explode
+    (total rows = corpus_tokens/budget), and one per-bin carry window.
+    All folds/array orders deterministic; mirrored exactly by the
+    DuckDB oracle."""
+    from metrics_advisor_spark.functions.dedup import _hash56
+    from metrics_advisor_spark.functions.text import token_count_col
+
+    budget = F.lit(budget_tokens)
+    toks = df.select(
+        "doc_id",
+        (_hash56(F.col("doc_id").cast("string")) % n_shards).alias("shard"),
+        token_count_col(F.col(text_col)).alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = toks.withColumn(
+        "g", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("g") / budget).cast("long").alias("bin_id"),
+        F.pmod(F.col("g"), budget).cast("long").alias("off"),
+    )
+    started = pos.groupBy("shard", "bin_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("off", "doc_id", "n_tokens"))
+        ).alias("ds")
+    )
+    # materialize EVERY sequence, including doc-interior ones with no
+    # doc start (a doc longer than the budget spans several)
+    bins = (
+        toks.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("shard_tokens"))
+        .select(
+            "shard",
+            "shard_tokens",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.ceil(F.col("shard_tokens") / budget).cast("long")
+                    - 1,
+                )
+            ).alias("bin_id"),
+        )
+    )
+    full = bins.join(started, ["shard", "bin_id"], "left").select(
+        "shard",
+        "bin_id",
+        F.least(
+            budget.cast("long"),
+            F.col("shard_tokens") - F.col("bin_id") * budget,
+        ).alias("fill"),
+        F.coalesce(
+            "ds",
+            F.array().cast(
+                "array<struct<off:bigint,doc_id:bigint,n_tokens:int>>"
+            ),
+        ).alias("ds"),
+    )
+    carry_w = (
+        Window.partitionBy("shard")
+        .orderBy("bin_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_carry = full.withColumn(
+        "_last_started",
+        F.when(F.size("ds") > 0, F.element_at("ds", -1)["doc_id"]),
+    ).withColumn(
+        "_carry_in",
+        F.size("ds").eqNullSafe(0)
+        | (F.element_at("ds", 1)["off"] > 0),
+    ).withColumn(
+        "carry_doc_id",
+        F.when(
+            F.col("_carry_in"),
+            F.last("_last_started", ignorenulls=True).over(carry_w),
+        ),
+    )
+    offs = F.transform("ds", lambda v: v.off)
+    return with_carry.select(
+        "shard",
+        "bin_id",
+        F.size("ds").cast("long").alias("n_docs"),
+        "fill",
+        F.transform("ds", lambda v: v.doc_id).alias("doc_ids"),
+        offs.alias("doc_starts"),
+        F.transform("ds", lambda v: v.n_tokens.cast("long")).alias(
+            "doc_lens"
+        ),
+        "carry_doc_id",
+        F.concat(
+            F.when(F.col("_carry_in"), F.array(F.lit(0).cast("long")))
+            .otherwise(F.array().cast("array<bigint>")),
+            offs,
+            F.array(F.col("fill")),
+        ).alias("cu_seqlens"),
+    )
+
+
 def curriculum_plan(
     docs: DataFrame, n_stages: int = 5, text_col: str = "text"
 ) -> DataFrame:

@@ -55,6 +55,89 @@ def test_ivfpq_search_release_frees_cache(spark):
     assert sorted(map(tuple, res.collect())) == sorted(map(tuple, rows))
 
 
+def test_packed_sequences_layout(spark):
+    # concat-and-chunk semantics: straddling docs, interior bins with
+    # no doc start, carry attribution, boundary vectors
+    from metrics_advisor_spark.functions.corpus import packed_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),          # 5 tokens
+         (2, "f g h"),              # 3 tokens
+         (3, " ".join(["w"] * 25)),  # spans 4 bins of 8
+         (4, "x y"),
+         (5, "")],                  # tokenless → dropped
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["shard"], r["bin_id"]): r
+        for r in packed_sequences(
+            docs, budget_tokens=8, n_shards=2
+        ).collect()
+    }
+    by_shard = {}
+    for (shard, _), r in rows.items():
+        by_shard.setdefault(shard, []).append(r)
+    # every shard's fills sum to its total tokens; only the last
+    # sequence may be partial
+    tok = {1: 5, 2: 3, 3: 25, 4: 2}
+    shard_docs = {}
+    for r in rows.values():
+        for d in r["doc_ids"]:
+            shard_docs.setdefault(r["shard"], set()).add(d)
+    for shard, rs in by_shard.items():
+        rs = sorted(rs, key=lambda r: r["bin_id"])
+        assert [r["bin_id"] for r in rs] == list(range(len(rs)))
+        assert sum(r["fill"] for r in rs) == sum(
+            tok[d] for d in shard_docs[shard]
+        )
+        assert all(r["fill"] == 8 for r in rs[:-1])
+    # doc 3 (25 tokens): interior + tail bins exist with zero starts
+    # and carry attribution back to doc 3
+    s3 = next(r["shard"] for r in rows.values() if 3 in r["doc_ids"])
+    start_bin = next(
+        r["bin_id"] for r in rows.values()
+        if r["shard"] == s3 and 3 in r["doc_ids"]
+    )
+    carried = [
+        r for r in by_shard[s3]
+        if r["bin_id"] > start_bin and r["carry_doc_id"] == 3
+    ]
+    assert len(carried) >= 2  # 25 tokens at budget 8 → ≥2 carried bins
+    assert all(r["n_docs"] == 0 for r in carried[:-1] or carried)
+    # cu_seqlens always starts at 0 and ends at fill, strictly increasing
+    for r in rows.values():
+        cs = r["cu_seqlens"]
+        assert cs[0] == 0 and cs[-1] == r["fill"]
+        assert all(a < b for a, b in zip(cs, cs[1:]))
+        # clean-boundary bins have no carry; carried bins name a doc
+        assert (r["carry_doc_id"] is None) == (
+            r["n_docs"] > 0 and r["doc_starts"][0] == 0
+        )
+
+
+def test_packed_sequences_partition_invariant(spark):
+    from metrics_advisor_spark.functions.corpus import packed_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range((i * 13) % 29 + 1)))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+
+    def run(df):
+        return sorted(
+            (r["shard"], r["bin_id"], r["n_docs"], r["fill"],
+             tuple(r["doc_ids"]), tuple(r["doc_starts"]),
+             tuple(r["doc_lens"]), r["carry_doc_id"],
+             tuple(r["cu_seqlens"]))
+            for r in packed_sequences(df, budget_tokens=16).collect()
+        )
+
+    base = run(docs)
+    for parts in (1, 7, 32):
+        assert run(docs.repartition(parts)) == base
+
+
 def test_dsir_pipelines_release_frees_cache(spark):
     from metrics_advisor_spark.functions.selection import (
         dsir_model,
