@@ -56,6 +56,7 @@ SKIP = {
 # must be reviewed before joining this list.
 ALLOW_BNLJ = {
     "ann_topk",
+    "ann_recall",   # exact-L2 truth arm: 5-query broadcast, != condition
     "embedding_near_dup",
     "ivf_topk",
     "srp_buckets",
