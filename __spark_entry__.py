@@ -4165,6 +4165,45 @@ def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seventeenth Structured Streaming contract surface: the PQ-scored
+    ANN ADMISSION GATE — each embedding micro-batch PQ-encoded against
+    a PRE-TRAINED codebook (fit offline on the embeddings table) and
+    admitted when its min ADC distance to every reference vector
+    (vec_id < 5) exceeds 1.1 — novelty gating in the vector domain.
+    Stateless across batches (broadcast codebook + static reference
+    LUT), so a drain in any batching equals the batch encode/score
+    plan — the SQL oracle composed from the shared PQ chain."""
+    import tempfile
+
+    from metrics_advisor_spark.functions.pq import pq_codebook
+    from metrics_advisor_spark.streaming.pipeline import (
+        streaming_ann_gate,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cb = pq_codebook(emb, m=4, k=16)
+    key = f"{sf_dir}#emb"
+    src = _STREAM_SRC_CACHE.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="ma_stream_emb_") + "/emb"
+        emb.write.mode("overwrite").parquet(src)
+        _STREAM_SRC_CACHE[key] = src
+    base = tempfile.mkdtemp(prefix="ma_anngate_")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(src)
+    streaming_ann_gate(
+        stream, cb, emb.filter(F.col("vec_id") < 5),
+        out_dir=f"{base}/admitted", threshold=1.1, m=4,
+    )
+    return (
+        spark.read.parquet(f"{base}/admitted")
+        .select("vec_id", "nearest_ref", "min_adc_dist")
+        .orderBy("vec_id")
+    )
+
+
 CURRENT_ROUND = 7
 DRIVER_GATE = 50
 
@@ -4431,6 +4470,7 @@ ROTATION: dict[str, int | None] = {
     "image_tiles": None,
     "ann_recall": None,
     "packed_sequences": None,
+    "streaming_ann_gate": None,
     "pq_reconstruction": 6,
 }
 
@@ -4753,6 +4793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tiles": q_image_tiles,
         "ann_recall": q_ann_recall,
         "packed_sequences": q_packed_sequences,
+        "streaming_ann_gate": q_streaming_ann_gate,
     })
 
 
@@ -8567,6 +8608,43 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT 'pq' AS method UNION ALL
                   SELECT 'ivfpq' AS method) m
             LEFT JOIN hits h USING (method), denom d
+        """,
+        "streaming_ann_gate": f"""
+            -- batch twin of the streaming PQ admission gate: encode
+            -- the full table with the shared PQ chain, ADC-score
+            -- against the vec_id < 5 reference LUT, admit vectors
+            -- whose (distance, ref)-argmin exceeds 1.1.
+            WITH {_PQ_SQL},
+            g_q AS (SELECT vec_id AS query_id, s, sub AS qsub
+                    FROM sub WHERE vec_id < 5),
+            g_lut AS (
+              SELECT q.query_id, c.s, c.code,
+                     list_reduce(
+                       list_transform(range(0, 16), i ->
+                         (q.qsub[i+1] - c.centroid[i+1])
+                         * (q.qsub[i+1] - c.centroid[i+1])),
+                       (a, v) -> a + v) AS part
+              FROM g_q q JOIN cb c USING (s)
+            ),
+            g_scored AS (
+              SELECT l.query_id, e.vec_id,
+                     floor(list_reduce(list(l.part ORDER BY l.s),
+                                       (a, v) -> a + v)
+                           * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+              FROM codes e JOIN g_lut l
+                ON e.s = l.s AND e.code = l.code
+              GROUP BY l.query_id, e.vec_id
+            ),
+            g_min AS (
+              SELECT vec_id, query_id, adc_dist,
+                     row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY adc_dist ASC, query_id ASC) AS rn
+              FROM g_scored
+            )
+            SELECT vec_id, query_id AS nearest_ref,
+                   adc_dist AS min_adc_dist
+            FROM g_min WHERE rn = 1 AND adc_dist > 1.1
         """,
         "dsir_weights": _DSIR_SQL,
         "dsir_resample": f"""

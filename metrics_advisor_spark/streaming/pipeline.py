@@ -845,3 +845,115 @@ def streaming_audio_features(
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def streaming_ann_gate(
+    stream: DataFrame,
+    codebook: DataFrame,
+    references: DataFrame,
+    out_dir: str,
+    threshold: float = 1.0,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: str | None = None,
+) -> Any:
+    """17th streaming surface: PQ-scored ANN ADMISSION GATE on an
+    unbounded embedding stream — the vector-domain twin of the DSIR
+    quality gate.  Against a PRE-TRAINED product-quantization codebook
+    (`functions/pq.pq_codebook`, fit offline) and a fixed REFERENCE
+    vector set (e.g. the centroids of known near-duplicate clusters,
+    or an already-ingested index sample), each micro-batch is
+    PQ-encoded and ADC-scored, and a vector is admitted only when its
+    minimum asymmetric distance to every reference EXCEEDS
+    ``threshold`` — i.e. it is novel enough to ingest.  A production
+    curation stream gates crawl embeddings on index novelty this way
+    without ever touching the full index: the per-batch working set is
+    the broadcast codebook (m·k rows) plus the broadcast
+    reference↔codeword LUT (m·k·|references| rows), both independent
+    of corpus AND stream size.
+
+    The LUT (exact reference↔codeword distances per subspace) is
+    computed ONCE up front — it is static across batches; per batch
+    the plan is encode (broadcast codebook join + ordered-fold argmin)
+    → LUT join → per-(vector, reference) subspace-ordered ADC fold →
+    per-vector (distance, ref)-argmin → threshold filter.  The same
+    determinism contract as `pq_search` (floor-form snap, id
+    tiebreaks).  Output rows: (vec_id, nearest_ref, min_adc_dist).
+
+    Writes admitted vectors as run=<id>/batch=<n> leaf dirs
+    (idempotent on foreachBatch retry, collision-free across drains —
+    the gate-family write scheme).  Stateless across batches, so a
+    single availableNow drain of a static source equals the batch
+    plan — the SQL-expressible oracle of the contract query."""
+    import uuid
+
+    from metrics_advisor_spark.functions.pq import (
+        _floor6,
+        _sq_dist,
+        _subvectors,
+        pq_encode,
+    )
+
+    run_id = uuid.uuid4().hex[:12]
+    cb = codebook.select("s", "code", "centroid")
+    lut = (
+        _subvectors(references, m, id_col, vec_col)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            F.col("sub").alias("qsub"),
+        )
+        .join(F.broadcast(cb), "s")
+        .select(
+            "query_id",
+            "s",
+            "code",
+            _sq_dist(F.col("qsub"), F.col("centroid")).alias("part"),
+        )
+        .localCheckpoint(eager=True)  # static across batches; cut the
+        # codebook lineage so each batch re-joins a materialized LUT
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        codes = pq_encode(batch, cb, m=m, id_col=id_col, vec_col=vec_col)
+        scored = (
+            codes.join(F.broadcast(lut), ["s", "code"])
+            .groupBy("vec_id", "query_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("s", "part"))
+                ).alias("ps")
+            )
+            .select(
+                "vec_id",
+                "query_id",
+                _floor6(
+                    F.aggregate(
+                        "ps", F.lit(0.0), lambda acc, v: acc + v.part
+                    )
+                ).alias("adc_dist"),
+            )
+        )
+        admitted = (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("adc_dist", "query_id")).alias("best"))
+            .select(
+                "vec_id",
+                F.col("best.query_id").alias("nearest_ref"),
+                F.col("best.adc_dist").alias("min_adc_dist"),
+            )
+            .where(F.col("min_adc_dist") > threshold)
+        )
+        admitted.write.mode("overwrite").parquet(
+            f"{out_dir}/run={run_id}/batch={batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q

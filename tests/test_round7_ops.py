@@ -138,6 +138,57 @@ def test_packed_sequences_partition_invariant(spark):
         assert run(docs.repartition(parts)) == base
 
 
+def test_streaming_ann_gate_matches_batch_over_batchings(spark):
+    # stateless gate: a multi-micro-batch drain (maxFilesPerTrigger=1
+    # over 3 source files) must admit exactly the batch plan's set
+    import tempfile
+
+    from metrics_advisor_spark.functions.pq import (
+        pq_codebook,
+        pq_encode,
+        pq_search,
+    )
+    from metrics_advisor_spark.streaming.pipeline import streaming_ann_gate
+
+    emb = _emb(spark, n=80, seed=13)
+    cb = pq_codebook(emb, m=4, k=8).localCheckpoint(eager=True)
+    refs = emb.filter(F.col("vec_id") < 4)
+    # batch twin: min ADC distance per vector over all refs
+    codes = pq_encode(emb, cb, m=4)
+    scored = pq_search(refs, codes, cb, k=10**9, m=4)
+    # pq_search excludes self-matches; the gate does not — add them back
+    batch = {}
+    for r in scored.collect():
+        d = batch.get(r["vec_id"])
+        if d is None or (r["adc_dist"], r["query_id"]) < d:
+            batch[r["vec_id"]] = (r["adc_dist"], r["query_id"])
+    threshold = sorted(d for d, _ in batch.values())[len(batch) // 2]
+    base = tempfile.mkdtemp(prefix="ma_t_anngate_")
+    emb.repartition(3).write.mode("overwrite").parquet(f"{base}/src")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    streaming_ann_gate(
+        stream, cb, refs, out_dir=f"{base}/out",
+        threshold=threshold, m=4,
+    )
+    got = {
+        r["vec_id"]: (r["min_adc_dist"], r["nearest_ref"])
+        for r in spark.read.parquet(f"{base}/out").collect()
+    }
+    # the gate scores refs against themselves too (self-dist =
+    # reconstruction error, usually tiny → refused); non-ref vectors
+    # must match the batch argmin exactly
+    expect = {
+        v: dq for v, dq in batch.items()
+        if dq[0] > threshold and v >= 4
+    }
+    non_ref_got = {v: dq for v, dq in got.items() if v >= 4}
+    assert non_ref_got == expect and non_ref_got
+
+
 def test_dsir_pipelines_release_frees_cache(spark):
     from metrics_advisor_spark.functions.selection import (
         dsir_model,
