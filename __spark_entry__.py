@@ -4204,6 +4204,23 @@ def q_streaming_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode → nearest-neighbor resize (longer side ≤ 8, pure-integer
+    mapping) → RE-ENCODE genuine BMP bytes → decode: the emitted
+    pixels must equal the synthesis rule sampled at
+    (y·h//nh, x·w//nw) — a full codec roundtrip through two real
+    encode/parse passes, hash-oracled."""
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_bmp_payload,
+        decode_image,
+        resize_bmp,
+    )
+
+    media = attach_bmp_payload(_docs(spark, sf_dir, fanout=False))
+    small = resize_bmp(media, max_side=8).select("doc_id", "img")
+    return decode_image(small)
+
+
 CURRENT_ROUND = 7
 DRIVER_GATE = 50
 
@@ -4471,6 +4488,7 @@ ROTATION: dict[str, int | None] = {
     "ann_recall": None,
     "packed_sequences": None,
     "streaming_ann_gate": None,
+    "image_resize": None,
     "pq_reconstruction": 6,
 }
 
@@ -4794,6 +4812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "packed_sequences": q_packed_sequences,
         "streaming_ann_gate": q_streaming_ann_gate,
+        "image_resize": q_image_resize,
     })
 
 
@@ -8422,6 +8441,37 @@ def oracle_sql() -> dict[str, str]:
             FROM d,
                  unnest(range(0, h)) AS ty(y),
                  unnest(range(0, w)) AS tx(x)
+        """,
+        "image_resize": """
+            -- resized-pixel truth recomputed from the synthesis rule
+            -- at the integer nearest-neighbor source coordinates
+            -- (sy = y*h//nh, sx = x*w//nw; nw = max(1, w*8//mx) when
+            -- mx > 8 else w) — the Spark side must reproduce it
+            -- through encode → resize → re-encode → decode.
+            WITH d AS (
+              SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+              FROM documents
+            ),
+            nd AS (
+              SELECT doc_id, w, h,
+                     CASE WHEN greatest(w, h) <= 8 THEN w
+                          ELSE greatest(1, w * 8 // greatest(w, h)) END
+                         AS nw,
+                     CASE WHEN greatest(w, h) <= 8 THEN h
+                          ELSE greatest(1, h * 8 // greatest(w, h)) END
+                         AS nh
+              FROM d
+            )
+            SELECT doc_id, ty.y::INT AS y, tx.x::INT AS x,
+                   ((doc_id*31 + (ty.y*h//nh)*17 + (tx.x*w//nw)*7)
+                     % 256)::INT AS b,
+                   ((doc_id*31 + (ty.y*h//nh)*17 + (tx.x*w//nw)*7 + 13)
+                     % 256)::INT AS g,
+                   ((doc_id*31 + (ty.y*h//nh)*17 + (tx.x*w//nw)*7 + 26)
+                     % 256)::INT AS r
+            FROM nd,
+                 unnest(range(0, nh)) AS ty(y),
+                 unnest(range(0, nw)) AS tx(x)
         """,
         "image_tiles": """
             WITH d AS (

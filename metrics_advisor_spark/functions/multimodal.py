@@ -211,22 +211,14 @@ def _bmp_dims(doc_id: int) -> tuple[int, int]:
     return 8 + doc_id % 9, 6 + doc_id % 7
 
 
-def _bmp_bytes(doc_id: int) -> bytes:
-    """A genuine 24-bit BI_RGB Windows BMP for ``doc_id``: bottom-up
-    BGR rows, stride padded to 4 bytes, pixel values from the
-    deterministic rule above."""
+def _encode_bmp(px) -> bytes:
+    """Encode an (h, w, 3) uint8 BGR array as a genuine 24-bit BI_RGB
+    Windows BMP: bottom-up rows, stride padded to 4 bytes."""
     import struct
 
     import numpy as np
 
-    w, h = _bmp_dims(doc_id)
-    y, x, ch = np.meshgrid(
-        np.arange(h, dtype=np.int64),
-        np.arange(w, dtype=np.int64),
-        np.arange(3, dtype=np.int64),
-        indexing="ij",
-    )
-    px = ((doc_id * 31 + y * 17 + x * 7 + ch * 13) % 256).astype(np.uint8)
+    h, w = px.shape[0], px.shape[1]
     stride = (w * 3 + 3) // 4 * 4
     rows = np.zeros((h, stride), dtype=np.uint8)
     rows[:, : w * 3] = px.reshape(h, w * 3)
@@ -239,6 +231,22 @@ def _bmp_bytes(doc_id: int) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
     )
     return hdr + info + data
+
+
+def _bmp_bytes(doc_id: int) -> bytes:
+    """A genuine 24-bit BI_RGB Windows BMP for ``doc_id``: pixel
+    values from the deterministic rule above."""
+    import numpy as np
+
+    w, h = _bmp_dims(doc_id)
+    y, x, ch = np.meshgrid(
+        np.arange(h, dtype=np.int64),
+        np.arange(w, dtype=np.int64),
+        np.arange(3, dtype=np.int64),
+        indexing="ij",
+    )
+    px = ((doc_id * 31 + y * 17 + x * 7 + ch * 13) % 256).astype(np.uint8)
+    return _encode_bmp(px)
 
 
 def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -372,6 +380,56 @@ def decode_image(media: DataFrame, img_col: str = "img") -> DataFrame:
 
     return media.mapInPandas(
         fn, "doc_id long, y int, x int, b int, g int, r int"
+    )
+
+
+def resize_bmp(
+    media: DataFrame, max_side: int = 8, img_col: str = "img"
+) -> DataFrame:
+    """REAL image resize (unlike `resize_media`'s PIL-stub path):
+    decode each BMP, nearest-neighbor downsample so the longer side is
+    ≤ ``max_side`` (pure-integer mapping — nw = max(1, w·max_side//mx),
+    source pixel (y·h//nh, x·w//nw) — so the result is bit-exact and
+    oracle-expressible), and RE-ENCODE a genuine BMP payload.  Output
+    (doc_id, width, height, img) where ``img`` parses with the same
+    header/decode path — encode→resize→re-encode→decode roundtrips are
+    pinned by tests and the contract oracle.
+
+    Aspect ratio is preserved within integer floor rounding; images
+    already within ``max_side`` pass through re-encoded unchanged.
+    One mapInPandas; payload bytes stay inside Arrow batches."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "img": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[img_col]):
+                w, h, _, off, stride = _parse_bmp_header(doc_id, payload)
+                arr = (
+                    np.frombuffer(
+                        payload, dtype=np.uint8, count=stride * h,
+                        offset=off,
+                    )
+                    .reshape(h, stride)[:, : w * 3]
+                    .reshape(h, w, 3)[::-1]
+                )
+                mx = max(w, h)
+                if mx <= max_side:
+                    nw, nh = w, h
+                else:
+                    nw = max(1, w * max_side // mx)
+                    nh = max(1, h * max_side // mx)
+                ys = (np.arange(nh, dtype=np.int64) * h) // nh
+                xs = (np.arange(nw, dtype=np.int64) * w) // nw
+                out["doc_id"].append(doc_id)
+                out["width"].append(nw)
+                out["height"].append(nh)
+                out["img"].append(_encode_bmp(arr[ys][:, xs]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn, "doc_id long, width int, height int, img binary"
     )
 
 
