@@ -100,6 +100,43 @@ def test_bmp_roundtrip_exact(spark):
     media.unpersist()
 
 
+def test_resize_bmp_roundtrip_and_passthrough(spark):
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_bmp_payload,
+        image_meta,
+        resize_bmp,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(15)], "doc_id long"
+    )
+    media = attach_bmp_payload(docs)
+    orig = {
+        r["doc_id"]: (r["width"], r["height"])
+        for r in image_meta(media).collect()
+    }
+    small = resize_bmp(media, max_side=8).cache()
+    dims = {
+        r["doc_id"]: (r["width"], r["height"]) for r in small.collect()
+    }
+    # the resized payload is a REAL BMP: header-parse dims must agree
+    reparsed = {
+        r["doc_id"]: (r["width"], r["height"])
+        for r in image_meta(small.select("doc_id", "img")).collect()
+    }
+    assert reparsed == dims
+    for i, (w, h) in orig.items():
+        nw, nh = dims[i]
+        if max(w, h) <= 8:
+            assert (nw, nh) == (w, h)  # pass-through re-encode
+        else:
+            assert max(nw, nh) <= 8
+            assert (nw, nh) == (
+                max(1, w * 8 // max(w, h)), max(1, h * 8 // max(w, h)),
+            )
+    small.unpersist()
+
+
 def test_wav_meta_rejects_noncanonical_chunks(spark):
     # r06 ADVICE: an 18-byte fmt chunk (or a wrong tag) must raise,
     # not silently misparse fixed offsets
