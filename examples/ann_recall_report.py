@@ -1,11 +1,14 @@
 """ANN quality report: recall@k of the approximate vector-search
-paths (PQ ADC, IVF-PQ, SRP-blocked) against exact brute force.
+paths (PQ ADC, IVF-PQ) against exact Euclidean top-k.
 
 Usage:  python examples/ann_recall_report.py [sf_dir]
 
 This is the audit that justifies an index configuration before
 trusting it at corpus scale — the vector-side analog of `lsh_eval`
-for the MinHash family.
+for the MinHash family.  Since round 7 the audit itself is a library
+function (`functions/pq.ann_recall_audit`, exact arm =
+`functions/similarity.l2_topk`) and a hash-oracled contract query
+(`ann_recall`); this example sweeps nprobe with it.
 """
 
 import os
@@ -13,50 +16,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from metrics_advisor_spark.functions.pq import (
-    ivfpq_search,
-    pq_codebook,
-    pq_encode,
-    pq_search,
-)
-
 from metrics_advisor_spark import get_spark  # noqa: E402
-
-
-def recall_at_k(approx, exact, k: int) -> float:
-    a = {(r["query_id"], r["vec_id"]) for r in approx if r["rank"] <= k}
-    e = {(r["query_id"], r["vec_id"]) for r in exact if r["rank"] <= k}
-    return len(a & e) / len(e) if e else 0.0
-
-
-def exact_l2_topk(queries, corpus, k: int):
-    """Exact Euclidean top-k — PQ's own metric, so recall measures
-    index quality, not a cosine-vs-L2 mismatch."""
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
-    )
-    c = corpus.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
-    )
-    d = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("vec_id").asc()
-    )
-    return (
-        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", d.alias("dist"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+from metrics_advisor_spark.functions.cacheutil import release_cached
+from metrics_advisor_spark.functions.pq import ann_recall_audit
 
 
 def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
@@ -65,20 +29,19 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     queries = emb.filter(F.col("vec_id") < 10)
     k = 10
 
-    exact = exact_l2_topk(queries, emb, k=k).collect()
-
-    cb = pq_codebook(emb, m=4, k=16)
-    codes = pq_encode(emb, cb, m=4)
-    pq = pq_search(queries, codes, cb, k=k, m=4).collect()
-
-    ivfpq2 = ivfpq_search(queries, emb, k_coarse=8, nprobe=2, k=k).collect()
-    ivfpq4 = ivfpq_search(queries, emb, k_coarse=8, nprobe=4, k=k).collect()
-
     print(f"recall@{k} vs exact L2 top-{k} "
           f"({queries.count()} queries, {emb.count()} vectors):")
-    print(f"  pq (m=4, k=16, flat ADC):   {recall_at_k(pq, exact, k):.2f}")
-    print(f"  ivf-pq nprobe=2/8 cells:    {recall_at_k(ivfpq2, exact, k):.2f}")
-    print(f"  ivf-pq nprobe=4/8 cells:    {recall_at_k(ivfpq4, exact, k):.2f}")
+    for nprobe in (2, 4):
+        audit = ann_recall_audit(
+            queries, emb, k=k, k_coarse=8, m=4, k_codes=16, nprobe=nprobe,
+        )
+        rows = {r["method"]: r for r in audit.collect()}
+        release_cached(audit)
+        if nprobe == 2:
+            print(f"  pq (m=4, k=16, flat ADC):   "
+                  f"{rows['pq']['recall']:.2f}")
+        print(f"  ivf-pq nprobe={nprobe}/8 cells:    "
+              f"{rows['ivfpq']['recall']:.2f}")
     # Context for the absolute numbers: the synthetic testdata
     # embeddings are near-uniform in 64-d (measured intra/inter label
     # distance ratio ≈ 0.994 — no cluster structure), so distance
