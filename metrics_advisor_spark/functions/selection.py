@@ -190,8 +190,17 @@ def dsir_score(
     bucket-ordered fold.  This is the per-micro-batch plan of the
     streaming DSIR gate."""
     db = _doc_buckets(df, n_buckets, text_col, id_col)
-    dflt = model.where(F.col("bucket") == -1).select(
-        F.col("term").alias("_dterm")
+    # Aggregate the sentinel slice down to EXACTLY one row (count +
+    # first) so the crossJoin never silently empties the result: a
+    # model table missing the bucket = -1 sentinel (e.g. a raw
+    # dsir_weights-style terms table) raises loudly on the first
+    # evaluated row instead of scoring zero documents.
+    dflt = (
+        model.where(F.col("bucket") == -1)
+        .agg(
+            F.count("*").alias("_dn"),
+            F.first("term").alias("_dterm"),
+        )
     )
     scored = (
         db.join(
@@ -202,7 +211,15 @@ def dsir_score(
             "doc_id",
             "bucket",
             F.col("c").cast("double").alias("c"),
-            F.coalesce("term", "_dterm").alias("term"),
+            F.when(
+                F.col("_dn") < 1,
+                F.raise_error(
+                    "dsir_score: model table lacks the bucket=-1 "
+                    "sentinel row (pass a dsir_model output)"
+                ),
+            )
+            .otherwise(F.coalesce("term", "_dterm"))
+            .alias("term"),
         )
     )
     return _fold_score(scored)

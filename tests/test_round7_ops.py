@@ -213,3 +213,32 @@ def test_dsir_pipelines_release_frees_cache(spark):
     for df in (model, weights, sample):
         release_cached(df)
     assert _persisted_count(spark) == before
+
+
+def test_dsir_score_missing_sentinel_raises(spark):
+    # A model table lacking the bucket = -1 sentinel (e.g. a raw terms
+    # table) must fail loudly, not silently score zero documents
+    # (ADVICE r06: the old crossJoin with an empty frame emptied the
+    # result instead).
+    import pytest
+    from pyspark.sql import functions as F
+
+    from metrics_advisor_spark.functions.selection import (
+        dsir_model,
+        dsir_score,
+    )
+
+    fit = spark.createDataFrame(
+        [(1, "alpha beta gamma", "tgt"), (2, "delta epsilon", "raw")],
+        "doc_id long, text string, source string",
+    )
+    model = dsir_model(fit, target=F.col("source") == "tgt")
+    broken = model.where(F.col("bucket") >= 0)  # sentinel stripped
+    corpus = spark.createDataFrame(
+        [(10, "alpha beta")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception) as ei:
+        dsir_score(corpus, broken).collect()
+    assert "sentinel" in str(ei.value)
+    # and the guarded path still scores normally with the sentinel
+    assert dsir_score(corpus, model).count() == 1
