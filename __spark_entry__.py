@@ -4221,7 +4221,7 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image(small)
 
 
-CURRENT_ROUND = 7
+CURRENT_ROUND = 8
 DRIVER_GATE = 50
 
 # Rotation state machine (VERDICT r04 item 5): the driver's correctness
@@ -4320,49 +4320,49 @@ ROTATION: dict[str, int | None] = {
     "media_frames": 6,
     "ann_topk": 6,
     "embedding_near_dup": 6,
-    "ivf_topk": 1,
-    "distinct_series": 1,
-    "series_stats": 2,
-    "valid_active_series": 2,
-    "time_extent": 2,
-    "bucket_agg": 2,
-    "bucket_membership": 2,
-    "resample_hourly": 2,
-    "moving_median": 2,
-    "ksigma_outliers": 2,
-    "relative_normalize": 2,
-    "xcorr_lagged": 2,
-    "xcorr_best_lag": 2,
-    "topk_correlated": 2,
-    "xcorr_bucketed": 2,
-    "corr_matrix": 2,
-    "detect_anomalies": 2,
-    "kmeans_outliers": 2,
-    "corr_matrix_blocked": 2,
-    "tpch_q1": 2,
-    "tpch_q2": 2,
-    "tpch_q3": 2,
-    "tpch_q4": 2,
-    "tpch_q5": 2,
-    "tpch_q6": 2,
-    "tpch_q7": 2,
-    "tpch_q8": 2,
-    "tpch_q9": 2,
-    "tpch_q10": 2,
-    "tpch_q11": 2,
-    "tpch_q12": 2,
-    "tpch_q13": 2,
-    "tpch_q14": 2,
-    "tpch_q15": 2,
-    "tpch_q16": 2,
-    "tpch_q17": 2,
-    "tpch_q18": 2,
-    "tpch_q19": 2,
-    "tpch_q20": 2,
-    "tpch_q21": 2,
-    "tpch_q22": 2,
-    "lateral_topk_per_nation": 2,
-    "ntile_price_quartiles": 2,
+    "ivf_topk": 7,
+    "distinct_series": 7,
+    "series_stats": 7,
+    "valid_active_series": 7,
+    "time_extent": 7,
+    "bucket_agg": 7,
+    "bucket_membership": 7,
+    "resample_hourly": 7,
+    "moving_median": 7,
+    "ksigma_outliers": 7,
+    "relative_normalize": 7,
+    "xcorr_lagged": 7,
+    "xcorr_best_lag": 7,
+    "topk_correlated": 7,
+    "xcorr_bucketed": 7,
+    "corr_matrix": 7,
+    "detect_anomalies": 7,
+    "kmeans_outliers": 7,
+    "corr_matrix_blocked": 7,
+    "tpch_q1": 7,
+    "tpch_q2": 7,
+    "tpch_q3": 7,
+    "tpch_q4": 7,
+    "tpch_q5": 7,
+    "tpch_q6": 7,
+    "tpch_q7": 7,
+    "tpch_q8": 7,
+    "tpch_q9": 7,
+    "tpch_q10": 7,
+    "tpch_q11": 7,
+    "tpch_q12": 7,
+    "tpch_q13": 7,
+    "tpch_q14": 7,
+    "tpch_q15": 7,
+    "tpch_q16": 7,
+    "tpch_q17": 7,
+    "tpch_q18": 7,
+    "tpch_q19": 7,
+    "tpch_q20": 7,
+    "tpch_q21": 7,
+    "tpch_q22": 7,
+    "lateral_topk_per_nation": 7,
+    "ntile_price_quartiles": 7,
     "grouping_sets_orders": 2,
     "pivot_status_by_priority": 2,
     "join_revenue_by_nation": 2,
@@ -4482,13 +4482,13 @@ ROTATION: dict[str, int | None] = {
     "audio_meta": 6,
     "audio_windows": 6,
     "streaming_audio": 6,
-    "image_meta": None,
-    "image_pixels": None,
-    "image_tiles": None,
-    "ann_recall": None,
-    "packed_sequences": None,
-    "streaming_ann_gate": None,
-    "image_resize": None,
+    "image_meta": 7,
+    "image_pixels": 7,
+    "image_tiles": 7,
+    "ann_recall": 7,
+    "packed_sequences": 7,
+    "streaming_ann_gate": 7,
+    "image_resize": 7,
     "pq_reconstruction": 6,
 }
 
