@@ -532,12 +532,46 @@ def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(fn, "doc_id long, wav binary")
 
 
+def _parse_wav_header(doc_id, payload: bytes):
+    """Validate + parse the canonical 44-byte RIFF/WAVE PCM header and
+    return (sample_rate, n_channels, bits, n_samples, data_off,
+    data_len).  Shared by ``audio_meta`` and ``audio_windows`` (r07
+    ADVICE: both parsers must agree — a non-canonical WAV that raises
+    in one must not silently yield garbage in the other).  A malformed
+    payload raises; it is not guessed around: an 18-byte fmt chunk or
+    an interposed LIST chunk would otherwise silently misparse into
+    garbage fields at the fixed offsets below (only the canonical
+    44-byte-header layout is supported, and says so loudly)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"doc {doc_id}: not a RIFF/WAVE payload")
+    if payload[12:16] != b"fmt ":
+        raise ValueError(
+            f"doc {doc_id}: expected 'fmt ' chunk at offset "
+            f"12, got {payload[12:16]!r}"
+        )
+    (fmt_len,) = struct.unpack("<I", payload[16:20])
+    if fmt_len != 16:
+        raise ValueError(
+            f"doc {doc_id}: non-canonical fmt chunk length "
+            f"{fmt_len} (only the 16-byte PCM layout is supported)"
+        )
+    if payload[36:40] != b"data":
+        raise ValueError(
+            f"doc {doc_id}: expected 'data' chunk at offset "
+            f"36, got {payload[36:40]!r}"
+        )
+    (_, ch, sr, _, _, bits) = struct.unpack("<HHIIHH", payload[20:36])
+    (data_len,) = struct.unpack("<I", payload[40:44])
+    n = data_len // (ch * bits // 8)
+    return sr, ch, bits, n, 44, data_len
+
+
 def audio_meta(media: DataFrame, wav_col: str = "wav") -> DataFrame:
     """Parse the RIFF/fmt header of each payload: (doc_id, sample_rate,
     n_channels, bits, n_samples, duration_ms).  Real parsing — a
     malformed payload raises, it is not guessed around."""
-    import struct
-
     import pandas as pd
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -547,35 +581,7 @@ def audio_meta(media: DataFrame, wav_col: str = "wav") -> DataFrame:
                 "bits": [], "n_samples": [], "duration_ms": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf[wav_col]):
-                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-                    raise ValueError(f"doc {doc_id}: not a RIFF/WAVE payload")
-                # r06 ADVICE: verify the chunk TAGS too — an 18-byte
-                # fmt chunk or an interposed LIST chunk would otherwise
-                # silently misparse into garbage fields at the fixed
-                # offsets below (this parser supports the canonical
-                # 44-byte-header layout only, and says so loudly)
-                if payload[12:16] != b"fmt ":
-                    raise ValueError(
-                        f"doc {doc_id}: expected 'fmt ' chunk at offset "
-                        f"12, got {payload[12:16]!r}"
-                    )
-                (fmt_len,) = struct.unpack("<I", payload[16:20])
-                if fmt_len != 16:
-                    raise ValueError(
-                        f"doc {doc_id}: non-canonical fmt chunk length "
-                        f"{fmt_len} (only the 16-byte PCM layout is "
-                        f"supported)"
-                    )
-                if payload[36:40] != b"data":
-                    raise ValueError(
-                        f"doc {doc_id}: expected 'data' chunk at offset "
-                        f"36, got {payload[36:40]!r}"
-                    )
-                (_, ch, sr, _, _, bits) = struct.unpack(
-                    "<HHIIHH", payload[20:36]
-                )
-                (data_len,) = struct.unpack("<I", payload[40:44])
-                n = data_len // (ch * bits // 8)
+                sr, ch, bits, n, _, _ = _parse_wav_header(doc_id, payload)
                 out["doc_id"].append(doc_id)
                 out["sample_rate"].append(sr)
                 out["n_channels"].append(ch)
@@ -609,9 +615,15 @@ def audio_windows(
                 "sum_sq": [], "zcr": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf[wav_col]):
-                s = np.frombuffer(payload[44:], dtype="<i2").astype(
-                    np.int64
+                # same validated header parse as audio_meta (r07
+                # ADVICE) — and the data offset/length it returns,
+                # instead of a blind fixed-44 slice
+                _, _, _, _, off, dlen = _parse_wav_header(
+                    doc_id, payload
                 )
+                s = np.frombuffer(
+                    payload[off : off + dlen], dtype="<i2"
+                ).astype(np.int64)
                 for w0 in range(0, s.size, window):
                     seg = s[w0 : w0 + window]
                     out["doc_id"].append(doc_id)

@@ -481,7 +481,13 @@ def ann_recall_audit(
     scale paths."""
     from metrics_advisor_spark.functions.similarity import l2_topk
 
-    cb = pq_codebook(emb, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
+    # the codebook chain (seeded fold over the corpus) is consumed
+    # twice — pq_encode scans it per subspace and pq_search rebuilds
+    # the query LUT from it — so persist it once (r07 verdict item 7:
+    # the audit was re-training identical codebooks across arms)
+    cb = pq_codebook(
+        emb, m=m, k=k_codes, id_col=id_col, vec_col=vec_col
+    ).persist()
     codes = pq_encode(emb, cb, m=m, id_col=id_col, vec_col=vec_col)
     pq_res = pq_search(
         queries, codes, cb, k=k, m=m, id_col=id_col, vec_col=vec_col
@@ -490,9 +496,15 @@ def ann_recall_audit(
         queries, emb, k_coarse=k_coarse, m=m, k_codes=k_codes,
         nprobe=nprobe, k=k, id_col=id_col, vec_col=vec_col,
     )
-    exact = l2_topk(
-        queries, emb, k=k, id_col=id_col, vec_col=vec_col
-    ).select("query_id", "vec_id")
+    # the exact arm is the audit's most expensive stage
+    # (|queries|·|corpus| distance math) and feeds TWO consumers —
+    # the per-method hits join and the denominator count — so persist
+    # it instead of computing it twice
+    exact = (
+        l2_topk(queries, emb, k=k, id_col=id_col, vec_col=vec_col)
+        .select("query_id", "vec_id")
+        .persist()
+    )
     tagged = pq_res.select(
         F.lit("pq").alias("method"), "query_id", "vec_id"
     ).unionByName(
@@ -515,12 +527,28 @@ def ann_recall_audit(
             F.lit(k).cast("int").alias("k"),
             F.coalesce("n_hits", F.lit(0.0)).cast("long").alias("n_hits"),
             F.col("n_exact").cast("long").alias("n_exact"),
-            _floor6(
-                F.coalesce("n_hits", F.lit(0.0)) / F.col("n_exact")
-            ).alias("recall"),
+            # r07 ADVICE: n_exact = 0 (empty query set / 1-vector
+            # corpus) means the audit is misconfigured — fail loudly
+            # instead of emitting NULL recall rows
+            F.when(
+                F.col("n_exact") > 0,
+                _floor6(
+                    F.coalesce("n_hits", F.lit(0.0)) / F.col("n_exact")
+                ),
+            )
+            .otherwise(
+                F.raise_error(
+                    "ann_recall_audit: exact top-k is empty (no "
+                    "queries, or a corpus with no non-self "
+                    "neighbors) — nothing to audit"
+                )
+            )
+            .alias("recall"),
         )
     )
-    return attach_cached(out, *getattr(ivf_res, "_ma_cached_frames", ()))
+    return attach_cached(
+        out, cb, exact, *getattr(ivf_res, "_ma_cached_frames", ())
+    )
 
 
 def pq_reconstruction_error(

@@ -199,7 +199,10 @@ def dsir_score(
         model.where(F.col("bucket") == -1)
         .agg(
             F.count("*").alias("_dn"),
-            F.first("term").alias("_dterm"),
+            # min, not first: if a caller unions two dsir_model outputs
+            # the sentinel slice has 2 rows and first() would pick an
+            # arbitrary default term per run (r07 ADVICE)
+            F.min("term").alias("_dterm"),
         )
     )
     scored = (

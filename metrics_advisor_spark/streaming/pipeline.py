@@ -897,7 +897,7 @@ def streaming_ann_gate(
 
     run_id = uuid.uuid4().hex[:12]
     cb = codebook.select("s", "code", "centroid")
-    lut = (
+    lut_plan = (
         _subvectors(references, m, id_col, vec_col)
         .select(
             F.col("vec_id").alias("query_id"),
@@ -911,8 +911,17 @@ def streaming_ann_gate(
             "code",
             _sq_dist(F.col("qsub"), F.col("centroid")).alias("part"),
         )
-        .localCheckpoint(eager=True)  # static across batches; cut the
-        # codebook lineage so each batch re-joins a materialized LUT
+    )
+    # The LUT is static across batches and bounded at m·k·|references|
+    # rows — small by contract (the gate's whole point is that the
+    # per-batch working set is index-size-independent).  Materialize it
+    # on the DRIVER and recreate it as a literal DataFrame rather than
+    # localCheckpoint: local-checkpoint blocks live only on executors,
+    # so on a real cluster one executor loss mid-drain would make the
+    # LUT unrecoverable and fail the stream (r07 ADVICE), and the
+    # uncheckpointed plan would otherwise re-evaluate per micro-batch.
+    lut = stream.sparkSession.createDataFrame(
+        lut_plan.collect(), schema=lut_plan.schema
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:

@@ -8,6 +8,7 @@ tests/test_oracle_parity.py which allows a small float tolerance.
 Usage:
     python scripts/driver_sim.py                # all queries
     python scripts/driver_sim.py 0 50           # positions [0, 50)
+    python scripts/driver_sim.py ann_recall dsir_weights   # by name
     SPARK_GRAFT_ORACLE_SF_DIR=... python scripts/driver_sim.py
 
 Exit code 1 if any query fails the exact compare.
@@ -55,8 +56,13 @@ def main() -> int:
     sf_dir = os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
-    lo = int(sys.argv[1]) if len(sys.argv) > 1 else 0
-    hi = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    by_name = [a for a in sys.argv[1:] if not a.lstrip("-").isdigit()]
+    lo = int(sys.argv[1]) if len(sys.argv) > 1 and not by_name else 0
+    hi = (
+        int(sys.argv[2])
+        if len(sys.argv) > 2 and not by_name
+        else None
+    )
 
     spark = get_spark("driver_sim")
     con = duckdb.connect()
@@ -67,7 +73,11 @@ def main() -> int:
 
     qs = em.queries()
     oracles = em.oracle_sql()
-    names = list(qs)[lo:hi]
+    names = by_name if by_name else list(qs)[lo:hi]
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        return 1
     failed = []
     for name in names:
         t0 = time.perf_counter()

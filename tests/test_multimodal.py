@@ -169,6 +169,23 @@ def test_wav_meta_rejects_noncanonical_chunks(spark):
     with pytest.raises(Exception, match="expected 'fmt '"):
         run(bad_tag)
 
+    # r07 ADVICE: audio_windows shares the SAME validated parse — the
+    # payloads that raise in audio_meta must raise there too, not
+    # silently frame garbage PCM from a blind fixed-44 slice
+    from metrics_advisor_spark.functions.multimodal import audio_windows
+
+    def run_windows(payload):
+        df = spark.createDataFrame(
+            [(0, bytearray(payload))], "doc_id long, wav binary"
+        )
+        audio_windows(df).collect()
+
+    run_windows(good)
+    with pytest.raises(Exception, match="non-canonical fmt"):
+        run_windows(fmt18)
+    with pytest.raises(Exception, match="expected 'fmt '"):
+        run_windows(bad_tag)
+
 
 def test_sample_frames_fanout_and_determinism(spark):
     from metrics_advisor_spark.functions.multimodal import (
