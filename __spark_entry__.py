@@ -1088,14 +1088,16 @@ def q_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (MLlib KMeans quantizer + probed re-rank) — rows-only
-    check: the trained quantizer is not expressible as SQL, so no
-    oracle entry (documented weaker check)."""
+    """IVF ANN: seeded deterministic coarse quantizer (the ivfpq_search
+    m=1 codebook — no RNG) + probed exact cosine re-rank.  n_probe <
+    n_lists so the oracle genuinely checks the IVF pruning, not a
+    degenerate full scan.  Hash-oracled since r08 (r07 verdict item 4:
+    the MLlib-KMeans quantizer was engine-specific → rows-only)."""
     from metrics_advisor_spark.functions.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
     return ivf_topk(
-        emb.filter(F.col("vec_id") < 5), emb, k=10, n_lists=16, n_probe=16
+        emb.filter(F.col("vec_id") < 5), emb, k=10, n_lists=8, n_probe=2
     )
 
 
@@ -8501,6 +8503,50 @@ def oracle_sql() -> dict[str, str]:
                      (row_number() OVER (
                         PARTITION BY query_id
                         ORDER BY adc_dist ASC, vec_id ASC))::INT AS rank
+              FROM scored
+            ) WHERE rank <= 10
+        """,
+        "ivf_topk": f"""
+            WITH embd AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ),
+            {_pq_chain_sql('embd', 'v', 1, 64, 8, 'c_')},
+            amap AS (SELECT vec_id, code AS cell FROM c_codes),
+            qv AS (SELECT vec_id AS query_id, v FROM embd
+                   WHERE vec_id < 5),
+            probe AS (
+              SELECT query_id, cell FROM (
+                SELECT q.query_id, cc.code AS cell,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY floor(list_reduce(
+                             list_transform(range(0, 64), i ->
+                               (q.v[i+1] - cc.centroid[i+1])
+                               * (q.v[i+1] - cc.centroid[i+1])),
+                             (a, v) -> a + v) * 1000000.0 + 0.5)
+                             / 1000000.0,
+                           cc.code
+                       ) AS rn
+                FROM qv q JOIN c_cb cc ON cc.s = 0
+              ) WHERE rn <= 2
+            ),
+            cand AS (
+              SELECT p.query_id, a.vec_id
+              FROM probe p JOIN amap a ON a.cell = p.cell
+              WHERE a.vec_id != p.query_id
+            ),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     round(list_cosine_similarity(q.v, e.v), 6) AS cosine
+              FROM cand c JOIN qv q USING (query_id)
+              JOIN embd e ON e.vec_id = c.vec_id
+            )
+            SELECT query_id, vec_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id ASC) AS rank
               FROM scored
             ) WHERE rank <= 10
         """,

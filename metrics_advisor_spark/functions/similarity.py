@@ -217,47 +217,97 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    quantizer: str = "seeded",
 ) -> DataFrame:
-    """IVF approximate top-k: MLlib KMeans coarse quantizer + probed
-    exact re-rank (the classic inverted-file ANN layout).
+    """IVF approximate top-k: coarse quantizer + probed exact re-rank
+    (the classic inverted-file ANN layout).
 
-    Build: cluster the corpus into ``n_lists`` cells (KMeans is a Spark
-    job — sampling + distributed Lloyd iterations; the model is a tiny
-    broadcast of n_lists×d centroids).  Search: each query scores only
-    the ``n_probe`` nearest cells' members — the candidate set shrinks
-    from |corpus| to ~|corpus|·n_probe/n_lists, and the cell id doubles
-    as the partition key at scale.  Recall < 1 by construction; raise
-    n_probe toward n_lists to trade cost back for recall.
+    Build: cluster the corpus into ``n_lists`` cells; the model is a
+    tiny broadcast of n_lists×d centroids.  Search: each query scores
+    only the ``n_probe`` nearest cells' members — the candidate set
+    shrinks from |corpus| to ~|corpus|·n_probe/n_lists, and the cell
+    id doubles as the partition key at scale.  Recall < 1 by
+    construction; raise n_probe toward n_lists to trade cost back for
+    recall.
+
+    ``quantizer='seeded'`` (default) uses the deterministic seeded
+    one-step-Lloyd codebook from `functions/pq.pq_codebook` with m=1 —
+    the same coarse quantizer as `ivfpq_search`, no RNG, and therefore
+    fully oracle-expressible (r07 verdict item 4: this graduated the
+    contract query from rows-only to hash-exact).
+    ``quantizer='kmeans'`` keeps the MLlib KMeans fit (multi-iteration
+    Lloyd with sampled init — usually tighter cells, but seeded RNG
+    makes it engine-specific and only rows-checkable).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    if quantizer == "seeded":
+        from metrics_advisor_spark.functions.pq import (
+            _floor6,
+            _sq_dist,
+            pq_codebook,
+            pq_encode,
+        )
 
-    corp = corpus.select(
-        F.col(id_col), F.col(vec_col),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
-    )
-    model = KMeans(k=n_lists, seed=seed, featuresCol="_feat",
-                   predictionCol="_cell").fit(corp)
-    assigned = model.transform(corp).select(id_col, vec_col, "_cell")
+        coarse = pq_codebook(
+            corpus, m=1, k=n_lists, id_col=id_col, vec_col=vec_col
+        )
+        centers_df = coarse.select(
+            F.col("code").alias("cell"), "centroid"
+        )
+        assigned = (
+            pq_encode(corpus, coarse, m=1, id_col=id_col, vec_col=vec_col)
+            .select("vec_id", F.col("code").alias("cell"))
+            .join(
+                corpus.select(
+                    F.col(id_col).alias("vec_id"), F.col(vec_col)
+                ),
+                "vec_id",
+            )
+            .select(
+                F.col("vec_id").alias(id_col), vec_col,
+                F.col("cell").alias("_cell"),
+            )
+        )
+        # same floor-form snap + cell tiebreak as the ivfpq probe, so
+        # the oracle's row_number ordering is bit-identical
+        dist2 = _floor6(
+            _sq_dist(
+                F.transform(F.col("q_vec"), lambda x: x.cast("double")),
+                F.col("centroid"),
+            )
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    centers = model.clusterCenters()
-    spark = corpus.sparkSession
-    centers_df = spark.createDataFrame(
-        [(int(i), [float(v) for v in c]) for i, c in enumerate(centers)],
-        "cell int, centroid array<double>",
-    )
+        corp = corpus.select(
+            F.col(id_col), F.col(vec_col),
+            array_to_vector(
+                F.col(vec_col).cast("array<double>")
+            ).alias("_feat"),
+        )
+        model = KMeans(k=n_lists, seed=seed, featuresCol="_feat",
+                       predictionCol="_cell").fit(corp)
+        assigned = model.transform(corp).select(id_col, vec_col, "_cell")
+
+        centers = model.clusterCenters()
+        spark = corpus.sparkSession
+        centers_df = spark.createDataFrame(
+            [(int(i), [float(v) for v in c]) for i, c in enumerate(centers)],
+            "cell int, centroid array<double>",
+        )
+        dist2 = F.aggregate(
+            F.zip_with(
+                F.col("q_vec"), F.col("centroid"),
+                lambda a, b: (a.cast("double") - b)
+                * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
     # each query probes its n_probe closest centroids (euclidean, as the
     # quantizer was trained); the centroid table is tiny → broadcast
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    dist2 = F.aggregate(
-        F.zip_with(
-            F.col("q_vec"), F.col("centroid"),
-            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("_d2").asc(), F.col("cell").asc()
