@@ -1869,18 +1869,28 @@ def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based distinct counting: Datasketches HLL estimate next to
-    the exact count per metric.  No oracle by design (DuckDB's
-    approx_count_distinct is a different sketch); the unit test bounds
-    the relative error instead.  At 100 TB the HLL path aggregates a
-    fixed-size sketch per group — no distinct-shuffle of the key stream,
-    mergeable across partitions (the point of the sketch family)."""
+    """Sketch-based distinct counting: Datasketches HLL estimate
+    audited against the exact count per metric.  Hash-oracled since r08
+    (r07 verdict item 5): the raw estimate is engine-specific (DuckDB's
+    approx_count_distinct is a different sketch), so the contract row
+    is the error-BOUND — (metric, exact_distinct, est_within_2pct) —
+    with the exact side computed in both engines and the boolean
+    asserting the sketch's documented accuracy (measured ≤0.4% at
+    sf0.01/sf0.1; lgK-default HLL σ≈0.8% → 2% ≈ 2.5σ).  A sketch
+    regression past 2% hash-mismatches → red.  At 100 TB the HLL path
+    aggregates a fixed-size sketch per group — no distinct-shuffle of
+    the key stream, mergeable across partitions (the point of the
+    sketch family)."""
     sig = _signals(spark, sf_dir)
     return sig.groupBy("metric").agg(
         F.countDistinct("series").alias("exact_distinct"),
-        F.hll_sketch_estimate(F.hll_sketch_agg("series")).alias(
-            "hll_estimate"
-        ),
+        (
+            F.abs(
+                F.hll_sketch_estimate(F.hll_sketch_agg("series"))
+                - F.countDistinct("series")
+            )
+            <= 0.02 * F.countDistinct("series")
+        ).alias("est_within_2pct"),
     )
 
 
@@ -2232,10 +2242,13 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-family audit: `approx_percentile` (GK sketch — mergeable,
-    fixed-size state, the 100 TB path) next to the exact interpolated
-    percentile, with the absolute error.  No oracle by design (DuckDB's
-    approx sketch differs); the unit test bounds the error instead —
-    same weaker-check pattern as `hll_distinct`."""
+    fixed-size state, the 100 TB path) audited against the exact
+    interpolated percentile.  Hash-oracled since r08 (r07 verdict item
+    5): the raw sketch value is engine-specific, so the contract row is
+    the error-BOUND — (metric, p95_exact, sketch_within_2pct) — with
+    the exact side mirrored by DuckDB quantile_cont and the boolean
+    asserting relative error ≤2% (measured ≤0.56% at sf0.01, ≤0.17% at
+    sf0.1).  A sketch regression past 2% hash-mismatches → red."""
     sig = _signals(spark, sf_dir)
     return (
         sig.groupBy("metric")
@@ -2248,10 +2261,10 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "metric",
             "p95_exact",
-            "p95_sketch",
-            F.round(F.abs(F.col("p95_exact") - F.col("p95_sketch")), 6).alias(
-                "abs_err"
-            ),
+            (
+                F.abs(F.col("p95_exact") - F.col("p95_sketch"))
+                <= 0.02 * F.abs(F.col("p95_exact"))
+            ).alias("sketch_within_2pct"),
         )
     )
 
@@ -6898,6 +6911,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT metric,
                    count(DISTINCT series) AS n_series,
                    count(DISTINCT CAST(ts AS DATE)) AS n_days
+            FROM ({_SIG}) GROUP BY metric
+        """,
+        "hll_distinct": f"""
+            SELECT metric,
+                   count(DISTINCT series) AS exact_distinct,
+                   TRUE AS est_within_2pct
+            FROM ({_SIG}) GROUP BY metric
+        """,
+        "quantile_sketch_audit": f"""
+            SELECT metric,
+                   round(quantile_cont(value, 0.95), 6) AS p95_exact,
+                   TRUE AS sketch_within_2pct
             FROM ({_SIG}) GROUP BY metric
         """,
         "srp_buckets": _srp_sql("SELECT vec_id, embedding FROM embeddings"),
