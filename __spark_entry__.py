@@ -37,7 +37,6 @@ from metrics_advisor_spark.functions.curation import (
     stratified_sample,
 )
 from metrics_advisor_spark.functions.multimodal import (
-    attach_fake_payload,
     extract_media_meta,
 )
 from metrics_advisor_spark.functions.similarity import (
@@ -1056,23 +1055,51 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payloads → typed metadata via
-    mapInPandas (codec step deterministic-stubbed)."""
-    media = attach_fake_payload(_docs(spark, sf_dir, fanout=False))
-    return extract_media_meta(media)
+    """Universal media metadata over a REAL mixed-modality corpus (r08:
+    the sha-derived stub is gone): docs are attached genuine BMP / WAV
+    / AVI payloads by doc_id mod 3, and `extract_media_meta` dispatches
+    each payload on its magic bytes to the real spec parser for its
+    container.  The oracle recomputes every field (n_bytes, dims,
+    frame count, duration) from the three synthesis rules."""
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_avi_payload,
+        attach_bmp_payload,
+        attach_wav_payload,
+        extract_media_meta,
+    )
+
+    docs = _docs(spark, sf_dir, fanout=False)
+    img = attach_bmp_payload(docs.filter(F.col("doc_id") % 3 == 0)).select(
+        "doc_id", F.col("img").alias("payload")
+    )
+    wav = attach_wav_payload(docs.filter(F.col("doc_id") % 3 == 1)).select(
+        "doc_id", F.col("wav").alias("payload")
+    )
+    avi = attach_avi_payload(docs.filter(F.col("doc_id") % 3 == 2)).select(
+        "doc_id", F.col("video").alias("payload")
+    )
+    return extract_media_meta(img.unionByName(wav).unionByName(avi))
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing: one row per 5 s tick of each payload's
-    stub-derived duration (frame bytes omitted — the tick/index columns
-    are the oracle-checkable part)."""
-    from metrics_advisor_spark.functions.multimodal import sample_frames
-
-    media = attach_fake_payload(
-        _docs(spark, sf_dir, fanout=False), media_type="video/mp4"
+    """Wall-clock frame sampling over REAL AVI payloads (r08: the
+    sha-digest frame stub is gone): one row per 100 ms tick of each
+    video's parsed duration, each carrying the real decoded frame
+    re-encoded as a BMP — its byte length is part of the oracle
+    (54-byte header + stride·h pixel array)."""
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_avi_payload,
+        sample_frames,
     )
-    return sample_frames(media, every_ms=5000).select(
-        "doc_id", "frame_idx", "frame_ts_ms"
+
+    media = attach_avi_payload(_docs(spark, sf_dir, fanout=False)).select(
+        "doc_id", F.col("video").alias("payload")
+    )
+    return sample_frames(media, every_ms=100).select(
+        "doc_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.length("frame").cast("long").alias("frame_bytes"),
     )
 
 
@@ -4143,6 +4170,60 @@ def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_tile_stats(media, tile=4)
 
 
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec plumbing (r08 — the last `_fake_*` stub family
+    replaced per the r07 verdict): genuine uncompressed RIFF/AVI
+    payloads ('hdrl' avih/strh/strf + 'movi' 00db DIB frames)
+    synthesized per doc and PARSED back per spec; the oracle recomputes
+    the header fields from the synthesis rule (dims = the BMP rule,
+    n_frames = 2 + id mod 4, 100 ms per frame)."""
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_avi_payload,
+        video_meta,
+    )
+
+    return video_meta(attach_avi_payload(_docs(spark, sf_dir, fanout=False)))
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full video→image roundtrip: every AVI frame extracted
+    (stride-crop + bottom-up flip) and re-encoded as a standalone BMP,
+    then fed back through the IMAGE codec — `image_meta` parses each
+    frame's header and `decode_image` recovers every pixel, aggregated
+    to an integer checksum.  The oracle recomputes dims, byte size and
+    the pixel sum analytically from the frame synthesis rule
+    px(f,y,x,ch) = (id·31 + f·41 + y·17 + x·7 + ch·13) mod 256 — so
+    the hash pins synthesis → AVI parse → frame extract → BMP encode →
+    BMP parse → pixel decode end-to-end."""
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_avi_payload,
+        decode_image,
+        image_meta,
+        video_frames,
+    )
+
+    fr = video_frames(
+        attach_avi_payload(_docs(spark, sf_dir, fanout=False))
+    ).select(
+        "doc_id", "frame_id", "ts_ms",
+        (F.col("doc_id") * 8 + F.col("frame_id")).alias("k"), "img",
+    )
+    keyed = fr.select(F.col("k").alias("doc_id"), "img")
+    meta = image_meta(keyed).select(
+        F.col("doc_id").alias("k"), "width", "height", "n_bytes"
+    )
+    px = (
+        decode_image(keyed)
+        .groupBy(F.col("doc_id").alias("k"))
+        .agg(
+            F.sum(F.col("b") + F.col("g") + F.col("r"))
+            .cast("long")
+            .alias("px_sum")
+        )
+    )
+    return fr.drop("img").join(meta, "k").join(px, "k").drop("k")
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the PQ-ADC and IVF-PQ search paths against exact
     L2 top-10 (queries = vec_id < 5) — the index-quality audit that
@@ -4505,14 +4586,16 @@ ROTATION: dict[str, int | None] = {
     "streaming_ann_gate": 7,
     "image_resize": 7,
     "pq_reconstruction": 6,
+    "video_meta": None,
+    "video_frames": None,
 }
 
-# Checked queries deliberately re-queued inside the round-6 window:
-# dim_covariance (r05 hash-red — a cross-engine round()-at-halves flip;
-# rewritten round 6 to a bit-identical mirrored fold + floor-form snap)
-# and pagerank (upgraded round 6 from rows-only to a recursive-CTE
-# oracle — its r05 row was rows-only; a hash row should replace it).
-ROTATION_EXCEPTIONS: set[str] = set()
+# Checked queries deliberately re-queued inside the round-8 window:
+# media_meta and media_frames were r06-checked under the OLD sha-stub
+# semantics; round 8 replaced them with real mixed-modality payloads /
+# real AVI frame sampling and new oracles, so their r06 stamps no
+# longer attest the current code — they must re-enter the window.
+ROTATION_EXCEPTIONS: set[str] = {"media_meta", "media_frames"}
 
 # With 248 contract queries and a 50-slot gate, a full rotation takes
 # ceil(248/50) = 5 rounds; queries beyond the window may be at most
@@ -4828,6 +4911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": q_packed_sequences,
         "streaming_ann_gate": q_streaming_ann_gate,
         "image_resize": q_image_resize,
+        # ---- round-8 additions: real AVI video codec path ----
+        "video_meta": q_video_meta,
+        "video_frames": q_video_frames,
     })
 
 
@@ -6854,23 +6940,95 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": _simhash_sql("SELECT doc_id, text FROM documents"),
         "media_meta": """
-            SELECT doc_id, 'image/png' AS media_type,
-                   octet_length(encode(text)) AS n_bytes,
-                   substr(sha256(text), 1, 16) AS sha256_prefix,
-                   16 + ('0x' || substr(sha256(text), 1, 2))::INT % 240 AS width,
-                   16 + ('0x' || substr(sha256(text), 3, 2))::INT % 240 AS height,
-                   ('0x' || substr(sha256(text), 5, 4))::BIGINT AS duration_ms
-            FROM documents
-        """,
-        "media_frames": """
-            WITH m AS (
+            -- The Spark side dispatches REAL payloads on magic bytes
+            -- and parses each per spec; the oracle recomputes every
+            -- field from the three synthesis rules (BMP dims/stride,
+            -- WAV n_samples = 400 + id%10*80 @ 8 kHz, AVI n_frames =
+            -- 2 + id%4 @ 100 ms/frame, file sizes analytic).
+            WITH d AS (
               SELECT doc_id,
-                     ('0x' || substr(sha256(text), 5, 4))::BIGINT AS duration_ms
+                     8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+                     ((8 + doc_id % 9) * 3 + 3) // 4 * 4 AS stride,
+                     400 + (doc_id % 10) * 80 AS ns,
+                     2 + doc_id % 4 AS nf
               FROM documents
             )
-            SELECT doc_id, CAST(t.i AS INT) AS frame_idx,
-                   (t.i * 5000)::BIGINT AS frame_ts_ms
-            FROM m, unnest(range(0, duration_ms // 5000 + 1)) AS t(i)
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image/bmp'
+                        WHEN 1 THEN 'audio/wav'
+                        ELSE 'video/avi' END AS media_type,
+                   (CASE doc_id % 3
+                        WHEN 0 THEN 54 + stride * h
+                        WHEN 1 THEN 44 + 2 * ns
+                        ELSE 224 + nf * (8 + stride * h)
+                    END)::BIGINT AS n_bytes,
+                   (CASE WHEN doc_id % 3 IN (0, 2) THEN w END)::INT
+                     AS width,
+                   (CASE WHEN doc_id % 3 IN (0, 2) THEN h END)::INT
+                     AS height,
+                   (CASE WHEN doc_id % 3 = 2 THEN nf END)::INT
+                     AS n_frames,
+                   (CASE doc_id % 3
+                        WHEN 1 THEN ns // 8
+                        WHEN 2 THEN nf * 100
+                    END)::BIGINT AS duration_ms
+            FROM d
+        """,
+        "media_frames": """
+            -- real AVI frames sampled every 100 ms (= exactly one tick
+            -- per frame at 10 fps); each emitted frame is a genuine
+            -- re-encoded BMP whose byte size the oracle recomputes
+            WITH d AS (
+              SELECT doc_id,
+                     ((8 + doc_id % 9) * 3 + 3) // 4 * 4 AS stride,
+                     6 + doc_id % 7 AS h,
+                     2 + doc_id % 4 AS nf
+              FROM documents
+            )
+            SELECT doc_id, t.i::INT AS frame_idx,
+                   (t.i * 100)::BIGINT AS frame_ts_ms,
+                   (54 + stride * h)::BIGINT AS frame_bytes
+            FROM d, unnest(range(0, nf)) AS t(i)
+        """,
+        "video_meta": """
+            SELECT doc_id,
+                   (8 + doc_id % 9)::INT AS width,
+                   (6 + doc_id % 7)::INT AS height,
+                   (2 + doc_id % 4)::INT AS n_frames,
+                   100000::BIGINT AS us_per_frame,
+                   ((2 + doc_id % 4) * 100)::BIGINT AS duration_ms
+            FROM documents
+        """,
+        "video_frames": """
+            -- synthesis → AVI parse → frame extract → BMP encode →
+            -- BMP parse → pixel decode, all pinned by one hash: the
+            -- oracle recomputes each frame's dims, BMP byte size and
+            -- integer pixel checksum from
+            -- px(f,y,x,ch) = (id*31 + f*41 + y*17 + x*7 + ch*13) % 256
+            WITH d AS (
+              SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+                     ((8 + doc_id % 9) * 3 + 3) // 4 * 4 AS stride,
+                     2 + doc_id % 4 AS nf
+              FROM documents
+            ),
+            px AS (
+              SELECT d.doc_id, t.f::INT AS frame_id,
+                     sum((d.doc_id * 31 + t.f * 41 + ty.y * 17
+                          + tx.x * 7 + tc.c * 13) % 256)::BIGINT
+                       AS px_sum
+              FROM d,
+                   unnest(range(0, nf)) AS t(f),
+                   unnest(range(0, h)) AS ty(y),
+                   unnest(range(0, w)) AS tx(x),
+                   unnest(range(0, 3)) AS tc(c)
+              GROUP BY 1, 2
+            )
+            SELECT d.doc_id, p.frame_id,
+                   (p.frame_id * 100)::BIGINT AS ts_ms,
+                   d.w::INT AS width, d.h::INT AS height,
+                   (54 + d.stride * d.h)::BIGINT AS n_bytes,
+                   p.px_sum
+            FROM d JOIN px p USING (doc_id)
         """,
         "knn_graph": """
             WITH scored AS (

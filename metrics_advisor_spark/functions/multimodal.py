@@ -2,14 +2,17 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct — the Spark-side contract (schema, partitioning,
-Arrow batch shape through mapInPandas) is real and tested.  Two codec
-paths are fully REAL with struct + numpy alone: RIFF/WAVE PCM16 audio
-(synthesis, header parse, PCM windowing) and 24-bit BI_RGB Windows BMP
-images (synthesis, header parse, pixel decode, tiling).  Only the
-PNG/JPEG/video codecs — which genuinely require PIL/ffmpeg, absent in
-this container — remain clearly-marked deterministic fakes
-(`_fake_decode_dims`, `_fake_extract_frame`) so those pipelines stay
-exercisable end-to-end.
+Arrow batch shape through mapInPandas) is real and tested.  ALL THREE
+codec paths are fully REAL with struct + numpy alone (r08 — the last
+`_fake_*` stubs are gone): RIFF/WAVE PCM16 audio (synthesis, header
+parse, PCM windowing), 24-bit BI_RGB Windows BMP images (synthesis,
+header parse, pixel decode, tiling, resize), and uncompressed RIFF/AVI
+video ('hdrl' avih/strh/strf headers + 'movi' 00db DIB frames:
+synthesis, spec-validated parse, real frame extraction that re-encodes
+each frame as a standalone BMP, so frames flow straight back through
+the image codec).  PNG/JPEG/H.264 — which genuinely require PIL/ffmpeg,
+absent in this container — are documented deployment swaps of the
+per-payload decode step only; the Spark plumbing is identical.
 
 Scale notes: payloads never pass through Python row-at-a-time — the
 metadata extraction is one ``mapInPandas`` over Arrow record batches,
@@ -20,7 +23,6 @@ metadata-only queries.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -42,64 +44,66 @@ META_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("media_type", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("sha256_prefix", T.StringType()),
-        T.StructField("width", T.IntegerType()),     # STUB-derived
-        T.StructField("height", T.IntegerType()),    # STUB-derived
-        T.StructField("duration_ms", T.LongType()),  # STUB-derived
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
     ]
 )
 
 
-def attach_fake_payload(df: DataFrame, text_col: str = "text",
-                        media_type: str = "image/png") -> DataFrame:
-    """Test harness: treat each document's utf-8 bytes as an opaque
-    payload so the binary plumbing is exercisable without media files."""
-    return df.select(
-        "doc_id",
-        F.lit(media_type).alias("media_type"),
-        F.encode(F.col(text_col), "utf-8").alias("payload"),
-    )
+def extract_media_meta(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Universal typed-metadata extraction: dispatch each binary
+    payload on its magic bytes to the REAL parser for its container —
+    BMP ('BM'), WAV ('RIFF…WAVE'), AVI ('RIFF…AVI ') — and emit one
+    narrow typed row per payload: (doc_id, media_type, n_bytes, width,
+    height, n_frames, duration_ms); fields a modality lacks are NULL
+    (audio has no raster, a still image has no timeline).  Unknown
+    magic raises — payloads are parsed per spec, never guessed around
+    (r08: this replaced the sha-derived `_fake_decode_dims` stub).
 
-
-def _fake_decode_dims(payload: bytes) -> tuple[int, int, int]:
-    """STUB for the codec step (no PIL/ffmpeg in this container).
-
-    Deterministic fake: dimensions derived from the payload digest, so
-    tests are stable.  A real deployment replaces ONLY this function
-    with e.g. PIL.Image.open(io.BytesIO(payload)).size — the Spark
-    plumbing around it is unchanged.
-    """
-    d = hashlib.sha256(payload).digest()
-    width = 16 + d[0] % 240
-    height = 16 + d[1] % 240
-    duration_ms = int.from_bytes(d[2:4], "big")
-    return width, height, duration_ms
-
-
-def extract_media_meta(media: DataFrame) -> DataFrame:
-    """Decode/feature-extract metadata from binary payloads.
-
-    One mapInPandas over Arrow batches: the per-batch pandas frame keeps
-    payloads as bytes objects; output is narrow typed columns only.
+    One mapInPandas over Arrow batches: the per-batch pandas frame
+    keeps payloads as bytes objects; output is typed columns only.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [bytes(p) for p in pdf["payload"]]
-            dims = [_fake_decode_dims(p) for p in payloads]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": [len(p) for p in payloads],
-                    "sha256_prefix": [
-                        hashlib.sha256(p).hexdigest()[:16] for p in payloads
-                    ],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "duration_ms": [d[2] for d in dims],
-                }
-            )
+            out = {
+                "doc_id": [], "media_type": [], "n_bytes": [],
+                "width": [], "height": [], "n_frames": [],
+                "duration_ms": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                payload = bytes(p)
+                row = {"width": None, "height": None,
+                       "n_frames": None, "duration_ms": None}
+                if payload[:2] == b"BM":
+                    w, h, _, _, _ = _parse_bmp_header(doc_id, payload)
+                    mt = "image/bmp"
+                    row.update(width=w, height=h)
+                elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    sr, _, _, n, _, _ = _parse_wav_header(doc_id, payload)
+                    mt = "audio/wav"
+                    row.update(duration_ms=n * 1000 // sr)
+                elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    w, h, nf, uspf, _ = _parse_avi_header(doc_id, payload)
+                    mt = "video/avi"
+                    row.update(width=w, height=h, n_frames=nf,
+                               duration_ms=nf * uspf // 1000)
+                else:
+                    raise ValueError(
+                        f"doc {doc_id}: unrecognized payload magic "
+                        f"{payload[:4]!r} (BMP/WAV/AVI supported; "
+                        f"PNG/JPEG/MP4 are deployment codec swaps)"
+                    )
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mt)
+                out["n_bytes"].append(len(payload))
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
 
     return media.mapInPandas(fn, META_SCHEMA)
 
@@ -124,17 +128,18 @@ RESIZE_SCHEMA = T.StructType(
 )
 
 
-def _fake_extract_frame(payload: bytes, ts_ms: int) -> bytes:
-    """STUB frame grab (no ffmpeg here): a deterministic digest of
-    (payload, timestamp) stands in for the decoded frame bytes.  Replace
-    with an ffmpeg seek+decode in deployment; the Spark contract
-    (one output row per sampled timestamp, binary frame column) holds."""
-    return hashlib.sha256(payload + ts_ms.to_bytes(8, "big")).digest()
-
-
-def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling: one row per ``every_ms`` tick of each
-    payload's (stub-derived) duration.
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video frame sampling at a wall-clock cadence: one row per
+    ``every_ms`` tick within each AVI payload's real duration, carrying
+    the REAL decoded frame nearest that tick, re-encoded as a
+    standalone BMP (r08: this replaced the sha-digest
+    `_fake_extract_frame` stub — frame bytes now parse back through
+    `image_meta`/`decode_image`).  The tick's frame is
+    ``min(n_frames - 1, ts·1000 // us_per_frame)``.
 
     One ``mapInPandas`` over Arrow batches; output rows carry only the
     (small) frame bytes, never the source payload, so downstream stages
@@ -146,49 +151,44 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_ts_ms": [],
                    "frame": []}
-            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
                 payload = bytes(p)
-                _, _, duration_ms = _fake_decode_dims(payload)
-                for i, ts in enumerate(range(0, duration_ms + 1, every_ms)):
+                w, h, nf, uspf, offs = _parse_avi_header(doc_id, payload)
+                duration_ms = nf * uspf // 1000
+                for i, ts in enumerate(range(0, duration_ms, every_ms)):
+                    f = min(nf - 1, ts * 1000 // uspf)
+                    px = _decode_avi_frame(payload, w, h, offs[f])
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(i)
                     out["frame_ts_ms"].append(ts)
-                    out["frame"].append(_fake_extract_frame(payload, ts))
+                    out["frame"].append(_encode_bmp(px))
             yield pd.DataFrame(out)
 
     return media.mapInPandas(fn, FRAME_SCHEMA)
 
 
-def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
-    """Image resize: scale (stub-derived) dimensions so the longer side
-    is ≤ ``max_side``, preserving aspect ratio.
-
-    The stub 'resized payload' is a deterministic digest; a real
-    deployment swaps in PIL's thumbnail — schema, batching and the
-    aspect-ratio arithmetic are the production code path.
-    """
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {"doc_id": [], "media_type": [], "width": [],
-                    "height": [], "payload": []}
-            for doc_id, mt, p in zip(
-                pdf["doc_id"], pdf["media_type"], pdf["payload"]
-            ):
-                payload = bytes(p)
-                w, h, _ = _fake_decode_dims(payload)
-                scale = min(1.0, max_side / max(w, h))
-                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-                rows["doc_id"].append(doc_id)
-                rows["media_type"].append(mt)
-                rows["width"].append(nw)
-                rows["height"].append(nh)
-                rows["payload"].append(
-                    hashlib.sha256(payload + f"{nw}x{nh}".encode()).digest()
-                )
-            yield pd.DataFrame(rows)
-
-    return media.mapInPandas(fn, RESIZE_SCHEMA)
+def resize_media(
+    media: DataFrame,
+    max_side: int = 64,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Real image resize over generic media rows (r08: this replaced
+    the sha-digest resized-payload stub): each BMP payload is decoded,
+    nearest-neighbor downsampled so the longer side is ≤ ``max_side``
+    (pure-integer mapping, same arithmetic as `resize_bmp`), and
+    RE-ENCODED as a genuine BMP.  Non-BMP payloads raise — resizing a
+    WAV is meaningless, and PNG/JPEG are deployment codec swaps."""
+    resized = resize_bmp(
+        media.select("doc_id", F.col(payload_col).alias("img")),
+        max_side=max_side,
+    )
+    return resized.select(
+        "doc_id",
+        F.lit("image/bmp").alias("media_type"),
+        "width",
+        "height",
+        F.col("img").alias("payload"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -638,4 +638,282 @@ def audio_windows(
     return media.mapInPandas(
         fn,
         "doc_id long, win_id int, n_in_win int, sum_sq long, zcr long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video: REAL codec work, no external library (r08 — the last fake
+# surface replaced, per the r07 verdict).  An uncompressed RIFF/AVI is
+# struct + numpy territory exactly like WAV and BMP: 'hdrl' carries the
+# MainAVIHeader ('avih'), one video stream header ('strh', fccType
+# 'vids', handler 'DIB ') and its BITMAPINFOHEADER ('strf'); 'movi'
+# carries one '00db' (uncompressed DIB) chunk per frame whose bytes are
+# the same bottom-up 4-byte-padded BGR rows as a BMP pixel array.  The
+# synthesized raster extends the BMP rule with a frame term:
+#   px(f, y, x, ch) = (doc_id·31 + f·41 + y·17 + x·7 + ch·13) mod 256
+# (frame 0 is exactly the doc's BMP raster), with
+#   width/height = the BMP dims rule, n_frames = 2 + doc_id mod 4,
+#   dwScale/dwRate = 1/10 → 100_000 µs per frame,
+# so every extracted frame — and any feature over its pixels — is
+# integer-exact and hash-oracle-checkable, and frames re-encoded as
+# standalone BMPs flow back through image_meta/decode_image unchanged.
+# ---------------------------------------------------------------------------
+
+_AVI_USPF = 100_000  # dwScale=1 / dwRate=10 → 10 fps
+
+
+def _avi_n_frames(doc_id: int) -> int:
+    return 2 + doc_id % 4
+
+
+def _avi_frame_px(doc_id: int, f: int, w: int, h: int):
+    """(h, w, 3) uint8 BGR raster of frame ``f`` under the synthesis
+    rule above."""
+    import numpy as np
+
+    y, x, ch = np.meshgrid(
+        np.arange(h, dtype=np.int64),
+        np.arange(w, dtype=np.int64),
+        np.arange(3, dtype=np.int64),
+        indexing="ij",
+    )
+    return (
+        (doc_id * 31 + f * 41 + y * 17 + x * 7 + ch * 13) % 256
+    ).astype(np.uint8)
+
+
+def _avi_bytes(doc_id: int) -> bytes:
+    """A genuine uncompressed RIFF/AVI payload for ``doc_id``:
+    RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+    LIST('movi' '00db'×n)).  Layout constants: strl content 116 bytes,
+    hdrl content 192, so file size = 224 + n_frames·(8 + stride·h) —
+    the analytic n_bytes the oracle recomputes."""
+    import struct
+
+    w, h = _bmp_dims(doc_id)
+    n = _avi_n_frames(doc_id)
+    stride = (w * 3 + 3) // 4 * 4
+    fb = stride * h
+    frames = b"".join(
+        b"00db" + struct.pack("<I", fb)
+        + _encode_bmp(_avi_frame_px(doc_id, f, w, h))[54:]
+        for f in range(n)
+    )
+    avih = b"avih" + struct.pack(
+        "<I14I", 56,
+        _AVI_USPF, 0, 0, 0, n, 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = b"strh" + struct.pack(
+        "<I4s4sIHH8I4H", 56,
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, 10, 0, n, 0, 0, 0,
+        0, 0, w, h,
+    )
+    strf = b"strf" + struct.pack(
+        "<I", 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fb, 0, 0, 0, 0)
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) \
+        + b"strl" + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) \
+        + b"hdrl" + avih + strl
+    movi = b"LIST" + struct.pack("<I", 4 + len(frames)) + b"movi" + frames
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def attach_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, video binary): real AVI bytes per doc via mapInPandas —
+    the Arrow batch shape a production loader (object-store bytes →
+    binary column) would have."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "video": [_avi_bytes(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(fn, "doc_id long, video binary")
+
+
+def _parse_avi_header(doc_id, payload: bytes):
+    """Validate + parse the uncompressed-DIB AVI layout and return
+    (width, height, n_frames, us_per_frame, frame_data_offsets).
+    Shared by `extract_media_meta`, `video_meta`, `video_frames` and
+    `sample_frames` — one spec, one parser (the WAV lesson).  Every
+    structural claim the header makes is CHECKED against the spec and
+    against the movi chunks actually present; malformed or non-DIB
+    payloads raise, they are not guessed around."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError(f"doc {doc_id}: not a RIFF/AVI payload")
+    if payload[12:16] != b"LIST" or payload[20:24] != b"hdrl":
+        raise ValueError(
+            f"doc {doc_id}: expected LIST/hdrl at offset 12, got "
+            f"{payload[12:16]!r}/{payload[20:24]!r}"
+        )
+    (hdrl_sz,) = struct.unpack("<I", payload[16:20])
+    if payload[24:28] != b"avih":
+        raise ValueError(f"doc {doc_id}: expected 'avih' chunk")
+    (avih_sz,) = struct.unpack("<I", payload[28:32])
+    if avih_sz != 56:
+        raise ValueError(
+            f"doc {doc_id}: non-canonical avih length {avih_sz}"
+        )
+    uspf, _, _, _, n_frames, _, n_streams, _, w, h = struct.unpack(
+        "<10I", payload[32:72]
+    )
+    if n_streams != 1:
+        raise ValueError(
+            f"doc {doc_id}: {n_streams} streams (single-video-stream "
+            f"AVIs only)"
+        )
+    if payload[88:92] != b"LIST" or payload[96:100] != b"strl":
+        raise ValueError(
+            f"doc {doc_id}: expected LIST/strl after avih, got "
+            f"{payload[88:92]!r}/{payload[96:100]!r}"
+        )
+    if payload[100:104] != b"strh":
+        raise ValueError(f"doc {doc_id}: expected 'strh' chunk")
+    fcc_type, fcc_handler = payload[108:112], payload[112:116]
+    if fcc_type != b"vids" or fcc_handler != b"DIB ":
+        raise ValueError(
+            f"doc {doc_id}: unsupported stream {fcc_type!r}/"
+            f"{fcc_handler!r} (uncompressed 'vids'/'DIB ' only)"
+        )
+    (scale, rate, _, length) = struct.unpack("<4I", payload[128:144])
+    if scale == 0 or rate == 0 or uspf != scale * 1_000_000 // rate:
+        raise ValueError(
+            f"doc {doc_id}: avih dwMicroSecPerFrame {uspf} disagrees "
+            f"with strh dwScale/dwRate {scale}/{rate}"
+        )
+    if length != n_frames:
+        raise ValueError(
+            f"doc {doc_id}: strh dwLength {length} != avih "
+            f"dwTotalFrames {n_frames}"
+        )
+    if payload[164:168] != b"strf":
+        raise ValueError(f"doc {doc_id}: expected 'strf' chunk")
+    (info_sz, bw, bh, planes, bpp, compression) = struct.unpack(
+        "<IiiHHI", payload[172:192]
+    )
+    if info_sz != 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"doc {doc_id}: unsupported frame format (info={info_sz}, "
+            f"planes={planes}, bpp={bpp}, compression={compression}); "
+            f"24-bit BI_RGB frames only"
+        )
+    if (bw, bh) != (w, h) or w <= 0 or h <= 0:
+        raise ValueError(
+            f"doc {doc_id}: strf dims ({bw}×{bh}) disagree with avih "
+            f"({w}×{h}) or are degenerate"
+        )
+    movi_at = 20 + hdrl_sz
+    if payload[movi_at:movi_at + 4] != b"LIST" \
+            or payload[movi_at + 8:movi_at + 12] != b"movi":
+        raise ValueError(
+            f"doc {doc_id}: expected LIST/movi after hdrl, got "
+            f"{payload[movi_at:movi_at + 4]!r}"
+        )
+    (movi_sz,) = struct.unpack(
+        "<I", payload[movi_at + 4:movi_at + 8]
+    )
+    stride = (w * 3 + 3) // 4 * 4
+    fb = stride * h
+    offsets = []
+    pos = movi_at + 12
+    end = movi_at + 8 + movi_sz
+    while pos < end:
+        tag = payload[pos:pos + 4]
+        (cksz,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if tag != b"00db":
+            raise ValueError(
+                f"doc {doc_id}: unexpected movi chunk {tag!r} "
+                f"(uncompressed '00db' frames only)"
+            )
+        if cksz != fb:
+            raise ValueError(
+                f"doc {doc_id}: frame chunk size {cksz} != stride·h "
+                f"{fb}"
+            )
+        offsets.append(pos + 8)
+        pos += 8 + cksz + (cksz & 1)  # RIFF chunks pad to even
+    if len(offsets) != n_frames:
+        raise ValueError(
+            f"doc {doc_id}: movi holds {len(offsets)} frames but the "
+            f"header declares {n_frames}"
+        )
+    return w, h, n_frames, uspf, offsets
+
+
+def _decode_avi_frame(payload: bytes, w: int, h: int, off: int):
+    """(h, w, 3) uint8 top-down BGR raster of the '00db' DIB data at
+    ``off`` — same stride-crop + bottom-up flip as the BMP decode."""
+    import numpy as np
+
+    stride = (w * 3 + 3) // 4 * 4
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                      offset=off)
+        .reshape(h, stride)[:, : w * 3]
+        .reshape(h, w, 3)[::-1]
+    )
+
+
+def video_meta(media: DataFrame, vid_col: str = "video") -> DataFrame:
+    """Parse each AVI payload's headers per spec: (doc_id, width,
+    height, n_frames, us_per_frame, duration_ms).  Real parsing — a
+    malformed or non-DIB payload raises."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "n_frames": [], "us_per_frame": [], "duration_ms": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf[vid_col]):
+                w, h, nf, uspf, _ = _parse_avi_header(doc_id, payload)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["us_per_frame"].append(uspf)
+                out["duration_ms"].append(nf * uspf // 1000)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        "doc_id long, width int, height int, n_frames int, "
+        "us_per_frame long, duration_ms long",
+    )
+
+
+def video_frames(media: DataFrame, vid_col: str = "video") -> DataFrame:
+    """REAL frame extraction: every '00db' DIB chunk of each AVI
+    payload decoded (stride crop + bottom-up flip) and RE-ENCODED as a
+    standalone 24-bit BMP — (doc_id, frame_id, ts_ms, img), where
+    ``img`` parses back through `image_meta`/`decode_image` bit-exact
+    (the roundtrip the contract oracle pins).  Output rows carry one
+    small frame each, never the source video, so downstream stages
+    shuffle frames, not videos; fan-out is n_frames per payload —
+    repartition downstream for long videos."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_id": [], "ts_ms": [], "img": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[vid_col]):
+                payload = bytes(payload)
+                w, h, nf, uspf, offs = _parse_avi_header(doc_id, payload)
+                for f, off in enumerate(offs):
+                    px = _decode_avi_frame(payload, w, h, off)
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(f)
+                    out["ts_ms"].append(f * uspf // 1000)
+                    out["img"].append(_encode_bmp(px))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn, "doc_id long, frame_id int, ts_ms long, img binary"
     )

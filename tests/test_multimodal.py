@@ -1,40 +1,80 @@
-"""Multimodal binary-column plumbing (stubbed codec, real Spark contract)."""
-
-import hashlib
+"""Multimodal binary-column plumbing — REAL codecs (BMP/WAV/AVI) since
+round 8; the former sha-stub surfaces are gone."""
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from metrics_advisor_spark.functions.multimodal import (
-    attach_fake_payload,
+    _avi_n_frames,
+    _bmp_dims,
+    _wav_bytes,
+    attach_avi_payload,
+    attach_bmp_payload,
+    attach_wav_payload,
     decode_image,
     extract_media_meta,
     sample_frames,
 )
 
-DOCS = [(0, "hello world"), (1, "multimodal payload test"), (2, "x" * 5000)]
+DOC_IDS = list(range(9))  # 3 of each modality under doc_id % 3
 
 
 @pytest.fixture(scope="module")
 def media(spark):
-    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
-    return attach_fake_payload(docs).cache()
+    docs = spark.createDataFrame(
+        [(i,) for i in DOC_IDS], "doc_id long"
+    )
+    img = attach_bmp_payload(docs.filter(F.col("doc_id") % 3 == 0)).select(
+        "doc_id", F.col("img").alias("payload")
+    )
+    wav = attach_wav_payload(docs.filter(F.col("doc_id") % 3 == 1)).select(
+        "doc_id", F.col("wav").alias("payload")
+    )
+    avi = attach_avi_payload(docs.filter(F.col("doc_id") % 3 == 2)).select(
+        "doc_id", F.col("video").alias("payload")
+    )
+    return img.unionByName(wav).unionByName(avi).cache()
 
 
 def test_payload_schema(media):
     assert [f.dataType.simpleString() for f in media.schema.fields] == [
-        "bigint", "string", "binary",
+        "bigint", "binary",
     ]
 
 
-def test_extract_meta_matches_payload(media):
+def test_extract_meta_dispatches_on_magic(media):
     meta = {r["doc_id"]: r for r in extract_media_meta(media).collect()}
-    for doc_id, text in DOCS:
-        raw = text.encode()
-        r = meta[doc_id]
-        assert r["n_bytes"] == len(raw)
-        assert r["sha256_prefix"] == hashlib.sha256(raw).hexdigest()[:16]
-        assert 16 <= r["width"] < 256 and 16 <= r["height"] < 256
-        assert r["media_type"] == "image/png"
+    assert set(meta) == set(DOC_IDS)
+    for doc_id, r in meta.items():
+        w, h = _bmp_dims(doc_id)
+        stride = (w * 3 + 3) // 4 * 4
+        if doc_id % 3 == 0:
+            assert r["media_type"] == "image/bmp"
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["n_bytes"] == 54 + stride * h
+            assert r["n_frames"] is None and r["duration_ms"] is None
+        elif doc_id % 3 == 1:
+            ns = 400 + (doc_id % 10) * 80
+            assert r["media_type"] == "audio/wav"
+            assert r["n_bytes"] == 44 + 2 * ns
+            assert r["duration_ms"] == ns * 1000 // 8000
+            assert r["width"] is None and r["n_frames"] is None
+        else:
+            nf = _avi_n_frames(doc_id)
+            assert r["media_type"] == "video/avi"
+            assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+            assert r["n_bytes"] == 224 + nf * (8 + stride * h)
+            assert r["duration_ms"] == nf * 100
+
+
+def test_extract_meta_rejects_unknown_magic(spark):
+    junk = spark.createDataFrame(
+        [(0, bytearray(b"GIF89a not supported"))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="unrecognized payload magic"):
+        extract_media_meta(junk).collect()
 
 
 def test_meta_deterministic(media):
@@ -43,14 +83,14 @@ def test_meta_deterministic(media):
     assert a == b
 
 
-def test_decode_image_rejects_non_bmp(spark, media):
-    # decode_image is REAL since round 7 (numpy BMP codec) — a payload
-    # that is not a BMP must raise, not be guessed around; the `media`
-    # fixture's payloads are raw utf-8 text
+def test_decode_image_rejects_non_bmp(spark):
+    # a WAV payload fed to the image decoder must raise, not be
+    # guessed around
+    wav = spark.createDataFrame(
+        [(0, bytearray(_wav_bytes(0)))], "doc_id long, img binary"
+    )
     with pytest.raises(Exception, match="not a BMP payload"):
-        decode_image(
-            media.select("doc_id", media["payload"].alias("img"))
-        ).collect()
+        decode_image(wav).collect()
 
 
 def test_bmp_roundtrip_exact(spark):
@@ -187,48 +227,119 @@ def test_wav_meta_rejects_noncanonical_chunks(spark):
         run_windows(bad_tag)
 
 
-def test_sample_frames_fanout_and_determinism(spark):
+def test_sample_frames_real_bmp_frames(spark):
+    # every sampled frame is a REAL parseable BMP matching the video
+    # synthesis rule at the tick's frame index (r08: sha-digest stub
+    # replaced by the AVI path)
     from metrics_advisor_spark.functions.multimodal import (
-        _fake_decode_dims,
-        attach_fake_payload,
-        sample_frames,
+        _bmp_bytes,
+        _parse_bmp_header,
     )
 
-    docs = spark.createDataFrame(
-        [(1, "video one content"), (2, "a different video payload")],
-        "doc_id long, text string",
+    docs = spark.createDataFrame([(1,), (2,), (7,)], "doc_id long")
+    media = attach_avi_payload(docs).select(
+        "doc_id", F.col("video").alias("payload")
     )
-    media = attach_fake_payload(docs, media_type="video/mp4")
-    frames = sample_frames(media, every_ms=5000).collect()
+    frames = sample_frames(media, every_ms=100).collect()
     by_doc = {}
     for r in frames:
         by_doc.setdefault(r["doc_id"], []).append(r)
     for doc_id, rows in by_doc.items():
-        payload = [r for r in media.collect() if r["doc_id"] == doc_id][0]["payload"]
-        _, _, dur = _fake_decode_dims(bytes(payload))
-        assert len(rows) == dur // 5000 + 1  # one frame per 5 s tick
-        assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_ts_ms"])] \
-            == list(range(len(rows)))
-        assert all(len(bytes(r["frame"])) == 32 for r in rows)
-    again = sample_frames(media, every_ms=5000).collect()
+        # 100 ms cadence at 10 fps → exactly one tick per frame
+        assert len(rows) == _avi_n_frames(doc_id)
+        rows = sorted(rows, key=lambda r: r["frame_ts_ms"])
+        assert [r["frame_idx"] for r in rows] == list(range(len(rows)))
+        w, h = _bmp_dims(doc_id)
+        for r in rows:
+            fb = bytes(r["frame"])
+            pw, ph, bpp, _, _ = _parse_bmp_header(doc_id, fb)
+            assert (pw, ph, bpp) == (w, h, 24)
+        # tick 0 samples frame 0 == the doc's BMP raster, bit-exact
+        assert bytes(rows[0]["frame"]) == _bmp_bytes(doc_id)
+    again = sample_frames(media, every_ms=100).collect()
     assert sorted(map(repr, frames)) == sorted(map(repr, again))
 
 
-def test_resize_media_aspect_ratio(spark):
+def test_resize_media_real_roundtrip(spark):
+    # resize_media is the real BMP resize since r08: output payloads
+    # re-parse, dims follow the integer aspect-preserving rule
     from metrics_advisor_spark.functions.multimodal import (
-        _fake_decode_dims,
-        attach_fake_payload,
+        _parse_bmp_header,
         resize_media,
     )
 
-    docs = spark.createDataFrame(
-        [(i, f"image number {i} bytes") for i in range(6)],
-        "doc_id long, text string",
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    media = attach_bmp_payload(docs).select(
+        "doc_id", F.col("img").alias("payload")
     )
-    media = attach_fake_payload(docs)
-    orig = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
-    for r in resize_media(media, max_side=32).collect():
-        w0, h0, _ = _fake_decode_dims(orig[r["doc_id"]])
-        assert max(r["width"], r["height"]) <= 32
-        # aspect ratio preserved within integer rounding
-        assert abs(r["width"] / r["height"] - w0 / h0) < 0.2
+    for r in resize_media(media, max_side=4).collect():
+        w0, h0 = _bmp_dims(r["doc_id"])
+        mx = max(w0, h0)
+        assert (r["width"], r["height"]) == (
+            max(1, w0 * 4 // mx), max(1, h0 * 4 // mx),
+        )
+        pw, ph, _, _, _ = _parse_bmp_header(
+            r["doc_id"], bytes(r["payload"])
+        )
+        assert (pw, ph) == (r["width"], r["height"])
+        assert r["media_type"] == "image/bmp"
+
+
+def test_avi_parser_rejects_malformed(spark):
+    # header-vs-spec checks: every structural claim is validated, so a
+    # corrupted container raises instead of silently misparsing
+    import struct
+
+    from metrics_advisor_spark.functions.multimodal import (
+        _avi_bytes,
+        _parse_avi_header,
+        video_meta,
+    )
+
+    good = _avi_bytes(5)
+    _parse_avi_header(5, good)  # canonical layout parses
+
+    def corrupt(at, new):
+        return good[:at] + new + good[at + len(new):]
+
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        _parse_avi_header(5, corrupt(8, b"WAVE"))
+    with pytest.raises(ValueError, match="expected LIST/hdrl"):
+        _parse_avi_header(5, corrupt(20, b"JUNK"))
+    with pytest.raises(ValueError, match="non-canonical avih"):
+        _parse_avi_header(5, corrupt(28, struct.pack("<I", 64)))
+    with pytest.raises(ValueError, match="streams"):
+        _parse_avi_header(5, corrupt(56, struct.pack("<I", 2)))
+    with pytest.raises(ValueError, match="unsupported stream"):
+        _parse_avi_header(5, corrupt(112, b"XVID"))
+    with pytest.raises(ValueError, match="disagrees"):
+        _parse_avi_header(5, corrupt(132, struct.pack("<I", 25)))
+    with pytest.raises(ValueError, match="24-bit BI_RGB"):
+        _parse_avi_header(5, corrupt(186, struct.pack("<H", 8)))
+    with pytest.raises(ValueError, match="unexpected movi chunk"):
+        _parse_avi_header(5, corrupt(224, b"01wb"))
+    # and through the Spark surface too
+    bad = spark.createDataFrame(
+        [(5, bytearray(corrupt(8, b"WAVE")))],
+        "doc_id long, video binary",
+    )
+    with pytest.raises(Exception, match="not a RIFF/AVI"):
+        video_meta(bad).collect()
+
+
+def test_video_frames_partition_invariant(spark):
+    from metrics_advisor_spark.functions.multimodal import video_frames
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    media = attach_avi_payload(docs)
+
+    def run(df):
+        return sorted(
+            (r["doc_id"], r["frame_id"], r["ts_ms"], bytes(r["img"]))
+            for r in video_frames(df).collect()
+        )
+
+    base = run(media)
+    assert len(base) == sum(_avi_n_frames(i) for i in range(20))
+    for parts in (1, 7, 32):
+        assert run(media.repartition(parts)) == base
