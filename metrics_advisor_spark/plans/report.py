@@ -242,9 +242,17 @@ def save_charts(
     out_dir: str,
     bucket_seconds: int = 600,
     top_k: int = 5,
+    fmt: str = "svg",
 ) -> dict[tuple[int, str, str], str]:
-    """S6: one SVG per (bucket, objective): max-abs-normalized objective +
-    top-k candidates + change-point vlines.
+    """S6: one chart per (bucket, objective): max-abs-normalized
+    objective + top-k candidates + change-point vlines.
+
+    ``fmt="svg"`` (default) emits dependency-free vector charts;
+    ``fmt="png"`` emits genuine raster PNGs via the stdlib-zlib encoder
+    in `plans/charts_png.py` — full reference-S6 format parity
+    (metrics_advisor.py:221-223 writes matplotlib PNGs) without
+    requiring matplotlib/PIL.  Both formats render the same content
+    from the same geometry constants.
 
     Reference parity notes: top-5 for plots (K2, metrics_advisor.py:209);
     normalization is max(|x|) (the Q4 abs(max) quirk is NOT reproduced —
@@ -339,11 +347,20 @@ def save_charts(
             f"bucket {bucket_id} — {obj_metric}/{obj_series} "
             f"vs top-{len(chart_series) - 1} candidates (max-abs normalized)"
         )
-        svg = _svg_chart(title, chart_series, cp_by_bucket.get(bucket_id, []))
         safe = f"bucket{bucket_id}_{obj_metric}_{obj_series}".replace("/", "_")
         safe = "".join(ch if ch.isalnum() or ch in "._-" else "_" for ch in safe)
-        path = os.path.join(out_dir, f"{safe}.svg")
-        with open(path, "w") as f:
-            f.write(svg)
+        cps = cp_by_bucket.get(bucket_id, [])
+        if fmt == "png":
+            from metrics_advisor_spark.plans.charts_png import png_chart
+
+            path = os.path.join(out_dir, f"{safe}.png")
+            with open(path, "wb") as f:
+                f.write(
+                    png_chart(title, chart_series, cps, _SERIES_COLORS)
+                )
+        else:
+            path = os.path.join(out_dir, f"{safe}.svg")
+            with open(path, "w") as f:
+                f.write(_svg_chart(title, chart_series, cps))
         paths[(bucket_id, obj_metric, obj_series)] = path
     return paths
