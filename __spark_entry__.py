@@ -4224,6 +4224,89 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fr.drop("img").join(meta, "k").join(px, "k").drop("k")
 
 
+def q_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-to-frame motion energy (the keyframe-sampling / scene-
+    change primitive): integer sum of absolute per-pixel-channel deltas
+    between consecutive REAL decoded frames.  The oracle recomputes
+    every delta analytically from the frame synthesis rule."""
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_avi_payload,
+        video_motion,
+    )
+
+    return video_motion(
+        attach_avi_payload(_docs(spark, sf_dir, fanout=False))
+    )
+
+
+def q_av_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal as-of alignment: every REAL audio window (20 ms at
+    8 kHz / 160 samples) is assigned the REAL video frame showing at
+    its start — backward as-of via the tagged-union merge (one shuffle
+    by doc_id, never |wins|·|frames|).  Both sides come from the real
+    codecs (WAV PCM framing, AVI frame timestamps), so the oracle is
+    the analytic composition of the two synthesis rules."""
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_avi_payload,
+        attach_wav_payload,
+        audio_windows,
+        av_alignment,
+        video_frames,
+    )
+
+    docs = _docs(spark, sf_dir, fanout=False)
+    wins = audio_windows(attach_wav_payload(docs), window=160).select(
+        "doc_id",
+        "win_id",
+        (F.col("win_id").cast("long") * 20).alias("win_start_ms"),
+    )
+    frames = video_frames(attach_avi_payload(docs)).select(
+        "doc_id", "frame_id", "ts_ms"
+    )
+    return av_alignment(wins, frames)
+
+
+def q_streaming_video_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eighteenth Structured Streaming contract surface: the VIDEO
+    admission gate — each AVI micro-batch spec-parsed (real codec) and
+    admitted when duration ≥ 300 ms and every frame transition carries
+    motion (the dead-camera filter).  Stateless across batches, so a
+    drain in any batching equals the batch meta+motion plan — the
+    analytic SQL oracle."""
+    import tempfile
+
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_avi_payload,
+    )
+    from metrics_advisor_spark.streaming.pipeline import (
+        streaming_video_gate,
+    )
+
+    key = f"{sf_dir}#avi"
+    src = _STREAM_SRC_CACHE.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="ma_stream_avi_") + "/avi"
+        attach_avi_payload(_docs(spark, sf_dir, fanout=False)).write.mode(
+            "overwrite"
+        ).parquet(src)
+        _STREAM_SRC_CACHE[key] = src
+    base = tempfile.mkdtemp(prefix="ma_videogate_")
+    stream = spark.readStream.schema("doc_id long, video binary").parquet(
+        src
+    )
+    streaming_video_gate(
+        stream, out_dir=f"{base}/out", min_duration_ms=300, min_motion=1
+    )
+    return (
+        spark.read.parquet(f"{base}/out")
+        .select(
+            "doc_id", "width", "height", "n_frames", "duration_ms",
+            "min_frame_motion",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the PQ-ADC and IVF-PQ search paths against exact
     L2 top-10 (queries = vec_id < 5) — the index-quality audit that
@@ -4588,6 +4671,9 @@ ROTATION: dict[str, int | None] = {
     "pq_reconstruction": 6,
     "video_meta": None,
     "video_frames": None,
+    "video_motion": None,
+    "av_alignment": None,
+    "streaming_video_gate": None,
 }
 
 # Checked queries deliberately re-queued inside the round-8 window:
@@ -4914,6 +5000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-8 additions: real AVI video codec path ----
         "video_meta": q_video_meta,
         "video_frames": q_video_frames,
+        "video_motion": q_video_motion,
+        "av_alignment": q_av_alignment,
+        "streaming_video_gate": q_streaming_video_gate,
     })
 
 
@@ -7029,6 +7118,84 @@ def oracle_sql() -> dict[str, str]:
                    (54 + d.stride * d.h)::BIGINT AS n_bytes,
                    p.px_sum
             FROM d JOIN px p USING (doc_id)
+        """,
+        "video_motion": """
+            -- motion energy recomputed analytically: each transition's
+            -- per-pixel delta is |(base + 41f) % 256 - (base + 41(f-1))
+            -- % 256|
+            WITH d AS (
+              SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+                     2 + doc_id % 4 AS nf
+              FROM documents
+            )
+            SELECT d.doc_id, t.f::INT AS frame_id,
+                   sum(abs(
+                     ((d.doc_id * 31 + t.f * 41 + ty.y * 17
+                       + tx.x * 7 + tc.c * 13) % 256)
+                     - ((d.doc_id * 31 + (t.f - 1) * 41 + ty.y * 17
+                         + tx.x * 7 + tc.c * 13) % 256)
+                   ))::BIGINT AS sum_abs_diff
+            FROM d,
+                 unnest(range(1, nf)) AS t(f),
+                 unnest(range(0, h)) AS ty(y),
+                 unnest(range(0, w)) AS tx(x),
+                 unnest(range(0, 3)) AS tc(c)
+            GROUP BY 1, 2
+        """,
+        "av_alignment": """
+            -- backward as-of composition of the two synthesis rules:
+            -- audio window w starts at w*20 ms (160 samples @ 8 kHz),
+            -- the frame showing then is min(nf-1, start // 100)
+            WITH d AS (
+              SELECT doc_id, 400 + (doc_id % 10) * 80 AS ns,
+                     2 + doc_id % 4 AS nf
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, t.i::INT AS win_id,
+                     (t.i * 20)::BIGINT AS win_start_ms, nf
+              FROM d, unnest(range(0, (ns + 159) // 160)) AS t(i)
+            )
+            SELECT doc_id, win_id, win_start_ms,
+                   least(nf - 1, win_start_ms // 100)::INT AS frame_id,
+                   (least(nf - 1, win_start_ms // 100) * 100)::BIGINT
+                     AS frame_ts_ms
+            FROM wins
+        """,
+        "streaming_video_gate": """
+            -- drain == batch plan: duration >= 300 ms (nf >= 3) AND
+            -- min transition motion >= 1 (always true under the
+            -- synthesis rule — the gate's selectivity is the duration)
+            WITH d AS (
+              SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+                     2 + doc_id % 4 AS nf
+              FROM documents
+            ),
+            mot AS (
+              SELECT d.doc_id, t.f AS frame_id,
+                     sum(abs(
+                       ((d.doc_id * 31 + t.f * 41 + ty.y * 17
+                         + tx.x * 7 + tc.c * 13) % 256)
+                       - ((d.doc_id * 31 + (t.f - 1) * 41 + ty.y * 17
+                           + tx.x * 7 + tc.c * 13) % 256)
+                     ))::BIGINT AS sad
+              FROM d,
+                   unnest(range(1, nf)) AS t(f),
+                   unnest(range(0, h)) AS ty(y),
+                   unnest(range(0, w)) AS tx(x),
+                   unnest(range(0, 3)) AS tc(c)
+              GROUP BY 1, 2
+            ),
+            mm AS (
+              SELECT doc_id, min(sad) AS min_frame_motion
+              FROM mot GROUP BY 1
+            )
+            SELECT d.doc_id, d.w::INT AS width, d.h::INT AS height,
+                   d.nf::INT AS n_frames,
+                   (d.nf * 100)::BIGINT AS duration_ms,
+                   mm.min_frame_motion
+            FROM d JOIN mm USING (doc_id)
+            WHERE d.nf * 100 >= 300 AND mm.min_frame_motion >= 1
         """,
         "knn_graph": """
             WITH scored AS (

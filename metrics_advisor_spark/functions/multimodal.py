@@ -917,3 +917,99 @@ def video_frames(media: DataFrame, vid_col: str = "video") -> DataFrame:
     return media.mapInPandas(
         fn, "doc_id long, frame_id int, ts_ms long, img binary"
     )
+
+
+def video_motion(media: DataFrame, vid_col: str = "video") -> DataFrame:
+    """Motion energy per frame transition — the classic scene-change /
+    keyframe-sampling primitive a video curation pipeline runs before
+    deciding which frames to keep: for every consecutive frame pair,
+    the integer sum of absolute per-pixel-channel differences.
+    Output (doc_id, frame_id, sum_abs_diff) for frame_id = 1..n-1,
+    comparing each frame to its predecessor.  Integer-exact (uint8
+    deltas summed in int64), so fully hash-oracle-checkable against
+    the synthesis rule.
+
+    Scale: one mapInPandas pass per payload; consecutive frames are
+    decoded pairwise inside the task (working set = 2 rasters), and
+    output is one small row per transition — never per pixel."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_id": [], "sum_abs_diff": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[vid_col]):
+                payload = bytes(payload)
+                w, h, nf, _, offs = _parse_avi_header(doc_id, payload)
+                prev = None
+                for f, off in enumerate(offs):
+                    cur = _decode_avi_frame(payload, w, h, off).astype(
+                        np.int64
+                    )
+                    if prev is not None:
+                        out["doc_id"].append(doc_id)
+                        out["frame_id"].append(f)
+                        out["sum_abs_diff"].append(
+                            int(np.abs(cur - prev).sum())
+                        )
+                    prev = cur
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn, "doc_id long, frame_id int, sum_abs_diff long"
+    )
+
+
+def av_alignment(
+    audio_wins: DataFrame,
+    frames: DataFrame,
+    win_start_col: str = "win_start_ms",
+    frame_ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Cross-modal alignment: assign every audio window the video frame
+    showing at its start — a backward as-of join of
+    (doc_id, win_id, win_start_ms) onto (doc_id, frame_id, ts_ms),
+    i.e. the frame with the greatest ts_ms ≤ win_start_ms.  This is
+    how a multimodal training pipeline pairs audio snippets with the
+    visually-concurrent frame before packing (audio, image) examples.
+
+    Scale: implemented as the tagged-union merge, not a range join —
+    both sides union with a type tag, one window partitioned by doc_id
+    and ordered by (ts, tag) carries the last-seen frame forward, so
+    the cost is one shuffle by doc_id + a sort, never |wins|·|frames|
+    per doc.  Windows that precede the first frame get NULLs."""
+    from pyspark.sql import Window as W
+
+    f = frames.select(
+        "doc_id",
+        F.col(frame_ts_col).alias("_t"),
+        F.lit(0).alias("_tag"),  # frames sort before co-timed windows
+        "frame_id",
+        F.col(frame_ts_col).alias("frame_ts_ms"),
+        F.lit(None).cast("int").alias("win_id"),
+        F.lit(None).cast("long").alias(win_start_col),
+    )
+    a = audio_wins.select(
+        "doc_id",
+        F.col(win_start_col).alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast("int").alias("frame_id"),
+        F.lit(None).cast("long").alias("frame_ts_ms"),
+        "win_id",
+        win_start_col,
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("_t", "_tag", "win_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = f.unionByName(a).select(
+        "doc_id",
+        "win_id",
+        F.col(win_start_col),
+        "_tag",
+        F.last("frame_id", ignorenulls=True).over(w).alias("frame_id"),
+        F.last("frame_ts_ms", ignorenulls=True).over(w).alias(
+            "frame_ts_ms"
+        ),
+    )
+    return merged.where(F.col("_tag") == 1).drop("_tag")

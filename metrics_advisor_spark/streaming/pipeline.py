@@ -966,3 +966,67 @@ def streaming_ann_gate(
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def streaming_video_gate(
+    stream: DataFrame,
+    out_dir: str,
+    min_duration_ms: int = 300,
+    min_motion: int = 1,
+    checkpoint: str | None = None,
+) -> Any:
+    """18th streaming surface: VIDEO admission gate on a binary AVI
+    stream — a curation pipeline's first-pass filter before expensive
+    frame work.  Each micro-batch's payloads are spec-parsed by the
+    REAL codec (`functions/multimodal.video_meta`) and scored for
+    motion energy (`video_motion`); a video is admitted only when its
+    parsed duration reaches ``min_duration_ms`` AND every frame
+    transition carries at least ``min_motion`` absolute pixel delta
+    (static/frozen clips are dropped — the classic dead-camera filter).
+    Admitted rows: (doc_id, width, height, n_frames, duration_ms,
+    min_frame_motion).
+
+    Stateless across batches (a payload's verdict depends only on its
+    own bytes), so a drain in ANY batching equals the batch plan — the
+    SQL-expressible oracle of the contract query.  Writes
+    run=<id>/batch=<n> leaf dirs (idempotent on retry, collision-free
+    across drains — the gate-family write scheme)."""
+    import uuid
+
+    from metrics_advisor_spark.functions.multimodal import (
+        video_meta,
+        video_motion,
+    )
+
+    run_id = uuid.uuid4().hex[:12]
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        meta = video_meta(batch)
+        motion = (
+            video_motion(batch)
+            .groupBy("doc_id")
+            .agg(F.min("sum_abs_diff").alias("min_frame_motion"))
+        )
+        admitted = (
+            meta.join(motion, "doc_id")
+            .where(
+                (F.col("duration_ms") >= min_duration_ms)
+                & (F.col("min_frame_motion") >= min_motion)
+            )
+            .select(
+                "doc_id", "width", "height", "n_frames",
+                "duration_ms", "min_frame_motion",
+            )
+        )
+        admitted.write.mode("overwrite").parquet(
+            f"{out_dir}/run={run_id}/batch={batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q
