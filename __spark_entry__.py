@@ -4307,6 +4307,39 @@ def q_streaming_video_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame 56-bit perceptual difference hash over REAL decoded
+    AVI frames (integer channel-sum gray, 8×8 nearest sample grid,
+    7 horizontal comparisons per row — 56 bits to share the SimHash
+    Hamming machinery).  Pure integer math, so the oracle recomputes
+    every hash analytically from the frame synthesis rule."""
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_avi_payload,
+        frame_dhash,
+    )
+
+    return frame_dhash(attach_avi_payload(_docs(spark, sf_dir, fanout=False)))
+
+
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual exact-dedup: frames grouped by identical dHash —
+    (dhash, n_frames, n_docs, min_doc) for every hash shared by >1
+    frame.  One hash-partitioned shuffle of 16-byte rows, NO pair
+    enumeration — the scalable first pass of frame-level dedup; the
+    Hamming near-dup pass runs on one representative per group
+    (`phash_near_dup_pairs`), so identical-content skew can never
+    square the band join."""
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_avi_payload,
+        frame_dhash,
+        phash_dup_groups,
+    )
+
+    return phash_dup_groups(
+        frame_dhash(attach_avi_payload(_docs(spark, sf_dir, fanout=False)))
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the PQ-ADC and IVF-PQ search paths against exact
     L2 top-10 (queries = vec_id < 5) — the index-quality audit that
@@ -4674,6 +4707,8 @@ ROTATION: dict[str, int | None] = {
     "video_motion": None,
     "av_alignment": None,
     "streaming_video_gate": None,
+    "frame_dhash": None,
+    "phash_dedup": None,
 }
 
 # Checked queries deliberately re-queued inside the round-8 window:
@@ -5003,6 +5038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_motion": q_video_motion,
         "av_alignment": q_av_alignment,
         "streaming_video_gate": q_streaming_video_gate,
+        "frame_dhash": q_frame_dhash,
+        "phash_dedup": q_phash_dedup,
     })
 
 
@@ -7196,6 +7233,72 @@ def oracle_sql() -> dict[str, str]:
                    mm.min_frame_motion
             FROM d JOIN mm USING (doc_id)
             WHERE d.nf * 100 >= 300 AND mm.min_frame_motion >= 1
+        """,
+        "frame_dhash": """
+            -- 56-bit dHash recomputed analytically: gray(sy,sx) =
+            -- Σ_c (doc·31 + f·41 + sy·17 + sx·7 + c·13) % 256 at the
+            -- 8×8 nearest sample grid (sy = gy·h//8, sx = gx·w//8);
+            -- bit gy·7+gx set when gray(gx) > gray(gx+1)
+            WITH d AS (
+              SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+                     2 + doc_id % 4 AS nf
+              FROM documents
+            ),
+            cells AS (
+              SELECT d.doc_id, t.f AS f, gy.gy AS gy, gx.gx AS gx,
+                     ((d.doc_id*31 + t.f*41 + ((gy.gy*d.h)//8)*17
+                       + ((gx.gx*d.w)//8)*7) % 256
+                      + (d.doc_id*31 + t.f*41 + ((gy.gy*d.h)//8)*17
+                         + ((gx.gx*d.w)//8)*7 + 13) % 256
+                      + (d.doc_id*31 + t.f*41 + ((gy.gy*d.h)//8)*17
+                         + ((gx.gx*d.w)//8)*7 + 26) % 256) AS gray
+              FROM d,
+                   unnest(range(0, nf)) AS t(f),
+                   unnest(range(0, 8)) AS gy(gy),
+                   unnest(range(0, 8)) AS gx(gx)
+            )
+            SELECT a.doc_id, a.f::INT AS frame_id,
+                   sum(CASE WHEN a.gray > b.gray
+                       THEN (1::BIGINT << (a.gy*7 + a.gx))
+                       ELSE 0 END)::BIGINT AS dhash
+            FROM cells a JOIN cells b
+              ON a.doc_id = b.doc_id AND a.f = b.f
+             AND a.gy = b.gy AND a.gx + 1 = b.gx
+            GROUP BY 1, 2
+        """,
+        "phash_dedup": """
+            WITH d AS (
+              SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+                     2 + doc_id % 4 AS nf
+              FROM documents
+            ),
+            cells AS (
+              SELECT d.doc_id, t.f AS f, gy.gy AS gy, gx.gx AS gx,
+                     ((d.doc_id*31 + t.f*41 + ((gy.gy*d.h)//8)*17
+                       + ((gx.gx*d.w)//8)*7) % 256
+                      + (d.doc_id*31 + t.f*41 + ((gy.gy*d.h)//8)*17
+                         + ((gx.gx*d.w)//8)*7 + 13) % 256
+                      + (d.doc_id*31 + t.f*41 + ((gy.gy*d.h)//8)*17
+                         + ((gx.gx*d.w)//8)*7 + 26) % 256) AS gray
+              FROM d,
+                   unnest(range(0, nf)) AS t(f),
+                   unnest(range(0, 8)) AS gy(gy),
+                   unnest(range(0, 8)) AS gx(gx)
+            ),
+            dh AS (
+              SELECT a.doc_id, a.f,
+                     sum(CASE WHEN a.gray > b.gray
+                         THEN (1::BIGINT << (a.gy*7 + a.gx))
+                         ELSE 0 END)::BIGINT AS dhash
+              FROM cells a JOIN cells b
+                ON a.doc_id = b.doc_id AND a.f = b.f
+               AND a.gy = b.gy AND a.gx + 1 = b.gx
+              GROUP BY 1, 2
+            )
+            SELECT dhash, count(*)::BIGINT AS n_frames,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   min(doc_id) AS min_doc
+            FROM dh GROUP BY 1 HAVING count(*) > 1
         """,
         "knn_graph": """
             WITH scored AS (

@@ -1013,3 +1013,130 @@ def av_alignment(
         ),
     )
     return merged.where(F.col("_tag") == 1).drop("_tag")
+
+
+def _dhash56(px) -> int:
+    """56-bit difference hash of an (h, w, 3) uint8 raster: integer
+    channel-sum grayscale, 8×8 nearest-neighbor sample grid
+    (sy = gy·h//8, sx = gx·w//8), one bit per horizontally adjacent
+    cell pair (gray[gy][gx] > gray[gy][gx+1]), packed little-endian as
+    bit gy·7+gx.  7×8 = 56 bits — deliberately the same width as the
+    text SimHash so the pigeonhole Hamming machinery
+    (`dedup.hamming_pairs_blocked`, n_bits=56) applies unchanged.
+    Pure integer math end-to-end, so the hash is exactly recomputable
+    in ANSI SQL from the frame synthesis rule."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    gray = px.astype(np.int64).sum(axis=2)
+    gy = (np.arange(8) * h) // 8
+    gx = (np.arange(8) * w) // 8
+    g = gray[np.ix_(gy, gx)]
+    bits = (g[:, :7] > g[:, 1:]).astype(np.int64)
+    weights = (1 << (np.arange(8)[:, None] * 7 + np.arange(7)[None, :]))
+    return int((bits * weights).sum())
+
+
+def frame_dhash(media: DataFrame, vid_col: str = "video") -> DataFrame:
+    """Per-frame perceptual hash over REAL decoded video: every AVI
+    frame's 56-bit dHash — the signature a multimodal curation
+    pipeline computes before frame-level dedup (the LAION-style
+    near-dup pass, applied per frame instead of per image).  Output
+    (doc_id, frame_id, dhash).
+
+    Scale: one mapInPandas pass per payload, one small output row per
+    frame (the raster never leaves the task); downstream grouping
+    shuffles 16-byte rows, not pixels."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_id": [], "dhash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[vid_col]):
+                payload = bytes(payload)
+                w, h, _, _, offs = _parse_avi_header(doc_id, payload)
+                for f, off in enumerate(offs):
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(f)
+                    out["dhash"].append(
+                        _dhash56(_decode_avi_frame(payload, w, h, off))
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, "doc_id long, frame_id int, dhash long")
+
+
+def image_dhash(media: DataFrame, img_col: str = "img") -> DataFrame:
+    """56-bit dHash of each BMP payload (doc_id, dhash) — the image
+    arm of the perceptual family; same grid/packing as `frame_dhash`,
+    so image and video-frame signatures live in one hash space and
+    can be deduped/joined against each other."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "dhash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[img_col]):
+                payload = bytes(payload)
+                w, h, _, pix_off, stride = _parse_bmp_header(
+                    doc_id, payload
+                )
+                px = (
+                    np.frombuffer(
+                        payload, dtype=np.uint8, count=stride * h,
+                        offset=pix_off,
+                    )
+                    .reshape(h, stride)[:, : w * 3]
+                    .reshape(h, w, 3)[::-1]
+                )
+                out["doc_id"].append(doc_id)
+                out["dhash"].append(_dhash56(px))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, "doc_id long, dhash long")
+
+
+def phash_dup_groups(hashes: DataFrame, hash_col: str = "dhash") -> DataFrame:
+    """Perceptual EXACT-dedup at scale: group frames/images by their
+    identical 56-bit dHash — (dhash, n_frames, n_docs, min_doc) for
+    every hash shared by more than one frame.  This is the scalable
+    first pass of perceptual dedup (one hash-partitioned shuffle of
+    16-byte rows, no pair enumeration at all); the Hamming-ball
+    near-dup pass (`phash_near_dup_pairs`) runs AFTER this collapse,
+    on one canonical representative per group, so identical-content
+    skew (static scenes, test patterns — rampant in real corpora)
+    can never explode the band join."""
+    return (
+        hashes.groupBy(hash_col)
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .where(F.col("n_frames") > 1)
+    )
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    max_distance: int = 4,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Hamming near-dup pairs over perceptual hashes, by delegation to
+    the EXACT pigeonhole blocking already powering the text SimHash
+    family (`dedup.hamming_pairs_blocked`, same 56-bit space).
+    Output (doc_a, doc_b, hamming), ids from ``id_col``.
+
+    Run this on ONE representative per `phash_dup_groups` group (e.g.
+    min_doc), never the raw frame table — identical hashes all land
+    in the same band buckets and would square the join."""
+    from metrics_advisor_spark.functions.dedup import (
+        hamming_pairs_blocked,
+    )
+
+    renamed = hashes.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("simhash")
+    )
+    return hamming_pairs_blocked(
+        renamed, max_distance=max_distance, n_bits=56
+    )

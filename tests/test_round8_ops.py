@@ -107,3 +107,83 @@ def test_streaming_video_gate_matches_batch(spark):
     # duration = nf*100 >= 300 <=> nf >= 3 <=> doc_id % 4 in {1,2,3};
     # motion is always >= 1 under the synthesis rule
     assert got == {i for i in range(40) if _avi_n_frames(i) >= 3}
+
+
+def test_frame_dhash_matches_analytic(spark):
+    from metrics_advisor_spark.functions.multimodal import frame_dhash
+
+    docs = spark.createDataFrame([(i,) for i in range(15)], "doc_id long")
+    got = {
+        (r["doc_id"], r["frame_id"]): r["dhash"]
+        for r in frame_dhash(attach_avi_payload(docs)).collect()
+    }
+    for did in range(15):
+        w, h = _bmp_dims(did)
+        for f in range(_avi_n_frames(did)):
+            exp = 0
+            for gy in range(8):
+                sy = gy * h // 8
+                for gx in range(7):
+                    sx0, sx1 = gx * w // 8, (gx + 1) * w // 8
+                    g0 = sum(
+                        (did * 31 + f * 41 + sy * 17 + sx0 * 7 + c * 13)
+                        % 256
+                        for c in range(3)
+                    )
+                    g1 = sum(
+                        (did * 31 + f * 41 + sy * 17 + sx1 * 7 + c * 13)
+                        % 256
+                        for c in range(3)
+                    )
+                    if g0 > g1:
+                        exp |= 1 << (gy * 7 + gx)
+            assert got[(did, f)] == exp, (did, f)
+
+
+def test_image_dhash_equals_frame0_dhash(spark):
+    # frame 0 of a doc's AVI is pixel-identical to its BMP, so the two
+    # perceptual arms must land in the same hash space bit-for-bit
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_bmp_payload,
+        frame_dhash,
+        image_dhash,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    img = {
+        r["doc_id"]: r["dhash"]
+        for r in image_dhash(attach_bmp_payload(docs)).collect()
+    }
+    fr0 = {
+        r["doc_id"]: r["dhash"]
+        for r in frame_dhash(attach_avi_payload(docs))
+        .where(F.col("frame_id") == 0)
+        .collect()
+    }
+    assert img == fr0 and len(img) == 20
+
+
+def test_phash_dup_groups_and_near_dup_pairs(spark):
+    from metrics_advisor_spark.functions.multimodal import (
+        phash_dup_groups,
+        phash_near_dup_pairs,
+    )
+
+    hashes = spark.createDataFrame(
+        [(1, 0b1010), (2, 0b1010), (3, 0b1010), (4, 0b1011), (5, 1 << 50)],
+        "doc_id long, dhash long",
+    )
+    groups = {r["dhash"]: r for r in phash_dup_groups(hashes).collect()}
+    assert set(groups) == {0b1010}
+    assert groups[0b1010]["n_frames"] == 3
+    assert groups[0b1010]["n_docs"] == 3
+    assert groups[0b1010]["min_doc"] == 1
+    # near-dup on one representative per group + singletons
+    reps = spark.createDataFrame(
+        [(1, 0b1010), (4, 0b1011), (5, 1 << 50)], "doc_id long, dhash long"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(reps, max_distance=2).collect()
+    }
+    assert pairs == {(1, 4): 1}
