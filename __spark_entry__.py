@@ -4340,6 +4340,87 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer induction (Sennrich 2016): the first
+    6 learned merges over the documents corpus — (it, left, right,
+    pair_count), ties (count desc, left asc, right asc).  The single
+    corpus-sized stage is the word-frequency groupBy; every iteration
+    then runs on the distinct-word table with the winning pair as a
+    1-row broadcast and the merge itself a plain string replace on the
+    delimiter-wrapped symbol representation (left-to-right
+    non-overlap == the reference regex semantics).  The oracle unrolls
+    the identical 6 iterations as a CTE chain."""
+    from metrics_advisor_spark.functions.bpe import bpe_train
+
+    merges, _ = bpe_train(
+        _docs(spark, sf_dir).select("text"), n_merges=6
+    )
+    return merges
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword vocabulary after 6 BPE merges: top-20 tokens by
+    corpus-weighted count (ties: token asc) — the vocab file a trained
+    tokenizer would ship."""
+    from metrics_advisor_spark.functions.bpe import bpe_train, bpe_vocab
+
+    _, seg = bpe_train(_docs(spark, sf_dir).select("text"), n_merges=6)
+    return (
+        bpe_vocab(seg)
+        .orderBy(F.col("token_count").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+def _bpe_oracle(n_merges: int, final: str) -> str:
+    """Unrolled ANSI-SQL mirror of `bpe_train`: seg0 = wrapped chars of
+    the distinct-word table; each iteration counts adjacent symbol
+    pairs, takes the (count desc, left, right) top pair as a scalar
+    subquery, and re-segments via the same wrapped-string replace."""
+    sep = "chr(1)"
+    sep2 = f"({sep} || {sep})"
+    ctes = [
+        """wc AS (
+          SELECT word, count(*)::BIGINT AS wn
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          WHERE word <> '' GROUP BY 1
+        )""",
+        f"""seg0 AS MATERIALIZED (
+          SELECT word, wn,
+                 {sep} || array_to_string(
+                   list_transform(range(1, length(word) + 1),
+                                  i -> word[i]),
+                   {sep2}) || {sep} AS seg
+          FROM wc
+        )""",
+    ]
+    for it in range(n_merges):
+        ctes.append(f"""p{it} AS MATERIALIZED (
+          SELECT wn,
+                 string_split(substring(seg, 2, length(seg) - 2),
+                              {sep2}) AS syms
+          FROM seg{it}
+        ),
+        it{it} AS MATERIALIZED (
+          SELECT syms[i.i] AS l, syms[i.i + 1] AS r,
+                 sum(wn)::BIGINT AS c
+          FROM p{it}, unnest(range(1, len(syms))) AS i(i)
+          GROUP BY 1, 2
+          ORDER BY c DESC, l ASC, r ASC LIMIT 1
+        ),
+        seg{it + 1} AS MATERIALIZED (
+          SELECT word, wn,
+                 replace(seg,
+                   {sep} || (SELECT l FROM it{it}) || {sep2}
+                         || (SELECT r FROM it{it}) || {sep},
+                   {sep} || (SELECT l FROM it{it})
+                         || (SELECT r FROM it{it}) || {sep}) AS seg
+          FROM seg{it}
+        )""")
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the PQ-ADC and IVF-PQ search paths against exact
     L2 top-10 (queries = vec_id < 5) — the index-quality audit that
@@ -4709,6 +4790,8 @@ ROTATION: dict[str, int | None] = {
     "streaming_video_gate": None,
     "frame_dhash": None,
     "phash_dedup": None,
+    "bpe_merges": None,
+    "bpe_vocab": None,
 }
 
 # Checked queries deliberately re-queued inside the round-8 window:
@@ -5040,6 +5123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_video_gate": q_streaming_video_gate,
         "frame_dhash": q_frame_dhash,
         "phash_dedup": q_phash_dedup,
+        "bpe_merges": q_bpe_merges,
+        "bpe_vocab": q_bpe_vocab,
     })
 
 
@@ -7300,6 +7385,27 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_doc
             FROM dh GROUP BY 1 HAVING count(*) > 1
         """,
+        "bpe_merges": _bpe_oracle(6, """
+            SELECT 0 AS it, l AS "left", r AS "right", c AS pair_count
+            FROM it0
+            UNION ALL SELECT 1, l, r, c FROM it1
+            UNION ALL SELECT 2, l, r, c FROM it2
+            UNION ALL SELECT 3, l, r, c FROM it3
+            UNION ALL SELECT 4, l, r, c FROM it4
+            UNION ALL SELECT 5, l, r, c FROM it5
+        """),
+        "bpe_vocab": _bpe_oracle(6, """
+            SELECT token, sum(wn)::BIGINT AS token_count
+            FROM (
+              SELECT wn,
+                     unnest(string_split(
+                       substring(seg, 2, length(seg) - 2),
+                       chr(1) || chr(1))) AS token
+              FROM seg6
+            )
+            GROUP BY 1
+            ORDER BY token_count DESC, token ASC LIMIT 20
+        """),
         "knn_graph": """
             WITH scored AS (
               SELECT q.vec_id AS query_id, c.vec_id,

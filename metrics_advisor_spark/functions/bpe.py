@@ -1,0 +1,195 @@
+"""Distributed BPE tokenizer induction — the vocabulary-training step
+of an LLM data pipeline, expressed as declarative DataFrame plans.
+
+Byte-pair encoding (Sennrich et al. 2016, ACL — public algorithm):
+start from a character segmentation of every distinct word, then
+repeatedly (1) count adjacent symbol pairs corpus-wide weighted by word
+frequency, (2) take the most frequent pair, (3) merge every
+non-overlapping left-to-right occurrence.  The reference
+implementation's regex substitution merges occurrences left-to-right
+without overlap, which is exactly the semantics of `replace` on a
+delimiter-wrapped symbol string (each symbol stored as ``\\x01sym\\x01``
+concatenated, so no two pair occurrences ever share characters) — that
+representation is what makes BOTH the Spark plan and the ANSI-SQL
+oracle express the merge step as a plain string replace, with no UDF.
+
+Scale: the corpus-sized work is ONE word-frequency aggregation (a
+groupBy over tokenized text — the only stage that sees all 100 TB).
+Every merge iteration then runs over the DISTINCT-WORD table (bounded
+by vocabulary size, millions of rows at worst, partition-parallel),
+with the winning pair attached as a 1-row broadcast — the same
+scalar-attach pattern as the engine's other fixpoint loops.  The
+iteration count is a fixed hyperparameter (n_merges), so the lineage
+is a bounded unrolled chain; `localCheckpoint` every few rounds cuts
+it for large merge counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Symbol delimiter: each segmentation symbol is stored wrapped as
+# SEP+sym+SEP and concatenated, e.g. the word "low" starts as
+# "\x01l\x01\x01o\x01\x01w\x01".  \x01 never occurs in text.
+SEP = "\x01"
+
+
+def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, wn): corpus word frequencies — the single corpus-sized
+    aggregation; everything after runs on the distinct-word table."""
+    return (
+        df.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+
+
+def _char_wrap(col: F.Column) -> F.Column:
+    """Initial segmentation: every character wrapped in SEP."""
+    chars = F.filter(F.split(col, ""), lambda c: c != "")
+    return F.concat_ws(
+        "", F.transform(chars, lambda c: F.concat(F.lit(SEP), c, F.lit(SEP)))
+    )
+
+
+def _pair_counts(seg: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over the current segmentation,
+    weighted by word frequency: (left, right, pair_count)."""
+    syms = F.split(
+        F.expr(f"substring(seg, 2, length(seg) - 2)"), SEP + SEP
+    )
+    pairs = F.filter(
+        F.zip_with(
+            syms,
+            F.slice(F.concat(syms, F.array(F.lit(None))), 2, 1000000),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        ),
+        lambda p: p["r"].isNotNull(),
+    )
+    return (
+        seg.select("wn", F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.l").alias("left"), F.col("p.r").alias("right")
+        )
+        .agg(F.sum("wn").alias("pair_count"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``n_merges`` BPE merges from the corpus.
+
+    Returns (merges, seg): ``merges`` is (it, left, right, pair_count)
+    — iteration-ordered, ties broken (count desc, left asc, right asc)
+    so the result is fully deterministic — and ``seg`` is the final
+    (word, wn, seg) distinct-word segmentation table.
+
+    Each iteration aggregates pair counts over the PERSISTED
+    distinct-word table and brings back exactly ONE row (the winning
+    pair) — the same one-scalar-per-round driver pattern as the
+    engine's fixpoint loops (`dedup.scrub_to_fixpoint`), so training
+    cost is n_merges bounded aggregations, never a recompute of the
+    growing lineage; the merge itself is a literal string replace on
+    the wrapped representation (replace-left-to-right == the reference
+    regex semantics because wrapped occurrences never share
+    characters).  The word table is persisted for the duration —
+    release it via `cacheutil.release_cached` on the returned ``seg``.
+    ``checkpoint_every`` bounds the replace-chain expression depth for
+    large merge counts.
+    """
+    from metrics_advisor_spark.functions.cacheutil import attach_cached
+
+    words = _word_counts(df, text_col).select(
+        "word", "wn", _char_wrap(F.col("word")).alias("seg")
+    ).persist()
+    seg = words
+    rows = []
+    for it in range(n_merges):
+        top = (
+            _pair_counts(seg)
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("left").asc(),
+                F.col("right").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = (
+            top[0]["left"], top[0]["right"], top[0]["pair_count"]
+        )
+        rows.append((it, left, right, cnt))
+        seg = seg.select(
+            "word",
+            "wn",
+            F.replace(
+                F.col("seg"),
+                F.lit(SEP + left + SEP + SEP + right + SEP),
+                F.lit(SEP + left + right + SEP),
+            ).alias("seg"),
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < n_merges:
+            seg = seg.localCheckpoint(eager=False)
+    merges = df.sparkSession.createDataFrame(
+        rows, "it int, left string, right string, pair_count long"
+    )
+    return merges, attach_cached(seg, words)
+
+
+def bpe_vocab(seg: DataFrame, min_count: int | None = None) -> DataFrame:
+    """Subword vocabulary induced by a segmentation table:
+    (token, token_count) — every symbol of every word, weighted by word
+    frequency.  This is the vocab file a tokenizer ships."""
+    syms = F.split(
+        F.expr("substring(seg, 2, length(seg) - 2)"), SEP + SEP
+    )
+    out = (
+        seg.select("wn", F.explode(syms).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("wn").alias("token_count"))
+    )
+    if min_count is not None:
+        out = out.where(F.col("token_count") >= min_count)
+    return out
+
+
+def bpe_segment_words(
+    words: DataFrame, merges: DataFrame, word_col: str = "word"
+) -> DataFrame:
+    """Apply a learned merge list to new words: (word, tokens array).
+
+    The merge table is tiny (n_merges rows) — collected to drive plan
+    construction (each merge is one replace expression; the data-side
+    plan stays a single narrow projection, applied iteration-ordered
+    exactly as trained)."""
+    rules = [
+        (r["left"], r["right"])
+        for r in merges.orderBy("it").select(
+            "it", "left", "right"
+        ).collect()
+    ]
+    seg = _char_wrap(F.col(word_col))
+    for left, right in rules:
+        seg = F.replace(
+            seg,
+            F.lit(SEP + left + SEP + SEP + right + SEP),
+            F.lit(SEP + left + right + SEP),
+        )
+    toks = F.split(
+        F.expr("substring(_seg, 2, length(_seg) - 2)"), SEP + SEP
+    )
+    return (
+        words.withColumn("_seg", seg)
+        .withColumn("tokens", toks)
+        .drop("_seg")
+    )

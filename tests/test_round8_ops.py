@@ -187,3 +187,103 @@ def test_phash_dup_groups_and_near_dup_pairs(spark):
         for r in phash_near_dup_pairs(reps, max_distance=2).collect()
     }
     assert pairs == {(1, 4): 1}
+
+
+# ---- distributed BPE tokenizer induction ----
+
+def _ref_bpe(word_counts, n_merges):
+    """Pure-python reference: greedy left-to-right non-overlapping
+    merge (the subword-nmt regex semantics), ties (count desc, left
+    asc, right asc)."""
+    segs = {w: tuple(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_counts[w]
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b, c))
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = tuple(out)
+    return merges, segs
+
+
+def test_bpe_train_matches_reference(spark):
+    from metrics_advisor_spark.functions.bpe import bpe_train, bpe_vocab
+
+    corpus = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+              + ["widest"] * 3)
+    wc = {w: corpus.count(w) for w in set(corpus)}
+    docs = spark.createDataFrame(
+        [(i, " ".join(corpus[i::3]),) for i in range(3)],
+        "doc_id long, text string",
+    )
+    merges, seg = bpe_train(docs, n_merges=5)
+    got = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in merges.orderBy("it").collect()
+    ]
+    exp_merges, exp_segs = _ref_bpe(wc, 5)
+    assert got == exp_merges
+    got_segs = {
+        r["word"]: tuple(r["seg"].strip("\x01").split("\x01\x01"))
+        for r in seg.collect()
+    }
+    assert got_segs == exp_segs
+    # invariant: total symbols = initial chars - sum of merge counts
+    vocab = bpe_vocab(seg).collect()
+    total = sum(r["token_count"] for r in vocab)
+    init = sum(len(w) * n for w, n in wc.items())
+    assert total == init - sum(c for _, _, c in exp_merges)
+
+
+def test_bpe_segment_words_applies_trained_merges(spark):
+    from metrics_advisor_spark.functions.bpe import (
+        bpe_segment_words,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "low low low low low lower lower newest newest newest "
+             "newest newest newest widest widest widest")],
+        "doc_id long, text string",
+    )
+    merges, _ = bpe_train(docs, n_merges=4)
+    new = spark.createDataFrame(
+        [("lowest",), ("wider",), ("newlow",), ("a",)], "word string"
+    )
+    got = {
+        r["word"]: tuple(r["tokens"])
+        for r in bpe_segment_words(new, merges).collect()
+    }
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    rules, _ = _ref_bpe(wc, 4)
+
+    def apply(word):
+        syms = tuple(word)
+        for a, b, _ in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = tuple(out)
+        return syms
+
+    assert got == {w: apply(w) for w in ["lowest", "wider", "newlow", "a"]}
