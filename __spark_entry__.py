@@ -999,6 +999,35 @@ def q_hamming_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_pairs_blocked(sk, max_distance=8)
 
 
+def q_simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-sketch collapse — the skew-safety pass before any
+    Hamming band join (r08 scale-probe finding: the raw band join went
+    quadratic at ×10 on a boilerplate-heavy corpus): (simhash, n_docs,
+    min_doc) per sketch value shared by >1 doc; one shuffle, no
+    pairs."""
+    from metrics_advisor_spark.functions.dedup import (
+        simhash,
+        simhash_dup_groups,
+    )
+
+    return simhash_dup_groups(simhash(_docs_with_dups(spark, sf_dir)))
+
+
+def q_hamming_group_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup edges at GROUP granularity — the 100 TB Hamming form:
+    band join over DISTINCT sketch values only (one representative per
+    value), group sizes re-attached; identical-content pairs stay
+    implied by group membership, never materialized."""
+    from metrics_advisor_spark.functions.dedup import (
+        hamming_group_pairs,
+        simhash,
+    )
+
+    return hamming_group_pairs(
+        simhash(_docs_with_dups(spark, sf_dir)), max_distance=8
+    )
+
+
 def q_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup materialization: connected components of the
     Jaccard≥0.5 near-dup graph via min-label propagation, keep each
@@ -4792,6 +4821,8 @@ ROTATION: dict[str, int | None] = {
     "phash_dedup": None,
     "bpe_merges": None,
     "bpe_vocab": None,
+    "simhash_dup_groups": None,
+    "hamming_group_pairs": None,
 }
 
 # Checked queries deliberately re-queued inside the round-8 window:
@@ -5125,6 +5156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_dedup": q_phash_dedup,
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
+        "simhash_dup_groups": q_simhash_dup_groups,
+        "hamming_group_pairs": q_hamming_group_pairs,
     })
 
 
@@ -7394,6 +7427,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 4, l, r, c FROM it4
             UNION ALL SELECT 5, l, r, c FROM it5
         """),
+        "simhash_dup_groups": f"""
+            WITH sk AS ({_simhash_sql(_DOCS_DUPS)})
+            SELECT simhash, count(*)::BIGINT AS n_docs,
+                   min(doc_id) AS min_doc
+            FROM sk GROUP BY 1 HAVING count(*) > 1
+        """,
+        "hamming_group_pairs": f"""
+            WITH sk AS ({_simhash_sql(_DOCS_DUPS)}),
+            g AS (
+              SELECT simhash, count(*)::BIGINT AS n_docs,
+                     min(doc_id) AS min_doc
+              FROM sk GROUP BY 1
+            )
+            SELECT a.min_doc AS doc_a, b.min_doc AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::INT AS hamming,
+                   a.n_docs AS n_a, b.n_docs AS n_b
+            FROM g a JOIN g b ON a.min_doc < b.min_doc
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        """,
         "bpe_vocab": _bpe_oracle(6, """
             SELECT token, sum(wn)::BIGINT AS token_count
             FROM (

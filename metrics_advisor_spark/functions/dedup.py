@@ -523,6 +523,14 @@ def hamming_pairs_blocked(
     Scale: one narrow band explode (d+1 rows per doc), one equi-join on
     uniform band values, no cross join.  Same output as
     ``hamming_pairs`` (verified in tests).
+
+    Skew caveat (measured at ×10, SCALE.md §18): band values are only
+    uniform when sketches are — a boilerplate-heavy corpus puts
+    thousands of documents on bit-identical sketches and the band join
+    goes quadratic.  At scale, collapse identical sketches FIRST
+    (`simhash_dup_groups`) and band-join distinct values only
+    (`hamming_group_pairs`); use this raw form when sketches are known
+    to be near-distinct.
     """
     n_bands = max_distance + 1
     base, rem = divmod(n_bits, n_bands)
@@ -1380,4 +1388,71 @@ def dup_cluster_purity(
             F.floor(ent * F.lit(1000000.0) + F.lit(0.5))
             / F.lit(1000000.0)
         ).alias("src_entropy"),
+    )
+
+
+def simhash_dup_groups(sketches: DataFrame) -> DataFrame:
+    """Identical-sketch collapse — the skew-safety pass that must run
+    BEFORE any Hamming band join at corpus scale: (simhash, n_docs,
+    min_doc) for every sketch value carried by more than one document.
+    One hash-partitioned shuffle of 16-byte rows, no pair enumeration.
+
+    Motivation (measured, SCALE.md §18): on a low-entropy ×10 corpus
+    the raw band join of `hamming_pairs_blocked` went quadratic —
+    thousands of documents share bit-identical sketches (boilerplate,
+    templates), every one landing in the same band buckets.  Collapse
+    first, then run the band join on DISTINCT sketch values only
+    (`hamming_group_pairs`); identical-content pairs are implied by
+    group membership and need never be materialized."""
+    return (
+        sketches.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def hamming_group_pairs(
+    sketches: DataFrame, max_distance: int = 8, n_bits: int = 56
+) -> DataFrame:
+    """Near-dup edges at GROUP granularity — the 100 TB form of the
+    Hamming join: collapse to distinct sketch values (one
+    representative per value, min doc_id), run the exact pigeonhole
+    band join on the distinct values only, and re-attach group sizes.
+    Output (doc_a, doc_b, hamming, n_a, n_b): representative pairs
+    with the implied pair multiplicity n_a·n_b — downstream dedup
+    works on groups (drop all but min_doc per group, then union the
+    cross-group edges), so the quadratic identical-pair set is never
+    materialized."""
+    groups = sketches.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+    )
+    reps = groups.select(
+        F.col("min_doc").alias("doc_id"), "simhash"
+    )
+    sizes = groups.select(
+        F.col("min_doc").alias("doc_id"), F.col("n_docs")
+    )
+    return (
+        hamming_pairs_blocked(
+            reps, max_distance=max_distance, n_bits=n_bits
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_docs").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_docs").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "hamming", "n_a", "n_b")
     )

@@ -287,3 +287,36 @@ def test_bpe_segment_words_applies_trained_merges(spark):
         return syms
 
     assert got == {w: apply(w) for w in ["lowest", "wider", "newlow", "a"]}
+
+
+# ---- group-granularity Hamming (r08 scale-probe finding) ----
+
+def test_simhash_dup_groups_and_group_pairs(spark):
+    from metrics_advisor_spark.functions.dedup import (
+        hamming_group_pairs,
+        hamming_pairs,
+        simhash_dup_groups,
+    )
+
+    # 3 docs on one sketch, 2 on another within distance 2, 1 far away
+    sk = spark.createDataFrame(
+        [(1, 0b111000), (2, 0b111000), (3, 0b111000),
+         (4, 0b111011), (5, 0b111011), (9, (1 << 50) | (1 << 45) | (1 << 40) | (1 << 35) | (1 << 30))],
+        "doc_id long, simhash long",
+    )
+    groups = {r["simhash"]: r for r in simhash_dup_groups(sk).collect()}
+    assert {g: (r["n_docs"], r["min_doc"]) for g, r in groups.items()} == {
+        0b111000: (3, 1), 0b111011: (2, 4)
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["hamming"], r["n_a"], r["n_b"])
+        for r in hamming_group_pairs(sk, max_distance=4).collect()
+    }
+    assert got == {(1, 4): (2, 3, 2)}
+    # consistency vs the all-pairs form: every group-pair edge implies
+    # n_a*n_b raw edges; raw count = implied cross-group + within-group
+    raw = hamming_pairs(sk, max_distance=4).count()
+    implied = sum(na * nb for (_, na, nb) in got.values()) + sum(
+        r["n_docs"] * (r["n_docs"] - 1) // 2 for r in groups.values()
+    )
+    assert raw == implied
