@@ -520,17 +520,18 @@ def hamming_pairs_blocked(
     near-identical sketches ever meet in the join.  The candidate set is
     then filtered by the true bit_count(xor) distance.
 
-    Scale: one narrow band explode (d+1 rows per doc), one equi-join on
-    uniform band values, no cross join.  Same output as
-    ``hamming_pairs`` (verified in tests).
-
-    Skew caveat (measured at ×10, SCALE.md §18): band values are only
-    uniform when sketches are — a boilerplate-heavy corpus puts
-    thousands of documents on bit-identical sketches and the band join
-    goes quadratic.  At scale, collapse identical sketches FIRST
-    (`simhash_dup_groups`) and band-join distinct values only
-    (`hamming_group_pairs`); use this raw form when sketches are known
-    to be near-distinct.
+    Scale (rewritten after the ×10 probe, SCALE.md §18): the band join
+    runs over DISTINCT sketch values only — a boilerplate-heavy corpus
+    putting thousands of documents on bit-identical sketches
+    (measured: 1581 s at ×10 for the raw doc-level join) can no longer
+    square the band buckets or the 9× band fan-out.  Doc-level pairs
+    are then produced by expanding the qualifying VALUE pairs through
+    the membership table (two equi-joins) plus the within-value
+    self-join — both output-bound: the only quadratic left is the
+    pair set the caller asked for.  Output identical to the doc-level
+    band join and to ``hamming_pairs`` (verified in tests).  When even
+    the output pair set is too large to materialize, stay at group
+    granularity: `simhash_dup_groups` / `hamming_group_pairs`.
     """
     n_bands = max_distance + 1
     base, rem = divmod(n_bits, n_bands)
@@ -548,28 +549,65 @@ def hamming_pairs_blocked(
             )
         )
         lo += width
-    banded = sketches.select(
-        "doc_id", "simhash", F.explode(F.array(*bands)).alias("band")
-    ).select("doc_id", "simhash", "band.band_id", "band.band_bits")
+    members = sketches.select("doc_id", "simhash")
+    banded = (
+        members.select("simhash")
+        .distinct()
+        .select("simhash", F.explode(F.array(*bands)).alias("band"))
+        .select("simhash", "band.band_id", "band.band_bits")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    vpairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_bits") == F.col("b.band_bits"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_distance)
-        .dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["sh_a", "sh_b"])
     )
+    cross = (
+        vpairs.join(
+            members.select(
+                F.col("doc_id").alias("da"),
+                F.col("simhash").alias("sh_a"),
+            ),
+            "sh_a",
+        )
+        .join(
+            members.select(
+                F.col("doc_id").alias("db"),
+                F.col("simhash").alias("sh_b"),
+            ),
+            "sh_b",
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    x = members.alias("x")
+    y = members.alias("y")
+    within = x.join(
+        y,
+        (F.col("x.simhash") == F.col("y.simhash"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    return cross.unionByName(within)
 
 
 def minhash_jaccard_estimate(

@@ -121,12 +121,59 @@ def gen(sf_dir: str, mult: int, seed: int = 42) -> dict:
     return {"n_docs": n_docs, "n_vecs": n_vecs}
 
 
+def _variant_queries():
+    """Scale-path VARIANTS of contract queries whose exact-parity form
+    is superlinear by design on low-entropy corpora (measured at ×10:
+    jaccard_pairs 577 s, hamming_pairs_blocked killed at the probe
+    timeout).  Same inputs, the documented scale knob engaged."""
+    import __spark_entry__ as em
+    from metrics_advisor_spark.functions.dedup import (
+        hamming_group_pairs,
+        jaccard_pairs,
+        simhash,
+    )
+
+    def jaccard_capped(spark, sf_dir):
+        return jaccard_pairs(
+            em._docs_with_dups(spark, sf_dir),
+            threshold=0.5,
+            max_shingle_df=50,
+        )
+
+    def hamming_grouped(spark, sf_dir):
+        return hamming_group_pairs(
+            simhash(em._docs_with_dups(spark, sf_dir)), max_distance=8
+        )
+
+    def materialize_capped(spark, sf_dir):
+        from metrics_advisor_spark.functions.dedup import (
+            apply_pair_dedup,
+        )
+
+        docs = em._docs_with_dups(spark, sf_dir)
+        pairs = jaccard_pairs(
+            docs, threshold=0.5, max_shingle_df=50
+        )
+        return apply_pair_dedup(docs, pairs, transitive=True).select(
+            "doc_id"
+        )
+
+    return {
+        "jaccard_pairs_capped50": jaccard_capped,
+        "hamming_group_pairs": hamming_grouped,
+        "dedup_materialize_capped50": materialize_capped,
+    }
+
+
 def main() -> int:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     fams = ["dedup", "vector", "selection"]
+    skip: set[str] = set()
     for a in sys.argv[2:]:
         if a.startswith("--families"):
             fams = a.split("=", 1)[1].split(",")
+        elif a.startswith("--skip"):
+            skip = set(a.split("=", 1)[1].split(","))
 
     import __spark_entry__ as em
     from metrics_advisor_spark import get_spark
@@ -139,10 +186,21 @@ def main() -> int:
 
     spark = get_spark("scale_probe")
     spark.range(1).count()
-    qs = em.queries()
+    qs = dict(em.queries())
+    if "variants" in fams:
+        fams = [f for f in fams if f != "variants"]
+        FAMILIES["variants"] = []
+        for vname, vfn in _variant_queries().items():
+            qs[vname] = vfn
+            FAMILIES["variants"].append(vname)
+        fams.append("variants")
     out: dict[str, float] = {}
     for fam in fams:
         for name in FAMILIES[fam]:
+            if name in skip:
+                print(f"  {name}: SKIPPED (known superlinear; "
+                      f"see variants)")
+                continue
             t0 = time.perf_counter()
             try:
                 qs[name](spark, sf_dir).write.format("noop").mode(
