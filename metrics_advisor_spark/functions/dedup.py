@@ -26,6 +26,85 @@ from pyspark.sql import functions as F
 
 MERSENNE_P = 2147483647  # 2^31 − 1: (a·h + b) stays < 2^62
 
+_POP16 = None  # lazy 16-bit popcount table (numpy < 2.0 lacks bitwise_count)
+
+
+def _popcount64(x):
+    """Vectorized popcount over an int64 ndarray (values < 2^63) via a
+    65536-entry uint16 lookup — numpy 1.x has no bitwise_count."""
+    import numpy as np
+
+    global _POP16
+    if _POP16 is None:
+        _POP16 = np.array(
+            [bin(i).count("1") for i in range(65536)], dtype=np.uint8
+        )
+    flat = np.ascontiguousarray(x)
+    parts = flat.view(np.uint16).reshape(*flat.shape, 4)
+    return _POP16[parts].sum(axis=-1, dtype=np.int64)
+
+
+def _near_value_pairs_np(
+    full, virt, vbits: int, d: int, max_brute: int, out: list
+) -> None:
+    """EXACT Hamming-≤d pairs among distinct sketch values, in-task.
+
+    Multi-level pigeonhole: any pair within distance d agrees exactly on
+    ≥ 1 band of ANY disjoint (d+1)-way split of the bits, so groups that
+    exact-agree on a band are recursed on the RESIDUAL bits (the agreed
+    band removed from the banding word ``virt``; the original sketches
+    ``full`` ride along for emission and the final exact distance)
+    until the group fits a brute chunked-popcount pass.  Termination:
+    removed bands are bits the whole group agrees on, and distinct
+    values must differ somewhere in the remaining bits, so groups
+    shrink to singletons before the bit budget runs out.  Total work is
+    Σ n_leaf² vectorized popcounts — never a shuffle, never an n²
+    candidate-row materialization (SCALE.md §18: the join form of this
+    stage measured 1581 s at ×10 on a boilerplate corpus; this form is
+    output-bound)."""
+    import numpy as np
+
+    n = len(full)
+    if n < 2:
+        return
+    if n <= max_brute or vbits < d + 1:
+        # chunked brute force: emit each qualifying unordered pair once
+        # (per call; cross-band re-finds are deduped vectorized by the
+        # caller) — everything stays ndarray, no per-pair Python loop
+        chunk = max(1, 2_000_000 // n)
+        for i0 in range(0, n, chunk):
+            va = full[i0 : i0 + chunk]
+            hm = _popcount64(va[:, None] ^ full[None, :])
+            ai, bi = np.nonzero(
+                (hm <= d) & (va[:, None] < full[None, :])
+            )
+            if len(ai):
+                out.append((va[ai], full[bi], hm[ai, bi]))
+        return
+    base, rem = divmod(vbits, d + 1)
+    lo = 0
+    for band in range(d + 1):
+        width = base + (1 if band < rem else 0)
+        if width == 0:
+            continue
+        mask = np.int64((1 << width) - 1)
+        key = (virt >> lo) & mask
+        low = virt & np.int64((1 << lo) - 1)
+        resid = ((virt >> (lo + width)) << lo) | low
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        bounds = np.flatnonzero(
+            np.r_[True, ks[1:] != ks[:-1], True]
+        )
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s >= 2:
+                idx = order[s:e]
+                _near_value_pairs_np(
+                    full[idx], resid[idx], vbits - width, d,
+                    max_brute, out,
+                )
+        lo += width
+
 
 def _hash56(col: F.Column) -> F.Column:
     """56-bit integer hash from the md5 hex prefix — identical in DuckDB
@@ -520,18 +599,28 @@ def hamming_pairs_blocked(
     near-identical sketches ever meet in the join.  The candidate set is
     then filtered by the true bit_count(xor) distance.
 
-    Scale (rewritten after the ×10 probe, SCALE.md §18): the band join
-    runs over DISTINCT sketch values only — a boilerplate-heavy corpus
-    putting thousands of documents on bit-identical sketches
-    (measured: 1581 s at ×10 for the raw doc-level join) can no longer
-    square the band buckets or the 9× band fan-out.  Doc-level pairs
-    are then produced by expanding the qualifying VALUE pairs through
-    the membership table (two equi-joins) plus the within-value
-    self-join — both output-bound: the only quadratic left is the
-    pair set the caller asked for.  Output identical to the doc-level
-    band join and to ``hamming_pairs`` (verified in tests).  When even
-    the output pair set is too large to materialize, stay at group
-    granularity: `simhash_dup_groups` / `hamming_group_pairs`.
+    Scale (rewritten twice after the ×10 probe, SCALE.md §18): the
+    band stage runs over DISTINCT sketch values only — a
+    boilerplate-heavy corpus putting thousands of documents on
+    bit-identical sketches (measured: 1581 s at ×10 for the raw
+    doc-level band JOIN) can no longer square the band buckets or the
+    9× band fan-out.  Within each band bucket, qualifying value pairs
+    are found by a grouped VECTORIZED POPCOUNT (`applyInPandas` +
+    numpy, `_near_value_pairs_np`) instead of a self-join: the join
+    form materializes Σ n_bucket² candidate ROWS through a shuffle
+    before filtering (a single dense 6-bit band bucket on a
+    low-entropy corpus stalled one task for >15 min at ×10), while the
+    popcount form does the same n² work as in-cache integer ops and
+    emits ONLY qualifying pairs.  Oversized buckets recurse on
+    residual-bit re-banding in-task (multi-level pigeonhole, still
+    exact).  Doc-level pairs are then produced by expanding the
+    qualifying VALUE pairs through the membership table (two
+    equi-joins) plus the within-value self-join — both output-bound:
+    the only quadratic left is the pair set the caller asked for.
+    Output identical to the doc-level band join and to
+    ``hamming_pairs`` (verified in tests).  When even the output pair
+    set is too large to materialize, stay at group granularity:
+    `simhash_dup_groups` / `hamming_group_pairs`.
     """
     n_bands = max_distance + 1
     base, rem = divmod(n_bits, n_bands)
@@ -556,23 +645,44 @@ def hamming_pairs_blocked(
         .select("simhash", F.explode(F.array(*bands)).alias("band"))
         .select("simhash", "band.band_id", "band.band_bits")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    def _bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        v = np.unique(pdf["simhash"].to_numpy(np.int64))
+        found: list = []
+        _near_value_pairs_np(
+            v, v, n_bits, max_distance, 8192, found
+        )
+        if not found:
+            return pd.DataFrame(
+                {
+                    "sh_a": pd.Series([], dtype="int64"),
+                    "sh_b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int32"),
+                }
+            )
+        a = np.concatenate([p[0] for p in found])
+        b = np.concatenate([p[1] for p in found])
+        h = np.concatenate([p[2] for p in found])
+        # in-task dedup of cross-band re-finds (vectorized; the final
+        # dropDuplicates still covers cross-BUCKET re-finds)
+        order = np.lexsort((b, a))
+        a, b, h = a[order], b[order], h[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pd.DataFrame(
+            {
+                "sh_a": a[keep],
+                "sh_b": b[keep],
+                "hamming": h[keep].astype("int32"),
+            }
+        )
+
     vpairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_bits") == F.col("b.band_bits"))
-            & (F.col("a.simhash") < F.col("b.simhash")),
+        banded.groupBy("band_id", "band_bits")
+        .applyInPandas(
+            _bucket_pairs, "sh_a long, sh_b long, hamming int"
         )
-        .select(
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_distance)
         .dropDuplicates(["sh_a", "sh_b"])
     )
     cross = (

@@ -103,3 +103,47 @@ def test_doc_fingerprint_stability(docs):
     fp = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs).collect()}
     assert fp[0] == fp[1]        # identical content → identical fingerprint
     assert fp[0] != fp[4]
+
+
+def test_near_value_pairs_np_recursion_matches_brute():
+    """The in-task pair kernel must be EXACT under recursion: forcing
+    max_brute=2 drives the multi-level pigeonhole re-banding path,
+    whose pair set must equal the all-pairs popcount reference."""
+    import numpy as np
+
+    from metrics_advisor_spark.functions.dedup import (
+        _near_value_pairs_np,
+        _popcount64,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 1 << 56, 40, dtype=np.int64)
+    # plant near values at controlled distances 1..10
+    planted = []
+    for i, dist in enumerate(range(1, 11)):
+        v = int(base[i])
+        for b in rng.choice(56, dist, replace=False):
+            v ^= 1 << int(b)
+        planted.append(v)
+    v = np.unique(np.concatenate([base, np.array(planted, np.int64)]))
+    d = 8
+
+    def run(max_brute):
+        found: list = []
+        _near_value_pairs_np(v, v, 56, d, max_brute, found)
+        pairs = {}
+        for a, b, h in found:
+            for x, y, z in zip(a.tolist(), b.tolist(), h.tolist()):
+                pairs[(x, y)] = z
+        return pairs
+
+    # brute reference over ALL pairs (no banding at all)
+    hm = _popcount64(v[:, None] ^ v[None, :])
+    ai, bi = np.nonzero((hm <= d) & (v[:, None] < v[None, :]))
+    ref = {
+        (int(v[i]), int(v[j])): int(hm[i, j]) for i, j in zip(ai, bi)
+    }
+    assert ref, "fixture must contain qualifying pairs"
+
+    assert run(max_brute=10_000) == ref     # pure brute path
+    assert run(max_brute=2) == ref          # forced recursion path
