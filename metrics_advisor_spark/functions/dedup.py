@@ -45,33 +45,42 @@ def _popcount64(x):
 
 
 def _near_value_pairs_np(
-    full, virt, vbits: int, d: int, max_brute: int, out: list
+    full, virt, vbits: int, d: int, max_brute: int, out: list,
+    depth: int = 1,
 ) -> None:
     """EXACT Hamming-≤d pairs among distinct sketch values, in-task.
 
-    Multi-level pigeonhole: any pair within distance d agrees exactly on
-    ≥ 1 band of ANY disjoint (d+1)-way split of the bits, so groups that
-    exact-agree on a band are recursed on the RESIDUAL bits (the agreed
-    band removed from the banding word ``virt``; the original sketches
-    ``full`` ride along for emission and the final exact distance)
-    until the group fits a brute chunked-popcount pass.  Termination:
-    removed bands are bits the whole group agrees on, and distinct
-    values must differ somewhere in the remaining bits, so groups
-    shrink to singletons before the bit budget runs out.  Total work is
-    Σ n_leaf² vectorized popcounts — never a shuffle, never an n²
-    candidate-row materialization (SCALE.md §18: the join form of this
-    stage measured 1581 s at ×10 on a boilerplate corpus; this form is
-    output-bound)."""
+    Two-level pigeonhole by default: any pair within distance d agrees
+    exactly on ≥ 1 band of ANY disjoint (d+1)-way split of the bits, so
+    an oversized group is re-banded ONCE on the residual bits (the
+    agreed band removed from the banding word ``virt``; the original
+    sketches ``full`` ride along for emission and the final exact
+    distance) and each exact-agree subgroup is then brute-forced with
+    chunked vectorized popcounts — n² integer ops in cache, never a
+    shuffle, never an n² candidate-row materialization (SCALE.md §18:
+    the join form of this stage measured 1581 s at ×10 on a
+    boilerplate corpus).
+
+    ``depth`` deliberately caps the re-banding at ONE level: a subgroup
+    that stays together across bands (values differing only inside a
+    narrow bit range) would be re-processed in EVERY band branch where
+    it agrees, so unlimited recursion multiplies the same leaf work by
+    up to (d+1) per level — measured as a stuck-task explosion at ×10.
+    One split level bounds duplicated work at (d+1)× while cutting the
+    dominant dense buckets; a 1000-executor deployment with
+    billion-value buckets would raise ``depth`` (and pay the bounded
+    (d+1)^depth duplication) or lower ``max_distance`` for wider
+    bands.  Cross-branch duplicate pairs are deduped vectorized by the
+    caller."""
     import numpy as np
 
     n = len(full)
     if n < 2:
         return
-    if n <= max_brute or vbits < d + 1:
+    if n <= max_brute or vbits < d + 1 or depth <= 0:
         # chunked brute force: emit each qualifying unordered pair once
-        # (per call; cross-band re-finds are deduped vectorized by the
-        # caller) — everything stays ndarray, no per-pair Python loop
-        chunk = max(1, 2_000_000 // n)
+        # (per call) — everything stays ndarray, no per-pair loop
+        chunk = max(1, 4_000_000 // n)
         for i0 in range(0, n, chunk):
             va = full[i0 : i0 + chunk]
             hm = _popcount64(va[:, None] ^ full[None, :])
@@ -101,7 +110,7 @@ def _near_value_pairs_np(
                 idx = order[s:e]
                 _near_value_pairs_np(
                     full[idx], resid[idx], vbits - width, d,
-                    max_brute, out,
+                    max_brute, out, depth - 1,
                 )
         lo += width
 
@@ -638,7 +647,13 @@ def hamming_pairs_blocked(
             )
         )
         lo += width
-    members = sketches.select("doc_id", "simhash")
+    from metrics_advisor_spark.functions.cacheutil import attach_cached
+
+    # three consumers (banded, the expansion joins, the within-value
+    # self-join) would re-execute the whole upstream sketch pipeline —
+    # persist the tiny (doc_id, simhash) projection once; released via
+    # cacheutil.release_cached when the caller is done
+    members = sketches.select("doc_id", "simhash").persist()
     banded = (
         members.select("simhash")
         .distinct()
@@ -678,8 +693,17 @@ def hamming_pairs_blocked(
             }
         )
 
+    # explicit repartition by the group keys: the banded stream is tiny
+    # in BYTES (a few MB of hashes) but heavy in per-group COMPUTE, so
+    # AQE's size-based coalescing would funnel every popcount bucket
+    # into 2-3 tasks (measured: the whole ×10 stage on 3 cores).  A
+    # user-specified partition count is exempt from coalescing, and
+    # hash-partitioning on exactly the group keys satisfies
+    # applyInPandas' clustering requirement — no second shuffle.
+    n_parts = sketches.sparkSession.sparkContext.defaultParallelism * 2
     vpairs = (
-        banded.groupBy("band_id", "band_bits")
+        banded.repartition(n_parts, "band_id", "band_bits")
+        .groupBy("band_id", "band_bits")
         .applyInPandas(
             _bucket_pairs, "sh_a long, sh_b long, hamming int"
         )
@@ -717,7 +741,7 @@ def hamming_pairs_blocked(
         F.col("y.doc_id").alias("doc_b"),
         F.lit(0).cast("int").alias("hamming"),
     )
-    return cross.unionByName(within)
+    return attach_cached(cross.unionByName(within), members)
 
 
 def minhash_jaccard_estimate(
@@ -1574,20 +1598,26 @@ def hamming_group_pairs(
     works on groups (drop all but min_doc per group, then union the
     cross-group edges), so the quadratic identical-pair set is never
     materialized."""
+    from metrics_advisor_spark.functions.cacheutil import attach_cached
+
+    # consumed by the band stage AND both size-attach joins — persist
+    # the tiny per-value aggregate instead of re-running the upstream
+    # sketch pipeline three times (released via release_cached)
     groups = sketches.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc"),
-    )
+    ).persist()
     reps = groups.select(
         F.col("min_doc").alias("doc_id"), "simhash"
     )
     sizes = groups.select(
         F.col("min_doc").alias("doc_id"), F.col("n_docs")
     )
-    return (
-        hamming_pairs_blocked(
-            reps, max_distance=max_distance, n_bits=n_bits
-        )
+    rep_pairs = hamming_pairs_blocked(
+        reps, max_distance=max_distance, n_bits=n_bits
+    )
+    out = (
+        rep_pairs
         .join(
             sizes.select(
                 F.col("doc_id").alias("doc_a"),
@@ -1603,4 +1633,7 @@ def hamming_group_pairs(
             "doc_b",
         )
         .select("doc_a", "doc_b", "hamming", "n_a", "n_b")
+    )
+    return attach_cached(
+        out, groups, *getattr(rep_pairs, "_ma_cached_frames", ())
     )
