@@ -1028,6 +1028,23 @@ def q_hamming_group_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hamming_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the Hamming-≤4 sketch graph with NO pair
+    materialization (per-band-bucket in-task min-label fixpoint over
+    popcount masks → star edges → global label propagation) — the
+    dedup-cluster operator that survives corpora whose near-dup pair
+    set is quadratic by nature (SCALE.md §18).  Oracle: recursive
+    closure over the all-pairs ≤4 graph, min-doc component labels."""
+    from metrics_advisor_spark.functions.dedup import (
+        hamming_components,
+        simhash,
+    )
+
+    return hamming_components(
+        simhash(_docs_with_dups(spark, sf_dir)), max_distance=4
+    )
+
+
 def q_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup materialization: connected components of the
     Jaccard≥0.5 near-dup graph via min-label propagation, keep each
@@ -4823,6 +4840,7 @@ ROTATION: dict[str, int | None] = {
     "bpe_vocab": None,
     "simhash_dup_groups": None,
     "hamming_group_pairs": None,
+    "hamming_components": None,
 }
 
 # Checked queries deliberately re-queued inside the round-8 window:
@@ -5158,6 +5176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": q_bpe_vocab,
         "simhash_dup_groups": q_simhash_dup_groups,
         "hamming_group_pairs": q_hamming_group_pairs,
+        "hamming_components": q_hamming_components,
     })
 
 
@@ -7445,6 +7464,31 @@ def oracle_sql() -> dict[str, str]:
                    a.n_docs AS n_a, b.n_docs AS n_b
             FROM g a JOIN g b ON a.min_doc < b.min_doc
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        """,
+        "hamming_components": f"""
+            WITH RECURSIVE sk AS ({_simhash_sql(_DOCS_DUPS)}),
+            prs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+            ),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM prs
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM prs
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ),
+            comp AS (
+              SELECT u AS doc_id, least(u, min(v)) AS component
+              FROM reach GROUP BY u
+            )
+            SELECT s.doc_id,
+                   coalesce(c.component, s.doc_id) AS component
+            FROM sk s LEFT JOIN comp c ON c.doc_id = s.doc_id
         """,
         "bpe_vocab": _bpe_oracle(6, """
             SELECT token, sum(wn)::BIGINT AS token_count

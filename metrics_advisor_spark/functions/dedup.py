@@ -509,6 +509,15 @@ def propagate_labels(
         labels = updated.select("doc_id", "label")
         if changed == 0:
             break
+        # NOTE (measured dead ends, round 8): two round-count/overhead
+        # optimizations were tried here and showed NO improvement
+        # beyond run noise at sf0.1 — (a) pointer jumping (label :=
+        # label∘label, Shiloach-Vishkin): real dup graphs have small
+        # diameters, so the extra self-join + second localCheckpoint
+        # per round buys nothing; (b) coalescing small edge sets to 4
+        # partitions: AQE already folds the tiny per-round shuffles.
+        # Don't re-attempt without a graph whose measured diameter is
+        # ≥ dozens.
     return labels
 
 
@@ -1584,6 +1593,139 @@ def simhash_dup_groups(sketches: DataFrame) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+def hamming_components(
+    sketches: DataFrame,
+    max_distance: int = 8,
+    n_bits: int = 56,
+    max_iterations: int | None = None,
+) -> DataFrame:
+    """Connected components of the Hamming-≤d sketch graph WITHOUT ever
+    materializing the pair set — the dedup-cluster operator that stays
+    viable on corpora where near-dup pairs are quadratic by NATURE (a
+    boilerplate-heavy ×10 probe corpus has so many sketches within
+    d=8 of each other that both the join and the popcount-kernel PAIR
+    operators measured ~1600 s just EMITTING the answer; SCALE.md §18).
+
+    Insight: downstream dedup consumes COMPONENTS, not edges, and
+    components need only a spanning relation.  Per band bucket the
+    popcount mask is reduced in-task to a min-label fixpoint (n rows
+    out per bucket — one (value, local_label) row per member, never a
+    pair); the global fixpoint across buckets runs min-label
+    propagation over those n·bands bipartite edges.  Output:
+    (doc_id, component) with component = min doc_id of the component —
+    the same labelling `apply_pair_dedup(transitive=True)` materializes
+    from an explicit pair list.
+
+    Scale: compute is the same Σ n_bucket² popcounts as the pair
+    kernel (vectorized, in cache, × a small number of min-label
+    rounds bounded by the bucket subgraph diameter), but shuffle
+    output is O(values · bands) rows.  The global propagation inherits
+    `propagate_labels`' lineage-cut discipline."""
+    from metrics_advisor_spark.functions.cacheutil import attach_cached
+
+    n_bands = max_distance + 1
+    base, rem = divmod(n_bits, n_bands)
+    bands = []
+    lo = 0
+    for b in range(n_bands):
+        width = base + (1 if b < rem else 0)
+        mask = (1 << width) - 1
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.expr(f"shiftright(simhash, {lo})").bitwiseAND(
+                    F.lit(mask)
+                ).alias("band_bits"),
+            )
+        )
+        lo += width
+    members = sketches.select("doc_id", "simhash").persist()
+    banded = (
+        members.select("simhash")
+        .distinct()
+        .select("simhash", F.explode(F.array(*bands)).alias("band"))
+        .select("simhash", "band.band_id", "band.band_bits")
+    )
+
+    def _bucket_labels(pdf):
+        import numpy as np
+        import pandas as pd
+
+        v = np.unique(pdf["simhash"].to_numpy(np.int64))
+        n = len(v)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "simhash": pd.Series([], dtype="int64"),
+                    "vlabel": pd.Series([], dtype="int64"),
+                }
+            )
+        labels = v.copy()
+        big = np.int64(2**62)
+        if n <= 4096:
+            # common case: the ≤d mask fits comfortably (n² bools) —
+            # compute popcounts ONCE and iterate labels on the cached
+            # mask; rounds = bucket subgraph diameter
+            mask = _popcount64(v[:, None] ^ v[None, :]) <= max_distance
+            while True:
+                new = np.minimum(
+                    labels,
+                    np.where(mask, labels[None, :], big).min(axis=1),
+                )
+                if np.array_equal(new, labels):
+                    break
+                labels = new
+        else:
+            # huge bucket: recompute popcounts chunked per round
+            # (memory-bounded; the n² bit mask would not fit)
+            chunk = max(1, 4_000_000 // n)
+            while True:
+                new = labels.copy()
+                for i0 in range(0, n, chunk):
+                    va = v[i0 : i0 + chunk]
+                    hm = _popcount64(va[:, None] ^ v[None, :])
+                    cand = np.where(
+                        hm <= max_distance, labels[None, :], big
+                    )
+                    new[i0 : i0 + chunk] = np.minimum(
+                        new[i0 : i0 + chunk], cand.min(axis=1)
+                    )
+                if np.array_equal(new, labels):
+                    break
+                labels = new
+        keep = labels != v  # singletons carry no information
+        return pd.DataFrame(
+            {"simhash": v[keep], "vlabel": labels[keep]}
+        )
+
+    n_parts = sketches.sparkSession.sparkContext.defaultParallelism * 2
+    vedges = (
+        banded.repartition(n_parts, "band_id", "band_bits")
+        .groupBy("band_id", "band_bits")
+        .applyInPandas(_bucket_labels, "simhash long, vlabel long")
+        .dropDuplicates(["simhash", "vlabel"])
+    )
+    vcomp = propagate_labels(
+        vedges.select(
+            F.col("simhash").alias("doc_a"),
+            F.col("vlabel").alias("doc_b"),
+        ),
+        max_iterations=max_iterations,
+    ).select(
+        F.col("doc_id").alias("simhash"), F.col("label").alias("vcomp")
+    )
+    tagged = members.join(vcomp, "simhash", "left").select(
+        "doc_id",
+        "simhash",
+        F.coalesce("vcomp", F.col("simhash")).alias("vcomp"),
+    )
+    comp_min = tagged.groupBy("vcomp").agg(
+        F.min("doc_id").alias("component")
+    )
+    out = tagged.join(comp_min, "vcomp").select("doc_id", "component")
+    return attach_cached(out, members)
 
 
 def hamming_group_pairs(

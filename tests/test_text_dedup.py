@@ -147,3 +147,49 @@ def test_near_value_pairs_np_recursion_matches_brute():
 
     assert run(max_brute=10_000) == ref     # pure brute path
     assert run(max_brute=2) == ref          # forced recursion path
+
+
+def test_hamming_components_match_pairwise_closure(spark):
+    """Components computed WITHOUT pair materialization must equal the
+    transitive closure of the explicit pair operator, including
+    cross-bucket merges and identical-sketch collapse."""
+    import pyspark.sql.functions as F
+
+    from metrics_advisor_spark.functions.dedup import (
+        hamming_components,
+        hamming_pairs_blocked,
+        propagate_labels,
+        simhash,
+    )
+
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "spark shuffles data between stages when grouping",
+                "spark shuffles data between stages when grouping",   # exact dup of 0
+                "spark shuffles data between the stages when grouping",  # near dup
+                "completely different text about astronomy and stars",
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy cat today",  # near of 4
+            ]
+        )
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sk = simhash(docs)
+    got = {
+        r["doc_id"]: r["component"]
+        for r in hamming_components(sk, max_distance=8).collect()
+    }
+    # reference: explicit pairs -> min-label closure -> min doc per comp
+    pairs = hamming_pairs_blocked(sk, max_distance=8)
+    lab = propagate_labels(
+        pairs.select("doc_a", "doc_b")
+    )
+    ref = {r["doc_id"]: r["label"] for r in lab.collect()}
+    for i in range(6):
+        ref.setdefault(i, i)
+    assert got == ref
+    assert len(got) == 6
+    # sanity on the fixture itself: 0/1 must share a component
+    assert got[0] == got[1]
