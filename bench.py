@@ -26,6 +26,44 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Committed idle-host canary time (sec): the MEDIAN of 3 runs of
+# `spark.range(4e9).sum()` on local[32].  When a measured canary
+# deviates >1.5x from this, the whole bench run is flagged
+# host_contended=true in the output JSON, so a loaded driver host can
+# no longer masquerade as an across-the-board code regression (VERDICT
+# r08 "what's wrong" #1: r08's 397.5 s vs the committed 283.8 s basis
+# was pure host load — every suspect recovered to r07 levels on an
+# idle re-measure).  Sizing note: 2e8 rows finishes in ~0.3 s and
+# scheduling noise swamps the signal (measured medians 0.24-0.87 s);
+# 4e9 rows is ~0.7 s of pure whole-stage-codegen CPU and repeats
+# within +/-15% (measured medians 0.70/0.70/0.80).  Re-stamp this
+# constant if the bench host hardware ever changes (no Python workers,
+# no shuffle, no disk — only CPU contention moves it).
+CANARY_COMMITTED_SEC = float(
+    os.environ.get("SPARK_GRAFT_CANARY_COMMITTED", "0.75")
+)
+
+
+def _canary(spark) -> float:
+    """Fixed-cost JVM job whose wall time tracks host CPU contention.
+
+    Median of 3 so one GC pause cannot fake a contended host."""
+    vals = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(4_000_000_000).selectExpr("sum(id)").collect()
+        vals.append(time.perf_counter() - t0)
+    vals.sort()
+    return round(vals[1], 3)
+
+
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -87,6 +125,8 @@ def main() -> None:
     median3_above = float(
         os.environ.get("SPARK_GRAFT_BENCH_MEDIAN3_THRESHOLD", "1.8")
     )
+    load_start = _loadavg()
+    canary_start = _canary(spark)
     timings: dict[str, float] = {}
     total = 0.0
     bench_fns = dict(entry_mod.queries())
@@ -121,6 +161,19 @@ def main() -> None:
         # query's own plan, nothing inherited.
         spark.catalog.clearCache()
 
+    canary_end = _canary(spark)
+    load_end = _loadavg()
+    contended = (
+        max(canary_start, canary_end) > 1.5 * CANARY_COMMITTED_SEC
+    )
+    host = {
+        "canary_committed_sec": CANARY_COMMITTED_SEC,
+        "canary_start_sec": canary_start,
+        "canary_end_sec": canary_end,
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+        "host_contended": contended,
+    }
     # Full per-query line first (for logs/humans), then a compact summary
     # line LAST: the driver retains only an output tail, and with ~100
     # queries the full line exceeds it — the compact line always fits and
@@ -133,6 +186,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "host": host,
             }
         )
     )
@@ -152,6 +206,7 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "sf": sf,
+                    "host": host,
                 },
                 fh,
                 indent=1,
@@ -171,6 +226,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "slowest15": slowest,
+                "host": host,
             }
         )
     )

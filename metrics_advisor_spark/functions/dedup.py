@@ -639,6 +639,13 @@ def hamming_pairs_blocked(
     ``hamming_pairs`` (verified in tests).  When even the output pair
     set is too large to materialize, stay at group granularity:
     `simhash_dup_groups` / `hamming_group_pairs`.
+
+    Precondition: ``doc_id`` identifies ONE sketch row.  Exact
+    duplicate (doc_id, simhash) rows — e.g. a re-ingested shard — are
+    tolerated (deduped below before expansion, so they cannot fan out
+    duplicate pairs, ADVICE r08); a doc_id carrying two DIFFERENT
+    sketches is caller error and surfaces as that id pairing under
+    both sketches.
     """
     n_bands = max_distance + 1
     base, rem = divmod(n_bits, n_bands)
@@ -661,8 +668,18 @@ def hamming_pairs_blocked(
     # three consumers (banded, the expansion joins, the within-value
     # self-join) would re-execute the whole upstream sketch pipeline —
     # persist the tiny (doc_id, simhash) projection once; released via
-    # cacheutil.release_cached when the caller is done
-    members = sketches.select("doc_id", "simhash").persist()
+    # cacheutil.release_cached when the caller is done.  dropDuplicates
+    # restores the pre-r08 tolerance of exact duplicate input rows: a
+    # duplicated (doc_id, simhash) row would otherwise fan out through
+    # BOTH expansion joins and the within-value self-join as duplicate
+    # (and self-) pairs.  Deduping the tiny membership projection is
+    # one cheap shuffle of 16-byte rows vs dropDuplicates over the
+    # (potentially huge) output pair set.
+    members = (
+        sketches.select("doc_id", "simhash")
+        .dropDuplicates(["doc_id", "simhash"])
+        .persist()
+    )
     banded = (
         members.select("simhash")
         .distinct()
@@ -1665,10 +1682,23 @@ def hamming_components(
         labels = v.copy()
         big = np.int64(2**62)
         if n <= 4096:
-            # common case: the ≤d mask fits comfortably (n² bools) —
-            # compute popcounts ONCE and iterate labels on the cached
-            # mask; rounds = bucket subgraph diameter
-            mask = _popcount64(v[:, None] ^ v[None, :]) <= max_distance
+            # common case: the ≤d mask fits comfortably (n² bools, ≤16
+            # MB at n=4096) — compute popcounts ONCE and iterate labels
+            # on the cached mask; rounds = bucket subgraph diameter.
+            # The mask is built in the same ~4M-element chunks as
+            # _near_value_pairs_np so the transient int64 xor matrix +
+            # uint8 lookup expansion never materialize at n² (the
+            # one-shot form peaked ~350 MB at n=4096 — with
+            # 2×defaultParallelism concurrent applyInPandas tasks that
+            # pressures executor memory, ADVICE r08); only the bool
+            # mask stays resident.
+            mask = np.empty((n, n), dtype=bool)
+            chunk = max(1, 4_000_000 // n)
+            for i0 in range(0, n, chunk):
+                mask[i0 : i0 + chunk] = (
+                    _popcount64(v[i0 : i0 + chunk, None] ^ v[None, :])
+                    <= max_distance
+                )
             while True:
                 new = np.minimum(
                     labels,

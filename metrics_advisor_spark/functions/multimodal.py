@@ -747,6 +747,15 @@ def _parse_avi_header(doc_id, payload: bytes):
     payloads raise, they are not guessed around."""
     import struct
 
+    # All fixed-offset header unpacks below read up to byte 192; a
+    # truncated payload must surface as the standard per-doc ValueError
+    # like every other branch, not as a struct.error from a short slice
+    # (ADVICE r08).
+    if len(payload) < 192:
+        raise ValueError(
+            f"doc {doc_id}: truncated AVI payload ({len(payload)} "
+            f"bytes < 192-byte fixed header)"
+        )
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError(f"doc {doc_id}: not a RIFF/AVI payload")
     if payload[12:16] != b"LIST" or payload[20:24] != b"hdrl":
@@ -811,6 +820,11 @@ def _parse_avi_header(doc_id, payload: bytes):
             f"({w}×{h}) or are degenerate"
         )
     movi_at = 20 + hdrl_sz
+    if movi_at + 12 > len(payload):
+        raise ValueError(
+            f"doc {doc_id}: hdrl size {hdrl_sz} points past end of "
+            f"payload ({len(payload)} bytes)"
+        )
     if payload[movi_at:movi_at + 4] != b"LIST" \
             or payload[movi_at + 8:movi_at + 12] != b"movi":
         raise ValueError(
@@ -825,9 +839,27 @@ def _parse_avi_header(doc_id, payload: bytes):
     offsets = []
     pos = movi_at + 12
     end = movi_at + 8 + movi_sz
+    if end > len(payload):
+        raise ValueError(
+            f"doc {doc_id}: movi size {movi_sz} points past end of "
+            f"payload ({len(payload)} bytes)"
+        )
     while pos < end:
+        # bounds-check before every unpack: a header-declared size that
+        # lies about the real payload length must raise the per-doc
+        # diagnostic, not read empty slices / struct.error (ADVICE r08)
+        if pos + 8 > end:
+            raise ValueError(
+                f"doc {doc_id}: truncated movi chunk header at "
+                f"offset {pos}"
+            )
         tag = payload[pos:pos + 4]
         (cksz,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if pos + 8 + cksz > end:
+            raise ValueError(
+                f"doc {doc_id}: movi chunk at offset {pos} declares "
+                f"{cksz} bytes but only {end - pos - 8} remain"
+            )
         if tag != b"00db":
             raise ValueError(
                 f"doc {doc_id}: unexpected movi chunk {tag!r} "

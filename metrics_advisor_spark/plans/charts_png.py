@@ -277,7 +277,12 @@ def png_chart(
     if y1 == y0:
         y1 = y0 + 1
     pw = _W - _PAD_L - _PAD_R
-    ph = _H - _PAD_T - _PAD_B - 16 * len(series)
+    # floor at 40px: ~20+ series would otherwise drive ph <= 0 and flip
+    # the sy() mapping (grid/legend drawn outside the canvas).  With the
+    # floor, excess legend rows clip harmlessly below the canvas — all
+    # draw helpers bounds-check (ADVICE r08; mirrored in
+    # report._svg_chart).
+    ph = max(40, _H - _PAD_T - _PAD_B - 16 * len(series))
 
     def sx(x: float) -> float:
         return _PAD_L + (x - x0) / (x1 - x0) * pw

@@ -183,7 +183,11 @@ def _svg_chart(
         x1 = x0 + 1
     if y1 == y0:
         y1 = y0 + 1
-    pw, ph = _W - _PAD_L - _PAD_R, _H - _PAD_T - _PAD_B - 16 * len(series)
+    # ph floored at 40px so ~20+ series cannot flip the sy() mapping
+    # (save_charts caps at top_k+1, but this is a public helper;
+    # mirrored in charts_png.png_chart — ADVICE r08)
+    pw = _W - _PAD_L - _PAD_R
+    ph = max(40, _H - _PAD_T - _PAD_B - 16 * len(series))
 
     def sx(x: float) -> float:
         return _PAD_L + (x - x0) / (x1 - x0) * pw

@@ -983,8 +983,12 @@ def streaming_video_gate(
     parsed duration reaches ``min_duration_ms`` AND every frame
     transition carries at least ``min_motion`` absolute pixel delta
     (static/frozen clips are dropped — the classic dead-camera filter).
-    Admitted rows: (doc_id, width, height, n_frames, duration_ms,
-    min_frame_motion).
+    Zero-transition clips (n_frames == 1, so `video_motion` emits no
+    rows) are REJECTED BY DESIGN: a single frame carries no evidence of
+    motion, and a dead-camera filter must not admit what it cannot
+    score — the left join below makes that policy explicit instead of
+    relying on inner-join row loss (ADVICE r08).  Admitted rows:
+    (doc_id, width, height, n_frames, duration_ms, min_frame_motion).
 
     Stateless across batches (a payload's verdict depends only on its
     own bytes), so a drain in ANY batching equals the batch plan — the
@@ -1007,10 +1011,15 @@ def streaming_video_gate(
             .groupBy("doc_id")
             .agg(F.min("sum_abs_diff").alias("min_frame_motion"))
         )
+        # LEFT join + explicit null rejection: a single-frame clip has
+        # zero transitions, hence zero video_motion rows — it must be
+        # rejected deliberately (no motion evidence), not silently
+        # dropped by an inner join.
         admitted = (
-            meta.join(motion, "doc_id")
+            meta.join(motion, "doc_id", "left")
             .where(
                 (F.col("duration_ms") >= min_duration_ms)
+                & F.col("min_frame_motion").isNotNull()
                 & (F.col("min_frame_motion") >= min_motion)
             )
             .select(

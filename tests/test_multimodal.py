@@ -318,6 +318,27 @@ def test_avi_parser_rejects_malformed(spark):
         _parse_avi_header(5, corrupt(186, struct.pack("<H", 8)))
     with pytest.raises(ValueError, match="unexpected movi chunk"):
         _parse_avi_header(5, corrupt(224, b"01wb"))
+    # truncation / size-lie bounds (ADVICE r08): every malformed input
+    # raises the per-doc ValueError diagnostic, never struct.error or a
+    # silent empty-slice scan
+    with pytest.raises(ValueError, match="truncated AVI payload"):
+        _parse_avi_header(5, good[:100])
+    with pytest.raises(ValueError, match="points past end"):
+        # hdrl size pointing beyond the real payload
+        _parse_avi_header(
+            5, corrupt(16, struct.pack("<I", len(good) + 1000))
+        )
+    with pytest.raises(ValueError, match="points past end"):
+        # movi LIST size lying about available bytes
+        _parse_avi_header(5, good[: len(good) - 40])
+    # movi chunk declaring more bytes than remain: shrink the declared
+    # movi size so the last frame chunk overruns it
+    movi_at = 20 + struct.unpack("<I", good[16:20])[0]
+    movi_sz = struct.unpack("<I", good[movi_at + 4:movi_at + 8])[0]
+    with pytest.raises(ValueError, match="declares|truncated movi"):
+        _parse_avi_header(
+            5, corrupt(movi_at + 4, struct.pack("<I", movi_sz - 4))
+        )
     # and through the Spark surface too
     bad = spark.createDataFrame(
         [(5, bytearray(corrupt(8, b"WAVE")))],
