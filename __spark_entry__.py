@@ -4560,7 +4560,7 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image(small)
 
 
-CURRENT_ROUND = 8
+CURRENT_ROUND = 10
 DRIVER_GATE = 50
 
 # Rotation state machine (VERDICT r04 item 5): the driver's correctness
@@ -4655,8 +4655,8 @@ ROTATION: dict[str, int | None] = {
     "jaccard_pairs": 6,
     "minhash_signatures": 6,
     "minhash_lsh_pairs": 6,
-    "media_meta": 6,
-    "media_frames": 6,
+    "media_meta": 9,
+    "media_frames": 9,
     "ann_topk": 6,
     "embedding_near_dup": 6,
     "ivf_topk": 7,
@@ -4702,42 +4702,42 @@ ROTATION: dict[str, int | None] = {
     "tpch_q22": 7,
     "lateral_topk_per_nation": 7,
     "ntile_price_quartiles": 7,
-    "grouping_sets_orders": 2,
-    "pivot_status_by_priority": 2,
-    "join_revenue_by_nation": 2,
-    "window_running_sum": 2,
-    "fill_forward": 2,
-    "session_stats": 2,
-    "asof_join": 2,
-    "series_set_ops": 2,
-    "metric_quantiles": 2,
-    "dedup_materialize": 3,
-    "dup_cluster_sizes": 3,
-    "irate": 3,
-    "histogram_quantile": 3,
-    "weighted_sample": 3,
-    "sequence_packing": 3,
-    "simhash": 3,
-    "srp_buckets": 3,
-    "knn_graph": 3,
-    "tfidf_top_terms": 3,
-    "bm25_search": 3,
-    "pii_scrub": 3,
-    "contamination": 3,
-    "line_dedup": 3,
-    "counter_rate": 3,
-    "embedding_centroids": 3,
-    "streaming_corpus_gate": 3,
-    "streaming_session_stats": 3,
-    "rolling_time_avg": 3,
-    "value_histogram": 3,
-    "hll_distinct": 3,
-    "cube_counts": 3,
-    "percent_rank_orders": 3,
-    "series_regression": 3,
-    "mad_outliers": 3,
-    "ewma_smooth": 3,
-    "incident_range_join": 3,
+    "grouping_sets_orders": 9,
+    "pivot_status_by_priority": 9,
+    "join_revenue_by_nation": 9,
+    "window_running_sum": 9,
+    "fill_forward": 9,
+    "session_stats": 9,
+    "asof_join": 9,
+    "series_set_ops": 9,
+    "metric_quantiles": 9,
+    "dedup_materialize": 9,
+    "dup_cluster_sizes": 9,
+    "irate": 9,
+    "histogram_quantile": 9,
+    "weighted_sample": 9,
+    "sequence_packing": 9,
+    "simhash": 9,
+    "srp_buckets": 9,
+    "knn_graph": 9,
+    "tfidf_top_terms": 9,
+    "bm25_search": 9,
+    "pii_scrub": 9,
+    "contamination": 9,
+    "line_dedup": 9,
+    "counter_rate": 9,
+    "embedding_centroids": 9,
+    "streaming_corpus_gate": 9,
+    "streaming_session_stats": 9,
+    "rolling_time_avg": 9,
+    "value_histogram": 9,
+    "hll_distinct": 9,
+    "cube_counts": 9,
+    "percent_rank_orders": 9,
+    "series_regression": 9,
+    "mad_outliers": 9,
+    "ewma_smooth": 9,
+    "incident_range_join": 9,
     "hamming_pairs_blocked": 3,
     "corpus_prep": 3,
     "token_budget_sample": 3,
@@ -4829,26 +4829,40 @@ ROTATION: dict[str, int | None] = {
     "streaming_ann_gate": 7,
     "image_resize": 7,
     "pq_reconstruction": 6,
-    "video_meta": None,
-    "video_frames": None,
-    "video_motion": None,
-    "av_alignment": None,
-    "streaming_video_gate": None,
-    "frame_dhash": None,
-    "phash_dedup": None,
-    "bpe_merges": None,
-    "bpe_vocab": None,
-    "simhash_dup_groups": None,
-    "hamming_group_pairs": None,
-    "hamming_components": None,
+    "video_meta": 9,
+    "video_frames": 9,
+    "video_motion": 9,
+    "av_alignment": 9,
+    "streaming_video_gate": 9,
+    "frame_dhash": 9,
+    "phash_dedup": 9,
+    "bpe_merges": 9,
+    "bpe_vocab": 9,
+    "simhash_dup_groups": 9,
+    "hamming_group_pairs": 9,
+    "hamming_components": 9,
 }
 
-# Checked queries deliberately re-queued inside the round-8 window:
-# media_meta and media_frames were r06-checked under the OLD sha-stub
-# semantics; round 8 replaced them with real mixed-modality payloads /
-# real AVI frame sampling and new oracles, so their r06 stamps no
-# longer attest the current code — they must re-enter the window.
-ROTATION_EXCEPTIONS: set[str] = {"media_meta", "media_frames"}
+# Checked queries deliberately re-queued inside the round-10 window
+# (VERDICT r09 item 1): each was code-changed AFTER its latest driver
+# stamp, so the stamp no longer attests the current code —
+#   ivf_topk / quantile-graduation queries: graduated to hash-oracled
+#     in r08 but their last driver rows still read `no_oracle` (r07);
+#   ann_recall / streaming_ann_gate: r07 stamps, r08 reworked the
+#     shared-codebook path (and r10 shares the encoded corpus);
+#   audio_meta / audio_windows: r06 stamps, r08 moved them onto the
+#     shared RIFF header parser;
+#   hamming_pairs_blocked: r03 stamp, rewritten four times since
+#     (kernel, AQE, depth-cap, dup-input tolerance) — listed here for
+#     documentation though its r03 stamp already queues it first.
+ROTATION_EXCEPTIONS: set[str] = {
+    "ivf_topk",
+    "ann_recall",
+    "streaming_ann_gate",
+    "audio_meta",
+    "audio_windows",
+    "hamming_pairs_blocked",
+}
 
 # With 248 contract queries and a 50-slot gate, a full rotation takes
 # ceil(248/50) = 5 rounds; queries beyond the window may be at most
