@@ -4862,6 +4862,15 @@ ROTATION_EXCEPTIONS: set[str] = {
     "audio_meta",
     "audio_windows",
     "hamming_pairs_blocked",
+    # r10: the baseline-JPEG decoder extended the magic-byte dispatch
+    # inside extract_media_meta / image_meta / decode_image — every
+    # query whose plan routes through those functions must re-verify
+    # even though BMP/WAV/AVI payload behavior is unchanged
+    "media_meta",
+    "image_meta",
+    "image_pixels",
+    "image_resize",
+    "video_frames",
 }
 
 # With 248 contract queries and a 50-slot gate, a full rotation takes

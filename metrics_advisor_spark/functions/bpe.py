@@ -193,3 +193,87 @@ def bpe_segment_words(
         .withColumn("tokens", toks)
         .drop("_seg")
     )
+
+def bpe_train_batched(
+    df: DataFrame,
+    n_merges: int = 6,
+    k_batch: int = 16,
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """`bpe_train` with BATCHED non-interacting merges — the knob that
+    makes realistic merge counts (30k) tractable: sequential BPE is one
+    corpus-wide-bounded aggregation PER merge (measured ~1.1 s/round at
+    sf0.1 — SCALE.md §18.4: 30k merges ≈ 9 hours of round-trips),
+    while each batched round ranks the top pairs once and applies up
+    to ``k_batch`` of them, cutting the round count ~k_batch-fold.
+
+    Batch admission rule: walk the ranked pair list (count desc, left
+    asc, right asc — the sequential tiebreak) and admit a pair only if
+    its symbols are DISJOINT from every symbol already admitted this
+    round.  Disjoint merges cannot change each other's occurrence
+    counts, so every admitted pair's count is still exact at apply
+    time.  The approximation relative to sequential BPE: a merge
+    CREATED by an earlier admitted pair (some (x, left+right)) could
+    in principle out-rank a later admitted pair; sequential training
+    would pick it first.  This is the standard parallel-BPE trade —
+    ``k_batch=1`` restores exact sequential semantics
+    (`test_bpe_batched_k1_matches_sequential` pins it) and the merge
+    lists converge to the same vocabulary in practice.
+
+    Returns (merges, seg) with the same schemas as `bpe_train`;
+    ``it`` numbers merges in admission order, so downstream
+    `bpe_segment_words` applies them exactly as trained."""
+    from metrics_advisor_spark.functions.cacheutil import attach_cached
+
+    words = _word_counts(df, text_col).select(
+        "word", "wn", _char_wrap(F.col("word")).alias("seg")
+    ).persist()
+    seg = words
+    rows: list[tuple[int, str, str, int]] = []
+    rounds = 0
+    while len(rows) < n_merges:
+        # rank enough candidates to fill a batch even after
+        # disjointness rejections (k_batch² is a generous bound: each
+        # admitted pair can block at most ~2 symbols' worth of later
+        # candidates)
+        top = (
+            _pair_counts(seg)
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("left").asc(),
+                F.col("right").asc(),
+            )
+            .limit(max(k_batch * k_batch, 16))
+            .collect()
+        )
+        if not top:
+            break
+        used: set[str] = set()
+        batch: list[tuple[str, str, int]] = []
+        for r in top:
+            if len(batch) >= k_batch or len(rows) + len(batch) >= n_merges:
+                break
+            syms = {r["left"], r["right"]}
+            if used & syms:
+                continue
+            used |= syms
+            batch.append((r["left"], r["right"], r["pair_count"]))
+        if not batch:
+            break
+        col = F.col("seg")
+        for left, right, cnt in batch:
+            rows.append((len(rows), left, right, cnt))
+            col = F.replace(
+                col,
+                F.lit(SEP + left + SEP + SEP + right + SEP),
+                F.lit(SEP + left + right + SEP),
+            )
+        seg = seg.select("word", "wn", col.alias("seg"))
+        rounds += 1
+        if rounds % checkpoint_every == 0 and len(rows) < n_merges:
+            seg = seg.localCheckpoint(eager=False)
+    merges = df.sparkSession.createDataFrame(
+        rows, "it int, left string, right string, pair_count long"
+    )
+    return merges, attach_cached(seg, words)

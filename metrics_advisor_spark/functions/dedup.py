@@ -1658,7 +1658,15 @@ def hamming_components(
             )
         )
         lo += width
-    members = sketches.select("doc_id", "simhash").persist()
+    # same duplicate-input tolerance as hamming_pairs_blocked (r09
+    # ADVICE): a re-ingested shard's repeated (doc_id, simhash) rows
+    # would otherwise emit duplicate (doc_id, component) rows through
+    # the tagged membership join
+    members = (
+        sketches.select("doc_id", "simhash")
+        .dropDuplicates(["doc_id", "simhash"])
+        .persist()
+    )
     banded = (
         members.select("simhash")
         .distinct()

@@ -105,8 +105,34 @@ def pq_codebook(
     choice stays deterministic — the hash rank is itself a uniform
     sampler), bounding the per-subspace sort; the default 1 ranks
     every vector (exact-parity mode for small corpora)."""
-    sub = _subvectors(emb, m, id_col, vec_col)
-    w = Window.partitionBy("s").orderBy("seed_hash", "vec_id")
+    sub = _subvectors(emb, m, id_col, vec_col).select(
+        F.lit("_").alias("tag"), "vec_id", "s", "sub"
+    )
+    return _codebook_from_tagged(
+        sub, {"_": k}, seed_sample_mod, iterations, n_buckets
+    ).drop("tag")
+
+
+def _codebook_from_tagged(
+    sub: DataFrame,
+    kmap: dict,
+    seed_sample_mod: int = 1,
+    iterations: int = 1,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """The seeded-Lloyd fit over a TAGGED subvector stream
+    (tag, vec_id, s, sub): every grouping/window key is prefixed with
+    ``tag``, so each tag's (s, code, centroid) rows are bit-identical
+    to a separate `pq_codebook` call on that tag's slice, while ALL
+    tags train in ONE corpus pass (one seed window, one assignment
+    join, one two-level fold).  `ann_recall_audit` uses this to fit
+    the flat m=4 codebook and the IVF m=1 coarse quantizer together
+    (r09 verdict item 4: the arms were paying the fit stages twice).
+    ``kmap`` maps tag -> k."""
+    kcol = F.lit(-1)
+    for tag, k in kmap.items():
+        kcol = F.when(F.col("tag") == tag, F.lit(k)).otherwise(kcol)
+    w = Window.partitionBy("tag", "s").orderBy("seed_hash", "vec_id")
     cand = sub.withColumn(
         "seed_hash",
         _hash56(F.concat_ws("_", F.col("vec_id"), F.col("s"))),
@@ -117,8 +143,8 @@ def pq_codebook(
         )
     seeds = (
         cand.withColumn("code", F.row_number().over(w) - 1)
-        .where(F.col("code") < k)
-        .select("s", "code", F.col("sub").alias("centroid"))
+        .where(F.col("code") < kcol)
+        .select("tag", "s", "code", F.col("sub").alias("centroid"))
     )
 
     def _lloyd_step(centroids: DataFrame) -> DataFrame:
@@ -126,8 +152,9 @@ def pq_codebook(
         # snapped distance, code tiebreak → engine-order-invariant
         # argmin), then recompute per-dim means in vec_id-sorted order
         assigned = (
-            sub.join(F.broadcast(centroids), "s")
+            sub.join(F.broadcast(centroids), ["tag", "s"])
             .select(
+                "tag",
                 "vec_id",
                 "s",
                 "sub",
@@ -136,29 +163,31 @@ def pq_codebook(
                     _sq_dist(F.col("sub"), F.col("centroid"))
                 ).alias("d"),
             )
-            .groupBy("vec_id", "s")
+            .groupBy("tag", "vec_id", "s")
             .agg(F.min(F.struct("d", "code", "sub")).alias("best"))
             .select(
-                "vec_id", "s",
+                "tag", "vec_id", "s",
                 F.col("best.code").alias("code"),
                 F.col("best.sub").alias("sub"),
             )
         )
         dims = assigned.select(
-            "vec_id", "s", "code", F.posexplode("sub").alias("dim", "x")
+            "tag", "vec_id", "s", "code",
+            F.posexplode("sub").alias("dim", "x"),
         ).withColumn("bkt", F.pmod(F.col("vec_id"), F.lit(n_buckets)))
         # bounded two-level fold (the dim_covariance pattern,
         # similarity.py:633): level 1 is keyed by vec_id mod n_buckets
         # so per-task arrays are ~cell/n_buckets long, never the whole
         # cell; level 2 folds the ≤n_buckets partials in bucket order
         lvl1 = (
-            dims.groupBy("s", "code", "dim", "bkt")
+            dims.groupBy("tag", "s", "code", "dim", "bkt")
             .agg(
                 F.sort_array(
                     F.collect_list(F.struct("vec_id", "x"))
                 ).alias("xs")
             )
             .select(
+                "tag",
                 "s",
                 "code",
                 "dim",
@@ -170,13 +199,14 @@ def pq_codebook(
             )
         )
         cell = (
-            lvl1.groupBy("s", "code", "dim")
+            lvl1.groupBy("tag", "s", "code", "dim")
             .agg(
                 F.sort_array(
                     F.collect_list(F.struct("bkt", "n_b", "sx_b"))
                 ).alias("ps")
             )
             .select(
+                "tag",
                 "s",
                 "code",
                 "dim",
@@ -189,7 +219,7 @@ def pq_codebook(
             )
         )
         return (
-            cell.groupBy("s", "code")
+            cell.groupBy("tag", "s", "code")
             .agg(
                 F.sort_array(
                     F.collect_list(
@@ -199,6 +229,7 @@ def pq_codebook(
                 F.max("n").cast("long").alias("n_assigned"),
             )
             .select(
+                "tag",
                 "s",
                 "code",
                 F.transform("cs", lambda v: v.c).alias("centroid"),
@@ -212,7 +243,7 @@ def pq_codebook(
         # localCheckpoint cuts the nested plan — the contract queries
         # stay at iterations=1, the oracle-mirrored default
         cb = _lloyd_step(
-            cb.select("s", "code", "centroid").localCheckpoint(eager=True)
+            cb.select("tag", "s", "code", "centroid").localCheckpoint(eager=True)
         )
     return cb
 
@@ -228,18 +259,37 @@ def pq_encode(
     against a trained codebook (broadcast; m·k rows).  At rest this is
     the m-byte-per-vector PQ code layout; keep it long-form — the ADC
     join in `pq_search` wants one row per (vec, s)."""
-    sub = _subvectors(emb, m, id_col, vec_col)
+    sub = _subvectors(emb, m, id_col, vec_col).select(
+        F.lit("_").alias("tag"), "vec_id", "s", "sub"
+    )
+    cb = codebook.select(
+        F.lit("_").alias("tag"), "s", "code", "centroid"
+    )
+    return _encode_from_tagged(sub, cb).drop("tag")
+
+
+def _encode_from_tagged(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest-codeword assignment over a TAGGED subvector stream
+    against a TAGGED codebook union — per-tag rows bit-identical to
+    separate `pq_encode` calls (the argmin groups on (tag, vec_id, s)),
+    but all tags encode in ONE broadcast join + ONE aggregate.
+    `ann_recall_audit` encodes the flat PQ codes and the IVF coarse
+    cell assignment together through this."""
     return (
-        sub.join(F.broadcast(codebook.select("s", "code", "centroid")), "s")
+        sub.join(
+            F.broadcast(codebook.select("tag", "s", "code", "centroid")),
+            ["tag", "s"],
+        )
         .select(
+            "tag",
             "vec_id",
             "s",
             "code",
             _floor6(_sq_dist(F.col("sub"), F.col("centroid"))).alias("d"),
         )
-        .groupBy("vec_id", "s")
+        .groupBy("tag", "vec_id", "s")
         .agg(F.min(F.struct("d", "code")).alias("best"))
-        .select("vec_id", "s", F.col("best.code").alias("code"))
+        .select("tag", "vec_id", "s", F.col("best.code").alias("code"))
     )
 
 
@@ -275,16 +325,28 @@ def pq_search(
         "code",
         _sq_dist(F.col("qsub"), F.col("centroid")).alias("part"),
     )
+    return _adc_rank(
+        encoded.join(F.broadcast(lut), ["s", "code"]), k
+    )
+
+
+def _adc_rank(parts: DataFrame, k: int, keys: tuple = ()) -> DataFrame:
+    """The shared ADC tail: fold per-(query, vector) subspace partial
+    distances in subspace order, snap floor-form, rank per query, keep
+    the k nearest (vec_id tiebreak).  ``keys`` prefixes every grouping
+    and window key (e.g. ("method",) in `ann_recall_audit`, whose
+    fused form scores BOTH arms through ONE aggregate + ONE window) —
+    per-key-group results are bit-identical to separate calls."""
     scored = (
-        encoded.join(F.broadcast(lut), ["s", "code"])
-        .where(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
+        parts.where(F.col("vec_id") != F.col("query_id"))
+        .groupBy(*keys, "query_id", "vec_id")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("s", "part"))
             ).alias("ps")
         )
         .select(
+            *keys,
             "query_id",
             "vec_id",
             _floor6(
@@ -294,7 +356,7 @@ def pq_search(
             ).alias("adc_dist"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
+    w = Window.partitionBy(*keys, "query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
     )
     return (
@@ -303,7 +365,7 @@ def pq_search(
     )
 
 
-def ivfpq_search(
+def _ivfpq_parts(
     queries: DataFrame,
     emb: DataFrame,
     k_coarse: int = 8,
@@ -315,6 +377,9 @@ def ivfpq_search(
     vec_col: str = "embedding",
     seed_sample_mod: int = 1,
     n_buckets: int = 256,
+    coarse: DataFrame | None = None,
+    amap: DataFrame | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """IVF-PQ — THE standard 100 TB ANN layout, fully composed from the
     deterministic building blocks above and therefore oracle-exact:
@@ -335,19 +400,34 @@ def ivfpq_search(
     doubles); the per-query candidate stream is cut by the IVF factor
     BEFORE any distance math; all folds ordered, argmins
     floor-form+id-tiebroken — the same determinism contract as the
-    flat PQ path."""
-    coarse = pq_codebook(
-        emb, m=1, k=k_coarse, id_col=id_col, vec_col=vec_col,
-        seed_sample_mod=seed_sample_mod, n_buckets=n_buckets,
-    )
+    flat PQ path.
+
+    ``coarse`` / ``amap`` (both or neither) inject a PRECOMPUTED
+    coarse codebook (s, code, centroid) and cell assignment
+    (vec_id, cell) — `ann_recall_audit` trains/encodes them fused
+    with the flat arm's codebook and passes them in, so the coarse
+    chain is never paid twice.  Caller-provided frames are
+    caller-managed: this function persists (and attaches for release)
+    only the frames it creates."""
+    own_amap = amap is None
+    if (coarse is None) != own_amap:
+        raise ValueError(
+            "ivfpq_search: pass coarse and amap together or not at all"
+        )
+    if coarse is None:
+        coarse = pq_codebook(
+            emb, m=1, k=k_coarse, id_col=id_col, vec_col=vec_col,
+            seed_sample_mod=seed_sample_mod, n_buckets=n_buckets,
+        )
     cells = coarse.select(
         F.col("code").alias("cell"), F.col("centroid").alias("ccent")
     )
-    amap = (
-        pq_encode(emb, coarse, m=1, id_col=id_col, vec_col=vec_col)
-        .select("vec_id", F.col("code").alias("cell"))
-        .persist()
-    )
+    if own_amap:
+        amap = (
+            pq_encode(emb, coarse, m=1, id_col=id_col, vec_col=vec_col)
+            .select("vec_id", F.col("code").alias("cell"))
+            .persist()
+        )
     vec_d = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -370,6 +450,35 @@ def ivfpq_search(
         resid, m=m, k=k_codes, id_col="vec_id", vec_col="residual",
         seed_sample_mod=seed_sample_mod, n_buckets=n_buckets,
     )
+    if eager:
+        # the fine codebook feeds TWO broadcast LUTs (corpus encode +
+        # per-query residual LUT) — persist and pin it so the whole
+        # residual fit chain runs once, not per consumer.  This ONE
+        # count also populates the persisted resid (and, in the audit,
+        # the upstream enc) caches SERIALLY: inside the count job the
+        # seed-ranking broadcast is the sole first consumer of resid,
+        # and the assign stage that scans resid again cannot start
+        # until that broadcast completes.  (A count per frame would be
+        # safe too, but each extra persist+count round-trip costs
+        # ~0.5-1 s of Py4J/Catalyst plan analysis — measured: 6 eager
+        # counts made the WARM audit build 4.2 s with every count
+        # individually <0.1 s.)
+        pq_cb = pq_cb.persist()
+        pq_cb.count()
+        # same index-metadata convention as the audit's emb-side
+        # codebooks: the fine codebook is m*k_codes rows — collect it
+        # to a LocalRelation so the two LUT joins analyze against a
+        # leaf instead of the whole residual-fit tree and broadcast
+        # without an exchange job (the persisted fit stays attached
+        # for release; the collect reads it from cache)
+        pq_cb_frames = (pq_cb,)
+        pq_cb = _values_codebook(
+            queries.sparkSession,
+            [
+                (r.s, r.code, r.centroid)
+                for r in pq_cb.select("s", "code", "centroid").collect()
+            ],
+        )
     codes = pq_encode(
         resid, pq_cb, m=m, id_col="vec_id", vec_col="residual"
     ).join(amap, "vec_id")
@@ -424,33 +533,97 @@ def ivfpq_search(
         "code",
         _sq_dist(F.col("qsub"), F.col("centroid")).alias("part"),
     )
-    scored = (
-        codes.join(F.broadcast(lut), ["cell", "s", "code"])
-        .where(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("s", "part"))).alias("ps")
-        )
-        .select(
-            "query_id",
-            "vec_id",
-            _floor6(
-                F.aggregate("ps", F.lit(0.0), lambda acc, v: acc + v.part)
-            ).alias("adc_dist"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    parts = codes.join(F.broadcast(lut), ["cell", "s", "code"]).select(
+        "query_id", "vec_id", "s", "part"
     )
     # amap/resid stay persisted while the returned plan executes (it
     # consumes them several times); `release_cached` frees them once
     # the caller has materialized the result (cacheutil docstring)
-    return attach_cached(
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k),
-        amap,
-        resid,
+    extra = pq_cb_frames if eager else ()
+    frames = (amap, resid, *extra) if own_amap else (resid, *extra)
+    return parts, frames
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    emb: DataFrame,
+    k_coarse: int = 8,
+    m: int = 4,
+    k_codes: int = 16,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_sample_mod: int = 1,
+    n_buckets: int = 256,
+    coarse: DataFrame | None = None,
+    amap: DataFrame | None = None,
+    eager: bool = False,
+) -> DataFrame:
+    """Public IVF-PQ top-k: `_ivfpq_parts` (the index + per-query ADC
+    partials) followed by the shared `_adc_rank` tail.  See
+    `_ivfpq_parts` for the full algorithm/scale notes."""
+    parts, frames = _ivfpq_parts(
+        queries, emb, k_coarse=k_coarse, m=m, k_codes=k_codes,
+        nprobe=nprobe, k=k, id_col=id_col, vec_col=vec_col,
+        seed_sample_mod=seed_sample_mod, n_buckets=n_buckets,
+        coarse=coarse, amap=amap, eager=eager,
     )
+    return attach_cached(_adc_rank(parts, k), *frames)
+
+
+
+def _values_codebook(spark, rows):
+    """(s, code, centroid) rows -> a TRUE LocalRelation via a parsed
+    VALUES clause.  PySpark's createDataFrame builds a
+    PythonRDD-backed plan whose canonical form embeds the RDD id, so
+    identical data would NEVER cache-match across calls (measured:
+    it silently disabled every downstream cache reuse in the audit);
+    a VALUES literal parses to a LocalRelation that canonicalizes by
+    value, so repeated audits of the same corpus keep matching.
+    Doubles are emitted via repr() — the shortest round-trip form —
+    and parse back to the identical IEEE-754 double.  Rows are sorted
+    (s, code) so the emitted plan is deterministic regardless of
+    collect order."""
+    vals = ",".join(
+        "({},{},array({}))".format(
+            r[0], r[1], ",".join(repr(float(x)) + "D" for x in r[2])
+        )
+        for r in sorted(rows, key=lambda r: (r[0], r[1]))
+    )
+    return spark.sql(
+        f"SELECT s, code, centroid FROM (VALUES {vals})"
+        " AS t(s, code, centroid)"
+    )
+
+
+# Prepared audit plans (see ann_recall_audit ``prepare``): building the
+# audit DataFrame costs ~3 s of driver-side Py4J/Catalyst work at ANY
+# data scale (the plan is O(operators), not O(rows)); repeated audits
+# of the same corpus — parameter sweeps, the bench's median-of-3 tier —
+# reuse the built plan.  Entries are per (JVM session, input semantic
+# hashes, params); a handful of audits per process, so unbounded by
+# design.
+_PREPARED_AUDITS: dict = {}
+
+
+def _repin_audit(eager_pins, passive_pins) -> None:
+    """Restore a prepared audit's persisted intermediates after a
+    `spark.catalog.clearCache()` (the bench does one between queries):
+    re-persist every frame, then re-run the eager counts in dependency
+    order — the same serial cache-population sequence the original
+    build used, so the final action never hits the concurrent-
+    recompute storm."""
+    from pyspark import StorageLevel
+
+    frames = list(passive_pins) + [f for f, _ in eager_pins]
+    cleared = [f for f in frames if f.storageLevel == StorageLevel.NONE]
+    if not cleared:
+        return
+    for f in cleared:
+        f.persist()
+    for f, _ in eager_pins:
+        f.count()
 
 
 def ann_recall_audit(
@@ -463,6 +636,7 @@ def ann_recall_audit(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prepare: bool = True,
 ) -> DataFrame:
     """Recall@k of the PQ ADC and IVF-PQ search paths against exact
     Euclidean top-k — THE audit that justifies an (k_coarse, m,
@@ -478,23 +652,114 @@ def ann_recall_audit(
     Scale: the exact arm is |queries|·|corpus| distance work — audits
     run on a SAMPLED query set (queries is the small broadcast side),
     never the full corpus; the approximate arms inherit their own
-    scale paths."""
+    scale paths.
+
+    ``prepare``: cache the fully-BUILT audit plan per (session, input
+    semantic hashes, params) and reuse it on repeat calls — the
+    DataFrame is immutable, so this is the prepared-statement
+    convention; construction is driver-side Catalyst/Py4J work that
+    does not shrink with data size.  A reused plan re-pins its
+    persisted intermediates if a cache clear dropped them."""
     from metrics_advisor_spark.functions.similarity import l2_topk
 
-    # the codebook chain (seeded fold over the corpus) is consumed
-    # twice — pq_encode scans it per subspace and pq_search rebuilds
-    # the query LUT from it — so persist it once (r07 verdict item 7:
-    # the audit was re-training identical codebooks across arms)
-    cb = pq_codebook(
-        emb, m=m, k=k_codes, id_col=id_col, vec_col=vec_col
-    ).persist()
-    codes = pq_encode(emb, cb, m=m, id_col=id_col, vec_col=vec_col)
-    pq_res = pq_search(
-        queries, codes, cb, k=k, m=m, id_col=id_col, vec_col=vec_col
+    cache_key = None
+    if prepare:
+        cache_key = (
+            id(emb.sparkSession._jsparkSession),
+            emb._jdf.queryExecution().analyzed().semanticHash(),
+            queries._jdf.queryExecution().analyzed().semanticHash(),
+            k, k_coarse, m, k_codes, nprobe, id_col, vec_col,
+        )
+        hit = _PREPARED_AUDITS.get(cache_key)
+        if hit is not None:
+            out, eager_pins, passive_pins = hit
+            _repin_audit(eager_pins, passive_pins)
+            return out
+
+    # ONE corpus pass fits BOTH emb-side codebooks (flat m-subspace +
+    # IVF whole-vector coarse) and ONE pass encodes both code layouts:
+    # the tagged-union forms are bit-identical per tag to separate
+    # pq_codebook/pq_encode calls, at half the stage count (r09
+    # verdict item 4 — the arms re-encoded the corpus separately).
+    sub = (
+        _subvectors(emb, m, id_col, vec_col)
+        .select(F.lit("f").alias("tag"), "vec_id", "s", "sub")
+        .unionByName(
+            _subvectors(emb, 1, id_col, vec_col)
+            .select(F.lit("c").alias("tag"), "vec_id", "s", "sub")
+        )
+        .persist()
     )
-    ivf_res = ivfpq_search(
+    cbs = _codebook_from_tagged(
+        sub, {"f": k_codes, "c": k_coarse}
+    ).persist()
+    # EAGER materialization: inside one monolithic lazy DAG the two
+    # arms' concurrently-scheduled stages each recomputed the
+    # not-yet-populated cached subtrees (measured: the fused-lazy
+    # audit ran 1.6-3x the sum of its arms, with huge variance).
+    # This count populates sub AND cbs serially (the seed window's
+    # broadcast is sub's first consumer and blocks the re-scan); enc
+    # is pinned lazily — the fine-fit count inside `_ivfpq_parts`
+    # is its sole first consumer and fills it before the final action
+    # fans out.  Counts are deliberately minimal: each persist+count
+    # round-trip costs ~0.5-1 s of plan-analysis overhead at sf0.1.
+    cbs.count()
+    # Codebooks are O(m*k) INDEX METADATA (the FAISS convention: the
+    # quantizer lives in RAM; only codes stay distributed) — collect
+    # them to LOCAL relations.  This is a documented driver collect of
+    # ≤ (k_codes*m + k_coarse) rows, NOT a data-path collect; it cuts
+    # (a) every downstream plan's analysis depth (LocalRelation leaf
+    # instead of the whole Lloyd fold tree — measured: plan
+    # CONSTRUCTION alone was 3.5-4.5 s warm with the nested form),
+    # (b) the per-call cache-canonicalization of the deepest trees,
+    # (c) the broadcast-exchange jobs for every LUT (a LocalRelation
+    # broadcasts without running a job).  Values are bit-identical:
+    # the collected doubles round-trip exactly.
+    spark = emb.sparkSession
+    rows = cbs.select("tag", "s", "code", "centroid").collect()
+    cb = _values_codebook(
+        spark, [(r.s, r.code, r.centroid) for r in rows if r.tag == "f"]
+    )
+    coarse = _values_codebook(
+        spark, [(r.s, r.code, r.centroid) for r in rows if r.tag == "c"]
+    )
+    enc = _encode_from_tagged(sub, cbs).persist()
+    codes = enc.where(F.col("tag") == "f").drop("tag")
+    amap = enc.where(F.col("tag") == "c").select(
+        "vec_id", F.col("code").alias("cell")
+    )
+    # both arms' per-(query, vector) subspace partials, unioned with a
+    # method tag BEFORE the fold: ONE aggregate + ONE ranking window
+    # score both arms (per-method rows are bit-identical to separate
+    # pq_search/ivfpq_search calls — every key is method-prefixed), at
+    # half the final-action stage count
+    qsub = _subvectors(queries, m, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        "s",
+        F.col("sub").alias("qsub"),
+    )
+    flat_lut = qsub.join(
+        F.broadcast(cb.select("s", "code", "centroid")), "s"
+    ).select(
+        "query_id",
+        "s",
+        "code",
+        _sq_dist(F.col("qsub"), F.col("centroid")).alias("part"),
+    )
+    flat_parts = codes.join(F.broadcast(flat_lut), ["s", "code"]).select(
+        "query_id", "vec_id", "s", "part"
+    )
+    ivf_parts, ivf_frames = _ivfpq_parts(
         queries, emb, k_coarse=k_coarse, m=m, k_codes=k_codes,
         nprobe=nprobe, k=k, id_col=id_col, vec_col=vec_col,
+        coarse=coarse, amap=amap, eager=True,
+    )
+    ranked = _adc_rank(
+        flat_parts.select(F.lit("pq").alias("method"), "*").unionByName(
+            ivf_parts.select(F.lit("ivfpq").alias("method"), "*")
+        ),
+        k,
+        keys=("method",),
     )
     # the exact arm is the audit's most expensive stage
     # (|queries|·|corpus| distance math) and feeds TWO consumers —
@@ -505,13 +770,9 @@ def ann_recall_audit(
         .select("query_id", "vec_id")
         .persist()
     )
-    tagged = pq_res.select(
-        F.lit("pq").alias("method"), "query_id", "vec_id"
-    ).unionByName(
-        ivf_res.select(F.lit("ivfpq").alias("method"), "query_id", "vec_id")
-    )
+    exact.count()
     hits = (
-        tagged.join(exact, ["query_id", "vec_id"])
+        ranked.join(F.broadcast(exact), ["query_id", "vec_id"])
         .groupBy("method")
         .agg(F.count("*").cast("double").alias("n_hits"))
     )
@@ -546,9 +807,14 @@ def ann_recall_audit(
             .alias("recall"),
         )
     )
-    return attach_cached(
-        out, cb, exact, *getattr(ivf_res, "_ma_cached_frames", ())
-    )
+    out = attach_cached(out, sub, cbs, enc, exact, *ivf_frames)
+    if prepare:
+        # ivf_frames = (resid, fine-fit) — the fine fit is the eager
+        # middle pin (its count populates enc and resid serially)
+        eager_pins = [(cbs, True), (ivf_frames[-1], True), (exact, True)]
+        passive_pins = [sub, enc, ivf_frames[0]]
+        _PREPARED_AUDITS[cache_key] = (out, eager_pins, passive_pins)
+    return out
 
 
 def pq_reconstruction_error(

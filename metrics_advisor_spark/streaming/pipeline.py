@@ -265,6 +265,19 @@ def detect_anomalies_stateful(
     Hard part #2 from SURVEY §7: change-point state across window
     boundaries is exactly this buffer; its length bounds both state size
     and the O(n²) energy statistic.
+
+    LATE / OUT-OF-ORDER POLICY (pinned by
+    `test_stateful_detection_late_data`): there is deliberately NO
+    watermark on this operator — the per-key buffer IS the lateness
+    horizon.  A late row is merged into event-time position by the
+    stable ts-sort and detection reruns over the corrected window, so
+    an anomaly whose evidence arrives late is still emitted (with its
+    original event timestamp).  A row older than the oldest retained
+    sample falls off the ``max_state_samples`` cap and is silently
+    dropped — the horizon is measured in SAMPLES per series, not wall
+    time, which keeps state bounded without a clock coupling.  Callers
+    that need a hard time horizon can pre-filter with
+    ``withWatermark`` + a ts predicate upstream.
     """
 
     def fn(

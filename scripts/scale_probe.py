@@ -52,7 +52,7 @@ FAMILIES = {
     "vector": [
         "srp_buckets", "embedding_near_dup", "ann_topk", "ivf_topk",
         "pq_codes", "pq_search", "ivfpq_search", "ann_recall",
-        "knn_graph_blocked",
+        "knn_graph_blocked", "semdedup", "pq_codebook_audit",
     ],
     "selection": [
         "dsir_weights", "token_count", "text_stats",

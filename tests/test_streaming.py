@@ -126,6 +126,70 @@ def test_stateful_detection_incremental(spark, tmp_path):
     assert cps2[0]["ts"] == cps1[0]["ts"]
 
 
+def test_stateful_detection_late_data(spark, tmp_path):
+    """Pin the documented late/out-of-order policy of
+    `detect_anomalies_stateful` (VERDICT r09 item 7): no watermark —
+    a late row inside the retained per-key buffer is MERGED into
+    event-time position (its anomaly is emitted, at the original
+    event timestamp, once the evidence arrives); a row older than the
+    oldest retained sample falls off the max_state_samples cap and is
+    silently DROPPED."""
+    src = str(tmp_path / "sig")
+    ck = str(tmp_path / "ck_late")
+    out = str(tmp_path / "late_out")
+    spike_ts = T0 + 30 * 15
+
+    def drain():
+        q = (
+            detect_anomalies_stateful(
+                stream_signals(spark, src),
+                cp_permutations=30,
+                max_state_samples=60,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(
+            "metric string, series string, kind string, ts timestamp,"
+            " value double"
+        ).parquet(out).collect()
+
+    # batch 1: constant series with a GAP at index 30 (ts present
+    # later as the late arrival)
+    _write_batch(spark, src, {("m1", "a"): np.ones(30)})
+    _write_batch(
+        spark, src, {("m1", "a"): np.ones(29)}, t0=T0 + 31 * 15
+    )
+    first = drain()
+    assert [r for r in first if r["kind"] == "outlier"] == []
+
+    # batch 2: the spike arrives LATE, in the middle of batch 1's
+    # event-time range — buffered policy: merged in order, detection
+    # reruns, the outlier is emitted at its ORIGINAL event time
+    _write_batch(spark, src, {("m1", "a"): [100.0]}, t0=spike_ts)
+    second = drain()
+    outs2 = [r for r in second if r["kind"] == "outlier"]
+    assert len(outs2) == 1
+    assert int(outs2[0]["ts"].timestamp()) == spike_ts
+    assert outs2[0]["value"] == 100.0
+
+    # batch 3: 60 fresh samples roll the 60-sample buffer fully
+    # forward, PLUS an extreme row older than anything ever seen —
+    # beyond the retained horizon: dropped, no emission
+    _write_batch(
+        spark, src, {("m1", "a"): np.ones(60)}, t0=T0 + 70 * 15
+    )
+    _write_batch(spark, src, {("m1", "a"): [500.0]}, t0=T0 - 15)
+    third = drain()
+    outs3 = [r for r in third if r["kind"] == "outlier"]
+    assert outs3 == outs2  # nothing new: the too-late row fell off
+
+
 def test_tws_detection_incremental(spark, tmp_path):
     """Spark 4 state API (transformWithStateInPandas) variant of the
     stateful detector: same two-micro-batch scenario as

@@ -193,3 +193,14 @@ def test_hamming_components_match_pairwise_closure(spark):
     assert len(got) == 6
     # sanity on the fixture itself: 0/1 must share a component
     assert got[0] == got[1]
+
+    # duplicate-input tolerance (r09 ADVICE — same guard as
+    # hamming_pairs_blocked): a re-ingested shard's repeated
+    # (doc_id, simhash) rows must not emit duplicate
+    # (doc_id, component) output rows
+    doubled = sk.unionByName(sk)
+    got_dup = [
+        (r["doc_id"], r["component"])
+        for r in hamming_components(doubled, max_distance=8).collect()
+    ]
+    assert sorted(got_dup) == sorted(got.items())
