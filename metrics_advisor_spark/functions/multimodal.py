@@ -107,11 +107,23 @@ def extract_media_meta(
                         raise ValueError(f"doc {doc_id}: {e}") from None
                     mt = "image/jpeg"
                     row.update(width=w, height=h)
+                elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    from metrics_advisor_spark.functions.png import (
+                        png_meta,
+                    )
+
+                    try:
+                        w, h, _ = png_meta(payload)
+                    except ValueError as e:
+                        raise ValueError(f"doc {doc_id}: {e}") from None
+                    mt = "image/png"
+                    row.update(width=w, height=h)
                 else:
                     raise ValueError(
                         f"doc {doc_id}: unrecognized payload magic "
-                        f"{payload[:4]!r} (BMP/JPEG/WAV/AVI supported; "
-                        f"PNG/MP4 are deployment codec swaps)"
+                        f"{payload[:4]!r} (BMP/JPEG/PNG/WAV/AVI "
+                        f"supported; MP4/H.264 are deployment codec "
+                        f"swaps)"
                     )
                 out["doc_id"].append(doc_id)
                 out["media_type"].append(mt)
@@ -343,6 +355,13 @@ def image_meta(media: DataFrame, img_col: str = "img") -> DataFrame:
 
                     w, h, _ = jpeg_meta(payload)
                     bpp, stride = 24, None
+                elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    from metrics_advisor_spark.functions.png import (
+                        png_meta,
+                    )
+
+                    w, h, nch = png_meta(payload)
+                    bpp, stride = nch * 8, None
                 else:
                     w, h, bpp, _, stride = _parse_bmp_header(
                         doc_id, payload
@@ -389,6 +408,14 @@ def decode_image(media: DataFrame, img_col: str = "img") -> DataFrame:
                     )
 
                     rgb = decode_baseline_jpeg(payload)
+                    h, w = rgb.shape[:2]
+                    arr = rgb[:, :, ::-1].astype(np.int64)  # to BGR
+                elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    from metrics_advisor_spark.functions.png import (
+                        decode_png,
+                    )
+
+                    rgb = decode_png(payload)
                     h, w = rgb.shape[:2]
                     arr = rgb[:, :, ::-1].astype(np.int64)  # to BGR
                 else:
