@@ -343,35 +343,89 @@ def embedding_near_dup_pairs(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_gram_cells: int = 4_000_000,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via SRP blocking + exact re-check.
+    """Embedding-cosine near-dup pairs via SRP blocking + an IN-TASK
+    vectorized candidate kernel + exact SQL re-check.
 
-    Only pairs colliding in ≥1 table are scored (the all-pairs cross
-    join never materializes), then the exact cosine filter keeps
-    ≥ threshold."""
+    r10 rewrite (×10 probe, SCALE.md §18.3): the original bucket
+    SELF-JOIN materialized Σ n_bucket² candidate ROWS through a
+    shuffle WITH both 64-dim vectors attached — on a clustered corpus
+    (SRP buckets of gaussian-cluster data are heavily skewed) that is
+    tens of GB of shuffle for a 20k-vector corpus and went >25 min at
+    ×10.  Same lesson as the Hamming kernel: n² FLOPs in cache beat n²
+    rows through a shuffle.  Now each (table, bucket) group runs one
+    chunked numpy gram-matrix prefilter (``max_gram_cells`` bounds the
+    transient chunk) and emits ONLY id pairs whose numpy cosine ≥
+    threshold − 2e-6; vectors are re-attached by join and the
+    AUTHORITATIVE filter is the same SQL `cosine_col` round-6dp
+    expression as before, so emitted values (and the contract hash)
+    are identical — the margin covers the float64 summation-order gap
+    between numpy and the SQL fold, which is ~1e-12 relative while
+    round-6dp needs only 5e-7 slack.  Explicit repartition on the
+    group keys (the AQE size-based-coalescing lesson, SCALE.md §18.1)
+    keeps per-bucket compute spread across tasks."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
     b = df.join(srp_buckets(df, n_bits, id_col, vec_col, n_tables=2), id_col)
-    a = b.alias("a")
-    c = b.alias("b")
-    pairs = (
-        a.join(
-            c,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    margin = 2e-6
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(np.int64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_a": pd.Series([], dtype="int64"),
+                 "vec_b": pd.Series([], dtype="int64")}
+            )
+        v = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
         )
-        .select(
-            F.col(f"a.{id_col}").alias("vec_a"),
-            F.col(f"b.{id_col}").alias("vec_b"),
-            F.col(f"a.{vec_col}").alias("va"),
-            F.col(f"b.{vec_col}").alias("vb"),
+        order = np.argsort(ids)
+        ids, v = ids[order], v[order]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = v / np.sqrt((v * v).sum(axis=1))[:, None]
+        outa, outb = [], []
+        chunk = max(1, max_gram_cells // n)
+        for i0 in range(0, n, chunk):
+            g = u[i0 : i0 + chunk] @ u.T
+            ai, bi = np.nonzero(
+                (g >= threshold - margin)
+                & (ids[i0 : i0 + chunk, None] < ids[None, :])
+            )
+            if len(ai):
+                outa.append(ids[i0 + ai])
+                outb.append(ids[bi])
+        if not outa:
+            return pd.DataFrame(
+                {"vec_a": pd.Series([], dtype="int64"),
+                 "vec_b": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"vec_a": np.concatenate(outa), "vec_b": np.concatenate(outb)}
         )
+
+    n_part = max(spark.sparkContext.defaultParallelism * 2, 8)
+    cand = (
+        b.repartition(n_part, "table_id", "bucket")
+        .groupBy("table_id", "bucket")
+        .applyInPandas(score, "vec_a long, vec_b long")
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    return pairs.select(
-        "vec_a",
-        "vec_b",
-        F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    va = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def semdedup(
