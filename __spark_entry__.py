@@ -4243,31 +4243,37 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     BMP parse → pixel decode end-to-end."""
     from metrics_advisor_spark.functions.multimodal import (
         attach_avi_payload,
-        decode_image,
         image_meta,
+        image_pixel_sum,
         video_frames,
     )
 
+    # the frame table feeds THREE consumers (the final join, the
+    # header parse, the pixel decode) — without a persist the whole
+    # AVI synthesis + parse + frame-extract + BMP re-encode chain
+    # re-executes per consumer (r10: this was the bench's slowest
+    # query at 14 s; ~1750 frames x ~5 KB ≈ 9 MB cached)
     fr = video_frames(
         attach_avi_payload(_docs(spark, sf_dir, fanout=False))
     ).select(
         "doc_id", "frame_id", "ts_ms",
         (F.col("doc_id") * 8 + F.col("frame_id")).alias("k"), "img",
-    )
+    ).persist()
     keyed = fr.select(F.col("k").alias("doc_id"), "img")
     meta = image_meta(keyed).select(
         F.col("doc_id").alias("k"), "width", "height", "n_bytes"
     )
-    px = (
-        decode_image(keyed)
-        .groupBy(F.col("doc_id").alias("k"))
-        .agg(
-            F.sum(F.col("b") + F.col("g") + F.col("r"))
-            .cast("long")
-            .alias("px_sum")
-        )
+    # fused in-task checksum: the decode_image + groupBy-sum form
+    # shuffled ~27M pixel rows at sf0.1 whose only consumer was this
+    # SUM (r10 — it made video_frames the bench's slowest query)
+    px = image_pixel_sum(keyed).select(
+        F.col("doc_id").alias("k"), "px_sum"
     )
-    return fr.drop("img").join(meta, "k").join(px, "k").drop("k")
+    from metrics_advisor_spark.functions.cacheutil import attach_cached
+
+    return attach_cached(
+        fr.drop("img").join(meta, "k").join(px, "k").drop("k"), fr
+    )
 
 
 def q_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -454,6 +454,56 @@ def decode_image(media: DataFrame, img_col: str = "img") -> DataFrame:
     )
 
 
+def image_pixel_sum(media: DataFrame, img_col: str = "img") -> DataFrame:
+    """(doc_id, px_sum): integer checksum Σ(b+g+r) over every decoded
+    pixel, computed IN-TASK per payload (numpy sum inside the decode
+    kernel) instead of exploding w·h pixel rows through a shuffle —
+    `q_video_frames` at sf0.1 is 17,500 frames × ~1.5k pixels ≈ 27M
+    rows whose only consumer was a SUM; the fused form emits one row
+    per image (r10; same value as `decode_image` + groupBy-sum, which
+    remains the surface for per-pixel consumers).  Same magic-byte
+    dispatch as `decode_image` (BMP / baseline JPEG / PNG)."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sums = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[img_col]):
+                payload = bytes(payload)
+                if payload[:2] == b"\xff\xd8":
+                    from metrics_advisor_spark.functions.jpeg import (
+                        decode_baseline_jpeg,
+                    )
+
+                    s = int(
+                        decode_baseline_jpeg(payload).sum(dtype=np.int64)
+                    )
+                elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    from metrics_advisor_spark.functions.png import (
+                        decode_png,
+                    )
+
+                    s = int(decode_png(payload).sum(dtype=np.int64))
+                else:
+                    w, h, _, off, stride = _parse_bmp_header(
+                        doc_id, payload
+                    )
+                    s = int(
+                        np.frombuffer(
+                            payload, dtype=np.uint8, count=stride * h,
+                            offset=off,
+                        )
+                        .reshape(h, stride)[:, : w * 3]
+                        .sum(dtype=np.int64)
+                    )
+                ids.append(doc_id)
+                sums.append(s)
+            yield pd.DataFrame({"doc_id": ids, "px_sum": sums})
+
+    return media.mapInPandas(fn, "doc_id long, px_sum long")
+
+
 def resize_bmp(
     media: DataFrame, max_side: int = 8, img_col: str = "img"
 ) -> DataFrame:
