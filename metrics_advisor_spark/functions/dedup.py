@@ -787,8 +787,12 @@ def minhash_jaccard_estimate(
     reuses the shared-shingle intersection join.  All three inputs block
     on content keys, so the audit scales exactly like the dedup pipeline
     it audits."""
+    from metrics_advisor_spark.functions.cacheutil import attach_cached
+
     cand = minhash_lsh_pairs(df, text_col, n, k, bands)
-    sig = minhash_signatures(df, text_col, n, k)
+    # the signature table feeds BOTH sides of the estimate join —
+    # persist it or the shingle -> k-permutation chain runs twice
+    sig = minhash_signatures(df, text_col, n, k).persist()
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), "perm_id",
         F.col("minhash").alias("mh_a"),
@@ -810,9 +814,14 @@ def minhash_jaccard_estimate(
     exact = jaccard_pairs(df, text_col, n, threshold=0.0).withColumnRenamed(
         "jaccard", "jaccard_exact"
     )
-    return est.join(exact, ["doc_a", "doc_b"], "left").select(
-        "doc_a", "doc_b", "jaccard_est",
-        F.coalesce(F.col("jaccard_exact"), F.lit(0.0)).alias("jaccard_exact"),
+    return attach_cached(
+        est.join(exact, ["doc_a", "doc_b"], "left").select(
+            "doc_a", "doc_b", "jaccard_est",
+            F.coalesce(F.col("jaccard_exact"), F.lit(0.0)).alias(
+                "jaccard_exact"
+            ),
+        ),
+        sig,
     )
 
 
