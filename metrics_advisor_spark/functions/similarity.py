@@ -364,7 +364,17 @@ def embedding_near_dup_pairs(
     between numpy and the SQL fold, which is ~1e-12 relative while
     round-6dp needs only 5e-7 slack.  Explicit repartition on the
     group keys (the AQE size-based-coalescing lesson, SCALE.md §18.1)
-    keeps per-bucket compute spread across tasks."""
+    keeps per-bucket compute spread across tasks.
+
+    MEASURED boundary (×100 probe, SCALE.md §18.5): on heavily
+    CLUSTERED corpora the kernel is still Σ n_bucket² FLOPs and SRP
+    sign-patterns concentrate each cluster into a handful of buckets
+    (raising n_bits splits clusters far more slowly than uniform
+    data), so bucket sizes — and the quadratic term — grow linearly
+    with the corpus.  This pairwise audit form is for corpora with
+    bounded near-dup rates; at crawl scale with heavy clustering use
+    `semdedup` (cluster-then-cap, n_lists ∝ corpus — measured
+    completing at ×100 where this operator does not)."""
     import numpy as np
     import pandas as pd
 
