@@ -4566,7 +4566,7 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image(small)
 
 
-CURRENT_ROUND = 10
+CURRENT_ROUND = 11
 DRIVER_GATE = 50
 
 # Rotation state machine (VERDICT r04 item 5): the driver's correctness
@@ -4661,11 +4661,11 @@ ROTATION: dict[str, int | None] = {
     "jaccard_pairs": 6,
     "minhash_signatures": 6,
     "minhash_lsh_pairs": 6,
-    "media_meta": 9,
+    "media_meta": 10,
     "media_frames": 9,
     "ann_topk": 6,
     "embedding_near_dup": 6,
-    "ivf_topk": 7,
+    "ivf_topk": 10,
     "distinct_series": 7,
     "series_stats": 7,
     "valid_active_series": 7,
@@ -4744,46 +4744,46 @@ ROTATION: dict[str, int | None] = {
     "mad_outliers": 9,
     "ewma_smooth": 9,
     "incident_range_join": 9,
-    "hamming_pairs_blocked": 3,
-    "corpus_prep": 3,
-    "token_budget_sample": 3,
-    "ngram_repetition": 3,
-    "quality_flags": 3,
-    "stratified_sample": 3,
-    "knn_graph_blocked": 3,
-    "quantile_over_time": 3,
-    "gap_detect": 3,
-    "heavy_hitters": 3,
-    "text_normalize": 3,
-    "cohort_retention": 3,
-    "salted_join_revenue": 3,
-    "embedding_norms": 3,
-    "minhash_jaccard_est": 3,
-    "streaming_term_counts": 3,
-    "source_stats": 3,
-    "zipf_slope": 3,
-    "bucket_render": 3,
-    "series_outer_compare": 3,
-    "quantile_sketch_audit": 3,
-    "streaming_quantiles": 3,
-    "chunk_documents": 3,
-    "wow_change": 4,
-    "grid_completeness": 4,
-    "cohort_conversion": 4,
-    "period_detect": 4,
-    "max_drawdown": 4,
-    "peak_detect": 4,
-    "ecdf_sample": 4,
-    "holdout_leakage": 4,
-    "pii_density": 4,
-    "dedup_savings": 4,
-    "lsh_eval": 4,
-    "mann_kendall": 4,
-    "late_arrival_audit": 4,
-    "wide_metrics": 4,
-    "streaming_daily_quantiles": 4,
-    "seasonal_zscore": 4,
-    "anomaly_cooccurrence": 4,
+    "hamming_pairs_blocked": 10,
+    "corpus_prep": 10,
+    "token_budget_sample": 10,
+    "ngram_repetition": 10,
+    "quality_flags": 10,
+    "stratified_sample": 10,
+    "knn_graph_blocked": 10,
+    "quantile_over_time": 10,
+    "gap_detect": 10,
+    "heavy_hitters": 10,
+    "text_normalize": 10,
+    "cohort_retention": 10,
+    "salted_join_revenue": 10,
+    "embedding_norms": 10,
+    "minhash_jaccard_est": 10,
+    "streaming_term_counts": 10,
+    "source_stats": 10,
+    "zipf_slope": 10,
+    "bucket_render": 10,
+    "series_outer_compare": 10,
+    "quantile_sketch_audit": 10,
+    "streaming_quantiles": 10,
+    "chunk_documents": 10,
+    "wow_change": 10,
+    "grid_completeness": 10,
+    "cohort_conversion": 10,
+    "period_detect": 10,
+    "max_drawdown": 10,
+    "peak_detect": 10,
+    "ecdf_sample": 10,
+    "holdout_leakage": 10,
+    "pii_density": 10,
+    "dedup_savings": 10,
+    "lsh_eval": 10,
+    "mann_kendall": 10,
+    "late_arrival_audit": 10,
+    "wide_metrics": 10,
+    "streaming_daily_quantiles": 10,
+    "seasonal_zscore": 10,
+    "anomaly_cooccurrence": 10,
     "daily_quantiles": 4,
     "term_burstiness": 4,
     "session_summary": 4,
@@ -4824,19 +4824,19 @@ ROTATION: dict[str, int | None] = {
     "pq_codes": 6,
     "pq_search": 6,
     "ivfpq_search": 6,
-    "audio_meta": 6,
-    "audio_windows": 6,
+    "audio_meta": 10,
+    "audio_windows": 10,
     "streaming_audio": 6,
-    "image_meta": 7,
-    "image_pixels": 7,
+    "image_meta": 10,
+    "image_pixels": 10,
     "image_tiles": 7,
-    "ann_recall": 7,
+    "ann_recall": 10,
     "packed_sequences": 7,
-    "streaming_ann_gate": 7,
-    "image_resize": 7,
+    "streaming_ann_gate": 10,
+    "image_resize": 10,
     "pq_reconstruction": 6,
     "video_meta": 9,
-    "video_frames": 9,
+    "video_frames": 10,
     "video_motion": 9,
     "av_alignment": 9,
     "streaming_video_gate": 9,
@@ -4849,35 +4849,15 @@ ROTATION: dict[str, int | None] = {
     "hamming_components": 9,
 }
 
-# Checked queries deliberately re-queued inside the round-10 window
-# (VERDICT r09 item 1): each was code-changed AFTER its latest driver
-# stamp, so the stamp no longer attests the current code —
-#   ivf_topk / quantile-graduation queries: graduated to hash-oracled
-#     in r08 but their last driver rows still read `no_oracle` (r07);
-#   ann_recall / streaming_ann_gate: r07 stamps, r08 reworked the
-#     shared-codebook path (and r10 shares the encoded corpus);
-#   audio_meta / audio_windows: r06 stamps, r08 moved them onto the
-#     shared RIFF header parser;
-#   hamming_pairs_blocked: r03 stamp, rewritten four times since
-#     (kernel, AQE, depth-cap, dup-input tolerance) — listed here for
-#     documentation though its r03 stamp already queues it first.
-ROTATION_EXCEPTIONS: set[str] = {
-    "ivf_topk",
-    "ann_recall",
-    "streaming_ann_gate",
-    "audio_meta",
-    "audio_windows",
-    "hamming_pairs_blocked",
-    # r10: the baseline-JPEG decoder extended the magic-byte dispatch
-    # inside extract_media_meta / image_meta / decode_image — every
-    # query whose plan routes through those functions must re-verify
-    # even though BMP/WAV/AVI payload behavior is unchanged
-    "media_meta",
-    "image_meta",
-    "image_pixels",
-    "image_resize",
-    "video_frames",
-}
+# Round 11: EMPTY by arithmetic necessity (VERDICT r10 item 1).  The
+# r11 window is forced to exactly the 31 r04-stamped + 19 stalest
+# r05-stamped queries — 267 queries / 50 slots against
+# MAX_STALE_ROUNDS = 5 leaves zero slack, so no checked query may be
+# deliberately re-queued this round.  Any r11 code change that would
+# normally demand a re-queue must instead be attested by the builder's
+# own driver_sim run (scripts/driver_sim.py), recorded in
+# ROUND_NOTES.md, and queued for the r12 window.
+ROTATION_EXCEPTIONS: set[str] = set()
 
 # With 248 contract queries and a 50-slot gate, a full rotation takes
 # ceil(248/50) = 5 rounds; queries beyond the window may be at most
