@@ -59,6 +59,74 @@ def _canary(spark, runs: int = 3) -> float:
     return round(vals[(len(vals) - 1) // 2], 3)
 
 
+# Committed idle-host IO canary basis (sec): median of 3 idle runs of
+# _io_canary below.  VERDICT r10 item 2: the CPU canary is correct and
+# STILL missed 3-4x inflation on IO-bound queries in the driver's r10
+# run (streaming_sliding_counts 15.6 s vs 2.05 idle,
+# hamming_group_pairs 17.1 vs 4.1 — all 12 CPU samples idle,
+# suspect_queries empty).  The signature was page-cache/writeback
+# pressure after the 30-min test suite: disk-touching work (streaming
+# checkpoint dirs, shuffle spill, parquet scans) inflates while pure
+# whole-stage-codegen CPU stays flat — a blind spot a compute-only
+# probe can never see.  This second arm writes a fixed ~20 MB
+# incompressible parquet to local disk and reads it back, so it rides
+# the same page cache + writeback path the inflated queries do.
+IO_CANARY_COMMITTED_SEC = float(
+    os.environ.get("SPARK_GRAFT_IO_CANARY_COMMITTED", "0.80")
+)
+# IO is inherently noisier than codegen CPU (writeback timing, dirty
+# page thresholds), so the hot threshold is 2x committed rather than
+# the CPU arm's 1.5x — calibrated so idle jitter (measured +/-25%)
+# cannot flag, while the r10 episode (3-4x) lands well above.
+IO_CANARY_HOT_FACTOR = float(
+    os.environ.get("SPARK_GRAFT_IO_CANARY_HOT_FACTOR", "2.0")
+)
+
+
+def _io_canary(spark, runs: int = 3) -> float:
+    """Fixed-cost disk round-trip whose wall time tracks host IO
+    pressure (page-cache eviction, dirty-writeback stalls, device
+    contention) that the pure-CPU canary is blind to.
+
+    Writes 2.5M rows of xxhash64 output (incompressible → the parquet
+    bytes actually hit the block layer, ~20 MB) to a fresh temp dir,
+    reads them back through an aggregate, and removes the dir so
+    repeated samples never accumulate disk usage or warm a fixed cache
+    entry.  runs=3 → median, runs=2 → MAX — opposite of the CPU
+    canary's min, deliberately: this arm exists to DETECT stalls, and
+    the measured A/B (2x12 GB background buffered writes) showed
+    moderate pressure producing alternating samples (1.79/1.27 s vs
+    0.80 idle) where a min-of-2 reads under the hot threshold and a
+    max-of-2 flags; idle max stays <=1.0 s, comfortably under
+    2x basis."""
+    import shutil
+    import tempfile
+
+    vals = []
+    for _ in range(runs):
+        d = tempfile.mkdtemp(prefix="ma_io_canary_")
+        path = os.path.join(d, "p")
+        try:
+            t0 = time.perf_counter()
+            (
+                spark.range(2_500_000)
+                .selectExpr("id", "xxhash64(id) AS h")
+                .repartition(8)
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+            # bit_xor, not sum: xxhash64 output spans the full int64
+            # range and a 2.5M-row sum overflows under ANSI mode
+            spark.read.parquet(path).selectExpr("bit_xor(h)").collect()
+            vals.append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    if runs == 2:
+        return round(max(vals), 3)
+    vals.sort()
+    return round(vals[(len(vals) - 1) // 2], 3)
+
+
 # Interleaved-canary cadence (VERDICT r09 item 3): endpoint-only
 # sampling missed episodic mid-run contention TWO rounds straight
 # (r08/r09 both shipped `host_contended: false` around 8-39x inflated
@@ -113,6 +181,11 @@ def main() -> None:
     spark.range(256).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # warm the parquet WRITE path once and discard: the first parquet
+    # write in a session pays committer/codec class-loading that would
+    # otherwise inflate the opening IO-canary sample (measured: first
+    # median-of-3 reads ~1.5 s vs the ~0.8 s steady state)
+    _io_canary(spark, runs=1)
 
     # Warm-number discipline without tripling the suite (tiered —
     # r07 verdict item 3 asked for median-of-3 so host variance stops
@@ -149,7 +222,11 @@ def main() -> None:
     # self-identifies via `suspect_queries` instead of polluting a
     # "clean" run.
     canary_samples: list[dict] = [
-        {"after_n": 0, "sec": _canary(spark, runs=3)}
+        {
+            "after_n": 0,
+            "sec": _canary(spark, runs=3),
+            "io_sec": _io_canary(spark, runs=3),
+        }
     ]
     timings: dict[str, float] = {}
     seg_of: dict[str, int] = {}
@@ -189,20 +266,35 @@ def main() -> None:
         spark.catalog.clearCache()
         n_done += 1
         if n_done % CANARY_EVERY == 0:
-            # min-of-2 mid-run: GC pauses only bias a canary UP, so the
-            # min is the honest cheap estimate (a full median-of-3
-            # every segment would add ~2s x 11 segments)
+            # mid-run 2-sample estimates: CPU reports the MIN (GC
+            # pauses only bias up — noise), IO reports the MAX (stalls
+            # are the signal; see _io_canary docstring).  A full
+            # median-of-3 on both arms every segment would add
+            # ~4s x 11 segments.
             canary_samples.append(
-                {"after_n": n_done, "sec": _canary(spark, runs=2)}
+                {
+                    "after_n": n_done,
+                    "sec": _canary(spark, runs=2),
+                    "io_sec": _io_canary(spark, runs=2),
+                }
             )
     if canary_samples[-1]["after_n"] != n_done:
         canary_samples.append(
-            {"after_n": n_done, "sec": _canary(spark, runs=3)}
+            {
+                "after_n": n_done,
+                "sec": _canary(spark, runs=3),
+                "io_sec": _io_canary(spark, runs=3),
+            }
         )
     load_end = _loadavg()
-    hot = [
+    cpu_hot = [
         s["sec"] > 1.5 * CANARY_COMMITTED_SEC for s in canary_samples
     ]
+    io_hot = [
+        s["io_sec"] > IO_CANARY_HOT_FACTOR * IO_CANARY_COMMITTED_SEC
+        for s in canary_samples
+    ]
+    hot = [c or i for c, i in zip(cpu_hot, io_hot)]
     # segment i spans queries between samples i and i+1; contended if
     # either bound is hot (contention seen entering OR leaving it)
     seg_contended = [
@@ -214,12 +306,16 @@ def main() -> None:
     )
     host = {
         "canary_committed_sec": CANARY_COMMITTED_SEC,
+        "io_canary_committed_sec": IO_CANARY_COMMITTED_SEC,
+        "io_canary_hot_factor": IO_CANARY_HOT_FACTOR,
         "canary_samples": canary_samples,
         "canary_start_sec": canary_samples[0]["sec"],
         "canary_end_sec": canary_samples[-1]["sec"],
         "loadavg_start": load_start,
         "loadavg_end": load_end,
         "host_contended": any(hot),
+        "cpu_contended": any(cpu_hot),
+        "io_contended": any(io_hot),
         "suspect_queries": suspect,
     }
     # Full per-query line first (for logs/humans), then a compact summary
