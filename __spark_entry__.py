@@ -1199,11 +1199,14 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies.  Oracle-checkable despite the nondeterministic quantizer:
     identical vectors always share a cell, the synthetic corpus's max
     natural cosine (~0.51) sits far below the threshold, so the dup
-    graph equals the all-pairs one the oracle computes."""
+    graph equals the all-pairs one the oracle computes — for ANY cell
+    count.  n_lists is deliberately left at the derived default
+    (~1k vectors/cell, SCALE.md §18.5) so the driver gates the exact
+    no-knob path a crawl-scale caller would run."""
     from metrics_advisor_spark.functions.similarity import semdedup
 
     return semdedup(
-        _emb_with_dups(spark, sf_dir), threshold=0.9, n_lists=16
+        _emb_with_dups(spark, sf_dir), threshold=0.9
     ).select("vec_id")
 
 

@@ -12,11 +12,15 @@ synthesis, spec-validated parse, real frame extraction that re-encodes
 each frame as a standalone BMP, so frames flow straight back through
 the image codec) — plus a pure-numpy BASELINE JPEG decoder
 (`functions.jpeg`, r10: T.81 sequential DCT — Huffman entropy decode,
-dequantize, vectorized IDCT, 4:2:0/4:2:2 upsampling, YCbCr→RGB) behind
-the same magic-byte dispatch, verified against an independent codec
-(the JVM's ImageIO).  PNG/H.264 — which genuinely require zlib-raster
-or ffmpeg machinery absent here — remain documented deployment swaps
-of the per-payload decode step only; the Spark plumbing is identical.
+dequantize, vectorized IDCT, 4:2:0/4:2:2 upsampling, YCbCr→RGB) and a
+full PNG decoder (`functions.png`, r10: stdlib-zlib inflate + all five
+scanline filters, 8-bit non-interlaced) behind the same magic-byte
+dispatch, both verified against an independent codec (the JVM's
+ImageIO).  The formats that still RAISE — progressive JPEG
+(`jpeg.py`), palette/16-bit/interlaced PNG (`png.py`), and compressed
+video (H.264/MP4, which genuinely needs ffmpeg machinery absent
+here) — remain documented deployment swaps of the per-payload decode
+step only; the Spark plumbing is identical.
 
 Scale notes: payloads never pass through Python row-at-a-time — the
 metadata extraction is one ``mapInPandas`` over Arrow record batches,
@@ -204,8 +208,10 @@ def resize_media(
     nearest-neighbor downsampled so the longer side is ≤ ``max_side``
     (pure-integer mapping, same arithmetic as `resize_bmp`), and
     RE-ENCODED as a genuine BMP.  Non-BMP payloads raise — resizing a
-    WAV is meaningless, and PNG is a deployment codec swap (baseline
-    JPEG decodes for real — `functions.jpeg`)."""
+    WAV is meaningless, and the JPEG/PNG resize path (decode is real —
+    `functions.jpeg`/`functions.png` — but re-encoding those formats
+    is not implemented) goes through `image_resize`'s BMP re-encode
+    only after an explicit decode."""
     resized = resize_bmp(
         media.select("doc_id", F.col(payload_col).alias("img")),
         max_side=max_side,
@@ -223,8 +229,8 @@ def resize_media(
 # Images: REAL codec work, no external library.  Windows BMP (24-bit
 # BI_RGB) is a 14-byte file header + 40-byte BITMAPINFOHEADER +
 # bottom-up BGR rows padded to 4 bytes — writable and parseable with
-# struct + numpy alone, so like the WAV path (and unlike the PIL/PNG
-# path, which stays a documented deployment swap) the BMP path is
+# struct + numpy alone, so like the WAV, baseline-JPEG and 8-bit PNG
+# paths the BMP path is
 # fully real end-to-end: genuine BMP bytes in the binary column,
 # genuine header parsing, genuine pixel decode.  The synthesized
 # raster is integer-deterministic
@@ -389,9 +395,10 @@ def decode_image(media: DataFrame, img_col: str = "img") -> DataFrame:
     output rows carry 5 small ints each, never the source payload.
     Fan-out is width·height rows per image — repartition downstream
     when decoding large rasters.  Magic-byte dispatch: BMP (numpy
-    stride parse) or baseline JPEG (the pure-numpy T.81 decoder in
-    `functions.jpeg` — r09 verdict item 8; PNG still requires PIL and
-    stays a deployment codec swap).  Both emit the same
+    stride parse), baseline JPEG (the pure-numpy T.81 decoder in
+    `functions.jpeg` — r09 verdict item 8), or 8-bit non-interlaced
+    PNG (`functions.png` — stdlib-zlib inflate + scanline unfilter,
+    r10).  All three emit the same
     (doc_id, y, x, b, g, r) top-down raster rows."""
     import numpy as np
     import pandas as pd
@@ -507,7 +514,7 @@ def image_pixel_sum(media: DataFrame, img_col: str = "img") -> DataFrame:
 def resize_bmp(
     media: DataFrame, max_side: int = 8, img_col: str = "img"
 ) -> DataFrame:
-    """REAL image resize (unlike `resize_media`'s PIL-stub path):
+    """REAL image resize (the kernel behind `resize_media` since r08):
     decode each BMP, nearest-neighbor downsample so the longer side is
     ≤ ``max_side`` (pure-integer mapping — nw = max(1, w·max_side//mx),
     source pixel (y·h//nh, x·w//nw) — so the result is bit-exact and
@@ -604,7 +611,7 @@ def image_tile_stats(
 # ---------------------------------------------------------------------------
 # Audio: REAL codec work, no external library.  RIFF/WAVE PCM16 is a
 # 44-byte header + little-endian samples — writable and parseable with
-# struct + numpy alone, so unlike the image path (PIL absent → stubbed)
+# struct + numpy alone, so like the BMP/JPEG/PNG image paths
 # the audio path is fully real end-to-end: genuine WAV bytes in the
 # binary column, genuine header parsing, genuine PCM windowing.
 # The synthesized waveform is integer-deterministic

@@ -344,6 +344,9 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_gram_cells: int = 4_000_000,
+    bucket_split_above: int = 8192,
+    sub_cell_target: int = 1024,
+    sub_probe: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP blocking + an IN-TASK
     vectorized candidate kernel + exact SQL re-check.
@@ -366,15 +369,29 @@ def embedding_near_dup_pairs(
     group keys (the AQE size-based-coalescing lesson, SCALE.md §18.1)
     keeps per-bucket compute spread across tasks.
 
-    MEASURED boundary (×100 probe, SCALE.md §18.5): on heavily
-    CLUSTERED corpora the kernel is still Σ n_bucket² FLOPs and SRP
-    sign-patterns concentrate each cluster into a handful of buckets
-    (raising n_bits splits clusters far more slowly than uniform
-    data), so bucket sizes — and the quadratic term — grow linearly
-    with the corpus.  This pairwise audit form is for corpora with
-    bounded near-dup rates; at crawl scale with heavy clustering use
-    `semdedup` (cluster-then-cap, n_lists ∝ corpus — measured
-    completing at ×100 where this operator does not)."""
+    MEASURED boundary (×100 probe, SCALE.md §18.5) and the r11
+    auto-route: on heavily CLUSTERED corpora SRP sign-patterns
+    concentrate each cluster into a handful of buckets (raising
+    n_bits splits clusters far more slowly than uniform data), so
+    bucket sizes — and the Σ n_bucket² term — grow linearly with the
+    corpus; the pairwise kernel alone was measured killed at ×100.
+    Rather than routing users to `semdedup` via documentation, the
+    operator now takes the cluster-then-cap path ITSELF whenever a
+    bucket exceeds ``bucket_split_above`` vectors: an in-task,
+    seeded-deterministic numpy k-means splits the bucket into
+    ``ceil(n/sub_cell_target)`` sub-cells and each vector is scored
+    within its ``sub_probe`` nearest sub-cells only (multi-probe
+    membership absorbs most boundary splits — near-identical vectors
+    have near-identical centroid distances, so their top-2 cell sets
+    overlap almost surely).  Work per bucket drops from n² to
+    ~Σ (sub_probe·sub_cell_target)² · n/sub_cell_target, i.e. LINEAR
+    in n at fixed cell size.  Below the threshold nothing changes —
+    the exact gram prefilter runs as before, so contract-scale output
+    (and its hash) is untouched.  Above it, recall becomes
+    SemDeDup-grade within oversized buckets (a pair can be missed if
+    k-means separates it in BOTH SRP tables), while emitted VALUES
+    stay exact — the authoritative SQL cosine re-check is unchanged.
+    """
     import numpy as np
     import pandas as pd
 
@@ -382,21 +399,10 @@ def embedding_near_dup_pairs(
     b = df.join(srp_buckets(df, n_bits, id_col, vec_col, n_tables=2), id_col)
     margin = 2e-6
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy(np.int64)
+    def gram_pairs(ids, u):
+        """Chunked exact gram prefilter over one (sub-)group; returns
+        (a_ids, b_ids) lists with a<b."""
         n = len(ids)
-        if n < 2:
-            return pd.DataFrame(
-                {"vec_a": pd.Series([], dtype="int64"),
-                 "vec_b": pd.Series([], dtype="int64")}
-            )
-        v = np.asarray(
-            [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
-        )
-        order = np.argsort(ids)
-        ids, v = ids[order], v[order]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            u = v / np.sqrt((v * v).sum(axis=1))[:, None]
         outa, outb = [], []
         chunk = max(1, max_gram_cells // n)
         for i0 in range(0, n, chunk):
@@ -408,11 +414,79 @@ def embedding_near_dup_pairs(
             if len(ai):
                 outa.append(ids[i0 + ai])
                 outb.append(ids[bi])
+        return outa, outb
+
+    def split_cells(u, n):
+        """Seeded in-task k-means (Lloyd on normalized vectors ==
+        spherical k-means) → per-vector top-``sub_probe`` cell ids.
+        Deterministic: input is pre-sorted by id and the init draw is
+        a fixed-seed RandomState over that order."""
+        k = min(n, -(-n // sub_cell_target))
+        rng = np.random.RandomState(7)
+        cent = u[rng.choice(n, size=k, replace=False)]
+        for _ in range(4):
+            # n×k dot-products, chunked to the same transient bound
+            # as the gram kernel
+            assign = np.empty(n, dtype=np.int64)
+            step = max(1, max_gram_cells // k)
+            for i0 in range(0, n, step):
+                assign[i0:i0 + step] = np.argmax(
+                    u[i0:i0 + step] @ cent.T, axis=1
+                )
+            for c in range(k):
+                m = assign == c
+                if m.any():
+                    v = u[m].sum(axis=0)
+                    nv = np.linalg.norm(v)
+                    if nv > 0:
+                        cent[c] = v / nv
+        top = np.empty((n, sub_probe), dtype=np.int64)
+        step = max(1, max_gram_cells // k)
+        p = min(sub_probe, k)
+        for i0 in range(0, n, step):
+            d = u[i0:i0 + step] @ cent.T
+            top_p = np.argpartition(-d, p - 1, axis=1)[:, :p]
+            top[i0:i0 + step, :p] = top_p
+            if p < sub_probe:
+                top[i0:i0 + step, p:] = top_p[:, :1]
+        return k, top
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(np.int64)
+        n = len(ids)
+        empty = pd.DataFrame(
+            {"vec_a": pd.Series([], dtype="int64"),
+             "vec_b": pd.Series([], dtype="int64")}
+        )
+        if n < 2:
+            return empty
+        v = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+        )
+        order = np.argsort(ids)
+        ids, v = ids[order], v[order]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = v / np.sqrt((v * v).sum(axis=1))[:, None]
+        outa, outb = [], []
+        if n <= bucket_split_above:
+            outa, outb = gram_pairs(ids, u)
+        else:
+            # cluster-then-cap auto-route (see docstring): sub-cell
+            # membership = union over the top-sub_probe assignments;
+            # a pair is scored once per shared cell and deduped by the
+            # downstream dropDuplicates.  nan rows (zero-norm vectors)
+            # would poison the centroid sums, so cluster on a zeroed
+            # copy — the gram step still sees the nan originals, which
+            # can never reach the threshold.
+            k, top = split_cells(np.nan_to_num(u), n)
+            for c in range(k):
+                m = np.nonzero((top == c).any(axis=1))[0]
+                if len(m) >= 2:
+                    a, b = gram_pairs(ids[m], u[m])
+                    outa.extend(a)
+                    outb.extend(b)
         if not outa:
-            return pd.DataFrame(
-                {"vec_a": pd.Series([], dtype="int64"),
-                 "vec_b": pd.Series([], dtype="int64")}
-            )
+            return empty
         return pd.DataFrame(
             {"vec_a": np.concatenate(outa), "vec_b": np.concatenate(outb)}
         )
@@ -441,7 +515,7 @@ def embedding_near_dup_pairs(
 def semdedup(
     corpus: DataFrame,
     threshold: float = 0.9,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
@@ -460,11 +534,20 @@ def semdedup(
     100 TB design: the quadratic pair work is confined to single cells —
     never corpus×corpus — and the cell id is the partition key of the
     Arrow-batched per-cell matmul.  Cluster granularity IS the skew/cost
-    control:
-    size ``n_lists`` so cells hold ~1k vectors (the paper uses 50k
-    clusters for 5B docs); the KMeans fit itself is a Spark job whose
-    model broadcast is tiny (n_lists × dim doubles).  Label propagation
-    then runs on the (sparse) dup graph only.
+    control: cells should hold ~1k vectors (the paper uses 50k clusters
+    for 5B docs); the KMeans fit itself is a Spark job whose model
+    broadcast is tiny (n_lists × dim doubles).  Label propagation then
+    runs on the (sparse) dup graph only.
+
+    ``n_lists=None`` (the default) DERIVES the cell count from the
+    corpus: ``max(16, ceil(count/1000))`` — the ~1k-vectors-per-cell law
+    the ×100 scale probe measured (SCALE.md §18.5: a fixed 16 cells dies
+    at 200k vectors with ~12.5k-vector cells, while corpus-proportional
+    granularity completes in ~540 s).  The one extra ``count()`` pass is
+    noise next to the Lloyd iterations (each is a full corpus pass), and
+    an operator whose safe operation depends on a knob the caller must
+    already know the answer to is not safe — pass an explicit int only
+    to pin granularity (e.g. reproducing a prior run).
 
     The quantizer only needs dedup-grade cells (identical/near-identical
     vectors land together for ANY centroid set), so the default fit is
@@ -492,6 +575,8 @@ def semdedup(
         F.col(id_col), F.col(vec_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
     )
+    if n_lists is None:
+        n_lists = max(16, -(-corpus.count() // 1000))
     model = KMeans(
         k=n_lists, seed=seed, featuresCol="_feat", predictionCol="_cell",
         maxIter=max_iter, initMode=init_mode,

@@ -65,6 +65,26 @@ def test_embedding_near_dup_pairs(vectors):
     assert pairs[(0, 1)] > 0.99
 
 
+def test_embedding_near_dup_split_route_matches_exact(vectors):
+    """r11 auto-route (VERDICT r10 item 4): forcing every bucket
+    through the cluster-then-cap split path (bucket_split_above=2,
+    i.e. any bucket with >2 vectors is k-means-split) must recover the
+    same pair set as the exact gram path on this corpus — the planted
+    near-dup pair survives the sub-cell split because multi-probe
+    membership keeps near-identical vectors together, and emitted
+    cosines are bit-identical since the authoritative SQL re-check is
+    shared.  Deterministic: fixed k-means seed over id-sorted input."""
+    df, _ = vectors
+    exact = {(r["vec_a"], r["vec_b"]): r["cosine"]
+             for r in embedding_near_dup_pairs(df, threshold=0.95).collect()}
+    split = {(r["vec_a"], r["vec_b"]): r["cosine"]
+             for r in embedding_near_dup_pairs(
+                 df, threshold=0.95, bucket_split_above=2,
+                 sub_cell_target=4,
+             ).collect()}
+    assert split == exact
+
+
 def test_lsh_recall_vs_bruteforce(vectors):
     """Multi-table SRP recall on top-3: approximate, but with 8 tables ×
     4 bits a meaningful fraction of true neighbors must surface even on
