@@ -7,12 +7,20 @@ the same dependency-free spirit (r09 verdict item 8 — "the next step is
 a baseline-JPEG decoder, pure-numpy IDCT, wired behind the magic-byte
 dispatch").
 
-Scope (exactly baseline JPEG, the format ~95% of real-world JPEGs use):
-- SOI/APPn/COM/DQT/DHT/SOF0/SOS/DRI/RSTn/EOI marker structure
+Scope (baseline + progressive Huffman JPEG — together the formats
+virtually all real-world JPEGs use):
+- SOI/APPn/COM/DQT/DHT/SOF0/SOF1/SOF2/SOS/DRI/RSTn/EOI structure
 - 8-bit sample precision, 1 (grayscale) or 3 (YCbCr) components
 - arbitrary H/V sampling factors up to 2 (4:4:4, 4:2:2, 4:2:0)
 - canonical Huffman entropy decode with byte stuffing + restart
   intervals
+- MULTI-SCAN decode (r11, VERDICT r10 item 7): sequential images may
+  split components across scans, and progressive (SOF2) images carry
+  spectral-selection (Ss/Se) + successive-approximation (Ah/Al)
+  scans — DC first/refine, AC first/refine with EOB-run coding per
+  T.81 Annex G (the coefficient-band state machine re-derived from
+  the spec's flow charts; cross-validated against the JVM's ImageIO
+  as an independent codec)
 - dequantize -> de-zigzag -> 8x8 IDCT-II (one einsum over all blocks
   of a component — the orthonormal DCT basis C: block = C^T X C)
 - chroma upsampling by PIXEL REPLICATION (documented: libjpeg's
@@ -21,8 +29,8 @@ Scope (exactly baseline JPEG, the format ~95% of real-world JPEGs use):
   spec's compliance annex uses)
 - integer YCbCr -> RGB (BT.601 as specified in JFIF)
 
-Progressive (SOF2), arithmetic coding, 12-bit precision and hierarchical
-modes raise with a clear message — they are deployment codec swaps, the
+Arithmetic coding, 12-bit precision, lossless and hierarchical modes
+raise with a clear message — they are deployment codec swaps, the
 same boundary the AVI path draws at compressed video.
 
 Scale: the marker parse + IDCT are vectorized numpy; the entropy decode
@@ -161,13 +169,28 @@ def jpeg_meta(payload: bytes) -> tuple[int, int, int]:
     return hdr["w"], hdr["h"], len(hdr["components"])
 
 
-def _parse_segments(payload: bytes, stop_at_sos: bool = False) -> dict:
-    if payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG payload (missing SOI)")
-    pos = 2
-    qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], _Huff] = {}
-    out: dict = {"qt": qt, "huff": huff, "restart_interval": 0}
+def _parse_segments(
+    payload: bytes,
+    stop_at_sos: bool = False,
+    start: int = 2,
+    state: dict | None = None,
+) -> dict:
+    """Parse marker segments from ``start`` until SOS (returning with
+    the scan header + entropy-data offset) or EOI.  Pass the returned
+    dict back as ``state`` with the next start offset to continue after
+    a scan — DQT/DHT/DRI may legally appear between scans and update
+    the shared tables in place."""
+    if state is None:
+        if payload[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG payload (missing SOI)")
+        qt: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], _Huff] = {}
+        out: dict = {"qt": qt, "huff": huff, "restart_interval": 0}
+    else:
+        out = state
+        out.pop("scan", None)
+        qt, huff = out["qt"], out["huff"]
+    pos = start
     while pos < len(payload):
         if pos + 2 > len(payload):
             raise ValueError("JPEG: truncated stream (marker cut off)")
@@ -176,6 +199,7 @@ def _parse_segments(payload: bytes, stop_at_sos: bool = False) -> dict:
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            out["eoi"] = True
             break
         if 0xD0 <= marker <= 0xD7:  # stray RST
             continue
@@ -213,7 +237,7 @@ def _parse_segments(payload: bytes, stop_at_sos: bool = False) -> dict:
                 symbols = list(seg[p + 17 : p + 17 + n])
                 huff[(tc, th)] = _Huff(counts, symbols)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise ValueError(
@@ -226,12 +250,14 @@ def _parse_segments(payload: bytes, stop_at_sos: bool = False) -> dict:
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
             out.update(w=w, h=h, components=comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            out["progressive"] = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "JPEG: only baseline sequential DCT (SOF0/SOF1) is "
-                f"supported; marker SOF{marker - 0xC0} (progressive/"
-                "arithmetic/hierarchical) is a deployment codec swap"
+                "JPEG: only Huffman sequential/progressive DCT "
+                f"(SOF0/SOF1/SOF2) is supported; marker "
+                f"SOF{marker - 0xC0} (arithmetic/lossless/hierarchical) "
+                "is a deployment codec swap"
             )
         elif marker == 0xDD:  # DRI
             (out["restart_interval"],) = struct.unpack(">H", seg[:2])
@@ -241,24 +267,238 @@ def _parse_segments(payload: bytes, stop_at_sos: bool = False) -> dict:
             for i in range(ncomp_s):
                 cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
                 scan.append({"id": cs, "dc": tdta >> 4, "ac": tdta & 0xF})
+            # spectral selection + successive approximation (baseline
+            # streams carry the fixed 0/63/0/0 here)
+            ss, se, ahal = seg[1 + 2 * ncomp_s : 4 + 2 * ncomp_s]
             out["scan"] = scan
+            out["scan_band"] = (ss, se, ahal >> 4, ahal & 0xF)
             out["scan_pos"] = pos + seg_len
             return out  # entropy data follows; caller decodes
         # APPn / COM / anything else: skip
         pos += seg_len
     if stop_at_sos and "w" in out:
         return out
+    if state is not None:
+        return out  # continuation after a scan: EOI ends the stream
     if "scan" not in out:
         raise ValueError("JPEG: no SOS segment found")
     return out
 
 
-def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to an (h, w, 3) uint8 RGB array
-    (grayscale replicates into 3 channels — the raster contract the
-    BMP path's consumers already use)."""
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Advance past any residual entropy bytes / stuffing / RSTn / fill
+    0xFFs to the next REAL marker after a scan."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] != 0xFF:
+            pos += 1
+        elif payload[pos + 1] == 0x00:
+            pos += 2
+        elif payload[pos + 1] == 0xFF:
+            pos += 1  # fill byte
+        elif 0xD0 <= payload[pos + 1] <= 0xD7:
+            pos += 2
+        else:
+            return pos
+    raise ValueError("JPEG: truncated stream (no marker after scan)")
+
+
+def _decode_sequential_block(reader, dc_t, ac_t, pred, sc_id, band):
+    """One full 64-coefficient data unit (T.81 F.2.2) into the zigzag-
+    ordered ``band`` view."""
+    size = reader.huffman(dc_t)
+    diff = _extend(reader.read(size), size)
+    pred[sc_id] += diff
+    band[0] = pred[sc_id]
+    k = 1
+    while k < 64:
+        sym = reader.huffman(ac_t)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0xF
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("JPEG: AC run past block end")
+        band[k] = _extend(reader.read(size), size)
+        k += 1
+
+
+def _decode_scan(payload, hdr, coef, by_id, mcux, mcuy, hmax, vmax) -> int:
+    """Decode ONE scan's entropy data into the per-component zigzag
+    coefficient stores; returns the offset of the next marker.
+
+    Sequential scans (baseline or SOF1, interleaved or one-component)
+    decode full data units; progressive scans dispatch on the
+    (Ss, Se, Ah, Al) band parameters to the four T.81 Annex G
+    procedures — DC first, DC refine, AC first, AC refine — with
+    EOB-run state shared across the scan's blocks."""
+    scan = [dict(sc, **by_id[sc["id"]]) for sc in hdr["scan"]]
+    progressive = hdr.get("progressive", False)
+    ss, se, ah, al = hdr["scan_band"] if progressive else (0, 63, 0, 0)
+    if progressive and ss > 0 and len(scan) != 1:
+        raise ValueError("JPEG: progressive AC scan must be "
+                         "non-interleaved (one component)")
+    if ss > se or se > 63:
+        raise ValueError("JPEG: invalid spectral band in SOS")
+    reader = _BitReader(payload, hdr["scan_pos"])
+    pred = {sc["id"]: 0 for sc in scan}
+    state = {"eobrun": 0}
+    ri = hdr["restart_interval"]
+    p1, m1 = 1 << al, -1 << al
+
+    def dc_first(sc, band):
+        size = reader.huffman(hdr["huff"][(0, sc["dc"])])
+        pred[sc["id"]] += _extend(reader.read(size), size)
+        band[0] = pred[sc["id"]] << al
+
+    def dc_refine(band):
+        if reader.read(1):
+            band[0] |= p1
+
+    def ac_first(sc, band):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        ac_t = hdr["huff"][(1, sc["ac"])]
+        k = ss
+        while k <= se:
+            sym = reader.huffman(ac_t)
+            run, size = sym >> 4, sym & 0xF
+            if size:
+                k += run
+                if k > se:
+                    raise ValueError("JPEG: AC run past band end")
+                band[k] = _extend(reader.read(size), size) << al
+                k += 1
+            elif run != 15:  # EOBn: run-length-coded end-of-band run
+                state["eobrun"] = (1 << run) - 1
+                if run:
+                    state["eobrun"] += reader.read(run)
+                break
+            else:  # ZRL
+                k += 16
+
+    def ac_refine(sc, band):
+        # T.81 G.1.2.3 / figure G.7: interleave correction bits for
+        # already-nonzero coefficients with placement of newly-nonzero
+        # (magnitude-1) coefficients; an EOB run covers the remainder
+        # of the band, correction bits included.
+        ac_t = hdr["huff"][(1, sc["ac"])]
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                sym = reader.huffman(ac_t)
+                run, size = sym >> 4, sym & 0xF
+                newval = 0
+                if size:
+                    # refinement AC codes carry 1-bit magnitudes only
+                    newval = p1 if reader.read(1) else m1
+                elif run != 15:
+                    state["eobrun"] = 1 << run
+                    if run:
+                        state["eobrun"] += reader.read(run)
+                    break
+                # advance over `run` zero-history positions, appending
+                # correction bits to every nonzero coefficient passed
+                while k <= se:
+                    if band[k] != 0:
+                        if reader.read(1) and not (band[k] & p1):
+                            band[k] += p1 if band[k] > 0 else m1
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if newval and k <= se:
+                    band[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if band[k] != 0:
+                    if reader.read(1) and not (band[k] & p1):
+                        band[k] += p1 if band[k] > 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+    def decode_unit(sc, band):
+        if not progressive:
+            _decode_sequential_block(
+                reader,
+                hdr["huff"][(0, sc["dc"])],
+                hdr["huff"][(1, sc["ac"])],
+                pred,
+                sc["id"],
+                band,
+            )
+        elif ss == 0 and ah == 0:
+            dc_first(sc, band)
+        elif ss == 0:
+            dc_refine(band)
+        elif ah == 0:
+            ac_first(sc, band)
+        else:
+            ac_refine(sc, band)
+
+    def maybe_restart(unit_index):
+        if ri and unit_index and unit_index % ri == 0:
+            reader.byte_align()
+            reader.skip_restart_marker()
+            for key in pred:
+                pred[key] = 0
+            state["eobrun"] = 0
+
+    try:
+        if len(scan) > 1:  # interleaved: MCU order
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart(unit)
+                    unit += 1
+                    for sc in scan:
+                        for by in range(sc["v"]):
+                            for bx in range(sc["h"]):
+                                decode_unit(
+                                    sc,
+                                    coef[sc["id"]][
+                                        my * sc["v"] + by,
+                                        mx * sc["h"] + bx,
+                                    ],
+                                )
+        else:  # non-interleaved: the component's own block raster
+            sc = scan[0]
+            comp_w = -(-hdr["w"] * sc["h"] // hmax)  # ceil(w·Hi/Hmax)
+            comp_h = -(-hdr["h"] * sc["v"] // vmax)
+            bw, bh = -(-comp_w // 8), -(-comp_h // 8)
+            unit = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    maybe_restart(unit)
+                    unit += 1
+                    decode_unit(sc, coef[sc["id"]][by, bx])
+    except _Marker:
+        raise ValueError(
+            "JPEG: unexpected marker in entropy data (truncated or "
+            "corrupt scan)"
+        ) from None
+    except _Restart:
+        raise ValueError(
+            "JPEG: unexpected restart marker mid-block"
+        ) from None
+    return _next_marker(payload, reader.pos)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline OR progressive Huffman JPEG to an (h, w, 3)
+    uint8 RGB array (grayscale replicates into 3 channels — the raster
+    contract the BMP path's consumers already use).  All scans are
+    accumulated into per-component zigzag coefficient stores, then the
+    shared dequantize → de-zigzag → IDCT → upsample → YCbCr→RGB
+    reconstruction runs once."""
     hdr = _parse_segments(payload)
-    w, h, comps, scan = hdr["w"], hdr["h"], hdr["components"], hdr["scan"]
+    w, h, comps = hdr["w"], hdr["h"], hdr["components"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax > 2 or vmax > 2:
@@ -266,93 +506,61 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     by_id = {c["id"]: c for c in comps}
-    for sc in scan:
-        sc.update(by_id[sc["id"]])
-    # coefficient store: per component, (blocks_y, blocks_x, 64)
+    # coefficient store: per component, (blocks_y, blocks_x, 64) in
+    # zigzag order, MCU-padded (non-interleaved scans only touch the
+    # component's real block raster inside it)
     coef = {
-        sc["id"]: np.zeros(
-            (mcuy * sc["v"], mcux * sc["h"], 64), dtype=np.int32
-        )
-        for sc in scan
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
     }
-    reader = _BitReader(payload, hdr["scan_pos"])
-    pred = {sc["id"]: 0 for sc in scan}
-    ri = hdr["restart_interval"]
-    mcu_index = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if ri and mcu_index and mcu_index % ri == 0:
-                reader.byte_align()
-                reader.skip_restart_marker()
-                for k in pred:
-                    pred[k] = 0
-            mcu_index += 1
-            for sc in scan:
-                dc_t = hdr["huff"][(0, sc["dc"])]
-                ac_t = hdr["huff"][(1, sc["ac"])]
-                for by in range(sc["v"]):
-                    for bx in range(sc["h"]):
-                        blk = np.zeros(64, dtype=np.int32)
-                        try:
-                            size = reader.huffman(dc_t)
-                            diff = _extend(reader.read(size), size)
-                            pred[sc["id"]] += diff
-                            blk[0] = pred[sc["id"]]
-                            k = 1
-                            while k < 64:
-                                sym = reader.huffman(ac_t)
-                                if sym == 0x00:  # EOB
-                                    break
-                                run, size = sym >> 4, sym & 0xF
-                                if sym == 0xF0:  # ZRL
-                                    k += 16
-                                    continue
-                                k += run
-                                if k > 63:
-                                    raise ValueError(
-                                        "JPEG: AC run past block end"
-                                    )
-                                blk[k] = _extend(reader.read(size), size)
-                                k += 1
-                        except _Restart:
-                            raise ValueError(
-                                "JPEG: unexpected restart marker "
-                                "mid-block"
-                            ) from None
-                        coef[sc["id"]][
-                            my * sc["v"] + by, mx * sc["h"] + bx
-                        ] = blk
+    seen = set()
+    while "scan" in hdr:
+        for sc in hdr["scan"]:
+            if sc["id"] not in by_id:
+                raise ValueError(
+                    f"JPEG: scan references unknown component {sc['id']}"
+                )
+            seen.add(sc["id"])
+        nxt = _decode_scan(payload, hdr, coef, by_id, mcux, mcuy, hmax, vmax)
+        hdr = _parse_segments(payload, start=nxt, state=hdr)
+    if seen != set(by_id):
+        raise ValueError(
+            "JPEG: stream ended before every SOF component was scanned"
+        )
     # dequantize -> de-zigzag -> IDCT, one einsum per component
     planes = {}
-    for sc in scan:
-        q = hdr["qt"][sc["tq"]]
-        c = coef[sc["id"]]
-        deq = (c * q[None, None, :]).astype(np.float64)
-        blocks = np.zeros((c.shape[0], c.shape[1], 8, 8))
-        blocks.reshape(c.shape[0], c.shape[1], 64)[
-            :, :, ZIGZAG
-        ] = deq
+    for c in comps:
+        q = hdr["qt"][c["tq"]]
+        cf = coef[c["id"]]
+        deq = (cf * q[None, None, :]).astype(np.float64)
+        blocks = np.zeros((cf.shape[0], cf.shape[1], 8, 8))
+        blocks.reshape(cf.shape[0], cf.shape[1], 64)[:, :, ZIGZAG] = deq
         spat = np.einsum("ki,yxkl,lj->yxij", _C, blocks, _C)
         # blocks -> plane
         plane = (
             spat.transpose(0, 2, 1, 3)
-            .reshape(c.shape[0] * 8, c.shape[1] * 8)
+            .reshape(cf.shape[0] * 8, cf.shape[1] * 8)
         )
         plane = np.clip(np.round(plane + 128.0), 0, 255)
         # upsample by replication to full MCU-padded resolution
         plane = np.repeat(
-            np.repeat(plane, vmax // sc["v"], axis=0),
-            hmax // sc["h"],
+            np.repeat(plane, vmax // c["v"], axis=0),
+            hmax // c["h"],
             axis=1,
         )
-        planes[sc["id"]] = plane[:h, :w]
-    if len(scan) == 1:
-        g = planes[scan[0]["id"]].astype(np.uint8)
+        planes[c["id"]] = plane[:h, :w]
+    if len(comps) == 1:
+        g = planes[comps[0]["id"]].astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
-    y, cb, cr = (planes[sc["id"]] for sc in scan)
+    y, cb, cr = (planes[c["id"]] for c in comps)
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(
         np.round(np.stack([r, g, b], axis=-1)), 0, 255
     ).astype(np.uint8)
+
+
+# Back-compat alias: the magic-byte dispatch and earlier tests import
+# this name; since r11 it decodes progressive streams too.
+decode_baseline_jpeg = decode_jpeg

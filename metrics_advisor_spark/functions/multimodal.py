@@ -16,7 +16,9 @@ dequantize, vectorized IDCT, 4:2:0/4:2:2 upsampling, YCbCr→RGB) and a
 full PNG decoder (`functions.png`, r10: stdlib-zlib inflate + all five
 scanline filters, 8-bit non-interlaced) behind the same magic-byte
 dispatch, both verified against an independent codec (the JVM's
-ImageIO).  The formats that still RAISE — progressive JPEG
+ImageIO); r11 extended the JPEG path to PROGRESSIVE (SOF2) streams —
+multi-scan spectral-selection/successive-approximation decode per
+T.81 Annex G.  The formats that still RAISE — arithmetic-coded JPEG
 (`jpeg.py`), palette/16-bit/interlaced PNG (`png.py`), and compressed
 video (H.264/MP4, which genuinely needs ffmpeg machinery absent
 here) — remain documented deployment swaps of the per-payload decode
