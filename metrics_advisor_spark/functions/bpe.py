@@ -194,6 +194,34 @@ def bpe_segment_words(
         .drop("_seg")
     )
 
+def _admit_batch(top, budget: int) -> list[tuple[str, str, int]]:
+    """Select up to ``budget`` NON-INTERACTING pairs from a ranked
+    candidate list (rows with left/right/pair_count).  Two pairs
+    interact when they share a symbol, OR when one pair's apply-time
+    replacement can create/destroy occurrences the other matches:
+    an admitted (a, b) mints new "ab" symbols, so a candidate with
+    "ab" as a symbol is deferred; symmetrically a candidate whose own
+    concatenation is an admitted SYMBOL is deferred, since its replace
+    would mint occurrences for the earlier-admitted pair after that
+    pair's count was recorded (ADVICE r10).  Deferred pairs simply
+    rank again next round — admission never skips them permanently."""
+    used: set[str] = set()
+    made: set[str] = set()
+    batch: list[tuple[str, str, int]] = []
+    for r in top:
+        if len(batch) >= budget:
+            break
+        left, right = r["left"], r["right"]
+        syms = {left, right}
+        concat = left + right
+        if used & syms or made & syms or concat in used:
+            continue
+        used |= syms
+        made.add(concat)
+        batch.append((left, right, r["pair_count"]))
+    return batch
+
+
 def bpe_train_batched(
     df: DataFrame,
     n_merges: int = 6,
@@ -208,16 +236,22 @@ def bpe_train_batched(
     while each batched round ranks the top pairs once and applies up
     to ``k_batch`` of them, cutting the round count ~k_batch-fold.
 
-    Batch admission rule: walk the ranked pair list (count desc, left
-    asc, right asc — the sequential tiebreak) and admit a pair only if
-    its symbols are DISJOINT from every symbol already admitted this
-    round.  Disjoint merges cannot change each other's occurrence
-    counts, so every admitted pair's count is still exact at apply
-    time.  The approximation relative to sequential BPE: a merge
-    CREATED by an earlier admitted pair (some (x, left+right)) could
-    in principle out-rank a later admitted pair; sequential training
-    would pick it first.  This is the standard parallel-BPE trade —
-    ``k_batch=1`` restores exact sequential semantics
+    Batch admission rule (`_admit_batch`): walk the ranked pair list
+    (count desc, left asc, right asc — the sequential tiebreak) and
+    admit a pair only if (a) its symbols are DISJOINT from every
+    symbol already admitted this round, AND (b) neither of its symbols
+    equals the CONCATENATION of an already-admitted pair, nor its own
+    concatenation equals an already-admitted symbol (ADVICE r10: an
+    admitted (a, b) creates new "ab" symbols at apply time, so a
+    same-round (x, "ab") — or an (x, y) whose "xy" an admitted pair
+    consumes — would see occurrences its recorded count never saw).
+    Under (a)+(b) no replace in the round can create or destroy
+    occurrences any other admitted pair matches, so every admitted
+    pair's count is still exact at apply time.  The approximation
+    relative to sequential BPE: a merge CREATED by an earlier admitted
+    pair could in principle out-rank a later admitted pair; sequential
+    training would pick it first.  This is the standard parallel-BPE
+    trade — ``k_batch=1`` restores exact sequential semantics
     (`test_bpe_batched_k1_matches_sequential` pins it) and the merge
     lists converge to the same vocabulary in practice.
 
@@ -249,16 +283,9 @@ def bpe_train_batched(
         )
         if not top:
             break
-        used: set[str] = set()
-        batch: list[tuple[str, str, int]] = []
-        for r in top:
-            if len(batch) >= k_batch or len(rows) + len(batch) >= n_merges:
-                break
-            syms = {r["left"], r["right"]}
-            if used & syms:
-                continue
-            used |= syms
-            batch.append((r["left"], r["right"], r["pair_count"]))
+        batch = _admit_batch(
+            top, min(k_batch, n_merges - len(rows))
+        )
         if not batch:
             break
         col = F.col("seg")

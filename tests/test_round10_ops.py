@@ -32,6 +32,40 @@ def test_bpe_batched_k1_matches_sequential(spark):
     )
 
 
+def test_bpe_admit_batch_rejects_concat_interactions():
+    """ADVICE r10: symbol-set disjointness alone is not enough — an
+    admitted (a, b) mints new 'ab' symbols at apply time, so a
+    same-round (x, 'ab') would merge occurrences its recorded count
+    never saw; symmetrically a candidate whose own concatenation is an
+    already-admitted symbol mints occurrences for the earlier pair.
+    Both must be deferred to the next round."""
+    from metrics_advisor_spark.functions.bpe import _admit_batch
+
+    rows = [
+        {"left": "a", "right": "b", "pair_count": 100},
+        {"left": "x", "right": "ab", "pair_count": 90},  # symbol == a+b
+        {"left": "c", "right": "d", "pair_count": 80},
+        {"left": "q", "right": "x", "pair_count": 70},  # shares x? no —
+        # x was NOT admitted (its pair was rejected), so (q, x) is fine
+    ]
+    got = _admit_batch(rows, budget=8)
+    assert got == [("a", "b", 100), ("c", "d", 80), ("q", "x", 70)]
+
+    # vice versa: candidate whose concatenation equals an admitted
+    # SYMBOL is deferred ((e, f) -> 'ef' collides with admitted
+    # right-symbol 'ef')
+    rows2 = [
+        {"left": "g", "right": "ef", "pair_count": 50},
+        {"left": "e", "right": "f", "pair_count": 40},
+        {"left": "u", "right": "v", "pair_count": 30},
+    ]
+    got2 = _admit_batch(rows2, budget=8)
+    assert got2 == [("g", "ef", 50), ("u", "v", 30)]
+
+    # budget cap still honored
+    assert _admit_batch(rows2, budget=1) == [("g", "ef", 50)]
+
+
 def test_bpe_batched_admits_only_disjoint_pairs(spark):
     """Within any admission round, no two merges may share a symbol —
     that is the invariant that keeps batched pair counts exact.
