@@ -584,7 +584,29 @@ def _values_codebook(spark, rows):
     Doubles are emitted via repr() — the shortest round-trip form —
     and parse back to the identical IEEE-754 double.  Rows are sorted
     (s, code) so the emitted plan is deterministic regardless of
-    collect order."""
+    collect order.
+
+    ADVICE r10: an empty row list would render 'FROM (VALUES )' and
+    surface as an opaque ParseException, and non-finite centroid
+    values would emit invalid SQL ('nanD') — both are caller bugs
+    (empty corpus / degenerate fit), so fail with a descriptive error
+    instead."""
+    rows = list(rows)
+    if not rows:
+        raise ValueError(
+            "_values_codebook: no codebook rows — the corpus (or the "
+            "tag slice being fit) is empty; fit a codebook on a "
+            "non-empty corpus before searching/auditing"
+        )
+    import math
+
+    for r in rows:
+        if any(not math.isfinite(float(x)) for x in r[2]):
+            raise ValueError(
+                "_values_codebook: non-finite centroid component in "
+                f"(s={r[0]}, code={r[1]}) — degenerate codebook fit "
+                "(empty cell or non-finite input vectors)"
+            )
     vals = ",".join(
         "({},{},array({}))".format(
             r[0], r[1], ",".join(repr(float(x)) + "D" for x in r[2])
@@ -601,10 +623,23 @@ def _values_codebook(spark, rows):
 # audit DataFrame costs ~3 s of driver-side Py4J/Catalyst work at ANY
 # data scale (the plan is O(operators), not O(rows)); repeated audits
 # of the same corpus — parameter sweeps, the bench's median-of-3 tier —
-# reuse the built plan.  Entries are per (JVM session, input semantic
+# reuse the built plan.  Entries are per (session key, input semantic
 # hashes, params); a handful of audits per process, so unbounded by
 # design.
 _PREPARED_AUDITS: dict = {}
+
+
+def _session_key(spark) -> tuple:
+    """Stable session identity for prepared-plan caches.  ADVICE r10:
+    keying on id(jsparkSession) is unsound — CPython can reuse the
+    address after the old session is garbage-collected, handing a new
+    session cached DataFrames bound to a stopped one.  applicationId +
+    the JVM session's UUID never repeats across sessions."""
+    try:
+        uuid = spark._jsparkSession.sessionUUID()
+    except Exception:  # very old Spark: fall back to the object id
+        uuid = str(id(spark._jsparkSession))
+    return (spark.sparkContext.applicationId, uuid)
 
 
 def _repin_audit(eager_pins, passive_pins) -> None:
@@ -665,7 +700,7 @@ def ann_recall_audit(
     cache_key = None
     if prepare:
         cache_key = (
-            id(emb.sparkSession._jsparkSession),
+            _session_key(emb.sparkSession),
             emb._jdf.queryExecution().analyzed().semanticHash(),
             queries._jdf.queryExecution().analyzed().semanticHash(),
             k, k_coarse, m, k_codes, nprobe, id_col, vec_col,
@@ -674,6 +709,17 @@ def ann_recall_audit(
         if hit is not None:
             out, eager_pins, passive_pins = hit
             _repin_audit(eager_pins, passive_pins)
+            # re-ATTACH the frames (ADVICE r10): a prior
+            # release_cached() emptied the attachment list, so without
+            # this the re-persisted frames could never be released
+            # again (slow cache growth in long-lived sessions)
+            from metrics_advisor_spark.functions import cacheutil
+
+            setattr(
+                out,
+                cacheutil._ATTR,
+                list(passive_pins) + [f for f, _ in eager_pins],
+            )
             return out
 
     # ONE corpus pass fits BOTH emb-side codebooks (flat m-subspace +

@@ -714,24 +714,45 @@ def run_to_memory(
     name: str,
     checkpoint: str | None = None,
     output_mode: str = "append",
+    state_partitions: int | None = 8,
 ) -> Any:
     """Drain a streaming DataFrame into an in-memory table with an
     availableNow trigger (test/dev helper; production uses a real sink).
 
     Windowed aggregations need ``output_mode='complete'`` here: with
     append, a window only emits once the watermark passes its end, which
-    never happens for the final windows of a drained file stream."""
-    writer = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-    )
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    q = writer.start()
-    q.awaitTermination()
-    return q
+    never happens for the final windows of a drained file stream.
+
+    ``state_partitions`` narrows ``spark.sql.shuffle.partitions`` for
+    the drain (restored afterwards): streaming state stores are
+    per-shuffle-partition, and the r11 floor measurement (SCALE.md §19)
+    found a stateful availableNow drain pays ~1.0 s of state-store
+    init/commit at the session's 32 partitions vs ~0.05 s at 4-8 — a
+    pure fixed tax at memory-sink drain scale (≤1M rows), while the
+    post-shuffle compute stays amply parallel at 8.  Values are
+    partition-count-invariant, so results (and contract hashes) are
+    unchanged.  Pass ``None`` to keep the session setting (production
+    streams sized for real shuffle volumes)."""
+    spark = df.sparkSession
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        writer = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+        )
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        q = writer.start()
+        q.awaitTermination()
+        return q
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def latest_by_key_stream(
