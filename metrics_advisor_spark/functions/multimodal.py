@@ -18,11 +18,12 @@ scanline filters, 8-bit non-interlaced) behind the same magic-byte
 dispatch, both verified against an independent codec (the JVM's
 ImageIO); r11 extended the JPEG path to PROGRESSIVE (SOF2) streams —
 multi-scan spectral-selection/successive-approximation decode per
-T.81 Annex G.  The formats that still RAISE — arithmetic-coded JPEG
-(`jpeg.py`), palette/16-bit/interlaced PNG (`png.py`), and compressed
-video (H.264/MP4, which genuinely needs ffmpeg machinery absent
-here) — remain documented deployment swaps of the per-payload decode
-step only; the Spark plumbing is identical.
+T.81 Annex G — and the PNG path to palette/16-bit/sub-byte-gray/
+Adam7-interlaced layouts.  The formats that still RAISE —
+arithmetic-coded JPEG (`jpeg.py`), APNG animation (`png.py`), and
+compressed video (H.264/MP4, which genuinely needs ffmpeg machinery
+absent here) — remain documented deployment swaps of the per-payload
+decode step only; the Spark plumbing is identical.
 
 Scale notes: payloads never pass through Python row-at-a-time — the
 metadata extraction is one ``mapInPandas`` over Arrow record batches,

@@ -142,6 +142,139 @@ def test_png_all_filter_types_decode(spark):
         assert (decode_png(build(f)) == px).all(), f"filter {f}"
 
 
+def test_png_palette_bit_exact(spark):
+    """r11: palette (color type 3) decodes through the PLTE lookup —
+    a TYPE_BYTE_INDEXED BufferedImage makes ImageIO emit a genuine
+    palette PNG, and ImageIO's own decode is the expansion oracle."""
+    jvm = _jvm(spark)
+    t = jvm.java.awt.image.BufferedImage
+    rng = np.random.default_rng(17)
+    idx = rng.integers(0, 256, (19, 23), dtype=np.int64)
+    bi = t(23, 19, t.TYPE_BYTE_INDEXED)
+    for y in range(19):
+        for x in range(23):
+            # indexed model: setRGB quantizes to the default 256-color
+            # palette; whatever it picks, both decoders must agree
+            v = int(idx[y, x])
+            bi.setRGB(x, y, (v << 16) | ((255 - v) << 8) | v)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.imageio.ImageIO.write(bi, "png", baos)
+    payload = bytes(baos.toByteArray())
+
+    from metrics_advisor_spark.functions.png import decode_png, png_meta
+
+    assert b"PLTE" in payload, "fixture is not a palette PNG"
+    assert png_meta(payload) == (23, 19, 1)
+    mine = decode_png(payload)
+    ref = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(payload)
+    )
+    for y in range(19):
+        for x in range(23):
+            rgb = ref.getRGB(x, y)
+            assert (
+                mine[y, x, 0] == (rgb >> 16) & 255
+                and mine[y, x, 1] == (rgb >> 8) & 255
+                and mine[y, x, 2] == rgb & 255
+            ), (y, x)
+
+
+def test_png_16bit_gray_high_byte(spark):
+    """r11: 16-bit samples decode via the byte-pair unfilter and keep
+    the high byte (the defined 16->8 reduction)."""
+    jvm = _jvm(spark)
+    t = jvm.java.awt.image.BufferedImage
+    rng = np.random.default_rng(23)
+    gy16 = rng.integers(0, 65536, (14, 17), dtype=np.int64)
+    bi = t(17, 14, t.TYPE_USHORT_GRAY)
+    ras = bi.getRaster()
+    for y in range(14):
+        for x in range(17):
+            ras.setSample(x, y, 0, int(gy16[y, x]))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.imageio.ImageIO.write(bi, "png", baos)
+    payload = bytes(baos.toByteArray())
+
+    from metrics_advisor_spark.functions.png import decode_png
+
+    assert payload[24] == 16, "fixture is not 16-bit"
+    mine = decode_png(payload)
+    assert (mine[:, :, 0] == (gy16 >> 8)).all()
+
+
+def test_png_interlaced_bit_exact(spark):
+    """r11: Adam7 interlace — the JDK PNG writer's progressive mode
+    emits interlace method 1; the seven-pass de-interlace must
+    reproduce the plain pixels bit-exactly."""
+    jvm = _jvm(spark)
+    t = jvm.java.awt.image.BufferedImage
+    col = _fixture_rgb()
+    h, w = col.shape[:2]
+    bi = t(w, h, t.TYPE_INT_RGB)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in col[y, x])
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+        "png"
+    ).next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(1)  # ImageWriteParam.MODE_DEFAULT
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(
+        None, jvm.javax.imageio.IIOImage(bi, None, None), param
+    )
+    ios.close()
+    writer.dispose()
+    payload = bytes(baos.toByteArray())
+
+    from metrics_advisor_spark.functions.png import decode_png
+
+    assert payload[28] == 1, "fixture is not interlaced"
+    assert (decode_png(payload) == col).all()
+
+
+def test_png_subbyte_gray_depths():
+    """Hand-built depth-1/2/4 grayscale fixtures (no independent
+    encoder emits these on demand): MSB-first bit unpacking + the
+    RFC 2083 full-range rescale."""
+    import struct
+    import zlib
+
+    from metrics_advisor_spark.functions.png import decode_png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.default_rng(29)
+    for depth in (1, 2, 4):
+        w, h = 11, 5  # width chosen to leave padding bits per row
+        maxv = (1 << depth) - 1
+        vals = rng.integers(0, maxv + 1, (h, w), dtype=np.int64)
+        lines = []
+        for y in range(h):
+            bits = np.zeros(((w * depth + 7) // 8) * 8, dtype=np.uint8)
+            for x in range(w):
+                for k in range(depth):
+                    bits[x * depth + k] = (vals[y, x] >> (depth - 1 - k)) & 1
+            lines.append(b"\x00" + bytes(np.packbits(bits)))
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b"")
+        )
+        got = decode_png(payload)
+        want = vals * 255 // maxv
+        assert (got[:, :, 0] == want).all(), f"depth {depth}"
+
+
 def test_png_unsupported_layouts_raise(spark):
     import struct
     import zlib
@@ -154,15 +287,22 @@ def test_png_unsupported_layouts_raise(spark):
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    # palette color type
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
-    pal = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    # unknown color type
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 5, 0, 0, 0)
     with pytest.raises(ValueError, match="color type"):
-        decode_png(pal)
-    # 16-bit depth
-    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
-    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr))
+    # depth invalid for the color type (16-bit palette)
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0)
+    with pytest.raises(ValueError, match="invalid for color type"):
         decode_png(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16))
+    # palette image without PLTE
+    ihdrp = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdrp)
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
     # truncated
     good = _encode_png_jvm(spark, _fixture_rgb())
     with pytest.raises(ValueError):
