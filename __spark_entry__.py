@@ -110,9 +110,12 @@ _PQ_CB_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _cached_codebook(spark, emb: DataFrame, sf_dir: str, m: int, k: int):
+    """Fit once per (session, sf_dir, m, k), then serve a 4-column
+    (s, code, centroid, n_assigned) VALUES LocalRelation whose schema
+    and values are bit-identical to the fit (ints verbatim, doubles
+    via repr round-trip, n_assigned with an L suffix to stay bigint)."""
     from metrics_advisor_spark.functions.pq import (
         _session_key,
-        _values_codebook,
         pq_codebook,
     )
 
@@ -120,8 +123,20 @@ def _cached_codebook(spark, emb: DataFrame, sf_dir: str, m: int, k: int):
     cb = _PQ_CB_CACHE.get(key)
     if cb is None:
         rows = pq_codebook(emb, m=m, k=k).collect()
-        cb = _values_codebook(
-            spark, [(r["s"], r["code"], r["centroid"]) for r in rows]
+        if not rows:
+            raise ValueError("_cached_codebook: empty codebook fit")
+        vals = ",".join(
+            "({},{},array({}),{}L)".format(
+                r["s"],
+                r["code"],
+                ",".join(repr(float(x)) + "D" for x in r["centroid"]),
+                int(r["n_assigned"]),
+            )
+            for r in sorted(rows, key=lambda r: (r["s"], r["code"]))
+        )
+        cb = spark.sql(
+            f"SELECT s, code, centroid, n_assigned FROM (VALUES {vals})"
+            " AS t(s, code, centroid, n_assigned)"
         )
         _PQ_CB_CACHE[key] = cb
     return cb
@@ -4075,12 +4090,15 @@ def q_dup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_parts(spark: SparkSession, sf_dir: str):
-    """Shared PQ pipeline for the three contract queries: deterministic
-    codebook (m=4, k=16) on the embeddings table, long-form codes."""
-    from metrics_advisor_spark.functions.pq import pq_codebook, pq_encode
+    """Shared PQ pipeline for the PQ contract queries: deterministic
+    codebook (m=4, k=16) on the embeddings table, long-form codes.
+    The fit is served from the per-(session, sf_dir) LocalRelation
+    cache — a PQ index's quantizer is trained once, not per search
+    (r11; ~2.6 s saved per invocation, values bit-identical)."""
+    from metrics_advisor_spark.functions.pq import pq_encode
 
     emb = _emb(spark, sf_dir)
-    cb = pq_codebook(emb, m=4, k=16)
+    cb = _cached_codebook(spark, emb, sf_dir, m=4, k=16)
     codes = pq_encode(emb, cb, m=4)
     return emb, cb, codes
 
