@@ -90,15 +90,21 @@ def _io_canary(spark, runs: int = 3) -> float:
 
     Writes 2.5M rows of xxhash64 output (incompressible → the parquet
     bytes actually hit the block layer, ~20 MB) to a fresh temp dir,
-    reads them back through an aggregate, and removes the dir so
-    repeated samples never accumulate disk usage or warm a fixed cache
-    entry.  runs=3 → median, runs=2 → MAX — opposite of the CPU
-    canary's min, deliberately: this arm exists to DETECT stalls, and
-    the measured A/B (2x12 GB background buffered writes) showed
-    moderate pressure producing alternating samples (1.79/1.27 s vs
-    0.80 idle) where a min-of-2 reads under the hot threshold and a
-    max-of-2 flags; idle max stays <=1.0 s, comfortably under
-    2x basis."""
+    evicts the written pages (posix_fadvise DONTNEED), reads them back
+    COLD through an aggregate, and removes the dir so repeated samples
+    never accumulate disk usage.  The eviction is the point (r11
+    lesson): without it the read-back hits pages the write just
+    populated, so the arm measured only write/writeback pressure and
+    was blind to slow COLD reads — the failure mode that actually
+    inflates parquet-scan-heavy queries when the source tables fall
+    out of page cache (measured: hamming_group_pairs 4.1 → 14 s with
+    BOTH original canary arms reading idle).  runs=3 → median,
+    runs=2 → MAX — opposite of the CPU canary's min, deliberately:
+    this arm exists to DETECT stalls, and the measured A/B (2x12 GB
+    background buffered writes) showed moderate pressure producing
+    alternating samples where a min-of-2 reads under the hot threshold
+    and a max-of-2 flags."""
+    import glob
     import shutil
     import tempfile
 
@@ -115,6 +121,15 @@ def _io_canary(spark, runs: int = 3) -> float:
                 .write.mode("overwrite")
                 .parquet(path)
             )
+            for f in glob.glob(os.path.join(path, "*.parquet")):
+                fd = os.open(f, os.O_RDONLY)
+                try:
+                    os.fsync(fd)  # flush dirty pages so DONTNEED works
+                    os.posix_fadvise(
+                        fd, 0, 0, os.POSIX_FADV_DONTNEED
+                    )
+                finally:
+                    os.close(fd)
             # bit_xor, not sum: xxhash64 output spans the full int64
             # range and a 2.5M-row sum overflows under ANSI mode
             spark.read.parquet(path).selectExpr("bit_xor(h)").collect()
