@@ -58,6 +58,12 @@ FAMILIES = {
         "dsir_weights", "token_count", "text_stats",
         "packed_sequences", "stratified_sample",
     ],
+    # r11: the tokenizer-training family — each merge round is one
+    # corpus-bounded aggregation, so wall should scale ~linearly in
+    # corpus at a fixed merge count
+    "bpe": [
+        "bpe_pairs", "bpe_merges", "bpe_batched_merges", "bpe_vocab",
+    ],
 }
 
 
