@@ -4214,9 +4214,14 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = _cached_codebook(spark, emb, sf_dir, m=1, k=8).select(
         "s", "code", "centroid"
     )
+    # persisted: _ivfpq_parts consumes the injected amap in TWO
+    # subtrees (the residual build and the codes join) — unpersisted,
+    # the coarse-encode corpus pass would run twice per action.
+    # Caller-managed by the injection contract; the bench's
+    # between-query clearCache (or a caller unpersist) reclaims it.
     amap = pq_encode(emb, coarse, m=1).select(
         "vec_id", F.col("code").alias("cell")
-    )
+    ).persist()
     fine = _cached_ivfpq_fine(spark, emb, sf_dir, 8, 4, 16)
     return ivfpq_search(
         emb.filter(F.col("vec_id") < 5), emb,

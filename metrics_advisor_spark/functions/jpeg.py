@@ -285,9 +285,12 @@ def _parse_segments(
     return out
 
 
-def _next_marker(payload: bytes, pos: int) -> int:
+def _next_marker(payload: bytes, pos: int) -> int | None:
     """Advance past any residual entropy bytes / stuffing / RSTn / fill
-    0xFFs to the next REAL marker after a scan."""
+    0xFFs to the next REAL marker after a scan; ``None`` when the
+    stream simply ends (a payload truncated right before EOI is still
+    fully decodable — common in crawl downloads — and must not raise
+    after the entropy data completed)."""
     n = len(payload)
     while pos + 1 < n:
         if payload[pos] != 0xFF:
@@ -300,7 +303,7 @@ def _next_marker(payload: bytes, pos: int) -> int:
             pos += 2
         else:
             return pos
-    raise ValueError("JPEG: truncated stream (no marker after scan)")
+    return None
 
 
 def _decode_sequential_block(reader, dc_t, ac_t, pred, sc_id, band):
@@ -522,6 +525,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 )
             seen.add(sc["id"])
         nxt = _decode_scan(payload, hdr, coef, by_id, mcux, mcuy, hmax, vmax)
+        if nxt is None:  # stream ends after complete entropy data
+            break
         hdr = _parse_segments(payload, start=nxt, state=hdr)
     if seen != set(by_id):
         raise ValueError(

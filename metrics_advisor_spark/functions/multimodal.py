@@ -13,8 +13,9 @@ each frame as a standalone BMP, so frames flow straight back through
 the image codec) — plus a pure-numpy BASELINE JPEG decoder
 (`functions.jpeg`, r10: T.81 sequential DCT — Huffman entropy decode,
 dequantize, vectorized IDCT, 4:2:0/4:2:2 upsampling, YCbCr→RGB) and a
-full PNG decoder (`functions.png`, r10: stdlib-zlib inflate + all five
-scanline filters, 8-bit non-interlaced) behind the same magic-byte
+full PNG decoder (`functions.png`, r10/r11: stdlib-zlib inflate + all
+five scanline filters, every color type including palette, depths
+1-16, Adam7 interlace) behind the same magic-byte
 dispatch, both verified against an independent codec (the JVM's
 ImageIO); r11 extended the JPEG path to PROGRESSIVE (SOF2) streams —
 multi-scan spectral-selection/successive-approximation decode per
@@ -398,10 +399,10 @@ def decode_image(media: DataFrame, img_col: str = "img") -> DataFrame:
     output rows carry 5 small ints each, never the source payload.
     Fan-out is width·height rows per image — repartition downstream
     when decoding large rasters.  Magic-byte dispatch: BMP (numpy
-    stride parse), baseline JPEG (the pure-numpy T.81 decoder in
-    `functions.jpeg` — r09 verdict item 8), or 8-bit non-interlaced
-    PNG (`functions.png` — stdlib-zlib inflate + scanline unfilter,
-    r10).  All three emit the same
+    stride parse), baseline or progressive JPEG (the pure-numpy T.81
+    decoder in `functions.jpeg` — r09 item 8 / r10 item 7), or PNG in
+    any color type/depth/interlace (`functions.png` — stdlib-zlib
+    inflate + scanline unfilter, r10/r11).  All three emit the same
     (doc_id, y, x, b, g, r) top-down raster rows."""
     import numpy as np
     import pandas as pd

@@ -159,8 +159,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         if tag == b"IDAT":
             idat += body
         elif tag == b"PLTE":
-            if ln % 3:
-                raise ValueError("PNG: PLTE length not divisible by 3")
+            if ln % 3 or ln == 0:
+                raise ValueError(
+                    "PNG: PLTE length must be a positive multiple of 3"
+                )
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IEND":
             break
@@ -206,6 +208,11 @@ def decode_png(payload: bytes) -> np.ndarray:
                 "passes"
             )
     if ctype == 3:
+        if int(px.max(initial=0)) >= len(plte):
+            raise ValueError(
+                f"PNG: palette index {int(px.max())} out of range for "
+                f"{len(plte)}-entry PLTE"
+            )
         return plte[px[:, :, 0]]
     if ctype == 0 and depth < 8:
         # rescale sub-byte gray to full range (RFC 2083 sample depth)

@@ -450,7 +450,11 @@ def _ivfpq_parts(
         # PRE-TRAINED fine codebook injected (an IVF-PQ index is fit
         # once, not per search): resid then feeds only the single
         # encode pass, so it needs no persist, and the whole residual
-        # fit chain is skipped.
+        # fit chain is skipped.  The eager block below is fit-chain
+        # machinery and must NOT run on a caller-provided frame —
+        # persisting/collecting/attaching it would violate the
+        # caller-managed contract (a later release_cached would
+        # unpersist the caller's DataFrame behind its back).
         pq_cb = fine
         pq_cb_frames = ()
     else:
@@ -459,7 +463,7 @@ def _ivfpq_parts(
             resid, m=m, k=k_codes, id_col="vec_id", vec_col="residual",
             seed_sample_mod=seed_sample_mod, n_buckets=n_buckets,
         )
-    if eager:
+    if eager and fine is None:
         # the fine codebook feeds TWO broadcast LUTs (corpus encode +
         # per-query residual LUT) — persist and pin it so the whole
         # residual fit chain runs once, not per consumer.  This ONE

@@ -246,6 +246,12 @@ def ivf_topk(
     Lloyd with sampled init — usually tighter cells, but seeded RNG
     makes it engine-specific and only rows-checkable).
     """
+    if quantizer != "seeded" and coarse is not None:
+        raise ValueError(
+            "ivf_topk: an injected coarse codebook requires "
+            "quantizer='seeded' (the kmeans path fits its own model "
+            "and would silently ignore it)"
+        )
     if quantizer == "seeded":
         from metrics_advisor_spark.functions.pq import (
             _floor6,

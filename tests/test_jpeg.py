@@ -215,6 +215,20 @@ def test_jpeg_progressive_color_matches_independent_codec(spark):
     assert np.abs(mine - col.astype(np.int64)).max() <= 16
 
 
+def test_jpeg_missing_eoi_still_decodes(spark):
+    """A payload truncated right before the 2-byte EOI marker — common
+    in crawl downloads — carries complete entropy data and must decode
+    identically to the intact stream (code-review finding r11: the
+    multi-scan refactor briefly made this raise)."""
+    from metrics_advisor_spark.functions.jpeg import decode_jpeg
+
+    payload = _encode_gray_jvm(spark, _gray_fixture())
+    assert payload[-2:] == b"\xff\xd9"
+    full = decode_jpeg(payload)
+    clipped = decode_jpeg(payload[:-2])
+    assert (full == clipped).all()
+
+
 def test_jpeg_premature_eoi_raises(spark):
     """ADVICE r10: a corrupt stream whose entropy data hits a real
     marker (e.g. premature EOI) must surface as ValueError, not leak
