@@ -4819,7 +4819,7 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image(small)
 
 
-CURRENT_ROUND = 11
+CURRENT_ROUND = 12
 DRIVER_GATE = 50
 
 # Rotation state machine (VERDICT r04 item 5): the driver's correctness
@@ -4833,25 +4833,25 @@ DRIVER_GATE = 50
 # outside the window is staler than CURRENT_ROUND - MAX_STALE_ROUNDS.
 # Update ROTATION + CURRENT_ROUND when a new CORRECTNESS file lands.
 ROTATION: dict[str, int | None] = {
-    "semdedup": 5,
-    "report_summary": 5,
-    "streaming_dedup": 5,
+    "semdedup": 11,
+    "report_summary": 11,
+    "streaming_dedup": 11,
     "dim_covariance": 6,
-    "flagship_positional": 5,
-    "containment_pairs": 5,
-    "snm_pairs": 5,
-    "streaming_neardup": 5,
-    "ks_drift": 5,
-    "streaming_sliding_counts": 5,
-    "conversion_latency": 5,
-    "rfm_segments": 5,
-    "vocab_overlap": 5,
-    "token_gini": 5,
-    "curriculum_plan": 5,
-    "acf_profile": 5,
-    "adamic_adar": 5,
-    "streaming_ksigma": 5,
-    "unigram_surprisal": 5,
+    "flagship_positional": 11,
+    "containment_pairs": 11,
+    "snm_pairs": 11,
+    "streaming_neardup": 11,
+    "ks_drift": 11,
+    "streaming_sliding_counts": 11,
+    "conversion_latency": 11,
+    "rfm_segments": 11,
+    "vocab_overlap": 11,
+    "token_gini": 11,
+    "curriculum_plan": 11,
+    "acf_profile": 11,
+    "adamic_adar": 11,
+    "streaming_ksigma": 11,
+    "unigram_surprisal": 11,
     "dup_ngram_fraction": 5,
     "canonical_select": 5,
     "theil_sen": 5,
@@ -5037,37 +5037,37 @@ ROTATION: dict[str, int | None] = {
     "streaming_daily_quantiles": 10,
     "seasonal_zscore": 10,
     "anomaly_cooccurrence": 10,
-    "daily_quantiles": 4,
-    "term_burstiness": 4,
-    "session_summary": 4,
-    "quantile_align": 4,
-    "ltv_curve": 4,
-    "trimmed_mean": 4,
-    "freshness_audit": 4,
-    "join_size_estimate": 4,
-    "dist_overlap": 4,
-    "alert_episodes": 4,
-    "cuped_ab": 4,
-    "table_diff": 4,
-    "seasonal_decompose": 4,
-    "clustering_coeff": 4,
-    "event_throttle": 4,
-    "retention_curve": 4,
-    "tokenizer_fertility": 4,
-    "streaming_weekly_profile": 4,
-    "path_trigrams": 4,
-    "user_entropy": 4,
-    "weighted_median": 4,
-    "quantization_audit": 4,
-    "label_centroid_sim": 4,
-    "slo_burn": 4,
-    "rolling_level_shift": 4,
-    "bigram_surprisal": 4,
-    "rrf_fusion": 4,
-    "stickiness": 4,
-    "interevent_gaps": 4,
-    "weekly_profile": 4,
-    "benford_audit": 4,
+    "daily_quantiles": 11,
+    "term_burstiness": 11,
+    "session_summary": 11,
+    "quantile_align": 11,
+    "ltv_curve": 11,
+    "trimmed_mean": 11,
+    "freshness_audit": 11,
+    "join_size_estimate": 11,
+    "dist_overlap": 11,
+    "alert_episodes": 11,
+    "cuped_ab": 11,
+    "table_diff": 11,
+    "seasonal_decompose": 11,
+    "clustering_coeff": 11,
+    "event_throttle": 11,
+    "retention_curve": 11,
+    "tokenizer_fertility": 11,
+    "streaming_weekly_profile": 11,
+    "path_trigrams": 11,
+    "user_entropy": 11,
+    "weighted_median": 11,
+    "quantization_audit": 11,
+    "label_centroid_sim": 11,
+    "slo_burn": 11,
+    "rolling_level_shift": 11,
+    "bigram_surprisal": 11,
+    "rrf_fusion": 11,
+    "stickiness": 11,
+    "interevent_gaps": 11,
+    "weekly_profile": 11,
+    "benford_audit": 11,
     "dsir_weights": 6,
     "intradoc_repetition": 6,
     "dup_cluster_purity": 6,
@@ -5097,20 +5097,21 @@ ROTATION: dict[str, int | None] = {
     "phash_dedup": 9,
     "bpe_merges": 9,
     "bpe_vocab": 9,
-    "bpe_batched_merges": None,  # new r11 — never driver-checked
+    "bpe_batched_merges": 11,
     "simhash_dup_groups": 9,
     "hamming_group_pairs": 9,
     "hamming_components": 9,
 }
 
-# Round 11: EMPTY by arithmetic necessity (VERDICT r10 item 1).  The
-# r11 window is forced to exactly the 31 r04-stamped + 19 stalest
-# r05-stamped queries — 267 queries / 50 slots against
-# MAX_STALE_ROUNDS = 5 leaves zero slack, so no checked query may be
-# deliberately re-queued this round.  Any r11 code change that would
-# normally demand a re-queue must instead be attested by the builder's
-# own driver_sim run (scripts/driver_sim.py), recorded in
-# ROUND_NOTES.md, and queued for the r12 window.
+# Round 12: EMPTY by arithmetic necessity again (VERDICT r11 item 1).
+# After folding CORRECTNESS_r11 the stamp distribution is r05×30,
+# r06×46, r07×44, r09×48, r10×50, r11×50; the r12 window is forced to
+# the never-checked newcomers plus the 30 r05 stamps plus the stalest
+# r06 stamps — zero slack for deliberate re-queues.  Any r12 code
+# change that would normally demand a re-queue must instead be
+# attested by the builder's own driver_sim run
+# (scripts/driver_sim.py), recorded in ROUND_NOTES.md, and queued for
+# the r13 window.
 ROTATION_EXCEPTIONS: set[str] = set()
 
 # With 268 contract queries and a 50-slot gate, a full rotation takes
