@@ -71,6 +71,7 @@ from metrics_advisor_spark.operators.validity import series_stats
 from metrics_advisor_spark.operators.xcorr import (
     best_lag,
     bucket_correlation,
+    positional_correlation,
     rank_correlations,
 )
 from metrics_advisor_spark.plans import analyze
@@ -360,6 +361,48 @@ def q_xcorr_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_id",
         "cand_metric",
         "lag",
+        F.round("corr", 6).alias("corr"),
+        "n_pairs",
+    )
+
+
+def q_positional_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/P8 in Q3 POSITIONAL parity mode, under the hash gate
+    (VERDICT r11 item 2): the reference slices correlation windows by
+    sample POSITION, not timestamp (`/root/reference/
+    metrics_advisor.py:186-187` — `data[40i:40i+40]`), and until now
+    that arithmetic lived only inside the rows-only
+    `flagship_positional`.  Here the candidate membership is a
+    SQL-expressible k-sigma gate (metrics with ≥1 hourly slot where
+    |value − μ| > 2σ_pop — the exact `ksigma_outliers` stats), so
+    DuckDB can mirror the whole pipeline: row_number per metric in ts
+    order, bucket = pos // 40, lag-k pairs join obj position p with
+    candidate position p + k inside the same positional bucket.
+    """
+    hourly = _hourly_by_metric(spark, sf_dir)
+    stats = hourly.groupBy("metric").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
+    )
+    gated = (
+        hourly.join(F.broadcast(stats), "metric")
+        .filter(
+            (F.col("sd") > 0)
+            & (F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sd"))
+        )
+        .select("metric")
+        .distinct()
+    )
+    obj = hourly.filter(F.col("metric") == "error")
+    cand = hourly.filter(F.col("metric") != "error").join(
+        F.broadcast(gated), "metric"
+    )
+    corr = positional_correlation(
+        obj, cand, count_bucket=40, lag_max=3, min_pairs=2
+    )
+    return corr.select(
+        "bucket_id",
+        "cand_metric",
+        F.col("lag").cast("int").alias("lag"),
         F.round("corr", 6).alias("corr"),
         "n_pairs",
     )
@@ -5101,6 +5144,7 @@ ROTATION: dict[str, int | None] = {
     "simhash_dup_groups": 9,
     "hamming_group_pairs": 9,
     "hamming_components": 9,
+    "positional_xcorr": None,  # new r12 — never driver-checked
 }
 
 # Round 12: EMPTY by arithmetic necessity again (VERDICT r11 item 1).
@@ -5271,6 +5315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xcorr_best_lag": q_xcorr_best_lag,
         "topk_correlated": q_topk_correlated,
         "xcorr_bucketed": q_xcorr_bucketed,
+        "positional_xcorr": q_positional_xcorr,
         "corr_matrix": q_corr_matrix,
         "detect_anomalies": q_detect_anomalies,
         "kmeans_outliers": q_kmeans_outliers,
@@ -6524,6 +6569,50 @@ def oracle_sql() -> dict[str, str]:
                           = floor(o.slot_epoch / 86400)
             GROUP BY 1, 2, 3
             HAVING count(*) >= 2 AND corr(o.value, c.value) IS NOT NULL
+        """,
+        "positional_xcorr": f"""
+            WITH hourly AS ({_HOURLY}),
+            stats AS (
+              SELECT metric, avg(value) AS mu, stddev_pop(value) AS sd
+              FROM hourly GROUP BY metric
+            ),
+            gate AS (
+              SELECT DISTINCT h.metric
+              FROM hourly h JOIN stats s ON h.metric = s.metric
+              WHERE s.sd > 0 AND abs(h.value - s.mu) > 2 * s.sd
+            ),
+            pos AS (
+              SELECT metric, value,
+                     row_number() OVER (
+                         PARTITION BY metric ORDER BY slot_epoch) - 1 AS pos
+              FROM hourly
+            ),
+            obj AS (
+              SELECT pos, value,
+                     CAST(floor(pos / 40) AS BIGINT) AS bucket_id
+              FROM pos WHERE metric = 'error'
+            ),
+            cand AS (
+              SELECT p.metric, p.pos, p.value
+              FROM pos p JOIN gate g ON p.metric = g.metric
+              WHERE p.metric <> 'error'
+            ),
+            lags AS (SELECT unnest(range(-3, 4)) AS lag)
+            SELECT o.bucket_id, c.metric AS cand_metric,
+                   CAST(l.lag AS INT) AS lag,
+                   round(covar_samp(o.value, c.value)
+                         / (stddev_samp(o.value) * stddev_samp(c.value)),
+                         6) AS corr,
+                   count(*) AS n_pairs
+            FROM cand c
+            CROSS JOIN lags l
+            JOIN obj o ON o.pos = c.pos - l.lag
+                      AND CAST(floor(c.pos / 40) AS BIGINT) = o.bucket_id
+            GROUP BY 1, 2, 3
+            HAVING count(*) >= 2
+               AND covar_samp(o.value, c.value)
+                   / (stddev_samp(o.value) * stddev_samp(c.value))
+                   IS NOT NULL
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
