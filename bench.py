@@ -142,6 +142,75 @@ def _io_canary(spark, runs: int = 3) -> float:
     return round(vals[(len(vals) - 1) // 2], 3)
 
 
+# Scheduler-stall arm (VERDICT r11 item 3): the r11 episode showed a
+# third contention mode BOTH arms are blind to — queries inflating
+# 3-10x run-to-run while /proc/stat reads ~74% idle (cores parked, not
+# stolen, not in iowait) and both canaries sample idle.  /proc/stat
+# deltas are now recorded per canary segment (the artifact the judge
+# asked for) and per query sample.  Calibration on an idle host
+# (ROUND_NOTES r12) killed the naive "idle high + query long" flag:
+# healthy slow queries run 55-95% idle here (pagerank 70% — barrier
+# rounds; knn_graph 94% — sampled single-partition by design), so
+# idle%% alone cannot discriminate.  What DOES discriminate is the
+# episode's oscillation: the same query swinging >=2x across
+# same-session samples, or >=2.5x above its committed BENCH_FULL
+# basis, WHILE the slow sample's /proc/stat delta shows parked cores
+# (idle high, steal ~0, iowait ~0 — a loaded or IO-bound host shows
+# the opposite).  Those two gates, idle-corroborated, define
+# `sched_suspect_queries`; either firing sets `sched_anomalous`.
+SCHED_IDLE_MIN = float(os.environ.get("SPARK_GRAFT_SCHED_IDLE_MIN", "0.55"))
+SCHED_DISPERSION = float(os.environ.get("SPARK_GRAFT_SCHED_DISPERSION", "2.0"))
+SCHED_VS_PRIOR = float(os.environ.get("SPARK_GRAFT_SCHED_VS_PRIOR", "2.5"))
+SCHED_FLOOR_SEC = float(os.environ.get("SPARK_GRAFT_SCHED_FLOOR", "3.0"))
+
+
+def _cpu_stat() -> dict | None:
+    """One /proc/stat aggregate-CPU snapshot (jiffy counters)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        keys = (
+            "user", "nice", "system", "idle",
+            "iowait", "irq", "softirq", "steal",
+        )
+        return dict(zip(keys, map(int, parts[1:9])))
+    except (OSError, ValueError):
+        return None
+
+
+def _cpu_delta(a: dict | None, b: dict | None) -> dict | None:
+    """Percent breakdown of the jiffies elapsed between two snapshots."""
+    if not a or not b:
+        return None
+    d = {k: b[k] - a[k] for k in a}
+    tot = sum(d.values())
+    if tot <= 0:
+        return None
+    return {
+        "user_pct": round((d["user"] + d["nice"]) / tot, 3),
+        "system_pct": round(
+            (d["system"] + d["irq"] + d["softirq"]) / tot, 3
+        ),
+        "idle_pct": round(d["idle"] / tot, 3),
+        "iowait_pct": round(d["iowait"] / tot, 3),
+        "steal_pct": round(d["steal"] / tot, 3),
+        "jiffies": tot,
+    }
+
+
+def _parked_cores(cpu: dict | None) -> bool:
+    """The r11 stall signature: cores idle yet NOT stolen and NOT in
+    iowait — a loaded host shows low idle, an IO-bound one high iowait,
+    a noisy-neighbor microVM high steal; only a scheduling stall parks
+    them with all three low."""
+    return bool(
+        cpu
+        and cpu["idle_pct"] >= SCHED_IDLE_MIN
+        and cpu["steal_pct"] < 0.05
+        and cpu["iowait_pct"] < 0.10
+    )
+
+
 # Interleaved-canary cadence (VERDICT r09 item 3): endpoint-only
 # sampling missed episodic mid-run contention TWO rounds straight
 # (r08/r09 both shipped `host_contended: false` around 8-39x inflated
@@ -243,30 +312,55 @@ def main() -> None:
             "io_sec": _io_canary(spark, runs=3),
         }
     ]
+    # Per-query committed basis for the scheduler-stall arm: the repo's
+    # own BENCH_FULL.json (the builder's last clean-run numbers).  Only
+    # trusted when that run itself was clean (no suspects) — a polluted
+    # basis would mass-flag a healthy run.
+    prior_timings: dict[str, float] = {}
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_FULL.json",
+            )
+        ) as fh:
+            _prior = json.load(fh)
+        if not _prior.get("host", {}).get("suspect_queries"):
+            prior_timings = _prior.get("queries", {})
+    except (OSError, ValueError):
+        pass
     timings: dict[str, float] = {}
     seg_of: dict[str, int] = {}
+    query_cpu: dict[str, dict] = {}
+    sched_suspects: list[str] = []
     total = 0.0
     bench_fns = dict(entry_mod.queries())
     # flagship end-to-end pipeline (detection UDFs + correlation + rank)
     bench_fns["flagship_analyze"] = entry_mod.flagship
     n_done = 0
+    seg_stat = _cpu_stat()  # /proc/stat at the current segment's start
     for name, fn in bench_fns.items():
+        a = _cpu_stat()
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
-        samples = [time.perf_counter() - t0]
+        pairs = [(time.perf_counter() - t0, _cpu_delta(a, _cpu_stat()))]
         if runs_env:
             extra = max(1, int(runs_env)) - 1
-        elif samples[0] > median3_above:
+        elif pairs[0][0] > median3_above:
             extra = 2
-        elif samples[0] > rerun_above:
+        elif pairs[0][0] > rerun_above:
             extra = 1
         else:
             extra = 0
         for _ in range(extra):
+            a = _cpu_stat()
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
-        samples.sort()
+            pairs.append(
+                (time.perf_counter() - t0, _cpu_delta(a, _cpu_stat()))
+            )
+        pairs.sort(key=lambda p: p[0])
+        samples = [p[0] for p in pairs]
         # lower median: N=3 → the true median, N=2 → the min
         # (cold-position runs only bias UP, so low is the honest pick),
         # N=1 → the single warm run
@@ -274,6 +368,26 @@ def main() -> None:
         timings[name] = round(val, 3)
         seg_of[name] = len(canary_samples) - 1
         total += val
+        # Scheduler-stall detection (see SCHED_* block above): the slow
+        # sample must show parked cores AND the wall must oscillate —
+        # either within this run's own samples or vs the committed
+        # per-query basis.  Healthy high-idle slow queries (pagerank,
+        # knn_graph) pass both walls steady, so neither gate fires.
+        worst_wall, worst_cpu = pairs[-1]
+        if worst_wall >= SCHED_FLOOR_SEC and _parked_cores(worst_cpu):
+            dispersed = (
+                len(samples) >= 2
+                and worst_wall >= SCHED_DISPERSION * samples[0]
+            )
+            prior = prior_timings.get(name)
+            inflated = bool(prior) and val >= max(
+                SCHED_FLOOR_SEC, SCHED_VS_PRIOR * prior
+            )
+            if dispersed or inflated:
+                sched_suspects.append(name)
+        if worst_wall >= 2.0:
+            query_cpu[name] = {"wall": round(worst_wall, 3), **worst_cpu} \
+                if worst_cpu else {"wall": round(worst_wall, 3)}
         # Queries that persist intermediates (kl_divergence, pagerank,
         # triangle_count, dedup pipelines) must not leak cached blocks
         # into later queries' memory budget — each timing measures the
@@ -285,20 +399,27 @@ def main() -> None:
             # pauses only bias up — noise), IO reports the MAX (stalls
             # are the signal; see _io_canary docstring).  A full
             # median-of-3 on both arms every segment would add
-            # ~4s x 11 segments.
+            # ~4s x 11 segments.  seg_cpu is the /proc/stat delta over
+            # the QUERIES of the segment ending here (canary work
+            # excluded — the snapshot is taken before the sample runs).
+            seg_end = _cpu_stat()
             canary_samples.append(
                 {
                     "after_n": n_done,
                     "sec": _canary(spark, runs=2),
                     "io_sec": _io_canary(spark, runs=2),
+                    "seg_cpu": _cpu_delta(seg_stat, seg_end),
                 }
             )
+            seg_stat = _cpu_stat()
     if canary_samples[-1]["after_n"] != n_done:
+        seg_end = _cpu_stat()
         canary_samples.append(
             {
                 "after_n": n_done,
                 "sec": _canary(spark, runs=3),
                 "io_sec": _io_canary(spark, runs=3),
+                "seg_cpu": _cpu_delta(seg_stat, seg_end),
             }
         )
     load_end = _loadavg()
@@ -332,6 +453,14 @@ def main() -> None:
         "cpu_contended": any(cpu_hot),
         "io_contended": any(io_hot),
         "suspect_queries": suspect,
+        "sched_anomalous": bool(sched_suspects),
+        "sched_suspect_queries": sorted(sched_suspects),
+        "sched_thresholds": {
+            "idle_min": SCHED_IDLE_MIN,
+            "dispersion": SCHED_DISPERSION,
+            "vs_prior": SCHED_VS_PRIOR,
+            "floor_sec": SCHED_FLOOR_SEC,
+        },
     }
     # Full per-query line first (for logs/humans), then a compact summary
     # line LAST: the driver retains only an output tail, and with ~100
@@ -366,6 +495,11 @@ def main() -> None:
                     "queries": timings,
                     "sf": sf,
                     "host": host,
+                    # worst-sample /proc/stat delta for every query that
+                    # crossed 2 s — the per-query corroboration behind
+                    # sched_suspect_queries (full file only: too big for
+                    # the driver's stdout tail)
+                    "query_cpu": query_cpu,
                 },
                 fh,
                 indent=1,
