@@ -517,12 +517,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         for c in comps
     }
     seen = set()
+    # ADVICE r11 (jpeg.py:538): latch each component's quantization
+    # table at its FIRST scan, libjpeg-style — a (rare but legal)
+    # stream that redefines a DQT between scans must not dequantize
+    # earlier scans' coefficients with the later table.
+    qsnap: dict[int, np.ndarray] = {}
     while "scan" in hdr:
         for sc in hdr["scan"]:
             if sc["id"] not in by_id:
                 raise ValueError(
                     f"JPEG: scan references unknown component {sc['id']}"
                 )
+            if sc["id"] not in qsnap:
+                tq = by_id[sc["id"]]["tq"]
+                if tq not in hdr["qt"]:
+                    raise ValueError(
+                        f"JPEG: scan uses undefined quantization table {tq}"
+                    )
+                qsnap[sc["id"]] = hdr["qt"][tq].copy()
             seen.add(sc["id"])
         nxt = _decode_scan(payload, hdr, coef, by_id, mcux, mcuy, hmax, vmax)
         if nxt is None:  # stream ends after complete entropy data
@@ -535,7 +547,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     # dequantize -> de-zigzag -> IDCT, one einsum per component
     planes = {}
     for c in comps:
-        q = hdr["qt"][c["tq"]]
+        q = qsnap[c["id"]]
         cf = coef[c["id"]]
         deq = (cf * q[None, None, :]).astype(np.float64)
         blocks = np.zeros((cf.shape[0], cf.shape[1], 8, 8))

@@ -311,3 +311,175 @@ def test_jpeg_flows_through_engine_dispatch(spark):
         24, 40, 3
     )
     assert (got == expect.astype(np.int64)).all()
+
+
+# --- component-split (multi-SOS) BASELINE fixtures, hand-assembled ---
+# (VERDICT r11 item 6: the multi-scan sequential path must decode a
+# non-interleaved baseline file correctly — one SOS per component —
+# and a stream that ends before covering every SOF component must
+# raise, not silently emit a partial image.)
+
+
+def _seg(marker, body):
+    import struct
+
+    return (
+        b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body
+    )
+
+
+def _huff_codes(counts, symbols):
+    """Canonical (symbol -> (length, code)) map — the mirror of the
+    decoder's _Huff construction, so the fixture and the decoder can
+    only agree if both implement T.81 Annex C correctly."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_SYMS = list(range(12))
+_AC_COUNTS = [1] + [0] * 15  # a single 1-bit code: EOB
+_AC_SYMS = [0x00]
+
+
+def _entropy_dc_only(dc_vals):
+    """Entropy-coded bytes for consecutive 8x8 blocks carrying only a
+    DC coefficient each (ACs all zero -> EOB), with DPCM prediction and
+    1-padding to the byte boundary, then 0xFF byte-stuffing."""
+    dc_code = _huff_codes(_DC_COUNTS, _DC_SYMS)
+    bits = ""
+    pred = 0
+    for v in dc_vals:
+        diff = v - pred
+        pred = v
+        size = abs(diff).bit_length()
+        ln, code = dc_code[size]
+        bits += format(code, f"0{ln}b")
+        if size:
+            mag = diff if diff > 0 else diff + (1 << size) - 1
+            bits += format(mag, f"0{size}b")
+        bits += "0"  # EOB (the AC table's single 1-bit code)
+    bits += "1" * (-len(bits) % 8)
+    raw = int(bits, 2).to_bytes(len(bits) // 8, "big")
+    return raw.replace(b"\xff", b"\xff\x00")
+
+
+def _build_multi_sos_baseline(q=16, dc=(16, -10, 6), second_dqt=None):
+    """A 8x8 3-component baseline JPEG with THREE non-interleaved SOS
+    segments (one per component) — the component-split layout T.81
+    allows for sequential DCT.  Each component is one constant 8x8
+    block: pixel = dc*q/8 + 128 exactly (single DC basis function), so
+    the expected planes are analytic.  `second_dqt`, if given, is a
+    full replacement DQT segment injected between scan 1 and scan 2 —
+    the mid-frame redefinition case ADVICE r11 flagged."""
+    import struct
+
+    out = b"\xff\xd8"
+    out += _seg(0xDB, bytes([0x00]) + bytes([q] * 64))
+    out += _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 8, 8, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_SYMS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + bytes(_AC_SYMS))
+    for i, (cid, v) in enumerate(zip((1, 2, 3), dc)):
+        if i == 1 and second_dqt is not None:
+            out += second_dqt
+        out += _seg(0xDA, bytes([1, cid, 0x00, 0, 63, 0]))
+        out += _entropy_dc_only([v])
+    out += b"\xff\xd9"
+    return out
+
+
+def test_jpeg_component_split_baseline_decodes(spark):
+    """Three one-component sequential scans == one interleaved scan:
+    the decode must match BOTH the analytic constant planes and the
+    JVM's independent ImageIO decode of the same bytes."""
+    from metrics_advisor_spark.functions.jpeg import decode_jpeg, jpeg_meta
+
+    q, dc = 16, (16, -10, 6)
+    payload = _build_multi_sos_baseline(q=q, dc=dc)
+    assert payload.count(b"\xff\xda") == 3
+    assert jpeg_meta(payload) == (8, 8, 3)
+    mine = decode_jpeg(payload).astype(np.int64)
+    # analytic: constant planes y=160, cb=108, cr=140
+    y, cb, cr = (v * q / 8 + 128 for v in dc)
+    exp = np.clip(
+        np.round(
+            np.stack(
+                [
+                    np.full((8, 8), y + 1.402 * (cr - 128)),
+                    np.full(
+                        (8, 8),
+                        y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+                    ),
+                    np.full((8, 8), y + 1.772 * (cb - 128)),
+                ],
+                axis=-1,
+            )
+        ),
+        0,
+        255,
+    ).astype(np.int64)
+    assert np.abs(mine - exp).max() <= 1
+    ref = _decode_rgb_jvm(spark, payload)
+    assert np.abs(mine - ref).max() <= 1
+
+
+def test_jpeg_incomplete_component_coverage_raises():
+    """A baseline stream that ends after scanning only component 1 of
+    3 must raise the coverage error, not emit two zero planes."""
+    from metrics_advisor_spark.functions.jpeg import decode_jpeg
+
+    payload = _build_multi_sos_baseline()
+    second_sos = payload.find(b"\xff\xda", payload.find(b"\xff\xda") + 2)
+    truncated = payload[:second_sos] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="before every SOF component"):
+        decode_jpeg(truncated)
+
+
+def test_jpeg_mid_frame_dqt_latches_at_first_scan(spark):
+    """ADVICE r11 (jpeg.py:538): a DQT redefinition between scans must
+    NOT re-dequantize earlier components.  Here all three components
+    share table 0 and a doubled table is injected before scan 2 — so
+    component 1 must dequantize with q=16 and components 2/3 with
+    q=32, exactly what libjpeg's latch-at-first-scan does (and what
+    ImageIO independently produces for the same bytes)."""
+    from metrics_advisor_spark.functions.jpeg import decode_jpeg
+
+    q, dc = 16, (16, -10, 6)
+    redef = _seg(0xDB, bytes([0x00]) + bytes([2 * q] * 64))
+    payload = _build_multi_sos_baseline(q=q, dc=dc, second_dqt=redef)
+    mine = decode_jpeg(payload).astype(np.int64)
+    y = dc[0] * q / 8 + 128          # latched BEFORE the redefinition
+    cb = dc[1] * 2 * q / 8 + 128     # scans 2/3 latch the doubled table
+    cr = dc[2] * 2 * q / 8 + 128
+    exp = np.clip(
+        np.round(
+            np.stack(
+                [
+                    np.full((8, 8), y + 1.402 * (cr - 128)),
+                    np.full(
+                        (8, 8),
+                        y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+                    ),
+                    np.full((8, 8), y + 1.772 * (cb - 128)),
+                ],
+                axis=-1,
+            )
+        ),
+        0,
+        255,
+    ).astype(np.int64)
+    assert np.abs(mine - exp).max() <= 1
+    ref = _decode_rgb_jvm(spark, payload)
+    assert np.abs(mine - ref).max() <= 1
