@@ -1188,11 +1188,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Universal media metadata over a REAL mixed-modality corpus (r08:
-    the sha-derived stub is gone): docs are attached genuine BMP / WAV
-    / AVI payloads by doc_id mod 3, and `extract_media_meta` dispatches
-    each payload on its magic bytes to the real spec parser for its
-    container.  The oracle recomputes every field (n_bytes, dims,
-    frame count, duration) from the three synthesis rules."""
+    the sha-derived stub is gone; r12 added ISO-BMFF): docs are
+    attached genuine BMP / WAV / AVI / MP4 payloads by doc_id mod 4,
+    and `extract_media_meta` dispatches each payload on its magic
+    bytes to the real spec parser for its container.  The oracle
+    recomputes every field (n_bytes, dims, frame count, duration)
+    from the four synthesis rules."""
     from metrics_advisor_spark.functions.multimodal import (
         attach_avi_payload,
         attach_bmp_payload,
@@ -1200,17 +1201,43 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_media_meta,
     )
 
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_mp4_payload,
+    )
+
     docs = _docs(spark, sf_dir, fanout=False)
-    img = attach_bmp_payload(docs.filter(F.col("doc_id") % 3 == 0)).select(
+    img = attach_bmp_payload(docs.filter(F.col("doc_id") % 4 == 0)).select(
         "doc_id", F.col("img").alias("payload")
     )
-    wav = attach_wav_payload(docs.filter(F.col("doc_id") % 3 == 1)).select(
+    wav = attach_wav_payload(docs.filter(F.col("doc_id") % 4 == 1)).select(
         "doc_id", F.col("wav").alias("payload")
     )
-    avi = attach_avi_payload(docs.filter(F.col("doc_id") % 3 == 2)).select(
+    avi = attach_avi_payload(docs.filter(F.col("doc_id") % 4 == 2)).select(
         "doc_id", F.col("video").alias("payload")
     )
-    return extract_media_meta(img.unionByName(wav).unionByName(avi))
+    mp4 = attach_mp4_payload(docs.filter(F.col("doc_id") % 4 == 3)).select(
+        "doc_id", F.col("video").alias("payload")
+    )
+    return extract_media_meta(
+        img.unionByName(wav).unionByName(avi).unionByName(mp4)
+    )
+
+
+def q_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF (MP4) container metadata triage (VERDICT r11 item 5):
+    every doc gets a structurally real MP4 (genuine
+    moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/stbl boxes per ISO/IEC
+    14496-12, fake mdat — H.264 frame decode is the documented
+    deployment swap), and `mp4_meta` walks the box tree for
+    (dims, frame count, duration, codec fourcc) — the metadata-only
+    pass a real pipeline runs before deciding what to transcode."""
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_mp4_payload,
+        mp4_meta,
+    )
+
+    media = attach_mp4_payload(_docs(spark, sf_dir, fanout=False))
+    return mp4_meta(media)
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5145,6 +5172,7 @@ ROTATION: dict[str, int | None] = {
     "hamming_group_pairs": 9,
     "hamming_components": 9,
     "positional_xcorr": None,  # new r12 — never driver-checked
+    "mp4_meta": None,  # new r12 — never driver-checked
 }
 
 # Round 12: EMPTY by arithmetic necessity again (VERDICT r11 item 1).
@@ -5296,6 +5324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "media_meta": q_media_meta,
+        "mp4_meta": q_mp4_meta,
         "media_frames": q_media_frames,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -7561,37 +7590,61 @@ def oracle_sql() -> dict[str, str]:
         "media_meta": """
             -- The Spark side dispatches REAL payloads on magic bytes
             -- and parses each per spec; the oracle recomputes every
-            -- field from the three synthesis rules (BMP dims/stride,
+            -- field from the four synthesis rules (BMP dims/stride,
             -- WAV n_samples = 400 + id%10*80 @ 8 kHz, AVI n_frames =
-            -- 2 + id%4 @ 100 ms/frame, file sizes analytic).
+            -- 2 + id%4 @ 100 ms/frame, MP4 dims 16·(2+id%5) ×
+            -- 16·(2+id%3) with 3+id%5 frames @ 40 ms and n_bytes =
+            -- 614 + nf·(sample_size + 4); all file sizes analytic).
             WITH d AS (
               SELECT doc_id,
                      8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
                      ((8 + doc_id % 9) * 3 + 3) // 4 * 4 AS stride,
                      400 + (doc_id % 10) * 80 AS ns,
-                     2 + doc_id % 4 AS nf
+                     2 + doc_id % 4 AS nf,
+                     16 * (2 + doc_id % 5) AS mw,
+                     16 * (2 + doc_id % 3) AS mh,
+                     3 + doc_id % 5 AS mnf,
+                     64 + doc_id % 32 AS mss
               FROM documents
             )
             SELECT doc_id,
-                   CASE doc_id % 3 WHEN 0 THEN 'image/bmp'
+                   CASE doc_id % 4 WHEN 0 THEN 'image/bmp'
                         WHEN 1 THEN 'audio/wav'
-                        ELSE 'video/avi' END AS media_type,
-                   (CASE doc_id % 3
+                        WHEN 2 THEN 'video/avi'
+                        ELSE 'video/mp4' END AS media_type,
+                   (CASE doc_id % 4
                         WHEN 0 THEN 54 + stride * h
                         WHEN 1 THEN 44 + 2 * ns
-                        ELSE 224 + nf * (8 + stride * h)
+                        WHEN 2 THEN 224 + nf * (8 + stride * h)
+                        ELSE 614 + mnf * (mss + 4)
                     END)::BIGINT AS n_bytes,
-                   (CASE WHEN doc_id % 3 IN (0, 2) THEN w END)::INT
+                   (CASE WHEN doc_id % 4 IN (0, 2) THEN w
+                         WHEN doc_id % 4 = 3 THEN mw END)::INT
                      AS width,
-                   (CASE WHEN doc_id % 3 IN (0, 2) THEN h END)::INT
+                   (CASE WHEN doc_id % 4 IN (0, 2) THEN h
+                         WHEN doc_id % 4 = 3 THEN mh END)::INT
                      AS height,
-                   (CASE WHEN doc_id % 3 = 2 THEN nf END)::INT
+                   (CASE WHEN doc_id % 4 = 2 THEN nf
+                         WHEN doc_id % 4 = 3 THEN mnf END)::INT
                      AS n_frames,
-                   (CASE doc_id % 3
+                   (CASE doc_id % 4
                         WHEN 1 THEN ns // 8
                         WHEN 2 THEN nf * 100
+                        WHEN 3 THEN mnf * 40
                     END)::BIGINT AS duration_ms
             FROM d
+        """,
+        "mp4_meta": """
+            -- ISO-BMFF container triage (VERDICT r11 item 5): the
+            -- Spark side walks real moov/trak/stbl boxes; the oracle
+            -- recomputes every field from the synthesis rule.
+            SELECT doc_id,
+                   (16 * (2 + doc_id % 5))::INT AS width,
+                   (16 * (2 + doc_id % 3))::INT AS height,
+                   (3 + doc_id % 5)::INT AS n_frames,
+                   ((3 + doc_id % 5) * 40)::BIGINT AS duration_ms,
+                   'avc1' AS codec
+            FROM documents
         """,
         "media_frames": """
             -- real AVI frames sampled every 100 ms (= exactly one tick

@@ -20,11 +20,15 @@ dispatch, both verified against an independent codec (the JVM's
 ImageIO); r11 extended the JPEG path to PROGRESSIVE (SOF2) streams —
 multi-scan spectral-selection/successive-approximation decode per
 T.81 Annex G — and the PNG path to palette/16-bit/sub-byte-gray/
-Adam7-interlaced layouts.  The formats that still RAISE —
-arithmetic-coded JPEG (`jpeg.py`), APNG animation (`png.py`), and
-compressed video (H.264/MP4, which genuinely needs ffmpeg machinery
-absent here) — remain documented deployment swaps of the per-payload
-decode step only; the Spark plumbing is identical.
+Adam7-interlaced layouts; r12 added an ISO-BMFF (MP4) CONTAINER
+metadata parser (moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/stbl/stsd/stsz
+walk per ISO/IEC 14496-12) so compressed video is triaged by real
+dims/duration/codec/frame-count before any transcode decision.  The
+formats that still RAISE — arithmetic-coded JPEG (`jpeg.py`), APNG
+animation (`png.py`), and H.264 frame DECODE inside MP4 (which
+genuinely needs ffmpeg machinery absent here) — remain documented
+deployment swaps of the per-payload decode step only; the Spark
+plumbing is identical.
 
 Scale notes: payloads never pass through Python row-at-a-time — the
 metadata extraction is one ``mapInPandas`` over Arrow record batches,
@@ -126,12 +130,17 @@ def extract_media_meta(
                         raise ValueError(f"doc {doc_id}: {e}") from None
                     mt = "image/png"
                     row.update(width=w, height=h)
+                elif len(payload) >= 12 and payload[4:8] == b"ftyp":
+                    w, h, nf, dur, _ = _parse_mp4_meta(doc_id, payload)
+                    mt = "video/mp4"
+                    row.update(width=w, height=h, n_frames=nf,
+                               duration_ms=dur)
                 else:
                     raise ValueError(
                         f"doc {doc_id}: unrecognized payload magic "
-                        f"{payload[:4]!r} (BMP/JPEG/PNG/WAV/AVI "
-                        f"supported; MP4/H.264 are deployment codec "
-                        f"swaps)"
+                        f"{payload[:4]!r} (BMP/JPEG/PNG/WAV/AVI/MP4 "
+                        f"supported; H.264 frame DECODE is a "
+                        f"deployment codec swap)"
                     )
                 out["doc_id"].append(doc_id)
                 out["media_type"].append(mt)
@@ -1303,4 +1312,321 @@ def phash_near_dup_pairs(
     )
     return hamming_pairs_blocked(
         renamed, max_distance=max_distance, n_bits=56
+    )
+
+
+# ---------------------------------------------------------------------------
+# ISO-BMFF (MP4) container metadata — VERDICT r11 item 5.  Real
+# pipelines triage video by CONTAINER metadata (dims, duration, codec
+# fourcc, frame count) before deciding what to transcode; that walk is
+# pure public spec (ISO/IEC 14496-12: size+fourcc box tree,
+# moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/stbl/stsd/stsz) and needs no
+# codec.  The synthesized fixture is a structurally valid MP4 whose
+# moov boxes are real and whose mdat carries deterministic FAKE bytes —
+# decoding H.264 frames genuinely needs ffmpeg machinery absent here,
+# so frame decode on 'video/mp4' raises the documented deployment-swap
+# error; every metadata field is analytic in doc_id and hash-oracled.
+#   width  = 16·(2 + id mod 5), height = 16·(2 + id mod 3)
+#   n_frames = 3 + id mod 5, 40 ms/frame @ timescale 1000
+#   per-sample size = 64 + id mod 32  (mdat = n_frames·that)
+# ---------------------------------------------------------------------------
+
+_MP4_TIMESCALE = 1000
+_MP4_FRAME_MS = 40
+
+
+def _mp4_dims(doc_id: int) -> tuple[int, int]:
+    return 16 * (2 + doc_id % 5), 16 * (2 + doc_id % 3)
+
+
+def _mp4_n_frames(doc_id: int) -> int:
+    return 3 + doc_id % 5
+
+
+def _mp4_sample_size(doc_id: int) -> int:
+    return 64 + doc_id % 32
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def _full(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
+    import struct
+
+    return _box(btype, struct.pack(">B3s", version,
+                                   flags.to_bytes(3, "big")) + body)
+
+
+def _mp4_bytes(doc_id: int) -> bytes:
+    """A genuine ISO-BMFF byte stream for ``doc_id``: ftyp + mdat
+    (deterministic fake sample bytes) + moov (real mvhd/trak/tkhd/
+    mdia/mdhd/hdlr/minf/stbl with an 'avc1' sample entry) — the
+    moov-after-mdat layout a progressive-upload encoder writes, so the
+    parser cannot assume moov comes first."""
+    import struct
+
+    w, h = _mp4_dims(doc_id)
+    nf = _mp4_n_frames(doc_id)
+    ss = _mp4_sample_size(doc_id)
+    dur = nf * _MP4_FRAME_MS
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
+    samples = bytes((doc_id * 7 + i) % 256 for i in range(nf * ss))
+    mdat = _box(b"mdat", samples)
+
+    def moov_with(chunk_offset: int) -> bytes:
+        mvhd = _full(
+            b"mvhd", 0, 0,
+            struct.pack(">IIII", 0, 0, _MP4_TIMESCALE, dur)
+            + struct.pack(">i", 0x00010000)   # rate 1.0
+            + struct.pack(">hh", 0x0100, 0)   # volume, reserved
+            + b"\x00" * 8
+            + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0,
+                          0, 0, 0x40000000)
+            + b"\x00" * 24
+            + struct.pack(">I", 2),           # next track id
+        )
+        tkhd = _full(
+            b"tkhd", 0, 7,  # track_enabled | in_movie | in_preview
+            struct.pack(">IIIII", 0, 0, 1, 0, dur)
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0, 0)
+            + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0,
+                          0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed
+        )
+        mdhd = _full(
+            b"mdhd", 0, 0,
+            struct.pack(">IIII", 0, 0, _MP4_TIMESCALE, dur)
+            + struct.pack(">HH", 0x55C4, 0),  # 'und', pre_defined
+        )
+        hdlr = _full(
+            b"hdlr", 0, 0,
+            struct.pack(">I", 0) + b"vide" + b"\x00" * 12
+            + b"VideoHandler\x00",
+        )
+        avcc = _box(
+            b"avcC",
+            # minimal AVCDecoderConfigurationRecord scaffold (no real
+            # SPS/PPS — the mdat is fake; parsers read only the fourcc)
+            bytes([1, 66, 0, 30, 0xFF, 0xE0, 0]),
+        )
+        avc1 = _box(
+            b"avc1",
+            b"\x00" * 6 + struct.pack(">H", 1)      # data_ref_index
+            + b"\x00" * 16
+            + struct.pack(">HH", w, h)
+            + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+            + struct.pack(">I", 0)
+            + struct.pack(">H", 1)                  # frame_count
+            + b"\x00" * 32                          # compressorname
+            + struct.pack(">Hh", 24, -1)            # depth, pre_defined
+            + avcc,
+        )
+        stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + avc1)
+        stts = _full(
+            b"stts", 0, 0,
+            struct.pack(">III", 1, nf, _MP4_FRAME_MS),
+        )
+        stsc = _full(
+            b"stsc", 0, 0, struct.pack(">IIII", 1, 1, nf, 1)
+        )
+        stsz = _full(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, nf)
+            + b"".join(struct.pack(">I", ss) for _ in range(nf)),
+        )
+        stco = _full(
+            b"stco", 0, 0, struct.pack(">II", 1, chunk_offset)
+        )
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        dref = _full(b"dref", 0, 0,
+                     struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+        dinf = _box(b"dinf", dref)
+        minf = _box(b"minf", vmhd + dinf + stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        return _box(b"moov", mvhd + trak)
+
+    # stco points at the first mdat sample byte; the offset does not
+    # shift when we fill it in (4-byte field either way)
+    chunk_offset = len(ftyp) + 8  # mdat header
+    return ftyp + mdat + moov_with(chunk_offset)
+
+
+def attach_mp4_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, video binary): real ISO-BMFF container bytes per doc
+    via mapInPandas — same Arrow batch shape as the other attachers."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "video": [_mp4_bytes(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(fn, "doc_id long, video binary")
+
+
+def _iter_boxes(doc_id, buf: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, box_end) for each ISO-BMFF box in
+    [start, end), handling 64-bit largesize (size==1) and
+    to-end-of-file (size==0) per ISO/IEC 14496-12 §4.2; any size that
+    escapes its enclosing box raises."""
+    import struct
+
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError(
+                f"doc {doc_id}: truncated MP4 box header at byte {pos}"
+            )
+        (size,) = struct.unpack(">I", buf[pos : pos + 4])
+        fourcc = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError(
+                    f"doc {doc_id}: truncated 64-bit box size at {pos}"
+                )
+            (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(
+                f"doc {doc_id}: MP4 box {fourcc!r} declares {size} "
+                f"bytes, escaping its enclosing box "
+                f"[{start}, {end})"
+            )
+        yield fourcc, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_children(doc_id, buf, start, end) -> dict[bytes, tuple[int, int]]:
+    """First occurrence of each child box type -> (body_start, end)."""
+    out: dict[bytes, tuple[int, int]] = {}
+    for fourcc, b, e in _iter_boxes(doc_id, buf, start, end):
+        out.setdefault(fourcc, (b, e))
+    return out
+
+
+def _parse_mp4_meta(doc_id, payload: bytes):
+    """Walk the ISO-BMFF box tree and return
+    (width, height, n_frames, duration_ms, codec fourcc) for the FIRST
+    video ('vide' handler) track.  Pure container parse per ISO/IEC
+    14496-12 — mvhd gives the presentation timescale/duration, tkhd
+    the composed dims (16.16 fixed-point), stsd the sample-entry
+    fourcc, stsz the sample (frame) count.  moov-after-mdat layouts
+    parse identically (top-level boxes are scanned, not assumed
+    ordered).  Structural lies — sizes escaping their parent, missing
+    moov/mvhd, no video track, zero timescale — raise per-doc
+    ValueErrors; nothing is guessed around."""
+    import struct
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError(
+            f"doc {doc_id}: not an ISO-BMFF payload (no leading ftyp)"
+        )
+    top = _mp4_children(doc_id, payload, 0, len(payload))
+    if b"moov" not in top:
+        raise ValueError(
+            f"doc {doc_id}: MP4 has no moov box (metadata-stripped "
+            f"or fragmented stream)"
+        )
+    moov = _mp4_children(doc_id, payload, *top[b"moov"])
+    if b"mvhd" not in moov:
+        raise ValueError(f"doc {doc_id}: moov has no mvhd box")
+    mb, me = moov[b"mvhd"]
+    version = payload[mb]
+    if version == 1:
+        ts, dur = struct.unpack(">IQ", payload[mb + 20 : mb + 32])
+    else:
+        ts, dur = struct.unpack(">II", payload[mb + 12 : mb + 20])
+    if ts == 0:
+        raise ValueError(f"doc {doc_id}: mvhd timescale is zero")
+    duration_ms = dur * 1000 // ts
+
+    for fourcc, tb, te in _iter_boxes(doc_id, payload, *top[b"moov"]):
+        if fourcc != b"trak":
+            continue
+        trak = _mp4_children(doc_id, payload, tb, te)
+        if b"tkhd" not in trak or b"mdia" not in trak:
+            raise ValueError(
+                f"doc {doc_id}: trak missing tkhd/mdia"
+            )
+        mdia = _mp4_children(doc_id, payload, *trak[b"mdia"])
+        if b"hdlr" not in mdia:
+            raise ValueError(f"doc {doc_id}: mdia missing hdlr")
+        hb, _ = mdia[b"hdlr"]
+        handler = payload[hb + 8 : hb + 12]
+        if handler != b"vide":
+            continue
+        kb, ke = trak[b"tkhd"]
+        tk_ver = payload[kb]
+        # width/height are the LAST 8 bytes of tkhd either version
+        w16, h16 = struct.unpack(">II", payload[ke - 8 : ke])
+        w, h = w16 >> 16, h16 >> 16
+        if w <= 0 or h <= 0:
+            raise ValueError(
+                f"doc {doc_id}: degenerate tkhd dims {w}x{h} "
+                f"(tkhd v{tk_ver})"
+            )
+        if b"minf" not in mdia:
+            raise ValueError(f"doc {doc_id}: mdia missing minf")
+        minf = _mp4_children(doc_id, payload, *mdia[b"minf"])
+        if b"stbl" not in minf:
+            raise ValueError(f"doc {doc_id}: minf missing stbl")
+        stbl = _mp4_children(doc_id, payload, *minf[b"stbl"])
+        if b"stsd" not in stbl or b"stsz" not in stbl:
+            raise ValueError(
+                f"doc {doc_id}: stbl missing stsd/stsz"
+            )
+        sb, se = stbl[b"stsd"]
+        (n_entries,) = struct.unpack(">I", payload[sb + 4 : sb + 8])
+        if n_entries < 1:
+            raise ValueError(f"doc {doc_id}: empty stsd")
+        codec = payload[sb + 12 : sb + 16].decode("latin-1")
+        zb, _ = stbl[b"stsz"]
+        (n_frames,) = struct.unpack(">I", payload[zb + 8 : zb + 12])
+        return w, h, n_frames, duration_ms, codec
+    raise ValueError(
+        f"doc {doc_id}: MP4 has no video ('vide' handler) track"
+    )
+
+
+def mp4_meta(media: DataFrame, vid_col: str = "video") -> DataFrame:
+    """Typed container metadata per MP4 payload: (doc_id, width,
+    height, n_frames, duration_ms, codec) — the triage row a real
+    pipeline computes before deciding what to transcode.  One
+    mapInPandas over Arrow batches, narrow typed output."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "n_frames": [], "duration_ms": [], "codec": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf[vid_col]):
+                w, h, nf, dur, codec = _parse_mp4_meta(
+                    int(doc_id), bytes(p)
+                )
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["duration_ms"].append(dur)
+                out["codec"].append(codec)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        "doc_id long, width int, height int, n_frames int, "
+        "duration_ms long, codec string",
     )
