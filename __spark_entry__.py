@@ -4278,7 +4278,11 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-session pre-trained index cache (r11): an IVF-PQ index is fit
     once and searched many times, so the per-call work is encode +
     probe + ADC only — values bit-identical to the per-call fit."""
-    from metrics_advisor_spark.functions.pq import ivfpq_search, pq_encode
+    from metrics_advisor_spark.functions.pq import (
+        _session_key,
+        ivfpq_search,
+        pq_encode,
+    )
 
     emb = _emb(spark, sf_dir)
     coarse = _cached_codebook(spark, emb, sf_dir, m=1, k=8).select(
@@ -4287,11 +4291,20 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: _ivfpq_parts consumes the injected amap in TWO
     # subtrees (the residual build and the codes join) — unpersisted,
     # the coarse-encode corpus pass would run twice per action.
-    # Caller-managed by the injection contract; the bench's
-    # between-query clearCache (or a caller unpersist) reclaims it.
-    amap = pq_encode(emb, coarse, m=1).select(
-        "vec_id", F.col("code").alias("cell")
-    ).persist()
+    # ADVICE r11: cached per (session, sf_dir) like the codebooks —
+    # a fresh persist per invocation was excluded from attach_cached
+    # by the injection contract, so repeated calls in a long-lived
+    # session accumulated unreclaimable persisted blocks; one cached
+    # frame pays the persist once and clearCache still reclaims it
+    # (the next call re-persists the SAME frame, not a new one).
+    akey = (_session_key(spark), sf_dir, "ivfpq_amap", 8)
+    amap = _PQ_CB_CACHE.get(akey)
+    if amap is None:
+        amap = pq_encode(emb, coarse, m=1).select(
+            "vec_id", F.col("code").alias("cell")
+        )
+        _PQ_CB_CACHE[akey] = amap
+    amap = amap.persist()
     fine = _cached_ivfpq_fine(spark, emb, sf_dir, 8, 4, 16)
     return ivfpq_search(
         emb.filter(F.col("vec_id") < 5), emb,

@@ -948,3 +948,100 @@ def pq_reconstruction_error(
         F.col("n").cast("long").alias("n_vecs"),
         _floor6(F.col("se") / F.col("n")).alias("mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Index persistence (VERDICT r11 item 8).  The fit-once/serve-many
+# pattern (§19.4) kept codebooks in per-session caches, which dies
+# with the session; FAISS's actual operating model fits an index
+# OFFLINE, persists it, and every serving process loads it.  Codebooks
+# are KB-scale → parquet files that load back through the same
+# `_values_codebook` VALUES-LocalRelation path the in-session cache
+# uses (parquet stores IEEE-754 doubles exactly and the repr
+# round-trip preserves them, so a loaded index is bit-identical to the
+# fit and search results hash-match across sessions).  The assignment
+# map (vec_id → coarse cell) is DATA-sized, so it stays a parquet scan
+# on load — at 100 TB that is the only viable form anyway.
+# ---------------------------------------------------------------------------
+
+
+def save_index(
+    path: str,
+    *,
+    coarse: DataFrame | None = None,
+    fine: DataFrame | None = None,
+    amap: DataFrame | None = None,
+    params: dict | None = None,
+) -> None:
+    """Persist fitted ANN index artifacts under ``path``: each given
+    frame to ``<path>/<name>`` as parquet (coarse/fine must carry
+    (s, code, centroid); amap (vec_id, cell)), plus a ``params.json``
+    sidecar recording the fit parameters for load-time validation.
+    Codebook writes coalesce to one file — a k·m-row table in 32
+    shuffle partitions is all footer overhead."""
+    import json
+    import os
+
+    spark = None
+    for name, df in (("coarse", coarse), ("fine", fine)):
+        if df is not None:
+            spark = df.sparkSession
+            df.select("s", "code", "centroid").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(path, name))
+    if amap is not None:
+        spark = amap.sparkSession
+        amap.select("vec_id", "cell").write.mode("overwrite").parquet(
+            os.path.join(path, "amap")
+        )
+    if spark is None:
+        raise ValueError("save_index: nothing to save")
+    if params is not None:
+        # driver-side sidecar: tiny, human-readable, no Spark job
+        with open(os.path.join(path, "params.json"), "w") as fh:
+            json.dump(params, fh, sort_keys=True)
+
+
+def load_index(spark, path: str) -> dict:
+    """Load a `save_index` artifact: codebooks come back as VALUES
+    LocalRelations (the serving form — broadcast-able, immune to
+    clearCache, cache-matching across identical loads), the assignment
+    map as a parquet scan, params as a dict.  Missing artifacts are
+    simply absent from the result; a path with none of them raises.
+    Loaded codebooks are validated structurally (codes 0..k-1 per
+    subspace, no gaps) so a corrupted or hand-edited artifact fails
+    loudly instead of silently changing pruning semantics."""
+    import json
+    import os
+
+    out: dict = {}
+    for name in ("coarse", "fine"):
+        p = os.path.join(path, name)
+        if os.path.isdir(p):
+            rows = [
+                (r["s"], r["code"], list(r["centroid"]))
+                for r in spark.read.parquet(p).collect()
+            ]
+            by_s: dict[int, list[int]] = {}
+            for s, code, _ in rows:
+                by_s.setdefault(s, []).append(code)
+            for s, codes in by_s.items():
+                if sorted(codes) != list(range(len(codes))):
+                    raise ValueError(
+                        f"load_index: {name} codebook subspace {s} has "
+                        f"non-contiguous codes {sorted(codes)[:8]}… — "
+                        f"corrupted artifact"
+                    )
+            out[name] = _values_codebook(spark, rows)
+    if os.path.isdir(os.path.join(path, "amap")):
+        out["amap"] = spark.read.parquet(os.path.join(path, "amap"))
+    pj = os.path.join(path, "params.json")
+    if os.path.exists(pj):
+        with open(pj) as fh:
+            out["params"] = json.load(fh)
+    if not (set(out) - {"params"}):
+        raise ValueError(
+            f"load_index: no index artifacts (coarse/fine/amap) "
+            f"under {path!r}"
+        )
+    return out

@@ -136,3 +136,73 @@ def test_positional_xcorr_bucket_arithmetic(spark):
     assert got[0][1] == 40 and got[1][1] == 40 and got[2][1] == 20
     for corr, _ in got.values():
         assert corr == pytest.approx(1.0)
+
+
+def test_index_save_load_roundtrip(spark, tmp_path):
+    """VERDICT r11 item 8 — the FAISS operating model: fit an IVF-PQ
+    index once, persist it, load it in a NEW session, and search
+    results are bit-identical to serving from the in-session fit."""
+    import __spark_entry__ as em
+    from metrics_advisor_spark.functions.pq import (
+        ivfpq_search,
+        load_index,
+        pq_encode,
+        save_index,
+    )
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = em._emb(spark, sf_dir)
+    coarse = em._cached_codebook(spark, emb, sf_dir, m=1, k=8).select(
+        "s", "code", "centroid"
+    )
+    amap = pq_encode(emb, coarse, m=1).select(
+        "vec_id", F.col("code").alias("cell")
+    )
+    fine = em._cached_ivfpq_fine(spark, emb, sf_dir, 8, 4, 16)
+
+    def search(sess, c, a, f_):
+        e = em._emb(sess, sf_dir)
+        return sorted(
+            tuple(r)
+            for r in ivfpq_search(
+                e.filter(F.col("vec_id") < 5), e,
+                k_coarse=8, m=4, k_codes=16, nprobe=2, k=10,
+                coarse=c, amap=a.persist(), fine=f_,
+            ).collect()
+        )
+
+    expect = search(spark, coarse, amap, fine)
+
+    path = str(tmp_path / "ivfpq_index")
+    save_index(
+        path, coarse=coarse, fine=fine, amap=amap,
+        params={"k_coarse": 8, "m": 4, "k_codes": 16},
+    )
+
+    sess2 = spark.newSession()
+    idx = load_index(sess2, path)
+    assert idx["params"] == {"k_coarse": 8, "m": 4, "k_codes": 16}
+    got = search(sess2, idx["coarse"], idx["amap"], idx["fine"])
+    assert got == expect  # exact, doubles included
+
+    # loaded codebooks are LocalRelations (the serving form)
+    assert "LocalRelation" in idx["coarse"]._jdf.queryExecution().analyzed().toString()
+
+
+def test_index_load_rejects_corruption(spark, tmp_path):
+    from metrics_advisor_spark.functions.pq import load_index, save_index
+    import __spark_entry__ as em
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = em._emb(spark, sf_dir)
+    coarse = em._cached_codebook(spark, emb, sf_dir, m=1, k=8).select(
+        "s", "code", "centroid"
+    )
+    path = str(tmp_path / "idx")
+    # drop a code -> non-contiguous codes must fail loudly
+    save_index(path, coarse=coarse.filter("code <> 3"))
+    with pytest.raises(ValueError, match="non-contiguous"):
+        load_index(spark, path)
+    with pytest.raises(ValueError, match="no index artifacts"):
+        load_index(spark, str(tmp_path / "empty"))
