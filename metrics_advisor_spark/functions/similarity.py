@@ -264,6 +264,26 @@ def ivf_topk(
             coarse = pq_codebook(
                 corpus, m=1, k=n_lists, id_col=id_col, vec_col=vec_col
             )
+        else:
+            # ADVICE r11: an injected codebook that disagrees with
+            # n_lists would silently change the cell count and pruning
+            # semantics while n_lists still looks authoritative in the
+            # call — validate the (KB-scale, usually LocalRelation)
+            # injection before using it, mirroring _ivfpq_parts'
+            # both-or-neither pairing check.
+            got = sorted(
+                (r["s"], r["code"])
+                for r in coarse.select("s", "code").collect()
+            )
+            want = [(0, c) for c in range(n_lists)]
+            if got != want:
+                raise ValueError(
+                    f"ivf_topk: injected coarse codebook has cells "
+                    f"{got[:8]}{'…' if len(got) > 8 else ''} but "
+                    f"n_lists={n_lists} demands exactly s=0, codes "
+                    f"0..{n_lists - 1} — stale or mismatched index "
+                    f"injection"
+                )
         centers_df = coarse.select(
             F.col("code").alias("cell"), "centroid"
         )

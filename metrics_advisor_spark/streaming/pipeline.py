@@ -732,10 +732,26 @@ def run_to_memory(
     post-shuffle compute stays amply parallel at 8.  Values are
     partition-count-invariant, so results (and contract hashes) are
     unchanged.  Pass ``None`` to keep the session setting (production
-    streams sized for real shuffle volumes)."""
+    streams sized for real shuffle volumes).
+
+    ADVICE r11: the narrowed conf is SESSION-global for the drain's
+    duration — OSS Spark has no per-query shuffle-partition override —
+    so this helper is single-threaded test/dev only: it refuses to
+    narrow while other streams are active on the session (a concurrent
+    batch query would also silently run narrowed; don't share the
+    session while draining)."""
     spark = df.sparkSession
     prev = None
     if state_partitions is not None:
+        if spark.streams.active:
+            raise RuntimeError(
+                "run_to_memory: refusing to narrow "
+                "spark.sql.shuffle.partitions while "
+                f"{len(spark.streams.active)} other stream(s) are "
+                "active on this session — the override is "
+                "session-global; pass state_partitions=None or drain "
+                "sequentially"
+            )
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:

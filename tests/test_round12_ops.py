@@ -206,3 +206,54 @@ def test_index_load_rejects_corruption(spark, tmp_path):
         load_index(spark, path)
     with pytest.raises(ValueError, match="no index artifacts"):
         load_index(spark, str(tmp_path / "empty"))
+
+
+def test_ivf_topk_rejects_mismatched_injection(spark):
+    """ADVICE r11: an injected coarse codebook whose cell set
+    disagrees with n_lists must fail loudly, not silently change
+    pruning semantics."""
+    from metrics_advisor_spark.functions.pq import pq_codebook
+    from metrics_advisor_spark.functions.similarity import ivf_topk
+    import __spark_entry__ as em
+
+    emb = em._emb(spark, "/root/testdata/sf0.001")
+    cb8 = pq_codebook(emb, m=1, k=8).select("s", "code", "centroid")
+    q = emb.filter("vec_id < 2")
+    with pytest.raises(ValueError, match="n_lists=16 demands"):
+        ivf_topk(q, emb, n_lists=16, coarse=cb8).collect()
+    # the matching injection still serves
+    assert ivf_topk(q, emb, n_lists=8, coarse=cb8, k=3).count() > 0
+
+
+def test_run_to_memory_refuses_concurrent_streams(spark, tmp_path):
+    """ADVICE r11: the drain helper's narrowed shuffle-partition conf
+    is session-global, so it must refuse while other streams are
+    active rather than silently re-planning them."""
+    import time
+
+    from metrics_advisor_spark.streaming.pipeline import run_to_memory
+
+    src = str(tmp_path / "src")
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(src)
+    stream = spark.readStream.schema("id long, v long").parquet(src)
+    # a long-lived concurrent stream (processingTime keeps it active)
+    other = (
+        spark.readStream.schema("id long, v long").parquet(src)
+        .writeStream.format("memory").queryName("r12_other")
+        .outputMode("append").start()
+    )
+    try:
+        agg = stream.groupBy().count()
+        with pytest.raises(RuntimeError, match="session-global"):
+            run_to_memory(agg, "r12_drain", output_mode="complete")
+    finally:
+        other.stop()
+        for _ in range(50):
+            if not spark.streams.active:
+                break
+            time.sleep(0.1)
+    # with the session quiet again the drain proceeds
+    q = run_to_memory(
+        stream.groupBy().count(), "r12_drain2", output_mode="complete"
+    )
+    assert spark.table("r12_drain2").collect()[0][0] == 10
