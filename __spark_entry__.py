@@ -1240,6 +1240,50 @@ def q_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp4_meta(media)
 
 
+def q_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF triage metadata (r12 — the fourth web image format): every
+    doc gets a genuine GIF89a (real greedy LZW from `functions.gif`,
+    validated two-sided against the JVM's ImageIO; odd doc_ids
+    interlaced, doc_id%3>0 animated with per-frame graphic-control
+    delays), and `gif_media_meta` walks the block stream WITHOUT LZW
+    decode — the cheap pass a crawl pipeline runs to split stills
+    from animations.  Every field is analytic from the synthesis rule
+    except total byte size, which LZW makes content-dependent (so
+    unlike BMP/WAV/AVI/MP4 the oracle never asserts n_bytes here)."""
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_gif_payload,
+        gif_media_meta,
+    )
+
+    # LZW encode/decode is real per-payload CPU (unlike the header
+    # walks) — fan the single-file local read out to all cores
+    media = attach_gif_payload(_docs(spark, sf_dir))
+    return gif_media_meta(media)
+
+
+def q_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full GIF pixel decode under the hash gate: LZW decompress +
+    palette expansion + (odd doc_ids) 4-pass interlace reorder +
+    first-frame composition, then per-doc channel sums — every pixel
+    of every payload pins the decoder, while the output stays one row
+    per doc (the `image_pixels` lesson: per-pixel result sets are a
+    hash-compare artifact, not an operator necessity).  The oracle
+    recomputes the sums from the index/palette synthesis rule."""
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_gif_payload,
+        decode_image,
+    )
+
+    media = attach_gif_payload(_docs(spark, sf_dir))
+    px = decode_image(media)
+    return px.groupBy("doc_id").agg(
+        F.count("*").alias("n_px"),
+        F.sum("r").alias("sum_r"),
+        F.sum("g").alias("sum_g"),
+        F.sum("b").alias("sum_b"),
+    )
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wall-clock frame sampling over REAL AVI payloads (r08: the
     sha-digest frame stub is gone): one row per 100 ms tick of each
@@ -5186,6 +5230,8 @@ ROTATION: dict[str, int | None] = {
     "hamming_components": 9,
     "positional_xcorr": None,  # new r12 — never driver-checked
     "mp4_meta": None,  # new r12 — never driver-checked
+    "gif_meta": None,  # new r12 — never driver-checked
+    "gif_pixel_stats": None,  # new r12 — never driver-checked
 }
 
 # Round 12: EMPTY by arithmetic necessity again (VERDICT r11 item 1).
@@ -5338,6 +5384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "media_meta": q_media_meta,
         "mp4_meta": q_mp4_meta,
+        "gif_meta": q_gif_meta,
+        "gif_pixel_stats": q_gif_pixel_stats,
         "media_frames": q_media_frames,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -7658,6 +7706,45 @@ def oracle_sql() -> dict[str, str]:
                    ((3 + doc_id % 5) * 40)::BIGINT AS duration_ms,
                    'avc1' AS codec
             FROM documents
+        """,
+        "gif_meta": """
+            -- GIF block-walk triage (r12): the Spark side parses real
+            -- GIF89a streams; the oracle recomputes every field from
+            -- the synthesis rule (w = 7+id%8, h = 5+id%6,
+            -- nf = 1+id%3; stills — nf=1 — carry no graphic-control
+            -- block so duration is NULL; animated frames are 80 ms).
+            -- n_bytes is deliberately absent: LZW output length is
+            -- content-dependent.
+            SELECT doc_id,
+                   (7 + doc_id % 8)::INT AS width,
+                   (5 + doc_id % 6)::INT AS height,
+                   (1 + doc_id % 3)::INT AS n_frames,
+                   (CASE WHEN doc_id % 3 = 0 THEN NULL
+                         ELSE (1 + doc_id % 3) * 80 END)::BIGINT
+                     AS duration_ms
+            FROM documents
+        """,
+        "gif_pixel_stats": """
+            -- every pixel of every GIF pins the LZW+palette+interlace
+            -- decode: idx(y,x) = (id + y*5 + x*3) % 16 on frame 0,
+            -- palette r/g/b = (idx*37+11 / idx*73+5 / idx*29+101)%256
+            WITH d AS (
+              SELECT doc_id, 7 + doc_id % 8 AS w, 5 + doc_id % 6 AS h
+              FROM documents
+            ),
+            px AS (
+              SELECT d.doc_id,
+                     (d.doc_id + yy.y * 5 + xx.x * 3) % 16 AS idx
+              FROM d,
+                   unnest(range(0, d.h)) AS yy(y),
+                   unnest(range(0, d.w)) AS xx(x)
+            )
+            SELECT doc_id,
+                   COUNT(*)::BIGINT AS n_px,
+                   SUM((idx * 37 + 11) % 256)::BIGINT AS sum_r,
+                   SUM((idx * 73 + 5) % 256)::BIGINT AS sum_g,
+                   SUM((idx * 29 + 101) % 256)::BIGINT AS sum_b
+            FROM px GROUP BY doc_id
         """,
         "media_frames": """
             -- real AVI frames sampled every 100 ms (= exactly one tick

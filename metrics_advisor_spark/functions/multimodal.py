@@ -135,11 +135,23 @@ def extract_media_meta(
                     mt = "video/mp4"
                     row.update(width=w, height=h, n_frames=nf,
                                duration_ms=dur)
+                elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                    from metrics_advisor_spark.functions.gif import (
+                        gif_meta,
+                    )
+
+                    try:
+                        w, h, nf, dur = gif_meta(payload)
+                    except ValueError as e:
+                        raise ValueError(f"doc {doc_id}: {e}") from None
+                    mt = "image/gif"
+                    row.update(width=w, height=h, n_frames=nf,
+                               duration_ms=dur)
                 else:
                     raise ValueError(
                         f"doc {doc_id}: unrecognized payload magic "
-                        f"{payload[:4]!r} (BMP/JPEG/PNG/WAV/AVI/MP4 "
-                        f"supported; H.264 frame DECODE is a "
+                        f"{payload[:4]!r} (BMP/JPEG/PNG/GIF/WAV/AVI/"
+                        f"MP4 supported; H.264 frame DECODE is a "
                         f"deployment codec swap)"
                     )
                 out["doc_id"].append(doc_id)
@@ -436,6 +448,14 @@ def decode_image(media: DataFrame, img_col: str = "img") -> DataFrame:
                     )
 
                     rgb = decode_png(payload)
+                    h, w = rgb.shape[:2]
+                    arr = rgb[:, :, ::-1].astype(np.int64)  # to BGR
+                elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                    from metrics_advisor_spark.functions.gif import (
+                        decode_gif,
+                    )
+
+                    rgb = decode_gif(payload)  # first frame, composited
                     h, w = rgb.shape[:2]
                     arr = rgb[:, :, ::-1].astype(np.int64)  # to BGR
                 else:
@@ -1629,4 +1649,105 @@ def mp4_meta(media: DataFrame, vid_col: str = "video") -> DataFrame:
         fn,
         "doc_id long, width int, height int, n_frames int, "
         "duration_ms long, codec string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# GIF: the fourth web image format (r12) — real GIF89a bytes via the
+# pure-numpy codec in `functions.gif` (LZW encode/decode validated
+# two-sided against the JVM's ImageIO).  The synthesized fixture is
+# analytic everywhere EXCEPT total byte size (LZW output length is
+# content-dependent by nature, so unlike BMP/WAV/AVI/MP4 the oracle
+# never asserts n_bytes for GIF):
+#   palette[c]   = ((c*37+11)%256, (c*73+5)%256, (c*29+101)%256)
+#   index(f,y,x) = (doc_id + f*7 + y*5 + x*3) % 16
+#   w = 7 + doc_id%8, h = 5 + doc_id%6, n_frames = 1 + doc_id%3
+#   (single-frame docs are plain stills — no graphic control block,
+#   duration NULL; animated docs carry 80 ms per frame; odd doc_ids
+#   are interlaced so the 4-pass path stays on the contract surface)
+# ---------------------------------------------------------------------------
+
+
+def _gif_palette():
+    import numpy as np
+
+    c = np.arange(16, dtype=np.int64)
+    return np.stack(
+        [(c * 37 + 11) % 256, (c * 73 + 5) % 256, (c * 29 + 101) % 256],
+        axis=1,
+    ).astype(np.uint8)
+
+
+def _gif_dims(doc_id: int) -> tuple[int, int, int]:
+    return 7 + doc_id % 8, 5 + doc_id % 6, 1 + doc_id % 3
+
+
+def _gif_bytes(doc_id: int) -> bytes:
+    import numpy as np
+
+    from metrics_advisor_spark.functions.gif import encode_gif
+
+    w, h, nf = _gif_dims(doc_id)
+    pal = _gif_palette()
+    y, x = np.meshgrid(
+        np.arange(h, dtype=np.int64), np.arange(w, dtype=np.int64),
+        indexing="ij",
+    )
+    frames = [
+        ((doc_id + f * 7 + y * 5 + x * 3) % 16).astype(np.uint8)
+        for f in range(nf)
+    ]
+    interlace = doc_id % 2 == 1
+    if nf == 1:
+        return encode_gif(frames[0], pal, interlace=interlace)
+    return encode_gif(
+        [(80, fr) for fr in frames], pal, interlace=interlace
+    )
+
+
+def attach_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, img binary): real GIF89a bytes per doc via mapInPandas
+    — same Arrow batch shape as the other attachers."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "img": [_gif_bytes(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(fn, "doc_id long, img binary")
+
+
+def gif_media_meta(media: DataFrame, img_col: str = "img") -> DataFrame:
+    """Typed triage metadata per GIF payload WITHOUT LZW decode:
+    (doc_id, width, height, n_frames, duration_ms) — duration is the
+    graphic-control delay sum, NULL for a plain still.  One
+    mapInPandas over Arrow batches."""
+    from metrics_advisor_spark.functions.gif import gif_meta as _gm
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "n_frames": [], "duration_ms": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf[img_col]):
+                try:
+                    w, h, nf, dur = _gm(bytes(p))
+                except ValueError as e:
+                    raise ValueError(f"doc {doc_id}: {e}") from None
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["duration_ms"].append(dur)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        "doc_id long, width int, height int, n_frames int, "
+        "duration_ms long",
     )

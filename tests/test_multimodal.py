@@ -69,12 +69,21 @@ def test_extract_meta_dispatches_on_magic(media):
 
 
 def test_extract_meta_rejects_unknown_magic(spark):
+    # (the old junk fixture said "GIF89a not supported" — since r12
+    # GIF IS dispatched, so that payload now correctly raises a GIF
+    # parse error instead; both rejections are asserted)
     junk = spark.createDataFrame(
-        [(0, bytearray(b"GIF89a not supported"))],
+        [(0, bytearray(b"TIFF nope, not dispatched"))],
         "doc_id long, payload binary",
     )
     with pytest.raises(Exception, match="unrecognized payload magic"):
         extract_media_meta(junk).collect()
+    bad_gif = spark.createDataFrame(
+        [(0, bytearray(b"GIF89a truncated screen"))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="GIF"):
+        extract_media_meta(bad_gif).collect()
 
 
 def test_meta_deterministic(media):
