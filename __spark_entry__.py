@@ -7655,7 +7655,9 @@ def oracle_sql() -> dict[str, str]:
             -- WAV n_samples = 400 + id%10*80 @ 8 kHz, AVI n_frames =
             -- 2 + id%4 @ 100 ms/frame, MP4 dims 16·(2+id%5) ×
             -- 16·(2+id%3) with 3+id%5 frames @ 40 ms and n_bytes =
-            -- 614 + nf·(sample_size + 4); all file sizes analytic).
+            -- 663 + nf·(sample_size + 4) — the r12 real-avcC fixture
+            -- pads SPS-length jitter with a 'free' box so the size
+            -- stays analytic; all file sizes analytic).
             WITH d AS (
               SELECT doc_id,
                      8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
@@ -7677,7 +7679,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 0 THEN 54 + stride * h
                         WHEN 1 THEN 44 + 2 * ns
                         WHEN 2 THEN 224 + nf * (8 + stride * h)
-                        ELSE 614 + mnf * (mss + 4)
+                        ELSE 663 + mnf * (mss + 4)
                     END)::BIGINT AS n_bytes,
                    (CASE WHEN doc_id % 4 IN (0, 2) THEN w
                          WHEN doc_id % 4 = 3 THEN mw END)::INT
@@ -7697,14 +7699,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mp4_meta": """
             -- ISO-BMFF container triage (VERDICT r11 item 5): the
-            -- Spark side walks real moov/trak/stbl boxes; the oracle
-            -- recomputes every field from the synthesis rule.
+            -- Spark side walks real moov/trak/stbl boxes AND the
+            -- avcC box's exp-Golomb SPS bitstream (r12 — profile and
+            -- level come from the codec config the decoder obeys);
+            -- the oracle recomputes every field from the synthesis
+            -- rule.
             SELECT doc_id,
                    (16 * (2 + doc_id % 5))::INT AS width,
                    (16 * (2 + doc_id % 3))::INT AS height,
                    (3 + doc_id % 5)::INT AS n_frames,
                    ((3 + doc_id % 5) * 40)::BIGINT AS duration_ms,
-                   'avc1' AS codec
+                   'avc1' AS codec,
+                   66::INT AS profile_idc,
+                   (10 + (doc_id % 4) * 10)::INT AS level_idc
             FROM documents
         """,
         "gif_meta": """

@@ -131,7 +131,9 @@ def extract_media_meta(
                     mt = "image/png"
                     row.update(width=w, height=h)
                 elif len(payload) >= 12 and payload[4:8] == b"ftyp":
-                    w, h, nf, dur, _ = _parse_mp4_meta(doc_id, payload)
+                    w, h, nf, dur, _, _, _ = _parse_mp4_meta(
+                        doc_id, payload
+                    )
                     mt = "video/mp4"
                     row.update(width=w, height=h, n_frames=nf,
                                duration_ms=dur)
@@ -1367,6 +1369,17 @@ def _mp4_sample_size(doc_id: int) -> int:
     return 64 + doc_id % 32
 
 
+def _mp4_level(doc_id: int) -> int:
+    # level_idc 10/20/30/40 — analytic for the oracle
+    return 10 + (doc_id % 4) * 10
+
+
+# fixed byte budget for avcC + trailing 'free' pad inside the avc1
+# sample entry (exp-Golomb SPS length varies per doc; the pad keeps
+# total file size analytic)
+_AVCC_SLOT = 64
+
+
 def _box(btype: bytes, body: bytes) -> bytes:
     import struct
 
@@ -1428,12 +1441,21 @@ def _mp4_bytes(doc_id: int) -> bytes:
             struct.pack(">I", 0) + b"vide" + b"\x00" * 12
             + b"VideoHandler\x00",
         )
+        from metrics_advisor_spark.functions.h264 import encode_avcc
+
+        # REAL AVCDecoderConfigurationRecord (r12): one genuine SPS
+        # (exp-Golomb bitstream carrying these exact dims) + one PPS.
+        # SPS length varies ±2 bytes across the doc grid, so the
+        # record is padded to a fixed 64-byte slot with a genuine
+        # 'free' box — keeps every file size analytic (the media_meta
+        # oracle asserts n_bytes) without faking the codec config.
         avcc = _box(
             b"avcC",
-            # minimal AVCDecoderConfigurationRecord scaffold (no real
-            # SPS/PPS — the mdat is fake; parsers read only the fourcc)
-            bytes([1, 66, 0, 30, 0xFF, 0xE0, 0]),
+            encode_avcc(w, h, profile_idc=66,
+                        level_idc=_mp4_level(doc_id)),
         )
+        assert len(avcc) <= _AVCC_SLOT - 8, len(avcc)
+        avcc += _box(b"free", b"\x00" * (_AVCC_SLOT - 8 - len(avcc)))
         avc1 = _box(
             b"avc1",
             b"\x00" * 6 + struct.pack(">H", 1)      # data_ref_index
@@ -1615,7 +1637,29 @@ def _parse_mp4_meta(doc_id, payload: bytes):
         codec = payload[sb + 12 : sb + 16].decode("latin-1")
         zb, _ = stbl[b"stsz"]
         (n_frames,) = struct.unpack(">I", payload[zb + 8 : zb + 12])
-        return w, h, n_frames, duration_ms, codec
+        # r12: descend into the sample entry's codec config.  An AVC
+        # entry carries an avcC box after the 78 fixed VisualSampleEntry
+        # bytes; its SPS bitstream (exp-Golomb, `functions.h264`) is
+        # what the decoder obeys — profile/level come from there, not
+        # from container fields.  Non-AVC entries (or an AVC entry
+        # with no avcC) report NULLs rather than guessing.
+        profile = level = None
+        (entry_sz,) = struct.unpack(">I", payload[sb + 8 : sb + 12])
+        if codec == "avc1" and entry_sz >= 86:
+            from metrics_advisor_spark.functions.h264 import parse_avcc
+
+            for cc, cb, ce in _iter_boxes(
+                doc_id, payload, sb + 16 + 78, sb + 8 + entry_sz
+            ):
+                if cc == b"avcC":
+                    try:
+                        rec = parse_avcc(payload[cb:ce])
+                    except ValueError as e:
+                        raise ValueError(f"doc {doc_id}: {e}") from None
+                    profile = rec["profile_idc"]
+                    level = rec["level_idc"]
+                    break
+        return w, h, n_frames, duration_ms, codec, profile, level
     raise ValueError(
         f"doc {doc_id}: MP4 has no video ('vide' handler) track"
     )
@@ -1623,18 +1667,21 @@ def _parse_mp4_meta(doc_id, payload: bytes):
 
 def mp4_meta(media: DataFrame, vid_col: str = "video") -> DataFrame:
     """Typed container metadata per MP4 payload: (doc_id, width,
-    height, n_frames, duration_ms, codec) — the triage row a real
-    pipeline computes before deciding what to transcode.  One
-    mapInPandas over Arrow batches, narrow typed output."""
+    height, n_frames, duration_ms, codec, profile_idc, level_idc) —
+    the triage row a real pipeline computes before deciding what to
+    transcode.  profile/level come from the avcC box's SPS bitstream
+    (`functions.h264`), NULL for non-AVC entries.  One mapInPandas
+    over Arrow batches, narrow typed output."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {
                 "doc_id": [], "width": [], "height": [],
                 "n_frames": [], "duration_ms": [], "codec": [],
+                "profile_idc": [], "level_idc": [],
             }
             for doc_id, p in zip(pdf["doc_id"], pdf[vid_col]):
-                w, h, nf, dur, codec = _parse_mp4_meta(
+                w, h, nf, dur, codec, prof, lev = _parse_mp4_meta(
                     int(doc_id), bytes(p)
                 )
                 out["doc_id"].append(doc_id)
@@ -1643,12 +1690,15 @@ def mp4_meta(media: DataFrame, vid_col: str = "video") -> DataFrame:
                 out["n_frames"].append(nf)
                 out["duration_ms"].append(dur)
                 out["codec"].append(codec)
+                out["profile_idc"].append(prof)
+                out["level_idc"].append(lev)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(
         fn,
         "doc_id long, width int, height int, n_frames int, "
-        "duration_ms long, codec string",
+        "duration_ms long, codec string, profile_idc int, "
+        "level_idc int",
     )
 
 

@@ -21,12 +21,36 @@ from metrics_advisor_spark.functions.multimodal import (
 def test_mp4_roundtrip_analytic():
     for did in range(0, 40):
         p = _mp4_bytes(did)
-        w, h, nf, dur, codec = _parse_mp4_meta(did, p)
+        w, h, nf, dur, codec, prof, lev = _parse_mp4_meta(did, p)
         ew, eh = _mp4_dims(did)
         enf = _mp4_n_frames(did)
         assert (w, h, nf, dur, codec) == (ew, eh, enf, enf * 40, "avc1")
-        # the oracle's analytic byte size: 614 + nf·(sample_size + 4)
-        assert len(p) == 614 + enf * (_mp4_sample_size(did) + 4)
+        # r12: profile/level are parsed out of the REAL SPS bitstream
+        # inside avcC, and the SPS's own coded dims must agree with
+        # the container (the fixture writes both from one rule)
+        assert (prof, lev) == (66, 10 + (did % 4) * 10)
+        # the oracle's analytic byte size: 663 + nf·(sample_size + 4)
+        # (r12: real avcC + 'free' pad raised the constant from 614)
+        assert len(p) == 663 + enf * (_mp4_sample_size(did) + 4)
+
+
+def test_mp4_sps_dims_agree_with_container():
+    from metrics_advisor_spark.functions.h264 import parse_avcc
+
+    p = _mp4_bytes(13)
+    a = p.find(b"avcC")
+    (sz,) = struct.unpack(">I", p[a - 4 : a])
+    rec = parse_avcc(p[a + 4 : a - 4 + sz])
+    assert (rec["width"], rec["height"]) == _mp4_dims(13)
+
+
+def test_mp4_corrupt_avcc_raises():
+    p = _mp4_bytes(9)
+    bad = bytearray(p)
+    a = p.find(b"avcC")
+    bad[a + 4] = 2  # configurationVersion 2
+    with pytest.raises(ValueError, match="configurationVersion"):
+        _parse_mp4_meta(9, bytes(bad))
 
 
 def test_mp4_moov_after_mdat_is_default_layout():
