@@ -1284,6 +1284,24 @@ def q_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 stream triage (r12 — the audio counterpart of mp4_meta):
+    every doc gets genuine CBR MPEG-1 Layer III framing (real ID3v2
+    tag on odd doc_ids, real 4-byte headers; audio payload bytes are
+    opaque — MDCT decode is the same documented deployment swap as
+    H.264), and `mp3_media_meta` walks EVERY frame boundary
+    validating headers against the first.  All seven output fields,
+    including total byte size, are analytic from the synthesis
+    rule."""
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_mp3_payload,
+        mp3_media_meta,
+    )
+
+    media = attach_mp3_payload(_docs(spark, sf_dir, fanout=False))
+    return mp3_media_meta(media)
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wall-clock frame sampling over REAL AVI payloads (r08: the
     sha-digest frame stub is gone): one row per 100 ms tick of each
@@ -5232,6 +5250,7 @@ ROTATION: dict[str, int | None] = {
     "mp4_meta": None,  # new r12 — never driver-checked
     "gif_meta": None,  # new r12 — never driver-checked
     "gif_pixel_stats": None,  # new r12 — never driver-checked
+    "mp3_meta": None,  # new r12 — never driver-checked
 }
 
 # Round 12: EMPTY by arithmetic necessity again (VERDICT r11 item 1).
@@ -5386,6 +5405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp4_meta": q_mp4_meta,
         "gif_meta": q_gif_meta,
         "gif_pixel_stats": q_gif_pixel_stats,
+        "mp3_meta": q_mp3_meta,
         "media_frames": q_media_frames,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -7752,6 +7772,34 @@ def oracle_sql() -> dict[str, str]:
                    SUM((idx * 73 + 5) % 256)::BIGINT AS sum_g,
                    SUM((idx * 29 + 101) % 256)::BIGINT AS sum_b
             FROM px GROUP BY doc_id
+        """,
+        "mp3_meta": """
+            -- MP3 frame-walk triage (r12): the Spark side validates
+            -- every real MPEG-1 Layer III header; the oracle
+            -- recomputes all fields from the synthesis rule —
+            -- kbps/rate/frame-count grids, ID3v2 tag on odd ids
+            -- (10-byte header + 20+id%50 body), frame_bytes =
+            -- 144000·kbps // rate (integer floor, padding bit 0)
+            WITH d AS (
+              SELECT doc_id,
+                     CASE doc_id % 4 WHEN 0 THEN 128 WHEN 1 THEN 192
+                          WHEN 2 THEN 256 ELSE 320 END AS kbps,
+                     CASE doc_id % 3 WHEN 0 THEN 44100
+                          WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+                     5 + doc_id % 7 AS nf,
+                     CASE WHEN doc_id % 2 = 1
+                          THEN 30 + doc_id % 50 ELSE 0 END AS tag
+              FROM documents
+            )
+            SELECT doc_id,
+                   sr::INT AS sample_rate,
+                   kbps::INT AS bitrate_kbps,
+                   nf::INT AS n_frames,
+                   (nf * 1152 * 1000 // sr)::BIGINT AS duration_ms,
+                   doc_id % 2 = 1 AS has_id3,
+                   (tag + nf * (144000 * kbps // sr))::BIGINT
+                     AS n_bytes
+            FROM d
         """,
         "media_frames": """
             -- real AVI frames sampled every 100 ms (= exactly one tick

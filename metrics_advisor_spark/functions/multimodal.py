@@ -149,6 +149,24 @@ def extract_media_meta(
                     mt = "image/gif"
                     row.update(width=w, height=h, n_frames=nf,
                                duration_ms=dur)
+                elif payload[:3] == b"ID3" or (
+                    len(payload) >= 2 and payload[0] == 0xFF
+                    and (payload[1] & 0xE0) == 0xE0
+                ):
+                    # MP3: ID3v2-tagged or bare frame sync (the JPEG
+                    # branch above already claimed 0xFF 0xD8, which
+                    # fails the 0xE0 sync mask, so there is no
+                    # magic-byte overlap)
+                    from metrics_advisor_spark.functions.mp3 import (
+                        mp3_meta,
+                    )
+
+                    try:
+                        _, _, nf, dur, _ = mp3_meta(payload)
+                    except ValueError as e:
+                        raise ValueError(f"doc {doc_id}: {e}") from None
+                    mt = "audio/mpeg"
+                    row.update(n_frames=nf, duration_ms=dur)
                 else:
                     raise ValueError(
                         f"doc {doc_id}: unrecognized payload magic "
@@ -1800,4 +1818,93 @@ def gif_media_meta(media: DataFrame, img_col: str = "img") -> DataFrame:
         fn,
         "doc_id long, width int, height int, n_frames int, "
         "duration_ms long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MP3: audio triage counterpart of the MP4 container work (r12) —
+# genuine CBR MPEG-1 Layer III framing via `functions.mp3` (real ID3v2
+# tag + real 4-byte headers walked frame-by-frame; audio payload bytes
+# are opaque/deterministic — MDCT decode is the same documented
+# deployment swap as H.264).  Everything is analytic:
+#   kbps = (128,192,256,320)[id%4], rate = (44100,48000,32000)[id%3],
+#   n_frames = 5 + id%7, ID3v2 tag present iff id odd with body
+#   20 + id%50 bytes, frame_bytes = 144000·kbps // rate,
+#   n_bytes = tag + n_frames·frame_bytes,
+#   duration_ms = n_frames·1152·1000 // rate
+# ---------------------------------------------------------------------------
+
+_MP3_KBPS = (128, 192, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def _mp3_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(kbps, sample_rate, n_frames, id3_body_len; 0 = no tag)."""
+    return (
+        _MP3_KBPS[doc_id % 4],
+        _MP3_RATES[doc_id % 3],
+        5 + doc_id % 7,
+        (20 + doc_id % 50) if doc_id % 2 else 0,
+    )
+
+
+def _mp3_bytes(doc_id: int) -> bytes:
+    from metrics_advisor_spark.functions.mp3 import encode_mp3
+
+    kbps, sr, nf, tag_len = _mp3_params(doc_id)
+    body = bytes((doc_id + i) % 128 for i in range(tag_len))
+    return encode_mp3(
+        nf, kbps=kbps, sample_rate=sr, id3_body=body, seed=doc_id
+    )
+
+
+def attach_mp3_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, audio binary): real CBR MP3 framing per doc via
+    mapInPandas — same Arrow batch shape as the other attachers."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "audio": [_mp3_bytes(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(fn, "doc_id long, audio binary")
+
+
+def mp3_media_meta(media: DataFrame, audio_col: str = "audio") -> DataFrame:
+    """Typed triage per MP3 payload from the full frame-boundary
+    walk: (doc_id, sample_rate, bitrate_kbps, n_frames, duration_ms,
+    has_id3, n_bytes).  One mapInPandas over Arrow batches."""
+    from metrics_advisor_spark.functions.mp3 import mp3_meta as _mm
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sample_rate": [], "bitrate_kbps": [],
+                "n_frames": [], "duration_ms": [], "has_id3": [],
+                "n_bytes": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf[audio_col]):
+                payload = bytes(p)
+                try:
+                    sr, kbps, nf, dur, has_id3 = _mm(payload)
+                except ValueError as e:
+                    raise ValueError(f"doc {doc_id}: {e}") from None
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(sr)
+                out["bitrate_kbps"].append(kbps)
+                out["n_frames"].append(nf)
+                out["duration_ms"].append(dur)
+                out["has_id3"].append(has_id3)
+                out["n_bytes"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        "doc_id long, sample_rate int, bitrate_kbps int, "
+        "n_frames int, duration_ms long, has_id3 boolean, "
+        "n_bytes long",
     )
