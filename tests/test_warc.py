@@ -1,0 +1,127 @@
+"""WARC source (`sources/warc.py`): record-walk roundtrips (plain and
+per-record-gzip archives parse identically), the file-level
+binaryFile→mapInPandas scan, HTTP response extraction, and the
+rejection matrix."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from metrics_advisor_spark.sources.warc import (
+    _warc_record,
+    attach_warc_payload,
+    iter_warc_records,
+    make_warc,
+    parse_warc_bytes,
+    read_warc,
+    warc_records_df,
+)
+
+_DOCS = [(0, "alpha beta"), (1, "gamma"), (10, "delta epsilon zeta")]
+
+
+def test_record_walk_plain_vs_gzip():
+    plain = make_warc(_DOCS)
+    gz = make_warc(_DOCS, gzipped=True)
+    assert gz[:2] == b"\x1f\x8b" and plain[:2] != b"\x1f\x8b"
+    a = [(h, p) for h, p in iter_warc_records(plain)]
+    b = [(h, p) for h, p in iter_warc_records(gz)]
+    assert a == b
+    # warcinfo + (request, response) per doc
+    assert len(a) == 1 + 2 * len(_DOCS)
+    assert a[0][0]["warc-type"] == "warcinfo"
+    assert a[1][0]["warc-type"] == "request"
+    assert a[2][0]["warc-type"] == "response"
+
+
+def test_http_extraction():
+    rows = list(parse_warc_bytes("t", make_warc(_DOCS)))
+    resp = [r for r in rows if r[2] == "response"]
+    assert len(resp) == 3
+    by_uri = {r[3]: r for r in resp}
+    r0 = by_uri["https://example.org/doc/0"]
+    assert r0[6] == 404 and r0[7] == "text/html; charset=utf-8"
+    assert r0[8] == b"<html><body>alpha beta</body></html>"
+    r1 = by_uri["https://example.org/doc/1"]
+    assert r1[6] == 200
+    assert r1[4] == "2026-01-02T01:00:00Z"
+    # non-response records keep NULL status and the raw payload
+    info = rows[0]
+    assert info[6] is None and info[8].startswith(b"software:")
+
+
+def test_header_continuation_lines():
+    rec = _warc_record(
+        "metadata", "urn:x", "2026-01-01T00:00:00Z", "<urn:uuid:m>",
+        b"k",
+        extra=(("WARC-Long", "part one"),),
+    )
+    # splice a continuation line after WARC-Long
+    rec = rec.replace(
+        b"WARC-Long: part one\r\n",
+        b"WARC-Long: part one\r\n\t and two\r\n",
+    )
+    (hdr, payload), = iter_warc_records(rec)
+    assert hdr["warc-long"] == "part one and two"
+    assert payload == b"k"
+
+
+def test_read_warc_file_scan(spark, tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "a.warc").write_bytes(make_warc(_DOCS[:2]))
+    (d / "b.warc.gz").write_bytes(make_warc(_DOCS[2:], gzipped=True))
+    df = read_warc(spark, str(d))
+    rows = df.collect()
+    assert len(rows) == (1 + 2 * 2) + (1 + 2 * 1)
+    resp = [r for r in rows if r["warc_type"] == "response"]
+    assert {r["target_uri"] for r in resp} == {
+        f"https://example.org/doc/{i}" for i, _ in _DOCS
+    }
+    archives = {r["archive"] for r in rows}
+    assert len(archives) == 2  # one per file
+
+
+def test_per_doc_archives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string"
+    )
+    recs = warc_records_df(attach_warc_payload(docs))
+    resp = recs.filter("warc_type = 'response'").collect()
+    assert len(resp) == 8
+    for r in resp:
+        did = int(r["archive"])
+        assert r["target_uri"] == f"https://example.org/doc/{did}"
+        assert r["http_status"] == (404 if did % 10 == 0 else 200)
+        assert bytes(r["body"]) == (
+            f"<html><body>text {did}</body></html>".encode()
+        )
+
+
+def test_rejections():
+    good = make_warc(_DOCS[:1])
+    with pytest.raises(ValueError, match="bad version line"):
+        list(iter_warc_records(b"HTTP/1.1 200 OK\r\n\r\n"))
+    with pytest.raises(ValueError, match="payload truncated"):
+        list(iter_warc_records(good[:-30]))
+    with pytest.raises(ValueError, match="not terminated"):
+        # overwrite a terminator CRLF CRLF with junk
+        bad = good.replace(b"\r\n\r\nWARC/1.0", b"\r\nxxWARC/1.0", 1)
+        list(iter_warc_records(bad))
+    with pytest.raises(ValueError, match="missing Content-Length"):
+        rec = _warc_record("metadata", "u", "d", "i", b"x")
+        bad = rec.replace(b"Content-Length: 1", b"Content-Foo: 1")
+        list(iter_warc_records(bad))
+    with pytest.raises(ValueError, match="corrupt gzip"):
+        list(iter_warc_records(b"\x1f\x8b" + b"\x00" * 20))
+    # a response record whose payload is not an HTTP message
+    rec = _warc_record(
+        "response", "u", "d", "i", b"not http at all",
+    )
+    with pytest.raises(ValueError, match="not HTTP"):
+        list(parse_warc_bytes("t", rec))
+    # gzip'd junk that inflates fine but isn't WARC
+    with pytest.raises(ValueError, match="bad version line"):
+        list(iter_warc_records(gzip.compress(b"hello world\r\n")))
