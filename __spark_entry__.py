@@ -1236,7 +1236,9 @@ def q_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         mp4_meta,
     )
 
-    media = attach_mp4_payload(_docs(spark, sf_dir, fanout=False))
+    # fan out (r12): neutral at sf0.1, 38.5 s -> 4.1 s at the x100
+    # probe (single-split local read artifact; SCALE.md §20)
+    media = attach_mp4_payload(_docs(spark, sf_dir))
     return mp4_meta(media)
 
 
@@ -1298,7 +1300,10 @@ def q_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         mp3_media_meta,
     )
 
-    media = attach_mp3_payload(_docs(spark, sf_dir, fanout=False))
+    # fan out: per-payload frame synthesis/walk is real CPU, and the
+    # x100 probe showed the single-split local read serializing it
+    # (47.5 s -> 8.4 s with the repartition; SCALE.md §20)
+    media = attach_mp3_payload(_docs(spark, sf_dir))
     return mp3_media_meta(media)
 
 

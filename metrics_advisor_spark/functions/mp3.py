@@ -159,8 +159,12 @@ def encode_mp3(
     )
     frame_bytes = 144000 * kbps // sample_rate  # padding bit 0
     body_len = frame_bytes - 4
+    import numpy as np
+
+    base = np.arange(body_len, dtype=np.int64)
     for f in range(n_frames):
         out += hdr
-        out += bytes((seed * 7 + f * 13 + i) % 256
-                     for i in range(body_len))
+        out += ((seed * 7 + f * 13 + base) % 256).astype(
+            np.uint8
+        ).tobytes()
     return bytes(out)

@@ -64,6 +64,13 @@ FAMILIES = {
     "bpe": [
         "bpe_pairs", "bpe_merges", "bpe_batched_merges", "bpe_vocab",
     ],
+    # r12: the binary-payload families — synthesize + parse real
+    # GIF/MP3/MP4/WARC bytes per doc; work is per-payload CPU with no
+    # cross-doc shuffle, so wall should scale ~linearly in docs
+    "media": [
+        "gif_meta", "gif_pixel_stats", "mp3_meta", "mp4_meta",
+        "warc_extract", "media_meta",
+    ],
 }
 
 
