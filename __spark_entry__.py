@@ -1334,6 +1334,30 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl ingest path under ONE hash (r12): doc text →
+    WARC archive (gzip arm on odd ids) → record split → HTTP response
+    parse → HTML→text extraction (`functions/html.py`, the
+    pure-Catalyst JVM regex chain — no Python boundary after the WARC
+    parse) → the ORIGINAL text, byte-identical.  The oracle is
+    simply `SELECT doc_id, text FROM documents` — the whole pipeline
+    must be the identity, which pins every stage jointly (a
+    single-byte slip anywhere breaks the hash)."""
+    from metrics_advisor_spark.functions.html import extract_text
+    from metrics_advisor_spark.sources.warc import (
+        attach_warc_payload,
+        warc_records_df,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    recs = warc_records_df(attach_warc_payload(docs))
+    html = recs.filter(F.col("warc_type") == "response").select(
+        F.col("archive").cast("long").alias("doc_id"),
+        F.col("body").cast("string").alias("html"),
+    )
+    return extract_text(html, jvm=True).select("doc_id", "text")
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wall-clock frame sampling over REAL AVI payloads (r08: the
     sha-digest frame stub is gone): one row per 100 ms tick of each
@@ -5284,6 +5308,7 @@ ROTATION: dict[str, int | None] = {
     "gif_pixel_stats": None,  # new r12 — never driver-checked
     "mp3_meta": None,  # new r12 — never driver-checked
     "warc_extract": None,  # new r12 — never driver-checked
+    "warc_text_extract": None,  # new r12 — never driver-checked
 }
 
 # Round 12: EMPTY by arithmetic necessity again (VERDICT r11 item 1).
@@ -5440,6 +5465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_pixel_stats": q_gif_pixel_stats,
         "mp3_meta": q_mp3_meta,
         "warc_extract": q_warc_extract,
+        "warc_text_extract": q_warc_text_extract,
         "media_frames": q_media_frames,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -7827,6 +7853,14 @@ def oracle_sql() -> dict[str, str]:
                      || ':00:00Z' AS warc_date,
                    (26 + strlen(text))::BIGINT AS body_bytes
             FROM documents
+        """,
+        "warc_text_extract": """
+            -- the whole crawl ingest path must be the identity:
+            -- text → WARC(gzip) → HTTP → HTML → text.  The corpus
+            -- contains no '<', '&', runs of spaces, tabs/newlines or
+            -- edge whitespace (verified at all three sf), so
+            -- extraction is exact inversion.
+            SELECT doc_id, text FROM documents
         """,
         "mp3_meta": """
             -- MP3 frame-walk triage (r12): the Spark side validates

@@ -1,0 +1,177 @@
+"""HTML → text extraction — the step every crawl pipeline runs right
+after WARC/HTTP ingestion, before any text-quality or dedup operator
+sees the document.
+
+Scope follows what production extractors (boilerplate-light, lenient)
+actually do, built from public knowledge only:
+  - drop <script>/<style>/<noscript>/<template> ELEMENTS whole (their
+    text content is code, not prose), plus comments and CDATA
+  - block-level tags (p, div, br, li, tr, headings, …) become
+    newlines, inline tags (a, b, span, …) vanish — so word
+    boundaries survive tag removal
+  - character references decode: the HTML5 named set's common core
+    (amp/lt/gt/quot/apos/nbsp + typographic), and numeric `&#123;` /
+    `&#x1f;` forms including the Windows-1252 remap range the spec
+    mandates for 0x80-0x9F
+  - whitespace normalizes per HTML rendering rules: runs of
+    spaces/tabs/newlines inside a block collapse to one space,
+    block boundaries to one newline, document trimmed
+
+UNLIKE the binary codecs, extraction is deliberately LENIENT:
+crawl HTML is broken by nature (unclosed tags, stray `<`, bad
+nesting), and a pipeline that raised on malformed markup would
+discard most of the web.  Lenient never means guessing bytes — it
+means the tokenizer treats anything that is not a well-formed tag as
+text.
+
+Pure regex/str pipeline on the executor (no external parser lib);
+runs inside the existing mapInPandas/withColumn shapes.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# attribute run inside a tag: quoted values may contain < and >
+# (browsers allow it; `<a href="?q=<b>">` is one tag)
+_ATTRS = "(?:\"[^\"]*\"|'[^']*'|[^<>\"'])*"
+
+# elements whose CONTENT is dropped entirely
+_DROP = ("script", "style", "noscript", "template")
+_DROP_RE = re.compile(
+    r"<(" + "|".join(_DROP) + r")\b" + _ATTRS + r">.*?</\1\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_CDATA_RE = re.compile(r"<!\[CDATA\[.*?\]\]>", re.DOTALL)
+
+# tags that imply a line/block boundary when rendered
+_BLOCK = (
+    "p|div|br|hr|li|ul|ol|tr|td|th|table|h1|h2|h3|h4|h5|h6|"
+    "section|article|header|footer|blockquote|pre|form|dl|dt|dd"
+)
+_BLOCK_RE = re.compile(
+    r"</?(?:" + _BLOCK + r")\b" + _ATTRS + r">", re.IGNORECASE
+)
+# any remaining well-formed tag (inline) — a lone '<' that never
+# closes is NOT a tag and stays as text (lenient rule)
+_TAG_RE = re.compile(r"</?[a-zA-Z]" + _ATTRS + r">")
+
+_NAMED = {
+    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
+    "nbsp": " ", "ndash": "–", "mdash": "—",
+    "lsquo": "‘", "rsquo": "’", "ldquo": "“",
+    "rdquo": "”", "hellip": "…", "copy": "©",
+    "reg": "®", "trade": "™", "deg": "°",
+    "middot": "·", "laquo": "«", "raquo": "»",
+    "times": "×", "shy": "­", "eacute": "é",
+    "egrave": "è", "agrave": "à", "ccedil": "ç",
+    "uuml": "ü", "ouml": "ö", "auml": "ä",
+    "szlig": "ß", "ntilde": "ñ",
+}
+_ENT_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);")
+
+# HTML5 §13.2.5.80: numeric references in 0x80–0x9F decode via
+# Windows-1252, not as C1 controls
+_CP1252 = {
+    0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„",
+    0x85: "…", 0x86: "†", 0x87: "‡", 0x88: "ˆ",
+    0x89: "‰", 0x8A: "Š", 0x8B: "‹", 0x8C: "Œ",
+    0x8E: "Ž", 0x91: "‘", 0x92: "’", 0x93: "“",
+    0x94: "”", 0x95: "•", 0x96: "–", 0x97: "—",
+    0x98: "˜", 0x99: "™", 0x9A: "š", 0x9B: "›",
+    0x9C: "œ", 0x9E: "ž", 0x9F: "Ÿ",
+}
+
+
+def _decode_entity(m: re.Match) -> str:
+    ref = m.group(1)
+    if ref[0] == "#":
+        try:
+            cp = (int(ref[2:], 16) if ref[1] in "xX"
+                  else int(ref[1:]))
+        except ValueError:
+            return m.group(0)
+        if cp in _CP1252:
+            return _CP1252[cp]
+        if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+            return chr(cp)
+        return "�"
+    return _NAMED.get(ref, m.group(0))  # unknown names stay literal
+
+
+def html_to_text(html: str) -> str:
+    """Plain text from an HTML document per the rules above."""
+    s = _COMMENT_RE.sub(" ", html)
+    s = _CDATA_RE.sub(" ", s)
+    s = _DROP_RE.sub(" ", s)
+    s = _BLOCK_RE.sub("\n", s)
+    s = _TAG_RE.sub("", s)
+    s = _ENT_RE.sub(_decode_entity, s)
+    s = s.replace(" ", " ")  # nbsp renders as space
+    # per-block horizontal collapse, then block-boundary collapse
+    s = re.sub(r"[ \t\r\f\v]+", " ", s)
+    s = re.sub(r" ?\n ?", "\n", s)
+    s = re.sub(r"\n{2,}", "\n", s)
+    return s.strip()
+
+
+def html_text_col(col: Column) -> Column:
+    """The same pipeline as a Catalyst expression chain — stays
+    JVM-side (no Python worker) for the common case where per-row
+    regex replacement is the whole job.  Functionally equal to
+    `html_to_text` for the supported entity set; property-tested
+    against the Python form."""
+    s = F.regexp_replace(col, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"(?s)<!\[CDATA\[.*?\]\]>", " ")
+    s = F.regexp_replace(
+        s,
+        r"(?is)<(script|style|noscript|template)\b" + _ATTRS + r">"
+        r".*?</\1\s*>",
+        " ",
+    )
+    s = F.regexp_replace(
+        s, r"(?i)</?(?:" + _BLOCK + r")\b" + _ATTRS + r">", "\n"
+    )
+    s = F.regexp_replace(s, r"</?[a-zA-Z]" + _ATTRS + r">", "")
+    # named entities: one replace per table entry (constant-folded
+    # chain; the set is small and closed)
+    for name, ch in _NAMED.items():
+        s = F.regexp_replace(s, f"&{name};", ch)
+    # numeric entities are rare enough in practice that the JVM chain
+    # handles only the named set; use `extract_text` (Python form)
+    # when numeric refs matter
+    s = F.regexp_replace(s, " ", " ")
+    # NB: Java's \v is the VERTICAL-whitespace class (it matches
+    # \n!), unlike Python's vertical-tab escape — spell the class out
+    s = F.regexp_replace(s, "[ \t\r\f\u000b]+", " ")
+    s = F.regexp_replace(s, r" ?\n ?", "\n")
+    s = F.regexp_replace(s, r"\n{2,}", "\n")
+    # F.trim strips SPACES only — trim newlines too, like .strip()
+    return F.regexp_replace(s, r"^\s+|\s+$", "")
+
+
+def extract_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "text",
+    *, jvm: bool = False,
+) -> DataFrame:
+    """Column-level extraction: ``jvm=True`` uses the pure-Catalyst
+    regex chain (whole-stage codegen, no Python boundary — the 100 TB
+    default when numeric character references don't matter);
+    ``jvm=False`` routes through an Arrow-batched pandas UDF running
+    the full Python pipeline (numeric refs + cp1252 remap)."""
+    if jvm:
+        return df.withColumn(out_col, html_text_col(F.col(html_col)))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def fn(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: html_to_text(v) if v is not None
+                     else None)
+
+    return df.withColumn(out_col, fn(F.col(html_col)))

@@ -1,0 +1,105 @@
+"""HTML → text extraction (`functions/html.py`): rendering-rule
+fixtures (block/inline boundaries, dropped elements, entities incl.
+numeric + cp1252 remap), leniency on broken markup, and JVM-chain ==
+Python-pipeline agreement on the shared feature set."""
+
+from __future__ import annotations
+
+import pytest
+
+from metrics_advisor_spark.functions.html import (
+    extract_text,
+    html_to_text,
+)
+
+
+def test_basic_blocks_and_inline():
+    html = (
+        "<html><head><title>T</title></head><body>"
+        "<h1>Head</h1><p>one <b>two</b> three</p>"
+        "<div>four</div>five<br>six</body></html>"
+    )
+    # title is inline-stripped (head isn't a drop element), blocks
+    # break lines, inline tags vanish without eating word boundaries
+    assert html_to_text(html) == "T\nHead\none two three\nfour\nfive\nsix"
+
+
+def test_script_style_dropped_whole():
+    html = (
+        "<p>keep</p><script>var x = '<p>not text</p>';</script>"
+        "<style>p { color: red }</style><p>also keep</p>"
+        "<noscript>enable js</noscript>"
+    )
+    assert html_to_text(html) == "keep\nalso keep"
+
+
+def test_comments_and_cdata():
+    html = "a<!-- hidden <p>x</p> -->b<![CDATA[ <raw> ]]>c"
+    assert html_to_text(html) == "a b c"
+
+
+def test_entities():
+    assert html_to_text("Tom &amp; Jerry &lt;3 &quot;q&quot;") == \
+        'Tom & Jerry <3 "q"'
+    assert html_to_text("caf&eacute; &ndash; 5&deg;") == "café – 5°"
+    # numeric decimal, hex, cp1252 remap (0x92 = right single quote),
+    # out-of-range → replacement char
+    assert html_to_text("&#65;&#x42;&#146;&#x110000;") == "AB’�"
+    # unknown named entity stays literal (lenient)
+    assert html_to_text("&bogus; &amp;") == "&bogus; &"
+
+
+def test_nbsp_and_whitespace_collapse():
+    html = "<p>a&nbsp;&nbsp;b</p>\n\n   <p>  c\t d  </p>"
+    assert html_to_text(html) == "a b\nc d"
+
+
+def test_lenient_on_broken_markup():
+    # unclosed tags, stray '<', attribute junk — never raises, text
+    # survives
+    html = "<p>5 < 6 and <em broken>text<p>next"
+    assert html_to_text(html) == "5 < 6 and text\nnext"
+    assert html_to_text("") == ""
+    assert html_to_text("<div><div><div>deep") == "deep"
+
+
+def test_attributes_do_not_leak():
+    html = '<a href="https://x.example/?q=<b>">link</a>'
+    assert html_to_text(html) == "link"
+
+
+@pytest.mark.parametrize("jvm", [False, True])
+def test_spark_extraction(spark, jvm):
+    rows = [
+        (0, "<html><body>alpha beta</body></html>"),
+        (1, "<p>one</p><p>two &amp; three</p>"),
+        (2, "<script>x</script>plain"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in extract_text(df, jvm=jvm).collect()
+    }
+    assert got[0] == "alpha beta"
+    assert got[1] == "one\ntwo & three"
+    assert got[2] == "plain"
+    assert got[3] is None
+
+
+def test_jvm_chain_matches_python_on_shared_features(spark):
+    fixtures = [
+        "<h1>A</h1><p>b <i>c</i></p>",
+        "x<!-- c -->y<style>s</style>z",
+        "Tom &amp; Jerry&nbsp;&hellip; <br> done",
+        "<div>  spaced   out  </div>",
+        "broken < markup <p>ok</p>",
+    ]
+    df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(fixtures)],
+        "doc_id long, html string",
+    )
+    a = {r["doc_id"]: r["text"]
+         for r in extract_text(df, jvm=True).collect()}
+    for i, f in enumerate(fixtures):
+        assert a[i] == html_to_text(f), f
