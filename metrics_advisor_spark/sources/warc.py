@@ -125,9 +125,42 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
         pos = body_end + 4
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer-encoding body (RFC 9112
+    §7.1): hex size line (chunk extensions after ';' ignored) + data
+    + CRLF, terminated by a zero-size chunk; trailer headers after
+    the last chunk are dropped.  Crawl archives store the payload as
+    captured off the wire, so chunked bodies are common in real WARC
+    data."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while True:
+        end = body.find(_CRLF, pos)
+        if end < 0:
+            raise ValueError("WARC: chunked body missing size line")
+        size_tok = body[pos:end].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(
+                f"WARC: bad chunk size {size_tok[:16]!r}"
+            ) from None
+        pos = end + 2
+        if size == 0:
+            return bytes(out)  # trailers (if any) are dropped
+        if pos + size + 2 > n:
+            raise ValueError("WARC: chunked body truncated")
+        out += body[pos:pos + size]
+        if body[pos + size:pos + size + 2] != _CRLF:
+            raise ValueError("WARC: chunk data not CRLF-terminated")
+        pos += size + 2
+
+
 def _parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
     """(status, content-type, body) from an HTTP/1.x response
-    message."""
+    message; chunked transfer-encoding is decoded (archives store
+    the wire format)."""
     end = payload.find(_CRLF)
     if end < 0 or not payload.startswith(b"HTTP/"):
         raise ValueError(
@@ -140,7 +173,10 @@ def _parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
         )
     status = int(parts[1])
     headers, body_at = _parse_headers(payload, end + 2)
-    return status, headers.get("content-type", ""), payload[body_at:]
+    body = payload[body_at:]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    return status, headers.get("content-type", ""), body
 
 
 def parse_warc_bytes(
@@ -237,11 +273,28 @@ def make_warc(
             f"<urn:uuid:req-{doc_id}>", req,
         ))
         body = f"<html><body>{text}</body></html>".encode()
-        http = (
-            f"HTTP/1.1 {200 if doc_id % 10 else 404} OK\r\n"
-            f"Content-Type: text/html; charset=utf-8\r\n"
-            f"Content-Length: {len(body)}\r\n\r\n"
-        ).encode() + body
+        status = 200 if doc_id % 10 else 404
+        if doc_id % 5 == 2:
+            # chunked wire format (docs ≡2 mod 5): two chunks +
+            # terminator — archives store responses as captured, so
+            # the reader must dechunk
+            k = len(body) // 2
+            wire = (
+                f"{k:x}".encode() + _CRLF + body[:k] + _CRLF
+                + f"{len(body) - k:x}".encode() + _CRLF
+                + body[k:] + _CRLF + b"0" + _CRLF + _CRLF
+            )
+            http = (
+                f"HTTP/1.1 {status} OK\r\n"
+                f"Content-Type: text/html; charset=utf-8\r\n"
+                f"Transfer-Encoding: chunked\r\n\r\n"
+            ).encode() + wire
+        else:
+            http = (
+                f"HTTP/1.1 {status} OK\r\n"
+                f"Content-Type: text/html; charset=utf-8\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
         recs.append(_warc_record(
             "response", uri, date,
             f"<urn:uuid:resp-{doc_id}>", http,

@@ -125,3 +125,22 @@ def test_rejections():
     # gzip'd junk that inflates fine but isn't WARC
     with pytest.raises(ValueError, match="bad version line"):
         list(iter_warc_records(gzip.compress(b"hello world\r\n")))
+
+
+def test_chunked_transfer_encoding():
+    from metrics_advisor_spark.sources.warc import _dechunk
+
+    # fixture docs ≡2 mod 5 are stored chunked; the parsed body must
+    # equal the unchunked form byte-for-byte
+    rows = list(parse_warc_bytes("t", make_warc([(2, "chunky text")])))
+    resp = [r for r in rows if r[2] == "response"][0]
+    assert resp[8] == b"<html><body>chunky text</body></html>"
+    # direct dechunk: extensions ignored, trailers dropped
+    assert _dechunk(b"3;ext=1\r\nabc\r\n2\r\nde\r\n0\r\nX-T: v\r\n\r\n") \
+        == b"abcde"
+    with pytest.raises(ValueError, match="chunked body truncated"):
+        _dechunk(b"ff\r\nshort\r\n")
+    with pytest.raises(ValueError, match="bad chunk size"):
+        _dechunk(b"zz\r\nabc\r\n")
+    with pytest.raises(ValueError, match="not CRLF-terminated"):
+        _dechunk(b"3\r\nabcXX0\r\n\r\n")
