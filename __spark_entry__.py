@@ -1358,6 +1358,39 @@ def q_warc_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_text(html, jvm=True).select("doc_id", "text")
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (r12 — the crawl-dedup primitive that
+    runs before any content dedup): six analytic mess patterns by
+    doc_id%6 (case+default port, dot segments, unsorted query +
+    fragment, percent escapes, portful empty path, tracking params),
+    canonicalized with `functions/url.py` (strip_tracking on); the
+    oracle writes each branch's canonical form directly."""
+    from metrics_advisor_spark.functions.url import canonical_urls
+
+    d = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("HTTP://EXAMPLE.org:80/d/"), d))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("https://example.org/a/./b/../c"), d))
+        .when(F.col("doc_id") % 6 == 2,
+              F.concat(F.lit("https://example.org/q"), d,
+                       F.lit("?z=1&a="), d, F.lit("#top")))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit("https://example.org/%7euser"), d,
+                       F.lit("%2d")))
+        .when(F.col("doc_id") % 6 == 4,
+              F.concat(F.lit("https://example.org:443?x="), d))
+        .otherwise(
+            F.concat(F.lit("https://example.org/t"), d,
+                     F.lit("?utm_source=x&gclid=g&id="), d))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id").withColumn("url", url)
+    return canonical_urls(docs, strip_tracking=True).select(
+        "doc_id", "url", "canonical"
+    )
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wall-clock frame sampling over REAL AVI payloads (r08: the
     sha-digest frame stub is gone): one row per 100 ms tick of each
@@ -5309,6 +5342,7 @@ ROTATION: dict[str, int | None] = {
     "mp3_meta": None,  # new r12 — never driver-checked
     "warc_extract": None,  # new r12 — never driver-checked
     "warc_text_extract": None,  # new r12 — never driver-checked
+    "url_canonical": None,  # new r12 — never driver-checked
 }
 
 # Round 12: EMPTY by arithmetic necessity again (VERDICT r11 item 1).
@@ -5466,6 +5500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp3_meta": q_mp3_meta,
         "warc_extract": q_warc_extract,
         "warc_text_extract": q_warc_text_extract,
+        "url_canonical": q_url_canonical,
         "media_frames": q_media_frames,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -7852,6 +7887,37 @@ def oracle_sql() -> dict[str, str]:
                      || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
                      || ':00:00Z' AS warc_date,
                    (26 + strlen(text))::BIGINT AS body_bytes
+            FROM documents
+        """,
+        "url_canonical": """
+            -- six analytic mess patterns; the oracle writes each
+            -- branch's canonical form directly (query sort puts
+            -- a=<id> before z=1; %7e/%2d decode to ~ and -; tracking
+            -- params vanish; :80/:443 drop; empty path gains /)
+            SELECT doc_id,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'HTTP://EXAMPLE.org:80/d/' || doc_id
+                     WHEN 1 THEN 'https://example.org/a/./b/../c'
+                                 || doc_id
+                     WHEN 2 THEN 'https://example.org/q' || doc_id
+                                 || '?z=1&a=' || doc_id || '#top'
+                     WHEN 3 THEN 'https://example.org/%7euser'
+                                 || doc_id || '%2d'
+                     WHEN 4 THEN 'https://example.org:443?x=' || doc_id
+                     ELSE 'https://example.org/t' || doc_id
+                          || '?utm_source=x&gclid=g&id=' || doc_id
+                   END AS url,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'http://example.org/d/' || doc_id
+                     WHEN 1 THEN 'https://example.org/a/c' || doc_id
+                     WHEN 2 THEN 'https://example.org/q' || doc_id
+                                 || '?a=' || doc_id || '&z=1'
+                     WHEN 3 THEN 'https://example.org/~user'
+                                 || doc_id || '-'
+                     WHEN 4 THEN 'https://example.org/?x=' || doc_id
+                     ELSE 'https://example.org/t' || doc_id
+                          || '?id=' || doc_id
+                   END AS canonical
             FROM documents
         """,
         "warc_text_extract": """

@@ -1,0 +1,165 @@
+"""URL canonicalization — the crawl-dedup primitive that runs before
+any content-level dedup: most duplicate documents in a crawl are the
+SAME resource under trivially different URLs, and canonicalizing the
+key deduplicates them for free (no shingles, no hashes).
+
+Rules implemented (RFC 3986 syntax-based normalization §6.2.2 plus
+the crawl-specific conventions every production canonicalizer —
+w3lib/courlan-style — applies, all public knowledge):
+  - scheme and host lowercase
+  - default port dropped (http:80, https:443)
+  - path dot-segments resolved (RFC 3986 §5.2.4 remove_dot_segments)
+  - empty path → "/"
+  - percent-encoding normalized: unreserved characters
+    (ALPHA / DIGIT / - . _ ~) decode, everything else keeps %XX with
+    UPPERCASE hex
+  - query parameters sorted by (key, value) — dedup canonicalization,
+    deliberately stronger than pure RFC normalization
+  - fragment dropped (never sent to the server)
+  - optional tracking-parameter strip (utm_*, gclid, fbclid, msclkid)
+
+Spark surface: `canonical_urls` (Arrow pandas UDF — the pipeline is
+branchy string work) and `url_dup_groups` (canonical-key groupBy: one
+shuffle on the canonical hash, the cheapest dedup pass that exists).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlsplit
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    "0123456789-._~"
+)
+_PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
+_TRACKING_RE = re.compile(r"^(utm_|gclid$|fbclid$|msclkid$)")
+
+
+def _norm_pct(s: str) -> str:
+    """Decode unreserved %XX escapes, uppercase the rest."""
+
+    def repl(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, s)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+            continue
+        out.append(seg)
+    # a trailing '.' or '..' segment leaves a trailing slash
+    if path.endswith(("/.", "/..")) and (not out or out[-1] != ""):
+        out.append("")
+    return "/".join(out)
+
+
+def canonicalize_url(url: str, *, strip_tracking: bool = False) -> str:
+    """Canonical form of ``url`` per the module rules; relative or
+    schemeless input comes back percent/dot-normalized but otherwise
+    untouched (leniency — crawl link fields hold fragments of
+    everything)."""
+    raw = url.strip()
+    try:
+        parts = urlsplit(raw)
+        scheme = parts.scheme.lower()
+        host = (parts.hostname or "").lower()
+        port = parts.port
+    except ValueError:
+        # malformed authority (bad IPv6 literal, junk port):
+        # leniency — hand back the trimmed input untouched rather
+        # than guessing at structure
+        return raw
+    netloc = host
+    if parts.username:
+        cred = parts.username + (
+            f":{parts.password}" if parts.password else ""
+        )
+        netloc = f"{cred}@{netloc}"
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+        netloc += f":{port}"
+
+    path = _norm_pct(parts.path)
+    path = _remove_dot_segments(path)
+    if netloc and not path:
+        path = "/"
+
+    query = ""
+    if parts.query:
+        pairs = []
+        for tok in parts.query.split("&"):
+            if not tok:
+                continue
+            k, _, v = tok.partition("=")
+            k, v = _norm_pct(k), _norm_pct(v)
+            if strip_tracking and _TRACKING_RE.match(k):
+                continue
+            pairs.append((k, v, "=" in tok))
+        pairs.sort(key=lambda p: (p[0], p[1]))
+        query = "&".join(
+            f"{k}={v}" if has_eq else k for k, v, has_eq in pairs
+        )
+
+    out = ""
+    if scheme:
+        out += scheme + ":"
+    if netloc or scheme in _DEFAULT_PORTS:
+        out += "//" + netloc
+    out += path
+    if query:
+        out += "?" + query
+    return out  # fragment dropped
+
+
+def canonical_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical",
+    *, strip_tracking: bool = False,
+) -> DataFrame:
+    """Column-level canonicalization via an Arrow-batched pandas
+    UDF."""
+
+    @F.pandas_udf("string")
+    def fn(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: canonicalize_url(
+                v, strip_tracking=strip_tracking
+            ) if v is not None else None
+        )
+
+    return df.withColumn(out_col, fn(F.col(url_col)))
+
+
+def url_dup_groups(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id",
+    *, strip_tracking: bool = True,
+) -> DataFrame:
+    """Duplicate groups by canonical URL: (canonical, n_docs,
+    min_doc_id) for groups with >1 member — ONE shuffle on the
+    canonical key, no content ever read.  The cheapest dedup pass in
+    any crawl pipeline; run it before the content-level operators."""
+    can = canonical_urls(
+        df.select(id_col, url_col), url_col,
+        strip_tracking=strip_tracking,
+    )
+    return (
+        can.groupBy("canonical")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

