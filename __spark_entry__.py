@@ -1391,6 +1391,50 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROBOTS_FIXTURE = """User-agent: *
+Disallow: /private/
+Allow: /private/pub
+Disallow: /*.pdf$
+Allow: /a
+Disallow: /a/b
+"""
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance audit (r12): eight analytic path
+    patterns by doc_id%8 run through the RFC 9309 matcher
+    (`functions/robots.py` — longest-match, allow tie-break, `*`
+    wildcard, `$` anchor) against a fixed rule set broadcast as
+    compiled regexes; the oracle writes each branch's verdict
+    directly."""
+    from metrics_advisor_spark.functions.robots import robots_gate
+
+    d = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.col("doc_id") % 8 == 0,
+               F.concat(F.lit("/public/"), d))
+        .when(F.col("doc_id") % 8 == 1,
+              F.concat(F.lit("/private/x"), d))
+        .when(F.col("doc_id") % 8 == 2,
+              F.concat(F.lit("/private/pub"), d))
+        .when(F.col("doc_id") % 8 == 3,
+              F.concat(F.lit("/doc"), d, F.lit(".pdf")))
+        .when(F.col("doc_id") % 8 == 4,
+              F.concat(F.lit("/a/x"), d))
+        .when(F.col("doc_id") % 8 == 5,
+              F.concat(F.lit("/a/b/"), d))
+        .when(F.col("doc_id") % 8 == 6,
+              F.concat(F.lit("/doc"), d, F.lit(".pdfx")))
+        .otherwise(F.lit("/private/pub"))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id").withColumn(
+        "path", path
+    )
+    return robots_gate(docs, _ROBOTS_FIXTURE).select(
+        "doc_id", "path", "allowed"
+    )
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wall-clock frame sampling over REAL AVI payloads (r08: the
     sha-digest frame stub is gone): one row per 100 ms tick of each
@@ -5343,6 +5387,7 @@ ROTATION: dict[str, int | None] = {
     "warc_extract": None,  # new r12 — never driver-checked
     "warc_text_extract": None,  # new r12 — never driver-checked
     "url_canonical": None,  # new r12 — never driver-checked
+    "robots_gate": None,  # new r12 — never driver-checked
 }
 
 # Round 12: EMPTY by arithmetic necessity again (VERDICT r11 item 1).
@@ -5501,6 +5546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "warc_text_extract": q_warc_text_extract,
         "url_canonical": q_url_canonical,
+        "robots_gate": q_robots_gate,
         "media_frames": q_media_frames,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -7887,6 +7933,31 @@ def oracle_sql() -> dict[str, str]:
                      || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
                      || ':00:00Z' AS warc_date,
                    (26 + strlen(text))::BIGINT AS body_bytes
+            FROM documents
+        """,
+        "robots_gate": """
+            -- eight analytic path branches vs the fixed rule set;
+            -- the oracle writes each branch's RFC 9309 verdict
+            -- (longest match wins; /private/pub Allow outranks
+            -- /private/ Disallow; $ anchors; .pdfx escapes the
+            -- anchored *.pdf$ rule)
+            SELECT doc_id,
+                   CASE doc_id % 8
+                     WHEN 0 THEN '/public/' || doc_id
+                     WHEN 1 THEN '/private/x' || doc_id
+                     WHEN 2 THEN '/private/pub' || doc_id
+                     WHEN 3 THEN '/doc' || doc_id || '.pdf'
+                     WHEN 4 THEN '/a/x' || doc_id
+                     WHEN 5 THEN '/a/b/' || doc_id
+                     WHEN 6 THEN '/doc' || doc_id || '.pdfx'
+                     ELSE '/private/pub'
+                   END AS path,
+                   CASE doc_id % 8
+                     WHEN 1 THEN FALSE
+                     WHEN 3 THEN FALSE
+                     WHEN 5 THEN FALSE
+                     ELSE TRUE
+                   END AS allowed
             FROM documents
         """,
         "url_canonical": """

@@ -1,0 +1,152 @@
+"""robots.txt parsing and URL matching per RFC 9309 (public spec) —
+the politeness/compliance filter every crawl pipeline applies before
+(re)fetching, and a common post-hoc audit over crawled corpora
+("which of these documents would today's robots rules exclude?").
+
+Implemented semantics (RFC 9309 §2):
+  - line-oriented `field: value` records; fields case-insensitive;
+    comments (#) stripped; unknown fields ignored
+  - GROUPS: one or more consecutive user-agent lines bind the rules
+    that follow; the matcher picks the group whose product token
+    matches the client UA case-insensitively (longest token wins),
+    falling back to the `*` group
+  - rule matching: patterns match from the path start; `*` matches
+    any octet sequence, `$` anchors the pattern end
+  - decision: the LONGEST matching rule wins (octet length of the
+    pattern); on an allow/disallow tie, allow wins; no match ⇒
+    allowed; empty-value Disallow ⇒ allows everything
+  - `sitemap:` lines are collected (they live outside groups)
+
+Spark surface: rules are tiny (a robots.txt is KBs) — `robots_gate`
+broadcasts the COMPILED rule list and filters a URL/path column in
+one narrow pass; per-host robots would join on host first (same
+broadcast shape, rules side is always small).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _rule_regex(pattern: str) -> re.Pattern:
+    """Compile a robots path pattern: literal except `*` (any
+    sequence) and a FINAL `$` (end anchor); match is from the path
+    start."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if c == "*" else re.escape(c) for c in body)
+    return re.compile("^" + rx + ("$" if anchored else ""))
+
+
+def parse_robots(txt: str) -> dict:
+    """{'groups': [(ua_tokens, [(kind, pattern, regex, length)])],
+    'sitemaps': [...]} — groups in file order; rule length is the
+    RFC's specificity measure (octet length of the pattern)."""
+    groups: list[tuple[list[str], list[tuple]]] = []
+    sitemaps: list[str] = []
+    cur_uas: list[str] = []
+    cur_rules: list[tuple] = []
+    ua_open = False  # consecutive user-agent lines extend the group
+
+    def flush():
+        nonlocal cur_uas, cur_rules
+        if cur_uas:
+            groups.append((cur_uas, cur_rules))
+        cur_uas, cur_rules = [], []
+
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not ua_open:
+                flush()
+            cur_uas.append(value.lower())
+            ua_open = True
+            continue
+        ua_open = False
+        if field == "sitemap":
+            sitemaps.append(value)
+        elif field in ("allow", "disallow"):
+            if not cur_uas:
+                continue  # rules before any user-agent line: ignored
+            if value == "":
+                if field == "disallow":
+                    continue  # empty Disallow allows everything
+                continue
+            cur_rules.append(
+                (field, value, _rule_regex(value),
+                 len(value.encode("utf-8")))
+            )
+        # crawl-delay and unknown fields: ignored
+    flush()
+    return {"groups": groups, "sitemaps": sitemaps}
+
+
+def _select_group(parsed: dict, ua: str):
+    """RFC 9309 §2.2.1: the group with the longest UA token contained
+    in the client UA (case-insensitive); `*` as fallback."""
+    ua = ua.lower()
+    best, best_len = None, -1
+    star = None
+    for tokens, rules in parsed["groups"]:
+        for tok in tokens:
+            if tok == "*":
+                if star is None:
+                    star = rules
+            elif tok and tok in ua and len(tok) > best_len:
+                best, best_len = rules, len(tok)
+    return best if best is not None else (star or [])
+
+
+def robots_allowed(txt_or_parsed, path: str, ua: str = "*") -> bool:
+    """Longest-match decision for ``path`` under the rules for
+    ``ua``; allow wins ties; no matching rule ⇒ allowed."""
+    parsed = (txt_or_parsed if isinstance(txt_or_parsed, dict)
+              else parse_robots(txt_or_parsed))
+    rules = _select_group(parsed, ua)
+    verdict, best_len = True, -1
+    for kind, _, rx, ln in rules:
+        if rx.match(path):
+            if ln > best_len or (ln == best_len and kind == "allow"):
+                verdict = kind == "allow"
+                best_len = ln
+    return verdict
+
+
+def robots_gate(
+    df: DataFrame, robots_txt: str, *, path_col: str = "path",
+    ua: str = "*", out_col: str = "allowed",
+) -> DataFrame:
+    """Annotate a path column with the robots decision: the rule list
+    is parsed ONCE on the driver (robots.txt is KBs) and closed over
+    by an Arrow pandas UDF — effectively a broadcast of compiled
+    rules, one narrow pass over the URLs, no shuffle."""
+    parsed = parse_robots(robots_txt)
+    rules = _select_group(parsed, ua)
+
+    @F.pandas_udf("boolean")
+    def fn(s: pd.Series) -> pd.Series:
+        def decide(path):
+            if path is None:
+                return None
+            verdict, best_len = True, -1
+            for kind, _, rx, ln in rules:
+                if rx.match(path):
+                    if ln > best_len or (
+                        ln == best_len and kind == "allow"
+                    ):
+                        verdict = kind == "allow"
+                        best_len = ln
+            return verdict
+
+        return s.map(decide)
+
+    return df.withColumn(out_col, fn(F.col(path_col)))

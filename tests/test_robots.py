@@ -1,0 +1,83 @@
+"""robots.txt matching (`functions/robots.py`): RFC 9309 decision
+fixtures (longest match, allow tie-break, wildcards, $ anchor, UA
+group selection) and the broadcast Spark gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from metrics_advisor_spark.functions.robots import (
+    parse_robots,
+    robots_allowed,
+    robots_gate,
+)
+
+_TXT = """
+# fixture
+User-agent: *
+Disallow: /private/
+Allow: /private/pub
+Disallow: /*.pdf$
+Allow: /a
+Disallow: /a/b
+
+User-agent: special
+User-agent: other-bot
+Disallow: /
+
+Sitemap: https://e.org/sitemap.xml
+"""
+
+
+@pytest.mark.parametrize("path,want", [
+    ("/public/x", True),          # no rule matches
+    ("/private/x", False),        # Disallow /private/
+    ("/private/pub9", True),      # longer Allow beats Disallow
+    ("/doc.pdf", False),          # wildcard + $ anchor
+    ("/doc.pdfx", True),          # $ anchor must not match
+    ("/a/x", True),               # Allow /a
+    ("/a/b/c", False),            # longer Disallow /a/b
+    ("/", True),
+])
+def test_decisions(path, want):
+    assert robots_allowed(_TXT, path) is want
+
+
+def test_ua_groups():
+    # 'special' UA hits the Disallow-everything group; unknown UA
+    # falls back to *; the longest UA token wins
+    assert robots_allowed(_TXT, "/public/x", ua="SpecialBot/1.0") is False
+    assert robots_allowed(_TXT, "/public/x", ua="randombot") is True
+    two = (
+        "User-agent: bot\nDisallow: /x\n\n"
+        "User-agent: bot-wide\nDisallow: /\n"
+    )
+    # UA 'bot-wide/2' contains both tokens; 'bot-wide' is longer
+    assert robots_allowed(two, "/y", ua="bot-wide/2") is False
+    assert robots_allowed(two, "/y", ua="mybot/2") is True
+
+
+def test_parse_structure():
+    p = parse_robots(_TXT)
+    assert p["sitemaps"] == ["https://e.org/sitemap.xml"]
+    assert len(p["groups"]) == 2
+    uas, rules = p["groups"][1]
+    assert uas == ["special", "other-bot"]
+    assert [(k, v) for k, v, _, _ in rules] == [("disallow", "/")]
+
+
+def test_allow_tie_and_empty_disallow():
+    txt = "User-agent: *\nAllow: /dir\nDisallow: /dir\n"
+    assert robots_allowed(txt, "/dir/x") is True  # tie → allow
+    assert robots_allowed("User-agent: *\nDisallow:\n", "/any") is True
+
+
+def test_spark_gate(spark):
+    df = spark.createDataFrame(
+        [(0, "/public/1"), (1, "/private/1"), (2, "/private/pub1"),
+         (3, "/x.pdf"), (4, None)],
+        "doc_id long, path string",
+    )
+    got = {r["doc_id"]: r["allowed"]
+           for r in robots_gate(df, _TXT).collect()}
+    assert got == {0: True, 1: False, 2: True, 3: False, 4: None}
