@@ -175,3 +175,60 @@ def extract_text(
                      else None)
 
     return df.withColumn(out_col, fn(F.col(html_col)))
+
+
+# ---------------------------------------------------------------------------
+# charset sniffing — the bytes→str bridge between the HTTP payload and
+# the extractor, per the WHATWG encoding-sniffing order every browser
+# implements: BOM first, then the Content-Type charset parameter, then
+# a <meta> declaration in the first 1024 bytes, then UTF-8, then the
+# HTML5 legacy fallback windows-1252 (which never fails: all 256 byte
+# values map).
+# ---------------------------------------------------------------------------
+
+_BOMS = (
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""",
+    re.IGNORECASE,
+)
+_CT_CHARSET_RE = re.compile(r"charset\s*=\s*\"?([a-zA-Z0-9_\-]+)")
+
+
+def sniff_charset(body: bytes, content_type: str | None = None) -> str:
+    """Declared-or-detected encoding name for an HTML payload."""
+    for bom, enc in _BOMS:
+        if body.startswith(bom):
+            return enc
+    if content_type:
+        m = _CT_CHARSET_RE.search(content_type)
+        if m:
+            return m.group(1).lower()
+    m = _META_CHARSET_RE.search(body[:1024])
+    if m:
+        return m.group(1).decode("ascii").lower()
+    return "utf-8"
+
+
+def decode_html_bytes(
+    body: bytes, content_type: str | None = None
+) -> tuple[str, str]:
+    """(text, encoding_used): decode per the sniffed charset, falling
+    back UTF-8 → windows-1252 (the HTML5 legacy fallback; total —
+    every byte decodes) when the declared encoding is unknown or the
+    bytes don't conform.  Lenient like the extractor: crawl payloads
+    lie about their encoding constantly."""
+    enc = sniff_charset(body, content_type)
+    for candidate in (enc, "utf-8", "windows-1252"):
+        try:
+            return body.decode(candidate), candidate
+        except (UnicodeDecodeError, LookupError):
+            continue
+    # Python's cp1252 (unlike WHATWG's) leaves five bytes unmapped
+    # (81 8D 8F 90 9D) — replace those rather than fail
+    return body.decode("windows-1252", "replace"), "windows-1252"

@@ -103,3 +103,44 @@ def test_jvm_chain_matches_python_on_shared_features(spark):
          for r in extract_text(df, jvm=True).collect()}
     for i, f in enumerate(fixtures):
         assert a[i] == html_to_text(f), f
+
+
+def test_charset_sniffing():
+    from metrics_advisor_spark.functions.html import (
+        decode_html_bytes,
+        sniff_charset,
+    )
+
+    # BOM beats everything
+    assert sniff_charset(b"\xef\xbb\xbfhello", "text/html; charset=latin-1") \
+        == "utf-8-sig"
+    # .encode("utf-16") emits a BOM (utf-16-le alone does not)
+    assert sniff_charset("héllo".encode("utf-16"),
+                         None).startswith("utf-16")
+    # Content-Type param beats meta
+    body = b'<meta charset="koi8-r"><p>x</p>'
+    assert sniff_charset(body, "text/html; charset=ISO-8859-2") \
+        == "iso-8859-2"
+    assert sniff_charset(body, "text/html") == "koi8-r"
+    # http-equiv style meta
+    he = (b'<meta http-equiv="Content-Type" '
+          b'content="text/html; charset=Shift_JIS">')
+    assert sniff_charset(he, None) == "shift_jis"
+    # meta beyond the first 1024 bytes is ignored
+    far = b" " * 1100 + b'<meta charset="koi8-r">'
+    assert sniff_charset(far, None) == "utf-8"
+
+    # decode: declared wins when it works
+    t, enc = decode_html_bytes("café".encode("iso-8859-1"),
+                               "text/html; charset=iso-8859-1")
+    assert (t, enc) == ("café", "iso-8859-1")
+    # bogus declaration → utf-8 → works
+    t, enc = decode_html_bytes("café".encode(),
+                               "text/html; charset=not-a-charset")
+    assert (t, enc) == ("café", "utf-8")
+    # declared utf-8 but bytes are latin-1 → windows-1252 fallback
+    t, enc = decode_html_bytes("café".encode("latin-1"), None)
+    assert enc == "windows-1252" and t == "café"
+    # the fallback is total: any byte soup decodes
+    t, enc = decode_html_bytes(bytes(range(256)), None)
+    assert enc == "windows-1252" and len(t) == 256
