@@ -1,0 +1,95 @@
+"""End-to-end crawl ingestion with the r12 crawl stack.
+
+Usage:  python examples/crawl_pipeline.py [sf_dir]
+
+Builds a WARC archive from the sample docs (the format crawl corpora
+actually arrive in — here the per-doc fixture shape), then runs the
+full ingest chain a training-data pipeline applies before any
+content-level operator:
+
+  WARC records → HTTP responses (status gate) → robots.txt gate →
+  canonical-URL dedup → HTML→text extraction → quality/dedup via the
+  fluent Corpus API
+
+Prints the surviving doc count at each stage.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from metrics_advisor_spark import get_spark
+from metrics_advisor_spark.functions import Corpus
+from metrics_advisor_spark.functions.html import extract_text
+from metrics_advisor_spark.functions.robots import robots_gate
+from metrics_advisor_spark.functions.url import canonical_urls
+from metrics_advisor_spark.sources.warc import (
+    attach_warc_payload,
+    warc_records_df,
+)
+
+ROBOTS = """User-agent: *
+Disallow: /doc/1*
+"""
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = get_spark("example_crawl")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    print(f"{'docs':16s} {n:6d}")
+
+    # 1. archive + re-ingest (odd ids exercise the gzip arm)
+    recs = warc_records_df(attach_warc_payload(docs))
+    resp = recs.filter(F.col("warc_type") == "response")
+    print(f"{'responses':16s} {resp.count():6d}")
+
+    # 2. HTTP status gate (fixture: ids ≡0 mod 10 are 404s)
+    ok = resp.filter(F.col("http_status") == 200)
+    print(f"{'status=200':16s} {ok.count():6d}")
+
+    # 3. robots gate on the URL path
+    with_path = ok.withColumn(
+        "path", F.regexp_replace("target_uri", r"^https://[^/]+", "")
+    )
+    allowed = robots_gate(with_path, ROBOTS).filter("allowed")
+    print(f"{'robots-allowed':16s} {allowed.count():6d}")
+
+    # 4. canonical-URL dedup (cheapest dedup pass there is)
+    canon = canonical_urls(allowed, "target_uri", strip_tracking=True)
+    first = canon.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("canonical")
+            .orderBy(F.col("archive").cast("long"))
+        ),
+    ).filter("rn = 1")
+    print(f"{'url-dedup':16s} {first.count():6d}")
+
+    # 5. HTML→text (pure-Catalyst JVM chain) then content pipeline
+    text = extract_text(
+        first.select(
+            F.col("archive").cast("long").alias("doc_id"),
+            F.col("body").cast("string").alias("html"),
+        ),
+        html_col="html", jvm=True,
+    ).select("doc_id", "text")
+
+    c = Corpus(text)
+    stages = [
+        ("quality", c := c.quality_filter(min_score=0.1)),
+        ("exact-dedup", c := c.exact_dedup()),
+        ("near-dedup", c.near_dedup(method="minhash")),
+    ]
+    for name, stage in stages:
+        print(f"{name:16s} {stage.df.count():6d}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])
