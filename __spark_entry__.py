@@ -1435,6 +1435,24 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aho–Corasick blocklist screen (r12): total occurrences +
+    distinct patterns per doc via the goto/fail automaton
+    (`functions/match.py` — one build on the driver, one narrow pass,
+    O(text+matches) regardless of pattern count).  The oracle counts
+    each pattern INDEPENDENTLY with replace-length arithmetic — a
+    different algorithm entirely, valid because the patterns are
+    border-free (cannot overlap themselves), so the two methods must
+    agree exactly."""
+    from metrics_advisor_spark.functions.match import multi_match
+
+    pats = ["spark", "query", "scan", "window"]
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return multi_match(docs, pats).select(
+        "doc_id", "n_hits", "n_patterns"
+    )
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wall-clock frame sampling over REAL AVI payloads (r08: the
     sha-digest frame stub is gone): one row per 100 ms tick of each
@@ -5388,6 +5406,7 @@ ROTATION: dict[str, int | None] = {
     "warc_text_extract": None,  # new r12 — never driver-checked
     "url_canonical": None,  # new r12 — never driver-checked
     "robots_gate": None,  # new r12 — never driver-checked
+    "blocklist_hits": None,  # new r12 — never driver-checked
 }
 
 # Round 12: EMPTY by arithmetic necessity again (VERDICT r11 item 1).
@@ -5547,6 +5566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_text_extract": q_warc_text_extract,
         "url_canonical": q_url_canonical,
         "robots_gate": q_robots_gate,
+        "blocklist_hits": q_blocklist_hits,
         "media_frames": q_media_frames,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -7934,6 +7954,28 @@ def oracle_sql() -> dict[str, str]:
                      || ':00:00Z' AS warc_date,
                    (26 + strlen(text))::BIGINT AS body_bytes
             FROM documents
+        """,
+        "blocklist_hits": """
+            -- independent counting method: per-pattern replace-length
+            -- arithmetic (non-overlapping greedy-left == automaton
+            -- counts for border-free patterns)
+            WITH h AS (
+              SELECT doc_id,
+                (strlen(text) - strlen(replace(text, 'spark', ''))) // 5
+                  AS h1,
+                (strlen(text) - strlen(replace(text, 'query', ''))) // 5
+                  AS h2,
+                (strlen(text) - strlen(replace(text, 'scan', ''))) // 4
+                  AS h3,
+                (strlen(text) - strlen(replace(text, 'window', ''))) // 6
+                  AS h4
+              FROM documents
+            )
+            SELECT doc_id,
+                   (h1 + h2 + h3 + h4)::BIGINT AS n_hits,
+                   ((h1 > 0)::INT + (h2 > 0)::INT + (h3 > 0)::INT
+                    + (h4 > 0)::INT)::INT AS n_patterns
+            FROM h
         """,
         "robots_gate": """
             -- eight analytic path branches vs the fixed rule set;
