@@ -232,3 +232,43 @@ def decode_html_bytes(
     # Python's cp1252 (unlike WHATWG's) leaves five bytes unmapped
     # (81 8D 8F 90 9D) — replace those rather than fail
     return body.decode("windows-1252", "replace"), "windows-1252"
+
+
+def extract_text_from_bytes(
+    df: DataFrame, body_col: str = "body",
+    content_type_col: str | None = None, out_col: str = "text",
+) -> DataFrame:
+    """The production ingest shape: BINARY HTTP bodies (e.g. straight
+    from `sources.warc.read_warc`) → sniff charset → decode → extract
+    text, one mapInPandas pass.  Adds ``out_col`` and ``encoding``
+    (the charset actually used) to the frame; body/content-type
+    columns pass through untouched."""
+    from pyspark.sql import types as T
+
+    fields = df.schema.fields + [
+        T.StructField(out_col, T.StringType()),
+        T.StructField("encoding", T.StringType()),
+    ]
+    schema = T.StructType(fields)
+    cols = [f.name for f in df.schema.fields]
+
+    def fn(batches):
+        for pdf in batches:
+            texts, encs = [], []
+            for i in range(len(pdf)):
+                body = pdf[body_col].iloc[i]
+                if body is None:
+                    texts.append(None)
+                    encs.append(None)
+                    continue
+                ct = (pdf[content_type_col].iloc[i]
+                      if content_type_col else None)
+                raw, enc = decode_html_bytes(bytes(body), ct)
+                texts.append(html_to_text(raw))
+                encs.append(enc)
+            pdf = pdf[cols].copy()
+            pdf[out_col] = texts
+            pdf["encoding"] = encs
+            yield pdf
+
+    return df.mapInPandas(fn, schema)

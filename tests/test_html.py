@@ -144,3 +144,32 @@ def test_charset_sniffing():
     # the fallback is total: any byte soup decodes
     t, enc = decode_html_bytes(bytes(range(256)), None)
     assert enc == "windows-1252" and len(t) == 256
+
+
+def test_extract_text_from_bytes(spark):
+    from metrics_advisor_spark.functions.html import (
+        extract_text_from_bytes,
+    )
+
+    rows = [
+        (0, bytearray("<p>café</p>".encode("utf-8")),
+         "text/html; charset=utf-8"),
+        (1, bytearray("<p>café</p>".encode("iso-8859-1")),
+         "text/html; charset=iso-8859-1"),
+        (2, bytearray("<p>café</p>".encode("latin-1")),
+         None),  # undeclared latin-1 → cp1252 fallback
+        (3, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, body binary, ct string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["encoding"])
+        for r in extract_text_from_bytes(
+            df, content_type_col="ct"
+        ).collect()
+    }
+    assert got[0] == ("café", "utf-8")
+    assert got[1] == ("café", "iso-8859-1")
+    assert got[2] == ("café", "windows-1252")
+    assert got[3] == (None, None)
