@@ -1453,6 +1453,22 @@ def q_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF animation replay under the hash gate (r12): every frame of
+    every payload composited per the GIF89a disposal rules, reduced to
+    per-frame channel sums (fixture frames are full-screen disposal-1
+    replaces, so each composited frame equals its own index rule —
+    idx(f,y,x) = (id + f·7 + y·5 + x·3) % 16).  Stills contribute one
+    frame with delay 0; animated docs 80 ms per frame."""
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_gif_payload,
+        gif_frame_stats,
+    )
+
+    media = attach_gif_payload(_docs(spark, sf_dir))
+    return gif_frame_stats(media)
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wall-clock frame sampling over REAL AVI payloads (r08: the
     sha-digest frame stub is gone): one row per 100 ms tick of each
@@ -4782,6 +4798,41 @@ def q_streaming_video_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_warc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nineteenth Structured Streaming contract surface (r12): the
+    WARC ingestion gate — per-doc archives stream in, each micro-batch
+    is record-split + HTTP-parsed by the full `sources/warc.py` parser
+    (gzip members on odd ids, chunked bodies on ids ≡2 mod 5) and
+    admitted on status 200.  Stateless across batches, so a drain in
+    any batching equals the batch plan — the analytic oracle writes
+    each admitted row straight from the synthesis rule."""
+    import tempfile
+
+    from metrics_advisor_spark.sources.warc import attach_warc_payload
+    from metrics_advisor_spark.streaming.pipeline import (
+        streaming_warc_gate,
+    )
+
+    key = f"{sf_dir}#warc"
+    src = _STREAM_SRC_CACHE.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="ma_stream_warc_") + "/warc"
+        attach_warc_payload(
+            _docs(spark, sf_dir, fanout=False).select("doc_id", "text")
+        ).write.mode("overwrite").parquet(src)
+        _STREAM_SRC_CACHE[key] = src
+    base = tempfile.mkdtemp(prefix="ma_warcgate_")
+    stream = spark.readStream.schema("doc_id long, warc binary").parquet(
+        src
+    )
+    streaming_warc_gate(stream, out_dir=f"{base}/out")
+    return (
+        spark.read.parquet(f"{base}/out")
+        .select("doc_id", "http_status", "target_uri", "body_bytes")
+        .orderBy("doc_id")
+    )
+
+
 def q_frame_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-frame 56-bit perceptual difference hash over REAL decoded
     AVI frames (integer channel-sum gray, 8×8 nearest sample grid,
@@ -5407,6 +5458,8 @@ ROTATION: dict[str, int | None] = {
     "url_canonical": None,  # new r12 — never driver-checked
     "robots_gate": None,  # new r12 — never driver-checked
     "blocklist_hits": None,  # new r12 — never driver-checked
+    "streaming_warc_gate": None,  # new r12 — never driver-checked
+    "gif_frame_stats": None,  # new r12 — never driver-checked
 }
 
 # Round 12: EMPTY by arithmetic necessity again (VERDICT r11 item 1).
@@ -5567,6 +5620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "robots_gate": q_robots_gate,
         "blocklist_hits": q_blocklist_hits,
+        "streaming_warc_gate": q_streaming_warc_gate,
+        "gif_frame_stats": q_gif_frame_stats,
         "media_frames": q_media_frames,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -7912,6 +7967,35 @@ def oracle_sql() -> dict[str, str]:
                      AS duration_ms
             FROM documents
         """,
+        "gif_frame_stats": """
+            -- animation replay: per-frame channel sums from the
+            -- index rule idx(f,y,x) = (id + f*7 + y*5 + x*3) % 16;
+            -- frame delays 80 ms (animated) / 0 (still, no GCE)
+            WITH d AS (
+              SELECT doc_id, 7 + doc_id % 8 AS w, 5 + doc_id % 6 AS h,
+                     1 + doc_id % 3 AS nf
+              FROM documents
+            ),
+            px AS (
+              SELECT d.doc_id, ff.f,
+                     (d.doc_id + ff.f * 7 + yy.y * 5 + xx.x * 3) % 16
+                       AS idx
+              FROM d,
+                   unnest(range(0, d.nf)) AS ff(f),
+                   unnest(range(0, d.h)) AS yy(y),
+                   unnest(range(0, d.w)) AS xx(x)
+            )
+            SELECT p.doc_id,
+                   p.f::INT AS frame_idx,
+                   (CASE WHEN d.nf = 1 THEN 0 ELSE 80 END)::BIGINT
+                     AS delay_ms,
+                   COUNT(*)::BIGINT AS n_px,
+                   SUM((idx * 37 + 11) % 256)::BIGINT AS sum_r,
+                   SUM((idx * 73 + 5) % 256)::BIGINT AS sum_g,
+                   SUM((idx * 29 + 101) % 256)::BIGINT AS sum_b
+            FROM px p JOIN d USING (doc_id)
+            GROUP BY p.doc_id, p.f, d.nf
+        """,
         "gif_pixel_stats": """
             -- every pixel of every GIF pins the LZW+palette+interlace
             -- decode: idx(y,x) = (id + y*5 + x*3) % 16 on frame 0,
@@ -7954,6 +8038,19 @@ def oracle_sql() -> dict[str, str]:
                      || ':00:00Z' AS warc_date,
                    (26 + strlen(text))::BIGINT AS body_bytes
             FROM documents
+        """,
+        "streaming_warc_gate": """
+            -- stateless gate: drain in any batching == batch plan;
+            -- the oracle writes each admitted row from the synthesis
+            -- rule (status 200 iff doc_id%10 != 0; body = text in a
+            -- 26-byte HTML wrapper — chunked/gzip arms restore it
+            -- byte-exactly)
+            SELECT doc_id,
+                   200::INT AS http_status,
+                   'https://example.org/doc/' || doc_id AS target_uri,
+                   (26 + strlen(text))::BIGINT AS body_bytes
+            FROM documents
+            WHERE doc_id % 10 <> 0
         """,
         "blocklist_hits": """
             -- independent counting method: per-pattern replace-length

@@ -1908,3 +1908,44 @@ def mp3_media_meta(media: DataFrame, audio_col: str = "audio") -> DataFrame:
         "n_frames int, duration_ms long, has_id3 boolean, "
         "n_bytes long",
     )
+
+
+def gif_frame_stats(media: DataFrame, img_col: str = "img") -> DataFrame:
+    """Full animation replay under typed output: every frame of every
+    GIF composited per the disposal rules (`functions.gif.gif_frames`),
+    reduced to per-frame channel sums — (doc_id, frame_idx, delay_ms,
+    n_px, sum_r, sum_g, sum_b), one row per frame.  Pins the LZW
+    decode, palette expansion, interlace reorder AND the animation
+    compositor, while output stays bounded (the gif_pixel_stats
+    lesson)."""
+    import numpy as np
+
+    from metrics_advisor_spark.functions.gif import gif_frames
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame_idx": [], "delay_ms": [],
+                "n_px": [], "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf[img_col]):
+                try:
+                    frames = gif_frames(bytes(p))
+                except ValueError as e:
+                    raise ValueError(f"doc {doc_id}: {e}") from None
+                for idx, (delay, arr) in enumerate(frames):
+                    s = arr.sum(axis=(0, 1), dtype=np.int64)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["delay_ms"].append(delay)
+                    out["n_px"].append(arr.shape[0] * arr.shape[1])
+                    out["sum_r"].append(int(s[0]))
+                    out["sum_g"].append(int(s[1]))
+                    out["sum_b"].append(int(s[2]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        "doc_id long, frame_idx int, delay_ms long, n_px long, "
+        "sum_r long, sum_g long, sum_b long",
+    )

@@ -1089,3 +1089,54 @@ def streaming_video_gate(
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def streaming_warc_gate(
+    stream: DataFrame,
+    out_dir: str,
+    min_body_bytes: int = 1,
+    checkpoint: str | None = None,
+) -> Any:
+    """19th streaming surface: WARC ingestion gate — the arrival-time
+    shape of a crawl pipeline, where archives land continuously and
+    each micro-batch is record-split, HTTP-parsed (chunked bodies
+    dechunked, gzip members inflated — the full `sources/warc.py`
+    parser) and admitted on response status 200 with a non-trivial
+    body.  Admitted rows: (doc_id, http_status, target_uri,
+    body_bytes).
+
+    Stateless across batches (a payload's verdict depends only on its
+    own bytes), so a drain in ANY batching equals the batch plan —
+    the SQL-expressible oracle of the contract query.  Writes
+    run=<id>/batch=<n> leaf dirs (the gate-family write scheme)."""
+    import uuid
+
+    from metrics_advisor_spark.sources.warc import warc_records_df
+
+    run_id = uuid.uuid4().hex[:12]
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        recs = warc_records_df(batch)
+        admitted = (
+            recs.where(F.col("warc_type") == "response")
+            .where(F.col("http_status") == 200)
+            .where(F.length("body") >= min_body_bytes)
+            .select(
+                F.col("archive").cast("long").alias("doc_id"),
+                "http_status",
+                "target_uri",
+                F.length("body").cast("long").alias("body_bytes"),
+            )
+        )
+        admitted.write.mode("overwrite").parquet(
+            f"{out_dir}/run={run_id}/batch={batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q
