@@ -1446,7 +1446,7 @@ def q_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree exactly."""
     from metrics_advisor_spark.functions.match import multi_match
 
-    pats = ["spark", "query", "scan", "window"]
+    pats = ["spark", "query", "scan", "table"]
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     return multi_match(docs, pats).select(
         "doc_id", "n_hits", "n_patterns"
@@ -8064,7 +8064,7 @@ def oracle_sql() -> dict[str, str]:
                   AS h2,
                 (strlen(text) - strlen(replace(text, 'scan', ''))) // 4
                   AS h3,
-                (strlen(text) - strlen(replace(text, 'window', ''))) // 6
+                (strlen(text) - strlen(replace(text, 'table', ''))) // 5
                   AS h4
               FROM documents
             )

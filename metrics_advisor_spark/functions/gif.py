@@ -350,6 +350,8 @@ def gif_meta(payload: bytes) -> tuple[int, int, int, int | None]:
         if intro == 0x3B:
             break
         if intro == 0x21:
+            if pos >= n:
+                raise ValueError("GIF: truncated extension")
             label = payload[pos]
             pos += 1
             data, pos = _read_subblocks(payload, pos)

@@ -139,9 +139,15 @@ def html_text_col(col: Column) -> Column:
     )
     s = F.regexp_replace(s, r"</?[a-zA-Z]" + _ATTRS + r">", "")
     # named entities: one replace per table entry (constant-folded
-    # chain; the set is small and closed)
+    # chain; the set is small and closed).  ORDER MATTERS in a
+    # sequential chain: '&amp;' must decode LAST, otherwise
+    # '&amp;lt;' first becomes '&lt;' and the later &lt; pass
+    # double-decodes it to '<' (html_to_text's single-pass sub
+    # cannot make that mistake; test-pinned equality)
     for name, ch in _NAMED.items():
-        s = F.regexp_replace(s, f"&{name};", ch)
+        if name != "amp":
+            s = F.regexp_replace(s, f"&{name};", ch)
+    s = F.regexp_replace(s, "&amp;", "&")
     # numeric entities are rare enough in practice that the JVM chain
     # handles only the named set; use `extract_text` (Python form)
     # when numeric refs matter
@@ -226,9 +232,15 @@ def decode_html_bytes(
     enc = sniff_charset(body, content_type)
     for candidate in (enc, "utf-8", "windows-1252"):
         try:
-            return body.decode(candidate), candidate
+            text = body.decode(candidate)
         except (UnicodeDecodeError, LookupError):
             continue
+        # the -le/-be UTF-16/32 codecs (unlike utf-8-sig) keep the
+        # BOM as a leading ZWNBSP — strip it so it cannot pollute
+        # the extracted text
+        if text[:1] == "\ufeff":
+            text = text[1:]
+        return text, candidate
     # Python's cp1252 (unlike WHATWG's) leaves five bytes unmapped
     # (81 8D 8F 90 9D) — replace those rather than fail
     return body.decode("windows-1252", "replace"), "windows-1252"

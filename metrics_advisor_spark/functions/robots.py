@@ -7,9 +7,10 @@ Implemented semantics (RFC 9309 §2):
   - line-oriented `field: value` records; fields case-insensitive;
     comments (#) stripped; unknown fields ignored
   - GROUPS: one or more consecutive user-agent lines bind the rules
-    that follow; the matcher picks the group whose product token
-    matches the client UA case-insensitively (longest token wins),
-    falling back to the `*` group
+    that follow; the matcher picks the most specific UA token
+    (longest match, case-insensitive; `*` fallback) and MERGES the
+    rules of every group matching at that specificity — §2.2.2's
+    combine rule for logically-one-group files split across the file
   - rule matching: patterns match from the path start; `*` matches
     any octet sequence, `$` anchors the pattern end
   - decision: the LONGEST matching rule wins (octet length of the
@@ -91,19 +92,29 @@ def parse_robots(txt: str) -> dict:
 
 
 def _select_group(parsed: dict, ua: str):
-    """RFC 9309 §2.2.1: the group with the longest UA token contained
-    in the client UA (case-insensitive); `*` as fallback."""
+    """RFC 9309 §2.2.1–2.2.2: pick the most specific matching UA
+    token (longest token contained in the client UA,
+    case-insensitive), `*` as fallback — and MERGE the rules of
+    EVERY group that matches at that specificity (sites commonly
+    split one logical group across the file; dropping later groups
+    silently un-disallows paths)."""
     ua = ua.lower()
-    best, best_len = None, -1
-    star = None
-    for tokens, rules in parsed["groups"]:
+    best_len = -1
+    for tokens, _ in parsed["groups"]:
         for tok in tokens:
-            if tok == "*":
-                if star is None:
-                    star = rules
-            elif tok and tok in ua and len(tok) > best_len:
-                best, best_len = rules, len(tok)
-    return best if best is not None else (star or [])
+            if tok != "*" and tok and tok in ua:
+                best_len = max(best_len, len(tok))
+    merged: list[tuple] = []
+    if best_len >= 0:
+        for tokens, rules in parsed["groups"]:
+            if any(tok != "*" and tok and tok in ua
+                   and len(tok) == best_len for tok in tokens):
+                merged.extend(rules)
+        return merged
+    for tokens, rules in parsed["groups"]:
+        if "*" in tokens:
+            merged.extend(rules)
+    return merged
 
 
 def robots_allowed(txt_or_parsed, path: str, ua: str = "*") -> bool:

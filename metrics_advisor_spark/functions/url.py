@@ -117,7 +117,10 @@ def canonicalize_url(url: str, *, strip_tracking: bool = False) -> str:
     out = ""
     if scheme:
         out += scheme + ":"
-    if netloc or scheme in _DEFAULT_PORTS:
+    # add '//' only when the INPUT had an authority: fabricating one
+    # for 'http:foo' would promote the path to a host and break
+    # idempotence (canonical(canonical(u)) != canonical(u))
+    if parts.netloc or netloc:
         out += "//" + netloc
     out += path
     if query:

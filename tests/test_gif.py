@@ -328,3 +328,13 @@ def test_engine_dispatch(spark):
         assert p == _gif_bytes(r["doc_id"])
         has_gce = b"\x21\xf9" in p
         assert has_gce == (r["doc_id"] % 3 != 0)
+
+
+def test_truncated_extension_raises_valueerror():
+    # review finding r12: a stream ending right after the 0x21
+    # extension introducer must raise the documented ValueError, not
+    # IndexError
+    pal, idx = _palette16(), _indices(4, 4)
+    good = encode_gif(idx, pal)
+    with pytest.raises(ValueError, match="truncated extension"):
+        gif_meta(good[:-1] + b"\x21")

@@ -173,3 +173,31 @@ def test_extract_text_from_bytes(spark):
     assert got[1] == ("café", "iso-8859-1")
     assert got[2] == ("café", "windows-1252")
     assert got[3] == (None, None)
+
+
+def test_amp_entity_decodes_once_both_paths(spark):
+    # review finding r12: '&amp;lt;' is the ESCAPED text '&lt;' and
+    # must decode exactly once — a sequential chain that replaces
+    # &amp; first double-decodes it to '<'
+    fixtures = ["a &amp;lt; b", "&amp;amp; &amp;nbsp;", "x &amp; &lt; y"]
+    assert html_to_text(fixtures[0]) == "a &lt; b"
+    assert html_to_text(fixtures[1]) == "&amp; &nbsp;"
+    df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(fixtures)],
+        "doc_id long, html string",
+    )
+    got = {r["doc_id"]: r["text"]
+           for r in extract_text(df, jvm=True).collect()}
+    for i, f in enumerate(fixtures):
+        assert got[i] == html_to_text(f), f
+
+
+def test_utf16_bom_not_in_output():
+    # review finding r12: the -le/-be codecs keep the BOM as ZWNBSP
+    from metrics_advisor_spark.functions.html import decode_html_bytes
+
+    body = "<p>hi</p>".encode("utf-16")  # BOM-prefixed
+    text, enc = decode_html_bytes(body, None)
+    assert enc.startswith("utf-16")
+    assert not text.startswith("\ufeff")
+    assert text == "<p>hi</p>"

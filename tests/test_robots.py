@@ -81,3 +81,23 @@ def test_spark_gate(spark):
     got = {r["doc_id"]: r["allowed"]
            for r in robots_gate(df, _TXT).collect()}
     assert got == {0: True, 1: False, 2: True, 3: False, 4: None}
+
+
+def test_split_groups_merge():
+    # RFC 9309 §2.2.2: two '*' groups are ONE logical group — rules
+    # from both must apply (review finding r12)
+    txt = (
+        "User-agent: *\nDisallow: /a\n\n"
+        "User-agent: googlebot\nDisallow: /g\n\n"
+        "User-agent: *\nDisallow: /b\n"
+    )
+    assert robots_allowed(txt, "/a/x") is False
+    assert robots_allowed(txt, "/b/x") is False   # second * group
+    assert robots_allowed(txt, "/g/x") is True    # not our group
+    assert robots_allowed(txt, "/g/x", ua="googlebot") is False
+    # duplicate named-UA groups merge too
+    dup = (
+        "User-agent: bot\nDisallow: /x\n\n"
+        "User-agent: bot\nDisallow: /y\n"
+    )
+    assert robots_allowed(dup, "/y/1", ua="mybot") is False

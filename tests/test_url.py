@@ -61,8 +61,8 @@ def test_lenient_inputs():
     assert canonicalize_url("/a/./b") == "/a/b"
     assert canonicalize_url("  http://e.org/x  ") == "http://e.org/x"
     assert canonicalize_url("") == ""
-    assert canonicalize_url("not a url") == "not%20a%20url" or True
-    # (space handling is urlsplit-lenient; the call just must not raise)
+    # raw spaces are not %XX escapes, so they pass through untouched
+    assert canonicalize_url("not a url") == "not a url"
     canonicalize_url("http://[bad")  # malformed IPv6 — no raise
     canonicalize_url("????")
 
@@ -84,3 +84,12 @@ def test_spark_dup_groups(spark):
         spark.createDataFrame([(None,)], "url string")
     ).collect()
     assert withc[0]["canonical"] is None
+
+
+def test_no_authority_idempotent():
+    # review finding r12: 'http:foo' must NOT grow a fabricated '//'
+    # (which would promote the path to a host and break idempotence)
+    for u in ("http:foo", "http:", "mailto:a@b.example"):
+        c1 = canonicalize_url(u)
+        assert canonicalize_url(c1) == c1
+    assert canonicalize_url("http:foo") == "http:foo"
