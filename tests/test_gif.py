@@ -338,3 +338,19 @@ def test_truncated_extension_raises_valueerror():
     good = encode_gif(idx, pal)
     with pytest.raises(ValueError, match="truncated extension"):
         gif_meta(good[:-1] + b"\x21")
+
+
+def test_large_image_cross_validation(spark):
+    # scale up the two-sided ImageIO check: 120x96 dense-noise
+    # indexed image, both directions (review follow-up: the small
+    # fixtures leave LZW width-growth beyond 9 bits untested —
+    # 11520 px over 16 symbols grows the table through 10/11/12-bit
+    # codes and forces a mid-stream CLEAR)
+    rng = np.random.default_rng(77)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (96, 120)).astype(np.uint8)
+    ours = encode_gif(idx, pal)
+    assert (decode_gif(ours) == pal[idx]).all()
+    assert (_imageio_read_rgb(spark, ours) == pal[idx]).all()
+    theirs = _imageio_write_gif(spark, idx, pal)
+    assert (decode_gif(theirs) == pal[idx]).all()
