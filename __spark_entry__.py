@@ -5166,7 +5166,7 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image(small)
 
 
-CURRENT_ROUND = 12
+CURRENT_ROUND = 13
 DRIVER_GATE = 50
 
 # Rotation state machine (VERDICT r04 item 5): the driver's correctness
@@ -5183,7 +5183,7 @@ ROTATION: dict[str, int | None] = {
     "semdedup": 11,
     "report_summary": 11,
     "streaming_dedup": 11,
-    "dim_covariance": 6,
+    "dim_covariance": 12,
     "flagship_positional": 11,
     "containment_pairs": 11,
     "snm_pairs": 11,
@@ -5199,43 +5199,43 @@ ROTATION: dict[str, int | None] = {
     "adamic_adar": 11,
     "streaming_ksigma": 11,
     "unigram_surprisal": 11,
-    "dup_ngram_fraction": 5,
-    "canonical_select": 5,
-    "theil_sen": 5,
-    "spearman_corr": 5,
-    "psi_drift": 5,
-    "skew_audit": 5,
-    "lang_confusion": 5,
-    "streaming_cdc_latest": 5,
-    "streaming_burst": 5,
-    "streaming_ohlc": 5,
-    "ab_test": 5,
-    "value_deciles": 5,
-    "lag_features": 5,
-    "winsorize": 5,
-    "transition_counts": 5,
-    "pmi_cooccurrence": 5,
-    "cms_estimate": 5,
-    "rolling_corr": 5,
-    "fk_violations": 5,
-    "table_profile": 5,
-    "pagerank": 6,
-    "attribution": 5,
-    "cross_source_dups": 5,
-    "source_token_quantiles": 5,
-    "robust_scale": 5,
-    "sliding_active_users": 5,
-    "typo_pairs": 5,
-    "burst_detect": 5,
-    "seasonal_strength": 5,
-    "ohlc": 5,
-    "twap": 5,
-    "interpolate": 6,
-    "changes": 6,
-    "deriv": 6,
-    "char_entropy": 6,
-    "kl_divergence": 6,
-    "bpe_pairs": 6,
+    "dup_ngram_fraction": 12,
+    "canonical_select": 12,
+    "theil_sen": 12,
+    "spearman_corr": 12,
+    "psi_drift": 12,
+    "skew_audit": 12,
+    "lang_confusion": 12,
+    "streaming_cdc_latest": 12,
+    "streaming_burst": 12,
+    "streaming_ohlc": 12,
+    "ab_test": 12,
+    "value_deciles": 12,
+    "lag_features": 12,
+    "winsorize": 12,
+    "transition_counts": 12,
+    "pmi_cooccurrence": 12,
+    "cms_estimate": 12,
+    "rolling_corr": 12,
+    "fk_violations": 12,
+    "table_profile": 12,
+    "pagerank": 12,
+    "attribution": 12,
+    "cross_source_dups": 12,
+    "source_token_quantiles": 12,
+    "robust_scale": 12,
+    "sliding_active_users": 12,
+    "typo_pairs": 12,
+    "burst_detect": 12,
+    "seasonal_strength": 12,
+    "ohlc": 12,
+    "twap": 12,
+    "interpolate": 12,
+    "changes": 12,
+    "deriv": 12,
+    "char_entropy": 12,
+    "kl_divergence": 12,
+    "bpe_pairs": 12,
     "train_split": 6,
     "triangle_count": 6,
     "merge_upsert": 6,
@@ -5448,18 +5448,18 @@ ROTATION: dict[str, int | None] = {
     "simhash_dup_groups": 9,
     "hamming_group_pairs": 9,
     "hamming_components": 9,
-    "positional_xcorr": None,  # new r12 — never driver-checked
-    "mp4_meta": None,  # new r12 — never driver-checked
-    "gif_meta": None,  # new r12 — never driver-checked
-    "gif_pixel_stats": None,  # new r12 — never driver-checked
-    "mp3_meta": None,  # new r12 — never driver-checked
-    "warc_extract": None,  # new r12 — never driver-checked
-    "warc_text_extract": None,  # new r12 — never driver-checked
-    "url_canonical": None,  # new r12 — never driver-checked
-    "robots_gate": None,  # new r12 — never driver-checked
-    "blocklist_hits": None,  # new r12 — never driver-checked
-    "streaming_warc_gate": None,  # new r12 — never driver-checked
-    "gif_frame_stats": None,  # new r12 — never driver-checked
+    "positional_xcorr": 12,  # new r12 — never driver-checked
+    "mp4_meta": 12,  # new r12 — never driver-checked
+    "gif_meta": 12,  # new r12 — never driver-checked
+    "gif_pixel_stats": 12,  # new r12 — never driver-checked
+    "mp3_meta": 12,  # new r12 — never driver-checked
+    "warc_extract": 12,  # new r12 — never driver-checked
+    "warc_text_extract": 12,  # new r12 — never driver-checked
+    "url_canonical": 12,  # new r12 — never driver-checked
+    "robots_gate": 12,  # new r12 — never driver-checked
+    "blocklist_hits": 12,  # new r12 — never driver-checked
+    "streaming_warc_gate": 12,  # new r12 — never driver-checked
+    "gif_frame_stats": 12,  # new r12 — never driver-checked
 }
 
 # Round 12: EMPTY by arithmetic necessity again (VERDICT r11 item 1).
