@@ -37,18 +37,27 @@ _SAMPLES_PER_FRAME = 1152
 
 def _id3v2_size(payload: bytes) -> int:
     """Total bytes of a leading ID3v2 tag (0 if absent): 10-byte
-    header + syncsafe 28-bit size (ID3v2.3 §3.1)."""
+    header + syncsafe 28-bit size (ID3v2.3 §3.1), plus the 10-byte
+    footer when the ID3v2.4 footer flag (0x10) is set — the size
+    field counts neither header nor footer (ID3v2.4 §3.1), so
+    ignoring the flag lands the frame walk on the '3DI' footer
+    (ADVICE r12)."""
     if payload[:3] != b"ID3":
         return 0
     if len(payload) < 10:
         raise ValueError("MP3: truncated ID3v2 header")
+    flags = payload[5]
+    if flags & 0x0F:
+        raise ValueError(
+            f"MP3: undefined ID3v2 flag bits set (0x{flags:02x})"
+        )
     if any(b & 0x80 for b in payload[6:10]):
         raise ValueError("MP3: ID3v2 size bytes are not syncsafe")
     size = (
         (payload[6] << 21) | (payload[7] << 14)
         | (payload[8] << 7) | payload[9]
     )
-    total = 10 + size
+    total = 10 + size + (10 if flags & 0x10 else 0)
     if total > len(payload):
         raise ValueError("MP3: ID3v2 tag escapes the payload")
     return total

@@ -91,24 +91,46 @@ def parse_robots(txt: str) -> dict:
     return {"groups": groups, "sitemaps": sitemaps}
 
 
+def _ua_products(ua: str) -> list[str]:
+    """Product tokens of a client User-Agent string: each
+    whitespace-separated product's name part (before any '/version'),
+    lowercased.  RFC 9309 §2.2.1 matches the PRODUCT TOKEN itself
+    case-insensitively — not an arbitrary substring of the UA string
+    (ADVICE r12: a group for 'bot' must not capture
+    'robotstxt-audit')."""
+    out: list[str] = []
+    for part in ua.lower().split():
+        name = part.split("/", 1)[0]
+        if name:
+            out.append(name)
+    return out
+
+
+def _tok_matches(tok: str, products: list[str]) -> bool:
+    """A group UA token matches when it equals a client product token
+    or is a prefix of one ('googlebot' group captures
+    'googlebot-news'); never by mid-string containment."""
+    return any(p == tok or p.startswith(tok) for p in products)
+
+
 def _select_group(parsed: dict, ua: str):
     """RFC 9309 §2.2.1–2.2.2: pick the most specific matching UA
-    token (longest token contained in the client UA,
-    case-insensitive), `*` as fallback — and MERGE the rules of
-    EVERY group that matches at that specificity (sites commonly
-    split one logical group across the file; dropping later groups
-    silently un-disallows paths)."""
-    ua = ua.lower()
+    token (longest group token that equals / prefixes one of the
+    client's product tokens, case-insensitive), `*` as fallback — and
+    MERGE the rules of EVERY group that matches at that specificity
+    (sites commonly split one logical group across the file; dropping
+    later groups silently un-disallows paths)."""
+    products = _ua_products(ua)
     best_len = -1
     for tokens, _ in parsed["groups"]:
         for tok in tokens:
-            if tok != "*" and tok and tok in ua:
+            if tok != "*" and tok and _tok_matches(tok, products):
                 best_len = max(best_len, len(tok))
     merged: list[tuple] = []
     if best_len >= 0:
         for tokens, rules in parsed["groups"]:
-            if any(tok != "*" and tok and tok in ua
-                   and len(tok) == best_len for tok in tokens):
+            if any(tok != "*" and tok and len(tok) == best_len
+                   and _tok_matches(tok, products) for tok in tokens):
                 merged.extend(rules)
         return merged
     for tokens, rules in parsed["groups"]:

@@ -52,20 +52,32 @@ def _norm_pct(s: str) -> str:
 
 
 def _remove_dot_segments(path: str) -> str:
-    """RFC 3986 §5.2.4."""
+    """RFC 3986 §5.2.4.  Absolute paths protect the leading root
+    segment; RELATIVE paths resolve '..' against earlier segments but
+    KEEP unresolvable leading '..' (RFC 3986 merge semantics) instead
+    of silently dropping them — dropping made 'a/../b' and '../b'
+    both collapse onto dedup keys they don't share (ADVICE r12)."""
+    absolute = path.startswith("/")
+    floor = 1 if absolute else 0
     out: list[str] = []
     for seg in path.split("/"):
         if seg == ".":
             continue
         if seg == "..":
-            if len(out) > 1:
+            if len(out) > floor and out[-1] != "..":
                 out.pop()
+            elif not absolute:
+                out.append(seg)  # unresolvable: keep, don't drop
             continue
         out.append(seg)
     # a trailing '.' or '..' segment leaves a trailing slash
-    if path.endswith(("/.", "/..")) and (not out or out[-1] != ""):
+    if (path.endswith(("/.", "/..")) and out
+            and out[-1] not in ("", "..")):
         out.append("")
-    return "/".join(out)
+    res = "/".join(out)
+    if absolute and not res:
+        res = "/"  # '/..'-style inputs reduce to the root, not ''
+    return res
 
 
 def canonicalize_url(url: str, *, strip_tracking: bool = False) -> str:

@@ -40,6 +40,39 @@ def test_id3v2_tag():
     assert mp3_meta(p2)[2] == 2
 
 
+def _id3v24_tag(body: bytes, flags: int) -> bytes:
+    size = len(body)
+    tag = b"ID3" + bytes([4, 0, flags]) + bytes([
+        (size >> 21) & 0x7F, (size >> 14) & 0x7F,
+        (size >> 7) & 0x7F, size & 0x7F,
+    ]) + body
+    if flags & 0x10:
+        tag += b"3DI" + tag[3:10]  # footer mirrors the header
+    return tag
+
+
+def test_id3v24_footer_flag():
+    # ADVICE r12: the ID3v2.4 footer flag (0x10) adds 10 bytes AFTER
+    # the size-counted body; ignoring it lands the frame walk on the
+    # '3DI' footer and kills a valid file
+    body = bytes(40)
+    frames = encode_mp3(3)
+    p = _id3v24_tag(body, 0x10) + frames
+    assert _id3v2_size(p) == 10 + 40 + 10
+    sr, kbps, nf, dur, has_id3 = mp3_meta(p)
+    assert (nf, has_id3) == (3, True)
+    # without the footer flag the same body is 10 bytes shorter
+    p2 = _id3v24_tag(body, 0x00) + frames
+    assert _id3v2_size(p2) == 10 + 40
+    assert mp3_meta(p2)[2] == 3
+
+
+def test_id3v2_undefined_flag_bits_rejected():
+    p = _id3v24_tag(bytes(8), 0x04) + encode_mp3(1)
+    with pytest.raises(ValueError, match="undefined ID3v2 flag"):
+        mp3_meta(p)
+
+
 def test_classic_header_bytes():
     # 128 kbps / 44.1 kHz MPEG-1 Layer III no-CRC is the canonical
     # 0xFF 0xFB 0x90 stream; frame length 417

@@ -100,4 +100,21 @@ def test_split_groups_merge():
         "User-agent: bot\nDisallow: /x\n\n"
         "User-agent: bot\nDisallow: /y\n"
     )
-    assert robots_allowed(dup, "/y/1", ua="mybot") is False
+    assert robots_allowed(dup, "/y/1", ua="bot/1.2") is False
+
+
+def test_ua_product_token_matching():
+    # ADVICE r12: RFC 9309 §2.2.1 matches the PRODUCT TOKEN, not an
+    # arbitrary substring of the UA string
+    txt = "User-agent: bot\nDisallow: /\n"
+    # 'bot' buried mid-token must NOT capture the group
+    assert robots_allowed(txt, "/x", ua="robotstxt-audit/1.0") is True
+    assert robots_allowed(txt, "/x", ua="mybot") is True
+    # equality and prefix-of-product DO match
+    assert robots_allowed(txt, "/x", ua="bot") is False
+    assert robots_allowed(txt, "/x", ua="Bot/2.0") is False
+    assert robots_allowed(txt, "/x", ua="botify/3") is False
+    # multi-product UA: any product token can match
+    assert robots_allowed(txt, "/x", ua="Mozilla/5.0 bot/1.1") is False
+    g = "User-agent: googlebot\nDisallow: /g\n"
+    assert robots_allowed(g, "/g/x", ua="googlebot-news/1.0") is False

@@ -56,6 +56,26 @@ def test_idempotent():
         assert canonicalize_url(c1, strip_tracking=True) == c1
 
 
+def test_relative_dot_segments():
+    # ADVICE r12: relative '..' must resolve against earlier segments
+    # (RFC 3986 merge semantics), and UNRESOLVABLE leading '..' must
+    # survive — dropping it collided 'a/../b' and 'a/b' dedup keys
+    assert canonicalize_url("a/../b") == "b"
+    assert canonicalize_url("a/b/../c") == "a/c"
+    assert canonicalize_url("../a") == "../a"
+    assert canonicalize_url("../../a/b") == "../../a/b"
+    assert canonicalize_url("a/../../b") == "../b"
+    assert canonicalize_url("a/./b/..") == "a/"  # trailing '..' ⇒ dir
+    # absolute paths still protect the root; leading '..' is dropped
+    assert canonicalize_url("/../a") == "/a"
+    assert canonicalize_url("/a/../b") == "/b"
+    assert canonicalize_url("http://e.org/a/../b") == "http://e.org/b"
+    # idempotent under re-canonicalization
+    for u in ("a/../b", "../a", "a/../../b", "/../a"):
+        c1 = canonicalize_url(u)
+        assert canonicalize_url(c1) == c1
+
+
 def test_lenient_inputs():
     # relative / schemeless / junk come back normalized, never raise
     assert canonicalize_url("/a/./b") == "/a/b"
