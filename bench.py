@@ -337,6 +337,18 @@ def main() -> None:
     bench_fns = dict(entry_mod.queries())
     # flagship end-to-end pipeline (detection UDFs + correlation + rank)
     bench_fns["flagship_analyze"] = entry_mod.flagship
+    # SPARK_GRAFT_BENCH_ONLY=q1,q2 — subset filter for local iteration
+    # (the driver never sets it; a full run is unaffected)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = keep - set(bench_fns)
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_ONLY names unknown queries: "
+                f"{sorted(unknown)}"
+            )
+        bench_fns = {k: v for k, v in bench_fns.items() if k in keep}
     n_done = 0
     seg_stat = _cpu_stat()  # /proc/stat at the current segment's start
     for name, fn in bench_fns.items():
@@ -486,6 +498,8 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
     try:
+        if only:
+            full_path = os.devnull  # subset run: keep the full map
         with open(full_path, "w") as fh:
             json.dump(
                 {
@@ -510,6 +524,23 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
     )
+    # VERDICT r12 residual nit: BENCH_r12 had parsed=null because this
+    # final line embedded the FULL host canary object (per-segment
+    # /proc/stat deltas, several KB) and the driver's tail cap cut it
+    # mid-line.  The final line must stay BOUNDED: verdicts only here;
+    # the segment-level evidence lives in the first (full) line and in
+    # BENCH_FULL.json.
+    host_verdict = {
+        k: host[k]
+        for k in (
+            "host_contended", "cpu_contended", "io_contended",
+            "sched_anomalous",
+        )
+    }
+    host_verdict["suspect_queries"] = host["suspect_queries"][:10]
+    host_verdict["sched_suspect_queries"] = (
+        host["sched_suspect_queries"][:10]
+    )
     print(
         json.dumps(
             {
@@ -519,7 +550,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "slowest15": slowest,
-                "host": host,
+                "host": host_verdict,
             }
         )
     )
