@@ -1358,6 +1358,34 @@ def q_warc_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_text(html, jvm=True).select("doc_id", "text")
 
 
+def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction under the hash gate (r13 — VERDICT r12
+    item 2: crawl corpora are PDF-heavy and the ingest stack ended at
+    HTML).  Every doc's text is wrapped into a GENUINE PDF
+    (`functions/pdf.py`: real byte-offset xref table, page tree,
+    WinAnsi font, content streams) with feature arms by doc_id —
+    Flate compression on odd ids, 1–3 pages, TJ kerning arrays / hex
+    strings / octal escapes on rotating residues — then parsed back
+    through the spec-following reader (xref chain → object store →
+    page walk → text-operator state machine).  Newline-normalized
+    extraction must be the IDENTITY on the original text and the page
+    count analytic, so one hash jointly pins the encoder, the xref
+    arithmetic, Flate, string escapes, TJ concatenation and the
+    line/page splitter — the `warc_text_extract` pattern."""
+    from metrics_advisor_spark.functions.pdf import (
+        attach_pdf_payload,
+        extract_pdf_text,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = extract_pdf_text(attach_pdf_payload(docs))
+    return out.select(
+        "doc_id",
+        "n_pages",
+        F.regexp_replace("text", "\n", " ").alias("text"),
+    )
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (r12 — the crawl-dedup primitive that
     runs before any content dedup): six analytic mess patterns by
@@ -5455,6 +5483,7 @@ ROTATION: dict[str, int | None] = {
     "mp3_meta": 12,  # new r12 — never driver-checked
     "warc_extract": 12,  # new r12 — never driver-checked
     "warc_text_extract": 12,  # new r12 — never driver-checked
+    "pdf_text_extract": None,  # new r13
     "url_canonical": 12,  # new r12 — never driver-checked
     "robots_gate": 12,  # new r12 — never driver-checked
     "blocklist_hits": 12,  # new r12 — never driver-checked
@@ -5617,6 +5646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp3_meta": q_mp3_meta,
         "warc_extract": q_warc_extract,
         "warc_text_extract": q_warc_text_extract,
+        "pdf_text_extract": q_pdf_text_extract,
         "url_canonical": q_url_canonical,
         "robots_gate": q_robots_gate,
         "blocklist_hits": q_blocklist_hits,
@@ -8137,6 +8167,17 @@ def oracle_sql() -> dict[str, str]:
             -- edge whitespace (verified at all three sf), so
             -- extraction is exact inversion.
             SELECT doc_id, text FROM documents
+        """,
+        "pdf_text_extract": """
+            -- text → genuine PDF (xref table, Flate on odd ids, 1-3
+            -- pages, TJ/hex/octal arms) → spec parse → text must be
+            -- the identity after newline normalization; page count is
+            -- analytic (1 + doc_id%3 — every doc has ≥10 words at all
+            -- three sf, so the requested page count is never clamped)
+            SELECT doc_id,
+                   (1 + doc_id % 3)::INT AS n_pages,
+                   text
+            FROM documents
         """,
         "mp3_meta": """
             -- MP3 frame-walk triage (r12): the Spark side validates

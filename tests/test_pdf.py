@@ -1,0 +1,218 @@
+"""PDF text extraction (`functions/pdf.py`): encode→parse roundtrips
+across the feature grid (Flate, multi-page, TJ kerning, hex strings,
+octal escapes, WinAnsi high bytes), the rejection matrix, incremental
+updates, and the Spark wrappers.  Mutation tests use SAME-LENGTH byte
+substitutions so the xref offsets stay honest."""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import pytest
+
+from metrics_advisor_spark.functions.pdf import (
+    attach_pdf_payload,
+    encode_pdf,
+    extract_pdf_text,
+    pdf_text,
+)
+
+_TEXT = (
+    "key agg row scan slow fast table value part hash value table "
+    "part a row fast merge batch part value"
+)
+
+
+@pytest.mark.parametrize("kw", [
+    {},
+    {"compress": True},
+    {"n_pages": 2},
+    {"n_pages": 3, "compress": True},
+    {"use_tj": True},
+    {"hex_strings": True},
+    {"octal_first": True},
+    {"n_pages": 2, "compress": True, "use_tj": True,
+     "hex_strings": True, "octal_first": True},
+])
+def test_roundtrip_grid(kw):
+    p = encode_pdf(_TEXT, **kw)
+    n_pages, tx = pdf_text(p)
+    assert n_pages == kw.get("n_pages", 1)
+    assert tx.replace("\n", " ") == _TEXT
+
+
+def test_arms_actually_fire():
+    long = " ".join(f"w{i}" for i in range(40))
+    hexed = encode_pdf(long, hex_strings=True)
+    assert re.search(rb"<[0-9a-f]+> Tj", hexed), "hex arm inert"
+    assert pdf_text(hexed)[1].replace("\n", " ") == long
+    tj = encode_pdf(long, use_tj=True)
+    assert b"] TJ" in tj, "TJ arm inert"
+    assert pdf_text(tj)[1].replace("\n", " ") == long
+    octal = encode_pdf(long, octal_first=True)
+    assert re.search(rb"\(\\[0-7]{3}", octal), "octal arm inert"
+    assert pdf_text(octal)[1].replace("\n", " ") == long
+    assert b"/FlateDecode" in encode_pdf(long, compress=True)
+
+
+def test_string_escapes_and_winansi():
+    tricky = r"parens (x) and \back\ and )( mix"
+    assert pdf_text(encode_pdf(tricky))[1].replace("\n", " ") == tricky
+    hi = "café naïve —dash’s €uro"
+    assert pdf_text(encode_pdf(hi))[1].replace("\n", " ") == hi
+    assert pdf_text(encode_pdf("single"))[1] == "single"
+
+
+def test_multipage_line_structure():
+    # 20 words, 3 pages → ceil split 7/7/6; 8 words per line
+    words = [f"w{i}" for i in range(20)]
+    n_pages, tx = pdf_text(encode_pdf(" ".join(words), n_pages=3))
+    assert n_pages == 3
+    lines = tx.split("\n")
+    assert [len(ln.split(" ")) for ln in lines] == [7, 7, 6]
+    assert " ".join(lines) == " ".join(words)
+
+
+def test_incremental_update_prev_chain():
+    # append an update section that re-points the catalog at a NEW
+    # pages tree carrying different text; /Prev must chain back for
+    # the untouched objects, and later sections must win
+    base = encode_pdf("old words here")
+    m = None
+    for m in re.finditer(rb"startxref\s+(\d+)", base):
+        pass
+    old_xref = int(m.group(1))
+    upd = bytearray(base)
+
+    def add_obj(num: int, body: bytes) -> int:
+        off = len(upd)
+        upd.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+        return off
+
+    content = b"BT /F1 12 Tf 72 720 Td (new words) Tj ET"
+    offs = {
+        20: add_obj(20, b"<< /Length %d >>\nstream\n" % len(content)
+                    + content + b"\nendstream"),
+        21: add_obj(
+            21,
+            b"<< /Type /Page /Parent 22 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> "
+            b"/Contents 20 0 R >>",
+        ),
+        22: add_obj(
+            22, b"<< /Type /Pages /Kids [21 0 R] /Count 1 >>"
+        ),
+        1: add_obj(1, b"<< /Type /Catalog /Pages 22 0 R >>"),
+    }
+    xref_off = len(upd)
+    upd.extend(b"xref\n")
+    for num in sorted(offs):
+        upd.extend(b"%d 1\n%010d 00000 n \n" % (num, offs[num]))
+    upd.extend(
+        b"trailer\n<< /Size 23 /Root 1 0 R /Prev %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (old_xref, xref_off)
+    )
+    n_pages, tx = pdf_text(bytes(upd))
+    assert (n_pages, tx) == (1, "new words")
+    # the base document still parses on its own
+    assert pdf_text(base)[1].replace("\n", " ") == "old words here"
+
+
+def _expect(payload: bytes, msg: str) -> None:
+    with pytest.raises(ValueError, match=re.escape(msg)):
+        pdf_text(payload)
+
+
+def test_rejections():
+    good = encode_pdf("hello world", compress=True)
+    _expect(b"GIF89a" + good[6:], "missing %PDF- header")
+    # same-length substitutions keep every xref offset honest
+    _expect(good.replace(b"/Root 1 0 R", b"/Rook 1 0 R"), "/Root")
+    _expect(
+        good.replace(b"/FlateDecode", b"/XlateDecode"),
+        "filter /XlateDecode unsupported",
+    )
+    _expect(
+        good.replace(b"/Subtype /Type1", b"/Subtype /Type0"),
+        "CID",
+    )
+    _expect(
+        good.replace(b"/Encoding /WinAnsiEncoding >>",
+                     b"/Encoding<</Differences[]>>>>"),
+        "Differences",
+    )
+    _expect(good.replace(b"/Count 1", b"/Count 7"),
+            "/Count 7 != 1 leaf pages")
+    _expect(good[: good.rindex(b"startxref")], "no startxref")
+    # same-digit /Length bump: stream no longer ends at endstream
+    m = re.search(rb"/Length (\d+)", good)
+    ln = int(m.group(1))
+    bump = good.replace(
+        b"/Length %d" % ln, b"/Length %d" % (ln + 9), 1
+    )
+    _expect(bump, "missing endstream")
+
+
+def test_encrypt_rejected():
+    # /Size N -> /Encrypt is longer; rebuild via incremental trailer
+    good = encode_pdf("hello")
+    m = None
+    for m in re.finditer(rb"startxref\s+(\d+)", good):
+        pass
+    xref_off = int(m.group(1))
+    upd = bytearray(good)
+    new_xref = len(upd)
+    upd.extend(
+        b"xref\n0 1\n0000000000 65535 f \ntrailer\n"
+        b"<< /Size 9 /Root 1 0 R /Encrypt 8 0 R /Prev %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (xref_off, new_xref)
+    )
+    _expect(bytes(upd), "encrypted")
+
+
+def test_xref_stream_rejected():
+    # point startxref at an object header — the PDF 1.5 layout
+    good = encode_pdf("hello")
+    m = re.search(rb"startxref\n(\d+)", good)
+    first_obj = good.index(b"1 0 obj")
+    patched = good.replace(
+        m.group(0), b"startxref\n%d" % first_obj
+    )
+    _expect(patched, "cross-reference streams")
+
+
+def test_standard_encoding_ascii_only():
+    # strip the /Encoding entry (same-length pad) → StandardEncoding;
+    # high bytes must then be rejected, ASCII still decodes
+    p = encode_pdf("plain ascii words only here")
+    pad = b"/Encoding /WinAnsiEncoding"
+    p2 = p.replace(pad, b" " * len(pad))
+    assert pdf_text(p2)[1].replace("\n", " ") == \
+        "plain ascii words only here"
+    hi = encode_pdf("café")
+    hi2 = hi.replace(pad, b" " * len(pad))
+    _expect(hi2, "outside the ASCII subset")
+
+
+def test_unbalanced_string_rejected():
+    p = encode_pdf("abc def")
+    # kill the closing paren of the only Tj string (same length)
+    patched = p.replace(b"(abc def) Tj", b"(abc def  Tj")
+    _expect(patched, "unterminated literal string")
+
+
+def test_spark_wrappers(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc {i} words " * 3 + "tail") for i in range(12)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_pages"], r["text"])
+        for r in extract_pdf_text(attach_pdf_payload(df)).collect()
+    }
+    assert len(got) == 12
+    for i in range(12):
+        n_pages, tx = got[i]
+        assert n_pages == 1 + i % 3
+        assert tx.replace("\n", " ") == f"doc {i} words " * 3 + "tail"
