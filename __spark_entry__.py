@@ -1386,6 +1386,94 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_SEGMENT_RULES = [
+    (1, "s", "c"), (2, "sc", "a"), (3, "sca", "n"), (4, "t", "a"),
+    (5, "a", "b"), (6, "e", "r"), (7, "er", "g"), (8, "o", "w"),
+    (9, "r", "ow"), (10, "k", "e"),
+]
+
+_UNIGRAM_SEGMENT_VOCAB = [
+    ("sc", -1.31), ("an", -1.47), ("ta", -1.53), ("er", -1.59),
+    ("ow", -1.61), ("ke", -1.67), ("va", -1.71), ("al", -1.73),
+    ("lu", -1.79), ("ue", -1.83), ("val", -2.03), ("alue", -2.29),
+    ("value", -2.31), ("scan", -2.37), ("tab", -2.39),
+    ("able", -2.41), ("row", -2.43), ("key", -2.47), ("str", -2.51),
+    ("eam", -2.53), ("stream", -2.57), ("wind", -2.59),
+    ("ord", -2.61), ("join", -2.63), ("art", -2.67), ("ash", -2.69),
+] + [
+    (c, -4.0 - i * 0.137)
+    for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")
+]
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-vocab BPE APPLICATION under the hash gate (r13 —
+    VERDICT r12 item 4: training stays rows-only because iterative EM
+    / merge induction is not SQL-expressible, but applying a FROZEN
+    merge list is deterministic iterated pair-merge).  A fixed
+    10-rule merge list runs over the corpus vocabulary via
+    `bpe_segment_words` (`functions/bpe.py:166` — each rule one
+    Catalyst replace on the SEP-wrapped form, applied in training
+    order); the oracle replays the SAME per-spec semantics as a
+    DuckDB recursive CTE stepping rule-by-rule.  Rule order is
+    load-bearing in the fixture ((t,a) starves (a,b) on 'table';
+    (o,w)+(r,ow) chain to re-merge 'row') so a rank slip anywhere
+    breaks the hash."""
+    from metrics_advisor_spark.functions.bpe import bpe_segment_words
+
+    merges = spark.createDataFrame(
+        _BPE_SEGMENT_RULES, "it int, left string, right string"
+    )
+    words = (
+        _docs(spark, sf_dir, fanout=False)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    seg = bpe_segment_words(words, merges)
+    return seg.select(
+        "word",
+        F.array_join("tokens", " ").alias("seg"),
+        F.size("tokens").alias("n_tokens"),
+    )
+
+
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-vocab unigram-LM Viterbi segmentation under the hash
+    gate (r13 — the application half of `functions/unigram.py`, same
+    split as `bpe_segment`: EM training stays rows-only).  A fixed
+    52-piece vocabulary (26 single letters for reachability + 26
+    overlapping multi-char pieces) segments the corpus vocabulary via
+    the shortest-path DP (`unigram.py:103`, ties -> shorter piece
+    ending at each position).  The ORACLE IS A DIFFERENT ALGORITHM:
+    DuckDB enumerates EVERY full segmentation of every word
+    (recursive CTE, ≤2^7 paths at max word length 8) and takes the
+    argmax with the DP's exact tie-break (total DESC, reversed
+    piece-length sequence ASC) — summation order matches the DP's
+    left-to-right accumulation, so float totals are bit-identical
+    path-for-path."""
+    import pandas as pd
+
+    from metrics_advisor_spark.functions.unigram import (
+        unigram_segment_words,
+    )
+
+    vocab = pd.DataFrame(
+        {
+            "piece": [p for p, _ in _UNIGRAM_SEGMENT_VOCAB],
+            "logp": [lp for _, lp in _UNIGRAM_SEGMENT_VOCAB],
+        }
+    )
+    docs = _docs(spark, sf_dir, fanout=False).select("text")
+    seg = unigram_segment_words(docs, vocab, max_piece_len=6)
+    return seg.select(
+        "word",
+        "wn",
+        F.array_join("pieces", " ").alias("seg"),
+        F.col("n_pieces").cast("int").alias("n_pieces"),
+    )
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (r12 — the crawl-dedup primitive that
     runs before any content dedup): six analytic mess patterns by
@@ -5484,6 +5572,8 @@ ROTATION: dict[str, int | None] = {
     "warc_extract": 12,  # new r12 — never driver-checked
     "warc_text_extract": 12,  # new r12 — never driver-checked
     "pdf_text_extract": None,  # new r13
+    "bpe_segment": None,  # new r13
+    "unigram_segment": None,  # new r13
     "url_canonical": 12,  # new r12 — never driver-checked
     "robots_gate": 12,  # new r12 — never driver-checked
     "blocklist_hits": 12,  # new r12 — never driver-checked
@@ -5647,6 +5737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "warc_text_extract": q_warc_text_extract,
         "pdf_text_extract": q_pdf_text_extract,
+        "bpe_segment": q_bpe_segment,
+        "unigram_segment": q_unigram_segment,
         "url_canonical": q_url_canonical,
         "robots_gate": q_robots_gate,
         "blocklist_hits": q_blocklist_hits,
@@ -8178,6 +8270,82 @@ def oracle_sql() -> dict[str, str]:
                    (1 + doc_id % 3)::INT AS n_pages,
                    text
             FROM documents
+        """,
+        "bpe_segment": """
+            -- frozen merge list replayed per-spec: a recursive CTE
+            -- steps rule-by-rule over the chr(1)-wrapped form, each
+            -- step one replace() (left-to-right, non-overlapping) --
+            -- the same iterated pair-merge semantics the Spark side
+            -- builds as a chain of Catalyst replace expressions
+            WITH RECURSIVE
+            rules(it, l, r) AS (VALUES (1,'s','c'),(2,'sc','a'),(3,'sca','n'),(4,'t','a'),(5,'a','b'),(6,'e','r'),(7,'er','g'),(8,'o','w'),(9,'r','ow'),(10,'k','e')),
+            words AS (
+              SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            seg AS (
+              SELECT word,
+                     chr(1) || left(regexp_replace(word, '(.)',
+                                    '\\1' || chr(1) || chr(1), 'g'),
+                                    length(word) * 3 - 1) AS s,
+                     0 AS it
+              FROM words
+              UNION ALL
+              SELECT seg.word,
+                     replace(seg.s,
+                             chr(1) || ru.l || chr(1) || chr(1)
+                               || ru.r || chr(1),
+                             chr(1) || ru.l || ru.r || chr(1)),
+                     seg.it + 1
+              FROM seg JOIN rules ru ON ru.it = seg.it + 1)
+            SELECT word,
+                   array_to_string(
+                     string_split(substr(s, 2, length(s) - 2),
+                                  chr(1) || chr(1)), ' ') AS seg,
+                   len(string_split(substr(s, 2, length(s) - 2),
+                       chr(1) || chr(1)))::INT AS n_tokens
+            FROM seg WHERE it = 10
+        """,
+        "unigram_segment": """
+            -- DIFFERENT ALGORITHM than the Spark Viterbi DP: enumerate
+            -- EVERY full segmentation (recursive CTE; corpus words are
+            -- <=8 chars so <=2^7 paths each) and argmax with the DP's
+            -- tie-break -- total DESC then reversed piece-length
+            -- sequence ASC (the DP prefers the shorter piece ending at
+            -- each position, scanning from the end).  Totals accumulate
+            -- left-to-right exactly like the DP, so equal paths are
+            -- bit-identical in float.
+            WITH RECURSIVE
+            vocab(piece, logp) AS (VALUES ('sc',-1.31),('an',-1.47),('ta',-1.53),('er',-1.59),('ow',-1.61),('ke',-1.67),('va',-1.71),('al',-1.73),('lu',-1.79),('ue',-1.83),('val',-2.03),('alue',-2.29),('value',-2.31),('scan',-2.37),('tab',-2.39),('able',-2.41),('row',-2.43),('key',-2.47),('str',-2.51),('eam',-2.53),('stream',-2.57),('wind',-2.59),('ord',-2.61),('join',-2.63),('art',-2.67),('ash',-2.69),('a',-4.0),('b',-4.1370000000000005),('c',-4.274),('d',-4.411),('e',-4.548),('f',-4.6850000000000005),('g',-4.822),('h',-4.959),('i',-5.096),('j',-5.2330000000000005),('k',-5.37),('l',-5.507),('m',-5.644),('n',-5.781000000000001),('o',-5.918),('p',-6.055),('q',-6.192),('r',-6.329000000000001),('s',-6.466),('t',-6.603),('u',-6.74),('v',-6.877000000000001),('w',-7.014),('x',-7.151),('y',-7.288),('z',-7.425000000000001)),
+            words AS (
+              SELECT w AS word, count(*)::BIGINT AS wn
+              FROM (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+              WHERE w != '' GROUP BY w),
+            paths AS (
+              SELECT word, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces,
+                     CAST([] AS INT[]) AS lens, 0.0::DOUBLE AS total
+              FROM words
+              UNION ALL
+              SELECT p.word, p.pos + length(v.piece),
+                     array_append(p.pieces, v.piece),
+                     array_append(p.lens, length(v.piece)::INT),
+                     p.total + v.logp
+              FROM paths p
+              JOIN vocab v
+                ON substr(p.word, p.pos + 1, length(v.piece)) = v.piece
+              WHERE p.pos < length(p.word)),
+            ranked AS (
+              SELECT word, pieces,
+                     row_number() OVER (
+                       PARTITION BY word
+                       ORDER BY total DESC, list_reverse(lens) ASC
+                     ) AS rn
+              FROM paths WHERE pos = length(word))
+            SELECT w.word, w.wn,
+                   array_to_string(r.pieces, ' ') AS seg,
+                   len(r.pieces)::INT AS n_pieces
+            FROM ranked r JOIN words w USING (word)
+            WHERE rn = 1
         """,
         "mp3_meta": """
             -- MP3 frame-walk triage (r12): the Spark side validates
