@@ -2221,6 +2221,69 @@ _PERMS_SQL = """
 """
 
 _STOP_EN = "('the','a','of','and','to','is')"
+
+
+def _lang_nb_cte() -> str:
+    """Shared CTE chain for the char-trigram NB oracles: the model is
+    the SAME integer-quantized table the Spark side broadcasts
+    (functions/text.py:train_char_ngram_nb — trained once in Python,
+    so no cross-engine ln() drift), but the SCORING is recomputed
+    independently by DuckDB (trigram unnest -> model join -> integer
+    sums -> argmax)."""
+    from metrics_advisor_spark.functions.text import (
+        LANG_SEED,
+        train_char_ngram_nb,
+    )
+
+    vocab, model, oov = train_char_ngram_nb()
+    langs = sorted(LANG_SEED)
+    mv = ",".join(
+        "('%s','%s',%d)" % (lang, g.replace("'", "''"), model[(lang, g)])
+        for lang in langs
+        for g in vocab
+    )
+    ov = ",".join("('%s',%d)" % (lang, oov[lang]) for lang in langs)
+    return f"""
+            nbmodel(lang, tri, logp_q) AS (VALUES {mv}),
+            nboov(lang, oov_q) AS (VALUES {ov}),
+            nbdocs AS (SELECT doc_id, lower(text) AS t FROM documents),
+            nbocc AS (
+              SELECT doc_id, substr(t, i, 3) AS tri
+              FROM nbdocs,
+                   unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)
+            ),
+            nbhits AS (
+              SELECT o.doc_id, m.lang,
+                     sum(m.logp_q)::BIGINT AS hit_q,
+                     count(*)::BIGINT AS n_hit
+              FROM nbocc o JOIN nbmodel m USING (tri) GROUP BY 1, 2
+            ),
+            nbnd AS (
+              SELECT doc_id, greatest(length(t) - 2, 0)::BIGINT AS n_tri
+              FROM nbdocs
+            ),
+            nbscored AS (
+              SELECT g.doc_id, g.lang, g.n_tri,
+                     coalesce(h.n_hit, 0) AS n_hit,
+                     coalesce(h.hit_q, 0)
+                       + (g.n_tri - coalesce(h.n_hit, 0)) * g.oov_q
+                       AS score_q
+              FROM (SELECT doc_id, n_tri, lang, oov_q
+                    FROM nbnd CROSS JOIN nboov) g
+              LEFT JOIN nbhits h
+                ON h.doc_id = g.doc_id AND h.lang = g.lang
+            ),
+            nbbest AS (
+              -- no trigram OR no in-vocab evidence -> 'und'
+              SELECT doc_id,
+                     CASE WHEN n_tri <= 0 OR n_hit <= 0 THEN 'und'
+                          ELSE lang END AS lang_pred,
+                     score_q,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score_q DESC, lang ASC) AS rn
+              FROM nbscored
+            )"""
 _TOKEN_RE_SQL = "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'"
 
 
@@ -7599,23 +7662,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_id": f"""
-            WITH scored AS (
-              SELECT doc_id,
-                len(list_filter(string_split(text,' '),
-                    x -> x IN {_STOP_EN})) AS s_en,
-                len(list_filter(string_split(text,' '),
-                    x -> x IN ('el','la','de','y','que','en'))) AS s_es,
-                len(list_filter(string_split(text,' '),
-                    x -> x IN ('le','la','et','les','des','un'))) AS s_fr
-              FROM documents
-            )
-            SELECT doc_id,
-                   CASE WHEN greatest(s_en, s_es, s_fr) <= 0 THEN 'und'
-                        WHEN s_en = greatest(s_en, s_es, s_fr) THEN 'en'
-                        WHEN s_es = greatest(s_en, s_es, s_fr) THEN 'es'
-                        ELSE 'fr' END AS lang_pred,
-                   greatest(s_en, s_es, s_fr) AS lang_score
-            FROM scored
+            -- char-trigram Naive Bayes (r13): identical quantized
+            -- model table, independent DuckDB scoring
+            WITH {_lang_nb_cte()}
+            SELECT doc_id, lang_pred, score_q AS lang_score
+            FROM nbbest WHERE rn = 1
         """,
         "doc_fingerprint": f"""
             SELECT doc_id, min(shingle_hash) AS fingerprint
@@ -11430,23 +11481,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE sd > 0 AND abs(value - mu) > 3 * sd
         """,
         "lang_confusion": f"""
-            WITH cells AS (
-              SELECT lang,
-                     CASE WHEN greatest(s_en, s_es, s_fr) <= 0 THEN 'und'
-                          WHEN s_en = greatest(s_en, s_es, s_fr) THEN 'en'
-                          WHEN s_es = greatest(s_en, s_es, s_fr) THEN 'es'
-                          ELSE 'fr' END AS lang_pred,
-                     count(*) AS n
-              FROM (
-                SELECT lang,
-                  len(list_filter(string_split(text, ' '),
-                      x -> x IN {_STOP_EN})) AS s_en,
-                  len(list_filter(string_split(text, ' '),
-                      x -> x IN ('el','la','de','y','que','en'))) AS s_es,
-                  len(list_filter(string_split(text, ' '),
-                      x -> x IN ('le','la','et','les','des','un'))) AS s_fr
-                FROM documents
-              ) GROUP BY 1, 2
+            WITH {_lang_nb_cte()},
+            cells AS (
+              SELECT d.lang, b.lang_pred, count(*) AS n
+              FROM nbbest b JOIN documents d USING (doc_id)
+              WHERE b.rn = 1 GROUP BY 1, 2
             )
             SELECT lang, lang_pred, n,
                    round(n / sum(n) OVER (PARTITION BY lang), 6)

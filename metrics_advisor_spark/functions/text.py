@@ -27,6 +27,191 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 
 PUNCT_RE = "[^A-Za-z0-9 ]"
 
+# Seed text for the char-trigram Naive Bayes language model (VERDICT
+# r12 item 3: the stopword vote fails on short / no-stopword docs).
+# Generic everyday sentences composed for this package — lowercase,
+# unaccented, apostrophe-free so they embed safely in SQL VALUES and
+# dodge collation differences; real deployments swap in larger public
+# corpora, the operator shape is what matters.
+LANG_SEED: dict[str, tuple[str, ...]] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog",
+        "this is a sentence about the weather and the sea",
+        "we are going to the market in the morning",
+        "she said that the children would be home soon",
+        "there is nothing better than a good book and tea",
+        "what time does the train leave for the city",
+    ),
+    "es": (
+        "el rapido zorro marron salta sobre el perro perezoso",
+        "esta es una frase sobre el tiempo y el mar",
+        "vamos al mercado por la manana con la familia",
+        "ella dijo que los ninos estarian en casa pronto",
+        "no hay nada mejor que un buen libro y un cafe",
+        "a que hora sale el tren para la ciudad",
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux",
+        "ceci est une phrase sur le temps et la mer",
+        "nous allons au marche le matin avec la famille",
+        "elle a dit que les enfants seraient bientot a la maison",
+        "il n y a rien de mieux qu un bon livre et un the",
+        "a quelle heure part le train pour la ville",
+    ),
+    "de": (
+        "der schnelle braune fuchs springt ueber den faulen hund",
+        "dies ist ein satz ueber das wetter und das meer",
+        "wir gehen am morgen mit der familie auf den markt",
+        "sie sagte dass die kinder bald zu hause sein wuerden",
+        "es gibt nichts besseres als ein gutes buch und tee",
+        "um wie viel uhr faehrt der zug in die stadt",
+    ),
+    "zh": (
+        "这是一个关于天气和大海的句子",
+        "我们早上和家人一起去市场",
+        "她说孩子们很快就会回家",
+        "没有什么比一本好书和一杯茶更好的了",
+        "火车什么时候开往城市",
+        "敏捷的棕色狐狸跳过懒狗",
+    ),
+}
+
+# log-prob quantization: BIGINT micro-nats.  Integer scores make the
+# per-doc sum ORDER-INDEPENDENT (float addition across a shuffle is
+# not), and pin the Spark side and the DuckDB oracle to identical
+# arithmetic — the same trick as the unigram trainer's quantized EM
+# counts (functions/unigram.py).
+NB_QUANT = 1_000_000
+
+
+def train_char_ngram_nb(
+    n: int = 3, quant: int = NB_QUANT,
+) -> tuple[list[str], dict[tuple[str, str], int], dict[str, int]]:
+    """Train the char-n-gram Naive Bayes on LANG_SEED: returns
+    (vocab, model, oov) where ``model[(lang, gram)]`` is the
+    add-one-smoothed log P(gram | lang) in quantized micro-nats,
+    DENSE over the cross-language vocabulary, and ``oov[lang]`` is
+    the out-of-vocabulary gram score.  Pure driver-side Python over a
+    few hundred grams — the trained table is broadcast; nothing here
+    runs per-row."""
+    import math
+
+    counts: dict[str, dict[str, int]] = {lang: {} for lang in LANG_SEED}
+    vocab: set[str] = set()
+    for lang, sents in LANG_SEED.items():
+        for s in sents:
+            s = s.lower()
+            for i in range(len(s) - n + 1):
+                g = s[i:i + n]
+                counts[lang][g] = counts[lang].get(g, 0) + 1
+                vocab.add(g)
+    model: dict[tuple[str, str], int] = {}
+    oov: dict[str, int] = {}
+    v = len(vocab)
+    # SHARED smoothing denominator (max seed total across languages):
+    # per-language denominators make zero-count grams score HIGHER for
+    # the language with the smallest seed corpus, so an English doc
+    # whose grams are mostly absent from the en counts drifts toward
+    # whichever language has the least data (measured: 'zh' won plain
+    # English sentences).  With one denominator, count-0 grams tie
+    # across languages and only actual evidence discriminates; the
+    # per-language distributions are sub-normalized, which is fine for
+    # an argmax score.
+    denom = max(
+        sum(c.values()) for c in counts.values()
+    ) + v + 1  # +1: the shared OOV bucket
+    for lang in LANG_SEED:
+        for g in vocab:
+            c = counts[lang].get(g, 0)
+            model[(lang, g)] = round(math.log((c + 1) / denom) * quant)
+        oov[lang] = round(math.log(1.0 / denom) * quant)
+    return sorted(vocab), model, oov
+
+
+def _char_trigrams(text_col: str) -> F.Column:
+    """All char trigrams of lower(text) as an array — pure Catalyst
+    (sequence + transform + substring), no Python."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length(lower({text_col})) - 2,"
+        f" 0)), i -> substring(lower({text_col}), i, 3))"
+    )
+
+
+def lang_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Char-trigram Naive Bayes language ID: (doc_id, lang_pred,
+    lang_score BIGINT micro-nats).
+
+    Plan shape (100 TB): trigram explode is a narrow projection; the
+    trained model joins BROADCAST (dense |vocab|x|langs| rows, a few
+    thousand); ONE hash aggregate keyed (doc_id, lang) with map-side
+    combine; the per-doc argmax is a second tiny aggregate.  No
+    Python anywhere.  Ties break toward the smallest language code;
+    docs shorter than one trigram predict 'und'."""
+    spark = df.sparkSession
+    vocab, model, oov = train_char_ngram_nb()
+    langs = sorted(LANG_SEED)
+    mdf = spark.createDataFrame(
+        [(lang, g, model[(lang, g)]) for lang in langs for g in vocab],
+        "lang string, tri string, logp_q long",
+    )
+    odf = spark.createDataFrame(
+        [(lang, oov[lang]) for lang in langs],
+        "lang string, oov_q long",
+    )
+    occ = df.select(
+        "doc_id", F.explode(_char_trigrams(text_col)).alias("tri")
+    )
+    # dense model: every in-vocab occurrence matches EVERY language,
+    # so n_hit is lang-independent and OOV mass is (n_tri - n_hit)
+    hits = (
+        occ.join(F.broadcast(mdf), "tri")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("logp_q").alias("hit_q"),
+            F.count(F.lit(1)).alias("n_hit"),
+        )
+    )
+    nd = df.select(
+        "doc_id",
+        F.greatest(
+            F.length(F.lower(F.col(text_col))) - 2, F.lit(0)
+        ).cast("long").alias("n_tri"),
+    )
+    grid = nd.crossJoin(F.broadcast(odf))
+    scored = (
+        grid.join(hits, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id", "lang", "n_tri",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce(F.col("hit_q"), F.lit(0))
+                + (F.col("n_tri") - F.coalesce(F.col("n_hit"), F.lit(0)))
+                * F.col("oov_q")
+            ).alias("score_q"),
+        )
+    )
+    best = scored.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("score_q")).alias("neg"),
+                F.col("lang").alias("lang"),
+                F.col("score_q").alias("score_q"),
+            )
+        ).alias("b"),
+        F.max("n_tri").alias("n_tri"),
+        F.max("n_hit").alias("n_hit"),  # lang-independent (dense model)
+    )
+    # no trigram at all OR no in-vocabulary evidence → 'und' (an
+    # all-OOV doc would otherwise pick whichever language has the
+    # smallest seed corpus — noise, not signal)
+    return best.select(
+        "doc_id",
+        F.when(
+            (F.col("n_tri") <= 0) | (F.col("n_hit") <= 0), F.lit("und")
+        ).otherwise(F.col("b.lang")).alias("lang_pred"),
+        F.col("b.score_q").alias("lang_score"),
+    )
+
 
 # --- expression builders (shared with functions/corpus.py) -----------------
 # Each returns a plain Column so composite pipelines (corpus_prep) can fuse
@@ -103,6 +288,14 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language ID — the char-trigram Naive Bayes (r13 upgrade; the
+    stopword vote fails on short / no-stopword docs and is kept as
+    `lang_id_stopword` for the fused-projection path and as the
+    accuracy baseline)."""
+    return lang_id_ngram(df, text_col)
+
+
+def lang_id_stopword(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-vote language ID: argmax over per-language anchor hits.
 
     Ties broken toward 'und' when no anchors hit, else lexicographically
@@ -498,21 +691,21 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_agreement(df: DataFrame, text_col: str = "text",
                    lang_col: str = "lang") -> DataFrame:
-    """Label-audit confusion matrix: declared language vs the stopword-
-    vote prediction, with each cell's share of its declared-lang row
-    count.  The standard agreement check before trusting either label
-    in downstream routing.
+    """Label-audit confusion matrix: declared language vs the char-
+    trigram NB prediction (r13 — upgraded together with `lang_id`),
+    with each cell's share of its declared-lang row count.  The
+    standard agreement check before trusting either label in
+    downstream routing.
 
-    One narrow projection + one hash aggregate; the per-lang share is a
-    window over the (tiny) cell table, not a second scan.
+    The NB scorer's one (doc_id, lang) aggregate dominates; the cell
+    table is tiny and the per-lang share a window over it.
     """
     from pyspark.sql import Window
 
+    pred = lang_id_ngram(df, text_col).select("doc_id", "lang_pred")
     cells = (
-        df.select(
-            F.col(lang_col).alias("lang"),
-            lang_pred_col(F.col(text_col)).alias("lang_pred"),
-        )
+        df.select("doc_id", F.col(lang_col).alias("lang"))
+        .join(pred, "doc_id")
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n"))
     )
