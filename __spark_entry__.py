@@ -1474,6 +1474,77 @@ def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion completing the crawl-admission stack (r13 —
+    VERDICT r12 item 5).  Every doc synthesizes a genuine sitemaps.org
+    XML document (pure Catalyst concat — doc_id%5==0 gets a
+    sitemapindex with two child maps, the rest a urlset with two URLs:
+    one tracking-params-and-entities arm, one rotating through
+    robots-disallowed / allow-override / disallowed-subtree / already-
+    known paths), parsed by stdlib ElementTree in Arrow batches
+    (`functions/sitemap.py`), then pushed through the full admission
+    chain: RFC 3986 canonicalization -> RFC 9309 robots gate ->
+    anti-membership against the known canonical set.  The oracle
+    writes every branch's verdicts directly — entity decoding, utm
+    stripping, the allow-override and the index/url kind routing are
+    each one CASE arm, so any stage slipping breaks the hash."""
+    from metrics_advisor_spark.functions.sitemap import (
+        sitemap_entries,
+        sitemap_frontier,
+    )
+
+    d = F.col("doc_id").cast("string")
+    url_a = F.concat(
+        F.lit("<url><loc>https://example.org/p/"), d,
+        F.lit("?utm_source=x&amp;id="), d, F.lit("</loc>"),
+        F.lit("<lastmod>2026-01-0"),
+        ((F.col("doc_id") % 7) + 1).cast("string"),
+        F.lit("</lastmod>"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("<changefreq>daily</changefreq>"))
+        .otherwise(F.lit("")),
+        F.lit("<priority>0."), (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    path_b = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("/private/x"), d))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("/private/pub"), d))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("/a/b/"), d))
+        .otherwise(F.concat(F.lit("/dup/"), d))
+    )
+    url_b = F.concat(
+        F.lit("<url><loc>https://example.org"), path_b,
+        F.lit("</loc></url>"),
+    )
+    urlset = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/'
+              'sitemap/0.9">'),
+        url_a, url_b, F.lit("</urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://example.org/maps/m"),
+        d, F.lit("a.xml</loc><lastmod>2026-02-0"),
+        ((F.col("doc_id") % 9) + 1).cast("string"),
+        F.lit("</lastmod></sitemap><sitemap>"
+              "<loc>https://example.org/maps/m"),
+        d, F.lit("b.xml</loc></sitemap></sitemapindex>"),
+    )
+    docs = _docs(spark, sf_dir, fanout=False).select("doc_id")
+    xml = docs.withColumn(
+        "sitemap",
+        F.when(F.col("doc_id") % 5 == 0, index).otherwise(urlset),
+    )
+    known = docs.select(
+        F.concat(F.lit("https://example.org/dup/"), d).alias("canonical")
+    )
+    return sitemap_frontier(
+        sitemap_entries(xml), _ROBOTS_FIXTURE, known
+    )
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (r12 — the crawl-dedup primitive that
     runs before any content dedup): six analytic mess patterns by
@@ -5637,6 +5708,7 @@ ROTATION: dict[str, int | None] = {
     "pdf_text_extract": None,  # new r13
     "bpe_segment": None,  # new r13
     "unigram_segment": None,  # new r13
+    "sitemap_frontier": None,  # new r13
     "url_canonical": 12,  # new r12 — never driver-checked
     "robots_gate": 12,  # new r12 — never driver-checked
     "blocklist_hits": 12,  # new r12 — never driver-checked
@@ -5802,6 +5874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_text_extract": q_pdf_text_extract,
         "bpe_segment": q_bpe_segment,
         "unigram_segment": q_unigram_segment,
+        "sitemap_frontier": q_sitemap_frontier,
         "url_canonical": q_url_canonical,
         "robots_gate": q_robots_gate,
         "blocklist_hits": q_blocklist_hits,
@@ -8321,6 +8394,54 @@ def oracle_sql() -> dict[str, str]:
                    (1 + doc_id % 3)::INT AS n_pages,
                    text
             FROM documents
+        """,
+        "sitemap_frontier": """
+            -- every admission-stage verdict written per branch:
+            -- urlset arm A (entities + utm strip), arm B rotating
+            -- robots outcomes (/private/ disallow, /private/pub
+            -- allow-override, /a vs /a/b longest-match, known-dup
+            -- anti-membership); doc_id%5==0 docs emit a sitemapindex
+            -- whose entries route to the fetch queue (admitted=false)
+            WITH u AS (SELECT doc_id FROM documents
+                       WHERE doc_id % 5 != 0),
+                 i AS (SELECT doc_id FROM documents
+                       WHERE doc_id % 5 = 0)
+            SELECT doc_id, 'url' AS kind,
+                   'https://example.org/p/' || doc_id
+                     || '?utm_source=x&id=' || doc_id AS loc,
+                   'https://example.org/p/' || doc_id
+                     || '?id=' || doc_id AS canonical,
+                   '2026-01-0' || (doc_id % 7 + 1) AS lastmod,
+                   CASE WHEN doc_id % 2 = 0 THEN 'daily' END
+                     AS changefreq,
+                   ('0.' || (doc_id % 10))::DOUBLE AS priority,
+                   TRUE AS allowed, FALSE AS known, TRUE AS admitted
+            FROM u
+            UNION ALL
+            SELECT doc_id, 'url',
+                   'https://example.org' || p, 'https://example.org' || p,
+                   NULL, NULL, NULL,
+                   doc_id % 4 IN (1, 3), doc_id % 4 = 3, doc_id % 4 = 1
+            FROM (SELECT doc_id,
+                         CASE doc_id % 4
+                           WHEN 0 THEN '/private/x' || doc_id
+                           WHEN 1 THEN '/private/pub' || doc_id
+                           WHEN 2 THEN '/a/b/' || doc_id
+                           ELSE '/dup/' || doc_id END AS p
+                  FROM u)
+            UNION ALL
+            SELECT doc_id, 'sitemap',
+                   'https://example.org/maps/m' || doc_id || 'a.xml',
+                   'https://example.org/maps/m' || doc_id || 'a.xml',
+                   '2026-02-0' || (doc_id % 9 + 1), NULL, NULL,
+                   TRUE, FALSE, FALSE
+            FROM i
+            UNION ALL
+            SELECT doc_id, 'sitemap',
+                   'https://example.org/maps/m' || doc_id || 'b.xml',
+                   'https://example.org/maps/m' || doc_id || 'b.xml',
+                   NULL, NULL, NULL, TRUE, FALSE, FALSE
+            FROM i
         """,
         "bpe_segment": """
             -- frozen merge list replayed per-spec: a recursive CTE
