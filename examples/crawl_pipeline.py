@@ -7,8 +7,9 @@ actually arrive in — here the per-doc fixture shape), then runs the
 full ingest chain a training-data pipeline applies before any
 content-level operator:
 
+  sitemap frontier (robots + known-URL pre-gate) →
   WARC records → HTTP responses (status gate) → robots.txt gate →
-  canonical-URL dedup → HTML→text extraction → quality/dedup via the
+  canonical-URL dedup → HTML/PDF→text extraction → quality/dedup via the
   fluent Corpus API
 
 Prints the surviving doc count at each stage.
@@ -26,6 +27,14 @@ from metrics_advisor_spark import get_spark
 from metrics_advisor_spark.functions import Corpus
 from metrics_advisor_spark.functions.html import extract_text
 from metrics_advisor_spark.functions.robots import robots_gate
+from metrics_advisor_spark.functions.pdf import (
+    attach_pdf_payload,
+    extract_pdf_text,
+)
+from metrics_advisor_spark.functions.sitemap import (
+    sitemap_entries,
+    sitemap_frontier,
+)
 from metrics_advisor_spark.functions.url import canonical_urls
 from metrics_advisor_spark.sources.warc import (
     attach_warc_payload,
@@ -44,6 +53,21 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     n = docs.count()
     print(f"{'docs':16s} {n:6d}")
+
+    # 0. frontier discovery (r13): a sitemap names every candidate URL;
+    # the admission view pre-applies robots + known-URL dedup BEFORE a
+    # single fetch happens — at crawl scale this is the stage that
+    # saves the fetch budget
+    sm_xml = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<urlset><url><loc>https://example.org/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("</loc></url></urlset>"),
+        ).alias("sitemap"),
+    )
+    frontier = sitemap_frontier(sitemap_entries(sm_xml), ROBOTS)
+    print(f"{'frontier-admit':16s} {frontier.filter('admitted').count():6d}")
 
     # 1. archive + re-ingest (odd ids exercise the gzip arm)
     recs = warc_records_df(attach_warc_payload(docs))
@@ -80,6 +104,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         ),
         html_col="html", jvm=True,
     ).select("doc_id", "text")
+
+    # 5b. PDF sidecar (r13): crawl corpora are PDF-heavy — wrap one
+    # slice of the surviving docs into genuine PDFs and extract the
+    # text back through the spec parser (format-agnostic ingestion:
+    # both branches land in the same text table)
+    pdf_slice = text.filter(F.col("doc_id") % 10 == 7)
+    pdf_docs = extract_pdf_text(attach_pdf_payload(pdf_slice)).select(
+        "doc_id", F.regexp_replace("text", "\n", " ").alias("text")
+    )
+    print(f"{'pdf-extracted':16s} {pdf_docs.count():6d}")
+    text = text.filter(F.col("doc_id") % 10 != 7).unionByName(pdf_docs)
 
     c = Corpus(text)
     stages = [
