@@ -1365,9 +1365,11 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`functions/pdf.py`: real byte-offset xref table, page tree,
     WinAnsi font, content streams) with feature arms by doc_id —
     Flate compression on odd ids, 1–3 pages, TJ kerning arrays / hex
-    strings / octal escapes on rotating residues — then parsed back
-    through the spec-following reader (xref chain → object store →
-    page walk → text-operator state machine).  Newline-normalized
+    strings / octal escapes on rotating residues, and doc_id%11==3
+    emits the PDF 1.5 LAYOUT (object stream + predictor-coded
+    cross-reference stream, the structure modern PDFs actually use) —
+    then parsed back through the spec-following reader (xref chain →
+    object store → page walk → text-operator state machine).  Newline-normalized
     extraction must be the IDENTITY on the original text and the page
     count analytic, so one hash jointly pins the encoder, the xref
     arithmetic, Flate, string escapes, TJ concatenation and the

@@ -6,8 +6,12 @@ library.
 Scope (bounded, parse-per-spec like the other codecs in this package):
 
 * classic cross-reference TABLES (PDF 32000-1:2008 §7.5.4) with
-  incremental-update ``/Prev`` chains; PDF 1.5 cross-reference
-  STREAMS and object streams are rejected cleanly,
+  incremental-update ``/Prev`` chains, AND PDF 1.5 cross-reference
+  STREAMS (§7.5.8: /W field widths, /Index subsections, FlateDecode
+  with PNG predictors via the shared `functions/png.py` unfilter) +
+  OBJECT STREAMS (§7.5.7) — the layout modern PDFs actually use; the
+  hybrid-reference /XRefStm key is deliberately ignored (the classic
+  table in a hybrid file is spec-constructed to stand alone),
 * ``/FlateDecode`` content streams via stdlib zlib (§7.4.4); any
   other filter (or a predictor ``/DecodeParms``) is rejected,
 * the text-showing subset of the content-stream operator set
@@ -59,6 +63,35 @@ class _Name(str):
 class _Stream(NamedTuple):
     dict: dict
     raw: bytes
+
+
+def _unpredict(
+    data: bytes, predictor: int, columns: int, colors: int,
+    bits: int,
+) -> bytes:
+    """Undo a /DecodeParms predictor (§7.4.4.4): 1 = none; ≥10 = the
+    PNG row filters, shared with `functions/png.py`'s unfilter (each
+    row is a tag byte + ``columns×bpp`` data bytes).  TIFF predictor 2
+    is rejected (never seen in xref streams)."""
+    if predictor == 1:
+        return data
+    if predictor == 2:
+        raise ValueError("PDF: TIFF predictor 2 unsupported")
+    if predictor < 10 or predictor > 15:
+        raise ValueError(f"PDF: unknown predictor {predictor}")
+    import numpy as np
+
+    from metrics_advisor_spark.functions.png import _unfilter
+
+    bpp = max(1, colors * bits // 8)
+    row = columns * bpp
+    if row <= 0 or len(data) % (row + 1):
+        raise ValueError(
+            f"PDF: predictor data length {len(data)} is not a multiple "
+            f"of row size {row + 1}"
+        )
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(-1, row + 1)
+    return _unfilter(rows, bpp).astype(np.uint8).tobytes()
 
 
 # ---------------------------------------------------------------- lexer
@@ -257,6 +290,9 @@ class _Document:
             raise ValueError("PDF: missing %PDF- header")
         self.buf = buf
         self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, dict[int, object]] = {}
+        # compressed: obj num -> (object-stream num, index within it)
+        self.compressed: dict[int, tuple[int, int]] = {}
         self.offsets, self.trailer = self._load_xref_chain()
         if "Encrypt" in self.trailer:
             raise ValueError("PDF: encrypted documents unsupported")
@@ -272,28 +308,34 @@ class _Document:
             raise ValueError("PDF: no startxref")
         offsets: dict[int, int] = {}
         trailer: dict = {}
+        claimed: set[int] = set()  # newest section wins, either kind
         seen: set[int] = set()
         off: int | None = int(m.group(1))
         while off is not None:
             if off in seen:
                 raise ValueError("PDF: circular /Prev xref chain")
             seen.add(off)
-            sub_off, sub_tr = self._load_xref_section(off)
-            # earlier (chained) sections must NOT override later ones
+            sub_off, sub_comp, sub_tr = self._load_xref_section(off)
             for k, v in sub_off.items():
-                offsets.setdefault(k, v)
+                if k not in claimed:
+                    offsets[k] = v
+                    claimed.add(k)
+            for k, v in sub_comp.items():
+                if k not in claimed:
+                    self.compressed[k] = v
+                    claimed.add(k)
             for k, v in sub_tr.items():
                 trailer.setdefault(k, v)
             off = sub_tr.get("Prev")
         return offsets, trailer
 
-    def _load_xref_section(self, off: int) -> tuple[dict[int, int], dict]:
+    def _load_xref_section(
+        self, off: int,
+    ) -> tuple[dict[int, int], dict[int, tuple[int, int]], dict]:
         lex = _Lexer(self.buf, off)
         lex._skip_ws()
         if re.match(rb"\d+\s+\d+\s+obj", self.buf[lex.pos:lex.pos + 24]):
-            raise ValueError(
-                "PDF: cross-reference streams (PDF 1.5) unsupported"
-            )
+            return self._load_xref_stream(lex.pos)
         if lex.keyword() != "xref":
             raise ValueError(f"PDF: expected 'xref' at byte {off}")
         offsets: dict[int, int] = {}
@@ -304,7 +346,9 @@ class _Document:
                 trailer = lex.value()
                 if not isinstance(trailer, dict):
                     raise ValueError("PDF: trailer is not a dict")
-                return offsets, trailer
+                # hybrid-reference /XRefStm deliberately ignored: the
+                # classic table is spec-built to stand alone (§7.5.8.4)
+                return offsets, {}, trailer
             first = lex.value()
             count = lex.value()
             if not isinstance(first, int) or not isinstance(count, int):
@@ -321,6 +365,60 @@ class _Document:
                     offsets.setdefault(first + i, int(em.group(1)))
                 lex.pos += 18
 
+    def _load_xref_stream(
+        self, off: int,
+    ) -> tuple[dict[int, int], dict[int, tuple[int, int]], dict]:
+        """PDF 1.5 cross-reference stream (§7.5.8): /W-packed
+        big-endian rows over /Index subsections; the stream dict
+        doubles as the trailer."""
+        val = self._parse_obj_at(off, in_xref_load=True)[1]
+        if not isinstance(val, _Stream) or \
+                str(val.dict.get("Type")) != "XRef":
+            raise ValueError(
+                f"PDF: startxref object at byte {off} is not /Type /XRef"
+            )
+        d = val.dict
+        data = self.stream_data(val)
+        w = d.get("W")
+        if (not isinstance(w, list) or len(w) != 3
+                or not all(isinstance(x, int) and 0 <= x <= 8 for x in w)):
+            raise ValueError(f"PDF: bad xref stream /W {w!r}")
+        size = d.get("Size")
+        if not isinstance(size, int):
+            raise ValueError("PDF: xref stream missing /Size")
+        index = d.get("Index", [0, size])
+        if (not isinstance(index, list) or len(index) % 2
+                or not all(isinstance(x, int) for x in index)):
+            raise ValueError(f"PDF: bad xref stream /Index {index!r}")
+        row = sum(w)
+        pos = 0
+        offsets: dict[int, int] = {}
+        compressed: dict[int, tuple[int, int]] = {}
+
+        def field(width: int, default: int) -> int:
+            nonlocal pos
+            if width == 0:
+                return default
+            v = int.from_bytes(data[pos:pos + width], "big")
+            pos += width
+            return v
+
+        for start, count in zip(index[::2], index[1::2]):
+            if pos + count * row > len(data):
+                raise ValueError("PDF: xref stream data shorter than /Index")
+            for i in range(count):
+                typ = field(w[0], 1)  # w1=0 → type 1 (§7.5.8.3)
+                f2 = field(w[1], 0)
+                f3 = field(w[2], 0)
+                num = start + i
+                if typ == 1:
+                    offsets.setdefault(num, f2)
+                elif typ == 2:
+                    compressed.setdefault(num, (f2, f3))
+                elif typ != 0:  # free entries skipped; others reserved
+                    raise ValueError(f"PDF: xref entry type {typ} reserved")
+        return offsets, compressed, dict(d)
+
     # -- objects -------------------------------------------------------
 
     def resolve(self, v):
@@ -328,19 +426,14 @@ class _Document:
             v = self.get(v.num)
         return v
 
-    def get(self, num: int):
-        if num in self._cache:
-            return self._cache[num]
-        off = self.offsets.get(num)
-        if off is None:
-            return None  # a free / absent object resolves to null
+    def _parse_obj_at(
+        self, off: int, in_xref_load: bool = False,
+    ) -> tuple[int, object]:
         lex = _Lexer(self.buf, off)
         got_num = lex.value()
         lex.value()  # generation
-        if got_num != num or lex.keyword() != "obj":
-            raise ValueError(
-                f"PDF: xref offset for obj {num} does not point at it"
-            )
+        if not isinstance(got_num, int) or lex.keyword() != "obj":
+            raise ValueError(f"PDF: no object header at byte {off}")
         val = lex.value()
         lex._skip_ws()
         if self.buf[lex.pos:lex.pos + 6] == b"stream":
@@ -351,7 +444,14 @@ class _Document:
                 lex.pos += 2
             elif self.buf[lex.pos:lex.pos + 1] == b"\n":
                 lex.pos += 1
-            length = self.resolve(val.get("Length"))
+            length = val.get("Length")
+            if isinstance(length, _Ref):
+                if in_xref_load:
+                    # resolving needs the xref we are currently building
+                    raise ValueError(
+                        "PDF: xref stream /Length must be direct"
+                    )
+                length = self.resolve(length)
             if not isinstance(length, int):
                 raise ValueError("PDF: stream /Length is not an integer")
             raw = self.buf[lex.pos:lex.pos + length]
@@ -362,24 +462,90 @@ class _Document:
             if self.buf[lex.pos:lex.pos + 9] != b"endstream":
                 raise ValueError("PDF: missing endstream")
             val = _Stream(val, raw)
+        return got_num, val
+
+    def get(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        if num in self.compressed:
+            val = self._from_objstm(num)
+            self._cache[num] = val
+            return val
+        off = self.offsets.get(num)
+        if off is None:
+            return None  # a free / absent object resolves to null
+        got_num, val = self._parse_obj_at(off)
+        if got_num != num:
+            raise ValueError(
+                f"PDF: xref offset for obj {num} does not point at it"
+            )
         self._cache[num] = val
         return val
+
+    def _from_objstm(self, num: int):
+        """Member of an object stream (§7.5.7): decode the container
+        once, parse the (objnum, offset) header pairs, cache every
+        member."""
+        stm_num, idx = self.compressed[num]
+        members = self._objstm_cache.get(stm_num)
+        if members is None:
+            stm = self.get(stm_num)
+            if not isinstance(stm, _Stream) or \
+                    str(stm.dict.get("Type")) != "ObjStm":
+                raise ValueError(
+                    f"PDF: obj {num} points into obj {stm_num}, which "
+                    "is not /Type /ObjStm"
+                )
+            n = self.resolve(stm.dict.get("N"))
+            first = self.resolve(stm.dict.get("First"))
+            if not isinstance(n, int) or not isinstance(first, int):
+                raise ValueError("PDF: object stream missing /N or /First")
+            data = self.stream_data(stm)
+            hdr = _Lexer(data[:first])
+            pairs = []
+            for _ in range(n):
+                onum = hdr.value()
+                ooff = hdr.value()
+                if not isinstance(onum, int) or not isinstance(ooff, int):
+                    raise ValueError("PDF: malformed object-stream header")
+                pairs.append((onum, ooff))
+            members = {
+                onum: _Lexer(data, first + ooff).value()
+                for onum, ooff in pairs
+            }
+            self._objstm_cache[stm_num] = members
+        if num not in members:
+            raise ValueError(
+                f"PDF: obj {num} not found in object stream {stm_num}"
+            )
+        return members[num]
 
     def stream_data(self, s: _Stream) -> bytes:
         filt = self.resolve(s.dict.get("Filter"))
         if filt is None:
             return s.raw
-        if self.resolve(s.dict.get("DecodeParms")) is not None:
-            raise ValueError("PDF: /DecodeParms predictors unsupported")
         filters = filt if isinstance(filt, list) else [filt]
+        parms = self.resolve(s.dict.get("DecodeParms"))
+        parms_list = parms if isinstance(parms, list) else [parms]
         data = s.raw
-        for f in filters:
+        for i, f in enumerate(filters):
             if str(f) != "FlateDecode":
                 raise ValueError(f"PDF: filter /{f} unsupported")
             try:
                 data = zlib.decompress(data)
             except zlib.error as e:
                 raise ValueError(f"PDF: bad Flate stream ({e})") from None
+            p = self.resolve(
+                parms_list[i] if i < len(parms_list) else None
+            )
+            if p is not None:
+                data = _unpredict(
+                    data,
+                    int(self.resolve(p.get("Predictor", 1))),
+                    int(self.resolve(p.get("Columns", 1))),
+                    int(self.resolve(p.get("Colors", 1))),
+                    int(self.resolve(p.get("BitsPerComponent", 8))),
+                )
         return data
 
 
@@ -569,6 +735,7 @@ def encode_pdf(
     text: str, *, n_pages: int = 1, compress: bool = False,
     use_tj: bool = False, hex_strings: bool = False,
     octal_first: bool = False, line_words: int = 8,
+    xref_stream: bool = False,
 ) -> bytes:
     """A genuine PDF carrying ``text``: real byte-offset xref table,
     catalog → /Pages → /Page tree, Helvetica /WinAnsiEncoding font,
@@ -642,21 +809,84 @@ def encode_pdf(
         b"/Encoding /WinAnsiEncoding >>"
     )
 
-    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets: dict[int, int] = {}
-    for num in sorted(objects):
-        offsets[num] = len(buf)
-        buf += b"%d 0 obj\n" % num + objects[num] + b"\nendobj\n"
-    xref_off = len(buf)
-    n_obj = max(objects) + 1
-    buf += b"xref\n0 %d\n" % n_obj
-    buf += b"0000000000 65535 f \n"
-    for num in range(1, n_obj):
-        buf += b"%010d 00000 n \n" % offsets[num]
-    buf += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (n_obj, xref_off)
+    if not xref_stream:
+        buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets: dict[int, int] = {}
+        for num in sorted(objects):
+            offsets[num] = len(buf)
+            buf += b"%d 0 obj\n" % num + objects[num] + b"\nendobj\n"
+        xref_off = len(buf)
+        n_obj = max(objects) + 1
+        buf += b"xref\n0 %d\n" % n_obj
+        buf += b"0000000000 65535 f \n"
+        for num in range(1, n_obj):
+            buf += b"%010d 00000 n \n" % offsets[num]
+        buf += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n"
+            b"%%%%EOF\n" % (n_obj, xref_off)
+        )
+        return bytes(buf)
+
+    # ---- PDF 1.5 layout: dictionaries live in an OBJECT STREAM, the
+    # cross-reference is a Flate stream with the PNG Up predictor —
+    # the structure pdf_text's §7.5.7/§7.5.8 paths must invert
+    content_nums = {p + 1 for p in page_nums}
+    member_nums = sorted(n for n in objects if n not in content_nums)
+    body = bytearray()
+    offs: list[int] = []
+    for n_ in member_nums:
+        offs.append(len(body))
+        body += objects[n_] + b"\n"
+    header = (
+        " ".join(f"{n_} {o}" for n_, o in zip(member_nums, offs))
+        .encode() + b"\n"
     )
+    objstm_num = font_num + 1
+    xref_num = font_num + 2
+    stm_payload = zlib.compress(bytes(header + body), 6)
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for n_ in sorted(content_nums):
+        offsets[n_] = len(buf)
+        buf += b"%d 0 obj\n" % n_ + objects[n_] + b"\nendobj\n"
+    offsets[objstm_num] = len(buf)
+    buf += (
+        b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n"
+        % (objstm_num, len(member_nums), len(header), len(stm_payload))
+        + stm_payload + b"\nendstream\nendobj\n"
+    )
+    xref_off = len(buf)
+    size = xref_num + 1
+    rows = bytearray()
+    for n_ in range(size):
+        if n_ == 0:
+            typ, f2, f3 = 0, 0, 0xFFFF
+        elif n_ in offsets:
+            typ, f2, f3 = 1, offsets[n_], 0
+        elif n_ == xref_num:
+            typ, f2, f3 = 1, xref_off, 0
+        else:
+            typ, f2, f3 = 2, objstm_num, member_nums.index(n_)
+        rows += bytes([typ]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    # PNG Up predictor (tag 2 per row), Columns 7 == the row width
+    filtered = bytearray()
+    prev = bytes(7)
+    for i in range(0, len(rows), 7):
+        cur = rows[i:i + 7]
+        filtered += b"\x02" + bytes(
+            (cur[j] - prev[j]) & 0xFF for j in range(7)
+        )
+        prev = cur
+    xref_payload = zlib.compress(bytes(filtered), 6)
+    buf += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /Root 1 0 R /W [1 4 2] "
+        b"/Index [0 %d] /Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 12 /Columns 7 >> /Length %d >>\n"
+        b"stream\n" % (xref_num, size, size, len(xref_payload))
+        + xref_payload + b"\nendstream\nendobj\n"
+    )
+    buf += b"startxref\n%d\n%%%%EOF\n" % xref_off
     return bytes(buf)
 
 
@@ -682,6 +912,7 @@ def attach_pdf_payload(df: DataFrame, id_col: str = "doc_id",
                     use_tj=int(d) % 3 == 0,
                     hex_strings=int(d) % 5 == 0,
                     octal_first=int(d) % 7 == 0,
+                    xref_stream=int(d) % 11 == 3,
                 )
                 for d, t in zip(pdf_batch[id_col], pdf_batch[text_col])
             ]

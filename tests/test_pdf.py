@@ -171,15 +171,56 @@ def test_encrypt_rejected():
     _expect(bytes(upd), "encrypted")
 
 
-def test_xref_stream_rejected():
-    # point startxref at an object header — the PDF 1.5 layout
+def test_startxref_at_non_xref_object_rejected():
+    # startxref pointing at a plain object (not /Type /XRef) must fail
+    # loudly, not be misread as a cross-reference stream
     good = encode_pdf("hello")
     m = re.search(rb"startxref\n(\d+)", good)
     first_obj = good.index(b"1 0 obj")
     patched = good.replace(
         m.group(0), b"startxref\n%d" % first_obj
     )
-    _expect(patched, "cross-reference streams")
+    _expect(patched, "not /Type /XRef")
+
+
+@pytest.mark.parametrize("kw", [
+    {"xref_stream": True},
+    {"xref_stream": True, "compress": True, "n_pages": 3},
+    {"xref_stream": True, "use_tj": True, "hex_strings": True,
+     "octal_first": True, "n_pages": 2},
+])
+def test_xref_stream_roundtrip(kw):
+    # the PDF 1.5 layout: dictionaries in an object stream, xref as a
+    # Flate stream under the PNG Up predictor
+    long = " ".join(f"w{i}" for i in range(30))
+    p = encode_pdf(long, **kw)
+    assert p.startswith(b"%PDF-1.5")
+    assert b"/Type /ObjStm" in p and b"/Type /XRef" in p
+    assert b"trailer" not in p  # no classic table at all
+    n_pages, tx = pdf_text(p)
+    assert n_pages == kw.get("n_pages", 1)
+    assert tx.replace("\n", " ") == long
+
+
+def test_xref_stream_rejections():
+    good = encode_pdf("hello world", xref_stream=True)
+    _expect(good.replace(b"/W [1 4 2]", b"/W [1 4 9]"), "bad xref stream /W")
+    _expect(good.replace(b"/Type /XRef", b"/Type /XRfe"), "not /Type /XRef")
+    _expect(
+        good.replace(b"/Predictor 12", b"/Predictor 02"),
+        "TIFF predictor 2 unsupported",
+    )
+    _expect(
+        good.replace(b"/Type /ObjStm", b"/Type /ObjStx"),
+        "not /Type /ObjStm",
+    )
+    # /Index claiming more rows than the stream carries
+    m = re.search(rb"/Index \[0 (\d+)\]", good)
+    n = int(m.group(1))
+    _expect(
+        good.replace(m.group(0), b"/Index [0 %d]" % (n + 9)),
+        "shorter than /Index",
+    )
 
 
 def test_standard_encoding_ascii_only():
