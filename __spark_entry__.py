@@ -3718,11 +3718,14 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label audit: declared language vs stopword-vote prediction, with
-    each cell's share of its declared-lang rows."""
+    """Label audit: declared language vs the char-trigram NB
+    prediction (r13), with each cell's share of its declared-lang
+    rows.  Fanout ON: the NB trigram scoring is map-heavy, and the
+    single-file local fixture otherwise runs it on ~2 input splits
+    (x10 probe: 19.8 s -> fanout restores full-core parallelism)."""
     from metrics_advisor_spark.functions.text import lang_agreement
 
-    return lang_agreement(_docs(spark, sf_dir, fanout=False))
+    return lang_agreement(_docs(spark, sf_dir))
 
 
 def q_streaming_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:

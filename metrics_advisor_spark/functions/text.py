@@ -129,11 +129,17 @@ def train_char_ngram_nb(
 
 
 def _char_trigrams(text_col: str) -> F.Column:
-    """All char trigrams of lower(text) as an array — pure Catalyst
-    (sequence + transform + substring), no Python."""
+    """All char trigrams of ``text_col`` (pre-lowercased!) as an array
+    — pure Catalyst (sequence + transform + substring), no Python.
+    The caller materializes lower(text) ONCE per row first: lower()
+    inside the lambda is re-evaluated per element (O(len²) chars per
+    doc at the ×10 probe).  A constant-map-literal scoring variant was
+    tried and rejected: Catalyst map lookups on literal maps are
+    LINEAR scans, so aggregate()-HOF scoring against a 700-key map ran
+    minutes where the broadcast hash join runs seconds."""
     return F.expr(
-        f"transform(sequence(1, greatest(length(lower({text_col})) - 2,"
-        f" 0)), i -> substring(lower({text_col}), i, 3))"
+        f"transform(sequence(1, greatest(length({text_col}) - 2,"
+        f" 0)), i -> substring({text_col}, i, 3))"
     )
 
 
@@ -158,8 +164,11 @@ def lang_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
         [(lang, oov[lang]) for lang in langs],
         "lang string, oov_q long",
     )
-    occ = df.select(
-        "doc_id", F.explode(_char_trigrams(text_col)).alias("tri")
+    low = df.select(
+        "doc_id", F.lower(F.col(text_col)).alias("_lt")
+    )
+    occ = low.select(
+        "doc_id", F.explode(_char_trigrams("_lt")).alias("tri")
     )
     # dense model: every in-vocab occurrence matches EVERY language,
     # so n_hit is lang-independent and OOV mass is (n_tri - n_hit)
@@ -174,8 +183,8 @@ def lang_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
     nd = df.select(
         "doc_id",
         F.greatest(
-            F.length(F.lower(F.col(text_col))) - 2, F.lit(0)
-        ).cast("long").alias("n_tri"),
+            F.length(F.col(text_col)) - 2, F.lit(0)
+        ).cast("long").alias("n_tri"),  # length is case-invariant
     )
     grid = nd.crossJoin(F.broadcast(odf))
     scored = (

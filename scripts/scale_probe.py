@@ -71,6 +71,13 @@ FAMILIES = {
         "gif_meta", "gif_pixel_stats", "mp3_meta", "mp4_meta",
         "warc_extract", "media_meta",
     ],
+    # r13: crawl-admission + document-ingest additions — per-payload
+    # parse (pdf/sitemap) and one-aggregate scorers (lang NB,
+    # segmentation), all expected ~linear in docs
+    "crawl": [
+        "pdf_text_extract", "sitemap_frontier", "lang_id",
+        "lang_confusion", "bpe_segment", "unigram_segment",
+    ],
 }
 
 
