@@ -1,0 +1,187 @@
+"""Property-based tests for the round-13 additions.  All pure Python —
+no Spark session — so hypothesis can afford real example counts.
+
+- PDF: random word lists under every feature-arm combination (Flate,
+  multi-page, TJ kerning, hex strings, octal escapes, the PDF 1.5
+  xref-stream/object-stream layout) round-trip through
+  encode_pdf → pdf_text exactly (after newline normalization), and
+  page counts follow the clamp law.
+- PDF strings: arbitrary printable cp1252 text (parens, backslashes,
+  high bytes) survives the literal-string escape round-trip.
+- sitemap: random loc/lastmod values (XML-escaped) round-trip through
+  document build → parse_sitemap.
+- URL dot-segments (ADVICE r12 fix): canonicalization of messy
+  relative paths is idempotent and never produces '/../' or '/./'
+  inside a resolved absolute path.
+- unigram Viterbi: the DP equals brute-force enumeration over ALL
+  segmentations (argmax with the documented tie-break) on random
+  words and random frozen vocabularies — the same equivalence the
+  DuckDB oracle relies on.
+- char-trigram NB: the quantized model is deterministic, dense and
+  sums per-doc scores additively (score(a+b) == score(a)+score(b) for
+  trigram-aligned concatenation).
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+from xml.sax.saxutils import escape
+
+from hypothesis import given, settings, strategies as st
+
+PROP = settings(max_examples=25, deadline=None)
+
+_WORD = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=8
+)
+
+
+@PROP
+@given(
+    st.lists(_WORD, min_size=1, max_size=40),
+    st.integers(1, 4),
+    st.booleans(), st.booleans(), st.booleans(), st.booleans(),
+    st.booleans(),
+)
+def test_pdf_roundtrip_prop(
+    words, n_pages, compress, use_tj, hexs, octal, xref_stream,
+):
+    from metrics_advisor_spark.functions.pdf import encode_pdf, pdf_text
+
+    text = " ".join(words)
+    p = encode_pdf(
+        text, n_pages=n_pages, compress=compress, use_tj=use_tj,
+        hex_strings=hexs, octal_first=octal, xref_stream=xref_stream,
+    )
+    got_pages, tx = pdf_text(p)
+    assert tx.replace("\n", " ") == text
+    assert got_pages == max(1, min(n_pages, len(words)))
+
+
+@PROP
+@given(st.text(
+    alphabet=st.characters(
+        codec="cp1252", exclude_characters="\r\n\t\x0b\x0c",
+        exclude_categories=("Cc",),
+    ),
+    min_size=1, max_size=60,
+))
+def test_pdf_string_escape_prop(s):
+    from metrics_advisor_spark.functions.pdf import encode_pdf, pdf_text
+
+    # single line (no spaces split across pages): line_words wide
+    got = pdf_text(encode_pdf(s, line_words=10_000))[1]
+    assert got.replace("\n", " ") == s
+
+
+@PROP
+@given(st.lists(
+    st.tuples(
+        st.text(
+            alphabet=st.characters(
+                codec="ascii", min_codepoint=33, max_codepoint=126,
+            ),
+            min_size=1, max_size=30,
+        ),
+        st.one_of(st.none(), st.text(
+            alphabet="0123456789-:TZ", min_size=1, max_size=20,
+        )),
+    ),
+    min_size=1, max_size=8,
+))
+def test_sitemap_roundtrip_prop(entries):
+    from metrics_advisor_spark.functions.sitemap import parse_sitemap
+
+    xml = "<urlset>" + "".join(
+        "<url><loc>%s</loc>%s</url>" % (
+            escape(loc),
+            f"<lastmod>{lm}</lastmod>" if lm else "",
+        )
+        for loc, lm in entries
+    ) + "</urlset>"
+    got = parse_sitemap(xml)
+    assert [(e["loc"], e["lastmod"]) for e in got] == [
+        (loc, lm) for loc, lm in entries
+    ]
+
+
+@PROP
+@given(st.lists(
+    st.sampled_from(["a", "b", "cc", ".", "..", ""]),
+    min_size=1, max_size=8,
+), st.booleans())
+def test_url_dot_segments_prop(segs, absolute):
+    from metrics_advisor_spark.functions.url import canonicalize_url
+
+    path = ("/" if absolute else "") + "/".join(segs)
+    c1 = canonicalize_url(path)
+    assert canonicalize_url(c1) == c1  # idempotent
+    if absolute and c1:
+        # resolved absolute paths carry no residual dot segments
+        assert not re.search(r"(^|/)\.{1,2}(/|$)", c1)
+
+
+def _brute_viterbi(word, logp, max_len):
+    """Argmax over ALL segmentations with the DP's tie-break: total
+    DESC, then reversed piece-length sequence ASC."""
+    n = len(word)
+    best = None
+    for cuts in itertools.product([0, 1], repeat=max(0, n - 1)):
+        pos = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+        pieces = [word[a:b] for a, b in zip(pos, pos[1:])]
+        if any(len(p) > max_len or p not in logp for p in pieces):
+            continue
+        total = 0.0
+        for p in pieces:  # left-to-right, matching the DP's order
+            total = total + logp[p]
+        key = (-total, [len(p) for p in reversed(pieces)])
+        if best is None or key < best[0]:
+            best = (key, pieces)
+    return None if best is None else best[1]
+
+
+@PROP
+@given(
+    st.text(alphabet="abc", min_size=1, max_size=9),
+    st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=3),
+        st.integers(-60, -1).map(lambda q: q / 7.0),
+        min_size=1, max_size=12,
+    ),
+)
+def test_viterbi_equals_enumeration_prop(word, vocab):
+    from metrics_advisor_spark.functions.unigram import viterbi_segment
+
+    logp = dict(vocab)
+    for ch in "abc":  # reachability, like the contract fixture
+        logp.setdefault(ch, -9.31)
+    got = viterbi_segment(word, logp, 3)
+    want = _brute_viterbi(word, logp, 3)
+    assert got == want, (word, logp, got, want)
+
+
+def test_nb_model_additivity():
+    from metrics_advisor_spark.functions.text import (
+        LANG_SEED,
+        train_char_ngram_nb,
+    )
+
+    vocab, model, oov = train_char_ngram_nb()
+    langs = sorted(LANG_SEED)
+
+    def score(s, lang):
+        tot = 0
+        for i in range(len(s) - 2):
+            tot += model.get((lang, s[i:i + 3]), oov[lang])
+        return tot
+
+    a, b = "the weather", "is very good"
+    for lang in langs:
+        joint = score(a + b, lang)
+        # trigram-aligned split: overlap window re-added explicitly
+        seam = sum(
+            model.get((lang, (a + b)[i:i + 3]), oov[lang])
+            for i in range(len(a) - 2, len(a))
+        )
+        assert joint == score(a, lang) + seam + score(b, lang)
