@@ -925,23 +925,43 @@ def attach_pdf_payload(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def extract_pdf_text(media: DataFrame,
-                     pdf_col: str = "pdf") -> DataFrame:
+def extract_pdf_text(media: DataFrame, pdf_col: str = "pdf",
+                     *, strict: bool = True) -> DataFrame:
     """(doc_id, n_pages, text) per payload.  Per-payload bounded-state
     parse inside one Arrow batch — payloads never cross a shuffle, the
     same 100 TB shape as the image/audio codecs (each task parses its
-    own split's documents; parallelism = input splits)."""
+    own split's documents; parallelism = input splits).
+
+    ``strict=False`` is the QUARANTINE mode a 100 TB crawl actually
+    runs: a malformed payload must not kill the task (and with it the
+    stage and its retries) — instead the row comes back with
+    ``n_pages``/``text`` null and the ValueError text in an ``error``
+    column, so the pipeline routes rejects to a side table and keeps
+    going.  ``strict=True`` (default) keeps the parse-per-spec raise
+    for fixtures and tests."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            n_pages, texts = [], []
+            n_pages, texts, errs = [], [], []
             for payload in b[pdf_col]:
-                np_, tx = pdf_text(bytes(payload))
-                n_pages.append(np_)
-                texts.append(tx)
-            yield pd.DataFrame(
-                {"doc_id": b["doc_id"], "n_pages": n_pages,
-                 "text": texts}
-            )
+                try:
+                    np_, tx = pdf_text(bytes(payload))
+                    n_pages.append(np_)
+                    texts.append(tx)
+                    errs.append(None)
+                except ValueError as e:
+                    if strict:
+                        raise
+                    n_pages.append(None)
+                    texts.append(None)
+                    errs.append(str(e))
+            out = {"doc_id": b["doc_id"], "n_pages": n_pages,
+                   "text": texts}
+            if not strict:
+                out["error"] = errs
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(fn, "doc_id long, n_pages int, text string")
+    schema = "doc_id long, n_pages int, text string"
+    if not strict:
+        schema += ", error string"
+    return media.mapInPandas(fn, schema)

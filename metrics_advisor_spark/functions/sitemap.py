@@ -93,28 +93,44 @@ def parse_sitemap(xml: str) -> list[dict]:
 
 def sitemap_entries(
     df: DataFrame, xml_col: str = "sitemap", id_col: str = "doc_id",
+    *, strict: bool = True,
 ) -> DataFrame:
     """Explode one sitemap XML document per row into its entries:
     (doc_id, kind, loc, lastmod, changefreq, priority).  Arrow-batched
     per-payload parse (stdlib ElementTree) — the same bounded-state
-    shape as the WARC record walk; parallelism follows input splits."""
+    shape as the WARC record walk; parallelism follows input splits.
+
+    ``strict=False`` quarantines instead of raising (the 100 TB crawl
+    mode, same contract as ``extract_pdf_text``): a malformed document
+    yields ONE row with every entry field null and the ValueError text
+    in an ``error`` column; well-formed documents carry error=null per
+    entry."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows: list[tuple] = []
             for d, xml in zip(b[id_col], b[xml_col]):
-                for e in parse_sitemap(str(xml)):
+                try:
+                    entries = parse_sitemap(str(xml))
+                except ValueError as e:
+                    if strict:
+                        raise
+                    rows.append(
+                        (int(d), None, None, None, None, None, str(e))
+                    )
+                    continue
+                for e in entries:
                     rows.append(
                         (int(d), e["kind"], e["loc"], e["lastmod"],
-                         e["changefreq"], e["priority"])
+                         e["changefreq"], e["priority"], None)
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "kind", "loc", "lastmod",
-                         "changefreq", "priority"],
-            )
+            cols = ["doc_id", "kind", "loc", "lastmod",
+                    "changefreq", "priority", "error"]
+            out = pd.DataFrame(rows, columns=cols)
+            yield out if not strict else out.drop(columns=["error"])
 
-    return df.select(id_col, xml_col).mapInPandas(fn, _ENTRY_SCHEMA)
+    schema = _ENTRY_SCHEMA + (", error string" if not strict else "")
+    return df.select(id_col, xml_col).mapInPandas(fn, schema)
 
 
 def sitemap_frontier(

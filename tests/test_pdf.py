@@ -257,3 +257,19 @@ def test_spark_wrappers(spark):
         n_pages, tx = got[i]
         assert n_pages == 1 + i % 3
         assert tx.replace("\n", " ") == f"doc {i} words " * 3 + "tail"
+
+
+def test_quarantine_mode(spark):
+    good = encode_pdf("fine words here")
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"GIF89a not a pdf"))],
+        "doc_id long, pdf binary",
+    )
+    rows = {r["doc_id"]: r
+            for r in extract_pdf_text(df, strict=False).collect()}
+    assert rows[1]["text"].replace("\n", " ") == "fine words here"
+    assert rows[1]["error"] is None
+    assert rows[2]["text"] is None
+    assert "missing %PDF- header" in rows[2]["error"]
+    with pytest.raises(Exception):
+        extract_pdf_text(df).collect()

@@ -110,3 +110,25 @@ def test_frontier_admission(spark):
     assert (m["kind"], m["allowed"], m["admitted"]) == (
         "sitemap", False, False,
     )
+
+
+def test_quarantine_mode(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "<urlset><url><loc>http://e.org/a</loc></url></urlset>"),
+            (2, "<urlset><url></urlset>"),        # malformed XML
+            (3, "<rss></rss>"),                    # wrong root
+        ],
+        "doc_id long, sitemap string",
+    )
+    rows = sitemap_entries(df, strict=False).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert by_doc[1]["loc"] == "http://e.org/a"
+    assert by_doc[1]["error"] is None
+    assert by_doc[2]["loc"] is None
+    assert "malformed XML" in by_doc[2]["error"]
+    assert "unexpected root" in by_doc[3]["error"]
+    # strict mode still raises
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        sitemap_entries(df).collect()
