@@ -1365,9 +1365,14 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`functions/pdf.py`: real byte-offset xref table, page tree,
     WinAnsi font, content streams) with feature arms by doc_id —
     Flate compression on odd ids, 1–3 pages, TJ kerning arrays / hex
-    strings / octal escapes on rotating residues, and doc_id%11==3
+    strings / octal escapes on rotating residues, doc_id%11==3
     emits the PDF 1.5 LAYOUT (object stream + predictor-coded
-    cross-reference stream, the structure modern PDFs actually use) —
+    cross-reference stream, the structure modern PDFs actually use),
+    doc_id%13==1 swaps in a /Type0 /Identity-H composite font with a
+    genuine ToUnicode CMap (2-byte-code shows, bfrange + bfchar),
+    doc_id%13==5 remaps letters through an /Encoding /Differences
+    array, and doc_id%17∈{1,2,3,4} swaps the stream filter to LZW /
+    ASCIIHex / ASCII85 / an [ASCII85, Flate] chain —
     then parsed back through the spec-following reader (xref chain →
     object store → page walk → text-operator state machine).  Newline-normalized
     extraction must be the IDENTITY on the original text and the page

@@ -12,15 +12,25 @@ Scope (bounded, parse-per-spec like the other codecs in this package):
   OBJECT STREAMS (§7.5.7) — the layout modern PDFs actually use; the
   hybrid-reference /XRefStm key is deliberately ignored (the classic
   table in a hybrid file is spec-constructed to stand alone),
-* ``/FlateDecode`` content streams via stdlib zlib (§7.4.4); any
-  other filter (or a predictor ``/DecodeParms``) is rejected,
+* stream filters (§7.4): ``/FlateDecode`` via stdlib zlib,
+  ``/LZWDecode`` (§7.4.4.2: MSB-first variable-width TIFF LZW with
+  /EarlyChange), ``/ASCIIHexDecode`` and ``/ASCII85Decode``
+  (cross-validated against stdlib ``binascii``/``base64``), filter
+  CHAINS (``[/ASCII85Decode /FlateDecode]``), and the PNG predictors
+  on Flate/LZW; anything else is rejected,
 * the text-showing subset of the content-stream operator set
   (§9.4.3): ``BT/ET``, ``Tf``, ``Td/TD/T*/Tm/TL``, ``Tj``, ``TJ``,
   ``'`` and ``"``; literal strings with the full escape table
   (§7.3.4.2, incl. octal and line continuations) and hex strings,
 * simple fonts with ``/WinAnsiEncoding`` (≈ cp1252, Annex D.3) or
-  StandardEncoding restricted to ASCII; ``/Type0`` (CID) fonts and
-  ``/Differences`` arrays are rejected,
+  StandardEncoding restricted to ASCII, plus ``/Differences``
+  arrays resolved through a bounded Adobe-Glyph-List table
+  (§9.6.6.3; unknown glyph names rejected),
+* ``/Type0`` composite fonts with ``/Identity-H`` encoding and a
+  ``/ToUnicode`` CMap (§9.7.6.3/§9.10.3: codespacerange, bfchar,
+  bfrange in both increment and array form) — the form modern
+  PDF generators actually emit; Identity-V, named CMaps, and Type0
+  without ToUnicode are rejected (text would be unextractable),
 * ``/Encrypt`` documents are rejected (§7.6).
 
 Everything the parser accepts it must extract EXACTLY — the contract
@@ -40,6 +50,8 @@ surface the brief mandates.
 
 from __future__ import annotations
 
+import base64
+import binascii
 import re
 import zlib
 from typing import Iterator, NamedTuple
@@ -92,6 +104,176 @@ def _unpredict(
         )
     rows = np.frombuffer(data, dtype=np.uint8).reshape(-1, row + 1)
     return _unfilter(rows, bpp).astype(np.uint8).tobytes()
+
+
+def _ahx_decode(data: bytes) -> bytes:
+    """/ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, '>'
+    EOD required, an odd final digit is padded with 0."""
+    m = data.find(b">")
+    if m < 0:
+        raise ValueError("PDF: ASCIIHex missing '>' EOD")
+    hexs = re.sub(rb"[\x00\t\n\x0c\r ]", b"", data[:m])
+    if re.search(rb"[^0-9a-fA-F]", hexs):
+        raise ValueError("PDF: bad ASCIIHex digit")
+    if len(hexs) % 2:
+        hexs += b"0"
+    return bytes.fromhex(hexs.decode("ascii"))
+
+
+def _a85_decode(data: bytes) -> bytes:
+    """/ASCII85Decode (§7.4.3): groups of 5 digits in '!'..'u' encode
+    4 bytes base-85 big-endian; 'z' is an all-zero group (illegal
+    inside a partial group); a final partial group of n digits yields
+    n-1 bytes (padded with 'u'); '~>' EOD required."""
+    out = bytearray()
+    group: list[int] = []
+    i, n = 0, len(data)
+    while True:
+        if i >= n:
+            raise ValueError("PDF: ASCII85 missing '~>' EOD")
+        c = data[i]
+        if c in _WS:
+            i += 1
+            continue
+        if c == 0x7E:  # '~'
+            if data[i:i + 2] != b"~>":
+                raise ValueError("PDF: bad ASCII85 EOD")
+            break
+        if c == 0x7A:  # 'z'
+            if group:
+                raise ValueError("PDF: 'z' inside an ASCII85 group")
+            out += b"\x00\x00\x00\x00"
+            i += 1
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise ValueError(f"PDF: bad ASCII85 byte 0x{c:02x}")
+        group.append(c - 33)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise ValueError("PDF: ASCII85 group overflow")
+            out += v.to_bytes(4, "big")
+            group = []
+        i += 1
+    if group:
+        if len(group) == 1:
+            raise ValueError("PDF: 1-digit final ASCII85 group")
+        k = len(group)
+        v = 0
+        for g in group + [84] * (5 - k):
+            v = v * 85 + g
+        if v > 0xFFFFFFFF:
+            raise ValueError("PDF: ASCII85 group overflow")
+        out += v.to_bytes(4, "big")[:k - 1]
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """/LZWDecode (§7.4.4.2): TIFF-style LZW — 8-bit symbols, codes
+    packed MSB-first starting at 9 bits, Clear=256, EOD=257, the code
+    width grows at table sizes 511/1023/2047 with /EarlyChange 1 (the
+    default) or 512/1024/2048 with 0."""
+    out = bytearray()
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("PDF: LZW stream truncated (no EOD)")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:  # clear table
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == 257:  # EOD
+            return bytes(out)
+        if prev is None:
+            if code >= 256:
+                raise ValueError(
+                    "PDF: LZW code after clear is not a literal"
+                )
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"PDF: LZW code {code} beyond table")
+        out += entry
+        if prev is not None:
+            if len(table) >= 4096:
+                raise ValueError("PDF: LZW table overflow (missing clear)")
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) >= (1 << width) - (1 if early_change else 0) \
+                and width < 12:
+            width += 1
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Greedy /LZWDecode-compatible encoder (EarlyChange=1) for the
+    fixture arm: leading clear code, dictionary rebuild at 4095
+    entries, MSB-first packing.  `_lzw_decode` inverts it exactly."""
+    out = bytearray()
+    acc = nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)
+    w = b""
+    for bt in data:
+        wc = w + bytes([bt])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        # EarlyChange=1: the decoder reads the NEXT code at width+1
+        # once its table holds 2^width - 1 entries, which happens the
+        # moment this entry's index reaches 2^width - 1 (the decoder
+        # trails the encoder by exactly one entry — same offset as
+        # the GIF pair in functions/gif.py, shifted one code early)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        next_code += 1
+        if next_code == 4095:
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([bt])
+    if w:
+        emit(table[w])
+        # the decoder appends an entry for this FINAL code too (we
+        # assign none — there is no next byte); if that append lands
+        # exactly on the width boundary the decoder reads EOD one bit
+        # wider, so mirror its bump before emitting EOD
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    emit(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 
 # ---------------------------------------------------------------- lexer
@@ -529,16 +711,41 @@ class _Document:
         parms_list = parms if isinstance(parms, list) else [parms]
         data = s.raw
         for i, f in enumerate(filters):
-            if str(f) != "FlateDecode":
-                raise ValueError(f"PDF: filter /{f} unsupported")
-            try:
-                data = zlib.decompress(data)
-            except zlib.error as e:
-                raise ValueError(f"PDF: bad Flate stream ({e})") from None
+            name = str(f)
             p = self.resolve(
                 parms_list[i] if i < len(parms_list) else None
             )
-            if p is not None:
+            if name == "FlateDecode":
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error as e:
+                    raise ValueError(
+                        f"PDF: bad Flate stream ({e})"
+                    ) from None
+            elif name == "LZWDecode":
+                ec = 1
+                if p is not None:
+                    ec = self.resolve(p.get("EarlyChange", 1))
+                    if ec not in (0, 1):
+                        raise ValueError(
+                            f"PDF: bad /EarlyChange {ec!r}"
+                        )
+                data = _lzw_decode(data, ec)
+            elif name == "ASCIIHexDecode":
+                if p is not None:
+                    raise ValueError(
+                        "PDF: DecodeParms on /ASCIIHexDecode unsupported"
+                    )
+                data = _ahx_decode(data)
+            elif name == "ASCII85Decode":
+                if p is not None:
+                    raise ValueError(
+                        "PDF: DecodeParms on /ASCII85Decode unsupported"
+                    )
+                data = _a85_decode(data)
+            else:
+                raise ValueError(f"PDF: filter /{name} unsupported")
+            if name in ("FlateDecode", "LZWDecode") and p is not None:
                 data = _unpredict(
                     data,
                     int(self.resolve(p.get("Predictor", 1))),
@@ -552,31 +759,250 @@ class _Document:
 # --------------------------------------------------------- text extract
 
 
-def _font_encodings(doc: _Document, page: dict) -> dict[str, str]:
-    """Map font resource name → codec, walking /Resources with page-tree
-    inheritance (§7.8.3); rejects CID fonts and /Differences."""
+# Bounded Adobe Glyph List subset (Annex D / the public AGL): ASCII,
+# Latin-1 and the cp1252 typographic block.  /Differences names
+# outside this table are rejected — parse-per-spec, never guess.
+_AGL: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&",
+    "quotesingle": "'", "parenleft": "(", "parenright": ")",
+    "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+    "period": ".", "slash": "/", "colon": ":", "semicolon": ";",
+    "less": "<", "equal": "=", "greater": ">", "question": "?",
+    "at": "@", "bracketleft": "[", "backslash": "\\",
+    "bracketright": "]", "asciicircum": "^", "underscore": "_",
+    "grave": "`", "braceleft": "{", "bar": "|", "braceright": "}",
+    "asciitilde": "~",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    # Latin-1 supplement
+    "exclamdown": "\xa1", "cent": "\xa2", "sterling": "\xa3",
+    "currency": "\xa4", "yen": "\xa5", "brokenbar": "\xa6",
+    "section": "\xa7", "dieresis": "\xa8", "copyright": "\xa9",
+    "ordfeminine": "\xaa", "guillemotleft": "\xab",
+    "logicalnot": "\xac", "registered": "\xae", "macron": "\xaf",
+    "degree": "\xb0", "plusminus": "\xb1", "acute": "\xb4",
+    "mu": "\xb5", "paragraph": "\xb6", "periodcentered": "\xb7",
+    "cedilla": "\xb8", "ordmasculine": "\xba",
+    "guillemotright": "\xbb", "onequarter": "\xbc",
+    "onehalf": "\xbd", "threequarters": "\xbe",
+    "questiondown": "\xbf",
+    "Agrave": "\xc0", "Aacute": "\xc1", "Acircumflex": "\xc2",
+    "Atilde": "\xc3", "Adieresis": "\xc4", "Aring": "\xc5",
+    "AE": "\xc6", "Ccedilla": "\xc7", "Egrave": "\xc8",
+    "Eacute": "\xc9", "Ecircumflex": "\xca", "Edieresis": "\xcb",
+    "Igrave": "\xcc", "Iacute": "\xcd", "Icircumflex": "\xce",
+    "Idieresis": "\xcf", "Eth": "\xd0", "Ntilde": "\xd1",
+    "Ograve": "\xd2", "Oacute": "\xd3", "Ocircumflex": "\xd4",
+    "Otilde": "\xd5", "Odieresis": "\xd6", "multiply": "\xd7",
+    "Oslash": "\xd8", "Ugrave": "\xd9", "Uacute": "\xda",
+    "Ucircumflex": "\xdb", "Udieresis": "\xdc", "Yacute": "\xdd",
+    "Thorn": "\xde", "germandbls": "\xdf",
+    "agrave": "\xe0", "aacute": "\xe1", "acircumflex": "\xe2",
+    "atilde": "\xe3", "adieresis": "\xe4", "aring": "\xe5",
+    "ae": "\xe6", "ccedilla": "\xe7", "egrave": "\xe8",
+    "eacute": "\xe9", "ecircumflex": "\xea", "edieresis": "\xeb",
+    "igrave": "\xec", "iacute": "\xed", "icircumflex": "\xee",
+    "idieresis": "\xef", "eth": "\xf0", "ntilde": "\xf1",
+    "ograve": "\xf2", "oacute": "\xf3", "ocircumflex": "\xf4",
+    "otilde": "\xf5", "odieresis": "\xf6", "divide": "\xf7",
+    "oslash": "\xf8", "ugrave": "\xf9", "uacute": "\xfa",
+    "ucircumflex": "\xfb", "udieresis": "\xfc", "yacute": "\xfd",
+    "thorn": "\xfe", "ydieresis": "\xff",
+    # cp1252 typographic block
+    "Euro": "€", "quotesinglbase": "‚", "florin": "ƒ",
+    "quotedblbase": "„", "ellipsis": "…",
+    "dagger": "†", "daggerdbl": "‡",
+    "circumflex": "ˆ", "perthousand": "‰",
+    "Scaron": "Š", "guilsinglleft": "‹", "OE": "Œ",
+    "Zcaron": "Ž", "quoteleft": "‘",
+    "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”", "bullet": "•",
+    "endash": "–", "emdash": "—", "tilde": "˜",
+    "trademark": "™", "scaron": "š",
+    "guilsinglright": "›", "oe": "œ", "zcaron": "ž",
+    "Ydieresis": "Ÿ", "minus": "−", "fraction": "⁄",
+}
+# single letters name themselves in the AGL
+_AGL.update({c: c for c in
+             "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"})
+
+
+def _parse_differences(doc: _Document, arr: list) -> dict[int, str]:
+    """/Encoding /Differences (§9.6.6.3): integers set the next code,
+    names consume consecutive codes; names resolve through the
+    bounded AGL table."""
+    if not isinstance(arr, list):
+        raise ValueError("PDF: /Differences is not an array")
+    out: dict[int, str] = {}
+    code: int | None = None
+    for el in arr:
+        el = doc.resolve(el)
+        if isinstance(el, int):
+            if not 0 <= el <= 255:
+                raise ValueError(f"PDF: /Differences code {el} out of range")
+            code = el
+        elif isinstance(el, _Name):
+            if code is None:
+                raise ValueError("PDF: /Differences name before any code")
+            if code > 255:
+                raise ValueError("PDF: /Differences run past code 255")
+            ch = _AGL.get(str(el))
+            if ch is None:
+                raise ValueError(
+                    f"PDF: glyph name /{el} not in the bounded AGL table"
+                )
+            out[code] = ch
+            code += 1
+        else:
+            raise ValueError("PDF: /Differences element is not int or name")
+    return out
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """/ToUnicode CMap (§9.10.3): walk the PostScript token stream,
+    honoring codespacerange (2-byte codes only in this bounded
+    scope), bfchar, and bfrange in both the increment and the
+    destination-array form; destinations are UTF-16BE."""
+    lex = _Lexer(data)
+    n = len(data)
+    cmap: dict[int, str] = {}
+
+    def utf16(bs: bytes) -> str:
+        if not bs:
+            raise ValueError("PDF: empty ToUnicode destination")
+        try:
+            return bs.decode("utf-16-be")
+        except UnicodeDecodeError:
+            raise ValueError(
+                "PDF: ToUnicode destination is not UTF-16BE"
+            ) from None
+
+    def read_until(end_kw: str) -> list:
+        vals: list = []
+        while True:
+            lex._skip_ws()
+            if lex.pos >= n:
+                raise ValueError(f"PDF: ToUnicode missing {end_kw}")
+            if data[lex.pos] in b"/([<+-.0123456789":
+                vals.append(lex.value())
+            else:
+                kw = lex.keyword()
+                if kw != end_kw:
+                    raise ValueError(
+                        f"PDF: unexpected {kw!r} inside a ToUnicode "
+                        "section"
+                    )
+                return vals
+
+    while True:
+        lex._skip_ws()
+        if lex.pos >= n:
+            break
+        if data[lex.pos] in b"/([<+-.0123456789":
+            lex.value()  # operands outside sections: CMap boilerplate
+            continue
+        kw = lex.keyword()
+        if kw == "begincodespacerange":
+            for v in read_until("endcodespacerange"):
+                if not isinstance(v, bytes) or len(v) != 2:
+                    raise ValueError(
+                        "PDF: only 2-byte ToUnicode code spaces supported"
+                    )
+        elif kw == "beginbfchar":
+            vals = read_until("endbfchar")
+            if len(vals) % 2:
+                raise ValueError("PDF: odd bfchar operand count")
+            for src, dst in zip(vals[::2], vals[1::2]):
+                if (not isinstance(src, bytes) or len(src) != 2
+                        or not isinstance(dst, bytes)):
+                    raise ValueError("PDF: malformed bfchar entry")
+                cmap[int.from_bytes(src, "big")] = utf16(dst)
+        elif kw == "beginbfrange":
+            vals = read_until("endbfrange")
+            if len(vals) % 3:
+                raise ValueError(
+                    "PDF: bfrange operand count not a multiple of 3"
+                )
+            for lo, hi, dst in zip(vals[::3], vals[1::3], vals[2::3]):
+                if (not isinstance(lo, bytes) or len(lo) != 2
+                        or not isinstance(hi, bytes) or len(hi) != 2):
+                    raise ValueError("PDF: malformed bfrange entry")
+                lo_i = int.from_bytes(lo, "big")
+                hi_i = int.from_bytes(hi, "big")
+                if hi_i < lo_i:
+                    raise ValueError("PDF: bfrange hi < lo")
+                if isinstance(dst, list):
+                    if len(dst) != hi_i - lo_i + 1 or not all(
+                            isinstance(d, bytes) for d in dst):
+                        raise ValueError(
+                            "PDF: bfrange destination array mismatch"
+                        )
+                    for i, d in enumerate(dst):
+                        cmap[lo_i + i] = utf16(d)
+                elif isinstance(dst, bytes):
+                    start = int.from_bytes(dst, "big")
+                    for i in range(hi_i - lo_i + 1):
+                        try:
+                            stepped = (start + i).to_bytes(
+                                len(dst), "big"
+                            )
+                        except OverflowError:
+                            raise ValueError(
+                                "PDF: bfrange increment overflow"
+                            ) from None
+                        cmap[lo_i + i] = utf16(stepped)
+                else:
+                    raise ValueError("PDF: malformed bfrange destination")
+    if not cmap:
+        raise ValueError("PDF: ToUnicode CMap maps nothing")
+    return cmap
+
+
+def _font_specs(
+    doc: _Document, page: dict,
+) -> dict[str, tuple[str, object, object]]:
+    """Map font resource name → decode spec, walking /Resources with
+    page-tree inheritance (§7.8.3).  Specs: ``("simple", codec,
+    differences | None)`` for simple fonts, ``("cid", tounicode_map,
+    None)`` for /Type0 /Identity-H composite fonts."""
     res = doc.resolve(page.get("Resources")) or {}
     fonts = doc.resolve(res.get("Font")) or {}
-    out: dict[str, str] = {}
+    out: dict[str, tuple[str, object, object]] = {}
     for fname, fref in fonts.items():
         fd = doc.resolve(fref)
         if not isinstance(fd, dict):
             continue
         sub = str(doc.resolve(fd.get("Subtype")) or "")
         if sub == "Type0":
-            raise ValueError("PDF: /Type0 (CID) fonts unsupported")
-        enc = doc.resolve(fd.get("Encoding"))
-        if isinstance(enc, dict):
-            if "Differences" in enc:
+            enc = doc.resolve(fd.get("Encoding"))
+            if str(enc) != "Identity-H":
                 raise ValueError(
-                    "PDF: /Encoding /Differences unsupported"
+                    f"PDF: /Type0 (CID) encoding /{enc} unsupported "
+                    "(only Identity-H)"
                 )
+            tu = doc.resolve(fd.get("ToUnicode"))
+            if not isinstance(tu, _Stream):
+                raise ValueError(
+                    "PDF: /Type0 (CID) font without a /ToUnicode CMap "
+                    "is unextractable"
+                )
+            out[str(fname)] = (
+                "cid", _parse_tounicode(doc.stream_data(tu)), None,
+            )
+            continue
+        enc = doc.resolve(fd.get("Encoding"))
+        diffs: dict[int, str] | None = None
+        if isinstance(enc, dict):
+            darr = doc.resolve(enc.get("Differences"))
+            if darr is not None:
+                diffs = _parse_differences(doc, darr)
             enc = doc.resolve(enc.get("BaseEncoding"))
         enc = str(enc) if enc is not None else "StandardEncoding"
         if enc not in ("WinAnsiEncoding", "StandardEncoding",
                        "MacRomanEncoding"):
             raise ValueError(f"PDF: encoding /{enc} unsupported")
-        out[str(fname)] = enc
+        out[str(fname)] = ("simple", enc, diffs)
     return out
 
 
@@ -599,6 +1025,30 @@ def _decode_pdf_bytes(raw: bytes, enc: str) -> str:
                 f"/{enc}"
             )
     return raw.decode("ascii")
+
+
+def _decode_show(raw: bytes, spec: tuple[str, object, object]) -> str:
+    """Decode one show-string under the active font spec."""
+    kind, arg, diffs = spec
+    if kind == "cid":
+        if len(raw) % 2:
+            raise ValueError("PDF: odd-length Identity-H show string")
+        out = []
+        for i in range(0, len(raw), 2):
+            code = int.from_bytes(raw[i:i + 2], "big")
+            ch = arg.get(code)  # type: ignore[union-attr]
+            if ch is None:
+                raise ValueError(
+                    f"PDF: CID {code} has no /ToUnicode mapping"
+                )
+            out.append(ch)
+        return "".join(out)
+    if not diffs:
+        return _decode_pdf_bytes(raw, arg)  # type: ignore[arg-type]
+    return "".join(
+        diffs.get(b) or _decode_pdf_bytes(bytes([b]), arg)
+        for b in raw
+    )
 
 
 def _walk_pages(doc: _Document, node: dict, out: list[dict],
@@ -628,7 +1078,7 @@ _NEWLINE_OPS = {"Td", "TD", "T*", "Tm", "'", '"'}
 
 
 def _page_text(doc: _Document, page: dict) -> str:
-    encs = _font_encodings(doc, page)
+    specs = _font_specs(doc, page)
     contents = doc.resolve(page.get("Contents"))
     if contents is None:
         return ""
@@ -640,7 +1090,9 @@ def _page_text(doc: _Document, page: dict) -> str:
     stack: list = []
     lines: list[list[str]] = []
     cur: list[str] = []
-    font_enc = "StandardEncoding"
+    font_spec: tuple[str, object, object] = (
+        "simple", "StandardEncoding", None,
+    )
     in_text = False
 
     def flush_line() -> None:
@@ -650,7 +1102,7 @@ def _page_text(doc: _Document, page: dict) -> str:
             cur = []
 
     def show(raw: bytes) -> None:
-        cur.append(_decode_pdf_bytes(raw, font_enc))
+        cur.append(_decode_show(raw, font_spec))
 
     n = len(data)
     while True:
@@ -675,11 +1127,11 @@ def _page_text(doc: _Document, page: dict) -> str:
         elif op == "Tf" and len(stack) >= 2:
             fname = stack[-2]
             if isinstance(fname, _Name):
-                if str(fname) not in encs:
+                if str(fname) not in specs:
                     raise ValueError(
                         f"PDF: font /{fname} not in /Resources"
                     )
-                font_enc = encs[str(fname)]
+                font_spec = specs[str(fname)]
         elif in_text and op in _NEWLINE_OPS:
             flush_line()
         if in_text and op in _SHOW_OPS:
@@ -725,17 +1177,136 @@ def pdf_text(payload: bytes) -> tuple[int, str]:
 # -------------------------------------------------------------- encoder
 
 
-def _esc_literal(s: str) -> bytes:
-    out = s.encode("cp1252")
+def _esc_bytes(out: bytes) -> bytes:
     return out.replace(b"\\", rb"\\").replace(b"(", rb"\(") \
               .replace(b")", rb"\)")
+
+
+def _esc_literal(s: str) -> bytes:
+    return _esc_bytes(s.encode("cp1252"))
+
+
+# Differences fixture arm: the five cp1252-UNDEFINED bytes remapped to
+# common letters (129→e, 141→t, 143→a, 144→o run-form, 157→n), so no
+# legitimate cp1252 text can collide with the remapped codes
+_DIFF_CODES = {"e": 129, "t": 141, "a": 143, "o": 144, "n": 157}
+_DIFF_ARRAY = b"[129 /e 141 /t 143 /a /o 157 /n]"
+
+
+def _cid_assignment(
+    text: str,
+) -> tuple[dict[str, int], int | None, bytes]:
+    """Deterministic char→CID assignment plus the ToUnicode CMap
+    bytes for the fixture encoder: CIDs 0x0101.. in sorted-char
+    order; codepoint-consecutive runs ≥3 become increment-form
+    bfranges, adjacent leftovers become destination-array bfranges
+    (chunks ≤4), singletons become bfchar entries; an 'fi' ligature
+    CID 0x0100 (2-char destination) exercises multi-code-unit
+    destinations whenever the text contains 'fi'."""
+    chars = sorted(set(text)) or [" "]
+    cidmap = {c: 0x0101 + i for i, c in enumerate(chars)}
+    lig = 0x0100 if "fi" in text else None
+
+    inc_ranges: list[tuple[int, int, str]] = []
+    misc_groups: list[list[tuple[int, str]]] = []
+    pend: list[tuple[int, str]] = []
+    i, n = 0, len(chars)
+    while i < n:
+        j = i
+        while j + 1 < n and ord(chars[j + 1]) == ord(chars[j]) + 1:
+            j += 1
+        if j - i + 1 >= 3:
+            if pend:
+                misc_groups.append(pend)
+                pend = []
+            inc_ranges.append(
+                (cidmap[chars[i]], cidmap[chars[j]], chars[i])
+            )
+        else:
+            pend.extend((cidmap[chars[k]], chars[k])
+                        for k in range(i, j + 1))
+        i = j + 1
+    if pend:
+        misc_groups.append(pend)
+    bfchars: list[tuple[int, str]] = []
+    arr_ranges: list[list[tuple[int, str]]] = []
+    for grp in misc_groups:
+        for k in range(0, len(grp), 4):
+            chunk = grp[k:k + 4]
+            if len(chunk) == 1:
+                bfchars.append(chunk[0])
+            else:
+                arr_ranges.append(chunk)
+    if lig is not None:
+        bfchars.append((lig, "fi"))
+
+    def u16(s: str) -> bytes:
+        return s.encode("utf-16-be").hex().encode()
+
+    lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) "
+        b"/Supplement 0 >> def",
+        b"/CMapName /Adobe-Identity-UCS def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<0000> <FFFF>",
+        b"endcodespacerange",
+    ]
+    if inc_ranges or arr_ranges:
+        lines.append(b"%d beginbfrange"
+                     % (len(inc_ranges) + len(arr_ranges)))
+        for lo, hi, ch in inc_ranges:
+            lines.append(b"<%04x> <%04x> <%s>" % (lo, hi, u16(ch)))
+        for chunk in arr_ranges:
+            dsts = b" ".join(b"<%s>" % u16(c) for _, c in chunk)
+            lines.append(b"<%04x> <%04x> [%s]"
+                         % (chunk[0][0], chunk[-1][0], dsts))
+        lines.append(b"endbfrange")
+    if bfchars:
+        lines.append(b"%d beginbfchar" % len(bfchars))
+        for cid_, c in bfchars:
+            lines.append(b"<%04x> <%s>" % (cid_, u16(c)))
+        lines.append(b"endbfchar")
+    lines += [
+        b"endcmap",
+        b"CMapName currentdict /CMap defineresource pop",
+        b"end", b"end",
+    ]
+    return cidmap, lig, b"\n".join(lines)
+
+
+def _encode_stream(
+    data: bytes, compress: bool, alt: str | None,
+) -> tuple[bytes, bytes]:
+    """Encode stream payload for the fixture arms; returns
+    ``(payload, filter-clause)``.  ``alt`` overrides ``compress``."""
+    if alt == "lzw":
+        return _lzw_encode(data), b" /Filter /LZWDecode"
+    if alt == "ahx":
+        return binascii.hexlify(data) + b">", b" /Filter /ASCIIHexDecode"
+    if alt == "a85":
+        return base64.a85encode(data) + b"~>", b" /Filter /ASCII85Decode"
+    if alt == "a85flate":  # decode order: ASCII85 first, then Flate
+        return (
+            base64.a85encode(zlib.compress(data, 6)) + b"~>",
+            b" /Filter [/ASCII85Decode /FlateDecode]",
+        )
+    if alt is not None:
+        raise ValueError(f"unknown alt_filter {alt!r}")
+    if compress:
+        return zlib.compress(data, 6), b" /Filter /FlateDecode"
+    return data, b""
 
 
 def encode_pdf(
     text: str, *, n_pages: int = 1, compress: bool = False,
     use_tj: bool = False, hex_strings: bool = False,
     octal_first: bool = False, line_words: int = 8,
-    xref_stream: bool = False,
+    xref_stream: bool = False, cid: bool = False,
+    differences: bool = False, alt_filter: str | None = None,
 ) -> bytes:
     """A genuine PDF carrying ``text``: real byte-offset xref table,
     catalog → /Pages → /Page tree, Helvetica /WinAnsiEncoding font,
@@ -743,8 +1314,15 @@ def encode_pdf(
     laid out ``line_words`` per line, pages split contiguously; the
     arms exercise TJ kerning arrays (``use_tj`` splits a show string
     mid-word — extraction must concatenate), hex strings and octal
-    escapes.  ``pdf_text`` inverts all of it exactly (newlines for
-    line/page breaks)."""
+    escapes.  ``cid`` swaps the font for /Type0 /Identity-H with a
+    genuine ToUnicode CMap (2-byte-code hex show strings, bfrange +
+    bfchar + an 'fi' ligature destination); ``differences`` remaps
+    e/t/a/o/n onto the five cp1252-undefined bytes via an /Encoding
+    /Differences array; ``alt_filter`` ∈ {lzw, ahx, a85, a85flate}
+    swaps the stream filter.  ``pdf_text`` inverts all of it exactly
+    (newlines for line/page breaks)."""
+    if cid and differences:
+        raise ValueError("cid and differences arms are exclusive")
     words = text.split(" ") if text else []
     n_pages = max(1, min(n_pages, max(1, len(words))))
     per_page = -(-len(words) // n_pages) if words else 0
@@ -755,6 +1333,62 @@ def encode_pdf(
     objects: dict[int, bytes] = {}
     font_num = 3 + 2 * n_pages
     page_nums = [3 + 2 * i for i in range(n_pages)]
+    desc_num = font_num + 1  # cid only
+    tu_num = font_num + 2    # cid only
+    last_num = tu_num if cid else font_num
+
+    cidmap: dict[str, int] = {}
+    lig: int | None = None
+    cmap_bytes = b""
+    if cid:
+        cidmap, lig, cmap_bytes = _cid_assignment(text)
+
+    def enc_raw(s: str) -> bytes:
+        if differences:
+            out = bytearray()
+            for ch in s:
+                dc = _DIFF_CODES.get(ch)
+                if dc is not None:
+                    out.append(dc)
+                else:
+                    out += ch.encode("cp1252")
+            return bytes(out)
+        return s.encode("cp1252")
+
+    def cid_codes(s: str) -> bytes:
+        out = bytearray()
+        i = 0
+        while i < len(s):
+            if lig is not None and s.startswith("fi", i):
+                out += lig.to_bytes(2, "big")
+                i += 2
+            else:
+                out += cidmap[s[i]].to_bytes(2, "big")
+                i += 1
+        return bytes(out)
+
+    def hexstr(b: bytes) -> bytes:
+        return b"<" + b.hex().encode() + b">"
+
+    def mk_show(line: str, block: int) -> bytes:
+        if cid:
+            codes = cid_codes(line)
+            if use_tj and len(codes) >= 8:
+                cut = (len(codes) // 4) * 2  # even → code boundary
+                return (b"[" + hexstr(codes[:cut]) + b" -120 "
+                        + hexstr(codes[cut:]) + b"] TJ")
+            return hexstr(codes) + b" Tj"
+        if hex_strings and block % 3 == 2:
+            return hexstr(enc_raw(line)) + b" Tj"
+        if use_tj and len(line) > 4:
+            cut = len(line) // 2
+            return (b"[" + b"(" + _esc_bytes(enc_raw(line[:cut]))
+                    + b") -120 (" + _esc_bytes(enc_raw(line[cut:]))
+                    + b")] TJ")
+        if octal_first and line:
+            return (b"(\\%03o" % enc_raw(line[0])[0]
+                    + _esc_bytes(enc_raw(line[1:])) + b") Tj")
+        return b"(" + _esc_bytes(enc_raw(line)) + b") Tj"
 
     def content_for(ws: list[str]) -> bytes:
         ops = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
@@ -764,36 +1398,19 @@ def encode_pdf(
             if not first:
                 ops.append(b"0 -14 Td")
             first = False
-            if hex_strings and (i // line_words) % 3 == 2:
-                ops.append(
-                    b"<" + line.encode("cp1252").hex().encode() + b"> Tj"
-                )
-            elif use_tj and len(line) > 4:
-                cut = len(line) // 2
-                ops.append(
-                    b"[" + b"(" + _esc_literal(line[:cut]) + b") -120 ("
-                    + _esc_literal(line[cut:]) + b")] TJ"
-                )
-            elif octal_first and line:
-                ops.append(
-                    b"(\\%03o" % ord(line[0])
-                    + _esc_literal(line[1:]) + b") Tj"
-                )
-            else:
-                ops.append(b"(" + _esc_literal(line) + b") Tj")
+            ops.append(mk_show(line, i // line_words))
         ops.append(b"ET")
         return b"\n".join(ops)
 
-    for i, ws in enumerate(page_words):
-        data = content_for(ws)
-        extra = b""
-        if compress:
-            data = zlib.compress(data, 6)
-            extra = b" /Filter /FlateDecode"
-        objects[page_nums[i] + 1] = (
-            b"<< /Length %d%s >>\nstream\n" % (len(data), extra)
-            + data + b"\nendstream"
+    def stream_obj(data: bytes) -> bytes:
+        payload, extra = _encode_stream(data, compress, alt_filter)
+        return (
+            b"<< /Length %d%s >>\nstream\n" % (len(payload), extra)
+            + payload + b"\nendstream"
         )
+
+    for i, ws in enumerate(page_words):
+        objects[page_nums[i] + 1] = stream_obj(content_for(ws))
         objects[page_nums[i]] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             b"/Resources << /Font << /F1 %d 0 R >> >> "
@@ -804,10 +1421,29 @@ def encode_pdf(
     objects[2] = (
         b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n_pages)
     )
-    objects[font_num] = (
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
-        b"/Encoding /WinAnsiEncoding >>"
-    )
+    if cid:
+        objects[font_num] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Helvetica "
+            b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+            b"/ToUnicode %d 0 R >>" % (desc_num, tu_num)
+        )
+        objects[desc_num] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 "
+            b"/BaseFont /Helvetica /CIDSystemInfo << /Registry (Adobe) "
+            b"/Ordering (Identity) /Supplement 0 >> >>"
+        )
+        objects[tu_num] = stream_obj(cmap_bytes)
+    elif differences:
+        objects[font_num] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+            b"/Differences " + _DIFF_ARRAY + b" >> >>"
+        )
+    else:
+        objects[font_num] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>"
+        )
 
     if not xref_stream:
         buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
@@ -829,9 +1465,13 @@ def encode_pdf(
 
     # ---- PDF 1.5 layout: dictionaries live in an OBJECT STREAM, the
     # cross-reference is a Flate stream with the PNG Up predictor —
-    # the structure pdf_text's §7.5.7/§7.5.8 paths must invert
-    content_nums = {p + 1 for p in page_nums}
-    member_nums = sorted(n for n in objects if n not in content_nums)
+    # the structure pdf_text's §7.5.7/§7.5.8 paths must invert.
+    # Stream objects (page contents, the ToUnicode CMap) cannot live
+    # inside an object stream (§7.5.7) and stay top-level.
+    stream_nums = {p + 1 for p in page_nums}
+    if cid:
+        stream_nums.add(tu_num)
+    member_nums = sorted(n for n in objects if n not in stream_nums)
     body = bytearray()
     offs: list[int] = []
     for n_ in member_nums:
@@ -841,12 +1481,12 @@ def encode_pdf(
         " ".join(f"{n_} {o}" for n_, o in zip(member_nums, offs))
         .encode() + b"\n"
     )
-    objstm_num = font_num + 1
-    xref_num = font_num + 2
+    objstm_num = last_num + 1
+    xref_num = last_num + 2
     stm_payload = zlib.compress(bytes(header + body), 6)
     buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
-    for n_ in sorted(content_nums):
+    for n_ in sorted(stream_nums):
         offsets[n_] = len(buf)
         buf += b"%d 0 obj\n" % n_ + objects[n_] + b"\nendobj\n"
     offsets[objstm_num] = len(buf)
@@ -899,8 +1539,12 @@ def attach_pdf_payload(df: DataFrame, id_col: str = "doc_id",
     PDF via mapInPandas (same Arrow batch shape as the other
     attachers in `functions/multimodal.py`).  Arms by doc_id: Flate
     compression on odd ids, 1–3 pages, TJ kerning arrays / hex
-    strings / octal escapes on rotating residues — all of which
-    `pdf_text` must invert exactly."""
+    strings / octal escapes on rotating residues, the PDF 1.5 layout
+    on id%11==3, /Type0 /Identity-H + ToUnicode on id%13==1,
+    /Differences on id%13==5, and LZW / ASCIIHex / ASCII85 /
+    [ASCII85, Flate] stream filters on id%17∈{1,2,3,4} — all of
+    which `pdf_text` must invert exactly."""
+    _ALT = {1: "lzw", 2: "ahx", 3: "a85", 4: "a85flate"}
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
@@ -913,6 +1557,9 @@ def attach_pdf_payload(df: DataFrame, id_col: str = "doc_id",
                     hex_strings=int(d) % 5 == 0,
                     octal_first=int(d) % 7 == 0,
                     xref_stream=int(d) % 11 == 3,
+                    cid=int(d) % 13 == 1,
+                    differences=int(d) % 13 == 5,
+                    alt_filter=_ALT.get(int(d) % 17),
                 )
                 for d, t in zip(pdf_batch[id_col], pdf_batch[text_col])
             ]

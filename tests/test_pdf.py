@@ -12,6 +12,11 @@ import zlib
 import pytest
 
 from metrics_advisor_spark.functions.pdf import (
+    _a85_decode,
+    _ahx_decode,
+    _lzw_decode,
+    _lzw_encode,
+    _parse_tounicode,
     attach_pdf_payload,
     encode_pdf,
     extract_pdf_text,
@@ -133,14 +138,10 @@ def test_rejections():
         good.replace(b"/FlateDecode", b"/XlateDecode"),
         "filter /XlateDecode unsupported",
     )
+    # Type0 with a simple-font /Encoding: not Identity-H -> reject
     _expect(
         good.replace(b"/Subtype /Type1", b"/Subtype /Type0"),
         "CID",
-    )
-    _expect(
-        good.replace(b"/Encoding /WinAnsiEncoding >>",
-                     b"/Encoding<</Differences[]>>>>"),
-        "Differences",
     )
     _expect(good.replace(b"/Count 1", b"/Count 7"),
             "/Count 7 != 1 leaf pages")
@@ -241,6 +242,164 @@ def test_unbalanced_string_rejected():
     # kill the closing paren of the only Tj string (same length)
     patched = p.replace(b"(abc def) Tj", b"(abc def  Tj")
     _expect(patched, "unterminated literal string")
+
+
+@pytest.mark.parametrize("kw", [
+    {"cid": True},
+    {"cid": True, "compress": True, "n_pages": 2},
+    {"cid": True, "use_tj": True},
+    {"cid": True, "xref_stream": True},
+    {"differences": True},
+    {"differences": True, "use_tj": True, "hex_strings": True,
+     "octal_first": True, "n_pages": 2},
+    {"alt_filter": "lzw"},
+    {"alt_filter": "ahx"},
+    {"alt_filter": "a85"},
+    {"alt_filter": "a85flate"},
+    {"cid": True, "alt_filter": "lzw", "xref_stream": True},
+])
+def test_r13_roundtrip_grid(kw):
+    p = encode_pdf(_TEXT, **kw)
+    n_pages, tx = pdf_text(p)
+    assert n_pages == kw.get("n_pages", 1)
+    assert tx.replace("\n", " ") == _TEXT
+
+
+def test_r13_arms_actually_fire():
+    cid = encode_pdf("fine fish final fit", cid=True)
+    assert b"/Identity-H" in cid and b"/ToUnicode" in cid
+    assert b"beginbfrange" in cid and b"beginbfchar" in cid
+    # the 'fi' ligature CID carries a TWO-code-unit destination
+    assert b"<0100> <00660069>" in cid
+    assert pdf_text(cid)[1] == "fine fish final fit"
+
+    diff = encode_pdf("not a tent", differences=True)
+    assert b"/Differences [129 /e 141 /t 143 /a /o 157 /n]" in diff
+    # the remapped cp1252-undefined bytes really appear in the stream
+    assert b"\x81" not in diff.split(b"stream")[0]
+    assert b"\x8d" in diff and b"\x9d" in diff
+    assert pdf_text(diff)[1] == "not a tent"
+
+    for alt, marker in [("lzw", b"/LZWDecode"),
+                        ("ahx", b"/ASCIIHexDecode"),
+                        ("a85", b"/ASCII85Decode"),
+                        ("a85flate",
+                         b"/Filter [/ASCII85Decode /FlateDecode]")]:
+        p = encode_pdf(_TEXT, alt_filter=alt)
+        assert marker in p, alt
+        assert pdf_text(p)[1].replace("\n", " ") == _TEXT
+
+
+def test_cid_unicode_and_hex_show():
+    hi = "café naïve —dash’s €uro fit"
+    p = encode_pdf(hi, cid=True)
+    assert pdf_text(p)[1] == hi
+    # show strings are 2-byte-code hex strings, never literals
+    body = p.split(b"stream", 1)[1]
+    assert re.search(rb"<[0-9a-f]{4,}> Tj", body)
+
+
+def test_differences_rejections():
+    diff = encode_pdf("no tent", differences=True)
+    # same-length glyph-name patch: /n -> /nx (not in the AGL table)
+    _expect(diff.replace(b" /n]", b"/nx]"),
+            "glyph name /nx not in the bounded AGL table")
+    # same-length patch: a name before any code
+    _expect(diff.replace(b"[129 /e", b"[/q 29 "),
+            "name before any code")
+    # an EMPTY Differences array is valid and falls back to the base
+    good = encode_pdf("hello world", compress=True)
+    ok = good.replace(b"/Encoding /WinAnsiEncoding >>",
+                      b"/Encoding<</Differences[]>>>>")
+    assert pdf_text(ok)[1] == "hello world"
+
+
+def test_tounicode_rejections():
+    cid = encode_pdf("fit for use", cid=True)
+    # Type0 whose /ToUnicode key vanished (same-length rename)
+    _expect(cid.replace(b"/ToUnicode", b"/ToUnicorn"),
+            "without a /ToUnicode CMap")
+    # 1-byte codespace (same-length patch)
+    _expect(cid.replace(b"<0000> <FFFF>", b"<00> <FFFFFF>"),
+            "only 2-byte ToUnicode code spaces")
+    # unit-level CMap rejections
+    base = (b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n%s")
+    _parse_tounicode(base % b"1 beginbfchar <0041> <0042> endbfchar")
+    with pytest.raises(ValueError, match="odd bfchar"):
+        _parse_tounicode(base % b"1 beginbfchar <0041> endbfchar")
+    with pytest.raises(ValueError, match="not UTF-16BE"):
+        _parse_tounicode(
+            base % b"1 beginbfchar <0041> <00d800> endbfchar"
+        )
+    with pytest.raises(ValueError, match="hi < lo"):
+        _parse_tounicode(
+            base % b"1 beginbfrange <0042> <0041> <0043> endbfrange"
+        )
+    with pytest.raises(ValueError, match="array mismatch"):
+        _parse_tounicode(
+            base % b"1 beginbfrange <0041> <0043> [<0044> <0045>] "
+            b"endbfrange"
+        )
+    with pytest.raises(ValueError, match="maps nothing"):
+        _parse_tounicode(base % b"")
+    # a CID outside the map must fail loudly at show time: bump the
+    # first code of the first SHOW string only (the CMap's own hex
+    # strings must stay untouched)
+    m = re.search(rb"<([0-9a-f]{4,})> Tj", cid)
+    missing = cid[:m.start(1)] + b"7" + cid[m.start(1) + 1:]
+    with pytest.raises(ValueError, match="no /ToUnicode mapping"):
+        pdf_text(missing)
+
+
+def test_lzw_codec():
+    # deterministic vectors + boundary fuzz, decoder is the inverse
+    import random
+    rng = random.Random(13)
+    cases = [b"", b"A", b"AAAAAA", b"TOBEORNOTTOBEORTOBEORNOT",
+             bytes(range(256)) * 40]
+    for _ in range(25):
+        alpha = rng.choice([b"ab", b"abcdefgh", bytes(range(256))])
+        cases.append(bytes(rng.choice(alpha)
+                           for _ in range(rng.randrange(0, 9000))))
+    # force table saturation -> mid-stream clear + width reset
+    cases.append(bytes(range(256)) * 600)
+    # regression: a stream whose FINAL data code lands exactly on the
+    # 511-entry width boundary (the decoder appends an entry for the
+    # final code that the encoder never assigns; EOD must be written
+    # at the bumped width)
+    from metrics_advisor_spark.functions.pdf import _cid_assignment
+    cases.append(_cid_assignment("q r s")[2])
+    for data in cases:
+        assert _lzw_decode(_lzw_encode(data)) == data
+    with pytest.raises(ValueError, match="truncated"):
+        _lzw_decode(b"")
+    with pytest.raises(ValueError, match="truncated"):
+        _lzw_decode(_lzw_encode(b"hello hello hello")[:-2])
+
+
+def test_ascii_filters_vs_stdlib():
+    import base64
+    import binascii
+    import random
+    rng = random.Random(99)
+    for _ in range(40):
+        data = bytes(rng.randrange(256)
+                     for _ in range(rng.randrange(0, 300)))
+        assert _a85_decode(base64.a85encode(data) + b"~>") == data
+        assert _ahx_decode(binascii.hexlify(data) + b">") == data
+    # whitespace tolerated, EOD required, 'z' shorthand honored
+    assert _a85_decode(b"z ~>") == b"\x00\x00\x00\x00"
+    assert _ahx_decode(b"48 6\n9>") == b"Hi"
+    with pytest.raises(ValueError, match="missing '~>'"):
+        _a85_decode(b"9jqo")
+    with pytest.raises(ValueError, match="missing '>'"):
+        _ahx_decode(b"4869")
+    with pytest.raises(ValueError, match="1-digit final"):
+        _a85_decode(b"9~>")
+    with pytest.raises(ValueError, match="bad ASCIIHex digit"):
+        _ahx_decode(b"48zz>")
+    with pytest.raises(ValueError, match="'z' inside"):
+        _a85_decode(b"9jz~>")
 
 
 def test_spark_wrappers(spark):

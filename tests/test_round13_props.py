@@ -185,3 +185,63 @@ def test_nb_model_additivity():
             for i in range(len(a) - 2, len(a))
         )
         assert joint == score(a, lang) + seam + score(b, lang)
+
+
+@PROP
+@given(
+    st.lists(_WORD, min_size=1, max_size=30),
+    st.sampled_from([None, "lzw", "ahx", "a85", "a85flate"]),
+    st.booleans(), st.booleans(), st.booleans(),
+)
+def test_pdf_r13_arm_roundtrip_prop(words, alt, cid, use_tj, xref):
+    # the round-13 arms: Type0/Identity-H + ToUnicode (or the
+    # /Differences remap when not cid), LZW/ASCII filters, 1.5 layout
+    from metrics_advisor_spark.functions.pdf import encode_pdf, pdf_text
+
+    text = " ".join(words)
+    p = encode_pdf(
+        text, cid=cid, differences=not cid, alt_filter=alt,
+        use_tj=use_tj, xref_stream=xref,
+    )
+    assert pdf_text(p)[1].replace("\n", " ") == text
+
+
+@PROP
+@given(st.binary(max_size=6000))
+def test_pdf_lzw_roundtrip_prop(data):
+    from metrics_advisor_spark.functions.pdf import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    assert _lzw_decode(_lzw_encode(data)) == data
+
+
+@PROP
+@given(st.binary(max_size=400))
+def test_pdf_ascii85_vs_stdlib_prop(data):
+    import base64
+    import binascii
+
+    from metrics_advisor_spark.functions.pdf import (
+        _a85_decode,
+        _ahx_decode,
+    )
+
+    assert _a85_decode(base64.a85encode(data) + b"~>") == data
+    assert _ahx_decode(binascii.hexlify(data) + b">") == data
+
+
+@PROP
+@given(st.text(
+    alphabet=st.characters(codec="cp1252", exclude_characters="\r\n"),
+    max_size=120,
+))
+def test_pdf_cid_tounicode_prop(s):
+    # arbitrary cp1252 text (incl. the 'fi' ligature trigger) through
+    # the Type0/Identity-H + ToUnicode path is the identity per page
+    from metrics_advisor_spark.functions.pdf import encode_pdf, pdf_text
+
+    text = " ".join(s.split(" "))
+    got = pdf_text(encode_pdf(text, cid=True))[1]
+    assert got.replace("\n", " ") == text
