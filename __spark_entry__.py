@@ -1585,6 +1585,54 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link extraction + RFC 3986 §5 reference resolution (r13 — the
+    step that closes the crawl loop: fetched page → anchors →
+    resolution against the page URL → canonical frontier keys).
+    Every doc gets a fixture page with seven anchors — relative,
+    dot-segment + entity-encoded query, protocol-relative,
+    single-quoted absolute-path, unquoted, mailto (filtered), and
+    fragment-only — and doc_id%4==1 pages carry an HTML
+    ``<base href>`` that re-roots resolution; `functions/html.py:
+    html_links` explodes (link_pos, href, resolved, canonical) per
+    anchor (resolution per `functions/url.py: resolve_reference`, the
+    §5.4 reference-example-verified resolver; canonical =
+    `canonicalize_url(resolved)`, which must sort the entity-decoded
+    query and drop the fragment).  The oracle writes every branch's
+    expected strings directly — one hash pins extraction order,
+    entity decoding, all four §5.2.2 resolution branches, the <base>
+    override and the canonical composition."""
+    from metrics_advisor_spark.functions.html import html_links
+
+    d = F.col("doc_id")
+    s = d.cast("string")
+    m5 = (d % 5).cast("string")
+    base_url = F.concat(
+        F.lit("https://ex.org/s"), m5, F.lit("/dir/page.html")
+    )
+    base_tag = F.when(
+        d % 4 == 1, F.lit('<base href="/rebase/">')
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), base_tag, F.lit("</head><body>"),
+        F.lit('<a class=x href="g1-'), s, F.lit('.html">one</a>'),
+        F.lit('<a href="../up/x?b=2&amp;a=1">two</a>'),
+        F.lit('<a href="//cdn.ex.org/lib.js">three</a>'),
+        F.lit("<a href='/abs/p"), s, F.lit("'>four</a>"),
+        F.lit("<a href=u5.html>five</a>"),
+        F.lit('<a href="mailto:x@ex.org">mail</a>'),
+        F.lit('<a href="#f'), s, F.lit('">self</a>'),
+        F.lit("</body></html>"),
+    )
+    docs = (
+        _docs(spark, sf_dir, fanout=False)
+        .select("doc_id")
+        .withColumn("url", base_url)
+        .withColumn("html", html)
+    )
+    return html_links(docs)
+
+
 _ROBOTS_FIXTURE = """User-agent: *
 Disallow: /private/
 Allow: /private/pub
@@ -5719,6 +5767,7 @@ ROTATION: dict[str, int | None] = {
     "bpe_segment": None,  # new r13
     "unigram_segment": None,  # new r13
     "sitemap_frontier": None,  # new r13
+    "html_links": None,  # new r13
     "url_canonical": 12,  # new r12 — never driver-checked
     "robots_gate": 12,  # new r12 — never driver-checked
     "blocklist_hits": 12,  # new r12 — never driver-checked
@@ -5885,6 +5934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment": q_bpe_segment,
         "unigram_segment": q_unigram_segment,
         "sitemap_frontier": q_sitemap_frontier,
+        "html_links": q_html_links,
         "url_canonical": q_url_canonical,
         "robots_gate": q_robots_gate,
         "blocklist_hits": q_blocklist_hits,
@@ -8404,6 +8454,66 @@ def oracle_sql() -> dict[str, str]:
                    (1 + doc_id % 3)::INT AS n_pages,
                    text
             FROM documents
+        """,
+        "html_links": """
+            -- every anchor's expected strings written per branch:
+            -- positions count PRE-FILTER anchors (mailto at 5 is
+            -- extracted but not fetchable), doc_id%4==1 pages carry a
+            -- <base href="/rebase/"> that re-roots resolution, and
+            -- canonical must sort the entity-decoded query and drop
+            -- the fragment
+            WITH d AS (
+              SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+                     CAST(doc_id % 5 AS VARCHAR) AS m5,
+                     (doc_id % 4 = 1) AS rebased
+              FROM documents
+            ), p(link_pos) AS (VALUES (0),(1),(2),(3),(4),(6))
+            SELECT d.doc_id,
+              CAST(p.link_pos AS INT) AS link_pos,
+              CASE p.link_pos
+                WHEN 0 THEN 'g1-' || s || '.html'
+                WHEN 1 THEN '../up/x?b=2&a=1'
+                WHEN 2 THEN '//cdn.ex.org/lib.js'
+                WHEN 3 THEN '/abs/p' || s
+                WHEN 4 THEN 'u5.html'
+                ELSE '#f' || s END AS href,
+              CASE p.link_pos
+                WHEN 0 THEN CASE WHEN rebased
+                  THEN 'https://ex.org/rebase/g1-' || s || '.html'
+                  ELSE 'https://ex.org/s' || m5 || '/dir/g1-' || s
+                       || '.html' END
+                WHEN 1 THEN CASE WHEN rebased
+                  THEN 'https://ex.org/up/x?b=2&a=1'
+                  ELSE 'https://ex.org/s' || m5 || '/up/x?b=2&a=1' END
+                WHEN 2 THEN 'https://cdn.ex.org/lib.js'
+                WHEN 3 THEN 'https://ex.org/abs/p' || s
+                WHEN 4 THEN CASE WHEN rebased
+                  THEN 'https://ex.org/rebase/u5.html'
+                  ELSE 'https://ex.org/s' || m5 || '/dir/u5.html' END
+                ELSE CASE WHEN rebased
+                  THEN 'https://ex.org/rebase/#f' || s
+                  ELSE 'https://ex.org/s' || m5 || '/dir/page.html#f'
+                       || s END
+              END AS resolved,
+              CASE p.link_pos
+                WHEN 0 THEN CASE WHEN rebased
+                  THEN 'https://ex.org/rebase/g1-' || s || '.html'
+                  ELSE 'https://ex.org/s' || m5 || '/dir/g1-' || s
+                       || '.html' END
+                WHEN 1 THEN CASE WHEN rebased
+                  THEN 'https://ex.org/up/x?a=1&b=2'
+                  ELSE 'https://ex.org/s' || m5 || '/up/x?a=1&b=2' END
+                WHEN 2 THEN 'https://cdn.ex.org/lib.js'
+                WHEN 3 THEN 'https://ex.org/abs/p' || s
+                WHEN 4 THEN CASE WHEN rebased
+                  THEN 'https://ex.org/rebase/u5.html'
+                  ELSE 'https://ex.org/s' || m5 || '/dir/u5.html' END
+                ELSE CASE WHEN rebased
+                  THEN 'https://ex.org/rebase/'
+                  ELSE 'https://ex.org/s' || m5 || '/dir/page.html'
+                END
+              END AS canonical
+            FROM d CROSS JOIN p
         """,
         "sitemap_frontier": """
             -- every admission-stage verdict written per branch:

@@ -284,3 +284,102 @@ def extract_text_from_bytes(
             yield pdf
 
     return df.mapInPandas(fn, schema)
+
+
+# ---------------------------------------------------------------------------
+# link extraction — the step that closes the crawl loop: fetched page →
+# anchors → RFC 3986 resolution against the page URL (honoring an HTML
+# <base href>) → canonical frontier keys.  Extraction is lenient
+# crawl-grade regex work (same stance as the text extractor above);
+# resolution delegates to functions/url.py's spec-exact resolver.
+# ---------------------------------------------------------------------------
+
+_HREF_RE = re.compile(
+    r"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
+    re.IGNORECASE | re.DOTALL,
+)
+_BASE_RE = re.compile(
+    r"""<base\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
+    re.IGNORECASE,
+)
+
+
+def _attr_value(groups: tuple) -> str:
+    v = next(g for g in groups if g is not None)
+    # entity-decode attribute values: '&amp;' inside hrefs is the
+    # single most common encoding in real markup
+    return _ENT_RE.sub(_decode_entity, v).strip()
+
+
+def extract_links(
+    html: str, base_url: str | None = None, *,
+    fetchable_only: bool = True,
+) -> list[tuple[int, str, str]]:
+    """``(position, href, resolved)`` per anchor, in document order.
+    ``position`` counts EVERY extracted anchor (pre-filter), so it is
+    stable under ``fetchable_only``.  The resolution base is the
+    first ``<base href>`` (itself resolved against ``base_url``, per
+    HTML) when present, else ``base_url``; with no base at all the
+    href comes back unresolved.  ``fetchable_only`` keeps http(s)
+    results only — mailto:/javascript:/data: links are real anchors
+    but never frontier candidates."""
+    from metrics_advisor_spark.functions.url import resolve_reference
+
+    base = base_url
+    bm = _BASE_RE.search(html)
+    if bm is not None:
+        declared = _attr_value(bm.groups())
+        base = (resolve_reference(base_url, declared)
+                if base_url else declared)
+    out: list[tuple[int, str, str]] = []
+    for pos, m in enumerate(_HREF_RE.finditer(html)):
+        href = _attr_value(m.groups())
+        resolved = resolve_reference(base, href) if base else href
+        if fetchable_only and not resolved.startswith(
+                ("http://", "https://")):
+            continue
+        out.append((pos, href, resolved))
+    return out
+
+
+def html_links(
+    df: DataFrame, url_col: str = "url", html_col: str = "html",
+    id_col: str = "doc_id", *, fetchable_only: bool = True,
+    canonical: bool = True,
+) -> DataFrame:
+    """Exploded link table: one row per extracted anchor —
+    ``(doc_id, link_pos, href, resolved[, canonical])``.  One
+    mapInPandas pass, no shuffle: each task explodes its own split's
+    pages (the 100 TB shape — output grain is bounded by the pages a
+    task already holds).  ``canonical`` appends
+    `canonicalize_url(resolved)`, the frontier dedup key."""
+    from metrics_advisor_spark.functions.url import canonicalize_url
+
+    schema = f"{id_col} long, link_pos int, href string, resolved string"
+    if canonical:
+        schema += ", canonical string"
+
+    def fn(batches):
+        for pdf in batches:
+            ids, poss, hrefs, ress, cans = [], [], [], [], []
+            for i in range(len(pdf)):
+                page = pdf[html_col].iloc[i]
+                if page is None:
+                    continue
+                base = pdf[url_col].iloc[i]
+                for pos, href, res in extract_links(
+                        page, base, fetchable_only=fetchable_only):
+                    ids.append(pdf[id_col].iloc[i])
+                    poss.append(pos)
+                    hrefs.append(href)
+                    ress.append(res)
+                    if canonical:
+                        cans.append(canonicalize_url(res))
+            out = {id_col: pd.Series(ids, dtype="int64"),
+                   "link_pos": pd.Series(poss, dtype="int32"),
+                   "href": hrefs, "resolved": ress}
+            if canonical:
+                out["canonical"] = cans
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, url_col, html_col).mapInPandas(fn, schema)

@@ -80,6 +80,76 @@ def _remove_dot_segments(path: str) -> str:
     return res
 
 
+def resolve_reference(base: str, ref: str) -> str:
+    """RFC 3986 §5.2 reference resolution — the step between link
+    extraction and frontier admission: every href in a crawled page
+    is a URI-reference that must be resolved against the page URL
+    before it can be canonicalized, deduplicated, or fetched.
+
+    Implements the §5.2.2 transform-references algorithm exactly:
+    scheme-carrying refs replace everything; protocol-relative
+    (``//host/p``) refs take the base scheme; absolute-path refs take
+    the base authority; relative-path refs merge against the base
+    path (§5.2.3) with §5.2.4 dot-segment removal; empty refs (and
+    pure ``#frag`` refs) return the base (with the base query kept,
+    per the ``defined`` rules).  The fragment always comes from the
+    ref and is KEPT here — deciding to drop it is
+    `canonicalize_url`'s job, and the two compose:
+    ``canonicalize_url(resolve_reference(base, href))`` is the crawl
+    frontier key.  Bounded leniency: an empty ``?`` query is treated
+    as undefined, and a malformed base or ref (bad IPv6 authority)
+    returns the ref untouched rather than guessing."""
+    try:
+        r = urlsplit(ref)
+        b = urlsplit(base)
+        _ = r.port, b.port  # force port validation
+    except ValueError:
+        return ref
+
+    def recompose(scheme, netloc, path, query, frag):
+        out = ""
+        if scheme:
+            out += scheme + ":"
+        if netloc or (scheme and path.startswith("//")):
+            out += "//" + netloc
+        out += path
+        if query:
+            out += "?" + query
+        if frag:
+            out += "#" + frag
+        return out
+
+    if r.scheme:
+        return recompose(
+            r.scheme.lower(), r.netloc,
+            _remove_dot_segments(r.path), r.query, r.fragment,
+        )
+    if r.netloc:  # protocol-relative
+        return recompose(
+            b.scheme.lower(), r.netloc,
+            _remove_dot_segments(r.path), r.query, r.fragment,
+        )
+    if not r.path:
+        query = r.query if r.query else b.query
+        return recompose(
+            b.scheme.lower(), b.netloc, b.path, query, r.fragment,
+        )
+    if r.path.startswith("/"):
+        path = _remove_dot_segments(r.path)
+    else:
+        # §5.2.3 merge: a base WITH an authority and an empty path
+        # merges onto "/"; otherwise everything up to the base path's
+        # last "/" (inclusive)
+        if b.netloc and not b.path:
+            merged = "/" + r.path
+        else:
+            merged = b.path[:b.path.rfind("/") + 1] + r.path
+        path = _remove_dot_segments(merged)
+    return recompose(
+        b.scheme.lower(), b.netloc, path, r.query, r.fragment,
+    )
+
+
 def canonicalize_url(url: str, *, strip_tracking: bool = False) -> str:
     """Canonical form of ``url`` per the module rules; relative or
     schemeless input comes back percent/dot-normalized but otherwise

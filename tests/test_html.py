@@ -201,3 +201,63 @@ def test_utf16_bom_not_in_output():
     assert enc.startswith("utf-16")
     assert not text.startswith("\ufeff")
     assert text == "<p>hi</p>"
+
+
+def test_extract_links():
+    from metrics_advisor_spark.functions.html import extract_links
+
+    html = (
+        '<html><body><A HREF="g1.html">a</A>'
+        '<a href="../up/x?b=2&amp;a=1">b</a>'
+        "<a href='/abs'>c</a>"
+        "<a rel=nofollow href=plain.html>d</a>"
+        '<a href="mailto:x@y.example">e</a>'
+        '<a href="javascript:void(0)">f</a>'
+        '<a href="#top">g</a>'
+        "<a name=anchor-without-href>h</a></body></html>"
+    )
+    base = "https://ex.org/s/dir/page.html"
+    got = extract_links(html, base)
+    # positions count every extracted anchor; mailto/js filtered
+    assert got == [
+        (0, "g1.html", "https://ex.org/s/dir/g1.html"),
+        (1, "../up/x?b=2&a=1", "https://ex.org/s/up/x?b=2&a=1"),
+        (2, "/abs", "https://ex.org/abs"),
+        (3, "plain.html", "https://ex.org/s/dir/plain.html"),
+        (6, "#top", "https://ex.org/s/dir/page.html#top"),
+    ]
+    # unfiltered keeps every anchor
+    assert len(extract_links(html, base, fetchable_only=False)) == 7
+    # <base href> re-roots resolution (itself resolved against base)
+    rebased = '<base href="../rb/">' + html
+    assert extract_links(rebased, base)[0] == (
+        0, "g1.html", "https://ex.org/s/rb/g1.html",
+    )
+    # no base at all: hrefs come back unresolved, http(s) only
+    loose = extract_links(html, None)
+    assert loose == []
+    absd = extract_links(
+        '<a href="https://k.example/z">k</a>', None,
+    )
+    assert absd == [(0, "https://k.example/z", "https://k.example/z")]
+
+
+def test_html_links_spark(spark):
+    from metrics_advisor_spark.functions.html import html_links
+
+    rows = [
+        (1, "https://ex.org/d/p.html",
+         '<a href="x.html">x</a><a href="?b=2&amp;a=1">q</a>'),
+        (2, "https://ex.org/d/p.html", None),
+        (3, "https://ex.org/d/p.html", "<p>no links</p>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    got = sorted(
+        (r["doc_id"], r["link_pos"], r["resolved"], r["canonical"])
+        for r in html_links(df).collect()
+    )
+    assert got == [
+        (1, 0, "https://ex.org/d/x.html", "https://ex.org/d/x.html"),
+        (1, 1, "https://ex.org/d/p.html?b=2&a=1",
+         "https://ex.org/d/p.html?a=1&b=2"),
+    ]

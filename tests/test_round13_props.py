@@ -245,3 +245,24 @@ def test_pdf_cid_tounicode_prop(s):
     text = " ".join(s.split(" "))
     got = pdf_text(encode_pdf(text, cid=True))[1]
     assert got.replace("\n", " ") == text
+
+
+@PROP
+@given(
+    st.lists(st.sampled_from(["a", "b", "..", ".", "x1", "y2", ""]),
+             max_size=6),
+    st.booleans(), st.booleans(),
+)
+def test_resolve_reference_fixpoint_prop(segs, lead_slash, query):
+    # resolving an already-resolved URL is the identity (the §5.2.2
+    # scheme branch with dot segments removed is a fixed point), and
+    # every resolution against an http(s) base yields an http(s) URL
+    from metrics_advisor_spark.functions.url import resolve_reference
+
+    ref = ("/" if lead_slash else "") + "/".join(segs)
+    if query:
+        ref += "?b=1&a=2"
+    base = "https://h.example/p/q/r.html?z=0"
+    r1 = resolve_reference(base, ref)
+    assert r1.startswith("https://")
+    assert resolve_reference(base, r1) == r1

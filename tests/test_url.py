@@ -113,3 +113,54 @@ def test_no_authority_idempotent():
         c1 = canonicalize_url(u)
         assert canonicalize_url(c1) == c1
     assert canonicalize_url("http:foo") == "http:foo"
+
+
+def test_resolve_reference_rfc_examples():
+    # the COMPLETE published example set: RFC 3986 §5.4.1 (normal) and
+    # §5.4.2 (abnormal, incl. strict-mode 'http:g'), base §5.4
+    from metrics_advisor_spark.functions.url import resolve_reference
+
+    base = "http://a/b/c/d;p?q"
+    cases = {
+        "g:h": "g:h", "g": "http://a/b/c/g", "./g": "http://a/b/c/g",
+        "g/": "http://a/b/c/g/", "/g": "http://a/g", "//g": "http://g",
+        "?y": "http://a/b/c/d;p?y", "g?y": "http://a/b/c/g?y",
+        "#s": "http://a/b/c/d;p?q#s", "g#s": "http://a/b/c/g#s",
+        "g?y#s": "http://a/b/c/g?y#s", ";x": "http://a/b/c/;x",
+        "g;x": "http://a/b/c/g;x", "g;x?y#s": "http://a/b/c/g;x?y#s",
+        "": "http://a/b/c/d;p?q", ".": "http://a/b/c/",
+        "./": "http://a/b/c/", "..": "http://a/b/", "../": "http://a/b/",
+        "../g": "http://a/b/g", "../..": "http://a/",
+        "../../": "http://a/", "../../g": "http://a/g",
+        "../../../g": "http://a/g", "../../../../g": "http://a/g",
+        "/./g": "http://a/g", "/../g": "http://a/g",
+        "g.": "http://a/b/c/g.", ".g": "http://a/b/c/.g",
+        "g..": "http://a/b/c/g..", "..g": "http://a/b/c/..g",
+        "./../g": "http://a/b/g", "./g/.": "http://a/b/c/g/",
+        "g/./h": "http://a/b/c/g/h", "g/../h": "http://a/b/c/h",
+        "g;x=1/./y": "http://a/b/c/g;x=1/y",
+        "g;x=1/../y": "http://a/b/c/y",
+        "http:g": "http:g",
+    }
+    for ref, want in cases.items():
+        assert resolve_reference(base, ref) == want, ref
+
+
+def test_resolve_reference_edges():
+    from metrics_advisor_spark.functions.url import resolve_reference
+
+    # authority-with-empty-path base merges onto '/'
+    assert resolve_reference("http://h", "x/y") == "http://h/x/y"
+    # protocol-relative keeps ref authority, takes base scheme
+    assert resolve_reference("https://a/b", "//cdn/z") == "https://cdn/z"
+    # empty ref keeps the base query; '?y' replaces it
+    assert resolve_reference("http://h/p?q=1", "") == "http://h/p?q=1"
+    assert resolve_reference("http://h/p?q=1", "?y") == "http://h/p?y"
+    # malformed ref authority: leniency, ref returned untouched
+    bad = "http://[::bad/x"
+    assert resolve_reference("http://h/p", bad) == bad
+    # composes with canonicalization into the frontier key
+    got = canonicalize_url(
+        resolve_reference("HTTP://H/a/b/page", "../up?b=2&a=1#frag")
+    )
+    assert got == "http://h/a/up?a=1&b=2"
