@@ -1393,6 +1393,30 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP archive ingestion (r13 — the other container data drops
+    arrive in, completing the source family tar/WARC/ZIP).  Every
+    doc's text is wrapped into a GENUINE two-entry archive
+    (`sources/zip_archive.py: make_zip` — real local headers, central
+    directory, EOCD, raw-deflate members; stdlib zipfile reads the
+    output, cross-validated in tests/test_zip.py): ``doc_<id>.txt``
+    carries the text (deflate on odd ids, stored on even) and
+    ``meta/info-<id>.txt`` an analytic marker (deflate on id%3==0) —
+    then parsed back through the spec-following reader (EOCD backward
+    scan → central-directory walk → local headers → inflate + CRC-32
+    verify).  Text extraction must be the identity and
+    method/size/name analytic, so one hash jointly pins the encoder,
+    the directory arithmetic, both compression methods and the CRC
+    discipline — the `pdf_text_extract` pattern."""
+    from metrics_advisor_spark.sources.zip_archive import (
+        attach_zip_payload,
+        extract_zip_entries,
+    )
+
+    docs = _docs(spark, sf_dir, fanout=False).select("doc_id", "text")
+    return extract_zip_entries(attach_zip_payload(docs))
+
+
 _BPE_SEGMENT_RULES = [
     (1, "s", "c"), (2, "sc", "a"), (3, "sca", "n"), (4, "t", "a"),
     (5, "a", "b"), (6, "e", "r"), (7, "er", "g"), (8, "o", "w"),
@@ -5768,6 +5792,7 @@ ROTATION: dict[str, int | None] = {
     "unigram_segment": None,  # new r13
     "sitemap_frontier": None,  # new r13
     "html_links": None,  # new r13
+    "zip_extract": None,  # new r13
     "url_canonical": 12,  # new r12 — never driver-checked
     "robots_gate": 12,  # new r12 — never driver-checked
     "blocklist_hits": 12,  # new r12 — never driver-checked
@@ -5935,6 +5960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_segment": q_unigram_segment,
         "sitemap_frontier": q_sitemap_frontier,
         "html_links": q_html_links,
+        "zip_extract": q_zip_extract,
         "url_canonical": q_url_canonical,
         "robots_gate": q_robots_gate,
         "blocklist_hits": q_blocklist_hits,
@@ -8453,6 +8479,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    (1 + doc_id % 3)::INT AS n_pages,
                    text
+            FROM documents
+        """,
+        "zip_extract": """
+            -- text -> genuine ZIP (two entries per doc: the text and
+            -- an analytic marker; deflate/stored by residue) ->
+            -- spec parse (EOCD scan, central-directory walk, inflate
+            -- + CRC-32) -> text must be the identity, method / size /
+            -- entry name analytic.  documents text is ASCII-clean at
+            -- all three sf, so strlen (bytes) == the stored size.
+            SELECT doc_id,
+                   'doc_' || doc_id || '.txt' AS entry_name,
+                   CASE WHEN doc_id % 2 = 1 THEN 'deflate'
+                        ELSE 'stored' END AS method,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   text
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   'meta/info-' || doc_id || '.txt',
+                   CASE WHEN doc_id % 3 = 0 THEN 'deflate'
+                        ELSE 'stored' END,
+                   CAST(strlen('id=' || doc_id) AS BIGINT),
+                   'id=' || doc_id
             FROM documents
         """,
         "html_links": """

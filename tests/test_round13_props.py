@@ -266,3 +266,31 @@ def test_resolve_reference_fixpoint_prop(segs, lead_slash, query):
     r1 = resolve_reference(base, ref)
     assert r1.startswith("https://")
     assert resolve_reference(base, r1) == r1
+
+
+@PROP
+@given(st.lists(
+    st.tuples(
+        st.text(alphabet="abcdefghij/._-", min_size=1, max_size=20),
+        st.binary(max_size=400),
+        st.sampled_from(["stored", "deflate"]),
+    ),
+    min_size=1, max_size=8,
+    unique_by=lambda e: e[0],
+))
+def test_zip_roundtrip_vs_stdlib_prop(entries):
+    # our parse inverts our encode AND stdlib zipfile agrees on both
+    import io
+    import zipfile
+
+    from metrics_advisor_spark.sources.zip_archive import (
+        iter_zip_entries,
+        make_zip,
+    )
+
+    names = [(n, p) for n, p, _ in entries]
+    z = make_zip(names, methods=[m for _, _, m in entries])
+    assert [(n, p) for n, _, _, p in iter_zip_entries(z)] == names
+    zf = zipfile.ZipFile(io.BytesIO(z))
+    assert [(i.filename, zf.read(i)) for i in zf.infolist()] == names
+    assert zf.testzip() is None
