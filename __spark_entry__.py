@@ -1632,7 +1632,7 @@ def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = d.cast("string")
     m5 = (d % 5).cast("string")
     base_url = F.concat(
-        F.lit("https://ex.org/s"), m5, F.lit("/dir/page.html")
+        F.lit("https://example.org/s"), m5, F.lit("/dir/page.html")
     )
     base_tag = F.when(
         d % 4 == 1, F.lit('<base href="/rebase/">')
@@ -1641,10 +1641,10 @@ def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("<html><head>"), base_tag, F.lit("</head><body>"),
         F.lit('<a class=x href="g1-'), s, F.lit('.html">one</a>'),
         F.lit('<a href="../up/x?b=2&amp;a=1">two</a>'),
-        F.lit('<a href="//cdn.ex.org/lib.js">three</a>'),
+        F.lit('<a href="//cdn.example.org/lib.js">three</a>'),
         F.lit("<a href='/abs/p"), s, F.lit("'>four</a>"),
         F.lit("<a href=u5.html>five</a>"),
-        F.lit('<a href="mailto:x@ex.org">mail</a>'),
+        F.lit('<a href="mailto:x@example.org">mail</a>'),
         F.lit('<a href="#f'), s, F.lit('">self</a>'),
         F.lit("</body></html>"),
     )
@@ -8522,44 +8522,44 @@ def oracle_sql() -> dict[str, str]:
               CASE p.link_pos
                 WHEN 0 THEN 'g1-' || s || '.html'
                 WHEN 1 THEN '../up/x?b=2&a=1'
-                WHEN 2 THEN '//cdn.ex.org/lib.js'
+                WHEN 2 THEN '//cdn.example.org/lib.js'
                 WHEN 3 THEN '/abs/p' || s
                 WHEN 4 THEN 'u5.html'
                 ELSE '#f' || s END AS href,
               CASE p.link_pos
                 WHEN 0 THEN CASE WHEN rebased
-                  THEN 'https://ex.org/rebase/g1-' || s || '.html'
-                  ELSE 'https://ex.org/s' || m5 || '/dir/g1-' || s
+                  THEN 'https://example.org/rebase/g1-' || s || '.html'
+                  ELSE 'https://example.org/s' || m5 || '/dir/g1-' || s
                        || '.html' END
                 WHEN 1 THEN CASE WHEN rebased
-                  THEN 'https://ex.org/up/x?b=2&a=1'
-                  ELSE 'https://ex.org/s' || m5 || '/up/x?b=2&a=1' END
-                WHEN 2 THEN 'https://cdn.ex.org/lib.js'
-                WHEN 3 THEN 'https://ex.org/abs/p' || s
+                  THEN 'https://example.org/up/x?b=2&a=1'
+                  ELSE 'https://example.org/s' || m5 || '/up/x?b=2&a=1' END
+                WHEN 2 THEN 'https://cdn.example.org/lib.js'
+                WHEN 3 THEN 'https://example.org/abs/p' || s
                 WHEN 4 THEN CASE WHEN rebased
-                  THEN 'https://ex.org/rebase/u5.html'
-                  ELSE 'https://ex.org/s' || m5 || '/dir/u5.html' END
+                  THEN 'https://example.org/rebase/u5.html'
+                  ELSE 'https://example.org/s' || m5 || '/dir/u5.html' END
                 ELSE CASE WHEN rebased
-                  THEN 'https://ex.org/rebase/#f' || s
-                  ELSE 'https://ex.org/s' || m5 || '/dir/page.html#f'
+                  THEN 'https://example.org/rebase/#f' || s
+                  ELSE 'https://example.org/s' || m5 || '/dir/page.html#f'
                        || s END
               END AS resolved,
               CASE p.link_pos
                 WHEN 0 THEN CASE WHEN rebased
-                  THEN 'https://ex.org/rebase/g1-' || s || '.html'
-                  ELSE 'https://ex.org/s' || m5 || '/dir/g1-' || s
+                  THEN 'https://example.org/rebase/g1-' || s || '.html'
+                  ELSE 'https://example.org/s' || m5 || '/dir/g1-' || s
                        || '.html' END
                 WHEN 1 THEN CASE WHEN rebased
-                  THEN 'https://ex.org/up/x?a=1&b=2'
-                  ELSE 'https://ex.org/s' || m5 || '/up/x?a=1&b=2' END
-                WHEN 2 THEN 'https://cdn.ex.org/lib.js'
-                WHEN 3 THEN 'https://ex.org/abs/p' || s
+                  THEN 'https://example.org/up/x?a=1&b=2'
+                  ELSE 'https://example.org/s' || m5 || '/up/x?a=1&b=2' END
+                WHEN 2 THEN 'https://cdn.example.org/lib.js'
+                WHEN 3 THEN 'https://example.org/abs/p' || s
                 WHEN 4 THEN CASE WHEN rebased
-                  THEN 'https://ex.org/rebase/u5.html'
-                  ELSE 'https://ex.org/s' || m5 || '/dir/u5.html' END
+                  THEN 'https://example.org/rebase/u5.html'
+                  ELSE 'https://example.org/s' || m5 || '/dir/u5.html' END
                 ELSE CASE WHEN rebased
-                  THEN 'https://ex.org/rebase/'
-                  ELSE 'https://ex.org/s' || m5 || '/dir/page.html'
+                  THEN 'https://example.org/rebase/'
+                  ELSE 'https://example.org/s' || m5 || '/dir/page.html'
                 END
               END AS canonical
             FROM d CROSS JOIN p

@@ -78,6 +78,12 @@ FAMILIES = {
         "pdf_text_extract", "sitemap_frontier", "lang_id",
         "lang_confusion", "bpe_segment", "unigram_segment",
     ],
+    # r13 continuation: link explosion (fixture pages ~constant size
+    # → output ~6 rows/doc, linear) and container parse (two entries
+    # per doc, per-payload CPU, no shuffle)
+    "crawl2": [
+        "html_links", "zip_extract", "pdf_text_extract",
+    ],
 }
 
 

@@ -216,22 +216,22 @@ def test_extract_links():
         '<a href="#top">g</a>'
         "<a name=anchor-without-href>h</a></body></html>"
     )
-    base = "https://ex.org/s/dir/page.html"
+    base = "https://example.org/s/dir/page.html"
     got = extract_links(html, base)
     # positions count every extracted anchor; mailto/js filtered
     assert got == [
-        (0, "g1.html", "https://ex.org/s/dir/g1.html"),
-        (1, "../up/x?b=2&a=1", "https://ex.org/s/up/x?b=2&a=1"),
-        (2, "/abs", "https://ex.org/abs"),
-        (3, "plain.html", "https://ex.org/s/dir/plain.html"),
-        (6, "#top", "https://ex.org/s/dir/page.html#top"),
+        (0, "g1.html", "https://example.org/s/dir/g1.html"),
+        (1, "../up/x?b=2&a=1", "https://example.org/s/up/x?b=2&a=1"),
+        (2, "/abs", "https://example.org/abs"),
+        (3, "plain.html", "https://example.org/s/dir/plain.html"),
+        (6, "#top", "https://example.org/s/dir/page.html#top"),
     ]
     # unfiltered keeps every anchor
     assert len(extract_links(html, base, fetchable_only=False)) == 7
     # <base href> re-roots resolution (itself resolved against base)
     rebased = '<base href="../rb/">' + html
     assert extract_links(rebased, base)[0] == (
-        0, "g1.html", "https://ex.org/s/rb/g1.html",
+        0, "g1.html", "https://example.org/s/rb/g1.html",
     )
     # no base at all: hrefs come back unresolved, http(s) only
     loose = extract_links(html, None)
@@ -246,10 +246,10 @@ def test_html_links_spark(spark):
     from metrics_advisor_spark.functions.html import html_links
 
     rows = [
-        (1, "https://ex.org/d/p.html",
+        (1, "https://example.org/d/p.html",
          '<a href="x.html">x</a><a href="?b=2&amp;a=1">q</a>'),
-        (2, "https://ex.org/d/p.html", None),
-        (3, "https://ex.org/d/p.html", "<p>no links</p>"),
+        (2, "https://example.org/d/p.html", None),
+        (3, "https://example.org/d/p.html", "<p>no links</p>"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string, html string")
     got = sorted(
@@ -257,7 +257,7 @@ def test_html_links_spark(spark):
         for r in html_links(df).collect()
     )
     assert got == [
-        (1, 0, "https://ex.org/d/x.html", "https://ex.org/d/x.html"),
-        (1, 1, "https://ex.org/d/p.html?b=2&a=1",
-         "https://ex.org/d/p.html?a=1&b=2"),
+        (1, 0, "https://example.org/d/x.html", "https://example.org/d/x.html"),
+        (1, 1, "https://example.org/d/p.html?b=2&a=1",
+         "https://example.org/d/p.html?a=1&b=2"),
     ]
