@@ -9,8 +9,10 @@ content-level operator:
 
   sitemap frontier (robots + known-URL pre-gate) →
   WARC records → HTTP responses (status gate) → robots.txt gate →
-  canonical-URL dedup → HTML/PDF→text extraction → quality/dedup via the
-  fluent Corpus API
+  canonical-URL dedup → link extraction → next-wave frontier
+  (the crawl LOOP: discovered links minus already-fetched, r13) →
+  HTML/PDF/ZIP→text extraction → quality/dedup via the fluent
+  Corpus API
 
 Prints the surviving doc count at each stage.
 """
@@ -25,7 +27,7 @@ from pyspark.sql.window import Window
 
 from metrics_advisor_spark import get_spark
 from metrics_advisor_spark.functions import Corpus
-from metrics_advisor_spark.functions.html import extract_text
+from metrics_advisor_spark.functions.html import extract_text, html_links
 from metrics_advisor_spark.functions.robots import robots_gate
 from metrics_advisor_spark.functions.pdf import (
     attach_pdf_payload,
@@ -39,6 +41,10 @@ from metrics_advisor_spark.functions.url import canonical_urls
 from metrics_advisor_spark.sources.warc import (
     attach_warc_payload,
     warc_records_df,
+)
+from metrics_advisor_spark.sources.zip_archive import (
+    attach_zip_payload,
+    extract_zip_entries,
 )
 
 ROBOTS = """User-agent: *
@@ -96,6 +102,33 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     ).filter("rn = 1")
     print(f"{'url-dedup':16s} {first.count():6d}")
 
+    # 4b. link extraction → next-wave frontier (r13: the stage that
+    # makes a crawler a CRAWLER — each fetched page's anchors resolve
+    # against the page URL, canonicalize, and whatever is not already
+    # fetched joins the next frontier wave).  The fixture bodies carry
+    # no anchors, so plant two per page: one self-link (dropped by the
+    # anti-join) and one genuinely new URL.
+    pages = first.select(
+        F.col("archive").cast("long").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.concat(
+            F.lit('<a href="/doc/'),
+            F.col("archive").cast("string"),
+            F.lit('">self</a><a href="../next/n'),
+            F.col("archive").cast("string"),
+            F.lit('?b=2&amp;a=1">new</a>'),
+        ).alias("html"),
+    )
+    links = html_links(pages)
+    fetched = canon.select(F.col("canonical").alias("known")).distinct()
+    next_wave = (
+        links.select("canonical").distinct()
+        .join(fetched, F.col("canonical") == F.col("known"),
+              "left_anti")
+    )
+    print(f"{'links-extracted':16s} {links.count():6d}")
+    print(f"{'next-frontier':16s} {next_wave.count():6d}")
+
     # 5. HTML→text (pure-Catalyst JVM chain) then content pipeline
     text = extract_text(
         first.select(
@@ -115,6 +148,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     print(f"{'pdf-extracted':16s} {pdf_docs.count():6d}")
     text = text.filter(F.col("doc_id") % 10 != 7).unionByName(pdf_docs)
+
+    # 5c. ZIP sidecar (r13): dataset drops arrive as archives — wrap
+    # another slice into genuine two-entry ZIPs and pull the text
+    # entries back out through the spec parser (same text table)
+    zip_slice = text.filter(F.col("doc_id") % 10 == 3)
+    zip_docs = (
+        extract_zip_entries(attach_zip_payload(zip_slice))
+        .filter(F.col("entry_name").startswith("doc_"))
+        .select("doc_id", "text")
+    )
+    print(f"{'zip-extracted':16s} {zip_docs.count():6d}")
+    text = text.filter(F.col("doc_id") % 10 != 3).unionByName(zip_docs)
 
     c = Corpus(text)
     stages = [
