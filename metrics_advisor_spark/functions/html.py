@@ -294,12 +294,15 @@ def extract_text_from_bytes(
 # resolution delegates to functions/url.py's spec-exact resolver.
 # ---------------------------------------------------------------------------
 
+# (?<![\w-]) keeps 'data-href'/'xhref' attributes from matching —
+# '\b' alone fails because '-' is a non-word char and '-h' IS a
+# word boundary
 _HREF_RE = re.compile(
-    r"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
+    r"""<a\s[^>]*?(?<![\w-])href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
     re.IGNORECASE | re.DOTALL,
 )
 _BASE_RE = re.compile(
-    r"""<base\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
+    r"""<base\s[^>]*?(?<![\w-])href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
     re.IGNORECASE,
 )
 

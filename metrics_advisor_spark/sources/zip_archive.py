@@ -69,6 +69,8 @@ def _find_eocd(data: bytes) -> tuple[int, int, int, int]:
     idx = data.rfind(_EOCD_SIG, start)
     if idx < 0:
         raise ValueError("ZIP: end-of-central-directory not found")
+    if idx + 22 > len(data):
+        raise ValueError("ZIP: truncated EOCD record")
     (disk_num, cd_disk, n_disk, n_total, cd_size, cd_off,
      comment_len) = struct.unpack("<HHHHIIH", data[idx + 4:idx + 22])
     if idx + 22 + comment_len != len(data):
@@ -97,6 +99,8 @@ def iter_zip_entries(
             raise ValueError(
                 f"ZIP: bad central-directory signature at byte {pos}"
             )
+        if pos + 46 > len(data):
+            raise ValueError("ZIP: truncated central-directory entry")
         (_ver_made, _ver_need, flags, method, _t, _d, crc, csize,
          usize, nlen, elen, clen, disk, _iattr, _eattr,
          lho) = struct.unpack("<HHHHHHIIIHHHHHII", data[pos + 4:pos + 46])
@@ -124,6 +128,8 @@ def iter_zip_entries(
             raise ValueError(
                 f"ZIP: bad local-header signature at byte {lho}"
             )
+        if lho + 30 > len(data):
+            raise ValueError("ZIP: truncated local header")
         nlen2, elen2 = struct.unpack("<HH", data[lho + 26:lho + 30])
         if data[lho + 30:lho + 30 + nlen2] != raw_name:
             raise ValueError(

@@ -261,3 +261,21 @@ def test_html_links_spark(spark):
         (1, 1, "https://example.org/d/p.html?b=2&a=1",
          "https://example.org/d/p.html?a=1&b=2"),
     ]
+
+
+def test_extract_links_data_href_not_matched():
+    # review finding r13: '[^>]*?href' matched inside 'data-href'
+    from metrics_advisor_spark.functions.html import extract_links
+
+    html = (
+        '<a data-href="/fake">no real href</a>'
+        '<a data-href="/fake" href="/real">both</a>'
+        '<base data-href="/nope"><a href="rel.html">r</a>'
+    )
+    got = extract_links(html, "https://example.org/d/p.html")
+    # the data-href-only anchor is not an href-carrying anchor at all,
+    # so positions start at the first REAL href
+    assert got == [
+        (0, "/real", "https://example.org/real"),
+        (1, "rel.html", "https://example.org/d/rel.html"),
+    ]

@@ -170,3 +170,29 @@ def test_spark_wrappers_and_quarantine(spark):
     assert "EOCD" in rows[2]["error"]
     with pytest.raises(Exception):
         extract_zip_entries(bad).collect()
+
+
+def test_truncation_raises_valueerror_not_struct_error():
+    # review finding r13: truncated directory slices hit struct.error,
+    # which escapes the quarantine handler and kills the task
+    z = make_zip(_ENTRIES, methods=["stored"] * 3)
+    cen = z.index(b"PK\x01\x02")
+    eocd = z.rindex(b"PK\x05\x06")
+    # EOCD signature present but record cut short
+    _expect(z[:eocd + 10], "end-of-central-directory not found|"
+            "truncated EOCD|EOCD comment length mismatch")
+    # central-directory entry cut mid-struct: move the EOCD's cd_off
+    # to point just before the real directory END so the sig check
+    # passes but the 46-byte header cannot
+    short = z[:cen + 20] + z[eocd:]
+    short = _patch(short, short.rindex(b"PK\x05\x06") + 16,
+                   struct.pack("<I", cen))
+    with pytest.raises(ValueError):
+        list(iter_zip_entries(short))
+    # quarantine mode survives arbitrary truncations end-to-end
+    from metrics_advisor_spark.sources.zip_archive import (
+        iter_zip_entries as it,
+    )
+    for cut in (len(z) - 1, eocd + 5, cen + 30, 30, 3):
+        with pytest.raises(ValueError):
+            list(it(z[:cut]))
