@@ -432,3 +432,58 @@ def test_quarantine_mode(spark):
     assert "missing %PDF- header" in rows[2]["error"]
     with pytest.raises(Exception):
         extract_pdf_text(df).collect()
+
+
+def test_agl_table_vs_unicodedata():
+    # the bounded AGL table cross-checked against an INDEPENDENT
+    # source (unicodedata): accented-Latin names follow the
+    # letter+accent rule, punctuation/typographic names match their
+    # canonical Unicode character names
+    import unicodedata
+
+    from metrics_advisor_spark.functions.pdf import _AGL
+
+    accents = {
+        "grave": "GRAVE", "acute": "ACUTE",
+        "circumflex": "CIRCUMFLEX", "tilde": "TILDE",
+        "dieresis": "DIAERESIS", "ring": "RING ABOVE",
+        "cedilla": "CEDILLA",
+    }
+    n_accented = 0
+    for name, ch in _AGL.items():
+        for suffix, uni in accents.items():
+            if (len(name) > 1 and name[0].isalpha()
+                    and name[1:] == suffix and len(ch) == 1):
+                case = "CAPITAL" if name[0].isupper() else "SMALL"
+                assert unicodedata.name(ch) == (
+                    f"LATIN {case} LETTER {name[0].upper()} WITH {uni}"
+                ), name
+                n_accented += 1
+    assert n_accented >= 40  # the Latin-1 accent block is present
+    spot = {
+        "Euro": "EURO SIGN",
+        "germandbls": "LATIN SMALL LETTER SHARP S",
+        "AE": "LATIN CAPITAL LETTER AE",
+        "oe": "LATIN SMALL LIGATURE OE",
+        "Oslash": "LATIN CAPITAL LETTER O WITH STROKE",
+        "thorn": "LATIN SMALL LETTER THORN",
+        "Eth": "LATIN CAPITAL LETTER ETH",
+        "endash": "EN DASH", "emdash": "EM DASH",
+        "ellipsis": "HORIZONTAL ELLIPSIS",
+        "perthousand": "PER MILLE SIGN",
+        "florin": "LATIN SMALL LETTER F WITH HOOK",
+        "fraction": "FRACTION SLASH", "minus": "MINUS SIGN",
+        "quotesinglbase": "SINGLE LOW-9 QUOTATION MARK",
+        "guilsinglleft": "SINGLE LEFT-POINTING ANGLE QUOTATION MARK",
+        "guillemotleft": "LEFT-POINTING DOUBLE ANGLE QUOTATION MARK",
+        "mu": "MICRO SIGN",
+        "circumflex": "MODIFIER LETTER CIRCUMFLEX ACCENT",
+        "tilde": "SMALL TILDE",
+    }
+    for name, expect in spot.items():
+        assert unicodedata.name(_AGL[name]) == expect, name
+    # every single-letter name maps to itself
+    for c in "AZaz09":
+        pass
+    for c in "ABCxyz":
+        assert _AGL[c] == c
