@@ -48,16 +48,19 @@ def parse_robots(txt: str) -> dict:
     'sitemaps': [...]} — groups in file order; rule length is the
     RFC's specificity measure (octet length of the pattern)."""
     groups: list[tuple[list[str], list[tuple]]] = []
+    delays: list[float | None] = []  # per group, aligned with groups
     sitemaps: list[str] = []
     cur_uas: list[str] = []
     cur_rules: list[tuple] = []
+    cur_delay: float | None = None
     ua_open = False  # consecutive user-agent lines extend the group
 
     def flush():
-        nonlocal cur_uas, cur_rules
+        nonlocal cur_uas, cur_rules, cur_delay
         if cur_uas:
             groups.append((cur_uas, cur_rules))
-        cur_uas, cur_rules = [], []
+            delays.append(cur_delay)
+        cur_uas, cur_rules, cur_delay = [], [], None
 
     for raw in txt.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -86,9 +89,16 @@ def parse_robots(txt: str) -> dict:
                 (field, value, _rule_regex(value),
                  len(value.encode("utf-8")))
             )
-        # crawl-delay and unknown fields: ignored
+        elif field == "crawl-delay" and cur_uas:
+            # non-standard but ubiquitous politeness extension; a
+            # malformed value is ignored (lenient, like unknown fields)
+            try:
+                cur_delay = float(value)
+            except ValueError:
+                pass
+        # unknown fields: ignored
     flush()
-    return {"groups": groups, "sitemaps": sitemaps}
+    return {"groups": groups, "sitemaps": sitemaps, "delays": delays}
 
 
 def _ua_products(ua: str) -> list[str]:
@@ -113,30 +123,54 @@ def _tok_matches(tok: str, products: list[str]) -> bool:
     return any(p == tok or p.startswith(tok) for p in products)
 
 
-def _select_group(parsed: dict, ua: str):
-    """RFC 9309 §2.2.1–2.2.2: pick the most specific matching UA
-    token (longest group token that equals / prefixes one of the
-    client's product tokens, case-insensitive), `*` as fallback — and
-    MERGE the rules of EVERY group that matches at that specificity
-    (sites commonly split one logical group across the file; dropping
-    later groups silently un-disallows paths)."""
+def _matching_group_indices(parsed: dict, ua: str) -> list[int]:
+    """RFC 9309 §2.2.1–2.2.2: indices of EVERY group matching at the
+    best (longest-token) specificity; `*` groups as fallback."""
     products = _ua_products(ua)
     best_len = -1
     for tokens, _ in parsed["groups"]:
         for tok in tokens:
             if tok != "*" and tok and _tok_matches(tok, products):
                 best_len = max(best_len, len(tok))
-    merged: list[tuple] = []
     if best_len >= 0:
-        for tokens, rules in parsed["groups"]:
+        return [
+            i for i, (tokens, _) in enumerate(parsed["groups"])
             if any(tok != "*" and tok and len(tok) == best_len
-                   and _tok_matches(tok, products) for tok in tokens):
-                merged.extend(rules)
-        return merged
-    for tokens, rules in parsed["groups"]:
-        if "*" in tokens:
-            merged.extend(rules)
+                   and _tok_matches(tok, products) for tok in tokens)
+        ]
+    return [i for i, (tokens, _) in enumerate(parsed["groups"])
+            if "*" in tokens]
+
+
+def _select_group(parsed: dict, ua: str):
+    """Merged rules of every group matching at the best specificity
+    (sites commonly split one logical group across the file; dropping
+    later groups silently un-disallows paths — §2.2.2 combine)."""
+    merged: list[tuple] = []
+    for i in _matching_group_indices(parsed, ua):
+        merged.extend(parsed["groups"][i][1])
     return merged
+
+
+def crawl_delay(txt_or_parsed, ua: str = "*") -> float | None:
+    """The Crawl-delay (seconds) the selected UA group requests, or
+    None — the MAX across groups matching at the winning specificity
+    (conservative politeness when a logical group is split)."""
+    parsed = (txt_or_parsed if isinstance(txt_or_parsed, dict)
+              else parse_robots(txt_or_parsed))
+    ds = [parsed["delays"][i]
+          for i in _matching_group_indices(parsed, ua)
+          if parsed["delays"][i] is not None]
+    return max(ds) if ds else None
+
+
+def robots_sitemaps(txt_or_parsed) -> list[str]:
+    """Sitemap URLs advertised by the file (they live outside groups
+    and apply to every UA) — the discovery hook that feeds
+    `functions/sitemap.py`'s frontier-admission view."""
+    parsed = (txt_or_parsed if isinstance(txt_or_parsed, dict)
+              else parse_robots(txt_or_parsed))
+    return list(parsed["sitemaps"])
 
 
 def robots_allowed(txt_or_parsed, path: str, ua: str = "*") -> bool:

@@ -118,3 +118,42 @@ def test_ua_product_token_matching():
     assert robots_allowed(txt, "/x", ua="Mozilla/5.0 bot/1.1") is False
     g = "User-agent: googlebot\nDisallow: /g\n"
     assert robots_allowed(g, "/g/x", ua="googlebot-news/1.0") is False
+
+
+def test_crawl_delay_and_sitemaps():
+    from metrics_advisor_spark.functions.robots import (
+        crawl_delay,
+        robots_sitemaps,
+    )
+
+    txt = """
+Sitemap: https://example.org/sitemap-a.xml
+User-agent: *
+Crawl-delay: 1
+Disallow: /x
+
+User-agent: fastbot
+Disallow: /y
+
+User-agent: slowbot
+Crawl-delay: 10.5
+Disallow: /z
+
+User-agent: slowbot
+Crawl-delay: 3
+Sitemap: https://example.org/sitemap-b.xml
+"""
+    # sitemaps collect file-wide regardless of position
+    assert robots_sitemaps(txt) == [
+        "https://example.org/sitemap-a.xml",
+        "https://example.org/sitemap-b.xml",
+    ]
+    # UA-specific group wins over *, max across split groups
+    assert crawl_delay(txt, "slowbot/2.0") == 10.5
+    # matching group declares no delay: None, not the * fallback
+    assert crawl_delay(txt, "fastbot") is None
+    # * fallback for unknown agents
+    assert crawl_delay(txt, "otherbot") == 1.0
+    # malformed value ignored
+    assert crawl_delay("User-agent: *\nCrawl-delay: soon\n") is None
+    assert crawl_delay("User-agent: *\nDisallow: /a\n") is None
