@@ -355,3 +355,53 @@ def warc_records_df(
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(fn, RECORD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WET — Common Crawl's extracted-text sidecar format.  A WET file IS a
+# WARC file whose content records are `WARC-Type: conversion` with a
+# text/plain payload (the crawl's own HTML→text pass) plus a leading
+# warcinfo; for text-only pipelines, reading WET skips the HTML parse
+# entirely.  Same record walk, same per-record-gzip convention.
+# ---------------------------------------------------------------------------
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WET scan → (archive, target_uri, warc_date, text):
+    the conversion records only, payloads decoded as UTF-8 (the WET
+    convention; undecodable bytes are replaced, never fatal — WET text
+    is already a lossy extraction)."""
+    recs = read_warc(spark, path)
+    from pyspark.sql import functions as F
+
+    conv = recs.filter(F.col("warc_type") == "conversion")
+    return conv.select(
+        "archive", "target_uri", "warc_date",
+        F.decode(F.col("body"), "UTF-8").alias("text"),
+    )
+
+
+def make_wet(
+    doc_rows: list[tuple[int, str]], *, gzipped: bool = False
+) -> bytes:
+    """A genuine WET byte stream from (doc_id, text) rows: warcinfo +
+    one conversion record per doc (deterministic URIs/dates from
+    doc_id), per-record gzip members when ``gzipped``."""
+    recs = [_warc_record(
+        "warcinfo", "urn:warcinfo", "2026-01-01T00:00:00Z",
+        "<urn:uuid:00000000-0000-0000-0000-000000000000>",
+        b"software: metrics-advisor-spark-fixture\r\n"
+        b"format: WARC File Format 1.0\r\n",
+    )]
+    for doc_id, text in doc_rows:
+        recs.append(_warc_record(
+            "conversion",
+            f"https://example.org/doc/{doc_id}",
+            f"2026-01-01T00:00:{doc_id % 60:02d}Z",
+            f"<urn:uuid:{doc_id:032x}>",
+            text.encode("utf-8"),
+            extra=(("Content-Type", "text/plain"),),
+        ))
+    if not gzipped:
+        return b"".join(recs)
+    return b"".join(gzip.compress(r) for r in recs)

@@ -144,3 +144,21 @@ def test_chunked_transfer_encoding():
         _dechunk(b"zz\r\nabc\r\n")
     with pytest.raises(ValueError, match="not CRLF-terminated"):
         _dechunk(b"3\r\nabcXX0\r\n\r\n")
+
+
+def test_wet_roundtrip(spark, tmp_path):
+    # WET = WARC of conversion records; read_wet returns the text
+    # table directly (no HTML parse), both plain and per-record gzip
+    from metrics_advisor_spark.sources.warc import make_wet, read_wet
+
+    rows = [(i, f"extracted text for doc {i} — unicode ünïcode")
+            for i in range(6)]
+    (tmp_path / "a.warc").write_bytes(make_wet(rows[:3]))
+    (tmp_path / "b.warc.gz").write_bytes(
+        make_wet(rows[3:], gzipped=True)
+    )
+    got = {r["target_uri"]: r["text"]
+           for r in read_wet(spark, str(tmp_path)).collect()}
+    assert got == {
+        f"https://example.org/doc/{i}": t for i, t in rows
+    }
