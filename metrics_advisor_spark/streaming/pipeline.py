@@ -1140,3 +1140,79 @@ def streaming_warc_gate(
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def streaming_link_frontier(
+    stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    known_df: DataFrame | None = None,
+) -> DataFrame:
+    """20th streaming surface: link-frontier admission — the
+    arrival-time shape of a crawler's discovery loop.  Each
+    micro-batch of fetched pages is link-extracted (anchors resolved
+    against the page URL per RFC 3986, honoring ``<base href>``,
+    canonicalized to the frontier key), optionally anti-joined against
+    a STATIC already-fetched table (stream-static join), then
+    first-discovery-wins deduplicated ACROSS batches via
+    ``dropDuplicates`` on the canonical key — the fetch-once
+    discipline, genuinely stateful.
+
+    With ``ts_col`` the discovery timestamp threads through and a
+    watermark bounds the per-key state (the 100 TB requirement);
+    without one state grows with distinct URLs (dev/testing only) —
+    same policy as `streaming_exact_dedup`.
+
+    Emits (doc_id, link_pos, href, resolved, canonical[, ts]) for
+    each FIRST discovery; append-mode compatible."""
+    from metrics_advisor_spark.functions.html import extract_links
+    from metrics_advisor_spark.functions.url import canonicalize_url
+
+    schema = (f"{id_col} long, link_pos int, href string, "
+              "resolved string, canonical string")
+    if ts_col is not None:
+        schema += f", {ts_col} timestamp"
+    cols = [id_col, url_col, html_col] + (
+        [ts_col] if ts_col is not None else []
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                id_col: [], "link_pos": [], "href": [],
+                "resolved": [], "canonical": [],
+            }
+            if ts_col is not None:
+                out[ts_col] = []
+            for i in range(len(pdf)):
+                page = pdf[html_col].iloc[i]
+                if page is None:
+                    continue
+                base = pdf[url_col].iloc[i]
+                for pos, href, res in extract_links(page, base):
+                    out[id_col].append(pdf[id_col].iloc[i])
+                    out["link_pos"].append(pos)
+                    out["href"].append(href)
+                    out["resolved"].append(res)
+                    out["canonical"].append(canonicalize_url(res))
+                    if ts_col is not None:
+                        out[ts_col].append(pdf[ts_col].iloc[i])
+            out[id_col] = pd.Series(out[id_col], dtype="int64")
+            out["link_pos"] = pd.Series(out["link_pos"], dtype="int32")
+            yield pd.DataFrame(out)
+
+    links = stream.select(*cols).mapInPandas(fn, schema)
+    if known_df is not None:
+        known = known_df.select(F.col(known_df.columns[0]).alias("__known"))
+        links = links.join(
+            known, links["canonical"] == known["__known"], "left_anti"
+        )
+    if ts_col is not None:
+        return links.withWatermark(ts_col, watermark).dropDuplicates(
+            ["canonical"]
+        )
+    return links.dropDuplicates(["canonical"])

@@ -387,3 +387,55 @@ def test_streaming_flagship_two_jobs(spark, tmp_path):
     assert best["cand_metric"] == "cand_m"
     assert best["lag"] == 0
     assert abs(best["corr"]) > 0.9
+
+
+def test_streaming_link_frontier(spark, tmp_path):
+    # 20th surface: link extraction per micro-batch, stream-static
+    # anti-join against already-fetched, first-discovery-wins dedup
+    # ACROSS batches (stateful dropDuplicates on the canonical key)
+    from metrics_advisor_spark.streaming.pipeline import (
+        run_to_memory,
+        streaming_link_frontier,
+    )
+
+    def page(doc_id, *hrefs):
+        html = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        return (doc_id, f"https://example.org/p{doc_id}.html", html)
+
+    src = tmp_path / "pages"
+    src.mkdir()
+    schema = "doc_id long, url string, html string"
+    # batch 1: pages 1-2; batch 2: page 3 re-discovers /b and /known
+    spark.createDataFrame(
+        [page(1, "/a", "/b"), page(2, "/b?x=2&y=1", "/known")],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [page(3, "/b", "/known", "/c")], schema,
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    known = spark.createDataFrame(
+        [("https://example.org/known",)], "known string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = run_to_memory(
+        streaming_link_frontier(stream, known_df=known),
+        "frontier_t",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from frontier_t").collect()
+    got = sorted(r["canonical"] for r in rows)
+    # /known filtered by the static anti-join in EVERY batch; /b kept
+    # once (whichever discovery won); query normalization applies
+    assert got == [
+        "https://example.org/a",
+        "https://example.org/b",
+        "https://example.org/b?x=2&y=1",
+        "https://example.org/c",
+    ]
+    assert len({r["canonical"] for r in rows}) == len(rows)
