@@ -1648,8 +1648,12 @@ def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('<a href="#f'), s, F.lit('">self</a>'),
         F.lit("</body></html>"),
     )
+    # fanout=True: the link explode is map-heavy python work and the
+    # local fixture parquet has ~2 splits — same boundary as
+    # lang_confusion (SCALE.md §21 item 2); measured 11.7 -> 2.2 s at
+    # x10.  Disappears on a real multi-split read.
     docs = (
-        _docs(spark, sf_dir, fanout=False)
+        _docs(spark, sf_dir)
         .select("doc_id")
         .withColumn("url", base_url)
         .withColumn("html", html)
