@@ -405,3 +405,99 @@ def make_wet(
     if not gzipped:
         return b"".join(recs)
     return b"".join(gzip.compress(r) for r in recs)
+
+
+# ---------------------------------------------------------------------------
+# CDX-style archive index — the random-access companion every big
+# archive collection ships (Common Crawl publishes a CDX per snapshot):
+# (archive, offset, length) of each on-disk unit lets a consumer fetch
+# ONE record with a ranged read + one-member gunzip instead of scanning
+# the archive.  For .warc.gz the unit is the gzip MEMBER (the
+# per-record-gzip convention exists precisely for this); for plain
+# .warc it is the record span itself.
+# ---------------------------------------------------------------------------
+
+
+def iter_warc_members(
+    data: bytes,
+) -> Iterator[tuple[int, int, bytes]]:
+    """Yield ``(offset, stored_length, record_bytes)`` per on-disk
+    unit: gzip members for compressed archives (tracked via
+    ``zlib.decompressobj(31)`` unused_data), CRLF-delimited record
+    spans for plain ones."""
+    n = len(data)
+    if data[:2] == b"\x1f\x8b":
+        pos = 0
+        while pos < n:
+            d = zlib.decompressobj(31)
+            try:
+                chunk = d.decompress(data[pos:])
+            except zlib.error as e:
+                raise ValueError(
+                    f"WARC: corrupt gzip member at offset {pos} ({e})"
+                ) from None
+            if not d.eof:
+                raise ValueError(
+                    f"WARC: truncated gzip member at offset {pos}"
+                )
+            consumed = n - pos - len(d.unused_data)
+            yield pos, consumed, chunk
+            pos += consumed
+        return
+    pos = 0
+    while pos < n:
+        end = data.find(_CRLF, pos)
+        if end < 0 or not data[pos:end].startswith(b"WARC/"):
+            raise ValueError(
+                f"WARC: bad version line at offset {pos}"
+            )
+        headers, body_at = _parse_headers(data, end + 2)
+        if "content-length" not in headers:
+            raise ValueError("WARC: record missing Content-Length")
+        body_end = body_at + int(headers["content-length"])
+        if data[body_end:body_end + 4] != _CRLF + _CRLF:
+            raise ValueError("WARC: record not terminated by CRLF CRLF")
+        yield pos, body_end + 4 - pos, data[pos:body_end + 4]
+        pos = body_end + 4
+
+
+def warc_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed CDX build: one row per record — (archive, offset,
+    length, warc_type, target_uri, warc_date, http_status).  offset/
+    length address the ON-DISK unit (gzip member or plain span), so
+    ``gunzip(archive[offset:offset+length])`` is exactly that record:
+    the contract the random-access test pins.  One streaming pass per
+    archive, per-archive parallelism (the read_warc grain)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for off, ln, chunk in iter_warc_members(bytes(content)):
+                    for hdr, payload in iter_warc_records(chunk):
+                        status = None
+                        if hdr.get("warc-type") == "response":
+                            status = _parse_http_response(payload)[0]
+                        rows.append((
+                            fpath, off, ln,
+                            hdr.get("warc-type"),
+                            hdr.get("warc-target-uri"),
+                            hdr.get("warc-date"),
+                            status,
+                        ))
+            yield pd.DataFrame(rows, columns=[
+                "archive", "offset", "length", "warc_type",
+                "target_uri", "warc_date", "http_status",
+            ])
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(
+            fn,
+            "archive string, offset long, length long, "
+            "warc_type string, target_uri string, warc_date string, "
+            "http_status int",
+        )
+    )

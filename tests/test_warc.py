@@ -162,3 +162,55 @@ def test_wet_roundtrip(spark, tmp_path):
     assert got == {
         f"https://example.org/doc/{i}": t for i, t in rows
     }
+
+
+def test_warc_cdx_random_access(spark, tmp_path):
+    # the property a CDX exists for: a ranged read of
+    # [offset, offset+length) + one-member gunzip yields EXACTLY the
+    # indexed record, without touching the rest of the archive
+    import gzip as _gzip
+
+    from metrics_advisor_spark.sources.warc import (
+        iter_warc_records,
+        make_warc,
+        warc_cdx,
+    )
+
+    rows = [(i, f"text for doc {i}") for i in range(5)]
+    gz = make_warc(rows, gzipped=True)
+    plain = make_warc(rows)
+    (tmp_path / "a.warc.gz").write_bytes(gz)
+    (tmp_path / "b.warc").write_bytes(plain)
+    cdx = warc_cdx(spark, str(tmp_path)).collect()
+    # warcinfo + request + response per doc, both archives
+    assert len(cdx) == 2 * (1 + 2 * len(rows))
+    raw = {str(tmp_path / "a.warc.gz"): gz,
+           str(tmp_path / "b.warc"): plain}
+    n_ranged = 0
+    for r in cdx:
+        data = [v for k, v in raw.items() if r["archive"].endswith(
+            k.rsplit("/", 1)[-1])][0]
+        span = data[r["offset"]:r["offset"] + r["length"]]
+        if span[:2] == b"\x1f\x8b":
+            span = _gzip.decompress(span)
+        (hdr, payload), = list(iter_warc_records(span))
+        assert hdr.get("warc-target-uri") == r["target_uri"]
+        assert hdr.get("warc-type") == r["warc_type"]
+        if r["warc_type"] == "response":
+            assert r["http_status"] == (
+                404 if int(r["target_uri"].rsplit("/", 1)[-1]) % 10 == 0
+                else 200
+            )
+        n_ranged += 1
+    assert n_ranged == len(cdx)
+    # offsets strictly increase and tile each archive exactly
+    for name, data in raw.items():
+        spans = sorted(
+            (r["offset"], r["length"]) for r in cdx
+            if r["archive"].endswith(name.rsplit("/", 1)[-1])
+        )
+        pos = 0
+        for off, ln in spans:
+            assert off == pos
+            pos += ln
+        assert pos == len(data)
