@@ -222,6 +222,70 @@ def lang_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def char_lm_perplexity(
+    df: DataFrame, text_col: str = "text", ref_lang: str = "en",
+) -> DataFrame:
+    """CCNet-style language-model quality signal: per-doc mean
+    negative log-probability per char trigram under ONE reference
+    language's add-one-smoothed trigram distribution (the same
+    quantized model as `lang_id_ngram`, filtered to ``ref_lang``).
+    Fluent reference-language text scores LOW; gibberish, wrong-
+    language and character-salad text scores HIGH — the classic
+    crawl-curation threshold filter (CCNet buckets corpora by exactly
+    this number).
+
+    Returns (doc_id, n_tri, nll_q, nll_per_tri): ``nll_q`` is the
+    exact integer total in micro-nats (order-independent — the same
+    determinism contract as lang_id), ``nll_per_tri`` the per-trigram
+    mean in nats for thresholding; docs shorter than one trigram come
+    back null.
+
+    Plan shape (100 TB): identical to lang_id_ngram minus the
+    language axis — narrow trigram explode, broadcast model join
+    (|vocab| rows), ONE map-side-combining aggregate per doc.  No
+    Python anywhere."""
+    spark = df.sparkSession
+    vocab, model, oov = train_char_ngram_nb()
+    if ref_lang not in LANG_SEED:
+        raise ValueError(f"unknown reference language {ref_lang!r}")
+    mdf = spark.createDataFrame(
+        [(g, model[(ref_lang, g)]) for g in vocab],
+        "tri string, logp_q long",
+    )
+    oov_q = oov[ref_lang]
+    low = df.select("doc_id", F.lower(F.col(text_col)).alias("_lt"))
+    occ = low.select(
+        "doc_id", F.explode(_char_trigrams("_lt")).alias("tri")
+    )
+    hits = (
+        occ.join(F.broadcast(mdf), "tri")
+        .groupBy("doc_id")
+        .agg(F.sum("logp_q").alias("hit_q"),
+             F.count(F.lit(1)).alias("n_hit"))
+    )
+    nd = df.select(
+        "doc_id",
+        F.greatest(F.length(F.col(text_col)) - 2, F.lit(0))
+        .cast("long").alias("n_tri"),
+    )
+    scored = nd.join(hits, "doc_id", "left").select(
+        "doc_id", "n_tri",
+        (
+            -(F.coalesce(F.col("hit_q"), F.lit(0))
+              + (F.col("n_tri") - F.coalesce(F.col("n_hit"), F.lit(0)))
+              * F.lit(oov_q))
+        ).alias("nll_q"),
+    )
+    return scored.select(
+        "doc_id", "n_tri",
+        F.when(F.col("n_tri") > 0, F.col("nll_q")).alias("nll_q"),
+        F.when(
+            F.col("n_tri") > 0,
+            F.round(F.col("nll_q") / F.col("n_tri") / NB_QUANT, 6),
+        ).alias("nll_per_tri"),
+    )
+
+
 # --- expression builders (shared with functions/corpus.py) -----------------
 # Each returns a plain Column so composite pipelines (corpus_prep) can fuse
 # every feature into ONE narrow projection instead of joining per-op outputs.

@@ -88,3 +88,48 @@ def test_scores_are_integers(spark):
     row = lang_id_ngram(df).collect()[0]
     assert isinstance(row["lang_score"], int)
     assert row["lang_score"] < 0
+
+
+def test_char_lm_perplexity(spark):
+    import pytest
+    # exact arithmetic vs a pure-python replay, and the quality
+    # ordering the filter exists for: fluent English < French < junk
+    import math
+
+    from metrics_advisor_spark.functions.text import (
+        NB_QUANT,
+        char_lm_perplexity,
+        train_char_ngram_nb,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs"),
+        (2, "le renard brun rapide saute par dessus le chien"),
+        (3, "zzxqj vvkpw qqqgh xxzzy jjqqk wwvvx"),
+        (4, "ab"),   # shorter than one trigram -> nulls
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in char_lm_perplexity(df).collect()}
+
+    vocab, model, oov = train_char_ngram_nb()
+    vset = set(vocab)
+    for doc_id, text in rows:
+        t = text.lower()
+        tris = [t[i:i + 3] for i in range(len(t) - 2)]
+        nll = -sum(model[("en", g)] if g in vset else oov["en"]
+                   for g in tris)
+        r = got[doc_id]
+        if not tris:
+            assert r["nll_q"] is None and r["nll_per_tri"] is None
+            continue
+        assert r["nll_q"] == nll, doc_id
+        assert r["n_tri"] == len(tris)
+        assert r["nll_per_tri"] == pytest.approx(
+            round(nll / len(tris) / NB_QUANT, 6)
+        )
+    # the ordering the threshold filter relies on
+    assert (got[1]["nll_per_tri"] < got[2]["nll_per_tri"]
+            < got[3]["nll_per_tri"])
+    # unknown reference language rejected
+    with pytest.raises(ValueError, match="unknown reference"):
+        char_lm_perplexity(df, ref_lang="tlh")
