@@ -77,8 +77,11 @@ def _find_eocd(data: bytes) -> tuple[int, int, int, int]:
         raise ValueError("ZIP: EOCD comment length mismatch")
     if disk_num != 0 or cd_disk != 0 or n_disk != n_total:
         raise ValueError("ZIP: spanned/multi-disk archives unsupported")
+    # the ZIP64 EOCD locator sits IMMEDIATELY before the EOCD record
+    # (APPNOTE 4.3.15) — checking only that fixed slot avoids false
+    # positives on signature bytes inside stored payloads
     if n_total == 0xFFFF or cd_off == 0xFFFFFFFF \
-            or data.rfind(_ZIP64_LOC_SIG, start, idx) >= 0:
+            or data[idx - 20:idx - 16] == _ZIP64_LOC_SIG:
         raise ValueError("ZIP: ZIP64 unsupported")
     return n_total, cd_size, cd_off, idx
 

@@ -196,3 +196,20 @@ def test_truncation_raises_valueerror_not_struct_error():
     for cut in (len(z) - 1, eocd + 5, cen + 30, 30, 3):
         with pytest.raises(ValueError):
             list(it(z[:cut]))
+
+
+def test_zip64_locator_sig_in_payload_not_false_positive():
+    # review finding r13: the locator check must probe only the fixed
+    # slot before the EOCD (APPNOTE 4.3.15) — signature bytes inside a
+    # STORED payload near the end of the archive are data, not ZIP64
+    z = make_zip([("tail.bin", b"x" * 8 + b"PK\x06\x07" + b"y" * 4)],
+                 methods=["stored"])
+    (name, meth, size, payload), = list(iter_zip_entries(z))
+    assert b"PK\x06\x07" in payload and name == "tail.bin"
+    # a real locator in the fixed slot still rejects
+    eocd = z.rindex(b"PK\x05\x06")
+    fake = z[:eocd] + b"PK\x06\x07" + b"\x00" * 16 + z[eocd:]
+    # splice breaks the comment-length invariant too, so accept either
+    with pytest.raises(ValueError,
+                       match="ZIP64 unsupported|comment length"):
+        list(iter_zip_entries(fake))
