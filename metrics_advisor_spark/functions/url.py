@@ -248,3 +248,42 @@ def url_dup_groups(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def frontier_schedule(
+    df: DataFrame, url_col: str = "canonical",
+    delays: DataFrame | None = None, *, default_delay: float = 1.0,
+) -> DataFrame:
+    """Politeness plan for a fetch frontier: URLs grouped by host into
+    FIFO waves spaced by the host's Crawl-delay — wave k of host h
+    fetches at ``t0 + k * delay(h)``.  ``delays`` is a small
+    (host, delay_sec) table (e.g. from `functions/robots.py:
+    crawl_delay` over per-host robots files), broadcast; hosts
+    without an entry use ``default_delay``.
+
+    Adds (host, wave, fetch_offset_sec).  Plan shape (100 TB): host
+    extraction is JVM-side ``parse_url``; the ONE shuffle is the
+    per-host window partitioning (inherent — politeness is a per-host
+    ordering); the delay join broadcasts.  No global window, no
+    Python."""
+    from pyspark.sql.window import Window
+
+    out = df.withColumn(
+        "host", F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    )
+    w = Window.partitionBy("host").orderBy(F.col(url_col))
+    out = out.withColumn(
+        "wave", (F.row_number().over(w) - 1).cast("long")
+    )
+    if delays is not None:
+        d = delays.toDF("host", "delay_sec")
+        out = out.join(F.broadcast(d), "host", "left")
+        delay = F.coalesce(
+            F.col("delay_sec"), F.lit(float(default_delay))
+        )
+    else:
+        delay = F.lit(float(default_delay))
+    out = out.withColumn(
+        "fetch_offset_sec", F.round(F.col("wave") * delay, 6)
+    )
+    return out.drop("delay_sec") if delays is not None else out

@@ -164,3 +164,37 @@ def test_resolve_reference_edges():
         resolve_reference("HTTP://H/a/b/page", "../up?b=2&a=1#frag")
     )
     assert got == "http://h/a/up?a=1&b=2"
+
+
+def test_frontier_schedule(spark):
+    from metrics_advisor_spark.functions.url import frontier_schedule
+
+    urls = [
+        ("https://a.example/p1",), ("https://a.example/p2",),
+        ("https://a.example/p3",), ("https://b.example/q1",),
+        ("https://b.example/q2",), ("https://c.example/r1",),
+    ]
+    df = spark.createDataFrame(urls, "canonical string")
+    delays = spark.createDataFrame(
+        [("a.example", 10.0), ("b.example", 0.5)],
+        "host string, delay_sec double",
+    )
+    got = {
+        r["canonical"]: (r["host"], r["wave"], r["fetch_offset_sec"])
+        for r in frontier_schedule(df, delays=delays).collect()
+    }
+    # per-host FIFO waves in url order, spaced by the host's delay
+    assert got["https://a.example/p1"] == ("a.example", 0, 0.0)
+    assert got["https://a.example/p2"] == ("a.example", 1, 10.0)
+    assert got["https://a.example/p3"] == ("a.example", 2, 20.0)
+    assert got["https://b.example/q2"] == ("b.example", 1, 0.5)
+    # host without a delay entry: the default applies
+    assert got["https://c.example/r1"] == ("c.example", 0, 0.0)
+    two = frontier_schedule(
+        spark.createDataFrame(
+            [("https://c.example/r1",), ("https://c.example/r2",)],
+            "canonical string",
+        ),
+        default_delay=2.0,
+    ).collect()
+    assert {r["fetch_offset_sec"] for r in two} == {0.0, 2.0}
