@@ -386,3 +386,111 @@ def html_links(
             yield pd.DataFrame(out)
 
     return df.select(id_col, url_col, html_col).mapInPandas(fn, schema)
+
+
+_TITLE_RE = re.compile(
+    r"<title[^>]*>(.*?)</title\s*>", re.IGNORECASE | re.DOTALL,
+)
+_LINK_RE = re.compile(
+    r"<link\s[^>]*?>", re.IGNORECASE | re.DOTALL,
+)
+_META_RE = re.compile(
+    r"<meta\s[^>]*?>", re.IGNORECASE | re.DOTALL,
+)
+_ATTR_RE = re.compile(
+    r"""(?<![\w-])([a-zA-Z-]+)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
+)
+
+
+def _tag_attrs(tag: str) -> dict[str, str]:
+    return {
+        m.group(1).lower():
+            next(g for g in m.groups()[1:] if g is not None)
+        for m in _ATTR_RE.finditer(tag)
+    }
+
+
+def extract_html_meta(
+    html: str, base_url: str | None = None,
+) -> tuple[str | None, str | None, str | None]:
+    """``(title, meta_description, canonical_hint)`` from a page.
+    The canonical hint is the RFC 6596 ``<link rel="canonical">``
+    target — the page's OWN declaration of its canonical URL, a
+    first-class crawl dedup signal (mirror/session-id/pagination
+    variants all declare the same target) — resolved against
+    ``base_url`` and run through `canonicalize_url` so it is directly
+    comparable with the URL-dedup keys.  Title/description are
+    entity-decoded and whitespace-collapsed; all three are None when
+    absent."""
+    from metrics_advisor_spark.functions.url import (
+        canonicalize_url,
+        resolve_reference,
+    )
+
+    title = None
+    tm = _TITLE_RE.search(html)
+    if tm is not None:
+        title = re.sub(
+            r"\s+", " ", _ENT_RE.sub(_decode_entity, tm.group(1))
+        ).strip() or None
+    desc = None
+    for m in _META_RE.finditer(html):
+        attrs = _tag_attrs(m.group(0))
+        if attrs.get("name", "").lower() == "description":
+            desc = re.sub(
+                r"\s+", " ",
+                _ENT_RE.sub(_decode_entity, attrs.get("content", "")),
+            ).strip() or None
+            break
+    hint = None
+    for m in _LINK_RE.finditer(html):
+        attrs = _tag_attrs(m.group(0))
+        rels = attrs.get("rel", "").lower().split()
+        if "canonical" in rels and attrs.get("href"):
+            href = _ENT_RE.sub(_decode_entity, attrs["href"]).strip()
+            resolved = (resolve_reference(base_url, href)
+                        if base_url else href)
+            hint = canonicalize_url(resolved)
+            break
+    return title, desc, hint
+
+
+def html_meta(
+    df: DataFrame, url_col: str = "url", html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, title, meta_description, canonical_hint) per page —
+    one mapInPandas pass, no shuffle.  ``canonical_hint`` (when
+    present) is the page's self-declared canonical URL in
+    `canonicalize_url` form: a dedup pass that keys on
+    ``coalesce(canonical_hint, canonical_url)`` collapses
+    mirror/tracking/pagination families the URL key alone cannot."""
+
+    def fn(batches):
+        for pdf in batches:
+            titles, descs, hints = [], [], []
+            for i in range(len(pdf)):
+                page = pdf[html_col].iloc[i]
+                if page is None:
+                    titles.append(None)
+                    descs.append(None)
+                    hints.append(None)
+                    continue
+                t, d, h = extract_html_meta(
+                    page, pdf[url_col].iloc[i]
+                )
+                titles.append(t)
+                descs.append(d)
+                hints.append(h)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "title": titles,
+                "meta_description": descs,
+                "canonical_hint": hints,
+            })
+
+    return df.select(id_col, url_col, html_col).mapInPandas(
+        fn,
+        f"{id_col} long, title string, meta_description string, "
+        "canonical_hint string",
+    )

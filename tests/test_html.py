@@ -279,3 +279,45 @@ def test_extract_links_data_href_not_matched():
         (0, "/real", "https://example.org/real"),
         (1, "rel.html", "https://example.org/d/rel.html"),
     ]
+
+
+def test_extract_html_meta():
+    from metrics_advisor_spark.functions.html import extract_html_meta
+
+    html = (
+        "<html><head><title>\n  A &amp; B — guide  </title>"
+        '<meta charset="utf-8">'
+        "<meta name='description' content='Line one&#10;  two'>"
+        '<link rel="stylesheet" href="/s.css">'
+        '<link rel="canonical" href="../canon?b=2&amp;a=1">'
+        "</head><body>text</body></html>"
+    )
+    t, d, h = extract_html_meta(html, "https://example.org/x/y/page")
+    assert t == "A & B — guide"
+    assert d == "Line one two"
+    # resolved against the page URL, canonicalized (query sorted)
+    assert h == "https://example.org/x/canon?a=1&b=2"
+    # rel token list ("alternate canonical") still matches; absence -> None
+    html2 = '<link rel="alternate canonical" href="/c">page'
+    assert extract_html_meta(html2, "https://example.org/d/p")[2] == \
+        "https://example.org/c"
+    assert extract_html_meta("<p>plain</p>", None) == (None, None, None)
+    # empty title collapses to None
+    assert extract_html_meta("<title>  </title>", None)[0] is None
+
+
+def test_html_meta_spark(spark):
+    from metrics_advisor_spark.functions.html import html_meta
+
+    rows = [
+        (1, "https://example.org/a/p",
+         '<title>T1</title><link rel=canonical href="/a/">'),
+        (2, "https://example.org/b/p", None),
+        (3, "https://example.org/c/p", "<p>no meta</p>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    got = {r["doc_id"]: (r["title"], r["canonical_hint"])
+           for r in html_meta(df).collect()}
+    assert got[1] == ("T1", "https://example.org/a/")
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)
