@@ -160,10 +160,6 @@ def lang_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
         [(lang, g, model[(lang, g)]) for lang in langs for g in vocab],
         "lang string, tri string, logp_q long",
     )
-    odf = spark.createDataFrame(
-        [(lang, oov[lang]) for lang in langs],
-        "lang string, oov_q long",
-    )
     low = df.select(
         "doc_id", F.lower(F.col(text_col)).alias("_lt")
     )
@@ -186,7 +182,19 @@ def lang_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.length(F.col(text_col)) - 2, F.lit(0)
         ).cast("long").alias("n_tri"),  # length is case-invariant
     )
-    grid = nd.crossJoin(F.broadcast(odf))
+    # the (doc, lang) grid as a PURE PROJECTION: explode over a
+    # literal language array + a literal when-chain for the per-lang
+    # OOV score — a 5-row crossJoin(broadcast(...)) compiles to a
+    # BroadcastNestedLoopJoin the plan audit cannot prove scalar, and
+    # the projection form keeps the whole grid inside codegen anyway
+    oov_case = F.lit(None).cast("long")
+    for lang in langs:
+        oov_case = F.when(
+            F.col("lang") == lang, F.lit(oov[lang])
+        ).otherwise(oov_case)
+    grid = nd.withColumn(
+        "lang", F.explode(F.array(*[F.lit(lg) for lg in langs]))
+    ).withColumn("oov_q", oov_case)
     scored = (
         grid.join(hits, ["doc_id", "lang"], "left")
         .select(
