@@ -112,6 +112,8 @@ def resolve_reference(base: str, ref: str) -> str:
             out += scheme + ":"
         if netloc or (scheme and path.startswith("//")):
             out += "//" + netloc
+        elif path.startswith("//"):
+            out += "/."  # schemeless: the WHATWG '/.' serializer guard
         out += path
         if query:
             out += "?" + query
@@ -204,6 +206,13 @@ def canonicalize_url(url: str, *, strip_tracking: bool = False) -> str:
     # idempotence (canonical(canonical(u)) != canonical(u))
     if parts.netloc or netloc:
         out += "//" + netloc
+    elif path.startswith("//"):
+        # dot-segment removal can leave an authority-less path
+        # starting with '//' ('/.//a' → '//a'), which would re-parse
+        # as a HOST; the WHATWG serializer guard ('/.' prefix) keeps
+        # it a path and keeps canonicalization idempotent
+        # (hypothesis-found)
+        out += "/."
     out += path
     if query:
         out += "?" + query

@@ -122,8 +122,13 @@ def test_url_dot_segments_prop(segs, absolute):
     # applies to true absolute PATHS (hypothesis found '//.': the '.'
     # there is a host, correctly kept)
     if absolute and c1 and not path.startswith("//"):
+        # a leading '/.' followed by '//' is the WHATWG serializer
+        # guard (authority-less path starting with '//' must not
+        # re-parse as a host — hypothesis found '/.//a'), not a
+        # residual dot segment
+        body = c1[2:] if c1.startswith("/.//") else c1
         # resolved absolute paths carry no residual dot segments
-        assert not re.search(r"(^|/)\.{1,2}(/|$)", c1)
+        assert not re.search(r"(^|/)\.{1,2}(/|$)", body)
 
 
 def _brute_viterbi(word, logp, max_len):
