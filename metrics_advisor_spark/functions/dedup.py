@@ -1826,3 +1826,128 @@ def hamming_group_pairs(
     return attach_cached(
         out, groups, *getattr(rep_pairs, "_ma_cached_frames", ())
     )
+
+
+# ---------------------------------------------------------------------------
+# char-level EXACT duplicate-span detection — the practical Spark form
+# of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better", public): find every
+# maximal character run that occurs verbatim ≥2 times anywhere in the
+# corpus (across docs or within one) and optionally scrub it.  A true
+# distributed suffix array buys exact minimal-length detection at far
+# higher constant cost; aligned fixed-length windows give the same
+# guarantee for runs ≥ min_len + stride − 1 with nothing but one
+# groupBy, one join and one per-doc window — and the window keys are
+# the SUBSTRINGS THEMSELVES, so matches are exact by construction (no
+# hash-collision verify pass).
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    *, min_len: int = 64, stride: int = 16,
+) -> DataFrame:
+    """Maximal duplicated char spans: ``(doc_id, span_start,
+    span_end)`` (0-based, end-exclusive) covering every aligned
+    ``min_len``-char window whose text occurs ≥2 times in the corpus.
+
+    Guarantee: any verbatim-duplicated run of length ≥ ``min_len +
+    stride − 1`` contains at least one aligned window on every side,
+    so it is always detected; reported bounds are window-aligned
+    (over-/under-coverage ≤ stride − 1 chars per edge).
+
+    Plan shape (100 TB): window explode is a narrow projection
+    (≈len/stride rows per doc); ONE groupBy on the window text (exact
+    keys, map-side combine); one shuffle join back to occurrences —
+    per-occurrence output, never a pair explosion, so boilerplate
+    windows with millions of occurrences cost O(occurrences); the
+    span merge is a per-doc gaps-and-islands window (SQL-expressible
+    — oracle-ready)."""
+    t = F.col(text_col)
+    wins = df.select(
+        id_col,
+        F.explode(F.expr(
+            f"transform(sequence(0, greatest(length({text_col}) "
+            f"- {min_len}, 0), {stride}), "
+            f"i -> struct(i as off, substring({text_col}, i + 1, "
+            f"{min_len}) as w))"
+        )).alias("x"),
+    ).select(
+        id_col, F.col("x.off").alias("off"), F.col("x.w").alias("w"),
+    ).where(F.length("w") == min_len)
+    dup_keys = (
+        wins.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .select("w")
+    )
+    hits = wins.join(dup_keys, "w").select(
+        id_col, "off", (F.col("off") + min_len).alias("end"),
+    )
+    # gaps-and-islands: a hit starts a new span iff it begins after
+    # every previous hit's end (offsets ascend per doc)
+    from pyspark.sql.window import Window
+
+    byo = Window.partitionBy(id_col).orderBy("off")
+    prev_end = F.max("end").over(
+        byo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "new_span",
+        (F.col("off") > F.coalesce(prev_end, F.lit(-1))).cast("int"),
+    ).withColumn("span_id", F.sum("new_span").over(byo))
+    return (
+        marked.groupBy(id_col, "span_id")
+        .agg(
+            F.min("off").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
+def scrub_duplicate_spans(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    *, min_len: int = 64, stride: int = 16, keep_marker: str = "",
+) -> DataFrame:
+    """Remove every duplicated span found by `duplicate_spans` from
+    the text (optionally replacing each with ``keep_marker``).
+    Spans are collected per doc (a doc's span list is bounded by
+    len/min_len entries) and spliced in one Arrow pass; docs without
+    duplicated spans pass through untouched via a left join."""
+    spans = duplicate_spans(
+        df, text_col, id_col, min_len=min_len, stride=stride,
+    )
+    agg = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans"),
+    )
+    joined = df.join(agg, id_col, "left")
+
+    import pandas as pd
+
+    # NB: no pd.Series annotations — under `from __future__ import
+    # annotations` they are strings the UDF typehint inspector cannot
+    # resolve when pandas is imported locally
+    @F.pandas_udf("string")
+    def splice(text, spans_):
+        out = []
+        for t, sp in zip(text, spans_):
+            if t is None or sp is None or len(sp) == 0:
+                out.append(t)
+                continue
+            parts = []
+            pos = 0
+            for s in sp:
+                a, b = s["span_start"], s["span_end"]
+                parts.append(t[pos:a])
+                if keep_marker:
+                    parts.append(keep_marker)
+                pos = b
+            parts.append(t[pos:])
+            out.append("".join(parts))
+        return pd.Series(out)
+
+    return joined.withColumn(
+        text_col, splice(F.col(text_col), F.col("_spans"))
+    ).drop("_spans")

@@ -204,3 +204,87 @@ def test_hamming_components_match_pairwise_closure(spark):
         for r in hamming_components(doubled, max_distance=8).collect()
     ]
     assert sorted(got_dup) == sorted(got.items())
+
+
+def test_duplicate_spans_exact(spark):
+    # the Lee-et-al substring-dedup form: a verbatim run planted in
+    # two docs is found in BOTH; a within-doc repeat is found twice;
+    # unique text yields nothing
+    from metrics_advisor_spark.functions.dedup import (
+        duplicate_spans,
+        scrub_duplicate_spans,
+    )
+    import string
+    import random
+
+    rng = random.Random(5)
+
+    def rand(n):
+        return "".join(rng.choice(string.ascii_lowercase + " ")
+                       for _ in range(n))
+
+    shared = "S" * 100  # well above min_len + stride - 1
+    u1, u2, u3 = rand(150), rand(150), rand(150)
+    rows = [
+        (1, u1 + shared + rand(90)),
+        (2, rand(40) + shared + u2),
+        (3, u3),                       # unique: no spans
+        (4, rand(80) + shared + rand(30) + shared + rand(80)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {}
+    for r in duplicate_spans(df, min_len=64, stride=16).collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    assert 3 not in spans
+    # every planted occurrence is covered (window-aligned slack < 16)
+    for doc_id, text in rows:
+        pos = 0
+        while True:
+            i = text.find(shared, pos)
+            if i < 0:
+                break
+            assert any(a <= i + 15 and b >= i + len(shared) - 15
+                       for a, b in spans.get(doc_id, [])), (doc_id, i)
+            pos = i + 1
+    # doc 4's two occurrences are separated by 30 unique chars — with
+    # stride slack they may merge; total covered chars must be ~2 runs
+    covered4 = sum(b - a for a, b in spans[4])
+    assert covered4 >= 2 * len(shared) - 2 * 15
+
+    # scrub removes the duplicated material, keeps unique text intact
+    scrubbed = {
+        r["doc_id"]: r["text"]
+        for r in scrub_duplicate_spans(df, min_len=64, stride=16)
+        .collect()
+    }
+    for doc_id, text in rows:
+        assert "S" * 32 not in scrubbed[doc_id], doc_id
+    assert scrubbed[3] == u3
+    # unique flanks survive up to the stride-aligned trim
+    assert u1[:120] in scrubbed[1]
+    assert u2[-120:] in scrubbed[2]
+
+
+def test_duplicate_spans_granularity_floor(spark):
+    # runs SHORTER than min_len + stride - 1 may escape, runs at the
+    # floor are guaranteed: plant both and check the contract
+    from metrics_advisor_spark.functions.dedup import duplicate_spans
+    import string
+    import random
+
+    rng = random.Random(7)
+
+    def rand(n):
+        return "".join(rng.choice(string.ascii_lowercase)
+                       for _ in range(n))
+
+    at_floor = "F" * (64 + 16 - 1)
+    df = spark.createDataFrame(
+        [(1, rand(100) + at_floor + rand(100)),
+         (2, rand(50) + at_floor + rand(150))],
+        "doc_id long, text string",
+    )
+    got = duplicate_spans(df, min_len=64, stride=16).collect()
+    assert {r["doc_id"] for r in got} == {1, 2}
