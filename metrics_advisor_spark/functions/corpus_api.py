@@ -110,6 +110,23 @@ class Corpus:
             apply_pair_dedup(self.df, pairs, transitive=transitive)
         )
 
+    def scrub_exact_substrings(
+        self, min_len: int = 64, stride: int = 16,
+    ) -> "Corpus":
+        """Remove every char run duplicated verbatim ≥2 times anywhere
+        in the corpus (Lee-et-al substring dedup; see
+        `dedup.duplicate_spans` for the granularity contract) —
+        finer-grained than doc-level dedup: boilerplate shared across
+        otherwise-distinct docs is excised, the unique remainder
+        survives."""
+        from metrics_advisor_spark.functions.dedup import (
+            scrub_duplicate_spans,
+        )
+
+        return self._with(scrub_duplicate_spans(
+            self.df, self.text_col, min_len=min_len, stride=stride,
+        ))
+
     def sample_tokens(self, budget: int, two_phase: bool = True) -> "Corpus":
         """Shrink to ~``budget`` tokens (deterministic hash order)."""
         sampled = token_budget_sample(

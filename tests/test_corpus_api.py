@@ -139,3 +139,29 @@ def test_split_stage_partitions_and_filters(docs):
     )
     train = split.only_split("train").df
     assert train.where(F.col("split") != "train").count() == 0
+
+
+def test_scrub_exact_substrings_stage(spark):
+    from metrics_advisor_spark.functions import Corpus
+
+    import random
+    import string
+
+    rng = random.Random(11)
+
+    def rand(n):
+        # NON-periodic filler: repetitive filler like "alpha " * 30 is
+        # itself a duplicated run (its windows recur within the doc)
+        # and would be scrubbed — correctly
+        return "".join(rng.choice(string.ascii_lowercase + " ")
+                       for _ in range(n))
+
+    boiler = "B" * 90
+    u1, u2, u3 = "alpha " + rand(170), rand(170) + " omega", rand(170)
+    rows = [(1, u1 + boiler), (2, boiler + u2), (3, u3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in Corpus(df).scrub_exact_substrings().df.collect()}
+    assert "B" * 32 not in out[1] and "B" * 32 not in out[2]
+    assert "alpha" in out[1] and "omega" in out[2]
+    assert out[3] == u3
