@@ -5502,7 +5502,7 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image(small)
 
 
-CURRENT_ROUND = 13
+CURRENT_ROUND = 14
 DRIVER_GATE = 50
 
 # Rotation state machine (VERDICT r04 item 5): the driver's correctness
@@ -5572,42 +5572,42 @@ ROTATION: dict[str, int | None] = {
     "char_entropy": 12,
     "kl_divergence": 12,
     "bpe_pairs": 12,
-    "train_split": 6,
-    "triangle_count": 6,
-    "merge_upsert": 6,
-    "interval_merge": 6,
-    "bloom_contamination": 6,
-    "mixture_plan": 6,
-    "funnel": 6,
-    "cdc_latest": 6,
-    "scd2_history": 6,
-    "predict_linear": 6,
-    "resets": 6,
-    "global_shuffle": 6,
-    "shared_passages": 6,
-    "cross_source_neardup": 6,
-    "scrub_passages": 6,
-    "rollup_counts": 6,
-    "streaming_bucket_stats": 6,
-    "text_stats": 6,
-    "token_count": 6,
-    "lang_id": 6,
-    "doc_fingerprint": 6,
-    "exact_dedup": 6,
-    "jaccard_pairs": 6,
-    "minhash_signatures": 6,
-    "minhash_lsh_pairs": 6,
+    "train_split": 13,
+    "triangle_count": 13,
+    "merge_upsert": 13,
+    "interval_merge": 13,
+    "bloom_contamination": 13,
+    "mixture_plan": 13,
+    "funnel": 13,
+    "cdc_latest": 13,
+    "scd2_history": 13,
+    "predict_linear": 13,
+    "resets": 13,
+    "global_shuffle": 13,
+    "shared_passages": 13,
+    "cross_source_neardup": 13,
+    "scrub_passages": 13,
+    "rollup_counts": 13,
+    "streaming_bucket_stats": 13,
+    "text_stats": 13,
+    "token_count": 13,
+    "lang_id": 13,
+    "doc_fingerprint": 13,
+    "exact_dedup": 13,
+    "jaccard_pairs": 13,
+    "minhash_signatures": 13,
+    "minhash_lsh_pairs": 13,
     "media_meta": 10,
     "media_frames": 9,
-    "ann_topk": 6,
-    "embedding_near_dup": 6,
+    "ann_topk": 13,
+    "embedding_near_dup": 13,
     "ivf_topk": 10,
-    "distinct_series": 7,
-    "series_stats": 7,
-    "valid_active_series": 7,
-    "time_extent": 7,
-    "bucket_agg": 7,
-    "bucket_membership": 7,
+    "distinct_series": 13,
+    "series_stats": 13,
+    "valid_active_series": 13,
+    "time_extent": 13,
+    "bucket_agg": 13,
+    "bucket_membership": 13,
     "resample_hourly": 7,
     "moving_median": 7,
     "ksigma_outliers": 7,
@@ -5751,18 +5751,18 @@ ROTATION: dict[str, int | None] = {
     "interevent_gaps": 11,
     "weekly_profile": 11,
     "benford_audit": 11,
-    "dsir_weights": 6,
-    "intradoc_repetition": 6,
-    "dup_cluster_purity": 6,
-    "dsir_resample": 6,
-    "streaming_dsir_gate": 6,
-    "pq_codebook_audit": 6,
-    "pq_codes": 6,
-    "pq_search": 6,
-    "ivfpq_search": 6,
+    "dsir_weights": 13,
+    "intradoc_repetition": 13,
+    "dup_cluster_purity": 13,
+    "dsir_resample": 13,
+    "streaming_dsir_gate": 13,
+    "pq_codebook_audit": 13,
+    "pq_codes": 13,
+    "pq_search": 13,
+    "ivfpq_search": 13,
     "audio_meta": 10,
     "audio_windows": 10,
-    "streaming_audio": 6,
+    "streaming_audio": 13,
     "image_meta": 10,
     "image_pixels": 10,
     "image_tiles": 7,
@@ -5770,7 +5770,7 @@ ROTATION: dict[str, int | None] = {
     "packed_sequences": 7,
     "streaming_ann_gate": 10,
     "image_resize": 10,
-    "pq_reconstruction": 6,
+    "pq_reconstruction": 13,
     "video_meta": 9,
     "video_frames": 10,
     "video_motion": 9,
@@ -5791,12 +5791,12 @@ ROTATION: dict[str, int | None] = {
     "mp3_meta": 12,  # new r12 — never driver-checked
     "warc_extract": 12,  # new r12 — never driver-checked
     "warc_text_extract": 12,  # new r12 — never driver-checked
-    "pdf_text_extract": None,  # new r13
-    "bpe_segment": None,  # new r13
-    "unigram_segment": None,  # new r13
-    "sitemap_frontier": None,  # new r13
-    "html_links": None,  # new r13
-    "zip_extract": None,  # new r13
+    "pdf_text_extract": 13,
+    "bpe_segment": 13,
+    "unigram_segment": 13,
+    "sitemap_frontier": 13,
+    "html_links": 13,
+    "zip_extract": 13,
     "url_canonical": 12,  # new r12 — never driver-checked
     "robots_gate": 12,  # new r12 — never driver-checked
     "blocklist_hits": 12,  # new r12 — never driver-checked
