@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 MERSENNE_P = 2147483647  # 2^31 − 1: (a·h + b) stays < 2^62
 
@@ -1835,12 +1836,52 @@ def hamming_group_pairs(
 # maximal character run that occurs verbatim ≥2 times anywhere in the
 # corpus (across docs or within one) and optionally scrub it.  A true
 # distributed suffix array buys exact minimal-length detection at far
-# higher constant cost; aligned fixed-length windows give the same
-# guarantee for runs ≥ min_len + stride − 1 with nothing but one
-# groupBy, one join and one per-doc window — and the window keys are
-# the SUBSTRINGS THEMSELVES, so matches are exact by construction (no
-# hash-collision verify pass).
+# higher constant cost; WINNOWED fixed-length windows (Schleimer et
+# al. 2003 document fingerprinting, public) give the same guarantee
+# for runs ≥ min_len + stride − 1 with one Arrow pass, one groupBy,
+# one join and one per-doc window — and the window keys are the
+# SUBSTRINGS THEMSELVES, so matches are exact by construction (no
+# hash-collision verify pass).  Selection is CONTENT-DEFINED: a
+# doc-start-aligned stride grid (the r13 form) missed ~(stride−1)/
+# stride of real duplicates because two copies at offsets with
+# different residues mod stride share no aligned window (ADVICE r13).
 # ---------------------------------------------------------------------------
+
+# winnowing anchor-hash parameters, shared with the DuckDB oracle:
+# h(i) = Σ_{j<A} codepoint(text[i+j]) · B^(A−1−j)  (mod 2^64)
+_SPAN_HASH_BASE = 1000003
+_SPAN_ANCHOR_CHARS = 8
+_SPAN_HASH_MOD = 1 << 64
+
+
+def _winnow_offsets(cp, min_len: int, window: int, pows):
+    """Winnowing selection over one doc's codepoint array: for every
+    run of `window` consecutive anchor-hash positions pick the
+    LEFTMOST argmin (ties included — argmin is first-occurrence);
+    docs with fewer than `window` hash positions use one truncated
+    window.  Depends only on local content, so verbatim copies at ANY
+    alignment select the same in-run offsets."""
+    import numpy as np
+
+    n = cp.shape[0]
+    m = n - min_len + 1  # valid full-window start positions
+    if m <= 0:
+        return np.empty(0, dtype=np.int64)
+    h = np.zeros(m, dtype=np.uint64)
+    for j, p in enumerate(pows):  # A terms, uint64 wraparound == mod 2^64
+        h += cp[j:j + m].astype(np.uint64) * np.uint64(p)
+    if m <= window:
+        return np.array([int(np.argmin(h))], dtype=np.int64)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    sel = []
+    chunk = 1 << 16  # bound sliding-view memory to ~8 MB per chunk
+    last = m - window + 1
+    for s in range(0, last, chunk):
+        e = min(s + chunk, last)
+        sw = sliding_window_view(h[s:e + window - 1], window)
+        sel.append(np.arange(s, e, dtype=np.int64) + sw.argmin(axis=1))
+    return np.unique(np.concatenate(sel))
 
 
 def duplicate_spans(
@@ -1848,33 +1889,64 @@ def duplicate_spans(
     *, min_len: int = 64, stride: int = 16,
 ) -> DataFrame:
     """Maximal duplicated char spans: ``(doc_id, span_start,
-    span_end)`` (0-based, end-exclusive) covering every aligned
+    span_end)`` (0-based, end-exclusive) covering every winnowed
     ``min_len``-char window whose text occurs ≥2 times in the corpus.
 
-    Guarantee: any verbatim-duplicated run of length ≥ ``min_len +
-    stride − 1`` contains at least one aligned window on every side,
-    so it is always detected; reported bounds are window-aligned
-    (over-/under-coverage ≤ stride − 1 chars per edge).
+    Guarantee (alignment-INVARIANT): any verbatim-duplicated run of
+    length ≥ ``min_len + stride − 1`` contains at least one full
+    winnowing window of anchor hashes determined by run content
+    alone, so both copies select the same in-run offset and the run
+    is always detected — regardless of where each copy starts.
+    Reported bounds are selection-aligned (over-/under-coverage
+    < stride chars per edge, since winnowing selects at least once
+    per ``stride`` consecutive positions).
 
-    Plan shape (100 TB): window explode is a narrow projection
-    (≈len/stride rows per doc); ONE groupBy on the window text (exact
-    keys, map-side combine); one shuffle join back to occurrences —
-    per-occurrence output, never a pair explosion, so boilerplate
-    windows with millions of occurrences cost O(occurrences); the
-    span merge is a per-doc gaps-and-islands window (SQL-expressible
-    — oracle-ready)."""
-    t = F.col(text_col)
-    wins = df.select(
-        id_col,
-        F.explode(F.expr(
-            f"transform(sequence(0, greatest(length({text_col}) "
-            f"- {min_len}, 0), {stride}), "
-            f"i -> struct(i as off, substring({text_col}, i + 1, "
-            f"{min_len}) as w))"
-        )).alias("x"),
-    ).select(
-        id_col, F.col("x.off").alias("off"), F.col("x.w").alias("w"),
-    ).where(F.length("w") == min_len)
+    Plan shape (100 TB): window selection is ONE Arrow pass over the
+    docs (numpy rolling hash + sliding-window argmin, O(len) per doc,
+    ~2/(stride+1) selection density — no position explosion crosses a
+    shuffle); ONE groupBy on the window text (exact keys, map-side
+    combine); one shuffle join back to occurrences — per-occurrence
+    output, never a pair explosion, so boilerplate windows with
+    millions of occurrences cost O(occurrences); the span merge is a
+    per-doc gaps-and-islands window.  The anchor hash and the
+    leftmost-argmin rule are engine-neutral (integer poly mod 2^64,
+    tiebreak by position) — the DuckDB oracle replays the identical
+    selection."""
+    import numpy as np
+    import pandas as pd
+
+    id_field = df.schema[id_col]
+    a = min(_SPAN_ANCHOR_CHARS, min_len)
+    pows = [
+        pow(_SPAN_HASH_BASE, a - 1 - j, _SPAN_HASH_MOD) for j in range(a)
+    ]
+    w_window = max(int(stride), 1)
+    ml = int(min_len)
+
+    def _emit(batches):
+        for pdf in batches:
+            ids, offs, ws = [], [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None or len(t) < ml:
+                    continue
+                cp = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                )
+                for o in _winnow_offsets(cp, ml, w_window, pows):
+                    o = int(o)
+                    ids.append(did)
+                    offs.append(o)
+                    ws.append(t[o:o + ml])
+            yield pd.DataFrame({id_col: ids, "off": offs, "w": ws})
+
+    wins = df.select(id_col, text_col).mapInPandas(
+        _emit,
+        schema=T.StructType([
+            id_field,
+            T.StructField("off", T.LongType()),
+            T.StructField("w", T.StringType()),
+        ]),
+    )
     dup_keys = (
         wins.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") > 1)

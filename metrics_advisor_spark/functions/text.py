@@ -176,11 +176,16 @@ def lang_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.count(F.lit(1)).alias("n_hit"),
         )
     )
-    nd = df.select(
+    # n_tri must be measured on the MATERIALIZED lower(text) — Unicode
+    # lowercasing can change string length (U+0130 'İ' lowers to two
+    # codepoints), and trigrams are exploded from _lt, so measuring
+    # the original text makes the OOV mass (n_tri − n_hit) wrong or
+    # negative on such docs (ADVICE r13)
+    nd = low.select(
         "doc_id",
         F.greatest(
-            F.length(F.col(text_col)) - 2, F.lit(0)
-        ).cast("long").alias("n_tri"),  # length is case-invariant
+            F.length(F.col("_lt")) - 2, F.lit(0)
+        ).cast("long").alias("n_tri"),
     )
     # the (doc, lang) grid as a PURE PROJECTION: explode over a
     # literal language array + a literal when-chain for the per-lang
@@ -271,9 +276,11 @@ def char_lm_perplexity(
         .agg(F.sum("logp_q").alias("hit_q"),
              F.count(F.lit(1)).alias("n_hit"))
     )
-    nd = df.select(
+    # measured on _lt, not the original text — same Unicode-lowercase
+    # length caveat as lang_id_ngram (ADVICE r13)
+    nd = low.select(
         "doc_id",
-        F.greatest(F.length(F.col(text_col)) - 2, F.lit(0))
+        F.greatest(F.length(F.col("_lt")) - 2, F.lit(0))
         .cast("long").alias("n_tri"),
     )
     scored = nd.join(hits, "doc_id", "left").select(

@@ -231,15 +231,20 @@ def streaming_exact_dedup(
     """Exact dedup on an unbounded document stream: first occurrence of
     each content hash wins.
 
-    ``dropDuplicates`` keyed on md5(text); with a watermark column the
-    per-hash state expires once the watermark passes (bounded state —
-    the 100 TB requirement), without one the state grows with distinct
+    Keyed on md5(text); with a watermark column the dedup uses
+    ``dropDuplicatesWithinWatermark`` so per-hash state is EVICTED as
+    the watermark advances (bounded state — the 100 TB requirement;
+    duplicates farther apart than the watermark delay re-admit, the
+    documented trade).  Plain ``dropDuplicates`` with a watermark
+    would NOT bound state here: the event-time column is not part of
+    the dedup keys, so Spark never expires the hash entries (ADVICE
+    r13).  Without a watermark column state grows with distinct
     content (dev/testing only)."""
     hashed = stream.withColumn("content_hash", F.md5(F.col(text_col)))
     if watermark_col is not None:
-        return hashed.withWatermark(watermark_col, watermark).dropDuplicates(
-            ["content_hash"]
-        )
+        return hashed.withWatermark(
+            watermark_col, watermark
+        ).dropDuplicatesWithinWatermark(["content_hash"])
     return hashed.dropDuplicates(["content_hash"])
 
 
@@ -1162,10 +1167,15 @@ def streaming_link_frontier(
     ``dropDuplicates`` on the canonical key — the fetch-once
     discipline, genuinely stateful.
 
-    With ``ts_col`` the discovery timestamp threads through and a
-    watermark bounds the per-key state (the 100 TB requirement);
-    without one state grows with distinct URLs (dev/testing only) —
-    same policy as `streaming_exact_dedup`.
+    With ``ts_col`` the discovery timestamp threads through and
+    ``dropDuplicatesWithinWatermark`` bounds the per-key state (the
+    100 TB requirement — state for a canonical URL is evicted once
+    the watermark passes its discovery time; re-discoveries beyond
+    the delay re-admit, the documented trade).  Plain
+    ``dropDuplicates`` + watermark would NOT evict here because the
+    event-time column is not among the dedup keys (ADVICE r13).
+    Without ``ts_col`` state grows with distinct URLs (dev/testing
+    only) — same policy as `streaming_exact_dedup`.
 
     Emits (doc_id, link_pos, href, resolved, canonical[, ts]) for
     each FIRST discovery; append-mode compatible."""
@@ -1212,7 +1222,7 @@ def streaming_link_frontier(
             known, links["canonical"] == known["__known"], "left_anti"
         )
     if ts_col is not None:
-        return links.withWatermark(ts_col, watermark).dropDuplicates(
-            ["canonical"]
-        )
+        return links.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(["canonical"])
     return links.dropDuplicates(["canonical"])

@@ -133,3 +133,24 @@ def test_char_lm_perplexity(spark):
     # unknown reference language rejected
     with pytest.raises(ValueError, match="unknown reference"):
         char_lm_perplexity(df, ref_lang="tlh")
+
+
+def test_lang_id_oov_mass_on_length_changing_lowercase(spark):
+    # ADVICE r13: U+0130 'İ' lowers to 2 codepoints ('i' + U+0307), so
+    # n_tri must be measured on lower(text) or the OOV mass goes
+    # negative on such docs.  n_tri for this doc must equal
+    # len(lower(text)) - 2, and every language's score must stay
+    # well-defined (n_hit <= n_tri).
+    from metrics_advisor_spark.functions.text import lang_id_ngram
+
+    t = "İ" * 40  # lowers to 80 codepoints
+    assert len(t.lower()) == 80
+    df = spark.createDataFrame(
+        [(1, t), (2, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in lang_id_ngram(df).collect()}
+    assert rows[2]["lang_pred"] == "en"
+    # doc 1: all-OOV trigram soup -> 'und', and the score must use the
+    # lowercased trigram count (78), never a negative OOV mass
+    assert rows[1]["lang_pred"] == "und"

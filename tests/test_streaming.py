@@ -439,3 +439,89 @@ def test_streaming_link_frontier(spark, tmp_path):
         "https://example.org/c",
     ]
     assert len({r["canonical"] for r in rows}) == len(rows)
+
+
+def test_watermarked_dedup_state_eviction(spark, tmp_path):
+    # ADVICE r13: dropDuplicates(keys) NEVER evicts state when the
+    # event-time column is not among the keys — both watermarked dedup
+    # surfaces must use dropDuplicatesWithinWatermark.  This drives
+    # the watermark branch of both and checks (a) in-horizon
+    # duplicates are suppressed across batches, (b) the compiled plan
+    # actually carries the WithinWatermark operator (the state-bound
+    # form), not plain streaming dedup.
+    from metrics_advisor_spark.streaming.pipeline import (
+        run_to_memory,
+        streaming_exact_dedup,
+        streaming_link_frontier,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    src = tmp_path / "wdocs"
+    src.mkdir()
+    schema = "doc_id long, ts timestamp, text string"
+    spark.createDataFrame(
+        [(1, t0, "alpha"), (2, t0, "beta")], schema,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(3, t0 + dt.timedelta(minutes=5), "alpha"),
+         (4, t0 + dt.timedelta(minutes=5), "gamma")], schema,
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    deduped = streaming_exact_dedup(
+        stream, watermark_col="ts", watermark="1 hour"
+    )
+    assert "WithinWatermark" in deduped._jdf.queryExecution().toString()
+    q = run_to_memory(
+        deduped, "wm_dedup", checkpoint=str(tmp_path / "ck1")
+    )
+    q.awaitTermination()
+    texts = sorted(
+        r["text"] for r in spark.table("wm_dedup").collect()
+    )
+    assert texts == ["alpha", "beta", "gamma"]
+
+    # link frontier: ts threads through; in-horizon re-discovery of
+    # /b in batch 2 is suppressed
+    psrc = tmp_path / "wpages"
+    psrc.mkdir()
+    pschema = "doc_id long, url string, html string, ts timestamp"
+
+    def page(doc_id, ts, *hrefs):
+        html = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        return (doc_id, f"https://example.org/p{doc_id}.html", html, ts)
+
+    spark.createDataFrame(
+        [page(1, t0, "/a", "/b")], pschema,
+    ).coalesce(1).write.parquet(str(psrc / "f1"))
+    spark.createDataFrame(
+        [page(2, t0 + dt.timedelta(minutes=5), "/b", "/c")], pschema,
+    ).coalesce(1).write.parquet(str(psrc / "f2"))
+
+    pstream = (
+        spark.readStream.schema(pschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(psrc) + "/*")
+    )
+    frontier = streaming_link_frontier(
+        pstream, ts_col="ts", watermark="1 hour"
+    )
+    assert "WithinWatermark" in frontier._jdf.queryExecution().toString()
+    q2 = run_to_memory(
+        frontier, "wm_frontier", checkpoint=str(tmp_path / "ck2")
+    )
+    q2.awaitTermination()
+    got = sorted(
+        r["canonical"] for r in spark.table("wm_frontier").collect()
+    )
+    assert got == [
+        "https://example.org/a",
+        "https://example.org/b",
+        "https://example.org/c",
+    ]

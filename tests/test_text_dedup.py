@@ -223,7 +223,12 @@ def test_duplicate_spans_exact(spark):
         return "".join(rng.choice(string.ascii_lowercase + " ")
                        for _ in range(n))
 
-    shared = "S" * 100  # well above min_len + stride - 1
+    # NON-periodic shared run (ADVICE r13: periodic runs like "S"*100
+    # mask alignment bugs — every aligned window of a periodic run is
+    # the same substring), planted at offsets with DIFFERENT residues
+    # mod stride (150≡6, 40≡8, 80≡0, 80+100+30≡2 mod 16) so detection
+    # must be alignment-invariant
+    shared = rand(100)  # well above min_len + stride - 1
     u1, u2, u3 = rand(150), rand(150), rand(150)
     rows = [
         (1, u1 + shared + rand(90)),
@@ -259,8 +264,10 @@ def test_duplicate_spans_exact(spark):
         for r in scrub_duplicate_spans(df, min_len=64, stride=16)
         .collect()
     }
+    # interior of every occurrence is removed (edge slack < stride)
+    core = shared[16:-16]
     for doc_id, text in rows:
-        assert "S" * 32 not in scrubbed[doc_id], doc_id
+        assert core not in scrubbed[doc_id], doc_id
     assert scrubbed[3] == u3
     # unique flanks survive up to the stride-aligned trim
     assert u1[:120] in scrubbed[1]
@@ -280,10 +287,13 @@ def test_duplicate_spans_granularity_floor(spark):
         return "".join(rng.choice(string.ascii_lowercase)
                        for _ in range(n))
 
-    at_floor = "F" * (64 + 16 - 1)
+    # non-periodic at-floor run at offsets 100 and 53 — different
+    # residues mod stride (ADVICE r13): the guarantee must hold for
+    # ANY alignment of the two copies
+    at_floor = rand(64 + 16 - 1)
     df = spark.createDataFrame(
         [(1, rand(100) + at_floor + rand(100)),
-         (2, rand(50) + at_floor + rand(150))],
+         (2, rand(53) + at_floor + rand(150))],
         "doc_id long, text string",
     )
     got = duplicate_spans(df, min_len=64, stride=16).collect()
