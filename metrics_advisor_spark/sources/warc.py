@@ -407,6 +407,28 @@ def make_wet(
     return b"".join(gzip.compress(r) for r in recs)
 
 
+def attach_wet_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, wet binary): a genuine single-doc WET stream
+    (warcinfo + one conversion record) per doc; odd doc_ids gzip'd
+    per-record — the same arm split as `attach_warc_payload`."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "wet": [
+                    make_wet([(int(d), str(t))], gzipped=int(d) % 2 == 1)
+                    for d, t in zip(pdf[id_col], pdf[text_col])
+                ],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        fn, "doc_id long, wet binary"
+    )
+
+
 # ---------------------------------------------------------------------------
 # CDX-style archive index — the random-access companion every big
 # archive collection ships (Common Crawl publishes a CDX per snapshot):
@@ -500,4 +522,51 @@ def warc_cdx(spark: SparkSession, path: str) -> DataFrame:
             "warc_type string, target_uri string, warc_date string, "
             "http_status int",
         )
+    )
+
+
+def warc_cdx_records(
+    media: DataFrame, archive_col: str = "warc",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CDX build over a binary ARCHIVE COLUMN (the testable twin of
+    the path-level `warc_cdx` — same `iter_warc_members` walk):
+    one row per record with the on-disk unit addressing plus
+    ``archive_bytes`` (total payload size) so tiling invariants
+    (offset continuity, full coverage) are checkable downstream.
+
+    offset/length are zlib-OUTPUT-dependent for gzip members (the
+    exact compressed byte spans), so cross-engine oracles should gate
+    the content-derived columns + the tiling booleans, not the raw
+    offsets — those are pinned by the byte-exact random-access unit
+    test instead."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            id_col, "offset", "length", "archive_bytes", "warc_type",
+            "target_uri", "warc_date", "http_status",
+        ]
+        for pdf in batches:
+            rows = []
+            for did, content in zip(pdf[id_col], pdf[archive_col]):
+                data = bytes(content)
+                for off, ln, chunk in iter_warc_members(data):
+                    for hdr, payload in iter_warc_records(chunk):
+                        status = None
+                        if hdr.get("warc-type") == "response":
+                            status = _parse_http_response(payload)[0]
+                        rows.append((
+                            int(did), off, ln, len(data),
+                            hdr.get("warc-type"),
+                            hdr.get("warc-target-uri"),
+                            hdr.get("warc-date"),
+                            status,
+                        ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(
+        fn,
+        f"{id_col} long, offset long, length long, archive_bytes long, "
+        "warc_type string, target_uri string, warc_date string, "
+        "http_status int",
     )
