@@ -1948,7 +1948,10 @@ def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    docs = _docs(spark, sf_dir, fanout=False).select("doc_id", "text")
+    # fanout=True: 3 records/doc of per-payload parse CPU sat on the
+    # local fixture's ~2 input splits at the ×10 probe (5.2 s → the
+    # same boundary as SCALE §21 item 2; warc_extract fans out too)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     cdx = warc_cdx_records(attach_warc_payload(docs))
     w = Window.partitionBy("doc_id").orderBy("offset")
     seq = (F.row_number().over(w) - 1).cast("long")

@@ -84,6 +84,16 @@ FAMILIES = {
     "crawl2": [
         "html_links", "zip_extract", "pdf_text_extract",
     ],
+    # r14: the winnowed span family (content-defined selection ≈2×
+    # the old aligned-grid density) + the composed crawl loop and the
+    # char-LM scorers — all expected ~linear in docs
+    "spans": [
+        "duplicate_spans", "scrub_duplicate_spans",
+    ],
+    "crawl3": [
+        "char_lm_perplexity", "perplexity_gate", "frontier_schedule",
+        "html_meta", "wet_extract", "warc_cdx", "crawl_waves",
+    ],
 }
 
 
