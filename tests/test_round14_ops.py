@@ -1,0 +1,127 @@
+"""Round-14 unit tests: the composed crawl loop e2e (VERDICT r13
+item 4), the WET/CDX column surfaces and the perplexity curation
+stage."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_example(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(_REPO, "examples", f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_crawl_pipeline_example_e2e(spark):
+    # the whole loop at sf0.001 in ONE test (VERDICT r13 item 4):
+    # fetch -> parse -> admit -> schedule -> next wave, plus the
+    # WET/CDX sidecars at the tail
+    counts = _load_example("crawl_pipeline").main(
+        "/root/testdata/sf0.001"
+    )
+    n = counts["docs"]
+    assert n > 0
+    # WARC round-trip: one response per doc; 404 arm drops ids%10==0
+    assert counts["responses"] == n
+    assert counts["status_200"] == n - (n + 9) // 10
+    # robots: /doc/1* disallowed — survivors are status-200 docs whose
+    # id does not start with '1'
+    assert 0 < counts["robots_allowed"] < counts["status_200"]
+    assert counts["url_dedup"] == counts["robots_allowed"]
+    # each fetched page plants one self-link (anti-joined away) and
+    # one genuinely new link -> next frontier == fetched pages
+    assert counts["links_extracted"] == 2 * counts["url_dedup"]
+    assert counts["next_frontier"] == counts["url_dedup"]
+    # the politeness plan schedules EVERY admitted URL, single host,
+    # FIFO waves at the robots' Crawl-delay of 1.5 s
+    assert counts["next_scheduled"] == counts["next_frontier"]
+    assert counts["last_fetch_offset_sec"] == pytest.approx(
+        (counts["next_frontier"] - 1) * 1.5
+    )
+    # WET sidecar reads back exactly the emitted slice; CDX indexes
+    # warcinfo + one conversion member per doc
+    assert counts["wet_docs"] == 40
+    assert counts["cdx_members"] == 41
+
+
+def test_wet_column_roundtrip(spark):
+    from metrics_advisor_spark.sources.warc import (
+        attach_wet_payload,
+        warc_records_df,
+    )
+
+    rows = [(1, "plain text one"), (2, "ζωή & 🌍 two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    recs = warc_records_df(attach_wet_payload(df), archive_col="wet")
+    conv = {
+        int(r["archive"]): r["body"].decode("utf-8")
+        for r in recs.filter(F.col("warc_type") == "conversion")
+        .collect()
+    }
+    assert conv == dict(rows)
+    # warcinfo rides along per payload
+    assert (
+        recs.filter(F.col("warc_type") == "warcinfo").count() == 2
+    )
+
+
+def test_warc_cdx_records_tiling(spark):
+    from metrics_advisor_spark.sources.warc import (
+        attach_warc_payload,
+        warc_cdx_records,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "odd doc gzip arm"), (2, "even doc plain arm")],
+        "doc_id long, text string",
+    )
+    rows = warc_cdx_records(attach_warc_payload(df)).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["offset"])
+        assert [r["warc_type"] for r in rs] == [
+            "warcinfo", "request", "response",
+        ]
+        # offsets tile the archive byte-exactly
+        pos = 0
+        for r in rs:
+            assert r["offset"] == pos
+            pos += r["length"]
+        assert pos == rs[0]["archive_bytes"]
+
+
+def test_perplexity_gate_stage(spark):
+    from metrics_advisor_spark.functions.corpus_api import Corpus
+    from metrics_advisor_spark.functions.text import char_lm_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and then "
+             "walks home through the quiet town in the evening"),
+         (2, "zxq vjw qqq kkk zzz xxx jjj qq zx vj wk zq xj kv jw "
+             "qz xk vz jq wx kj zv qx"),
+         (3, "no")],  # too short to score -> dropped
+        "doc_id long, text string",
+    )
+    scores = {
+        r["doc_id"]: r["nll_per_tri"]
+        for r in char_lm_perplexity(df).collect()
+    }
+    assert scores[1] < scores[2]  # fluent < gibberish
+    assert scores[3] is None
+    mid = (scores[1] + scores[2]) / 2
+    kept = Corpus(df).perplexity_gate(max_nll_per_tri=mid).df
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    # schema-preserving: all original columns survive
+    assert kept.columns == df.columns
