@@ -2103,6 +2103,55 @@ def q_crawl_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplication accounting over the winnowed span
+    family (r14 — the stat Lee et al. lead with): per planted-vs-
+    original group, docs carrying duplicated spans, duplicated chars
+    and the duplicated-char fraction.  One doc-keyed aggregate + one
+    group aggregate on top of the spans pipeline; the oracle rides
+    the same full winnowing-replay CTE."""
+    from metrics_advisor_spark.functions.dedup import (
+        duplicate_span_stats,
+    )
+
+    base = _docs_span_dups(spark, sf_dir).withColumn(
+        "grp_label",
+        F.when(
+            F.col("doc_id") >= 400000, F.lit("planted")
+        ).otherwise(F.lit("original")),
+    )
+    return duplicate_span_stats(base, group_col="grp_label")
+
+
+def q_streaming_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twenty-second Structured Streaming contract surface (r14): the
+    CCNet perplexity ADMISSION GATE in arrival time — each micro-batch
+    scored against the frozen broadcast char-LM and admitted when the
+    NLL/trigram clears the corpus-median ceiling.  Batches are
+    independent (static model, no cross-batch state), so a drain in
+    any batching equals the batch `char_lm_perplexity ≤ ceiling` —
+    the SQL oracle (shared scoring CTE with `perplexity_gate`)."""
+    import tempfile
+
+    from metrics_advisor_spark.streaming.pipeline import (
+        streaming_perplexity_gate,
+    )
+
+    src = _stream_plain_docs_src(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="ma_ppxgate_")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        src
+    )
+    streaming_perplexity_gate(
+        stream, out_dir=f"{base}/admitted", max_nll_per_tri=6.74
+    )
+    return (
+        spark.read.parquet(f"{base}/admitted")
+        .select("doc_id", "n_tri", "nll_q", "nll_per_tri")
+        .orderBy("doc_id")
+    )
+
+
 def q_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GIF animation replay under the hash gate (r12): every frame of
     every payload composited per the GIF89a disposal rules, reduced to
@@ -6383,6 +6432,8 @@ ROTATION: dict[str, int | None] = {
     "warc_cdx": None,  # new r14
     "streaming_link_frontier": None,  # new r14
     "crawl_waves": None,  # new r14
+    "dup_span_stats": None,  # new r14
+    "streaming_perplexity_gate": None,  # new r14
 }
 
 # Round 12: EMPTY by arithmetic necessity again (VERDICT r11 item 1).
@@ -6561,6 +6612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_cdx": q_warc_cdx,
         "streaming_link_frontier": q_streaming_link_frontier,
         "crawl_waves": q_crawl_waves,
+        "dup_span_stats": q_dup_span_stats,
+        "streaming_perplexity_gate": q_streaming_perplexity_gate,
         "gif_frame_stats": q_gif_frame_stats,
         "media_frames": q_media_frames,
         "ann_topk": q_ann_topk,
@@ -9253,6 +9306,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE canonical NOT IN (
               'https://example.org/s0/dir/u5.html',
               'https://cdn.example.org/lib.js')
+        """,
+        "dup_span_stats": f"""
+            -- duplication accounting over the same winnowing-replay
+            -- CTE: per planted-vs-original group, span-carrying docs,
+            -- duplicated chars and floor-form fraction
+            WITH {_span_oracle_cte()},
+            perdoc AS (
+              SELECT doc_id,
+                     sum(span_end - span_start)::BIGINT AS dup_chars
+              FROM spanout GROUP BY doc_id
+            ),
+            b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id >= 400000 THEN 'planted'
+                          ELSE 'original' END AS grp,
+                     length(text)::BIGINT AS n
+              FROM spanbase
+            )
+            SELECT b.grp AS "group",
+                   count(*)::BIGINT AS n_docs,
+                   count(p.dup_chars)::BIGINT AS n_docs_with_spans,
+                   sum(coalesce(p.dup_chars, 0))::BIGINT AS dup_chars,
+                   sum(b.n)::BIGINT AS total_chars,
+                   floor(sum(coalesce(p.dup_chars, 0))
+                         / sum(b.n) * 1000000.0 + 0.5) / 1000000.0
+                     AS dup_frac
+            FROM b LEFT JOIN perdoc p USING (doc_id)
+            GROUP BY b.grp
+        """,
+        "streaming_perplexity_gate": f"""
+            -- batch twin of the stateless gate: the same scoring CTE
+            -- as perplexity_gate, admitted rows with their scores
+            WITH {_char_lm_cte()}
+            SELECT doc_id, n_tri, nll_q,
+                   floor(nll_q / n_tri / 1000000.0 * 1000000.0
+                         + 0.5) / 1000000.0 AS nll_per_tri
+            FROM lmscored
+            WHERE n_tri > 0
+              AND floor(nll_q / n_tri / 1000000.0 * 1000000.0
+                        + 0.5) / 1000000.0 <= 6.74
         """,
         "crawl_waves": """
             -- the composed loop, every stage analytic: robots drops

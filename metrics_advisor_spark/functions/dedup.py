@@ -2023,3 +2023,60 @@ def scrub_duplicate_spans(
     return joined.withColumn(
         text_col, splice(F.col(text_col), F.col("_spans"))
     ).drop("_spans")
+
+
+def duplicate_span_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    group_col: str | None = None,
+    *, min_len: int = 64, stride: int = 16,
+) -> DataFrame:
+    """Corpus-level duplication accounting (the reporting stat Lee et
+    al. 2022 lead with): per ``group_col`` (or one global row),
+    (n_docs, n_docs_with_spans, dup_chars, total_chars, dup_frac) —
+    how much of the corpus is verbatim-duplicated material at char
+    granularity.  Rides `duplicate_spans` (winnowed, alignment-
+    invariant) + one per-doc aggregate + one group aggregate; the
+    fraction is floor-form 6dp (engine-neutral).  Plan shape: the
+    spans pipeline's cost dominates; the accounting adds one
+    doc-keyed aggregate and one (left) join — no new pair terms."""
+    spans = duplicate_spans(
+        df, text_col, id_col, min_len=min_len, stride=stride,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum(
+            F.col("span_end") - F.col("span_start")
+        ).alias("_dup_chars")
+    )
+    gcol = (
+        F.col(group_col) if group_col is not None
+        else F.lit("corpus")
+    )
+    base = df.select(
+        id_col,
+        gcol.alias("grp"),
+        F.length(text_col).cast("long").alias("_n"),
+    )
+    joined = base.join(per_doc, id_col, "left")
+    return (
+        joined.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_dup_chars").alias("n_docs_with_spans"),
+            F.sum(F.coalesce(F.col("_dup_chars"), F.lit(0)))
+            .alias("dup_chars"),
+            F.sum("_n").alias("total_chars"),
+        )
+        .select(
+            F.col("grp").alias("group"),
+            "n_docs",
+            "n_docs_with_spans",
+            "dup_chars",
+            "total_chars",
+            (
+                F.floor(
+                    F.col("dup_chars") / F.col("total_chars") * 1e6
+                    + 0.5
+                ) / 1e6
+            ).alias("dup_frac"),
+        )
+    )

@@ -1226,3 +1226,51 @@ def streaming_link_frontier(
             ts_col, watermark
         ).dropDuplicatesWithinWatermark(["canonical"])
     return links.dropDuplicates(["canonical"])
+
+
+def streaming_perplexity_gate(
+    stream: DataFrame,
+    out_dir: str,
+    max_nll_per_tri: float = 6.74,
+    ref_lang: str = "en",
+    text_col: str = "text",
+    checkpoint: str | None = None,
+) -> Any:
+    """22nd streaming surface: CCNet-style PERPLEXITY ADMISSION GATE
+    on an unbounded document stream — each micro-batch is scored
+    against the frozen char-trigram LM (`text.char_lm_perplexity`'s
+    ``ref_lang`` slice, a few-hundred-row broadcast) and documents
+    whose NLL per trigram clears the ceiling are admitted.  The
+    streaming twin of `Corpus.perplexity_gate`: production crawl
+    curation thresholds LM quality in arrival time, before anything
+    lands in the corpus store.
+
+    Per micro-batch: trigram explode → broadcast model join → ONE
+    integer aggregate per doc → floor-form mean → filter.  The model
+    is static across batches and batches are embarrassingly
+    independent (no cross-batch state), so a drain in ANY batching
+    equals the batch plan — the SQL-expressible oracle of the
+    contract query.  Writes run=<id>/batch=<n> leaf dirs (the
+    gate-family scheme)."""
+    import uuid
+
+    from metrics_advisor_spark.functions.text import char_lm_perplexity
+
+    run_id = uuid.uuid4().hex[:12]
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        admitted = char_lm_perplexity(
+            batch, text_col, ref_lang=ref_lang
+        ).where(F.col("nll_per_tri") <= max_nll_per_tri)
+        admitted.write.mode("overwrite").parquet(
+            f"{out_dir}/run={run_id}/batch={batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q
