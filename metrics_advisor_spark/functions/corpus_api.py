@@ -112,19 +112,22 @@ class Corpus:
 
     def scrub_exact_substrings(
         self, min_len: int = 64, stride: int = 16,
+        keep_first: bool = False,
     ) -> "Corpus":
         """Remove every char run duplicated verbatim ≥2 times anywhere
         in the corpus (Lee-et-al substring dedup; see
         `dedup.duplicate_spans` for the granularity contract) —
         finer-grained than doc-level dedup: boilerplate shared across
         otherwise-distinct docs is excised, the unique remainder
-        survives."""
+        survives.  ``keep_first=True`` keeps one canonical copy of
+        each duplicated run (dedup, not destruction)."""
         from metrics_advisor_spark.functions.dedup import (
             scrub_duplicate_spans,
         )
 
         return self._with(scrub_duplicate_spans(
             self.df, self.text_col, min_len=min_len, stride=stride,
+            keep_first=keep_first,
         ))
 
     def perplexity_gate(

@@ -1886,7 +1886,7 @@ def _winnow_offsets(cp, min_len: int, window: int, pows):
 
 def duplicate_spans(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    *, min_len: int = 64, stride: int = 16,
+    *, min_len: int = 64, stride: int = 16, keep_first: bool = False,
 ) -> DataFrame:
     """Maximal duplicated char spans: ``(doc_id, span_start,
     span_end)`` (0-based, end-exclusive) covering every winnowed
@@ -1911,7 +1911,13 @@ def duplicate_spans(
     per-doc gaps-and-islands window.  The anchor hash and the
     leftmost-argmin rule are engine-neutral (integer poly mod 2^64,
     tiebreak by position) — the DuckDB oracle replays the identical
-    selection."""
+    selection.
+
+    ``keep_first=True`` switches to dedup semantics: the first
+    occurrence of each duplicated window in (doc_id, offset) order is
+    canonical and emits no span, so a subsequent scrub removes every
+    duplicate while exactly one copy survives (Lee et al.'s scrub
+    removes ALL copies — the default here, faithful to the paper)."""
     import numpy as np
     import pandas as pd
 
@@ -1952,7 +1958,22 @@ def duplicate_spans(
         .where(F.col("n") > 1)
         .select("w")
     )
-    hits = wins.join(dup_keys, "w").select(
+    occ = wins.join(dup_keys, "w")
+    if keep_first:
+        # dedup-not-destruction semantics: the FIRST occurrence of
+        # each duplicated window in (doc_id, offset) order is the
+        # canonical copy and emits no span — scrubbing then removes
+        # every duplicate while exactly one copy of the material
+        # survives in the corpus.  One extra rank window on the
+        # already-shuffled occurrence frame; SQL-expressible
+        # (row_number over the window key), so oracle-ready.
+        from pyspark.sql.window import Window as _W
+
+        rk = F.row_number().over(
+            _W.partitionBy("w").orderBy(id_col, "off")
+        )
+        occ = occ.withColumn("_rk", rk).where(F.col("_rk") > 1)
+    hits = occ.select(
         id_col, "off", (F.col("off") + min_len).alias("end"),
     )
     # gaps-and-islands: a hit starts a new span iff it begins after
@@ -1980,14 +2001,19 @@ def duplicate_spans(
 def scrub_duplicate_spans(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     *, min_len: int = 64, stride: int = 16, keep_marker: str = "",
+    keep_first: bool = False,
 ) -> DataFrame:
     """Remove every duplicated span found by `duplicate_spans` from
     the text (optionally replacing each with ``keep_marker``).
     Spans are collected per doc (a doc's span list is bounded by
     len/min_len entries) and spliced in one Arrow pass; docs without
-    duplicated spans pass through untouched via a left join."""
+    duplicated spans pass through untouched via a left join.
+    ``keep_first=True`` preserves the canonical (first in (doc_id,
+    offset) order) occurrence of each duplicated window — dedup, not
+    destruction."""
     spans = duplicate_spans(
         df, text_col, id_col, min_len=min_len, stride=stride,
+        keep_first=keep_first,
     )
     agg = spans.groupBy(id_col).agg(
         F.sort_array(

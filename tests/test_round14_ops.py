@@ -125,3 +125,56 @@ def test_perplexity_gate_stage(spark):
     assert [r["doc_id"] for r in kept.collect()] == [1]
     # schema-preserving: all original columns survive
     assert kept.columns == df.columns
+
+
+def test_scrub_keep_first(spark):
+    # keep_first: the FIRST (doc_id, offset) occurrence of each
+    # duplicated window is canonical and survives; every other copy
+    # is scrubbed — dedup, not destruction
+    import random
+    import string
+
+    from metrics_advisor_spark.functions.dedup import (
+        duplicate_spans,
+        scrub_duplicate_spans,
+    )
+
+    rng = random.Random(17)
+
+    def rand(n):
+        return "".join(
+            rng.choice(string.ascii_lowercase) for _ in range(n)
+        )
+
+    shared = rand(120)
+    rows = [
+        (1, rand(50) + shared + rand(50)),   # first occurrence wins
+        (2, rand(33) + shared + rand(70)),   # scrubbed
+        (3, shared + rand(40)),              # scrubbed
+        (4, rand(150)),                      # unique, untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(df, min_len=64, stride=16, keep_first=True)
+    assert {r["doc_id"] for r in spans.collect()} == {2, 3}
+    got = {
+        r["doc_id"]: r["text"]
+        for r in scrub_duplicate_spans(
+            df, min_len=64, stride=16, keep_first=True
+        ).collect()
+    }
+    core = shared[16:-16]
+    assert got[1] == rows[0][1]       # canonical copy intact
+    assert core not in got[2]
+    assert core not in got[3]
+    assert got[4] == rows[3][1]
+    # exactly one copy of the duplicated material survives corpus-wide
+    assert sum(core in t for t in got.values()) == 1
+    # within-doc repeat: the earlier offset is canonical
+    df2 = spark.createDataFrame(
+        [(9, rand(20) + shared + rand(30) + shared + rand(20))],
+        "doc_id long, text string",
+    )
+    got2 = scrub_duplicate_spans(
+        df2, min_len=64, stride=16, keep_first=True
+    ).collect()[0]["text"]
+    assert got2.count(core) == 1
