@@ -1884,6 +1884,121 @@ def _winnow_offsets(cp, min_len: int, window: int, pows):
     return np.unique(np.concatenate(sel))
 
 
+def _winnow_windows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    *, min_len: int = 64, stride: int = 16,
+) -> DataFrame:
+    """The winnowed window frame behind the span family: one Arrow
+    pass emitting ``(id_col, off, w)`` for every content-defined
+    selection (see `duplicate_spans` for the selection rule and the
+    alignment-invariance guarantee)."""
+    import numpy as np
+    import pandas as pd
+
+    id_field = df.schema[id_col]
+    a = min(_SPAN_ANCHOR_CHARS, min_len)
+    pows = [
+        pow(_SPAN_HASH_BASE, a - 1 - j, _SPAN_HASH_MOD) for j in range(a)
+    ]
+    w_window = max(int(stride), 1)
+    ml = int(min_len)
+
+    def _emit(batches):
+        for pdf in batches:
+            ids, offs, ws = [], [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None or len(t) < ml:
+                    continue
+                cp = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                )
+                for o in _winnow_offsets(cp, ml, w_window, pows):
+                    o = int(o)
+                    ids.append(did)
+                    offs.append(o)
+                    ws.append(t[o:o + ml])
+            yield pd.DataFrame({id_col: ids, "off": offs, "w": ws})
+
+    return df.select(id_col, text_col).mapInPandas(
+        _emit,
+        schema=T.StructType([
+            id_field,
+            T.StructField("off", T.LongType()),
+            T.StructField("w", T.StringType()),
+        ]),
+    )
+
+
+def _merge_spans(
+    hits: DataFrame, id_col: str, min_len: int
+) -> DataFrame:
+    """Per-doc gaps-and-islands merge of ``(id_col, off)`` hit rows
+    into maximal ``(id_col, span_start, span_end)`` spans."""
+    from pyspark.sql.window import Window
+
+    hits = hits.select(
+        id_col, "off", (F.col("off") + min_len).alias("end"),
+    )
+    byo = Window.partitionBy(id_col).orderBy("off")
+    prev_end = F.max("end").over(
+        byo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "new_span",
+        (F.col("off") > F.coalesce(prev_end, F.lit(-1))).cast("int"),
+    ).withColumn("span_id", F.sum("new_span").over(byo))
+    return (
+        marked.groupBy(id_col, "span_id")
+        .agg(
+            F.min("off").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
+def _splice_spans(
+    df: DataFrame, spans: DataFrame, text_col: str, id_col: str,
+    keep_marker: str = "",
+) -> DataFrame:
+    """Cut every span out of its doc's text in one Arrow pass; docs
+    without spans pass through untouched via a left join."""
+    import pandas as pd
+
+    agg = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans"),
+    )
+    joined = df.join(agg, id_col, "left")
+
+    # NB: no pd.Series annotations — under `from __future__ import
+    # annotations` they are strings the UDF typehint inspector cannot
+    # resolve when pandas is imported locally
+    @F.pandas_udf("string")
+    def splice(text, spans_):
+        out = []
+        for t, sp in zip(text, spans_):
+            if t is None or sp is None or len(sp) == 0:
+                out.append(t)
+                continue
+            parts = []
+            pos = 0
+            for s in sp:
+                a, b = s["span_start"], s["span_end"]
+                parts.append(t[pos:a])
+                if keep_marker:
+                    parts.append(keep_marker)
+                pos = b
+            parts.append(t[pos:])
+            out.append("".join(parts))
+        return pd.Series(out)
+
+    return joined.withColumn(
+        text_col, splice(F.col(text_col), F.col("_spans"))
+    ).drop("_spans")
+
+
 def duplicate_spans(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     *, min_len: int = 64, stride: int = 16, keep_first: bool = False,
@@ -1918,40 +2033,8 @@ def duplicate_spans(
     canonical and emits no span, so a subsequent scrub removes every
     duplicate while exactly one copy survives (Lee et al.'s scrub
     removes ALL copies — the default here, faithful to the paper)."""
-    import numpy as np
-    import pandas as pd
-
-    id_field = df.schema[id_col]
-    a = min(_SPAN_ANCHOR_CHARS, min_len)
-    pows = [
-        pow(_SPAN_HASH_BASE, a - 1 - j, _SPAN_HASH_MOD) for j in range(a)
-    ]
-    w_window = max(int(stride), 1)
-    ml = int(min_len)
-
-    def _emit(batches):
-        for pdf in batches:
-            ids, offs, ws = [], [], []
-            for did, t in zip(pdf[id_col], pdf[text_col]):
-                if t is None or len(t) < ml:
-                    continue
-                cp = np.frombuffer(
-                    t.encode("utf-32-le"), dtype=np.uint32
-                )
-                for o in _winnow_offsets(cp, ml, w_window, pows):
-                    o = int(o)
-                    ids.append(did)
-                    offs.append(o)
-                    ws.append(t[o:o + ml])
-            yield pd.DataFrame({id_col: ids, "off": offs, "w": ws})
-
-    wins = df.select(id_col, text_col).mapInPandas(
-        _emit,
-        schema=T.StructType([
-            id_field,
-            T.StructField("off", T.LongType()),
-            T.StructField("w", T.StringType()),
-        ]),
+    wins = _winnow_windows(
+        df, text_col, id_col, min_len=min_len, stride=stride,
     )
     dup_keys = (
         wins.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
@@ -1973,29 +2056,9 @@ def duplicate_spans(
             _W.partitionBy("w").orderBy(id_col, "off")
         )
         occ = occ.withColumn("_rk", rk).where(F.col("_rk") > 1)
-    hits = occ.select(
-        id_col, "off", (F.col("off") + min_len).alias("end"),
-    )
     # gaps-and-islands: a hit starts a new span iff it begins after
     # every previous hit's end (offsets ascend per doc)
-    from pyspark.sql.window import Window
-
-    byo = Window.partitionBy(id_col).orderBy("off")
-    prev_end = F.max("end").over(
-        byo.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    marked = hits.withColumn(
-        "new_span",
-        (F.col("off") > F.coalesce(prev_end, F.lit(-1))).cast("int"),
-    ).withColumn("span_id", F.sum("new_span").over(byo))
-    return (
-        marked.groupBy(id_col, "span_id")
-        .agg(
-            F.min("off").alias("span_start"),
-            F.max("end").alias("span_end"),
-        )
-        .select(id_col, "span_start", "span_end")
-    )
+    return _merge_spans(occ, id_col, min_len)
 
 
 def scrub_duplicate_spans(
@@ -2015,40 +2078,7 @@ def scrub_duplicate_spans(
         df, text_col, id_col, min_len=min_len, stride=stride,
         keep_first=keep_first,
     )
-    agg = spans.groupBy(id_col).agg(
-        F.sort_array(
-            F.collect_list(F.struct("span_start", "span_end"))
-        ).alias("_spans"),
-    )
-    joined = df.join(agg, id_col, "left")
-
-    import pandas as pd
-
-    # NB: no pd.Series annotations — under `from __future__ import
-    # annotations` they are strings the UDF typehint inspector cannot
-    # resolve when pandas is imported locally
-    @F.pandas_udf("string")
-    def splice(text, spans_):
-        out = []
-        for t, sp in zip(text, spans_):
-            if t is None or sp is None or len(sp) == 0:
-                out.append(t)
-                continue
-            parts = []
-            pos = 0
-            for s in sp:
-                a, b = s["span_start"], s["span_end"]
-                parts.append(t[pos:a])
-                if keep_marker:
-                    parts.append(keep_marker)
-                pos = b
-            parts.append(t[pos:])
-            out.append("".join(parts))
-        return pd.Series(out)
-
-    return joined.withColumn(
-        text_col, splice(F.col(text_col), F.col("_spans"))
-    ).drop("_spans")
+    return _splice_spans(df, spans, text_col, id_col, keep_marker)
 
 
 def duplicate_span_stats(

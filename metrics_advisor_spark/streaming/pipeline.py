@@ -1274,3 +1274,111 @@ def streaming_perplexity_gate(
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def streaming_span_gate(
+    stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 64,
+    stride: int = 16,
+    checkpoint: str | None = None,
+) -> Any:
+    """23rd streaming surface: cross-batch SUBSTRING-LEVEL dedup on an
+    unbounded document stream — the arrival-time form of the winnowed
+    span family (`dedup.duplicate_spans`).  Material the stream has
+    already carried is SCRUBBED from later arrivals at char
+    granularity; the first arrival of any run survives intact
+    (keep-first semantics in arrival order, then (doc_id, offset)
+    within a batch).
+
+    Per micro-batch via ``foreachBatch``:
+      1. winnowed window keys per doc (`_winnow_windows` — the
+         alignment-invariant selection, one Arrow pass);
+      2. cross-batch hits: windows whose md5(key) is in the seen-key
+         STORE (a parquet dir appended per batch — window keys must
+         outlive any watermark, so the Spark state store cannot hold
+         them; md5 keeps the store at 16 bytes/window and a collision
+         needs 2^-128, documented);
+      3. within-batch hits: non-first occurrences of windows
+         duplicated inside the batch (row_number over the key,
+         (doc_id, offset) order — exactly `keep_first=True`);
+      4. hits merge per doc (gaps-and-islands) and splice out; fresh
+         first-occurrence keys append to the store, scrubbed docs
+         append to ``out_dir``.
+
+    For a single availableNow drain of a static source (one batch,
+    empty store) the output equals the batch
+    ``scrub_duplicate_spans(keep_first=True)`` — the SQL-expressible
+    oracle of the staged contract query."""
+    import uuid
+
+    from pyspark.errors import AnalysisException
+
+    from metrics_advisor_spark.functions.dedup import (
+        _merge_spans,
+        _splice_spans,
+        _winnow_windows,
+    )
+
+    run_id = uuid.uuid4().hex[:12]
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        wins = _winnow_windows(
+            batch, text_col, id_col, min_len=min_len, stride=stride,
+        ).withColumn("wh", F.md5("w")).persist()
+        try:
+            try:
+                store = spark.read.parquet(store_dir)
+            except AnalysisException:
+                # first batch ever (PATH_NOT_FOUND); other failures
+                # propagate — treating them as "no store" would
+                # silently disable cross-batch suppression
+                store = None
+            if store is not None:
+                seen = wins.join(store, "wh", "left_semi")
+                fresh = wins.join(store, "wh", "left_anti")
+            else:
+                seen = wins.limit(0)
+                fresh = wins
+            from pyspark.sql.window import Window as _W
+
+            rk = F.row_number().over(
+                _W.partitionBy("wh").orderBy(id_col, "off")
+            )
+            ranked = fresh.withColumn("_rk", rk)
+            inbatch = ranked.where(F.col("_rk") > 1)
+            hits = seen.select(id_col, "off").unionByName(
+                inbatch.select(id_col, "off")
+            )
+            spans = _merge_spans(hits, id_col, min_len)
+            scrubbed = _splice_spans(
+                batch, spans, text_col, id_col
+            )
+            leaf = f"run={run_id}/batch={batch_id}"
+            # ORDER MATTERS: emit scrubbed docs BEFORE appending keys —
+            # the store read is lazy, and appending first would make
+            # the splice pass see the batch's own keys as seen
+            scrubbed.write.mode("overwrite").parquet(
+                f"{out_dir}/{leaf}"
+            )
+            # remember every FIRST occurrence this batch introduced
+            ranked.where(F.col("_rk") == 1).select(
+                "wh"
+            ).distinct().write.mode("overwrite").parquet(
+                f"{store_dir}/{leaf}"
+            )
+        finally:
+            wins.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q

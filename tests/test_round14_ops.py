@@ -178,3 +178,70 @@ def test_scrub_keep_first(spark):
         df2, min_len=64, stride=16, keep_first=True
     ).collect()[0]["text"]
     assert got2.count(core) == 1
+
+
+def test_streaming_span_gate(spark, tmp_path):
+    # 23rd surface staged for r15: cross-batch substring scrub —
+    # material batch 1 carried is scrubbed from batch 2 arrivals;
+    # batch 1's own copy survives intact (keep-first in arrival
+    # order); within-batch dups keep the (doc_id, offset)-first copy
+    import random
+    import string
+
+    from metrics_advisor_spark.streaming.pipeline import (
+        streaming_span_gate,
+    )
+
+    rng = random.Random(23)
+
+    def rand(n):
+        return "".join(
+            rng.choice(string.ascii_lowercase) for _ in range(n)
+        )
+
+    shared = rand(120)
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    b1 = [(1, rand(40) + shared + rand(40)), (2, rand(150))]
+    # batch 2: doc 3 re-carries the batch-1 run (scrubbed), docs 4+5
+    # share a NEW run (4 keeps it, 5 scrubbed), doc 6 unique
+    shared2 = rand(100)
+    b2 = [
+        (3, rand(25) + shared + rand(60)),
+        (4, rand(10) + shared2 + rand(70)),
+        (5, rand(55) + shared2 + rand(30)),
+        (6, rand(140)),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    streaming_span_gate(
+        stream,
+        store_dir=str(tmp_path / "store"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ck"),
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    orig = dict(b1 + b2)
+    core, core2 = shared[16:-16], shared2[16:-16]
+    assert got[1] == orig[1]          # first arrival intact
+    assert got[2] == orig[2]
+    assert core not in got[3]         # cross-batch scrub
+    assert got[4] == orig[4]          # within-batch canonical intact
+    assert core2 not in got[5]        # within-batch dup scrubbed
+    assert got[6] == orig[6]
+    # exactly one copy of each run survives stream-wide
+    assert sum(core in t for t in got.values()) == 1
+    assert sum(core2 in t for t in got.values()) == 1
