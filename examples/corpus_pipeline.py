@@ -2,8 +2,10 @@
 
 Usage:  python examples/corpus_pipeline.py [sf_dir]
 
-quality gate → language gate → exact dedup → MinHash-LSH near-dedup →
-token-budget sample; prints the surviving doc count at each stage.
+quality gate → language gate → CCNet perplexity gate (r14) → exact
+dedup → MinHash-LSH near-dedup → substring scrub (keep one canonical
+copy of every duplicated run, r14) → token-budget sample; prints the
+surviving doc count at each stage.
 """
 
 import os
@@ -23,8 +25,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         ("raw", c),
         ("quality", c := c.quality_filter(min_score=0.1)),
         ("lang=en", c := c.lang_filter("en")),
+        ("perplexity", c := c.perplexity_gate(max_nll_per_tri=6.74)),
         ("exact-dedup", c := c.exact_dedup()),
         ("near-dedup", c := c.near_dedup(method="minhash")),
+        ("span-scrub", c := c.scrub_exact_substrings(keep_first=True)),
         ("sampled", c.sample_tokens(budget=20_000)),
     ]
     for name, stage in stages:

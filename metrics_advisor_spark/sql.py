@@ -181,6 +181,9 @@ def register_corpus_views(
                            given, e.g. ``F.col('source') == 'wiki'``)
     - ``doc_intradoc_rep`` — within-doc repeated-passage report
     - ``dup_clusters``   — exact-dup clusters with source purity
+    - ``doc_perplexity`` — CCNet-style char-LM quality scores (r14)
+    - ``dup_span_stats`` — corpus duplication accounting over the
+                           winnowed span family (r14)
 
     Views are lazy — registering costs nothing until queried; a SQL
     user can then e.g.::
@@ -212,3 +215,15 @@ def register_corpus_views(
         dup_cluster_purity(documents).createOrReplaceTempView(
             "dup_clusters"
         )
+    from metrics_advisor_spark.functions.dedup import (
+        duplicate_span_stats,
+    )
+    from metrics_advisor_spark.functions.text import char_lm_perplexity
+
+    char_lm_perplexity(documents).createOrReplaceTempView(
+        "doc_perplexity"
+    )
+    duplicate_span_stats(
+        documents,
+        group_col="source" if "source" in documents.columns else None,
+    ).createOrReplaceTempView("dup_span_stats")
