@@ -1949,3 +1949,98 @@ def gif_frame_stats(media: DataFrame, img_col: str = "img") -> DataFrame:
         "doc_id long, frame_idx int, delay_ms long, n_px long, "
         "sum_r long, sum_g long, sum_b long",
     )
+
+
+def audio_fingerprint(
+    media: DataFrame, wav_col: str = "wav", id_col: str = "doc_id",
+    *, window: int = 256, n_bands: int = 16, codes: bool = False,
+) -> DataFrame:
+    """Gain-invariant audio fingerprint — the audio analog of
+    `frame_dhash`, closing the multimodal dedup loop (chromaprint's
+    delta-sign coding applied to INTEGER block energies so every bit
+    is exact and oracle-replayable; real chromaprint's chroma bins
+    need an FFT — a documented deployment swap, same as the codec
+    family's compressed formats).
+
+    Per payload: PCM framed into ``window``-sample frames, each split
+    into ``n_bands`` contiguous sub-blocks with integer sum-of-squares
+    energies; window t (t ≥ 1) emits an ``n_bands``-bit code whose
+    bit b is [E(t, b) > E(t−1, b)].  The code stream is invariant
+    under constant gain (energies scale by c², sign of the delta is
+    unchanged) — re-levelled copies of the same audio fingerprint
+    identically.
+
+    ``codes=True`` emits (doc_id, win_id, code) per window; the
+    default emits the doc-level 56-bit sketch (doc_id, n_codes, fp56):
+    per-bit majority over md5-hashed code values — the repo's SimHash
+    convention, so `hamming_pairs_blocked` / `phash_dup_groups`-style
+    machinery applies unchanged for corpus-level audio dedup."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    if window % n_bands != 0:
+        raise ValueError(
+            f"window ({window}) must be a multiple of n_bands "
+            f"({n_bands})"
+        )
+    blk = window // n_bands
+
+    def _codes(payload, doc_id):
+        _, _, _, _, off, dlen = _parse_wav_header(doc_id, payload)
+        s = np.frombuffer(
+            payload[off:off + dlen], dtype="<i2"
+        ).astype(np.int64)
+        nw = s.size // window  # full windows only: stable band grid
+        if nw < 2:
+            return []
+        e = (
+            (s[: nw * window] ** 2)
+            .reshape(nw, n_bands, blk)
+            .sum(axis=2)
+        )
+        bits = e[1:] > e[:-1]  # (nw-1, n_bands)
+        weights = 1 << np.arange(n_bands - 1, -1, -1, dtype=np.int64)
+        return [int(c) for c in (bits * weights).sum(axis=1)]
+
+    if codes:
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {"doc_id": [], "win_id": [], "code": []}
+                for doc_id, payload in zip(pdf[id_col], pdf[wav_col]):
+                    for t, c in enumerate(_codes(payload, doc_id)):
+                        out["doc_id"].append(doc_id)
+                        out["win_id"].append(t + 1)
+                        out["code"].append(c)
+                yield pd.DataFrame(out)
+
+        return media.mapInPandas(
+            fn, "doc_id long, win_id int, code long"
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_codes": [], "fp56": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[wav_col]):
+                cs = _codes(payload, doc_id)
+                votes = np.zeros(56, dtype=np.int64)
+                for c in cs:
+                    h = int(
+                        hashlib.md5(str(c).encode()).hexdigest()[:14],
+                        16,
+                    )
+                    for b in range(56):
+                        votes[b] += 1 if (h >> b) & 1 else -1
+                fp = 0
+                for b in range(56):
+                    if votes[b] > 0:
+                        fp |= 1 << b
+                out["doc_id"].append(doc_id)
+                out["n_codes"].append(len(cs))
+                out["fp56"].append(fp)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn, "doc_id long, n_codes int, fp56 long"
+    )

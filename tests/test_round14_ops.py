@@ -245,3 +245,65 @@ def test_streaming_span_gate(spark, tmp_path):
     # exactly one copy of each run survives stream-wide
     assert sum(core in t for t in got.values()) == 1
     assert sum(core2 in t for t in got.values()) == 1
+
+
+def _pcm16_wav(samples):
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def test_audio_fingerprint(spark):
+    # gain-invariant audio dedup sketch: identical audio -> identical
+    # fp56; constant-gain copy -> identical fp56; different audio ->
+    # different codes.  Codes mode agrees with a per-window integer
+    # replay.
+    import random
+
+    import numpy as np
+
+    from metrics_advisor_spark.functions.multimodal import (
+        audio_fingerprint,
+    )
+
+    rng = random.Random(31)
+    base = [rng.randrange(-8000, 8000) for _ in range(2048)]
+    other = [rng.randrange(-8000, 8000) for _ in range(2048)]
+    rows = [
+        (1, _pcm16_wav(base)),
+        (2, _pcm16_wav(base)),                      # exact dup
+        (3, _pcm16_wav([2 * s for s in base])),     # gain x2
+        (4, _pcm16_wav(other)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, wav binary")
+    fp = {r["doc_id"]: r["fp56"] for r in audio_fingerprint(df).collect()}
+    assert fp[1] == fp[2] == fp[3]
+    assert fp[1] != fp[4]
+    # codes mode: integer replay of window 1's code for doc 1
+    got = {
+        (r["doc_id"], r["win_id"]): r["code"]
+        for r in audio_fingerprint(df, codes=True).collect()
+    }
+    s = np.asarray(base, dtype=np.int64)
+    e = (s[:2048] ** 2).reshape(8, 16, 16).sum(axis=2)
+    code1 = int(
+        sum(
+            (1 << (15 - b)) * (e[1, b] > e[0, b])
+            for b in range(16)
+        )
+    )
+    assert got[(1, 1)] == code1
+    assert got[(3, 1)] == code1          # gain invariance per window
+    # short payloads (< 2 windows) emit no codes, fp = 0
+    short = spark.createDataFrame(
+        [(9, _pcm16_wav([5] * 100))], "doc_id long, wav binary"
+    )
+    r = audio_fingerprint(short).collect()[0]
+    assert r["n_codes"] == 0 and r["fp56"] == 0
