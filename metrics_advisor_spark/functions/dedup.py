@@ -2136,3 +2136,38 @@ def duplicate_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def duplicate_span_sources(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    *, min_len: int = 64, stride: int = 16,
+) -> DataFrame:
+    """Provenance of duplicated material at GROUP granularity (the
+    `simhash_dup_groups` analog for the span family): one row per
+    duplicated window key — (w_hash, n_occurrences, n_docs,
+    min_doc, min_off) — WITHOUT materializing occurrence pairs, so
+    boilerplate shared by millions of docs stays one row.  The
+    canonical (min_doc, min_off) pointer is the keep-first scrub's
+    survivor, so this table answers "where did the surviving copy of
+    each duplicated run come from" after a `keep_first` scrub.  One
+    groupBy on the window key; md5 keys keep the output narrow (the
+    2^-128 collision caveat of the streaming store applies)."""
+    wins = _winnow_windows(
+        df, text_col, id_col, min_len=min_len, stride=stride,
+    )
+    return (
+        wins.groupBy(F.md5("w").alias("w_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct(id_col).alias("n_docs"),
+            F.min(F.struct(F.col(id_col), F.col("off"))).alias("_c"),
+        )
+        .where(F.col("n_occurrences") > 1)
+        .select(
+            "w_hash",
+            "n_occurrences",
+            "n_docs",
+            F.col(f"_c.{id_col}").alias("min_doc"),
+            F.col("_c.off").alias("min_off"),
+        )
+    )

@@ -307,3 +307,33 @@ def test_audio_fingerprint(spark):
     )
     r = audio_fingerprint(short).collect()[0]
     assert r["n_codes"] == 0 and r["fp56"] == 0
+
+
+def test_duplicate_span_sources(spark):
+    import random
+    import string
+
+    from metrics_advisor_spark.functions.dedup import (
+        duplicate_span_sources,
+    )
+
+    rng = random.Random(41)
+
+    def rand(n):
+        return "".join(
+            rng.choice(string.ascii_lowercase) for _ in range(n)
+        )
+
+    shared = rand(100)
+    df = spark.createDataFrame(
+        [(5, rand(30) + shared + rand(20)),
+         (2, rand(45) + shared + rand(40)),
+         (7, rand(200))],
+        "doc_id long, text string",
+    )
+    rows = duplicate_span_sources(df).collect()
+    assert rows, "planted run must surface at least one dup key"
+    for r in rows:
+        assert r["n_occurrences"] >= 2
+        assert r["n_docs"] == 2
+        assert r["min_doc"] == 2  # canonical pointer = lowest doc
