@@ -2032,7 +2032,13 @@ def duplicate_spans(
     occurrence of each duplicated window in (doc_id, offset) order is
     canonical and emits no span, so a subsequent scrub removes every
     duplicate while exactly one copy survives (Lee et al.'s scrub
-    removes ALL copies — the default here, faithful to the paper)."""
+    removes ALL copies — the default here, faithful to the paper).
+    Caveat (window-level contract): the canonical window itself never
+    emits a span, but when a doc interleaves SEVERAL duplicated runs,
+    a span from a different duplicated key can overlap the canonical
+    copy and the per-doc island merge will cut into it — "exactly one
+    copy survives" is guaranteed only when duplicated runs don't
+    overlap other duplicated material in the surviving doc."""
     wins = _winnow_windows(
         df, text_col, id_col, min_len=min_len, stride=stride,
     )

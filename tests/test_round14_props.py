@@ -199,3 +199,35 @@ def test_frontier_schedule_waves(spark):
         delay = 2.5 if host == "h1.example.org" else 1.0
         for r in rs:
             assert r["fetch_offset_sec"] == r["wave"] * delay
+
+
+@PROP
+@given(
+    st.integers(0, 2 ** 31 - 1),
+    st.integers(1, 7),
+    st.integers(2, 9),
+)
+def test_audio_fingerprint_gain_invariance_prop(seed, gain, nwin):
+    # pure-python replay of the per-window code under arbitrary
+    # positive gain: delta-sign bits over integer block energies are
+    # gain-invariant as long as no sample clips
+    import numpy as np
+
+    rng = random.Random(seed)
+    window, n_bands = 64, 8
+    n = window * nwin
+    base = np.array(
+        [rng.randrange(-4000, 4000) for _ in range(n)], dtype=np.int64
+    )
+    scaled = base * gain  # |scaled| <= 28000 < 32768: no clipping
+
+    def codes(s):
+        nw = s.size // window
+        e = (s[: nw * window] ** 2).reshape(
+            nw, n_bands, window // n_bands
+        ).sum(axis=2)
+        bits = e[1:] > e[:-1]
+        w = 1 << np.arange(n_bands - 1, -1, -1, dtype=np.int64)
+        return [int(c) for c in (bits * w).sum(axis=1)]
+
+    assert codes(base) == codes(scaled)
