@@ -2906,7 +2906,7 @@ def _char_lm_cte() -> str:
             )"""
 
 
-def _span_oracle_cte() -> str:
+def _span_oracle_cte(keep_first: bool = False) -> str:
     """Shared CTE chain for the duplicate-span oracles: a FULL
     independent replay of the winnowing selection in SQL — the same
     rolling 8-char polynomial anchor hash mod 2^64 (HUGEINT
@@ -2914,7 +2914,10 @@ def _span_oracle_cte() -> str:
     rule (row_number ordered (h, i) over a ×stride position fanout),
     the same truncated-window rule for short docs — then the exact
     window-key groupBy, occurrence join and gaps-and-islands merge.
-    Any drift anywhere in `dedup.duplicate_spans` breaks the hash."""
+    Any drift anywhere in `dedup.duplicate_spans` breaks the hash.
+    ``keep_first`` replays the dedup-semantics arm: the first
+    (doc_id, off) occurrence of each duplicated window emits no hit
+    (validated builder-side in r14, staged as the r15 oracle)."""
     from metrics_advisor_spark.functions.dedup import (
         _SPAN_ANCHOR_CHARS,
         _SPAN_HASH_BASE,
@@ -2971,8 +2974,15 @@ def _span_oracle_cte() -> str:
               SELECT w FROM spankey GROUP BY w HAVING count(*) > 1
             ),
             spanhit AS (
-              SELECT k.doc_id, k.off, k.off + 64 AS e
-              FROM spankey k JOIN spandup USING (w)
+              SELECT doc_id, off, off + 64 AS e FROM (
+                SELECT k.doc_id, k.off{
+                  ''',
+                       row_number() OVER (
+                         PARTITION BY k.w
+                         ORDER BY k.doc_id, k.off) AS rk'''
+                  if keep_first else ''}
+                FROM spankey k JOIN spandup USING (w)
+              ){' WHERE rk > 1' if keep_first else ''}
             ),
             spanisl AS (
               SELECT doc_id, off, e,
