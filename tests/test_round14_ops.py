@@ -337,3 +337,126 @@ def test_duplicate_span_sources(spark):
         assert r["n_occurrences"] >= 2
         assert r["n_docs"] == 2
         assert r["min_doc"] == 2  # canonical pointer = lowest doc
+
+
+def test_streaming_span_gate_vs_reference_model(spark, tmp_path):
+    # randomized 3-batch corpus (cross-batch re-carries, within-batch
+    # dups, multi-run docs, multibyte chars) validated against an
+    # INDEPENDENT Python reference of the gate's arrival-order
+    # semantics: seen-key store + keep-first-in-batch + island splice
+    import random
+    import string
+    import time
+
+    import numpy as np
+
+    from metrics_advisor_spark.functions.dedup import (
+        _SPAN_ANCHOR_CHARS,
+        _SPAN_HASH_BASE,
+        _SPAN_HASH_MOD,
+        _winnow_offsets,
+    )
+    from metrics_advisor_spark.streaming.pipeline import (
+        streaming_span_gate,
+    )
+
+    min_len, stride = 64, 16
+    a = min(_SPAN_ANCHOR_CHARS, min_len)
+    pows = [
+        pow(_SPAN_HASH_BASE, a - 1 - j, _SPAN_HASH_MOD)
+        for j in range(a)
+    ]
+
+    def windows(text):
+        cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        return [
+            (int(o), text[int(o):int(o) + min_len])
+            for o in _winnow_offsets(cp, min_len, stride, pows)
+        ]
+
+    def reference(batches):
+        seen: set[str] = set()
+        out = {}
+        for batch in batches:
+            wins = []  # (doc, off, w)
+            for doc_id, text in batch:
+                for off, w in windows(text):
+                    wins.append((doc_id, off, w))
+            hits: dict[int, list[int]] = {}
+            fresh = [x for x in wins if x[2] not in seen]
+            for doc_id, off, w in wins:
+                if w in seen:
+                    hits.setdefault(doc_id, []).append(off)
+            byw: dict[str, list] = {}
+            for doc_id, off, w in sorted(fresh):
+                byw.setdefault(w, []).append((doc_id, off))
+            for w, occ in byw.items():
+                for doc_id, off in occ[1:]:  # keep (doc,off)-first
+                    hits.setdefault(doc_id, []).append(off)
+                seen.add(w)
+            for doc_id, text in batch:
+                offs = sorted(hits.get(doc_id, []))
+                spans = []
+                for o in offs:
+                    e = o + min_len
+                    if spans and o <= spans[-1][1]:
+                        spans[-1][1] = max(spans[-1][1], e)
+                    else:
+                        spans.append([o, e])
+                parts, pos = [], 0
+                for s, e in spans:
+                    parts.append(text[pos:s])
+                    pos = e
+                parts.append(text[pos:])
+                out[doc_id] = "".join(parts)
+        return out
+
+    rng = random.Random(77)
+    alpha = string.ascii_lowercase + " "
+
+    def rand(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    runs = [rand(90), rand(130), "梅雨前線が停滞し続けた七月の" + rand(70)]
+    doc_id = 0
+    batches = []
+    for _ in range(3):
+        batch = []
+        for _ in range(6):
+            doc_id += 1
+            t = rand(rng.randrange(0, 60))
+            for r in rng.sample(runs, rng.randrange(0, 3)):
+                t += r + rand(rng.randrange(10, 50))
+            batch.append((doc_id, t))
+        batches.append(batch)
+
+    src = tmp_path / "rdocs"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+        time.sleep(1.1)  # distinct mtimes pin file-stream batch order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src) + "/*")
+    )
+    streaming_span_gate(
+        stream,
+        store_dir=str(tmp_path / "store"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ck"),
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = reference(batches)
+    assert got == want
+    # sanity: the corpus really exercised the gate (some doc scrubbed)
+    orig = {d: t for b in batches for d, t in b}
+    assert any(got[d] != orig[d] for d in got)
