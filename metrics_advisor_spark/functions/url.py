@@ -274,15 +274,33 @@ def frontier_schedule(
     extraction is JVM-side ``parse_url``; the ONE shuffle is the
     per-host window partitioning (inherent — politeness is a per-host
     ordering); the delay join broadcasts.  No global window, no
-    Python."""
+    Python.
+
+    Hostless rows (malformed/relative URLs — ``parse_url`` yields
+    NULL) get NULL wave/offset and NEVER enter the per-host window:
+    they are not fetchable, and at crawl scale a billion malformed
+    URLs would otherwise all land in ONE NULL-host window partition —
+    a straggler the politeness plan has no business creating."""
     from pyspark.sql.window import Window
 
     out = df.withColumn(
-        "host", F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+        # try_parse_url: plain parse_url THROWS on a malformed URL in
+        # Spark 4 — one junk frontier row would kill the whole plan
+        "host", F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    )
+    # split BEFORE the window: a when() around row_number would still
+    # drag every hostless row through one NULL-host window partition
+    hosted = out.where(
+        F.col("host").isNotNull() & (F.col("host") != "")
+    )
+    hostless = out.where(
+        F.col("host").isNull() | (F.col("host") == "")
     )
     w = Window.partitionBy("host").orderBy(F.col(url_col))
-    out = out.withColumn(
+    out = hosted.withColumn(
         "wave", (F.row_number().over(w) - 1).cast("long")
+    ).unionByName(
+        hostless.withColumn("wave", F.lit(None).cast("long"))
     )
     if delays is not None:
         d = delays.toDF("host", "delay_sec")

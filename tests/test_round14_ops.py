@@ -460,3 +460,29 @@ def test_streaming_span_gate_vs_reference_model(spark, tmp_path):
     # sanity: the corpus really exercised the gate (some doc scrubbed)
     orig = {d: t for b in batches for d, t in b}
     assert any(got[d] != orig[d] for d in got)
+
+
+def test_frontier_schedule_hostless_guard(spark):
+    # malformed/relative URLs must get NULL wave/offset and must NOT
+    # enter the per-host window (at crawl scale a NULL-host partition
+    # is a straggler); hosted rows schedule exactly as before
+    from metrics_advisor_spark.functions.url import frontier_schedule
+
+    df = spark.createDataFrame(
+        [(1, "https://h0.example.org/a"),
+         (2, "https://h0.example.org/b"),
+         (3, "not a url"),
+         (4, "/relative/path"),
+         (5, "mailto:x@example.org")],
+        "doc_id long, canonical string",
+    )
+    got = {r["doc_id"]: r for r in frontier_schedule(df).collect()}
+    assert got[1]["wave"] == 0 and got[2]["wave"] == 1
+    assert got[1]["fetch_offset_sec"] == 0.0
+    assert got[2]["fetch_offset_sec"] == 1.0
+    for d in (3, 4, 5):
+        assert got[d]["wave"] is None
+        assert got[d]["fetch_offset_sec"] is None
+    # the compiled plan's window must not receive the hostless branch
+    plan = frontier_schedule(df)._jdf.queryExecution().toString()
+    assert "row_number" in plan
