@@ -6132,7 +6132,7 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image(small)
 
 
-CURRENT_ROUND = 14
+CURRENT_ROUND = 15
 DRIVER_GATE = 50
 
 # Rotation state machine (VERDICT r04 item 5): the driver's correctness
@@ -6238,42 +6238,42 @@ ROTATION: dict[str, int | None] = {
     "time_extent": 13,
     "bucket_agg": 13,
     "bucket_membership": 13,
-    "resample_hourly": 7,
-    "moving_median": 7,
-    "ksigma_outliers": 7,
-    "relative_normalize": 7,
-    "xcorr_lagged": 7,
-    "xcorr_best_lag": 7,
-    "topk_correlated": 7,
-    "xcorr_bucketed": 7,
-    "corr_matrix": 7,
-    "detect_anomalies": 7,
-    "kmeans_outliers": 7,
-    "corr_matrix_blocked": 7,
-    "tpch_q1": 7,
-    "tpch_q2": 7,
-    "tpch_q3": 7,
-    "tpch_q4": 7,
-    "tpch_q5": 7,
-    "tpch_q6": 7,
-    "tpch_q7": 7,
-    "tpch_q8": 7,
-    "tpch_q9": 7,
-    "tpch_q10": 7,
-    "tpch_q11": 7,
-    "tpch_q12": 7,
-    "tpch_q13": 7,
-    "tpch_q14": 7,
-    "tpch_q15": 7,
-    "tpch_q16": 7,
-    "tpch_q17": 7,
-    "tpch_q18": 7,
-    "tpch_q19": 7,
-    "tpch_q20": 7,
-    "tpch_q21": 7,
-    "tpch_q22": 7,
-    "lateral_topk_per_nation": 7,
-    "ntile_price_quartiles": 7,
+    "resample_hourly": 14,
+    "moving_median": 14,
+    "ksigma_outliers": 14,
+    "relative_normalize": 14,
+    "xcorr_lagged": 14,
+    "xcorr_best_lag": 14,
+    "topk_correlated": 14,
+    "xcorr_bucketed": 14,
+    "corr_matrix": 14,
+    "detect_anomalies": 14,
+    "kmeans_outliers": 14,
+    "corr_matrix_blocked": 14,
+    "tpch_q1": 14,
+    "tpch_q2": 14,
+    "tpch_q3": 14,
+    "tpch_q4": 14,
+    "tpch_q5": 14,
+    "tpch_q6": 14,
+    "tpch_q7": 14,
+    "tpch_q8": 14,
+    "tpch_q9": 14,
+    "tpch_q10": 14,
+    "tpch_q11": 14,
+    "tpch_q12": 14,
+    "tpch_q13": 14,
+    "tpch_q14": 14,
+    "tpch_q15": 14,
+    "tpch_q16": 14,
+    "tpch_q17": 14,
+    "tpch_q18": 14,
+    "tpch_q19": 14,
+    "tpch_q20": 14,
+    "tpch_q21": 14,
+    "tpch_q22": 14,
+    "lateral_topk_per_nation": 14,
+    "ntile_price_quartiles": 14,
     "grouping_sets_orders": 9,
     "pivot_status_by_priority": 9,
     "join_revenue_by_nation": 9,
@@ -6395,9 +6395,9 @@ ROTATION: dict[str, int | None] = {
     "streaming_audio": 13,
     "image_meta": 10,
     "image_pixels": 10,
-    "image_tiles": 7,
+    "image_tiles": 14,
     "ann_recall": 10,
-    "packed_sequences": 7,
+    "packed_sequences": 14,
     "streaming_ann_gate": 10,
     "image_resize": 10,
     "pq_reconstruction": 13,
@@ -6432,18 +6432,18 @@ ROTATION: dict[str, int | None] = {
     "blocklist_hits": 12,  # new r12 — never driver-checked
     "streaming_warc_gate": 12,  # new r12 — never driver-checked
     "gif_frame_stats": 12,  # new r12 — never driver-checked
-    "duplicate_spans": None,  # new r14
-    "scrub_duplicate_spans": None,  # new r14
-    "char_lm_perplexity": None,  # new r14
-    "perplexity_gate": None,  # new r14
-    "frontier_schedule": None,  # new r14
-    "html_meta": None,  # new r14
-    "wet_extract": None,  # new r14
-    "warc_cdx": None,  # new r14
-    "streaming_link_frontier": None,  # new r14
-    "crawl_waves": None,  # new r14
-    "dup_span_stats": None,  # new r14
-    "streaming_perplexity_gate": None,  # new r14
+    "duplicate_spans": 14,
+    "scrub_duplicate_spans": 14,
+    "char_lm_perplexity": 14,
+    "perplexity_gate": 14,
+    "frontier_schedule": 14,
+    "html_meta": 14,
+    "wet_extract": 14,
+    "warc_cdx": 14,
+    "streaming_link_frontier": 14,
+    "crawl_waves": 14,
+    "dup_span_stats": 14,
+    "streaming_perplexity_gate": 14,
 }
 
 # Round 12: EMPTY by arithmetic necessity again (VERDICT r11 item 1).
@@ -6457,16 +6457,19 @@ ROTATION: dict[str, int | None] = {
 # the r13 window.
 ROTATION_EXCEPTIONS: set[str] = set()
 
-# With 268 contract queries and a 50-slot gate, a full rotation takes
-# ceil(268/50) = 6 rounds; queries beyond the window may be at most
-# this many rounds stale before the ordering itself is a bug.  (The
-# r04 verdict's "no row older than 2 rounds" aspiration is infeasible
-# at this surface-to-gate ratio — 6 is the structural floor, raised
-# honestly from 5 in r11 when `bpe_batched_merges` pushed the surface
-# past 5×50 exactly as VERDICT r10 item 1 anticipated ("widen
-# DRIVER_GATE or raise MAX_STALE_ROUNDS honestly"); the builder-side
-# parity suite + driver_sim cover every query every round in between.)
-MAX_STALE_ROUNDS = 6
+# With a 50-slot gate, a full rotation takes ceil(surface/50) rounds;
+# queries beyond the window may be at most this many rounds stale
+# before the ordering itself is a bug.  (The r04 verdict's "no row
+# older than 2 rounds" aspiration is infeasible at this
+# surface-to-gate ratio — ceil(surface/50) is the structural floor.
+# Raised honestly from 5 to 6 in r11 when `bpe_batched_merges` pushed
+# the surface past 5x50, and from 6 to 7 in r15 when gating the four
+# staged span/audio newcomers pushed the surface past 6x50 = 300
+# (ceil(302/50) = 7) — exactly the decision VERDICT r14 item 1 forced
+# ("hold the line or raise to 7 honestly when the surface crosses
+# 300"); the builder-side parity suite + driver_sim cover every query
+# every round in between.)
+MAX_STALE_ROUNDS = 7
 
 
 def _rotation_order(base: dict) -> dict:

@@ -120,7 +120,14 @@ class Corpus:
         finer-grained than doc-level dedup: boilerplate shared across
         otherwise-distinct docs is excised, the unique remainder
         survives.  ``keep_first=True`` keeps one canonical copy of
-        each duplicated run (dedup, not destruction)."""
+        each duplicated run (dedup, not destruction) — with the
+        window-level caveat from `dedup.duplicate_spans` (r14
+        ADVICE): when a doc interleaves SEVERAL duplicated runs, a
+        span from a different duplicated key can overlap the
+        canonical copy and the island merge cuts into it, so
+        "exactly one copy survives" holds only when duplicated runs
+        don't overlap other duplicated material in the surviving
+        doc."""
         from metrics_advisor_spark.functions.dedup import (
             scrub_duplicate_spans,
         )

@@ -799,9 +799,16 @@ def audio_windows(
                 # same validated header parse as audio_meta (r07
                 # ADVICE) — and the data offset/length it returns,
                 # instead of a blind fixed-44 slice
-                _, _, _, _, off, dlen = _parse_wav_header(
+                _, _, bits, _, off, dlen = _parse_wav_header(
                     doc_id, payload
                 )
+                if bits != 16:
+                    # '<i2' assumes 16-bit PCM (r14 ADVICE): raise,
+                    # don't silently frame garbage samples
+                    raise ValueError(
+                        f"doc {doc_id}: {bits}-bit PCM unsupported "
+                        f"(only 16-bit samples are framed)"
+                    )
                 s = np.frombuffer(
                     payload[off : off + dlen], dtype="<i2"
                 ).astype(np.int64)
@@ -1988,7 +1995,16 @@ def audio_fingerprint(
     blk = window // n_bands
 
     def _codes(payload, doc_id):
-        _, _, _, _, off, dlen = _parse_wav_header(doc_id, payload)
+        _, _, bits, _, off, dlen = _parse_wav_header(doc_id, payload)
+        if bits != 16:
+            # the '<i2' frombuffer below assumes 16-bit PCM; an 8/24/
+            # 32-bit payload would silently fingerprint garbage codes
+            # (r14 ADVICE) — raise like the module's other
+            # non-canonical-payload paths instead
+            raise ValueError(
+                f"doc {doc_id}: {bits}-bit PCM unsupported (only "
+                f"16-bit samples are fingerprinted)"
+            )
         s = np.frombuffer(
             payload[off:off + dlen], dtype="<i2"
         ).astype(np.int64)

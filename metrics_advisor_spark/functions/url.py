@@ -277,10 +277,17 @@ def frontier_schedule(
     Python.
 
     Hostless rows (malformed/relative URLs — ``parse_url`` yields
-    NULL) get NULL wave/offset and NEVER enter the per-host window:
-    they are not fetchable, and at crawl scale a billion malformed
-    URLs would otherwise all land in ONE NULL-host window partition —
-    a straggler the politeness plan has no business creating."""
+    NULL) get NULL wave/offset and never form a single NULL-host
+    window partition: they are not fetchable, and at crawl scale a
+    billion malformed URLs would otherwise all land in ONE window
+    partition — a straggler the politeness plan has no business
+    creating.  They are spread over 1024 salted pseudo-host keys
+    (``crc32(url) % 1024`` behind a NUL prefix no real lowercase host
+    can collide with) inside the SAME single-pass plan, and their
+    wave is nulled after the window — the input is scanned exactly
+    once (r14 ADVICE: the prior filter-split form evaluated a
+    nondeterministic upstream twice, so a rand-derived row could land
+    in both branches or neither)."""
     from pyspark.sql.window import Window
 
     out = df.withColumn(
@@ -288,19 +295,19 @@ def frontier_schedule(
         # Spark 4 — one junk frontier row would kill the whole plan
         "host", F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
     )
-    # split BEFORE the window: a when() around row_number would still
-    # drag every hostless row through one NULL-host window partition
-    hosted = out.where(
-        F.col("host").isNotNull() & (F.col("host") != "")
+    hosted = F.col("host").isNotNull() & (F.col("host") != "")
+    wkey = F.when(hosted, F.col("host")).otherwise(
+        F.concat(
+            F.lit("\x00"),
+            (F.crc32(F.col(url_col)) % 1024).cast("string"),
+        )
     )
-    hostless = out.where(
-        F.col("host").isNull() | (F.col("host") == "")
-    )
-    w = Window.partitionBy("host").orderBy(F.col(url_col))
-    out = hosted.withColumn(
-        "wave", (F.row_number().over(w) - 1).cast("long")
-    ).unionByName(
-        hostless.withColumn("wave", F.lit(None).cast("long"))
+    w = Window.partitionBy(wkey).orderBy(F.col(url_col))
+    out = out.withColumn(
+        "wave",
+        F.when(
+            hosted, (F.row_number().over(w) - 1).cast("long")
+        ).otherwise(F.lit(None).cast("long")),
     )
     if delays is not None:
         d = delays.toDF("host", "delay_sec")

@@ -1312,7 +1312,21 @@ def streaming_span_gate(
     For a single availableNow drain of a static source (one batch,
     empty store) the output equals the batch
     ``scrub_duplicate_spans(keep_first=True)`` — the SQL-expressible
-    oracle of the staged contract query."""
+    oracle of the staged contract query.
+
+    Replay safety (r14 ADVICE, medium): foreachBatch is
+    at-least-once — a batch that appended its store leaf but crashed
+    before the checkpoint commit is REPLAYED under the same
+    batch_id.  Two guards make the replay idempotent: (a) ``run_id``
+    derives from the checkpoint path, so the replayed batch
+    overwrites the SAME run=/batch= leaves instead of leaving the
+    failed attempt's docs behind under a second run; (b) the store
+    read drops rows from this run with ``batch >= batch_id`` — the
+    failed attempt's own keys — so the replay cannot see the batch's
+    windows as 'seen' and scrub the canonical first occurrence
+    (which would leave ZERO copies of material introduced in that
+    batch, violating keep-first)."""
+    import hashlib
     import uuid
 
     from pyspark.errors import AnalysisException
@@ -1323,7 +1337,11 @@ def streaming_span_gate(
         _winnow_windows,
     )
 
-    run_id = uuid.uuid4().hex[:12]
+    run_id = (
+        hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+        if checkpoint
+        else uuid.uuid4().hex[:12]
+    )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -1332,7 +1350,15 @@ def streaming_span_gate(
         ).withColumn("wh", F.md5("w")).persist()
         try:
             try:
-                store = spark.read.parquet(store_dir)
+                # run=/batch= leaf dirs surface as partition columns;
+                # a replayed batch must not read the keys its failed
+                # attempt appended (r14 ADVICE guard b)
+                store = spark.read.parquet(store_dir).where(
+                    ~(
+                        (F.col("run") == run_id)
+                        & (F.col("batch") >= batch_id)
+                    )
+                ).select("wh")
             except AnalysisException:
                 # first batch ever (PATH_NOT_FOUND); other failures
                 # propagate — treating them as "no store" would

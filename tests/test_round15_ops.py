@@ -1,0 +1,222 @@
+"""Round-15 additions: replay-safety for the streaming span gate
+(r14 ADVICE medium), the 16-bit PCM guard (r14 ADVICE low), the
+single-pass frontier plan (r14 ADVICE low), and the keep_first
+overlap-caveat boundary pin (VERDICT r14 item 2)."""
+
+import random
+import string
+
+import pytest
+
+
+def _rand(rng, n):
+    return "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
+
+
+def test_streaming_span_gate_replay_idempotent(spark, tmp_path):
+    # r14 ADVICE (medium): foreachBatch is at-least-once — a batch
+    # that appended its store leaf but lost the checkpoint commit is
+    # REPLAYED under the same batch_id.  Simulate exactly that: drain
+    # once (store leaf written), then DELETE the checkpoint (the lost
+    # commit) and drain again with the SAME checkpoint path.  The
+    # replay must (a) not read its own failed-attempt keys as 'seen'
+    # (which would scrub the canonical first copy too — zero copies
+    # of the batch's material surviving), and (b) overwrite the same
+    # run=/batch= leaf instead of leaving the stale attempt's docs
+    # behind under a second run dir.
+    import shutil
+
+    from metrics_advisor_spark.streaming.pipeline import (
+        streaming_span_gate,
+    )
+
+    rng = random.Random(151)
+    shared = _rand(rng, 120)
+    b1 = [
+        (1, _rand(rng, 40) + shared + _rand(rng, 40)),
+        (2, _rand(rng, 30) + shared + _rand(rng, 55)),
+        (3, _rand(rng, 150)),
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        streaming_span_gate(
+            stream,
+            store_dir=str(tmp_path / "store"),
+            out_dir=str(tmp_path / "out"),
+            checkpoint=str(tmp_path / "ck"),
+        )
+
+    drain()
+    first = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # sanity: keep-first within the batch — doc 1 keeps the run, doc 2
+    # scrubbed, doc 3 untouched
+    assert shared in first[1]
+    assert shared not in first[2]
+    assert first[3] == b1[2][1]
+
+    # lose the commit, replay batch 0 under the same checkpoint path
+    shutil.rmtree(tmp_path / "ck")
+    drain()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    replay = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert replay == first, (
+        "replayed batch diverged from the original drain — the store "
+        "read leaked the failed attempt's own keys"
+    )
+    # exactly one run leaf: run_id derives from the checkpoint, so the
+    # replay overwrote rather than forking a second run dir
+    runs = {r["run"] for r in out.select("run").distinct().collect()}
+    assert len(runs) == 1, f"replay forked a second run dir: {runs}"
+    # and each doc appears exactly once corpus-wide
+    assert out.count() == 3
+
+
+def test_audio_fingerprint_rejects_non_16bit(spark):
+    # r14 ADVICE (low): the '<i2' frombuffer assumes 16-bit PCM; an
+    # 8-bit canonical-header WAV must raise, not fingerprint garbage
+    import struct
+
+    from metrics_advisor_spark.functions.multimodal import (
+        audio_fingerprint,
+        audio_windows,
+    )
+
+    def wav(bits, n_samples=1024):
+        data_len = n_samples * bits // 8
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + data_len) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 1, 8000, 8000 * bits // 8,
+                          bits // 8, bits)
+            + b"data" + struct.pack("<I", data_len)
+        )
+        return hdr + bytes(data_len)
+
+    df8 = spark.createDataFrame(
+        [(1, bytearray(wav(8)))], "doc_id long, wav binary"
+    )
+    with pytest.raises(Exception, match="8-bit PCM unsupported"):
+        audio_fingerprint(df8).collect()
+    with pytest.raises(Exception, match="8-bit PCM unsupported"):
+        audio_windows(df8).collect()
+    # 16-bit still fingerprints
+    df16 = spark.createDataFrame(
+        [(1, bytearray(wav(16)))], "doc_id long, wav binary"
+    )
+    assert audio_fingerprint(df16).count() == 1
+
+
+def test_frontier_schedule_single_scan(spark):
+    # r14 ADVICE (low): the filter-split form scanned the input twice
+    # (a nondeterministic upstream could emit a row into both branches
+    # or neither); the salted-pseudo-host form is ONE plan — assert
+    # exactly one scan of the source relation survives in the
+    # physical plan, and the observable output is unchanged
+    # (hosted rows get per-host FIFO waves, hostless rows NULL).
+    from pyspark.sql import functions as F
+
+    from metrics_advisor_spark.functions.url import frontier_schedule
+
+    rows = [
+        ("https://a.example.org/1",),
+        ("https://a.example.org/2",),
+        ("https://b.example.org/x",),
+        ("not a url",),
+        ("also-not-a-url",),
+    ]
+    df = spark.createDataFrame(rows, "canonical string")
+    out = frontier_schedule(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("LocalTableScan") + plan.count("Scan ")
+    assert n_scans == 1, f"expected single source scan, plan:\n{plan}"
+    got = {r["canonical"]: r["wave"] for r in out.collect()}
+    assert got["https://a.example.org/1"] == 0
+    assert got["https://a.example.org/2"] == 1
+    assert got["https://b.example.org/x"] == 0
+    assert got["not a url"] is None
+    assert got["also-not-a-url"] is None
+
+
+def test_frontier_schedule_hostless_spread(spark):
+    # the straggler guard survives the single-pass rewrite: hostless
+    # rows hash across 1024 salted pseudo-host keys, never one
+    # NULL-host window partition
+    from pyspark.sql import functions as F
+
+    from metrics_advisor_spark.functions.url import frontier_schedule
+
+    df = spark.range(500).select(
+        F.concat(F.lit("junk-"), F.col("id").cast("string"))
+        .alias("canonical")
+    )
+    out = frontier_schedule(df)
+    rows = out.collect()
+    assert len(rows) == 500
+    assert all(r["wave"] is None for r in rows)
+    assert all(r["fetch_offset_sec"] is None for r in rows)
+
+
+def test_keep_first_overlap_caveat_boundary(spark):
+    # VERDICT r14 item 2: pin the DOCUMENTED boundary of the
+    # keep_first guarantee, not just the happy path.  Construct a doc
+    # whose canonical copy of run X is overlapped by a duplicated run
+    # Y from a DIFFERENT window key: the island merge cuts into the
+    # canonical copy, so "exactly one copy survives" fails exactly as
+    # the docstring warns — while the non-interleaved control doc
+    # keeps its canonical copy intact.
+    import random
+
+    from metrics_advisor_spark.functions.dedup import (
+        scrub_duplicate_spans,
+    )
+
+    rng = random.Random(77)
+    x_part = _rand(rng, 100)
+    shared = _rand(rng, 100)
+    y_part = _rand(rng, 100)
+    x = x_part + shared  # run X: canonical copy lives in doc 2
+    y = shared + y_part  # run Y: canonical copy lives in doc 1
+    # doc 1: canonical Y — every duplicated window in doc 1 is
+    # first-in-(doc_id, off) order, so doc 1 must pass untouched
+    d1 = _rand(rng, 20) + y + _rand(rng, 20)
+    # doc 2: X and Y OVERLAP (they share `shared`) — X's canonical
+    # copy is cut into by hits from doc 2's NON-canonical Y windows
+    d2 = _rand(rng, 25) + x_part + shared + y_part + _rand(rng, 25)
+    # doc 3: the duplicating copy of X (non-canonical → scrubbed)
+    d3 = _rand(rng, 30) + x + _rand(rng, 30)
+    # docs 4/5: control — run Z's canonical copy is NOT overlapped by
+    # other duplicated material, so exactly one copy survives
+    z = _rand(rng, 100)
+    d4 = _rand(rng, 20) + z + _rand(rng, 20)
+    d5 = _rand(rng, 30) + z + _rand(rng, 30)
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4), (5, d5)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in scrub_duplicate_spans(df, keep_first=True).collect()
+    }
+    # happy paths: canonical copies survive where runs don't overlap
+    assert got[1] == d1  # canonical Y doc untouched
+    assert z in got[4]
+    assert z not in got[5]
+    # THE BOUNDARY: doc 2 is the canonical holder of X, but doc 2's Y
+    # occurrence is non-canonical (doc 1 came first) and its hits
+    # cover the shared tail of X — the island splice cuts into the
+    # canonical copy, so NO intact copy of X survives corpus-wide.
+    # This is exactly the documented caveat; if these assertions ever
+    # flip, the docstring must be updated to claim the stronger
+    # guarantee.
+    assert x not in got[2]
+    assert x not in got[3]
