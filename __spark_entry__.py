@@ -2152,6 +2152,111 @@ def q_streaming_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scrub_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of substring dedup (r15, staged r14 —
+    dedup, NOT destruction): every duplicated char run keeps its
+    FIRST occurrence in (doc_id, offset) order and loses the rest,
+    vs the Lee-et-al default that removes all copies.  One extra
+    rank window (row_number over the exact window key) on the
+    already-shuffled occurrence frame.  The oracle is the full
+    winnowing replay with the keep_first rank arm
+    (`_span_oracle_cte(keep_first=True)` — validated exact
+    builder-side in r14) feeding the same splice rebuild, so
+    selection, canonical-pick AND splicing are pinned jointly.
+    Documented boundary (tests/test_round15_ops.py pins it): when
+    duplicated runs overlap OTHER duplicated material in the
+    surviving doc, islands from the other key can cut into the
+    canonical copy."""
+    from metrics_advisor_spark.functions.dedup import (
+        scrub_duplicate_spans,
+    )
+
+    return scrub_duplicate_spans(
+        _docs_span_dups(spark, sf_dir), keep_first=True
+    ).select("doc_id", "text")
+
+
+def q_duplicate_span_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance of duplicated material at GROUP granularity (r15):
+    one row per duplicated window key — (w_hash, n_occurrences,
+    n_docs, min_doc, min_off) — WITHOUT materializing occurrence
+    pairs, so boilerplate shared by millions of docs stays one row.
+    The (min_doc, min_off) pointer is the keep_first scrub's
+    survivor, answering "where does the surviving copy live" after a
+    keep-first pass.  One groupBy on the winnowed window key; the
+    oracle replays the winnowing CTE, aggregates per key and picks
+    the canonical row with the identical (doc_id, off) rank."""
+    from metrics_advisor_spark.functions.dedup import (
+        duplicate_span_sources,
+    )
+
+    return duplicate_span_sources(_docs_span_dups(spark, sf_dir))
+
+
+def q_streaming_span_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twenty-third Structured Streaming contract surface (r15):
+    cross-batch SUBSTRING-level dedup on a document stream — material
+    the stream has already carried is scrubbed from later arrivals at
+    char granularity via a persistent md5-window-key store; the first
+    arrival survives intact.  A single availableNow drain of the
+    static span-dup fixture is ONE batch over an empty store, which
+    equals the batch ``scrub_duplicate_spans(keep_first=True)`` —
+    the same SQL oracle as `scrub_spans_keep_first` (batch-twin
+    discipline of the other 22 surfaces).  Replay idempotence under
+    at-least-once foreachBatch is pinned by
+    tests/test_round15_ops.py."""
+    import tempfile
+
+    from metrics_advisor_spark.streaming.pipeline import (
+        streaming_span_gate,
+    )
+
+    key = f"{sf_dir}#spandocs"
+    src = _STREAM_SRC_CACHE.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="ma_stream_sdocs_") + "/docs"
+        _docs_span_dups(spark, sf_dir).write.mode("overwrite").parquet(
+            src
+        )
+        _STREAM_SRC_CACHE[key] = src
+    base = tempfile.mkdtemp(prefix="ma_spangate_")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        src
+    )
+    streaming_span_gate(
+        stream,
+        store_dir=f"{base}/store",
+        out_dir=f"{base}/out",
+        checkpoint=f"{base}/ck",
+    )
+    return (
+        spark.read.parquet(f"{base}/out")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
+
+
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gain-invariant audio fingerprint codes (r15, staged r14 —
+    chromaprint's delta-sign coding on INTEGER band energies, so
+    every bit is exact): real RIFF/WAVE PCM16 payloads framed into
+    256-sample windows × 16 contiguous band energies; window t emits
+    a 16-bit code whose bit b is [E(t,b) > E(t−1,b)].  Constant gain
+    scales energies by c² and flips no sign, so re-levelled copies
+    code identically — the property the corpus audio-dedup stage
+    rides (fp56 majority sketch → Hamming machinery).  The oracle
+    replays framing, band energies and the delta-sign bits from the
+    deterministic waveform rule — any drift in the band grid,
+    full-window rule or bit order breaks the hash."""
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_wav_payload,
+        audio_fingerprint,
+    )
+
+    media = attach_wav_payload(_docs(spark, sf_dir, fanout=False))
+    return audio_fingerprint(media, window=256, n_bands=16, codes=True)
+
+
 def q_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GIF animation replay under the hash gate (r12): every frame of
     every payload composited per the GIF89a disposal rules, reduced to
@@ -3004,6 +3109,42 @@ def _span_oracle_cte(keep_first: bool = False) -> str:
                      max(e) AS span_end
               FROM spanid GROUP BY doc_id, span_id
             )"""
+
+
+def _span_scrub_sql(keep_first: bool = False) -> str:
+    """Full scrub oracle: the winnowing-replay CTE (optionally the
+    keep_first rank arm) feeding the keep-segment splice rebuild
+    (lag + ordered string_agg) — shared by `scrub_spans_keep_first`
+    and its streaming batch-twin `streaming_span_gate`."""
+    return f"""
+            WITH {_span_oracle_cte(keep_first)},
+            segs AS (
+              SELECT doc_id,
+                     coalesce(lag(span_end) OVER (
+                       PARTITION BY doc_id ORDER BY span_start),
+                       0) AS a,
+                     span_start AS b2
+              FROM spanout
+              UNION ALL
+              SELECT doc_id, max(span_end), NULL
+              FROM spanout GROUP BY doc_id
+            ),
+            pieces AS (
+              SELECT s.doc_id, s.a,
+                     CASE WHEN s.b2 IS NULL
+                          THEN substr(b.text, s.a + 1)
+                          ELSE substr(b.text, s.a + 1, s.b2 - s.a)
+                     END AS piece
+              FROM segs s JOIN spanbase b USING (doc_id)
+            ),
+            sc AS (
+              SELECT doc_id, string_agg(piece, '' ORDER BY a) AS text
+              FROM pieces GROUP BY doc_id
+            )
+            SELECT b.doc_id, coalesce(sc.text, b.text) AS text
+            FROM spanbase b LEFT JOIN sc USING (doc_id)
+        """
+
 
 
 _HTML_LINKS_SQL = """
@@ -6444,6 +6585,10 @@ ROTATION: dict[str, int | None] = {
     "crawl_waves": 14,
     "dup_span_stats": 14,
     "streaming_perplexity_gate": 14,
+    "scrub_spans_keep_first": None,  # new r15
+    "duplicate_span_sources": None,  # new r15
+    "streaming_span_gate": None,  # new r15
+    "audio_fingerprint": None,  # new r15
 }
 
 # Round 12: EMPTY by arithmetic necessity again (VERDICT r11 item 1).
@@ -6627,6 +6772,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_waves": q_crawl_waves,
         "dup_span_stats": q_dup_span_stats,
         "streaming_perplexity_gate": q_streaming_perplexity_gate,
+        "scrub_spans_keep_first": q_scrub_spans_keep_first,
+        "duplicate_span_sources": q_duplicate_span_sources,
+        "streaming_span_gate": q_streaming_span_gate,
+        "audio_fingerprint": q_audio_fingerprint,
         "gif_frame_stats": q_gif_frame_stats,
         "media_frames": q_media_frames,
         "ann_topk": q_ann_topk,
@@ -9203,6 +9352,63 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT b.doc_id, coalesce(sc.text, b.text) AS text
             FROM spanbase b LEFT JOIN sc USING (doc_id)
+        """,
+        "scrub_spans_keep_first": _span_scrub_sql(keep_first=True),
+        "streaming_span_gate": _span_scrub_sql(keep_first=True),
+        "duplicate_span_sources": f"""
+            -- winnowing replay -> per-window-key aggregate + the
+            -- identical (doc_id, off)-rank canonical pick; md5 keys
+            -- match Spark's F.md5 over the same UTF-8 bytes
+            WITH {_span_oracle_cte()},
+            srcagg AS (
+              SELECT w, count(*) AS n_occurrences,
+                     count(DISTINCT doc_id) AS n_docs
+              FROM spankey GROUP BY w HAVING count(*) > 1
+            ),
+            srccanon AS (
+              SELECT w, doc_id AS min_doc, off AS min_off FROM (
+                SELECT w, doc_id, off,
+                       row_number() OVER (
+                         PARTITION BY w ORDER BY doc_id, off) AS rn
+                FROM spankey
+              ) WHERE rn = 1
+            )
+            SELECT md5(a.w) AS w_hash, a.n_occurrences, a.n_docs,
+                   c.min_doc, c.min_off
+            FROM srcagg a JOIN srccanon c USING (w)
+        """,
+        "audio_fingerprint": """
+            -- analytic replay of the delta-sign coding over the
+            -- deterministic PCM16 rule s_i = ((id*31+i*17) % 65536)
+            -- - 32768: 256-sample full windows only (nw >= 2), 16
+            -- contiguous 16-sample band energies, bit b of window t
+            -- = [E(t,b) > E(t-1,b)] weighted 1 << (15-b)
+            WITH ad AS (
+              SELECT doc_id, 400 + (doc_id % 10) * 80 AS ns
+              FROM documents
+            ),
+            asmp AS (
+              SELECT d.doc_id, u.i AS i,
+                     ((d.doc_id * 31 + u.i * 17) % 65536) - 32768 AS v
+              FROM ad d,
+                   unnest(range(0, (ns // 256) * 256)) AS u(i)
+              WHERE ns // 256 >= 2
+            ),
+            aen AS (
+              SELECT doc_id, i // 256 AS t, (i % 256) // 16 AS b,
+                     sum(v * v) AS en
+              FROM asmp GROUP BY 1, 2, 3
+            ),
+            adelta AS (
+              SELECT doc_id, t, b,
+                     en > lag(en) OVER (
+                       PARTITION BY doc_id, b ORDER BY t) AS up
+              FROM aen
+            )
+            SELECT doc_id, t::INT AS win_id,
+                   sum(CASE WHEN up THEN 1 << (15 - b)
+                            ELSE 0 END)::BIGINT AS code
+            FROM adelta WHERE t >= 1 GROUP BY doc_id, t
         """,
         "char_lm_perplexity": f"""
             -- independent DuckDB rescoring of the quantized en model
