@@ -110,6 +110,32 @@ class Corpus:
             apply_pair_dedup(self.df, pairs, transitive=transitive)
         )
 
+    def dedup_audio(
+        self, wav_col: str = "wav", *, max_distance: int = 4,
+        window: int = 256, n_bands: int = 16,
+    ) -> "Corpus":
+        """Drop rows whose AUDIO payload is a near-dup of an earlier
+        row's (r15): gain-invariant delta-sign fingerprints →
+        blocked-Hamming connected components
+        (`multimodal.audio_dup_components`); each cluster keeps its
+        min-doc_id representative.  Rows whose clip is too short to
+        fingerprint (n_codes = 0) pass through — no signal, no dedup
+        decision.  One anti-join against the non-representative
+        member set, so the full corpus row (text + other modalities)
+        survives for keepers."""
+        from metrics_advisor_spark.functions.multimodal import (
+            audio_dup_components,
+        )
+
+        comp = audio_dup_components(
+            self.df, wav_col=wav_col, max_distance=max_distance,
+            window=window, n_bands=n_bands,
+        )
+        drops = comp.where(
+            F.col("doc_id") != F.col("component")
+        ).select("doc_id")
+        return self._with(self.df.join(drops, "doc_id", "left_anti"))
+
     def scrub_exact_substrings(
         self, min_len: int = 64, stride: int = 16,
         keep_first: bool = False,

@@ -1993,6 +1993,9 @@ def audio_fingerprint(
             f"({n_bands})"
         )
     blk = window // n_bands
+    # only (id, payload) cross the Arrow boundary — a wide corpus row
+    # (text + other modalities) must not ride through the Python pass
+    media = media.select(id_col, wav_col)
 
     def _codes(payload, doc_id):
         _, _, bits, _, off, dlen = _parse_wav_header(doc_id, payload)
@@ -2059,4 +2062,39 @@ def audio_fingerprint(
 
     return media.mapInPandas(
         fn, "doc_id long, n_codes int, fp56 long"
+    )
+
+
+def audio_dup_components(
+    media: DataFrame, wav_col: str = "wav", id_col: str = "doc_id",
+    *, max_distance: int = 4, window: int = 256, n_bands: int = 16,
+) -> DataFrame:
+    """Corpus-level audio dedup (r15, VERDICT r14 item 5): the full
+    fingerprint → blocked-Hamming → connected-components chain, so
+    re-levelled / lightly-corrupted copies of the same audio collapse
+    to one cluster exactly like text SimHash near-dups.
+
+    `audio_fingerprint`'s 56-bit majority sketch was designed
+    Hamming-compatible on purpose — this stage just feeds it to
+    `dedup.hamming_components` (exact pigeonhole banding, in-task
+    popcount min-label fixpoint, O(values·bands) shuffle rows, never
+    a pair explosion — the ×10-measured §18 machinery).  Output:
+    (doc_id, component) with component = min doc_id of the cluster.
+
+    Clips too short to fingerprint (fewer than 2 full ``window``
+    frames → n_codes = 0) are EXCLUDED: their sketch carries no
+    signal, and at corpus scale a billion sub-window stubs would
+    otherwise collapse into one degenerate all-zero-sketch component.
+    Callers treat absent doc_ids as not-deduplicable."""
+    from metrics_advisor_spark.functions.dedup import hamming_components
+
+    fp = audio_fingerprint(
+        media, wav_col, id_col, window=window, n_bands=n_bands,
+    )
+    sketches = fp.where(F.col("n_codes") > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.col("fp56").alias("simhash"),
+    )
+    return hamming_components(
+        sketches, max_distance=max_distance, n_bits=56
     )
