@@ -348,68 +348,11 @@ def test_streaming_span_gate_vs_reference_model(spark, tmp_path):
     import string
     import time
 
-    import numpy as np
+    from _span_gate_model import reference_gate as reference
 
-    from metrics_advisor_spark.functions.dedup import (
-        _SPAN_ANCHOR_CHARS,
-        _SPAN_HASH_BASE,
-        _SPAN_HASH_MOD,
-        _winnow_offsets,
-    )
     from metrics_advisor_spark.streaming.pipeline import (
         streaming_span_gate,
     )
-
-    min_len, stride = 64, 16
-    a = min(_SPAN_ANCHOR_CHARS, min_len)
-    pows = [
-        pow(_SPAN_HASH_BASE, a - 1 - j, _SPAN_HASH_MOD)
-        for j in range(a)
-    ]
-
-    def windows(text):
-        cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
-        return [
-            (int(o), text[int(o):int(o) + min_len])
-            for o in _winnow_offsets(cp, min_len, stride, pows)
-        ]
-
-    def reference(batches):
-        seen: set[str] = set()
-        out = {}
-        for batch in batches:
-            wins = []  # (doc, off, w)
-            for doc_id, text in batch:
-                for off, w in windows(text):
-                    wins.append((doc_id, off, w))
-            hits: dict[int, list[int]] = {}
-            fresh = [x for x in wins if x[2] not in seen]
-            for doc_id, off, w in wins:
-                if w in seen:
-                    hits.setdefault(doc_id, []).append(off)
-            byw: dict[str, list] = {}
-            for doc_id, off, w in sorted(fresh):
-                byw.setdefault(w, []).append((doc_id, off))
-            for w, occ in byw.items():
-                for doc_id, off in occ[1:]:  # keep (doc,off)-first
-                    hits.setdefault(doc_id, []).append(off)
-                seen.add(w)
-            for doc_id, text in batch:
-                offs = sorted(hits.get(doc_id, []))
-                spans = []
-                for o in offs:
-                    e = o + min_len
-                    if spans and o <= spans[-1][1]:
-                        spans[-1][1] = max(spans[-1][1], e)
-                    else:
-                        spans.append([o, e])
-                parts, pos = [], 0
-                for s, e in spans:
-                    parts.append(text[pos:s])
-                    pos = e
-                parts.append(text[pos:])
-                out[doc_id] = "".join(parts)
-        return out
 
     rng = random.Random(77)
     alpha = string.ascii_lowercase + " "

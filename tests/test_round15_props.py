@@ -1,0 +1,154 @@
+"""Round-15 deep-fuzz (VERDICT r14 item 7): streaming_span_gate batch
+boundaries and frontier_schedule's try_parse_url arm.
+
+- Gate batch-boundary fuzz: randomized corpora drained under
+  RANDOMIZED batch splits (1–3 batches, runs crossing batch
+  boundaries, periodic all-same-char runs where ONE window key
+  recurs at many offsets in one doc — the seen-key store's stress
+  case) compared exactly against the shared independent Python
+  reference model (tests/_span_gate_model.py).
+- Adversarial URL corpus: the single-pass frontier plan over every
+  malformed-URL shape that used to kill (Spark-4 ANSI parse_url
+  throw) or skew (NULL-host straggler) the plan — exactly-once row
+  membership, dense per-host waves, NULL for the junk.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+import time
+
+import pytest
+
+from _span_gate_model import reference_gate
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_span_gate_randomized_batch_boundaries(spark, tmp_path, seed):
+    from metrics_advisor_spark.streaming.pipeline import (
+        streaming_span_gate,
+    )
+
+    rng = random.Random(seed)
+    alpha = string.ascii_lowercase + " "
+
+    def rand(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    # shared runs incl. a PERIODIC one: every 64-char window of an
+    # all-'z' run is the same text, so a single store key recurs at
+    # dozens of offsets within one doc — keep-first must keep exactly
+    # the (doc, off)-first window and islands must merge the rest
+    runs = [rand(90), rand(130), "z" * (80 + rng.randrange(60))]
+    docs = []
+    for doc_id in range(1, 13):
+        t = rand(rng.randrange(0, 60))
+        for r in rng.sample(runs, rng.randrange(0, 3)):
+            t += r + rand(rng.randrange(10, 50))
+        docs.append((doc_id, t))
+    # randomized batch split: 1..3 batches, contiguous doc ranges (so
+    # runs planted across the cut points genuinely cross batches)
+    n_batches = rng.randrange(1, 4)
+    cuts = sorted(rng.sample(range(1, len(docs)), n_batches - 1))
+    batches = [
+        docs[a:b]
+        for a, b in zip([0, *cuts], [*cuts, len(docs)])
+        if docs[a:b]
+    ]
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+        if len(batches) > 1:
+            time.sleep(1.1)  # distinct mtimes pin batch order
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src) + "/*")
+    )
+    streaming_span_gate(
+        stream,
+        store_dir=str(tmp_path / "store"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ck"),
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == reference_gate(batches), (
+        f"seed={seed} batching={[len(b) for b in batches]}"
+    )
+    # the fixture must have real cross-batch or within-batch work
+    assert any(got[d] != t for d, t in docs)
+
+
+_ADVERSARIAL_URLS = [
+    "",                                   # empty
+    " ",                                  # whitespace only
+    "http://",                            # scheme, no host
+    "https://:8080/path",                 # port, no host
+    "not a url at all",
+    "::::",
+    "http://exa mple.org/x",              # space inside authority
+    "https://h0.example.org/ok1",
+    "https://h0.example.org/ok2",
+    "HTTPS://H0.EXAMPLE.ORG/UPPER",       # case-folds to same host
+    "https://user:pw@h1.example.org/a",   # userinfo
+    "https://h1.example.org:8443/b",      # explicit port
+    "http://[2001:db8::1]/v6",            # IPv6 literal
+    "ftp://h2.example.org/f",             # non-http scheme, real host
+    "javascript:alert(1)",
+    "mailto:a@example.org",
+    "/relative/path/only",
+    "https://h0.example.org/%zz",         # bad percent-escape
+    "http://h3.example.org/\ttab",        # control char in path
+    "https://ünïcode.example.org/x",      # non-ASCII host
+    "x" * 4000,                           # absurdly long junk
+    "https://h0.example.org/" + "y" * 2000,  # long but valid
+]
+
+
+def test_frontier_schedule_adversarial_corpus(spark):
+    # one junk row used to kill the whole plan (Spark 4 ANSI
+    # parse_url THROW); a million of them used to pile into one
+    # NULL-host window partition; the split used to double-scan.
+    # Assert: no crash, every input row exactly once, dense per-host
+    # FIFO waves for the parseable rows, NULL wave for the rest.
+    from collections import Counter
+
+    from metrics_advisor_spark.functions.url import frontier_schedule
+
+    df = spark.createDataFrame(
+        [(u,) for u in _ADVERSARIAL_URLS], "canonical string"
+    )
+    rows = frontier_schedule(df).collect()
+    # exactly-once membership (the r14 double-scan hazard)
+    assert Counter(r["canonical"] for r in rows) == Counter(
+        _ADVERSARIAL_URLS
+    )
+    by_host: dict = {}
+    for r in rows:
+        if r["wave"] is not None:
+            assert r["host"], f"wave without host: {r}"
+            by_host.setdefault(r["host"], []).append(r)
+        else:
+            assert r["fetch_offset_sec"] is None
+    # every hosted group is a dense FIFO 0..n-1 in canonical order
+    for host, rs in by_host.items():
+        rs.sort(key=lambda r: r["canonical"])
+        assert [r["wave"] for r in rs] == list(range(len(rs))), host
+    # the shapes that must be fetchable did land in a host group
+    hosts = set(by_host)
+    assert "h0.example.org" in hosts
+    assert "h1.example.org" in hosts or any(
+        "h1.example.org" in h for h in hosts
+    )
+    # and the junk really was junk (some NULL-wave rows exist)
+    assert sum(1 for r in rows if r["wave"] is None) >= 5
