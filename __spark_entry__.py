@@ -2263,6 +2263,119 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_fingerprint(media, window=256, n_bands=16, codes=True)
 
 
+def q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl DISCOVERY loop composed end-to-end (r15 — the
+    robots→sitemaps chain VERDICT r14 named): per-host robots.txt
+    payloads advertising ``Sitemap:`` directives →
+    `robots.robots_sitemap_urls` explode → only the ADVERTISED
+    sitemap documents are fetched (even hosts advertise s0 only, so
+    their s1 content provably never enters the frontier — the
+    discovery gate is what's under test) → REAL XML build + parse
+    round-trip (`sitemap_entries`, incl. &amp; entity handling on
+    tracking-param locs) → `sitemap_frontier` admission
+    (canonicalize + robots + known anti-membership) →
+    `frontier_schedule` politeness waves over the admitted set.
+    The oracle writes every stage analytically: the advertised-set
+    rule, per-branch loc/canonical/verdicts, and the same per-host
+    window arithmetic."""
+    from metrics_advisor_spark.functions.robots import (
+        robots_sitemap_urls,
+    )
+    from metrics_advisor_spark.functions.sitemap import (
+        sitemap_entries,
+        sitemap_frontier,
+    )
+    from metrics_advisor_spark.functions.url import frontier_schedule
+
+    d = F.col("doc_id")
+    s = d.cast("string")
+    base = _docs(spark, sf_dir, fanout=False).select("doc_id").filter(
+        d < 200
+    )
+    k = (d % 5).cast("long")
+    kc = k.cast("string")
+    j = (F.floor(d / 5).cast("long") % 2)
+    path = (
+        F.when(d % 7 == 0, F.concat(F.lit("/private/x"), s))
+        .when(d % 7 == 1,
+              F.concat(F.lit("/keep/"), s,
+                       F.lit("?utm_source=z&id="), s))
+        .when(d % 7 == 2, F.concat(F.lit("/known/"), s))
+        .otherwise(F.concat(F.lit("/page/"), s))
+    )
+    loc = F.concat(
+        F.lit("https://h"), kc, F.lit(".example.org"), path
+    )
+    lastmod = F.concat(
+        F.lit("2026-01-0"), ((d % 9) + 1).cast("string")
+    )
+    entry_xml = F.concat(
+        F.lit("<url><loc>"),
+        F.regexp_replace(loc, "&", "&amp;"),
+        F.lit("</loc><lastmod>"), lastmod,
+        F.lit("</lastmod></url>"),
+    )
+    ent = base.select(
+        k.alias("k"), j.alias("j"), entry_xml.alias("e")
+    )
+    built = (
+        ent.groupBy("k", "j")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+                      '<urlset xmlns="http://www.sitemaps.org/'
+                      'schemas/sitemap/0.9">'),
+                F.array_join(F.array_sort(F.collect_list("e")), ""),
+                F.lit("</urlset>"),
+            ).alias("sitemap")
+        )
+        .select(
+            (F.col("k") * 10 + F.col("j")).alias("doc_id"),
+            F.concat(
+                F.lit("https://h"), F.col("k").cast("string"),
+                F.lit(".example.org/s"), F.col("j").cast("string"),
+                F.lit(".xml"),
+            ).alias("sitemap_url"),
+            "sitemap",
+        )
+    )
+    hosts = base.select(k.alias("k")).distinct()
+    hkc = F.col("k").cast("string")
+    robots_txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private/\n"
+              "Sitemap: https://h"),
+        hkc, F.lit(".example.org/s0.xml\n"),
+        F.when(
+            F.col("k") % 2 == 1,
+            F.concat(F.lit("Sitemap: https://h"), hkc,
+                     F.lit(".example.org/s1.xml\n")),
+        ).otherwise(F.lit("")),
+    )
+    discovered = robots_sitemap_urls(
+        hosts.withColumn("robots_txt", robots_txt)
+    ).filter(F.col("sitemap_url").isNotNull()).select("sitemap_url")
+    fetched = built.join(F.broadcast(discovered), "sitemap_url")
+    entries = sitemap_entries(fetched.select("doc_id", "sitemap"))
+    known = base.filter(d % 7 == 2).select(
+        F.concat(
+            F.lit("https://h"), (d % 5).cast("string"),
+            F.lit(".example.org/known/"), s,
+        ).alias("known")
+    )
+    front = sitemap_frontier(
+        entries, "User-agent: *\nDisallow: /private/\n", known
+    )
+    sched = frontier_schedule(
+        front.filter(F.col("admitted")).select("canonical")
+    ).select("canonical", "host", "wave", "fetch_offset_sec")
+    return front.join(sched, "canonical", "left").select(
+        F.col("doc_id").alias("sitemap_id"),
+        "kind", "loc", "canonical", "lastmod",
+        "allowed", "known", "admitted",
+        "host", "wave", "fetch_offset_sec",
+    )
+
+
 def q_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GIF animation replay under the hash gate (r12): every frame of
     every payload composited per the GIF89a disposal rules, reduced to
@@ -6595,6 +6708,7 @@ ROTATION: dict[str, int | None] = {
     "duplicate_span_sources": None,  # new r15
     "streaming_span_gate": None,  # new r15
     "audio_fingerprint": None,  # new r15
+    "sitemap_discovery": None,  # new r15
 }
 
 # Round 12: EMPTY by arithmetic necessity again (VERDICT r11 item 1).
@@ -6782,6 +6896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_span_sources": q_duplicate_span_sources,
         "streaming_span_gate": q_streaming_span_gate,
         "audio_fingerprint": q_audio_fingerprint,
+        "sitemap_discovery": q_sitemap_discovery,
         "gif_frame_stats": q_gif_frame_stats,
         "media_frames": q_media_frames,
         "ann_topk": q_ann_topk,
@@ -9415,6 +9530,61 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN up THEN 1 << (15 - b)
                             ELSE 0 END)::BIGINT AS code
             FROM adelta WHERE t >= 1 GROUP BY doc_id, t
+        """,
+        "sitemap_discovery": """
+            -- every discovery stage analytic: the advertised-set
+            -- rule (even hosts expose s0 only, so their j=1 content
+            -- never enters), per-branch loc/canonical/verdicts
+            -- (canonicalization strips utm leaving ?id=), the known
+            -- anti-membership, and the per-host FIFO window
+            WITH u AS (
+              SELECT doc_id AS d, doc_id % 5 AS k,
+                     (doc_id // 5) % 2 AS j
+              FROM documents WHERE doc_id < 200
+            ),
+            e AS (
+              SELECT d, k,
+                     (k * 10 + j)::BIGINT AS sitemap_id,
+                     CASE WHEN d % 7 = 0 THEN '/private/x' || d
+                          WHEN d % 7 = 1 THEN '/keep/' || d
+                            || '?utm_source=z&id=' || d
+                          WHEN d % 7 = 2 THEN '/known/' || d
+                          ELSE '/page/' || d END AS path,
+                     '2026-01-0' || ((d % 9) + 1) AS lastmod
+              FROM u
+              WHERE j = 0 OR k % 2 = 1
+            ),
+            g AS (
+              SELECT sitemap_id, 'url' AS kind,
+                     'https://h' || k || '.example.org' || path
+                       AS loc,
+                     CASE WHEN d % 7 = 1
+                          THEN 'https://h' || k
+                            || '.example.org/keep/' || d
+                            || '?id=' || d
+                          ELSE 'https://h' || k
+                            || '.example.org' || path END
+                       AS canonical,
+                     lastmod,
+                     d % 7 <> 0 AS allowed,
+                     d % 7 = 2 AS known,
+                     (d % 7 <> 0 AND d % 7 <> 2) AS admitted,
+                     k
+              FROM e
+            ),
+            sched AS (
+              SELECT canonical,
+                     'h' || k || '.example.org' AS host,
+                     (row_number() OVER (
+                        PARTITION BY k ORDER BY canonical)
+                      - 1)::BIGINT AS wave
+              FROM g WHERE admitted
+            )
+            SELECT g.sitemap_id, g.kind, g.loc, g.canonical,
+                   g.lastmod, g.allowed, g.known, g.admitted,
+                   s.host, s.wave,
+                   round(s.wave * 1.0, 6) AS fetch_offset_sec
+            FROM g LEFT JOIN sched s USING (canonical)
         """,
         "char_lm_perplexity": f"""
             -- independent DuckDB rescoring of the quantized en model

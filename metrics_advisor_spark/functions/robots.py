@@ -217,3 +217,31 @@ def robots_gate(
         return s.map(decide)
 
     return df.withColumn(out_col, fn(F.col(path_col)))
+
+
+def robots_sitemap_urls(
+    df: DataFrame, robots_col: str = "robots_txt",
+    out_col: str = "sitemap_url",
+) -> DataFrame:
+    """Explode each robots.txt payload's ``Sitemap:`` directives into
+    one row per advertised sitemap URL — the DISCOVERY hook of the
+    crawl loop (robots → sitemaps → entries → admission → schedule;
+    the sitemaps.org protocol's robots.txt extension, honored
+    file-wide regardless of UA group per RFC 9309 §2.3's
+    unknown-line rule).
+
+    Plan shape (100 TB): the parse is ONE narrow Arrow pass per
+    robots payload (robots files are KBs; `parse_robots` is
+    bounded-state line scanning) followed by a JVM-side explode — no
+    shuffle, parallelism follows input splits.  Rows whose file
+    advertises no sitemap emit one NULL row (`explode_outer`) so
+    discovery coverage — which hosts expose no map — stays
+    observable; filter ``out_col IS NOT NULL`` for the fetch list."""
+
+    @F.pandas_udf("array<string>")
+    def fn(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: [] if t is None else robots_sitemaps(str(t))
+        )
+
+    return df.withColumn(out_col, F.explode_outer(fn(F.col(robots_col))))

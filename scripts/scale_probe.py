@@ -94,6 +94,15 @@ FAMILIES = {
         "char_lm_perplexity", "perplexity_gate", "frontier_schedule",
         "html_meta", "wet_extract", "warc_cdx", "crawl_waves",
     ],
+    # r15: keep-first span dedup (same winnowing pipeline + one rank
+    # window), span provenance (one groupBy on window keys), audio
+    # fingerprint (per-payload CPU, no shuffle), and the discovery
+    # chain (scales with HOSTS, not docs — the fixture caps the
+    # entry universe, so the probe pins constancy, not linearity)
+    "r15": [
+        "scrub_spans_keep_first", "duplicate_span_sources",
+        "audio_fingerprint", "sitemap_discovery",
+    ],
 }
 
 

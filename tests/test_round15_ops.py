@@ -299,3 +299,34 @@ def test_corpus_dedup_audio_stage(spark):
     got = {r["doc_id"]: r["text"] for r in out.collect()}
     assert set(got) == {1, 3, 4}
     assert got[1] == "keep me"
+
+
+def test_robots_sitemap_urls(spark):
+    # the discovery hook: Sitemap: lines live outside UA groups and
+    # apply file-wide; files advertising none emit one NULL row
+    # (coverage stays observable); relative junk is passed through
+    # verbatim (the caller's canonicalizer decides)
+    from metrics_advisor_spark.functions.robots import (
+        robots_sitemap_urls,
+    )
+
+    rows = [
+        ("a", "User-agent: *\nDisallow: /x\n"
+              "Sitemap: https://a.example.org/s1.xml\n"
+              "User-agent: bot\nAllow: /\n"
+              "Sitemap: https://a.example.org/s2.xml\n"),
+        ("b", "User-agent: *\nDisallow: /\n"),
+        ("c", "sitemap: https://c.example.org/map.xml\n"),  # case-insensitive
+        ("d", None),
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = {}
+    for r in robots_sitemap_urls(df).collect():
+        got.setdefault(r["host"], []).append(r["sitemap_url"])
+    assert sorted(got["a"]) == [
+        "https://a.example.org/s1.xml",
+        "https://a.example.org/s2.xml",
+    ]
+    assert got["b"] == [None]
+    assert got["c"] == ["https://c.example.org/map.xml"]
+    assert got["d"] == [None]
