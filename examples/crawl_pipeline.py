@@ -31,7 +31,11 @@ from pyspark.sql.window import Window
 from metrics_advisor_spark import get_spark
 from metrics_advisor_spark.functions import Corpus
 from metrics_advisor_spark.functions.html import extract_text, html_links
-from metrics_advisor_spark.functions.robots import crawl_delay, robots_gate
+from metrics_advisor_spark.functions.robots import (
+    crawl_delay,
+    robots_gate,
+    robots_sitemap_urls,
+)
 from metrics_advisor_spark.functions.pdf import (
     attach_pdf_payload,
     extract_pdf_text,
@@ -71,10 +75,25 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     counts["docs"] = n
     print(f"{'docs':16s} {n:6d}")
 
-    # 0. frontier discovery (r13): a sitemap names every candidate URL;
-    # the admission view pre-applies robots + known-URL dedup BEFORE a
-    # single fetch happens — at crawl scale this is the stage that
-    # saves the fetch budget
+    # 0a. sitemap DISCOVERY (r15): the sitemap URLs themselves come
+    # from the host's robots.txt `Sitemap:` directives — the loop's
+    # true entry point.  Only ADVERTISED maps are fetched; a host
+    # whose robots.txt exposes no map contributes nothing.
+    robots_df = spark.createDataFrame(
+        [("example.org",
+          ROBOTS + "Sitemap: https://example.org/sitemap.xml\n")],
+        "host string, robots_txt string",
+    )
+    discovered = robots_sitemap_urls(robots_df).filter(
+        F.col("sitemap_url").isNotNull()
+    )
+    counts["sitemaps_discovered"] = discovered.count()
+    print(f"{'sitemaps-found':16s} {counts['sitemaps_discovered']:6d}")
+
+    # 0b. frontier admission (r13): the discovered sitemap names every
+    # candidate URL; the admission view pre-applies robots + known-URL
+    # dedup BEFORE a single fetch happens — at crawl scale this is
+    # the stage that saves the fetch budget
     sm_xml = docs.select(
         "doc_id",
         F.concat(
@@ -82,7 +101,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
             F.col("doc_id").cast("string"),
             F.lit("</loc></url></urlset>"),
         ).alias("sitemap"),
-    )
+    ).withColumn(
+        "sitemap_url", F.lit("https://example.org/sitemap.xml")
+    ).join(
+        # the discovery gate: fixture pages hang off the one
+        # advertised map; nothing enters the frontier except through
+        # a discovered sitemap
+        F.broadcast(discovered.select("sitemap_url")),
+        "sitemap_url",
+        "left_semi",
+    ).drop("sitemap_url")
     frontier = sitemap_frontier(sitemap_entries(sm_xml), ROBOTS)
     counts["frontier_admit"] = frontier.filter("admitted").count()
     print(f"{'frontier-admit':16s} {counts['frontier_admit']:6d}")

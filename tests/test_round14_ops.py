@@ -31,6 +31,9 @@ def test_crawl_pipeline_example_e2e(spark):
     )
     n = counts["docs"]
     assert n > 0
+    # r15: the loop's entry point — the sitemap URL itself is
+    # DISCOVERED from robots.txt, and the frontier hangs off it
+    assert counts["sitemaps_discovered"] == 1
     # WARC round-trip: one response per doc; 404 arm drops ids%10==0
     assert counts["responses"] == n
     assert counts["status_200"] == n - (n + 9) // 10
