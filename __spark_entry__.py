@@ -2263,6 +2263,59 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_fingerprint(media, window=256, n_bands=16, codes=True)
 
 
+def _audio_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant table (doc_id, src_id, shift) for the audio-dedup
+    fixture: every doc is a source clip; docs ≡0 (mod 5) get an EXACT
+    re-encode at +1,000,000 (shift 0 — same bytes, new identity) and
+    docs ≡0 (mod 7) a half-gain re-level at +2,000,000 (samples >>1,
+    the integer −6 dB).  The synthetic corpus has no natural audio
+    duplicates, so the dedup query plants them deterministically —
+    the oracle unions identically (`_docs_with_dups` discipline)."""
+    d = _docs(spark, sf_dir, fanout=False).select("doc_id")
+    base = d.select(
+        F.col("doc_id"),
+        F.col("doc_id").alias("src_id"),
+        F.lit(0).alias("shift"),
+    )
+    copies = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.col("doc_id").alias("src_id"),
+        F.lit(0).alias("shift"),
+    )
+    halved = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.col("doc_id").alias("src_id"),
+        F.lit(1).alias("shift"),
+    )
+    return base.unionByName(copies).unionByName(halved)
+
+
+def q_audio_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level audio dedup END-TO-END as a contract surface (r15,
+    VERDICT r14 item 5): hash-derived WAV variant payloads (exact
+    re-encodes + half-gain re-levels, `_audio_variants`) → real RIFF
+    parse → `audio_fingerprint` 56-bit majority sketches → blocked
+    Hamming ≤4 (pigeonhole banding, in-task popcount min-label
+    fixpoint — never a pair explosion) → connected components
+    (doc_id, component=min doc_id).  At sf0.01 every exact copy (50)
+    and every half-gain copy (57) rejoins its source clip — gain
+    invariance is exact under the integer delta-sign rule — with ZERO
+    false merges (300 singletons + 93 pairs + 7 triples); sub-window
+    stubs (src%10<2 → n_codes=0) are excluded rather than collapsing
+    into a degenerate all-zero-sketch cluster.  Oracle: full analytic
+    replay — md5-block samples, floor-div gain, band energies,
+    delta-sign codes, md5-nibble majority sketch, recursive-CTE
+    closure over the ≤4 graph (the `hamming_components` oracle
+    discipline)."""
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_wav_variants,
+        audio_dup_components,
+    )
+
+    media = attach_wav_variants(_audio_variants(spark, sf_dir))
+    return audio_dup_components(media, max_distance=4)
+
+
 def q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl DISCOVERY loop composed end-to-end (r15 — the
     robots→sitemaps chain VERDICT r14 named): per-host robots.txt
@@ -6709,6 +6762,7 @@ ROTATION: dict[str, int | None] = {
     "streaming_span_gate": None,  # new r15
     "audio_fingerprint": None,  # new r15
     "sitemap_discovery": None,  # new r15
+    "audio_dup_components": None,  # new r15
 }
 
 # Round 12: EMPTY by arithmetic necessity again (VERDICT r11 item 1).
@@ -6897,6 +6951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_span_gate": q_streaming_span_gate,
         "audio_fingerprint": q_audio_fingerprint,
         "sitemap_discovery": q_sitemap_discovery,
+        "audio_dup_components": q_audio_dup_components,
         "gif_frame_stats": q_gif_frame_stats,
         "media_frames": q_media_frames,
         "ann_topk": q_ann_topk,
@@ -9530,6 +9585,121 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN up THEN 1 << (15 - b)
                             ELSE 0 END)::BIGINT AS code
             FROM adelta WHERE t >= 1 GROUP BY doc_id, t
+        """,
+        "audio_dup_components": """
+            -- full analytic replay of the audio-dedup chain: variant
+            -- table (exact copies %5 -> +1e6 shift 0, half-gain %7 ->
+            -- +2e6 shift 1), hash-derived samples (md5 of 'src:block'
+            -- -> 8 samples x 4 hex chars, biased to [-32768,32767],
+            -- then floor-div by 2^shift = arithmetic >>), 256-sample
+            -- full windows x 16 band energies, delta-sign codes,
+            -- 56-bit md5-nibble majority sketch, recursive closure of
+            -- the Hamming<=4 graph (hamming_components discipline)
+            WITH RECURSIVE va AS (
+              SELECT doc_id, doc_id AS src, 0 AS sh FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, doc_id, 0 FROM documents
+              WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + 2000000, doc_id, 1 FROM documents
+              WHERE doc_id % 7 = 0
+            ),
+            ad AS (
+              SELECT doc_id, src, sh, 400 + (src % 10) * 80 AS ns
+              FROM va
+            ),
+            asmp AS (
+              SELECT d.doc_id, u.i AS i,
+                     CAST(floor((
+                         (strpos('0123456789abcdef',
+                            substr(md5(d.src::VARCHAR || ':'
+                                       || (u.i // 8)::VARCHAR),
+                              CAST((u.i % 8) * 4 + 1 AS INT), 1))
+                          - 1) * 4096
+                       + (strpos('0123456789abcdef',
+                            substr(md5(d.src::VARCHAR || ':'
+                                       || (u.i // 8)::VARCHAR),
+                              CAST((u.i % 8) * 4 + 2 AS INT), 1))
+                          - 1) * 256
+                       + (strpos('0123456789abcdef',
+                            substr(md5(d.src::VARCHAR || ':'
+                                       || (u.i // 8)::VARCHAR),
+                              CAST((u.i % 8) * 4 + 3 AS INT), 1))
+                          - 1) * 16
+                       + (strpos('0123456789abcdef',
+                            substr(md5(d.src::VARCHAR || ':'
+                                       || (u.i // 8)::VARCHAR),
+                              CAST((u.i % 8) * 4 + 4 AS INT), 1))
+                          - 1)
+                       - 32768) / power(2, d.sh)) AS BIGINT) AS v
+              FROM ad d,
+                   unnest(range(0, (ns // 256) * 256)) AS u(i)
+              WHERE ns // 256 >= 2
+            ),
+            aen AS (
+              SELECT doc_id, i // 256 AS t, (i % 256) // 16 AS b,
+                     sum(v * v) AS en
+              FROM asmp GROUP BY 1, 2, 3
+            ),
+            adelta AS (
+              SELECT doc_id, t, b,
+                     en > lag(en) OVER (
+                       PARTITION BY doc_id, b ORDER BY t) AS up
+              FROM aen
+            ),
+            acode AS (
+              SELECT doc_id, t,
+                     sum(CASE WHEN up THEN 1 << (15 - b)
+                              ELSE 0 END)::BIGINT AS code
+              FROM adelta WHERE t >= 1 GROUP BY doc_id, t
+            ),
+            hx AS (
+              SELECT doc_id, t,
+                     substr(md5(code::VARCHAR), 1, 14) AS hs
+              FROM acode
+            ),
+            hbits AS (
+              -- bit b (LSB=0) of the 56-bit hex prefix: hex char
+              -- 14 - b//4 holds the nibble, (nibble >> b%4) & 1
+              SELECT doc_id, bb.b AS b,
+                     CASE WHEN (
+                       (strpos('0123456789abcdef',
+                          substr(hs, CAST(14 - bb.b // 4 AS INT), 1))
+                        - 1) // (1 << (bb.b % 4))) % 2 = 1
+                     THEN 1 ELSE -1 END AS vote
+              FROM hx, unnest(range(0, 56)) AS bb(b)
+            ),
+            fp AS (
+              SELECT doc_id,
+                     sum(CASE WHEN vote_sum > 0
+                              THEN (1::BIGINT << b)
+                              ELSE 0 END)::BIGINT AS fp56
+              FROM (SELECT doc_id, b, sum(vote) AS vote_sum
+                    FROM hbits GROUP BY 1, 2)
+              GROUP BY doc_id
+            ),
+            prs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.fp56, b.fp56)) <= 4
+            ),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM prs
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM prs
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ),
+            comp AS (
+              SELECT u AS doc_id, least(u, min(v)) AS component
+              FROM reach GROUP BY u
+            )
+            SELECT s.doc_id,
+                   coalesce(c.component, s.doc_id) AS component
+            FROM fp s LEFT JOIN comp c ON c.doc_id = s.doc_id
         """,
         "sitemap_discovery": """
             -- every discovery stage analytic: the advertised-set

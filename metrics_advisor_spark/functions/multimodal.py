@@ -713,6 +713,77 @@ def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(fn, "doc_id long, wav binary")
 
 
+def _wav_variant_bytes(
+    src: int, shift: int, sample_rate: int = 8000
+) -> bytes:
+    """RIFF/WAVE mono PCM16 payload for a VARIANT of source clip
+    ``src``: samples come from a hash-derived waveform (md5 of
+    "src:block" → 8 samples per 128-bit digest, 4 hex chars each,
+    biased to [-32768, 32767]) arithmetic-shifted right ``shift``
+    bits — the exact integer analog of a −6·shift dB gain.  Same
+    n_samples law as `_wav_bytes` (400 + (src mod 10)·80) so the
+    sub-window stub-exclusion arm is exercised too."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    n = 400 + (src % 10) * 80
+    out = np.empty(n, dtype=np.int64)
+    for blk in range((n + 7) // 8):
+        hx = hashlib.md5(f"{src}:{blk}".encode()).hexdigest()
+        base = blk * 8
+        for k in range(min(8, n - base)):
+            out[base + k] = int(hx[4 * k:4 * k + 4], 16) - 32768
+    samples = (out >> shift).astype("<i2")
+    data = samples.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def attach_wav_variants(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "src_id",
+    shift_col: str = "shift",
+) -> DataFrame:
+    """(doc_id, wav binary) for a variant table (doc_id, src_id,
+    shift): each row gets real WAV bytes of `_wav_variant_bytes`
+    (src_id, shift) — re-encodes (shift 0) and power-of-two re-levels
+    (shift k) of the same source clip share a waveform up to gain.
+
+    Why a second waveform rule exists at all: `_wav_bytes`' smooth
+    sawtooth (tuned so the windowing/meta parsers see full dynamic
+    range) makes delta-sign codes near-constant ACROSS clips — every
+    doc would land in one Hamming cluster and an audio-dedup fixture
+    built on it would attest nothing.  The hash-derived rule gives
+    distinct sources independent code streams (measured at sf0.01:
+    zero false merges) while staying deterministic and analytically
+    SQL-replayable sample-by-sample."""
+    import pandas as pd
+
+    cols = df.select(id_col, src_col, shift_col)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "wav": [
+                        _wav_variant_bytes(int(s), int(sh))
+                        for s, sh in zip(
+                            pdf[src_col], pdf[shift_col]
+                        )
+                    ],
+                }
+            )
+
+    return cols.mapInPandas(fn, "doc_id long, wav binary")
+
+
 def _parse_wav_header(doc_id, payload: bytes):
     """Validate + parse the canonical 44-byte RIFF/WAVE PCM header and
     return (sample_rate, n_channels, bits, n_samples, data_off,

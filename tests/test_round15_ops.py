@@ -330,3 +330,61 @@ def test_robots_sitemap_urls(spark):
     assert got["b"] == [None]
     assert got["c"] == ["https://c.example.org/map.xml"]
     assert got["d"] == [None]
+
+
+def test_attach_wav_variants_rule_and_dedup(spark):
+    # the r15 contract fixture (q_audio_dup_components): hash-derived
+    # variant payloads.  Pin the waveform RULE itself (md5 of
+    # "src:block" -> 8 samples x 4 hex chars, biased, then >> shift)
+    # against an independent recomputation, and the end-to-end merge
+    # semantics: exact re-encode (shift 0) AND half-gain re-level
+    # (shift 1) rejoin their source; a distinct source stays apart;
+    # a sub-window stub (src%10 < 2 -> n_samples < 512) is excluded.
+    import hashlib
+
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_wav_variants,
+        audio_dup_components,
+        audio_meta,
+    )
+
+    # src 5: ns = 400 + 5*80 = 800 (3 full windows); src 7: 960;
+    # src 10: ns = 400 -> stub (< 2 windows)
+    variants = [
+        (5, 5, 0), (1000005, 5, 0), (2000005, 5, 1),
+        (7, 7, 0),
+        (10, 10, 0), (1000010, 10, 0),
+    ]
+    df = spark.createDataFrame(
+        variants, "doc_id long, src_id long, shift int"
+    )
+    media = attach_wav_variants(df)
+
+    # the payloads are REAL canonical WAVs (the meta parser accepts
+    # them) with the documented n_samples law
+    meta = {
+        r["doc_id"]: r["n_samples"] for r in audio_meta(media).collect()
+    }
+    assert meta[5] == 800 and meta[7] == 960 and meta[10] == 400
+
+    # rule pin: first 8 samples of src 5 shift 0 equal the md5 hex
+    # recomputation; the shift-1 payload is the arithmetic half
+    raw = {r["doc_id"]: bytes(r["wav"]) for r in media.collect()}
+    import struct
+
+    def samples(payload, k):
+        return struct.unpack("<%dh" % k, payload[44:44 + 2 * k])
+
+    hx = hashlib.md5(b"5:0").hexdigest()
+    want = tuple(int(hx[4 * k:4 * k + 4], 16) - 32768 for k in range(8))
+    assert samples(raw[5], 8) == want
+    assert samples(raw[1000005], 8) == want  # exact re-encode
+    assert samples(raw[2000005], 8) == tuple(v >> 1 for v in want)
+
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in audio_dup_components(media).collect()
+    }
+    assert comp[5] == comp[1000005] == comp[2000005] == 5
+    assert comp[7] == 7  # distinct source: own singleton
+    assert 10 not in comp and 1000010 not in comp  # stubs excluded
