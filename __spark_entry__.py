@@ -2287,7 +2287,18 @@ def _audio_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("src_id"),
         F.lit(1).alias("shift"),
     )
-    return base.unionByName(copies).unionByName(halved)
+    # the payload-build + fingerprint Arrow pass downstream is the
+    # chain's CPU floor; without this the tiny variant table inherits
+    # the documents parquet's few input splits (6 tasks on 32 cores —
+    # ×10 probe measured 2.3× slower).  Local-harness analog of
+    # `_docs(fanout=True)`: at real scale payloads arrive from
+    # thousands of storage splits and this shuffle would be wrong
+    # (SCALE.md §9).
+    return (
+        base.unionByName(copies)
+        .unionByName(halved)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 def q_audio_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

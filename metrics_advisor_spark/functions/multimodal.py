@@ -729,12 +729,19 @@ def _wav_variant_bytes(
     import numpy as np
 
     n = 400 + (src % 10) * 80
-    out = np.empty(n, dtype=np.int64)
-    for blk in range((n + 7) // 8):
-        hx = hashlib.md5(f"{src}:{blk}".encode()).hexdigest()
-        base = blk * 8
-        for k in range(min(8, n - base)):
-            out[base + k] = int(hx[4 * k:4 * k + 4], 16) - 32768
+    # int(hexdigest[4k:4k+4], 16) IS the big-endian uint16 view of
+    # digest bytes [2k, 2k+2) — one frombuffer per block instead of
+    # eight Python int() parses (the attach pass is the chain's CPU
+    # floor; measured 2.3× off the ×10 probe before this)
+    out = np.concatenate(
+        [
+            np.frombuffer(
+                hashlib.md5(f"{src}:{blk}".encode()).digest(),
+                dtype=">u2",
+            )
+            for blk in range((n + 7) // 8)
+        ]
+    )[:n].astype(np.int64) - 32768
     samples = (out >> shift).astype("<i2")
     data = samples.tobytes()
     hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"

@@ -102,6 +102,9 @@ FAMILIES = {
     "r15": [
         "scrub_spans_keep_first", "duplicate_span_sources",
         "audio_fingerprint", "sitemap_discovery",
+        # full audio-dedup chain: per-payload fingerprint CPU (zero
+        # shuffle) + the §18 Hamming banding over ~1.1 sketches/doc
+        "audio_dup_components",
     ],
 }
 

@@ -152,3 +152,36 @@ def test_frontier_schedule_adversarial_corpus(spark):
     )
     # and the junk really was junk (some NULL-wave rows exist)
     assert sum(1 for r in rows if r["wave"] is None) >= 5
+
+
+def test_wav_variant_rule_property():
+    # the r15 audio-dedup fixture's waveform rule, attested by an
+    # INDEPENDENT implementation path: `_wav_variant_bytes` builds
+    # samples via a big-endian uint16 view of the md5 digest (the
+    # vectorized form); the reference here parses the HEXDIGEST
+    # string 4 chars at a time — the rule as the oracle SQL states
+    # it.  25 random (src, shift) pairs, every sample compared, plus
+    # header sanity (canonical 44-byte RIFF, n_samples law).
+    import hashlib
+    import random
+    import struct
+
+    from metrics_advisor_spark.functions.multimodal import (
+        _wav_variant_bytes,
+    )
+
+    rng = random.Random(1555)
+    for _ in range(25):
+        src = rng.randrange(0, 10_000_000)
+        shift = rng.choice([0, 0, 1, 2, 3])
+        payload = _wav_variant_bytes(src, shift)
+        n = 400 + (src % 10) * 80
+        assert payload[:4] == b"RIFF" and payload[36:40] == b"data"
+        (dlen,) = struct.unpack("<I", payload[40:44])
+        assert dlen == 2 * n
+        got = struct.unpack("<%dh" % n, payload[44:44 + 2 * n])
+        for i in range(n):
+            hx = hashlib.md5(f"{src}:{i // 8}".encode()).hexdigest()
+            k = (i % 8) * 4
+            want = (int(hx[k:k + 4], 16) - 32768) >> shift
+            assert got[i] == want, (src, shift, i)
