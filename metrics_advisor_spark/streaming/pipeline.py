@@ -633,19 +633,30 @@ def streaming_neardup_gate(
     the admitted set is exactly "docs where no lower-id doc shares a
     band" — the SQL-expressible oracle of the contract query.
     """
+    import hashlib
     import uuid
 
     from pyspark.errors import AnalysisException
 
     from metrics_advisor_spark.functions.dedup import minhash_bands
 
-    # Unique per gate invocation (= per drain): out_dir and store_dir
-    # are laid out as run=<id>/batch=<n> leaf dirs so a foreachBatch
-    # RETRY of the same batch overwrites its own leaves idempotently
-    # instead of append-duplicating survivors, while two drains sharing
-    # one store (batch_id restarts at 0 per query) never collide.
-    # Partition discovery on the root still reads every run's rows.
-    run_id = uuid.uuid4().hex[:12]
+    # out_dir and store_dir are laid out as run=<id>/batch=<n> leaf
+    # dirs so a foreachBatch RETRY of the same batch overwrites its own
+    # leaves idempotently instead of append-duplicating survivors,
+    # while two checkpoint-less drains sharing one store (batch_id
+    # restarts at 0 per query) never collide.  Partition discovery on
+    # the root still reads every run's rows.
+    # replay safety (r15, the span gate's r14-ADVICE discipline applied
+    # family-wide): derive run_id from the checkpoint path when one is
+    # given, so a lost-commit RESTART (new invocation, same checkpoint)
+    # replays its batches onto the SAME run=/batch= leaves instead of
+    # leaving the failed attempt's rows behind under a second run dir
+    # (partition discovery would read both = duplicated output).
+    run_id = (
+        hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+        if checkpoint
+        else uuid.uuid4().hex[:12]
+    )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -655,7 +666,18 @@ def streaming_neardup_gate(
         surv_bands = None
         try:
             try:
-                store = spark.read.parquet(store_dir)
+                # run=/batch= leaf dirs surface as partition columns;
+                # a replayed batch must not read the bands its failed
+                # attempt appended (r15: the span gate's r14-ADVICE
+                # guard b applied here too — without it a lost-commit
+                # replay would see its own batch's bands as "already
+                # admitted" and suppress every doc it introduced)
+                store = spark.read.parquet(store_dir).where(
+                    ~(
+                        (F.col("run") == run_id)
+                        & (F.col("batch") >= batch_id)
+                    )
+                )
             except AnalysisException:
                 # PATH_NOT_FOUND / empty dir = first batch ever; any
                 # other failure (transient FS error, corrupt parquet)
@@ -839,11 +861,22 @@ def streaming_dsir_gate(
     set equals the batch `dsir_score(...) >= threshold` — the
     SQL-expressible oracle of the contract query.
     """
+    import hashlib
     import uuid
 
     from metrics_advisor_spark.functions.selection import dsir_score
 
-    run_id = uuid.uuid4().hex[:12]
+    # replay safety (r15, the span gate's r14-ADVICE discipline applied
+    # family-wide): derive run_id from the checkpoint path when one is
+    # given, so a lost-commit RESTART (new invocation, same checkpoint)
+    # replays its batches onto the SAME run=/batch= leaves instead of
+    # leaving the failed attempt's rows behind under a second run dir
+    # (partition discovery would read both = duplicated output).
+    run_id = (
+        hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+        if checkpoint
+        else uuid.uuid4().hex[:12]
+    )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         admitted = dsir_score(
@@ -881,11 +914,22 @@ def streaming_audio_features(
     Stateless across batches (a payload's features depend only on its
     own bytes), so a drain in ANY batching equals the batch operator —
     the SQL-expressible oracle of the contract query."""
+    import hashlib
     import uuid
 
     from metrics_advisor_spark.functions.multimodal import audio_windows
 
-    run_id = uuid.uuid4().hex[:12]
+    # replay safety (r15, the span gate's r14-ADVICE discipline applied
+    # family-wide): derive run_id from the checkpoint path when one is
+    # given, so a lost-commit RESTART (new invocation, same checkpoint)
+    # replays its batches onto the SAME run=/batch= leaves instead of
+    # leaving the failed attempt's rows behind under a second run dir
+    # (partition discovery would read both = duplicated output).
+    run_id = (
+        hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+        if checkpoint
+        else uuid.uuid4().hex[:12]
+    )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         audio_windows(batch, window=window).write.mode(
@@ -941,6 +985,7 @@ def streaming_ann_gate(
     the gate-family write scheme).  Stateless across batches, so a
     single availableNow drain of a static source equals the batch
     plan — the SQL-expressible oracle of the contract query."""
+    import hashlib
     import uuid
 
     from metrics_advisor_spark.functions.pq import (
@@ -950,7 +995,17 @@ def streaming_ann_gate(
         pq_encode,
     )
 
-    run_id = uuid.uuid4().hex[:12]
+    # replay safety (r15, the span gate's r14-ADVICE discipline applied
+    # family-wide): derive run_id from the checkpoint path when one is
+    # given, so a lost-commit RESTART (new invocation, same checkpoint)
+    # replays its batches onto the SAME run=/batch= leaves instead of
+    # leaving the failed attempt's rows behind under a second run dir
+    # (partition discovery would read both = duplicated output).
+    run_id = (
+        hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+        if checkpoint
+        else uuid.uuid4().hex[:12]
+    )
     cb = codebook.select("s", "code", "centroid")
     lut_plan = (
         _subvectors(references, m, id_col, vec_col)
@@ -1050,6 +1105,7 @@ def streaming_video_gate(
     SQL-expressible oracle of the contract query.  Writes
     run=<id>/batch=<n> leaf dirs (idempotent on retry, collision-free
     across drains — the gate-family write scheme)."""
+    import hashlib
     import uuid
 
     from metrics_advisor_spark.functions.multimodal import (
@@ -1057,7 +1113,17 @@ def streaming_video_gate(
         video_motion,
     )
 
-    run_id = uuid.uuid4().hex[:12]
+    # replay safety (r15, the span gate's r14-ADVICE discipline applied
+    # family-wide): derive run_id from the checkpoint path when one is
+    # given, so a lost-commit RESTART (new invocation, same checkpoint)
+    # replays its batches onto the SAME run=/batch= leaves instead of
+    # leaving the failed attempt's rows behind under a second run dir
+    # (partition discovery would read both = duplicated output).
+    run_id = (
+        hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+        if checkpoint
+        else uuid.uuid4().hex[:12]
+    )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         meta = video_meta(batch)
@@ -1114,11 +1180,22 @@ def streaming_warc_gate(
     own bytes), so a drain in ANY batching equals the batch plan —
     the SQL-expressible oracle of the contract query.  Writes
     run=<id>/batch=<n> leaf dirs (the gate-family write scheme)."""
+    import hashlib
     import uuid
 
     from metrics_advisor_spark.sources.warc import warc_records_df
 
-    run_id = uuid.uuid4().hex[:12]
+    # replay safety (r15, the span gate's r14-ADVICE discipline applied
+    # family-wide): derive run_id from the checkpoint path when one is
+    # given, so a lost-commit RESTART (new invocation, same checkpoint)
+    # replays its batches onto the SAME run=/batch= leaves instead of
+    # leaving the failed attempt's rows behind under a second run dir
+    # (partition discovery would read both = duplicated output).
+    run_id = (
+        hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+        if checkpoint
+        else uuid.uuid4().hex[:12]
+    )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         recs = warc_records_df(batch)
@@ -1252,11 +1329,22 @@ def streaming_perplexity_gate(
     equals the batch plan — the SQL-expressible oracle of the
     contract query.  Writes run=<id>/batch=<n> leaf dirs (the
     gate-family scheme)."""
+    import hashlib
     import uuid
 
     from metrics_advisor_spark.functions.text import char_lm_perplexity
 
-    run_id = uuid.uuid4().hex[:12]
+    # replay safety (r15, the span gate's r14-ADVICE discipline applied
+    # family-wide): derive run_id from the checkpoint path when one is
+    # given, so a lost-commit RESTART (new invocation, same checkpoint)
+    # replays its batches onto the SAME run=/batch= leaves instead of
+    # leaving the failed attempt's rows behind under a second run dir
+    # (partition discovery would read both = duplicated output).
+    run_id = (
+        hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+        if checkpoint
+        else uuid.uuid4().hex[:12]
+    )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         admitted = char_lm_perplexity(

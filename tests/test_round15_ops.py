@@ -388,3 +388,109 @@ def test_attach_wav_variants_rule_and_dedup(spark):
     assert comp[5] == comp[1000005] == comp[2000005] == 5
     assert comp[7] == 7  # distinct source: own singleton
     assert 10 not in comp and 1000010 not in comp  # stubs excluded
+
+
+def test_streaming_neardup_gate_replay_idempotent(spark, tmp_path):
+    # r15: the span gate's r14-ADVICE replay discipline applied to the
+    # OTHER store-carrying gate.  Lost-commit restart (drain -> rm
+    # checkpoint -> drain, same paths): without guard (b) the replay
+    # reads its own failed attempt's bands as "already admitted" and
+    # suppresses every doc the batch introduced; without (a) it forks
+    # a second run dir and partition discovery doubles the output.
+    import shutil
+
+    from metrics_advisor_spark.streaming.pipeline import (
+        streaming_neardup_gate,
+    )
+
+    rng = random.Random(152)
+    t1 = _rand(rng, 80)
+    b1 = [
+        (1, t1),
+        (2, t1),  # exact dup: shares every band -> in-batch suppressed
+        (3, _rand(rng, 80)),
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(
+            str(src) + "/*"
+        )
+        streaming_neardup_gate(
+            stream,
+            store_dir=str(tmp_path / "store"),
+            out_dir=str(tmp_path / "out"),
+            checkpoint=str(tmp_path / "ck"),
+        )
+
+    drain()
+    first = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert first == [1, 3]  # min-id winner + the distinct doc
+
+    shutil.rmtree(tmp_path / "ck")
+    drain()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3], (
+        "replay diverged — the store read leaked the failed "
+        "attempt's own bands (every doc would be suppressed)"
+    )
+    runs = {r["run"] for r in out.select("run").distinct().collect()}
+    assert len(runs) == 1, f"replay forked a second run dir: {runs}"
+
+
+def test_streaming_stateless_gate_replay_no_duplicates(spark, tmp_path):
+    # r15: the checkpoint-derived run_id applied family-wide.  The
+    # stateless gates keep no store, but a lost-commit restart under a
+    # fresh uuid run would leave the failed attempt's out leaf behind
+    # and double every admitted row.  Representative: the perplexity
+    # gate.
+    import shutil
+
+    from metrics_advisor_spark.streaming.pipeline import (
+        streaming_perplexity_gate,
+    )
+
+    b1 = [
+        (1, "the quick brown fox jumps over the lazy dog again and "
+            "again the quick brown fox"),
+        (2, "zq zq zq xv xv xv qq qq"),  # junk trigrams: high nll
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(
+            str(src) + "/*"
+        )
+        streaming_perplexity_gate(
+            stream,
+            out_dir=str(tmp_path / "out"),
+            checkpoint=str(tmp_path / "ck"),
+        )
+
+    drain()
+    first = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    shutil.rmtree(tmp_path / "ck")
+    drain()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r["doc_id"] for r in out.collect()) == first, (
+        "replay duplicated rows — run_id must derive from the "
+        "checkpoint path so the replay overwrites its own leaf"
+    )
+    runs = {r["run"] for r in out.select("run").distinct().collect()}
+    assert len(runs) == 1
