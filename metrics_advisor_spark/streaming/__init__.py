@@ -8,6 +8,7 @@ from metrics_advisor_spark.streaming.pipeline import (
     run_to_memory,
     session_stats_stream,
     stream_signals,
+    streaming_audio_gate,
     streaming_exact_dedup,
     streaming_flagship,
     streaming_ksigma,
@@ -24,6 +25,7 @@ __all__ = [
     "run_to_memory",
     "session_stats_stream",
     "stream_signals",
+    "streaming_audio_gate",
     "streaming_exact_dedup",
     "streaming_flagship",
     "streaming_ksigma",

@@ -1496,3 +1496,180 @@ def streaming_span_gate(
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def streaming_audio_gate(
+    stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    wav_col: str = "wav",
+    id_col: str = "doc_id",
+    max_distance: int = 4,
+    window: int = 256,
+    n_bands: int = 16,
+    checkpoint: str | None = None,
+) -> Any:
+    """24th streaming surface (staged r15): AUDIO near-dup ADMISSION
+    GATE on an unbounded media stream — clips the stream has already
+    admitted suppress later re-encodes and re-levels, closing the
+    multimodal loop the way `streaming_neardup_gate` closes text.
+
+    Per micro-batch:
+      1. `audio_fingerprint` 56-bit majority sketches (gain-invariant
+         delta-sign codes).  Sub-window stubs (n_codes = 0) are
+         ADMITTED untouched and never stored — no signal, no dedup
+         decision (`Corpus.dedup_audio` rule);
+      2. cross-batch: pigeonhole-band the batch sketches
+         (``max_distance + 1`` disjoint bands over 56 bits — two
+         sketches within Hamming ≤ d agree exactly on ≥ 1 band) and
+         drop any clip within ≤ d of an admitted sketch in the STORE
+         via a (band_id, band_bits) equi-join + true ``bit_count``
+         filter: the store is banded the same way, so the lookup
+         touches only band-colliding sketches, never a store scan;
+      3. within-batch: `hamming_components` over the survivors
+         (in-task popcount min-label fixpoint, no pair explosion),
+         keep each component's min-id representative;
+      4. append admitted representatives' bands to the store and
+         admitted docs to ``out_dir``.
+
+    A single availableNow drain of a static source over an empty
+    store equals the batch ``Corpus.dedup_audio`` (stubs pass
+    through, each cluster keeps its min doc_id) — the
+    SQL-expressible oracle of the r16 contract query (the
+    `audio_dup_components` analytic replay + representative filter).
+
+    Replay-safe from day one (the r14-ADVICE discipline): ``run_id``
+    derives from the checkpoint path so a lost-commit restart
+    overwrites its own run=/batch= leaves, and the store read drops
+    this run's ``batch >= batch_id`` rows so a replayed batch cannot
+    be suppressed by its failed attempt's own sketches."""
+    import hashlib
+    import uuid
+
+    from pyspark.errors import AnalysisException
+
+    from metrics_advisor_spark.functions.dedup import (
+        hamming_components,
+    )
+    from metrics_advisor_spark.functions.multimodal import (
+        audio_fingerprint,
+    )
+
+    n_bnd = max_distance + 1
+    base, rem = divmod(56, n_bnd)
+
+    def band_exprs(col: str):
+        out, lo = [], 0
+        for b in range(n_bnd):
+            width = base + (1 if b < rem else 0)
+            mask = (1 << width) - 1
+            out.append(
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.expr(f"shiftright({col}, {lo})")
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_bits"),
+                )
+            )
+            lo += width
+        return out
+
+    run_id = (
+        hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+        if checkpoint
+        else uuid.uuid4().hex[:12]
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fp = audio_fingerprint(
+            batch, wav_col, id_col, window=window, n_bands=n_bands
+        ).persist()
+        try:
+            stubs = fp.where(F.col("n_codes") <= 0).select(
+                F.col(id_col).alias("doc_id")
+            )
+            sk = fp.where(F.col("n_codes") > 0).select(
+                F.col(id_col).alias("doc_id"), "fp56"
+            )
+            bnd = sk.select(
+                "doc_id",
+                "fp56",
+                F.explode(F.array(*band_exprs("fp56"))).alias("band"),
+            ).select("doc_id", "fp56", "band.band_id", "band.band_bits")
+            try:
+                store = (
+                    spark.read.parquet(store_dir)
+                    .where(
+                        ~(
+                            (F.col("run") == run_id)
+                            & (F.col("batch") >= batch_id)
+                        )
+                    )
+                    .select(
+                        "band_id",
+                        "band_bits",
+                        F.col("fp56").alias("_stored_fp"),
+                    )
+                )
+            except AnalysisException:
+                # first batch ever; other failures propagate —
+                # treating them as "no store" would silently admit
+                # re-encodes of already-admitted audio
+                store = None
+            if store is not None:
+                hit = (
+                    bnd.join(store, ["band_id", "band_bits"])
+                    .where(
+                        F.expr(
+                            "bit_count(fp56 ^ _stored_fp) "
+                            f"<= {max_distance}"
+                        )
+                    )
+                    .select("doc_id")
+                    .distinct()
+                )
+                fresh = sk.join(hit, "doc_id", "left_anti")
+            else:
+                fresh = sk
+            comp = hamming_components(
+                fresh.select(
+                    "doc_id", F.col("fp56").alias("simhash")
+                ),
+                max_distance=max_distance,
+                n_bits=56,
+            )
+            reps = comp.where(
+                F.col("doc_id") == F.col("component")
+            ).select("doc_id")
+            admitted = reps.unionByName(stubs)
+            survivors = batch.join(
+                admitted.withColumnRenamed("doc_id", id_col),
+                id_col,
+                "left_semi",
+            )
+            leaf = f"run={run_id}/batch={batch_id}"
+            # ORDER MATTERS: emit survivors BEFORE appending bands —
+            # the store read is lazy, and appending first would make
+            # the survivors pass see its own batch's sketches as
+            # already admitted
+            survivors.write.mode("overwrite").parquet(
+                f"{out_dir}/{leaf}"
+            )
+            fresh.join(reps, "doc_id", "left_semi").select(
+                "fp56",
+                F.explode(F.array(*band_exprs("fp56"))).alias("band"),
+            ).select(
+                "fp56", "band.band_id", "band.band_bits"
+            ).write.mode("overwrite").parquet(f"{store_dir}/{leaf}")
+        finally:
+            fp.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q

@@ -494,3 +494,158 @@ def test_streaming_stateless_gate_replay_no_duplicates(spark, tmp_path):
     )
     runs = {r["run"] for r in out.select("run").distinct().collect()}
     assert len(runs) == 1
+
+
+def _variant_wav(src, shift=0):
+    from metrics_advisor_spark.functions.multimodal import (
+        _wav_variant_bytes,
+    )
+
+    return bytearray(_wav_variant_bytes(src, shift))
+
+
+def test_streaming_audio_gate_cross_batch(spark, tmp_path):
+    # 24th surface (staged r15): clips the stream already admitted
+    # suppress later re-encodes AND re-levels; stubs pass through
+    # untouched and are never stored; within a batch the min-id
+    # representative of a Hamming cluster wins.
+    from metrics_advisor_spark.streaming.pipeline import (
+        streaming_audio_gate,
+    )
+
+    schema = "doc_id long, wav binary"
+    src_dir = tmp_path / "media"
+    src_dir.mkdir()
+    # batch 1: clip 5 (fingerprintable), stub 10 (ns=400 < 2 windows)
+    b1 = [(5, _variant_wav(5)), (10, _variant_wav(10))]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(src_dir / "f1")
+    )
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(
+            str(src_dir) + "/*"
+        )
+        streaming_audio_gate(
+            stream,
+            store_dir=str(tmp_path / "store"),
+            out_dir=str(tmp_path / "out"),
+            checkpoint=str(tmp_path / "ck"),
+        )
+
+    drain()
+    got1 = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got1 == [5, 10]  # clip admitted; stub passes through
+
+    # batch 2: half-gain re-level of 5 (suppressed cross-batch),
+    # exact re-encode of 5 (suppressed), distinct clip 7 + its
+    # re-encode 107 (in-batch cluster -> min id 7 wins), and a
+    # re-encode of the STUB (stubs are never stored, so it passes)
+    b2 = [
+        (205, _variant_wav(5, shift=1)),
+        (105, _variant_wav(5)),
+        (7, _variant_wav(7)),
+        (107, _variant_wav(7)),
+        (110, _variant_wav(10)),
+    ]
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(src_dir / "f2")
+    )
+    drain()
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == [5, 7, 10, 110], got
+
+
+def test_streaming_audio_gate_single_drain_equals_dedup_audio(
+    spark, tmp_path
+):
+    # the batch-twin discipline: ONE availableNow drain over an empty
+    # store = Corpus.dedup_audio on the same static frame (stubs pass,
+    # min-id representative per cluster) — the r16 oracle's shape.
+    from metrics_advisor_spark.functions.corpus_api import Corpus
+    from metrics_advisor_spark.streaming.pipeline import (
+        streaming_audio_gate,
+    )
+
+    rows = [
+        (3, _variant_wav(3)),
+        (103, _variant_wav(3)),          # exact re-encode of 3
+        (203, _variant_wav(3, shift=1)),  # half-gain re-level of 3
+        (8, _variant_wav(8)),
+        (11, _variant_wav(11)),           # ns=480: stub
+    ]
+    schema = "doc_id long, wav binary"
+    df = spark.createDataFrame(rows, schema)
+    want = sorted(
+        r["doc_id"] for r in Corpus(df).dedup_audio().df.collect()
+    )
+
+    src_dir = tmp_path / "media"
+    src_dir.mkdir()
+    df.coalesce(1).write.parquet(str(src_dir / "f1"))
+    stream = spark.readStream.schema(schema).parquet(
+        str(src_dir) + "/*"
+    )
+    streaming_audio_gate(
+        stream,
+        store_dir=str(tmp_path / "store"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ck"),
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == want == [3, 8, 11]
+
+
+def test_streaming_audio_gate_replay_idempotent(spark, tmp_path):
+    # replay-safe from day one: lost-commit restart (drain -> rm
+    # checkpoint -> drain) must neither suppress the replayed batch's
+    # own clips (guard b) nor fork a second run dir (guard a).
+    import shutil
+
+    from metrics_advisor_spark.streaming.pipeline import (
+        streaming_audio_gate,
+    )
+
+    schema = "doc_id long, wav binary"
+    src_dir = tmp_path / "media"
+    src_dir.mkdir()
+    rows = [(5, _variant_wav(5)), (105, _variant_wav(5))]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src_dir / "f1")
+    )
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(
+            str(src_dir) + "/*"
+        )
+        streaming_audio_gate(
+            stream,
+            store_dir=str(tmp_path / "store"),
+            out_dir=str(tmp_path / "out"),
+            checkpoint=str(tmp_path / "ck"),
+        )
+
+    drain()
+    first = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert first == [5]
+    shutil.rmtree(tmp_path / "ck")
+    drain()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r["doc_id"] for r in out.collect()) == [5], (
+        "replay diverged — the store read leaked the failed "
+        "attempt's own sketches"
+    )
+    runs = {r["run"] for r in out.select("run").distinct().collect()}
+    assert len(runs) == 1, f"replay forked a second run dir: {runs}"
