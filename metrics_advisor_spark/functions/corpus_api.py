@@ -136,6 +136,40 @@ class Corpus:
         ).select("doc_id")
         return self._with(self.df.join(drops, "doc_id", "left_anti"))
 
+    def dedup_images(
+        self, img_col: str = "img", *, max_distance: int = 4,
+    ) -> "Corpus":
+        """Drop rows whose IMAGE payload is a perceptual near-dup of
+        an earlier row's (r15, the image arm of `dedup_audio`):
+        56-bit dHash (`multimodal.image_dhash` — same grid/packing as
+        video `frame_dhash`, one shared hash space) → blocked-Hamming
+        connected components → each cluster keeps its min-doc_id
+        representative via one anti-join, so the full corpus row
+        survives for keepers.  No stub arm: every parseable BMP
+        hashes; a malformed payload raises rather than being guessed
+        around (the module's parser contract)."""
+        from metrics_advisor_spark.functions.dedup import (
+            hamming_components,
+        )
+        from metrics_advisor_spark.functions.multimodal import (
+            image_dhash,
+        )
+
+        hashes = image_dhash(
+            self.df.select("doc_id", img_col), img_col
+        )
+        comp = hamming_components(
+            hashes.select(
+                "doc_id", F.col("dhash").alias("simhash")
+            ),
+            max_distance=max_distance,
+            n_bits=56,
+        )
+        drops = comp.where(
+            F.col("doc_id") != F.col("component")
+        ).select("doc_id")
+        return self._with(self.df.join(drops, "doc_id", "left_anti"))
+
     def scrub_exact_substrings(
         self, min_len: int = 64, stride: int = 16,
         keep_first: bool = False,

@@ -328,6 +328,68 @@ def _bmp_bytes(doc_id: int) -> bytes:
     return _encode_bmp(px)
 
 
+def _bmp_variant_bytes(
+    src: int, noise: int = 0, w: int = 24, h: int = 24
+) -> bytes:
+    """A genuine 24-bit BMP whose pixels are HASH-DERIVED (md5 of
+    "src:block" → 16 pixel bytes per digest) — the image analog of
+    `_wav_variant_bytes`, and for the same reason: the smooth
+    `_bmp_bytes` gradient rule makes dHashes near-constant ACROSS
+    doc_ids (ids 0 and 1 are dHash-IDENTICAL, measured), so any
+    perceptual-dedup fixture built on it collapses everything into
+    one cluster and attests nothing.  ``noise`` perturbs the first
+    ``noise`` pixel bytes by +16 (mod 256): a deterministic,
+    SQL-replayable stand-in for light recompression — small values
+    move the dHash only a few bits, so near-dup machinery has real
+    distances to work with."""
+    import hashlib
+
+    import numpy as np
+
+    need = w * h * 3
+    buf = b"".join(
+        hashlib.md5(f"{src}:{b}".encode()).digest()
+        for b in range((need + 15) // 16)
+    )
+    px = np.frombuffer(buf[:need], dtype=np.uint8).copy()
+    if noise > 0:
+        px[:noise] += 16  # uint8 wraps: (v + 16) mod 256
+    return _encode_bmp(px.reshape(h, w, 3))
+
+
+def attach_bmp_variants(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "src_id",
+    noise_col: str = "noise",
+) -> DataFrame:
+    """(doc_id, img binary) for a variant table (doc_id, src_id,
+    noise): rows sharing ``src_col`` get byte-identical payloads at
+    noise 0 (a re-used object-store key) and perceptually-near ones
+    at small noise — the planted-duplicate fixture for image-dedup
+    surfaces, hash-derived so distinct sources stay far in dHash
+    space (see `_bmp_variant_bytes`)."""
+    import pandas as pd
+
+    cols = df.select(id_col, src_col, noise_col)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "img": [
+                        _bmp_variant_bytes(int(s), int(nz))
+                        for s, nz in zip(
+                            pdf[src_col], pdf[noise_col]
+                        )
+                    ],
+                }
+            )
+
+    return cols.mapInPandas(fn, "doc_id long, img binary")
+
+
 def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, img binary): real BMP bytes per doc via mapInPandas —
     the Arrow batch shape a production loader (object-store bytes →

@@ -649,3 +649,73 @@ def test_streaming_audio_gate_replay_idempotent(spark, tmp_path):
     )
     runs = {r["run"] for r in out.select("run").distinct().collect()}
     assert len(runs) == 1, f"replay forked a second run dir: {runs}"
+
+
+def test_attach_bmp_variants_and_dedup_images(spark):
+    # the image arm of the variant-fixture family: hash-derived
+    # pixels (the smooth gradient rule is perceptually degenerate —
+    # ids 0 and 1 are dHash-IDENTICAL, measured, so a fixture on it
+    # attests nothing).  Pin: byte-identical re-use at noise 0, the
+    # measured near-dup distance at src 5 / noise 1152, cross-src
+    # separation, and the Corpus.dedup_images min-id rule.
+    from metrics_advisor_spark.functions.corpus_api import Corpus
+    from metrics_advisor_spark.functions.multimodal import (
+        _bmp_variant_bytes,
+        attach_bmp_variants,
+        image_dhash,
+    )
+
+    # builder-verified: src 5's noise-1152 variant sits at dHash
+    # distance 4 from clean — inside max_distance=4
+    assert _bmp_variant_bytes(5, 0) != _bmp_variant_bytes(5, 1152)
+
+    variants = [
+        (5, 5, 0), (1000005, 5, 0), (2000005, 5, 1152),
+        (7, 7, 0),
+    ]
+    df = spark.createDataFrame(
+        variants, "doc_id long, src_id long, noise int"
+    )
+    media = attach_bmp_variants(df)
+    raw = {r["doc_id"]: bytes(r["img"]) for r in media.collect()}
+    assert raw[5] == raw[1000005]  # exact byte re-use
+    assert raw[5] != raw[2000005]
+
+    hs = {
+        r["doc_id"]: r["dhash"] for r in image_dhash(media).collect()
+    }
+    assert hs[5] == hs[1000005]
+    d_noise = bin(hs[5] ^ hs[2000005]).count("1")
+    assert 1 <= d_noise <= 4, d_noise
+    assert bin(hs[5] ^ hs[7]).count("1") > 4  # cross-src separation
+
+    rows = [(d, raw[d]) for d in sorted(raw)]
+    corpus = spark.createDataFrame(rows, "doc_id long, img binary")
+    kept = sorted(
+        r["doc_id"] for r in Corpus(corpus).dedup_images().df.collect()
+    )
+    assert kept == [5, 7]  # exact AND near copy fold into min-id 5
+
+
+def test_multimodal_dedup_example_e2e(spark):
+    # the whole multimodal story at sf0.001 in ONE test: 40 originals
+    # + 8 image-reuse/audio-re-encode rows + 6 audio re-levels;
+    # image dedup folds the 8, audio dedup folds the 4 fingerprintable
+    # re-levels (srcs 0 and 21 are sub-window stubs -> pass), and the
+    # streaming gate admits wave 1 in full plus wave 2's 6 stub rows.
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "multimodal_dedup_pipeline",
+        os.path.join(repo, "examples", "multimodal_dedup_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    counts = mod.main("/root/testdata/sf0.001")
+    assert counts["media"] == 54
+    assert counts["image_dedup"] == 46
+    assert counts["audio_dedup"] == 42
+    assert counts["stream_admitted"] == 46
+    assert counts["stream_admitted_wave2"] == 6
