@@ -148,22 +148,12 @@ class Corpus:
         survives for keepers.  No stub arm: every parseable BMP
         hashes; a malformed payload raises rather than being guessed
         around (the module's parser contract)."""
-        from metrics_advisor_spark.functions.dedup import (
-            hamming_components,
-        )
         from metrics_advisor_spark.functions.multimodal import (
-            image_dhash,
+            image_dup_components,
         )
 
-        hashes = image_dhash(
-            self.df.select("doc_id", img_col), img_col
-        )
-        comp = hamming_components(
-            hashes.select(
-                "doc_id", F.col("dhash").alias("simhash")
-            ),
-            max_distance=max_distance,
-            n_bits=56,
+        comp = image_dup_components(
+            self.df, img_col=img_col, max_distance=max_distance,
         )
         drops = comp.where(
             F.col("doc_id") != F.col("component")

@@ -2205,6 +2205,34 @@ def audio_fingerprint(
     )
 
 
+def image_dup_components(
+    media: DataFrame, img_col: str = "img", id_col: str = "doc_id",
+    *, max_distance: int = 4,
+) -> DataFrame:
+    """Corpus-level IMAGE dedup (r15): 56-bit dHash → blocked-Hamming
+    ≤ d → connected components, the image mirror of
+    `audio_dup_components` (one shared 56-bit hash space with video
+    `frame_dhash` and the audio fp56 sketch, so every perceptual
+    modality rides the same §18 banding machinery).  Output:
+    (doc_id, component) with component = min doc_id of the cluster.
+    No stub arm: every parseable BMP hashes; malformed payloads raise
+    (the module's parser contract)."""
+    from metrics_advisor_spark.functions.dedup import (
+        hamming_components,
+    )
+
+    hashes = image_dhash(
+        media.select(F.col(id_col).alias("doc_id"), img_col), img_col
+    )
+    return hamming_components(
+        hashes.select(
+            F.col("doc_id"), F.col("dhash").alias("simhash")
+        ),
+        max_distance=max_distance,
+        n_bits=56,
+    )
+
+
 def audio_dup_components(
     media: DataFrame, wav_col: str = "wav", id_col: str = "doc_id",
     *, max_distance: int = 4, window: int = 256, n_bands: int = 16,

@@ -105,6 +105,8 @@ FAMILIES = {
         # full audio-dedup chain: per-payload fingerprint CPU (zero
         # shuffle) + the §18 Hamming banding over ~1.1 sketches/doc
         "audio_dup_components",
+        # image mirror: per-payload dHash CPU + the same banding
+        "image_dup_components",
     ],
 }
 
