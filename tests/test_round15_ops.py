@@ -719,3 +719,77 @@ def test_multimodal_dedup_example_e2e(spark):
     assert counts["audio_dedup"] == 42
     assert counts["stream_admitted"] == 46
     assert counts["stream_admitted_wave2"] == 6
+
+
+def test_streaming_audio_gate_matches_staged_r16_oracle(
+    spark, tmp_path
+):
+    # the staged r16 contract pairing, validated builder-side (the
+    # 4ef3476 discipline): ONE availableNow drain of the audio
+    # variant fixture over an empty store must equal the DuckDB
+    # analytic oracle = audio_dup_components replay restricted to
+    # min-id representatives, UNION the sub-window stubs.  Validated
+    # EXACT at sf0.01 (565 = 565) at stage time; this test pins the
+    # same equality at sf0.001 permanently.
+    import duckdb
+
+    import __spark_entry__ as em
+    from metrics_advisor_spark.functions.multimodal import (
+        attach_wav_variants,
+    )
+    from metrics_advisor_spark.streaming.pipeline import (
+        streaming_audio_gate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    media = attach_wav_variants(em._audio_variants(spark, sf))
+    src = str(tmp_path / "media")
+    media.coalesce(2).write.parquet(src)
+    streaming_audio_gate(
+        spark.readStream.schema("doc_id long, wav binary").parquet(
+            src
+        ),
+        store_dir=str(tmp_path / "store"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ck"),
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .select("doc_id")
+        .collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    audio_cte = em.oracle_sql()["audio_dup_components"]
+    want = [
+        r[0]
+        for r in con.execute(
+            f"""
+            WITH comp_out AS ({audio_cte}),
+            stubs AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, 400 + (src % 10) * 80 AS ns FROM (
+                  SELECT doc_id, doc_id AS src FROM documents
+                  UNION ALL
+                  SELECT doc_id + 1000000, doc_id FROM documents
+                  WHERE doc_id % 5 = 0
+                  UNION ALL
+                  SELECT doc_id + 2000000, doc_id FROM documents
+                  WHERE doc_id % 7 = 0
+                )
+              ) WHERE ns // 256 < 2
+            )
+            SELECT doc_id FROM comp_out WHERE doc_id = component
+            UNION ALL
+            SELECT doc_id FROM stubs
+            ORDER BY doc_id
+            """
+        ).fetchall()
+    ]
+    assert got == want
+    assert len(got) > 0
