@@ -185,3 +185,131 @@ def test_wav_variant_rule_property():
             k = (i % 8) * 4
             want = (int(hx[k:k + 4], 16) - 32768) >> shift
             assert got[i] == want, (src, shift, i)
+
+
+def _audio_ref_model(batches, max_distance=4):
+    """Independent arrival-order replay of streaming_audio_gate's
+    semantics: per batch, drop clips within Hamming<=d of any stored
+    admitted sketch, then union-find the remainder on <=d and admit
+    each component's min id (+ stubs, never stored)."""
+    import hashlib
+
+    import numpy as np
+
+    def fp56(src, shift):
+        n = 400 + (src % 10) * 80
+        buf = b"".join(
+            hashlib.md5(f"{src}:{b}".encode()).digest()
+            for b in range((n + 7) // 8)
+        )
+        s = (
+            np.frombuffer(buf[: 2 * n], dtype=">u2").astype(np.int64)
+            - 32768
+        ) >> shift
+        nw = s.size // 256
+        if nw < 2:
+            return None
+        e = (s[: nw * 256] ** 2).reshape(nw, 16, 16).sum(axis=2)
+        bits = e[1:] > e[:-1]
+        w = 1 << np.arange(15, -1, -1, dtype=np.int64)
+        votes = np.zeros(56, dtype=np.int64)
+        for c in (bits * w).sum(axis=1):
+            h = int(
+                hashlib.md5(str(int(c)).encode()).hexdigest()[:14], 16
+            )
+            for b in range(56):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(56) if votes[b] > 0)
+
+    store = []
+    admitted = []
+    for batch in batches:
+        sk = {}
+        for doc, src, shift in batch:
+            f = fp56(src, shift)
+            if f is None:
+                admitted.append(doc)  # stub: pass, never stored
+            else:
+                sk[doc] = f
+        fresh = {
+            d: f
+            for d, f in sk.items()
+            if not any(
+                bin(f ^ s).count("1") <= max_distance for s in store
+            )
+        }
+        ids = sorted(fresh)
+        parent = {d: d for d in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                da, db = find(a), find(b)
+                if da != db and bin(
+                    fresh[a] ^ fresh[b]
+                ).count("1") <= max_distance:
+                    parent[max(da, db)] = min(da, db)
+        reps = [d for d in ids if find(d) == d]
+        admitted.extend(reps)
+        store.extend(fresh[d] for d in reps)
+    return sorted(admitted)
+
+
+@pytest.mark.parametrize("seed", [404, 505])
+def test_audio_gate_randomized_batch_boundaries(spark, tmp_path, seed):
+    # the span-gate fuzz discipline on the audio gate: a randomized
+    # variant population (re-encodes, re-levels at several shifts,
+    # stubs) split across random batch boundaries must equal the
+    # independent Python replay of the arrival-order semantics.
+    from metrics_advisor_spark.functions.multimodal import (
+        _wav_variant_bytes,
+    )
+    from metrics_advisor_spark.streaming.pipeline import (
+        streaming_audio_gate,
+    )
+
+    rng = random.Random(seed)
+    rows = []
+    doc = 0
+    for src in rng.sample(range(1000), 12):
+        rows.append((doc, src, 0))
+        doc += 1
+        for _ in range(rng.randrange(0, 3)):
+            rows.append((doc, src, rng.choice([0, 1, 2])))
+            doc += 1
+    rng.shuffle(rows)
+    cut1 = rng.randrange(1, len(rows) - 1)
+    cut2 = rng.randrange(cut1 + 1, len(rows))
+    batches = [rows[:cut1], rows[cut1:cut2], rows[cut2:]]
+    batches = [b for b in batches if b]
+    want = _audio_ref_model(batches)
+
+    src_dir = tmp_path / "media"
+    src_dir.mkdir()
+    schema = "doc_id long, wav binary"
+    for i, b in enumerate(batches):
+        pay = [
+            (d, bytearray(_wav_variant_bytes(s, sh)))
+            for d, s, sh in b
+        ]
+        spark.createDataFrame(pay, schema).coalesce(1).write.parquet(
+            str(src_dir / f"f{i}")
+        )
+        streaming_audio_gate(
+            spark.readStream.schema(schema).parquet(
+                str(src_dir) + "/*"
+            ),
+            store_dir=str(tmp_path / "store"),
+            out_dir=str(tmp_path / "out"),
+            checkpoint=str(tmp_path / "ck"),
+        )
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == want
