@@ -2327,6 +2327,41 @@ def q_audio_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_dup_components(media, max_distance=4)
 
 
+def q_url_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level duplicate groups (STAGED r15 → register r16): the
+    cheapest dedup pass in any crawl pipeline — group by canonical
+    URL, no content ever read (`url.url_dup_groups`, one shuffle).
+    Fixture: every doc a base URL; docs ≡0 (mod 3) a case+default-port
+    mirror at +1,000,000 and ≡0 (mod 4) a pure-tracking-params
+    variant at +2,000,000 — three raw spellings, one canonical.
+    Output (canonical, n_docs, min_doc_id) for groups >1.  Oracle
+    (in tests until registration): each branch's canonical is
+    analytic, so the groups are one GROUP BY over the modular rules;
+    validated exact builder-side at sf0.01 and pinned at sf0.001 by
+    `test_url_dup_groups_matches_staged_r16_oracle`."""
+    from metrics_advisor_spark.functions.url import url_dup_groups
+
+    d = F.col("doc_id").cast("string")
+    base = _docs(spark, sf_dir, fanout=False).select("doc_id").select(
+        "doc_id",
+        F.concat(F.lit("https://example.org/p"), d).alias("url"),
+    )
+    docs = _docs(spark, sf_dir, fanout=False).select("doc_id")
+    mirror = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("HTTPS://EXAMPLE.org:443/p"), d).alias("url"),
+    )
+    tracked = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("https://example.org/p"), d,
+            F.lit("?utm_source=x&gclid=g"),
+        ).alias("url"),
+    )
+    u = base.unionByName(mirror).unionByName(tracked)
+    return url_dup_groups(u, strip_tracking=True)
+
+
 def _image_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variant table (doc_id, src_id, noise) for the image-dedup
     fixture: every doc a source image; docs ≡0 (mod 5) an EXACT byte

@@ -793,3 +793,52 @@ def test_streaming_audio_gate_matches_staged_r16_oracle(
     ]
     assert got == want
     assert len(got) > 0
+
+
+_URL_DUP_ORACLE = """
+    WITH u AS (
+      SELECT doc_id,
+             'https://example.org/p' || doc_id AS canonical
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             'https://example.org/p' || doc_id
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 2000000,
+             'https://example.org/p' || doc_id
+      FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT canonical, count(*) AS n_docs, min(doc_id) AS min_doc_id
+    FROM u GROUP BY canonical HAVING count(*) > 1
+    ORDER BY canonical
+"""
+
+
+def test_url_dup_groups_matches_staged_r16_oracle(spark):
+    # staged r16 pairing (the 4ef3476 discipline): q_url_dup_groups
+    # vs the analytic oracle — every fixture branch canonicalizes to
+    # 'https://example.org/p{doc}', so the dup groups are one GROUP
+    # BY over the modular rules.  Validated exact builder-side at
+    # sf0.01; pinned here at sf0.001 permanently.  Register both at
+    # r16 open.
+    import duckdb
+
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["canonical"], r["n_docs"], r["min_doc_id"])
+        for r in em.q_url_dup_groups(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = sorted(
+        (c, n, m)
+        for c, n, m in con.execute(_URL_DUP_ORACLE).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0
