@@ -459,7 +459,13 @@ def q_detect_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib distance-based outlier scoring (rows-only: the trained
-    KMeans model is not SQL-expressible)."""
+    KMeans model is not SQL-expressible).  Second-engine attestation
+    (r15, the E-Divisive discipline): an independent pure-numpy
+    pipeline — same features/standardization, its OWN Lloyd k-means
+    from a different init, same μ+3σ / tiny-cluster flag rules —
+    produces the EXACT same flag set on well-separated fixtures
+    (tests/test_round15_ops.py::
+    test_kmeans_outliers_second_engine_flag_agreement)."""
     from metrics_advisor_spark.operators.mllib_detect import (
         detect_outliers_kmeans,
     )

@@ -842,3 +842,87 @@ def test_url_dup_groups_matches_staged_r16_oracle(spark):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_kmeans_outliers_second_engine_flag_agreement(spark):
+    # VERDICT r14 item 6's discipline extended to the LAST
+    # un-attested rows-only query: `kmeans_outliers` cannot be
+    # DuckDB-oracled (MLlib's fit is not SQL), so attest the
+    # CAPABILITY with a second engine — an independent pure-numpy
+    # pipeline (same (value, d1, d2) features, same per-metric
+    # standardization, its OWN Lloyd k-means from a different init,
+    # same mu+3*sigma / tiny-cluster flag rules).  Centroids differ
+    # between engines; on well-separated data the FLAG SET must not.
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from metrics_advisor_spark.operators.mllib_detect import (
+        detect_outliers_kmeans,
+    )
+
+    rng = np.random.default_rng(42)
+    rows = []
+    planted = set()
+    for metric in ("m0", "m1"):
+        base = 100.0 if metric == "m0" else 5.0
+        vals = base + np.cumsum(rng.normal(0, 0.05, 240))
+        jumps = {60, 150} if metric == "m0" else {200}
+        for i in range(240):
+            v = float(vals[i]) + (80.0 * base if i in jumps else 0.0)
+            rows.append((metric, "s", i * 60, v))
+            if i in jumps:
+                planted.add((metric, i * 60))
+    df = spark.createDataFrame(
+        rows, "metric string, series string, epoch long, value double"
+    ).select(
+        "metric", "series",
+        F.timestamp_seconds("epoch").alias("ts"), "value",
+    )
+
+    got = {
+        (r["metric"], int(r["ts"].timestamp()))
+        for r in detect_outliers_kmeans(df, n_clusters=6).collect()
+    }
+
+    # ---- independent engine: numpy features + own Lloyd ----
+    feats, keys = [], []
+    for metric in ("m0", "m1"):
+        sub = sorted(
+            (e, v) for m, s, e, v in rows if m == metric
+        )
+        v = np.array([x[1] for x in sub])
+        d1 = np.diff(v, prepend=v[0])  # first diff = 0
+        d2 = np.diff(d1, prepend=d1[0])
+        d2[0] = 0.0
+        f = np.stack([v, d1, d2], axis=1)
+        mu, sd = f.mean(axis=0), f.std(axis=0) + 1e-12
+        feats.append((f - mu) / sd)
+        keys.extend((metric, e) for e, _ in sub)
+    X = np.concatenate(feats)
+    # Lloyd from a deterministic spread init (different from MLlib's)
+    centers = X[np.linspace(0, len(X) - 1, 6).astype(int)].copy()
+    for _ in range(50):
+        dist = ((X[:, None, :] - centers[None]) ** 2).sum(axis=2)
+        cell = dist.argmin(axis=1)
+        for c in range(6):
+            if (cell == c).any():
+                centers[c] = X[cell == c].mean(axis=0)
+    dist = np.sqrt(
+        ((X - centers[cell]) ** 2).sum(axis=1)
+    )
+    mu_d, sd_d = dist.mean(), dist.std()
+    sizes = np.bincount(cell, minlength=6)
+    flagged = (dist > mu_d + 3.0 * sd_d) | (
+        sizes[cell] < 0.01 * len(X)
+    )
+    want = {keys[i] for i in np.where(flagged)[0]}
+
+    assert got == want, (
+        f"engines disagree: only-mllib={sorted(got - want)[:5]} "
+        f"only-numpy={sorted(want - got)[:5]}"
+    )
+    # and both found exactly the planted jump discontinuities (each
+    # jump perturbs value at i and the deltas at i/i+1 — the flagged
+    # set must cover every planted instant)
+    assert planted <= got
