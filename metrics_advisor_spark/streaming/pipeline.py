@@ -1532,6 +1532,13 @@ def streaming_audio_gate(
       4. append admitted representatives' bands to the store and
          admitted docs to ``out_dir``.
 
+    The store holds 5 16-byte rows per admitted clip (bands of ONE
+    56-bit sketch — ~10⁻⁵ of the audio bytes), partitioned by
+    (band_id, band_bits) at read time via the equi-join; like the
+    neardup gate's band store, production compacts/buckets it
+    periodically and the lookup stays an equi-join against the
+    compacted layout, never a scan of admitted PAYLOADS.
+
     A single availableNow drain of a static source over an empty
     store equals the batch ``Corpus.dedup_audio`` (stubs pass
     through, each cluster keeps its min doc_id) — the
