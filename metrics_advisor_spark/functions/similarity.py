@@ -20,6 +20,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _fanout_scan(df: DataFrame) -> DataFrame:
+    """Round-robin fanout of an under-parallel corpus scan feeding a
+    per-row compute-heavy broadcast join (the exact-audit operators):
+    the interpreted HOF folds cost ~µs/row × corpus×queries, and a
+    single-file local scan serializes all of it onto one task (measured:
+    knn_graph 5.2 s of runTime on ONE task; 32-way ≈ 0.4 s).  At real
+    scale the scan has thousands of splits and this is a no-op — the
+    repartition fires only when the scan's parallelism is below the
+    scheduler's, so no corpus-sized shuffle is ever added on a cluster.
+    Arithmetic (ordered IEEE folds, oracle-mirrored) is untouched; only
+    task layout changes, and the per-query window ranking is
+    layout-invariant."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def cosine_col(a: F.Column, b: F.Column) -> F.Column:
     """Cosine similarity of two array<float|double> columns (JVM HOFs)."""
     dot = F.aggregate(
@@ -50,7 +68,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col))
+    c = _fanout_scan(corpus.select(F.col(id_col), F.col(vec_col)))
     scored = (
         c.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
         .select(
@@ -86,6 +104,11 @@ def l2_topk(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
     )
+    # no _fanout_scan here: l2_topk's one consumer (ann_recall_audit)
+    # measured a 2.43 -> 2.75 s regression with the corpus repartition
+    # (the exact arm is persisted+counted inside a much larger audit
+    # plan, so the extra round-robin exchange costs more than the
+    # serial-scan time it recovers) — OPTIMIZATION_r15.md
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
@@ -670,7 +693,12 @@ def semdedup(
         "_cell",
     )
     id_dt = corpus.schema[id_col].dataType.simpleString()
-    pairs = assigned.groupBy("_cell").applyInPandas(
+    # explicit fanout: the per-cell matmul is compute-per-row, so the
+    # byte-based AQE coalesce must not collapse the cell exchange onto
+    # one task (see partitioning.udf_fanout)
+    from metrics_advisor_spark.partitioning import udf_fanout
+
+    pairs = udf_fanout(assigned, "_cell").groupBy("_cell").applyInPandas(
         cell_pairs, f"doc_a {id_dt}, doc_b {id_dt}"
     )
     labels = propagate_labels(pairs)

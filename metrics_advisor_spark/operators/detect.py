@@ -432,7 +432,17 @@ def detect_anomalies(
             }
         )
 
-    return signals.groupBy("metric", "series").applyInPandas(fn, ANOMALY_SCHEMA)
+    # explicit fanout: the permutation tests are per-row COMPUTE, so the
+    # byte-based AQE coalesce (which collapses this small shuffle to one
+    # partition and serializes every group onto one task) must not size
+    # this exchange — measured 3.7 s -> 1.7 s at sf0.1 (OPTIMIZATION_r15)
+    from metrics_advisor_spark.partitioning import udf_fanout
+
+    return (
+        udf_fanout(signals, "metric", "series")
+        .groupBy("metric", "series")
+        .applyInPandas(fn, ANOMALY_SCHEMA)
+    )
 
 
 def detect_changepoints(signals: DataFrame, **kw) -> DataFrame:
