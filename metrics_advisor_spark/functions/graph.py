@@ -150,13 +150,23 @@ def adamic_adar(pairs: DataFrame) -> DataFrame:
     common neighbor has degree ≥2 by construction, so ln(deg) > 0.
     Hub nodes are the skew risk (a degree-d hub contributes d² candidate
     pairs) — cap or drop top-degree nodes upstream for hub-heavy graphs.
+
+    The pair producer feeds FIVE legs (two wedge-join sides, the degree
+    aggregate, edge materialization, the anti-join) — persist the edge
+    and adjacency sets once or the whole upstream producer plan (for
+    the contract query: explode → vocab unions → SymSpell variant
+    self-join, ~12 exchanges) replays per leg (r15: 84 planned scans /
+    64 exchanges collapsed to one producer pass each; same idiom as
+    `triangle_count` / `clustering_coeff`).
     """
+    from metrics_advisor_spark.functions.cacheutil import attach_cached
+
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    )
+    ).persist()
     adj = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    ).distinct().persist()
     deg = adj.groupBy("v").agg(F.count("*").alias("deg"))
     cand = (
         adj.select(F.col("u").alias("a"), F.col("v").alias("z"))
@@ -174,7 +184,7 @@ def adamic_adar(pairs: DataFrame) -> DataFrame:
             F.round(F.sum(1.0 / F.log(F.col("deg"))), 6).alias("aa_score"),
         )
     )
-    return (
+    return attach_cached(
         scored.join(
             edges.select(
                 F.col("u").alias("a"), F.col("v").alias("b")
@@ -185,7 +195,9 @@ def adamic_adar(pairs: DataFrame) -> DataFrame:
         .select(
             F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
             "n_common", "aa_score",
-        )
+        ),
+        edges,
+        adj,
     )
 
 
