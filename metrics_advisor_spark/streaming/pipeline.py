@@ -155,7 +155,14 @@ def streaming_ksigma(
     ``baseline`` is a batch DataFrame with (metric, series, mu, sd) —
     e.g. from ``validity.series_stats`` extended with avg/stddev_pop.
     Stream-static joins broadcast the (small) baseline to every task, so
-    scoring is stateless and shuffle-free on the stream side."""
+    scoring is stateless and shuffle-free on the stream side.
+
+    The static side of a stream-static join is re-evaluated every
+    micro-batch; here that is ONE cheap aggregate over the train
+    corpus, and an r15 A/B measured driver-side materialization (the
+    `streaming_ann_gate` LUT discipline) as a net loss at every drain
+    size tried — callers with an EXPENSIVE baseline plan should
+    materialize it before passing it in."""
     return (
         stream.join(F.broadcast(baseline), ["metric", "series"])
         .filter(
@@ -878,6 +885,17 @@ def streaming_dsir_gate(
         else uuid.uuid4().hex[:12]
     )
 
+    # The model is static across batches, but a foreachBatch closure
+    # re-evaluates every DataFrame it references per micro-batch — and
+    # `dsir_score` reads the model TWICE (the bucket>=0 broadcast and
+    # the sentinel aggregate), so an unpersisted model replays its
+    # whole fit plan (full reference-corpus scan + hashed-count
+    # aggregate) 2× per batch (r15 profile: four identical
+    # corpus-scan stages on a two-batch drain).  Persist it for the
+    # drain's lifetime; ≤ n_buckets+1 rows, freed before returning.
+    model = model.persist()
+    model.count()
+
     def process(batch: DataFrame, batch_id: int) -> None:
         admitted = dsir_score(
             batch, model, n_buckets=n_buckets,
@@ -887,13 +905,16 @@ def streaming_dsir_gate(
             f"{out_dir}/run={run_id}/batch={batch_id}"
         )
 
-    writer = stream.writeStream.foreachBatch(process).trigger(
-        availableNow=True
-    )
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    q = writer.start()
-    q.awaitTermination()
+    try:
+        writer = stream.writeStream.foreachBatch(process).trigger(
+            availableNow=True
+        )
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        model.unpersist()
     return q
 
 
