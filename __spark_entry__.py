@@ -1035,7 +1035,7 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The synthetic corpus has no natural duplicates, so dedup queries
     plant them deterministically — the oracle unions identically."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs(spark, sf_dir, fanout=False).select("doc_id", "text")
     copies = d.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
@@ -1044,9 +1044,19 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.array_join(F.slice(words, 1, F.size(words) - 1), " ").alias("text"),
     )
-    # parallelism comes from _docs' repartition; the union just
-    # concatenates those partitions (no extra shuffle)
-    return d.unionByName(copies).unionByName(near)
+    # ONE fanout repartition AFTER the union (r15): per-leg fanout made
+    # the union emit 3x defaultParallelism partitions, so every
+    # downstream map/Arrow stage of the 24 dedup-family consumers ran
+    # 96 tasks over single-file-scale data — per-task launch latency
+    # for nothing.  Post-union the same single shuffle restores
+    # full-core parallelism at exactly defaultParallelism partitions.
+    # (Local-harness-only shuffle, same caveat as `_docs`: at real
+    # scale the input has thousands of splits — SCALE.md §9.)
+    return (
+        d.unionByName(copies)
+        .unionByName(near)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 def _emb_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
