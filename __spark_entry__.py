@@ -1062,11 +1062,16 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _emb_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ exact copies of vec_id<50 (as vec_id+100000)."""
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    # same post-union fanout as `_docs_with_dups` (r15): the embeddings
+    # parquet is one small file, so without this the SRP projection /
+    # pairwise-cosine compute of the two consumers ran on the scan's
+    # 2 partitions (profiled: 2.2 s of CPU on 2 tasks).  Local-harness
+    # shuffle only — real inputs have thousands of splits (SCALE.md §9).
     return e.unionByName(
         e.filter(F.col("vec_id") < 50).select(
             (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
         )
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
