@@ -548,6 +548,22 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     Near-dups are pairs within small Hamming distance (see tests);
     computed entirely with integer SQL expressions so the oracle matches
     bit-for-bit.
+
+    r15 MEASURED DEAD END — do not re-attempt without new evidence: a
+    single-aggregation layout (56 conditional bit-plane sums + one
+    57-column exchange, bit b set iff ``2·s_b > w``) is bit-identical
+    and structurally better (3 Exchanges + a broadcast ×56 bit-table
+    join + a 56× row blow-up → 1 Exchange), and won standalone
+    cold-cache runs — but the 57 aggregate functions + 56-term fold
+    made Catalyst re-analyze ~700 expression nodes per action in every
+    consumer that re-references the sketch lineage, regressing the
+    iterative consumers 1.5-2.2× in the bench (pagerank 3.1→4.9-7.5 s,
+    triangle_count 1.8→3.2-4.4 s, interleaved A/B).  Lineage cuts
+    (localCheckpoint at members / at the pair frame) fixed the
+    cold-cache form but forfeit the warm-run cache plan-matching the
+    bench methodology measures, and still trailed HEAD.  The 3-shuffle
+    form below keeps expression count tiny, which is what the
+    multi-reference consumers actually need.
     """
     from metrics_advisor_spark.functions.text import TOKEN_RE
 
@@ -669,7 +685,10 @@ def hamming_pairs_blocked(
     # three consumers (banded, the expansion joins, the within-value
     # self-join) would re-execute the whole upstream sketch pipeline —
     # persist the tiny (doc_id, simhash) projection once; released via
-    # cacheutil.release_cached when the caller is done.  dropDuplicates
+    # cacheutil.release_cached when the caller is done.  (persist, NOT
+    # localCheckpoint: the lineage cut re-materializes per call and
+    # forfeits cross-run cache plan-matching — r15 measurement, see
+    # the simhash docstring.)  dropDuplicates
     # restores the pre-r08 tolerance of exact duplicate input rows: a
     # duplicated (doc_id, simhash) row would otherwise fan out through
     # BOTH expansion joins and the within-value self-join as duplicate
@@ -2042,12 +2061,21 @@ def duplicate_spans(
     wins = _winnow_windows(
         df, text_col, id_col, min_len=min_len, stride=stride,
     )
-    dup_keys = (
-        wins.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > 1)
-        .select("w")
-    )
-    occ = wins.join(dup_keys, "w")
+    # occurrence-count filter as a WINDOW over the window-text key:
+    # the groupBy+self-join form consumed `wins` twice (the partial
+    # aggregate below the count exchange makes the two exchanges
+    # non-identical, so ReuseExchange cannot collapse them) — the
+    # expensive winnowing Arrow pass ran once per consumer.  count()
+    # over (partition by w) computes the same n per occurrence in the
+    # SAME single shuffle that colocates occurrences, so the plan is
+    # one winnow pass + one Exchange; hot boilerplate keys colocate
+    # exactly as they already did on the join side.  Row set is
+    # identical: inner-join on n>1 keys == filter n>1 per occurrence.
+    from pyspark.sql.window import Window as _W
+
+    occ = wins.withColumn(
+        "_n", F.count(F.lit(1)).over(_W.partitionBy("w"))
+    ).where(F.col("_n") > 1)
     if keep_first:
         # dedup-not-destruction semantics: the FIRST occurrence of
         # each duplicated window in (doc_id, offset) order is the
@@ -2056,8 +2084,6 @@ def duplicate_spans(
         # survives in the corpus.  One extra rank window on the
         # already-shuffled occurrence frame; SQL-expressible
         # (row_number over the window key), so oracle-ready.
-        from pyspark.sql.window import Window as _W
-
         rk = F.row_number().over(
             _W.partitionBy("w").orderBy(id_col, "off")
         )
