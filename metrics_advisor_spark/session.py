@@ -36,6 +36,23 @@ def get_spark(app_name: str = "metrics_advisor_spark", *,
         # pinned so a cluster-side override can't silently regress them)
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # InferFiltersFromGenerate clones each explode's input expression
+        # into a `size(...) > 0 AND isnotnull(...)` predicate.  Every
+        # shingle/gram pipeline in this engine explodes a higher-order
+        # `transform(sequence(...), hash(...))` array, so the rule (a)
+        # re-evaluates the whole HOF per row a second time and (b) the
+        # cloned predicate pushes below the corpus fanout repartition
+        # into the parquet scan stage, serializing O(corpus) hash work
+        # onto the scan's few input splits (measured r15: 3 tasks,
+        # 4.3 s CPU at sf0.1 on canonical_select's scan).  The inferred
+        # filter is semantically redundant — Generate already drops
+        # empty/null arrays — so excluding the rule changes no results
+        # at any scale.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
         # the driver's testdata stores TIMESTAMP(NANOS) which Spark rejects
         # by default; read as long and convert at the source adapter
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
