@@ -452,13 +452,39 @@ def propagate_labels(
     uses; on a real cluster a reliable checkpoint dir additionally
     survives executor loss, which localCheckpoint trades away for speed.
     """
-    sym = pairs.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    )
+    # one generate pass instead of a union tree: the old
+    # sym = pairs ∪ pairs.swapped; edges = sym ∪ sym.self_loops shape
+    # referenced `pairs` four times, so an UNPERSISTED (and possibly
+    # expensive — jaccard_pairs, hamming joins) upstream pair plan
+    # executed 4× inside the one edges-materialization job (measured
+    # r15 on canonical_select: the shingle self-join's shuffle read
+    # 4× = 66.8 MB in one stage).  Exploding each pair into its two
+    # directions plus both self-loops emits the identical row set —
+    # u ranges over all endpoints — in ONE scan of the pair plan.
     edges = (
-        sym.unionByName(sym.select("u", F.col("u").alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("u"),
+                        F.col("doc_b").alias("v"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("u"),
+                        F.col("doc_a").alias("v"),
+                    ),
+                    F.struct(
+                        F.col("doc_a").alias("u"),
+                        F.col("doc_a").alias("v"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("u"),
+                        F.col("doc_b").alias("v"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .persist()
     )
