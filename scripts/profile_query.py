@@ -77,7 +77,7 @@ def main() -> int:
                     f"shufR={s.shuffleReadBytes()/1e6:8.1f}MB "
                     f"shufW={s.shuffleWriteBytes()/1e6:8.1f}MB "
                     f"in={s.inputBytes()/1e6:8.1f}MB "
-                    f"| {str(s.description().getOrElse(None))[:60]}"
+                    f"| {(str(s.description().get()) if s.description().isDefined() else '')[:60]}"
                 )
         sc.setJobDescription(None)
     return 0

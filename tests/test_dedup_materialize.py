@@ -62,6 +62,29 @@ def test_long_chain_converges_fully(spark):
     assert kept == [0, 99]
 
 
+def test_deep_chain_propagation_exact(spark):
+    """Uncapped propagation composes TWO hops per checkpointed round
+    (r15-opt): a deep chain must still converge to the exact transitive
+    closure, and disjoint components must not cross-talk — this pins
+    the multi-hop rounds, the first-round single-hop ramp and the
+    isEmpty convergence probe on a diameter-24 graph."""
+    from metrics_advisor_spark.functions.dedup import propagate_labels
+
+    # one 25-node chain (0..24) + one 3-node chain (100..102)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(24)]
+        + [(100, 101), (101, 102)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["label"]
+        for r in propagate_labels(pairs).collect()
+    }
+    want = {i: 0 for i in range(25)}
+    want.update({i: 100 for i in (100, 101, 102)})
+    assert got == want
+
+
 def test_capped_propagation_warns(spark):
     import warnings
 
