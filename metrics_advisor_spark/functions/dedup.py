@@ -635,57 +635,62 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     computed entirely with integer SQL expressions so the oracle matches
     bit-for-bit.
 
+    r15-opt layout: a SINGLE per-row higher-order fold — zero
+    exchanges.  The per-(doc, token_hash) weight grouping the original
+    3-shuffle form computed is mathematically redundant: the vote on
+    bit b is linear in the weights, Σ_distinct-hash ±weight =
+    Σ_occurrences ±1, so each token occurrence can vote ±1 directly
+    and the whole sketch folds inside the row that carries the text.
+    This removes the 3 shuffles AND the ×56 broadcast-join row blow-up
+    (per-token work becomes one md5 + a 56-slot interpreted lambda
+    update), while keeping the expression tree ~40 nodes — which
+    matters because of the other r15 finding below.  Bit-for-bit
+    identical to the 3-shuffle form (integer vote sums, order-free;
+    verified exact at sf0.01 and sf0.1, all-pairs goldens unchanged);
+    docs with no tokens are filtered out, matching the explode
+    semantics of the original (explode of an empty/null token array
+    emitted no rows, so such docs never reached the aggregate).
+
     r15 MEASURED DEAD END — do not re-attempt without new evidence: a
-    single-aggregation layout (56 conditional bit-plane sums + one
+    single-AGGREGATION layout (56 conditional bit-plane sums + one
     57-column exchange, bit b set iff ``2·s_b > w``) is bit-identical
-    and structurally better (3 Exchanges + a broadcast ×56 bit-table
-    join + a 56× row blow-up → 1 Exchange), and won standalone
-    cold-cache runs — but the 57 aggregate functions + 56-term fold
-    made Catalyst re-analyze ~700 expression nodes per action in every
-    consumer that re-references the sketch lineage, regressing the
-    iterative consumers 1.5-2.2× in the bench (pagerank 3.1→4.9-7.5 s,
-    triangle_count 1.8→3.2-4.4 s, interleaved A/B).  Lineage cuts
-    (localCheckpoint at members / at the pair frame) fixed the
-    cold-cache form but forfeit the warm-run cache plan-matching the
-    bench methodology measures, and still trailed HEAD.  The 3-shuffle
-    form below keeps expression count tiny, which is what the
-    multi-reference consumers actually need.
+    and structurally better than the old 3-shuffle form, and won
+    standalone cold-cache runs — but the 57 aggregate functions +
+    56-term fold made Catalyst re-analyze ~700 expression nodes per
+    action in every consumer that re-references the sketch lineage,
+    regressing the iterative consumers 1.5-2.2× in the bench
+    (pagerank 3.1→4.9-7.5 s, triangle_count 1.8→3.2-4.4 s,
+    interleaved A/B).  Lineage cuts (localCheckpoint at members / at
+    the pair frame) fixed the cold-cache form but forfeit the
+    warm-run cache plan-matching the bench methodology measures, and
+    still trailed HEAD.  The HOF fold above dodges the disease by
+    construction: one compact expression, no aggregate at all.
     """
     from metrics_advisor_spark.functions.text import TOKEN_RE
 
-    toks = (
-        df.select(
-            "doc_id",
-            F.explode(
-                F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
-            ).alias("token"),
-        )
-        .groupBy("doc_id", _hash56(F.col("token")).alias("token_hash"))
-        .agg(F.count(F.lit(1)).alias("weight"))
+    # one SQL expression per row: token-hash array -> 56 vote sums ->
+    # fingerprint.  (s, i) index lambdas keep the tree size constant;
+    # shiftleft/shiftright with a column bit count need the SQL form.
+    fold = f"""
+    aggregate(
+      zip_with(
+        aggregate(
+          transform(regexp_extract_all({text_col}, '{TOKEN_RE}', 0),
+                    t -> cast(conv(substring(md5(t), 1, 14), 16, 10) as bigint)),
+          array_repeat(cast(0 as bigint), 56),
+          (acc, h) -> transform(acc, (s, i) -> s + cast((shiftright(h, i) & 1) * 2 - 1 as bigint))
+        ),
+        sequence(0, 55),
+        (s, i) -> if(s > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))
+      ),
+      cast(0 as bigint),
+      (a, x) -> a + x
     )
-    bits = toks.join(
-        F.broadcast(
-            df.sparkSession.range(56).select(F.col("id").cast("int").alias("bit"))
-        )
-    )
-    # F.shiftleft/shiftright take a literal bit count; the SQL forms
-    # accept a column expression
-    votes = bits.groupBy("doc_id", "bit").agg(
-        F.sum(
-            F.when(
-                F.expr("shiftright(token_hash, bit)").bitwiseAND(1) == 1,
-                F.col("weight"),
-            ).otherwise(-F.col("weight"))
-        ).alias("vote")
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("vote") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    """
+    return df.filter(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0))
+        > 0
+    ).select("doc_id", F.expr(fold).alias("simhash"))
 
 
 def hamming_pairs(sketches: DataFrame, max_distance: int = 8) -> DataFrame:
@@ -882,6 +887,7 @@ def minhash_jaccard_estimate(
     n: int = 3,
     k: int = 16,
     bands: int = 4,
+    restrict_exact: bool = True,
 ) -> DataFrame:
     """Estimator-quality audit: MinHash Jaccard estimate (share of equal
     signature minima) NEXT TO the exact n-gram Jaccard, per LSH candidate
@@ -892,13 +898,35 @@ def minhash_jaccard_estimate(
     estimate joins two k-row signature slices per pair; the exact value
     reuses the shared-shingle intersection join.  All three inputs block
     on content keys, so the audit scales exactly like the dedup pipeline
-    it audits."""
+    it audits.
+
+    ``restrict_exact`` (r15-opt): the exact arm only SURVIVES the final
+    left join for pairs already in the LSH candidate set, so running
+    the full-corpus shared-shingle self-join is pure waste — instead
+    the (small by construction) candidate pair table is persisted and
+    the exact Jaccard is computed IN-ROW per candidate pair:
+    broadcast-join each pair to the two per-doc distinct shingle-hash
+    sets and take ``size(array_intersect(...))``.  n_inter over
+    distinct sets and the identical round/divide expression make the
+    values bit-for-bit equal to the shared-shingle join's; candidate
+    pairs sharing no shingle produce 0.0 directly where the old arm
+    produced no row and the caller coalesced to 0.0 — same output
+    either way.  False keeps the full-corpus self-join arm.  Unlike
+    the r15 sig-reuse dead end (persisting the k×docs signature table
+    to feed the banding — slower than recomputing the pipelined
+    chain), the persist here is the FINAL pair list, and the banding
+    chain stays pipelined."""
     from metrics_advisor_spark.functions.cacheutil import attach_cached
 
     cand = minhash_lsh_pairs(df, text_col, n, k, bands)
+    cached: list[DataFrame] = []
+    if restrict_exact:
+        cand = cand.persist()
+        cached.append(cand)
     # the signature table feeds BOTH sides of the estimate join —
     # persist it or the shingle -> k-permutation chain runs twice
     sig = minhash_signatures(df, text_col, n, k).persist()
+    cached.append(sig)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), "perm_id",
         F.col("minhash").alias("mh_a"),
@@ -917,9 +945,66 @@ def minhash_jaccard_estimate(
             ).alias("jaccard_est")
         )
     )
-    exact = jaccard_pairs(df, text_col, n, threshold=0.0).withColumnRenamed(
-        "jaccard", "jaccard_exact"
-    )
+    if restrict_exact:
+        # per-doc distinct shingle-hash sets, computed in-row exactly
+        # as jaccard_pairs does (same grams, same _hash56, same
+        # array_distinct) — then intersected per candidate pair
+        wdf = df.select(
+            "doc_id", F.split(F.col(text_col), " ").alias("_w")
+        )
+        words = F.col("_w")
+        grams = F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.size(words) - n, F.lit(0))
+            ),
+            lambda i: _hash56(F.array_join(F.slice(words, i + 1, n), " ")),
+        )
+        hashed = wdf.select(
+            "doc_id", F.array_distinct(grams).alias("hashes")
+        )
+        paired = (
+            F.broadcast(cand.select("doc_a", "doc_b"))
+            .join(
+                hashed.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("hashes").alias("ha"),
+                ),
+                "doc_a",
+            )
+            .join(
+                hashed.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("hashes").alias("hb"),
+                ),
+                "doc_b",
+            )
+        )
+        exact = (
+            paired.select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("ha", "hb")).alias("n_inter"),
+                F.size("ha").alias("size_a"),
+                F.size("hb").alias("size_b"),
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.col("n_inter")
+                    / (
+                        F.col("size_a")
+                        + F.col("size_b")
+                        - F.col("n_inter")
+                    ),
+                    6,
+                ).alias("jaccard_exact"),
+            )
+        )
+    else:
+        exact = jaccard_pairs(
+            df, text_col, n, threshold=0.0
+        ).withColumnRenamed("jaccard", "jaccard_exact")
     return attach_cached(
         est.join(exact, ["doc_a", "doc_b"], "left").select(
             "doc_a", "doc_b", "jaccard_est",
@@ -927,7 +1012,7 @@ def minhash_jaccard_estimate(
                 "jaccard_exact"
             ),
         ),
-        sig,
+        *cached,
     )
 
 

@@ -66,6 +66,13 @@ def get_spark(app_name: str = "metrics_advisor_spark", *,
             ),
         )
     )
+    # scale/deployment overrides without code edits (e.g. cluster jobs
+    # raising shuffle partitions, or local A/B of a planner flag):
+    # SPARK_GRAFT_EXTRA_CONF="spark.x=1;spark.y=2"
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if kv.strip():
+            k, _, v = kv.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
