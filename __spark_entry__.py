@@ -1766,7 +1766,7 @@ def _docs_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the default stride (ADVICE r13: a doc-start-aligned window grid
     cannot see these; winnowing must).  Prefixes share <6 chars across
     docs, far below min_len, so they never form spans themselves."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs(spark, sf_dir, fanout=False).select("doc_id", "text")
     pref = d.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 400000).alias("doc_id"),
         F.concat(
@@ -1776,7 +1776,17 @@ def _docs_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"),
         ).alias("text"),
     )
-    return d.unionByName(pref)
+    # ONE fanout repartition AFTER the union (r15-opt, the
+    # `_docs_with_dups` discipline): the fanned-leg union emitted
+    # 2x defaultParallelism partitions, so the winnow Arrow pass and
+    # every downstream span stage ran 64 tasks over single-file-scale
+    # data — profiled 64-task stages at 0.3-2.3 s CPU paying ~2x the
+    # Python-worker handshake tax.  (Local-harness-only shuffle, same
+    # caveat as `_docs`: at real scale the input has thousands of
+    # splits — SCALE.md §9.)
+    return d.unionByName(pref).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
 
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4403,7 +4413,15 @@ def q_cross_source_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit("mirror").alias("source"),
     )
-    return cross_source_neardup(docs.unionByName(mirror))
+    # post-union fanout (r15-opt): with the unfanned single-file scan
+    # the minhash gram hashing ran its whole CPU on the scan's 2 tasks
+    # (profiled: 1.45 s CPU on 2 tasks); one repartition restores
+    # full-core parallelism.  Local-harness-only shuffle (SCALE.md §9).
+    return cross_source_neardup(
+        docs.unionByName(mirror).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
 
 
 def q_scrub_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
