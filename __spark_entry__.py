@@ -1029,6 +1029,24 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _docs_ids_fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id-only projection of the documents scan, fanned to
+    full-core parallelism — the input for compute-heavy synthetic
+    payload chains (r15-opt).  The media attachers synthesize payloads
+    IN-TASK from doc_id alone, so with the unfanned single-file scan
+    the whole codec chain (payload build + decode + hash) serialized
+    onto 1-2 tasks (profiled: phash_dedup 2.06 s runTime on ONE task
+    at 0.14 s JVM cpu — all Python wait).  Shuffling the 8-byte ids is
+    ~50 KB at sf0.1 and stays O(ids) at any scale; cheap parses keep
+    the unfanned `_docs(fanout=False)` input (r02: media_meta
+    0.39→2.1 s with a fanned full-row input)."""
+    return (
+        _docs(spark, sf_dir, fanout=False)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ planted exact copies (doc_id<50 → +100000) ∪ planted
     near-variants with the last word dropped (50≤doc_id<100 → +200000).
@@ -2290,7 +2308,7 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_fingerprint,
     )
 
-    media = attach_wav_payload(_docs(spark, sf_dir, fanout=False))
+    media = attach_wav_payload(_docs_ids_fanned(spark, sf_dir))
     return audio_fingerprint(media, window=256, n_bands=16, codes=True)
 
 
@@ -2589,7 +2607,7 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    media = attach_avi_payload(_docs(spark, sf_dir, fanout=False)).select(
+    media = attach_avi_payload(_docs_ids_fanned(spark, sf_dir)).select(
         "doc_id", F.col("video").alias("payload")
     )
     return sample_frames(media, every_ms=100).select(
@@ -6058,7 +6076,7 @@ def q_image_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_image,
     )
 
-    media = attach_bmp_payload(_docs(spark, sf_dir, fanout=False))
+    media = attach_bmp_payload(_docs_ids_fanned(spark, sf_dir))
     return decode_image(media)
 
 
@@ -6071,7 +6089,7 @@ def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_tile_stats,
     )
 
-    media = attach_bmp_payload(_docs(spark, sf_dir, fanout=False))
+    media = attach_bmp_payload(_docs_ids_fanned(spark, sf_dir))
     return image_tile_stats(media, tile=4)
 
 
@@ -6146,7 +6164,7 @@ def q_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return video_motion(
-        attach_avi_payload(_docs(spark, sf_dir, fanout=False))
+        attach_avi_payload(_docs_ids_fanned(spark, sf_dir))
     )
 
 
@@ -6165,7 +6183,7 @@ def q_av_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_frames,
     )
 
-    docs = _docs(spark, sf_dir, fanout=False)
+    docs = _docs_ids_fanned(spark, sf_dir)
     wins = audio_windows(attach_wav_payload(docs), window=160).select(
         "doc_id",
         "win_id",
@@ -6264,7 +6282,7 @@ def q_frame_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_dhash,
     )
 
-    return frame_dhash(attach_avi_payload(_docs(spark, sf_dir, fanout=False)))
+    return frame_dhash(attach_avi_payload(_docs_ids_fanned(spark, sf_dir)))
 
 
 def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6282,7 +6300,7 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return phash_dup_groups(
-        frame_dhash(attach_avi_payload(_docs(spark, sf_dir, fanout=False)))
+        frame_dhash(attach_avi_payload(_docs_ids_fanned(spark, sf_dir)))
     )
 
 
