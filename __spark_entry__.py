@@ -2625,8 +2625,14 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Signed-random-projection LSH buckets (8 bits × 2 tables)."""
-    return srp_buckets(_emb(spark, sf_dir), n_bits=8, n_tables=2)
+    """Signed-random-projection LSH buckets (8 bits × 2 tables).
+
+    The scan is fanned (r15-opt, `_fanout_scan`): the single-file
+    embeddings scan ran the whole posexplode × plane chain on ONE task
+    (profiled 1.11 s CPU / 1 task); a no-op at real split counts."""
+    from metrics_advisor_spark.functions.similarity import _fanout_scan
+
+    return srp_buckets(_fanout_scan(_emb(spark, sf_dir)), n_bits=8, n_tables=2)
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3838,7 +3844,11 @@ def q_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     same buckets bit-for-bit."""
     from metrics_advisor_spark.functions.similarity import lsh_knn_graph
 
-    emb = _emb(spark, sf_dir)
+    # fanned scan (r15-opt): the SRP bucket pass dominated on ONE task
+    # (profiled 0.90 s CPU / 1 task); no-op at real split counts
+    from metrics_advisor_spark.functions.similarity import _fanout_scan
+
+    emb = _fanout_scan(_emb(spark, sf_dir))
     return lsh_knn_graph(
         emb, F.col("vec_id") % 20 == 0, k=3, n_bits=6, n_tables=2
     )

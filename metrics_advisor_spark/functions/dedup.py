@@ -258,29 +258,52 @@ def minhash_signatures(
 
     Output: (doc_id, perm_id, minhash) — k rows per doc.
 
-    Scale plan: all k permutation minima are computed as k aggregate
-    expressions in ONE groupBy(doc_id) — partial (map-side) aggregation
-    means the shuffle carries one k-wide row per (partition, doc), not
-    the shingle×k row explosion a cross-join formulation would (k× less
-    shuffle volume).  The wide row is then unpivoted with ``stack``,
-    which is a narrow (no-shuffle) transform.  Min is duplicate-
-    insensitive, so the shingle dedup shuffle is skipped too — one
-    shuffle end-to-end.
+    Scale plan (r15-opt): all k permutation minima fold INSIDE the row
+    that carries the text — zero shuffles.  The shingle explode +
+    k-aggregate groupBy the previous form used is redundant for a
+    duplicate-insensitive min: per doc, the gram-hash array is
+    materialized once and each permutation's min is one `aggregate`
+    over it (the `simhash` HOF-fold finding, §12 of the r15 log).
+    Bit-for-bit identical: integer permutation arithmetic stays below
+    2^62 (see MERSENNE_P), min is order- and duplicate-insensitive,
+    and docs whose text is NULL are filtered to match the explode
+    semantics (a non-null text always yields ≥1 gram, so no other doc
+    can disappear).
     """
-    sh = shingle(df, text_col, n, distinct=False)
-    hmod = F.col("shingle_hash") % MERSENNE_P
-    aggs = [
-        F.min(
-            (F.lit(_perm_a(i)) * hmod + F.lit(_perm_b(i))) % MERSENNE_P
-        ).alias(f"mh_{i}")
-        for i in range(k)
-    ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
-    stack_args = ", ".join(f"{i}, mh_{i}" for i in range(k))
-    return wide.select(
-        "doc_id",
-        F.expr(f"stack({k}, {stack_args}) AS (perm_id, minhash)"),
-    ).select("doc_id", F.col("perm_id").cast("int").alias("perm_id"), "minhash")
+    wdf = df.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("_w")
+    ).filter(F.col("_w").isNotNull())
+    words = F.col("_w")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: _hash56(F.array_join(F.slice(words, i + 1, n), " "))
+        % MERSENNE_P,
+    )
+    big = 9223372036854775807
+    sigs = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        # a_i/b_i inlined as expressions of the permutation index (the
+        # _perm_a/_perm_b closed forms); a_i·h < 2^62, no overflow
+        lambda i: F.aggregate(
+            F.col("_h"),
+            F.lit(big).cast("long"),
+            lambda m, h: F.least(
+                m,
+                (
+                    ((i.cast("long") * 2654435761 + 1) % MERSENNE_P) * h
+                    + ((i.cast("long") * 40503 + 7) % MERSENNE_P)
+                ) % MERSENNE_P,
+            ),
+        ),
+    )
+    return (
+        wdf.select("doc_id", grams.alias("_h"))
+        .select("doc_id", F.posexplode(sigs).alias("perm_id", "minhash"))
+        .select(
+            "doc_id", F.col("perm_id").cast("int").alias("perm_id"),
+            "minhash",
+        )
+    )
 
 
 def minhash_bands(
