@@ -298,3 +298,80 @@ def test_duplicate_spans_granularity_floor(spark):
     )
     got = duplicate_spans(df, min_len=64, stride=16).collect()
     assert {r["doc_id"] for r in got} == {1, 2}
+
+
+def test_simhash_hof_fold_edge_semantics(spark):
+    # r15-opt: the sketch folds inside the row (no explode/groupBy).
+    # Pin the edge semantics the explode form implied: docs with no
+    # tokens (empty text / NULL text) emit NO sketch row, and the
+    # occurrence-vote fold equals the weight-grouped definition.
+    from metrics_advisor_spark.functions.dedup import simhash
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha"),
+            (2, ""),            # zero tokens -> no row
+            (3, None),          # NULL text  -> no row
+            (4, "alpha beta alpha"),  # identical text -> identical sketch
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert set(rows) == {1, 4}
+    assert rows[1] == rows[4]
+    # reference: per-bit vote = sum over occurrences of +/-1 (equal to
+    # the per-distinct-hash +/-weight definition by linearity)
+    import hashlib
+
+    def h56(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:14], 16)
+
+    toks = ["alpha", "beta", "alpha"]
+    expect = 0
+    for b in range(56):
+        vote = sum(1 if (h56(t) >> b) & 1 else -1 for t in toks)
+        if vote > 0:
+            expect |= 1 << b
+    assert rows[1] == expect
+
+
+def test_minhash_signatures_hof_fold_edge_semantics(spark):
+    # r15-opt: all k permutation minima fold in-row.  Pin the explode
+    # semantics: NULL text emits no rows; empty text still emits k rows
+    # (split("") -> [""] -> one gram); values match the closed-form
+    # reference.
+    from metrics_advisor_spark.functions.dedup import (
+        MERSENNE_P,
+        _perm_a,
+        _perm_b,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = minhash_signatures(df, n=3, k=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["perm_id"]] = r["minhash"]
+    assert set(by_doc) == {1, 3}
+    assert set(by_doc[1]) == {0, 1, 2, 3}
+    import hashlib
+
+    def h56(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+    def ref_sigs(words, n=3, k=4):
+        grams = [
+            " ".join(words[i: i + n])
+            for i in range(max(len(words) - n, 0) + 1)
+        ]
+        hs = [h56(g) % MERSENNE_P for g in grams]
+        return {
+            i: min((_perm_a(i) * h + _perm_b(i)) % MERSENNE_P for h in hs)
+            for i in range(k)
+        }
+
+    assert by_doc[1] == ref_sigs(["a", "b", "c", "d"])
+    assert by_doc[3] == ref_sigs([""])
