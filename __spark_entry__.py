@@ -99,48 +99,42 @@ GLOBAL_BUCKET = 10**12
 # per-process cache of the streaming file-source copy (one write per sf_dir)
 _STREAM_SRC_CACHE: dict[str, str] = {}
 
-# Fitted PQ codebooks collected to VALUES LocalRelations, keyed by
-# (session, sf_dir, m, k).  The streaming ANN gate's semantics are a
-# PRE-TRAINED codebook scored against a stream — refitting the same
-# deterministic codebook on every invocation (~2.6 s warm at sf0.1)
-# was pure waste, and a LocalRelation is immune to the bench's
-# between-query clearCache().  Values are bit-identical to the fit:
-# the collect→repr→parse round-trip preserves IEEE-754 doubles
-# (functions/pq.py `_values_codebook`).
-_PQ_CB_CACHE: dict[tuple, DataFrame] = {}
 
+def _fit_codebook(spark, emb: DataFrame, m: int, k: int):
+    """Fit the deterministic PQ codebook and inject it as a 4-column
+    (s, code, centroid, n_assigned) VALUES LocalRelation — fit ONCE
+    PER QUERY INVOCATION, inside the timed region.
 
-def _cached_codebook(spark, emb: DataFrame, sf_dir: str, m: int, k: int):
-    """Fit once per (session, sf_dir, m, k), then serve a 4-column
-    (s, code, centroid, n_assigned) VALUES LocalRelation whose schema
-    and values are bit-identical to the fit (ints verbatim, doubles
-    via repr round-trip, n_assigned with an L suffix to stay bigint)."""
-    from metrics_advisor_spark.functions.pq import (
-        _session_key,
-        pq_codebook,
+    r16: RETIRED the r11 per-(session, sf_dir) memo (`_PQ_CB_CACHE`),
+    which served fitted values across bench invocations and was
+    deliberately immune to the bench's between-query clearCache() —
+    cross-invocation precomputation keyed on the test data directory,
+    the exact shape the gaming rule names (r15 VERDICT watch item #4).
+    Every invocation now pays its own fit from the parquet inputs.
+    The LocalRelation injection itself stays: it is plan hygiene, not
+    caching — a tiny literal relation that broadcasts trivially and
+    lets the SAME invocation's several codebook consumers share one
+    fit instead of re-running the corpus fit per consumer subtree.
+    Values are bit-identical to the fit (ints verbatim, doubles via
+    repr round-trip, n_assigned with an L suffix to stay bigint)."""
+    from metrics_advisor_spark.functions.pq import pq_codebook
+
+    rows = pq_codebook(emb, m=m, k=k).collect()
+    if not rows:
+        raise ValueError("_fit_codebook: empty codebook fit")
+    vals = ",".join(
+        "({},{},array({}),{}L)".format(
+            r["s"],
+            r["code"],
+            ",".join(repr(float(x)) + "D" for x in r["centroid"]),
+            int(r["n_assigned"]),
+        )
+        for r in sorted(rows, key=lambda r: (r["s"], r["code"]))
     )
-
-    key = (_session_key(spark), sf_dir, m, k)
-    cb = _PQ_CB_CACHE.get(key)
-    if cb is None:
-        rows = pq_codebook(emb, m=m, k=k).collect()
-        if not rows:
-            raise ValueError("_cached_codebook: empty codebook fit")
-        vals = ",".join(
-            "({},{},array({}),{}L)".format(
-                r["s"],
-                r["code"],
-                ",".join(repr(float(x)) + "D" for x in r["centroid"]),
-                int(r["n_assigned"]),
-            )
-            for r in sorted(rows, key=lambda r: (r["s"], r["code"]))
-        )
-        cb = spark.sql(
-            f"SELECT s, code, centroid, n_assigned FROM (VALUES {vals})"
-            " AS t(s, code, centroid, n_assigned)"
-        )
-        _PQ_CB_CACHE[key] = cb
-    return cb
+    return spark.sql(
+        f"SELECT s, code, centroid, n_assigned FROM (VALUES {vals})"
+        " AS t(s, code, centroid, n_assigned)"
+    )
 
 
 def _signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2641,12 +2635,14 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_lists so the oracle genuinely checks the IVF pruning, not a
     degenerate full scan.  Hash-oracled since r08 (r07 verdict item 4:
     the MLlib-KMeans quantizer was engine-specific → rows-only).
-    The quantizer is served from the per-session pre-trained index
-    cache (r11) — same (m=1, k=8) codebook `ivfpq_search` probes."""
+    The quantizer is fit inside this invocation and injected as a
+    LocalRelation (r16: the cross-invocation index cache is retired,
+    see `_fit_codebook`) — same (m=1, k=8) codebook `ivfpq_search`
+    probes."""
     from metrics_advisor_spark.functions.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
-    coarse = _cached_codebook(spark, emb, sf_dir, m=1, k=8).select(
+    coarse = _fit_codebook(spark, emb, m=1, k=8).select(
         "s", "code", "centroid"
     )
     return ivf_topk(
@@ -5842,72 +5838,62 @@ def q_dup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_cluster_purity(d.unionByName(mirror))
 
 
-def _cached_ivfpq_fine(
-    spark, emb: DataFrame, sf_dir: str,
-    k_coarse: int, m: int, k_codes: int,
+def _fit_ivfpq_fine(
+    spark, emb: DataFrame, coarse: DataFrame, amap: DataFrame,
+    m: int, k_codes: int,
 ):
-    """Pre-trained IVF-PQ FINE (residual) codebook as a LocalRelation,
-    fit once per (session, sf_dir, params).  Mirrors the residual
+    """IVF-PQ FINE (residual) codebook as a LocalRelation, fit ONCE
+    PER QUERY INVOCATION (r16: the per-(session, sf_dir) memo retired
+    with `_PQ_CB_CACHE` — see `_fit_codebook`).  Takes the caller's
+    coarse codebook and (persisted) assignment map so the corpus
+    coarse-encode pass is shared, not re-run.  Mirrors the residual
     construction inside `pq._ivfpq_parts` exactly (double-cast vectors
     − probed-cell centroid, then the deterministic seeded-Lloyd
     `pq_codebook` on the residuals), so injected values are
     bit-identical to the per-call fit it replaces."""
     from metrics_advisor_spark.functions.pq import (
-        _session_key,
         _values_codebook,
         pq_codebook,
-        pq_encode,
     )
 
-    key = (_session_key(spark), sf_dir, "ivfpq_fine", k_coarse, m, k_codes)
-    fine = _PQ_CB_CACHE.get(key)
-    if fine is None:
-        coarse = _cached_codebook(
-            spark, emb, sf_dir, m=1, k=k_coarse
-        ).select("s", "code", "centroid")
-        amap = pq_encode(emb, coarse, m=1).select(
-            "vec_id", F.col("code").alias("cell")
+    cells = coarse.select(
+        F.col("code").alias("cell"), F.col("centroid").alias("ccent")
+    )
+    resid = (
+        emb.select(
+            F.col("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double")
+            ).alias("v"),
         )
-        cells = coarse.select(
-            F.col("code").alias("cell"), F.col("centroid").alias("ccent")
+        .join(amap, "vec_id")
+        .join(F.broadcast(cells), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                "v", "ccent", lambda a, b: a - b
+            ).alias("residual"),
         )
-        resid = (
-            emb.select(
-                F.col("vec_id"),
-                F.transform(
-                    F.col("embedding"), lambda x: x.cast("double")
-                ).alias("v"),
-            )
-            .join(amap, "vec_id")
-            .join(F.broadcast(cells), "cell")
-            .select(
-                "vec_id",
-                "cell",
-                F.zip_with(
-                    "v", "ccent", lambda a, b: a - b
-                ).alias("residual"),
-            )
-        )
-        rows = pq_codebook(
-            resid, m=m, k=k_codes, id_col="vec_id", vec_col="residual"
-        ).collect()
-        fine = _values_codebook(
-            spark, [(r["s"], r["code"], r["centroid"]) for r in rows]
-        )
-        _PQ_CB_CACHE[key] = fine
-    return fine
+    )
+    rows = pq_codebook(
+        resid, m=m, k=k_codes, id_col="vec_id", vec_col="residual"
+    ).collect()
+    return _values_codebook(
+        spark, [(r["s"], r["code"], r["centroid"]) for r in rows]
+    )
 
 
 def _pq_parts(spark: SparkSession, sf_dir: str):
     """Shared PQ pipeline for the PQ contract queries: deterministic
     codebook (m=4, k=16) on the embeddings table, long-form codes.
-    The fit is served from the per-(session, sf_dir) LocalRelation
-    cache — a PQ index's quantizer is trained once, not per search
-    (r11; ~2.6 s saved per invocation, values bit-identical)."""
+    The fit runs inside this invocation and is injected as a
+    LocalRelation (r16: the per-(session, sf_dir) cache is retired,
+    see `_fit_codebook`; values bit-identical to the fit)."""
     from metrics_advisor_spark.functions.pq import pq_encode
 
     emb = _emb(spark, sf_dir)
-    cb = _cached_codebook(spark, emb, sf_dir, m=4, k=16)
+    cb = _fit_codebook(spark, emb, m=4, k=16)
     codes = pq_encode(emb, cb, m=4)
     return emb, cb, codes
 
@@ -5951,43 +5937,36 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ADC top-10 (queries = vec_id < 5): deterministic coarse
     quantizer (8 cells) + residual PQ (m=4, k=16), probing the 2
     nearest cells per query — the standard corpus-scale ANN layout,
-    fully oracle-composed.  Both quantizers are served from the
-    per-session pre-trained index cache (r11): an IVF-PQ index is fit
-    once and searched many times, so the per-call work is encode +
-    probe + ADC only — values bit-identical to the per-call fit."""
+    fully oracle-composed.  Both quantizers are fit inside this
+    invocation (r16: the cross-invocation index cache is retired —
+    see `_fit_codebook`); the fits are injected as LocalRelations so
+    the search consumes them as the pre-trained values they are,
+    without re-running the fit per consumer subtree."""
+    from metrics_advisor_spark.functions.cacheutil import attach_cached
     from metrics_advisor_spark.functions.pq import (
-        _session_key,
         ivfpq_search,
         pq_encode,
     )
 
     emb = _emb(spark, sf_dir)
-    coarse = _cached_codebook(spark, emb, sf_dir, m=1, k=8).select(
+    coarse = _fit_codebook(spark, emb, m=1, k=8).select(
         "s", "code", "centroid"
     )
-    # persisted: _ivfpq_parts consumes the injected amap in TWO
-    # subtrees (the residual build and the codes join) — unpersisted,
-    # the coarse-encode corpus pass would run twice per action.
-    # ADVICE r11: cached per (session, sf_dir) like the codebooks —
-    # a fresh persist per invocation was excluded from attach_cached
-    # by the injection contract, so repeated calls in a long-lived
-    # session accumulated unreclaimable persisted blocks; one cached
-    # frame pays the persist once and clearCache still reclaims it
-    # (the next call re-persists the SAME frame, not a new one).
-    akey = (_session_key(spark), sf_dir, "ivfpq_amap", 8)
-    amap = _PQ_CB_CACHE.get(akey)
-    if amap is None:
-        amap = pq_encode(emb, coarse, m=1).select(
-            "vec_id", F.col("code").alias("cell")
-        )
-        _PQ_CB_CACHE[akey] = amap
-    amap = amap.persist()
-    fine = _cached_ivfpq_fine(spark, emb, sf_dir, 8, 4, 16)
-    return ivfpq_search(
+    # persisted: the fine fit's residual build plus _ivfpq_parts' TWO
+    # injected-amap subtrees (residual build and codes join) all read
+    # it — unpersisted, the coarse-encode corpus pass would re-run per
+    # consumer.  Attached to the result for release (the r06 idiom);
+    # the bench's between-query clearCache() also reclaims it.
+    amap = pq_encode(emb, coarse, m=1).select(
+        "vec_id", F.col("code").alias("cell")
+    ).persist()
+    fine = _fit_ivfpq_fine(spark, emb, coarse, amap, m=4, k_codes=16)
+    out = ivfpq_search(
         emb.filter(F.col("vec_id") < 5), emb,
         k_coarse=8, m=4, k_codes=16, nprobe=2, k=10,
         coarse=coarse, amap=amap, fine=fine,
     )
+    return attach_cached(out, amap)
 
 
 def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6575,7 +6554,7 @@ def q_streaming_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    cb = _cached_codebook(spark, emb, sf_dir, m=4, k=16)
+    cb = _fit_codebook(spark, emb, m=4, k=16)
     key = f"{sf_dir}#emb"
     src = _STREAM_SRC_CACHE.get(key)
     if src is None:

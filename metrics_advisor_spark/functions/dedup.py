@@ -264,11 +264,18 @@ def minhash_signatures(
     duplicate-insensitive min: per doc, the gram-hash array is
     materialized once and each permutation's min is one `aggregate`
     over it (the `simhash` HOF-fold finding, §12 of the r15 log).
-    Bit-for-bit identical: integer permutation arithmetic stays below
-    2^62 (see MERSENNE_P), min is order- and duplicate-insensitive,
-    and docs whose text is NULL are filtered to match the explode
-    semantics (a non-null text always yields ≥1 gram, so no other doc
-    can disappear).
+    Bit-for-bit identical for every doc with non-NULL text: integer
+    permutation arithmetic stays below 2^62 (see MERSENNE_P), min is
+    order- and duplicate-insensitive, and a non-null text always
+    yields ≥1 gram (the sequence lower bound is 0), so no such doc
+    can disappear.  NULL-text docs are intentionally EXCLUDED — an
+    intentional change from the old explode form, which emitted k
+    NULL-minhash rows per NULL-text doc, and (because
+    `minhash_bands`' array_join skips NULLs) made every NULL-text doc
+    share band_hash md5('') and pair with every other one — spurious
+    LSH candidates carrying no signal.  The new semantics are pinned
+    in tests (ADVICE r15: this is a semantics fix, not explode
+    parity).
     """
     wdf = df.select(
         "doc_id", F.split(F.col(text_col), " ").alias("_w")
@@ -526,9 +533,14 @@ def propagate_labels(
     # jobs strictly fewer with the multi-hop rounds below).  P follows
     # the session's shuffle-partition knob so the label-side exchange
     # lands on the identical partitioning.
-    n_parts = int(
-        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    try:
+        n_parts = int(
+            pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        # AQE-advisory platforms may set a non-numeric value ("auto");
+        # fall back to the scheduler's parallelism (r15 VERDICT nit)
+        n_parts = pairs.sparkSession.sparkContext.defaultParallelism
     edges = (
         edges.repartition(n_parts, "v")
         .dropDuplicates(["u", "v"])
@@ -691,6 +703,15 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     from metrics_advisor_spark.functions.text import TOKEN_RE
 
+    # TOKEN_RE is interpolated into a single-quoted SQL literal below;
+    # the filter uses F.lit(TOKEN_RE).  A quote or backslash in a future
+    # pattern would be mangled by SQL literal escaping and silently
+    # diverge from the lit() path — refuse rather than diverge
+    # (ADVICE r15).
+    assert "'" not in TOKEN_RE and "\\" not in TOKEN_RE, (
+        "simhash: TOKEN_RE must stay SQL-literal-safe (no quotes or "
+        "backslashes) — or build the fold from Column APIs"
+    )
     # one SQL expression per row: token-hash array -> 56 vote sums ->
     # fingerprint.  (s, i) index lambdas keep the tree size constant;
     # shiftleft/shiftright with a column bit count need the SQL form.
@@ -710,10 +731,16 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
       (a, x) -> a + x
     )
     """
-    return df.filter(
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0))
-        > 0
-    ).select("doc_id", F.expr(fold).alias("simhash"))
+    # rlike, not size(regexp_extract_all(...)) > 0: both mean "at least
+    # one token match" (incl. NULL text → filtered), but rlike stops at
+    # the FIRST match while extract_all materializes every token — the
+    # old form tokenized each row twice (once in the filter, once in
+    # the fold; ADVICE r15).  A projected token-array column would not
+    # help: PushDownPredicate substitutes the alias and re-clones the
+    # extract_all below the projection anyway.
+    return df.filter(F.col(text_col).rlike(TOKEN_RE)).select(
+        "doc_id", F.expr(fold).alias("simhash")
+    )
 
 
 def hamming_pairs(sketches: DataFrame, max_distance: int = 8) -> DataFrame:
@@ -926,10 +953,14 @@ def minhash_jaccard_estimate(
     ``restrict_exact`` (r15-opt): the exact arm only SURVIVES the final
     left join for pairs already in the LSH candidate set, so running
     the full-corpus shared-shingle self-join is pure waste — instead
-    the (small by construction) candidate pair table is persisted and
-    the exact Jaccard is computed IN-ROW per candidate pair:
-    broadcast-join each pair to the two per-doc distinct shingle-hash
-    sets and take ``size(array_intersect(...))``.  n_inter over
+    the candidate pair table is persisted and the exact Jaccard is
+    computed IN-ROW per candidate pair: join each pair to the two
+    per-doc distinct shingle-hash sets and take
+    ``size(array_intersect(...))``.  The pair side is broadcast only
+    when a count proves it small (≤2M pairs); the candidate count is
+    O(duplicates) — unbounded under boilerplate skew — so above the
+    cap AQE picks the join strategy from the materialized size
+    instead of a hint forcing an OOM-prone broadcast (r15 VERDICT).  n_inter over
     distinct sets and the identical round/divide expression make the
     values bit-for-bit equal to the shared-shingle join's; candidate
     pairs sharing no shingle produce 0.0 directly where the old arm
@@ -985,8 +1016,21 @@ def minhash_jaccard_estimate(
         hashed = wdf.select(
             "doc_id", F.array_distinct(grams).alias("hashes")
         )
+        # Scale guard (r15 VERDICT #1): a hard broadcast hint overrides
+        # Spark's size checks, and the LSH candidate set is
+        # O(duplicates) — unbounded on a near-dup-heavy corpus — so an
+        # unconditional hint OOMs the driver at 100 TB instead of
+        # degrading to a shuffle join.  The pair list is already
+        # persisted; count() it (materializing the persist the est arm
+        # reuses anyway) and hint only when it provably fits: 2M pairs
+        # ≈ 32 MB of (long, long) rows — comfortably inside executor
+        # broadcast budgets.  Above the cap, no hint: AQE picks the
+        # strategy from the real materialized size.
+        pair_keys = cand.select("doc_a", "doc_b")
+        if cand.count() <= 2_000_000:
+            pair_keys = F.broadcast(pair_keys)
         paired = (
-            F.broadcast(cand.select("doc_a", "doc_b"))
+            pair_keys
             .join(
                 hashed.select(
                     F.col("doc_id").alias("doc_a"),

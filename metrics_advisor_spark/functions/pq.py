@@ -148,92 +148,108 @@ def _codebook_from_tagged(
     )
 
     def _lloyd_step(centroids: DataFrame) -> DataFrame:
-        # assign every subvector to its nearest centroid (floor-form-
-        # snapped distance, code tiebreak → engine-order-invariant
-        # argmin), then recompute per-dim means in vec_id-sorted order
-        assigned = (
-            sub.join(F.broadcast(centroids), ["tag", "s"])
-            .select(
-                "tag",
-                "vec_id",
-                "s",
-                "sub",
-                "code",
-                _floor6(
-                    _sq_dist(F.col("sub"), F.col("centroid"))
-                ).alias("d"),
-            )
-            .groupBy("tag", "vec_id", "s")
-            .agg(F.min(F.struct("d", "code", "sub")).alias("best"))
-            .select(
-                "tag", "vec_id", "s",
-                F.col("best.code").alias("code"),
-                F.col("best.sub").alias("sub"),
+        # r16 layout (bit-identical values, see OPTIMIZATION_r16.md):
+        # each (tag, s)'s codebook is collapsed into ONE code-sorted
+        # array and broadcast, so the argmin folds IN-ROW — array_min
+        # over (d, code) structs keeps the exact floor-form snap and
+        # lower-code tiebreak of the old min(struct(d, code, sub))
+        # aggregate (the sub field never decided a tie: codes are
+        # unique per (tag, s)) while removing the k× row blow-up and
+        # its per-(vec, s) groupBy shuffle.
+        cbs = centroids.groupBy("tag", "s").agg(
+            F.sort_array(
+                F.collect_list(F.struct("code", "centroid"))
+            ).alias("cbs")
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("cbs"),
+                lambda c: F.struct(
+                    _floor6(
+                        _sq_dist(F.col("sub"), c["centroid"])
+                    ).alias("d"),
+                    c["code"].alias("code"),
+                ),
             )
         )
-        dims = assigned.select(
-            "tag", "vec_id", "s", "code",
-            F.posexplode("sub").alias("dim", "x"),
-        ).withColumn("bkt", F.pmod(F.col("vec_id"), F.lit(n_buckets)))
+        assigned = (
+            sub.join(F.broadcast(cbs), ["tag", "s"])
+            .select(
+                "tag", "vec_id", "s", "sub",
+                best["code"].alias("code"),
+            )
+            .withColumn("bkt", F.pmod(F.col("vec_id"), F.lit(n_buckets)))
+        )
         # bounded two-level fold (the dim_covariance pattern,
-        # similarity.py:633): level 1 is keyed by vec_id mod n_buckets
-        # so per-task arrays are ~cell/n_buckets long, never the whole
-        # cell; level 2 folds the ≤n_buckets partials in bucket order
+        # similarity.py:633), r16: folded per-dim over the UNEXPLODED
+        # subvectors — the d× posexplode and its extra groupBy level
+        # are gone, but every per-dim sum still adds the same values
+        # in the same order: level 1 sums dim j over the
+        # vec_id-sorted member structs of each (…, vec_id mod
+        # n_buckets) bucket (= the old per-(dim, bkt) vec_id-sorted
+        # fold), level 2 folds the ≤n_buckets partials in bucket
+        # order.  Per-task arrays stay ~cell/n_buckets long.
         lvl1 = (
-            dims.groupBy("tag", "s", "code", "dim", "bkt")
+            assigned.groupBy("tag", "s", "code", "bkt")
             .agg(
                 F.sort_array(
-                    F.collect_list(F.struct("vec_id", "x"))
+                    F.collect_list(F.struct("vec_id", "sub"))
                 ).alias("xs")
             )
             .select(
                 "tag",
                 "s",
                 "code",
-                "dim",
                 "bkt",
                 F.size("xs").cast("double").alias("n_b"),
-                F.aggregate(
-                    "xs", F.lit(0.0), lambda acc, v: acc + v.x
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.size(F.element_at("xs", 1)["sub"]) - 1,
+                    ),
+                    lambda j: F.aggregate(
+                        "xs",
+                        F.lit(0.0),
+                        lambda acc, v: acc
+                        + F.element_at(v["sub"], j + 1),
+                    ),
                 ).alias("sx_b"),
             )
         )
-        cell = (
-            lvl1.groupBy("tag", "s", "code", "dim")
+        # level 2: per (tag, s, code), fold the bucket partials in
+        # bucket order — n is the same bkt-ordered n_b fold the old
+        # per-dim 'n' computed (identical for every dim), and each
+        # centroid component is the bkt-ordered sx_b fold divided by
+        # it, built in dim order exactly like the old (dim, c) sort.
+        ps_n = F.aggregate(
+            "ps", F.lit(0.0), lambda acc, v: acc + v["n_b"]
+        )
+        return (
+            lvl1.groupBy("tag", "s", "code")
             .agg(
                 F.sort_array(
                     F.collect_list(F.struct("bkt", "n_b", "sx_b"))
                 ).alias("ps")
             )
+            .withColumn("n", ps_n)
             .select(
                 "tag",
                 "s",
                 "code",
-                "dim",
-                F.aggregate(
-                    "ps", F.lit(0.0), lambda acc, v: acc + v.n_b
-                ).alias("n"),
-                F.aggregate(
-                    "ps", F.lit(0.0), lambda acc, v: acc + v.sx_b
-                ).alias("sx"),
-            )
-        )
-        return (
-            cell.groupBy("tag", "s", "code")
-            .agg(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct("dim", (F.col("sx") / F.col("n")).alias("c"))
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.size(F.element_at("ps", 1)["sx_b"]) - 1,
+                    ),
+                    lambda j: F.aggregate(
+                        "ps",
+                        F.lit(0.0),
+                        lambda acc, v: acc
+                        + F.element_at(v["sx_b"], j + 1),
                     )
-                ).alias("cs"),
-                F.max("n").cast("long").alias("n_assigned"),
-            )
-            .select(
-                "tag",
-                "s",
-                "code",
-                F.transform("cs", lambda v: v.c).alias("centroid"),
-                "n_assigned",
+                    / F.col("n"),
+                ).alias("centroid"),
+                F.col("n").cast("long").alias("n_assigned"),
             )
         )
 

@@ -1,12 +1,14 @@
-"""Round-11 operational invariants that need a Spark session (the
+"""Round-11/16 operational invariants that need a Spark session (the
 pure-python properties live in test_round11_props.py).
 
-The pre-trained index cache (`__spark_entry__._cached_codebook` /
-`_cached_ivfpq_fine`) replaces per-call codebook fits with collected
-VALUES LocalRelations; these tests pin that the served relations are
-VALUE- and SCHEMA-identical to the direct fits — the attestation the
-driver gate can't provide until the rotation window reaches the
-touched queries (code-review finding r11)."""
+The PQ index injection (`__spark_entry__._fit_codebook` /
+`_fit_ivfpq_fine`) replaces per-consumer codebook fits with collected
+VALUES LocalRelations, fit once per query invocation (r16: the r11
+cross-invocation cache was retired — every invocation now pays its own
+fit); these tests pin that the injected relations are VALUE- and
+SCHEMA-identical to the direct fits — the attestation the driver gate
+can't provide until the rotation window reaches the touched queries
+(code-review finding r11)."""
 
 from __future__ import annotations
 
@@ -17,32 +19,37 @@ from pyspark.sql import functions as F
 SF = "/root/testdata/sf0.001"
 
 
-def test_cached_codebook_matches_direct_fit(spark):
+def test_injected_codebook_matches_direct_fit(spark):
     import __spark_entry__ as em
     from metrics_advisor_spark.functions.pq import pq_codebook
 
     emb = em._emb(spark, SF)
     direct = pq_codebook(emb, m=4, k=16)
-    cached = em._cached_codebook(spark, emb, SF, m=4, k=16)
+    injected = em._fit_codebook(spark, emb, m=4, k=16)
     # names + dtypes must match exactly; nullability legitimately
     # differs (a VALUES LocalRelation is non-nullable where the fit's
     # aggregate outputs are nullable) and does not participate in the
     # driver's hash compare (driver_sim: exact on every consumer)
-    assert cached.dtypes == direct.dtypes
+    assert injected.dtypes == direct.dtypes
     key = ["s", "code"]
     d = {tuple(r[k] for k in key): (r["centroid"], r["n_assigned"])
          for r in direct.collect()}
     c = {tuple(r[k] for k in key): (r["centroid"], r["n_assigned"])
-         for r in cached.collect()}
+         for r in injected.collect()}
     assert set(d) == set(c)
     for k in d:
         assert d[k][1] == c[k][1], k
         assert d[k][0] == c[k][0], k  # bit-exact doubles (repr roundtrip)
-    # second call serves the SAME object from the session cache
-    assert em._cached_codebook(spark, emb, SF, m=4, k=16) is cached
+    # r16: NO cross-invocation memo — a second call is a fresh fit
+    # (fresh DataFrame object), with identical values
+    again = em._fit_codebook(spark, emb, m=4, k=16)
+    assert again is not injected
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, injected.collect())
+    )
 
 
-def test_cached_ivfpq_fine_matches_internal_fit(spark):
+def test_injected_ivfpq_fine_matches_internal_fit(spark):
     """The injected fine codebook must be bit-identical to what
     `_ivfpq_parts` would fit internally given the same coarse/amap —
     verified end-to-end: injected vs per-call ivfpq_search results are
@@ -55,13 +62,13 @@ def test_cached_ivfpq_fine_matches_internal_fit(spark):
     plain = ivfpq_search(
         q, emb, k_coarse=8, m=4, k_codes=16, nprobe=2, k=10
     )
-    coarse = em._cached_codebook(spark, emb, SF, m=1, k=8).select(
+    coarse = em._fit_codebook(spark, emb, m=1, k=8).select(
         "s", "code", "centroid"
     )
     amap = pq_encode(emb, coarse, m=1).select(
         "vec_id", F.col("code").alias("cell")
     ).persist()
-    fine = em._cached_ivfpq_fine(spark, emb, SF, 8, 4, 16)
+    fine = em._fit_ivfpq_fine(spark, emb, coarse, amap, m=4, k_codes=16)
     injected = ivfpq_search(
         q, emb, k_coarse=8, m=4, k_codes=16, nprobe=2, k=10,
         coarse=coarse, amap=amap, fine=fine,
@@ -85,13 +92,13 @@ def test_ivfpq_injected_fine_not_attached_or_persisted(spark):
 
     emb = em._emb(spark, SF)
     q = emb.filter(F.col("vec_id") < 3)
-    coarse = em._cached_codebook(spark, emb, SF, m=1, k=8).select(
+    coarse = em._fit_codebook(spark, emb, m=1, k=8).select(
         "s", "code", "centroid"
     )
     amap = pq_encode(emb, coarse, m=1).select(
         "vec_id", F.col("code").alias("cell")
     )
-    fine = em._cached_ivfpq_fine(spark, emb, SF, 8, 4, 16)
+    fine = em._fit_ivfpq_fine(spark, emb, coarse, amap, m=4, k_codes=16)
     out = ivfpq_search(
         q, emb, k_coarse=8, m=4, k_codes=16, nprobe=2, k=5,
         coarse=coarse, amap=amap, fine=fine, eager=True,
@@ -108,7 +115,7 @@ def test_ivf_topk_rejects_coarse_with_kmeans(spark):
     from metrics_advisor_spark.functions.similarity import ivf_topk
 
     emb = em._emb(spark, SF)
-    coarse = em._cached_codebook(spark, emb, SF, m=1, k=8).select(
+    coarse = em._fit_codebook(spark, emb, m=1, k=8).select(
         "s", "code", "centroid"
     )
     with pytest.raises(ValueError, match="seeded"):

@@ -177,13 +177,13 @@ def test_index_save_load_roundtrip(spark, tmp_path):
 
     sf_dir = "/root/testdata/sf0.001"
     emb = em._emb(spark, sf_dir)
-    coarse = em._cached_codebook(spark, emb, sf_dir, m=1, k=8).select(
+    coarse = em._fit_codebook(spark, emb, m=1, k=8).select(
         "s", "code", "centroid"
     )
     amap = pq_encode(emb, coarse, m=1).select(
         "vec_id", F.col("code").alias("cell")
     )
-    fine = em._cached_ivfpq_fine(spark, emb, sf_dir, 8, 4, 16)
+    fine = em._fit_ivfpq_fine(spark, emb, coarse, amap, m=4, k_codes=16)
 
     def search(sess, c, a, f_):
         e = em._emb(sess, sf_dir)
@@ -220,7 +220,7 @@ def test_index_load_rejects_corruption(spark, tmp_path):
 
     sf_dir = "/root/testdata/sf0.001"
     emb = em._emb(spark, sf_dir)
-    coarse = em._cached_codebook(spark, emb, sf_dir, m=1, k=8).select(
+    coarse = em._fit_codebook(spark, emb, m=1, k=8).select(
         "s", "code", "centroid"
     )
     path = str(tmp_path / "idx")
