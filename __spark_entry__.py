@@ -2836,8 +2836,16 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus line dedup over a planted multi-line corpus:
     docs <40 wrapped in shared header/footer lines, docs 40-59 as-is,
-    plus one all-boilerplate doc (300000)."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    plus one all-boilerplate doc (300000).
+
+    fanout=False (r16): the fixture keeps only 61 docs (doc_id < 60),
+    but the fanned adapter's 32-partition legs unioned to a 96-ish
+    partition stream that `line_dedup`'s three `lines` consumers each
+    re-scanned — three ~96-task near-empty stages (profiled: 10.4 s
+    runTime at 0.75 s CPU).  The pushed doc_id filter leaves a 1-3
+    split scan, the right parallelism for 61 rows; at real scale a
+    caller passes a real corpus with real splits."""
+    docs = _docs(spark, sf_dir, fanout=False).select("doc_id", "text")
     wrapped = docs.filter(F.col("doc_id") < 40).select(
         "doc_id",
         F.concat(
@@ -13444,7 +13452,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigma_level=2.0,            # sparse hourly grid → 2σ outliers
         cp_only_anomaly_ts=False,   # Q1 'fix' mode: outliers bucket too
     )
-    return analyze(sig, cfg).ranked
+    return analyze(sig, cfg, eager=True).ranked
 
 
 def q_flagship_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13475,7 +13483,7 @@ def q_flagship_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         cp_only_anomaly_ts=False,
         positional_windows=True,    # Q3 parity: the one reference mode
     )
-    return analyze(sig, cfg).ranked.select(
+    return analyze(sig, cfg, eager=True).ranked.select(
         "bucket_id",
         "obj_metric",
         "cand_metric",

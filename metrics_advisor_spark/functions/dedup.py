@@ -2054,6 +2054,14 @@ def hamming_group_pairs(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc"),
     ).persist()
+    # eager cache population before the concurrent broadcast builds of
+    # the two size-attach joins — AQE's broadcast-build threads would
+    # otherwise race the band-stage job over the unpopulated persist
+    # and serialize on cache locks while holding task slots (r16
+    # interleaved A/B: 3.44/3.32 -> 2.47/2.92 s; the same count was a
+    # measured WASH on propagate_labels / hamming members / triangle
+    # e — their races overlap, so only this site keeps it)
+    groups.count()
     reps = groups.select(
         F.col("min_doc").alias("doc_id"), "simhash"
     )

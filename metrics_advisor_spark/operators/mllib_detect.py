@@ -99,6 +99,16 @@ def detect_outliers_kmeans(
         )
     )
     scored = scored.cache()
+    # Eagerly populate the cache BEFORE the final action: `stats` and
+    # `cell_sizes` below are BROADCAST subtrees over `scored`, and the
+    # driver launches broadcast-build jobs concurrently with the probe
+    # job — three jobs racing to compute the same unpopulated cache
+    # serialize on the block-manager's per-partition cache locks while
+    # HOLDING task slots (profiled r16: two 32-task
+    # `withThreadLocalCaptured` stages, 7.5 s + 1.2 s of runTime at
+    # ~0.08 s of CPU, pure lock wait).  One tiny count() materializes
+    # the cache once; the broadcast builds then read populated blocks.
+    scored.count()
     stats = scored.agg(
         F.avg("distance").alias("_mu"),
         F.stddev_pop("distance").alias("_sd"),

@@ -68,7 +68,24 @@ class Analysis:
         return int(self._extent_row()["tmax"])
 
 
-def analyze(signals: DataFrame, cfg: AdvisorConfig = AdvisorConfig()) -> Analysis:
+def analyze(
+    signals: DataFrame,
+    cfg: AdvisorConfig = AdvisorConfig(),
+    *,
+    eager: bool = False,
+) -> Analysis:
+    """``eager=True`` materializes the two internal caches (valid,
+    anomalies) with one count() before returning.  Default stays lazy
+    (the documented no-action contract).  Why the knob exists (r16):
+    the membership/extent subtrees below are BROADCAST inputs of the
+    correlation join, and Spark builds broadcasts on separate driver
+    threads CONCURRENTLY with the probe job — when the shared caches
+    are still unpopulated, those jobs race to compute the same cache
+    partitions and serialize on block-manager locks while holding task
+    slots (profiled: four 32-task broadcast-thread stages of ~4.6 s
+    runTime at ≲0.25 s CPU in one flagship force).  A caller that will
+    force the plan immediately (the contract queries, the bench) wants
+    the caches populated first."""
     valid = valid_signals(signals, cfg.min_rows)
     # Cache: the validated table feeds detection, the extent aggregate and
     # both correlation sides.
@@ -89,6 +106,10 @@ def analyze(signals: DataFrame, cfg: AdvisorConfig = AdvisorConfig()) -> Analysi
         lowpass_mode=cfg.lowpass_mode,
         lowpass_order=cfg.lowpass_order,
     ).cache()
+    if eager:
+        # one pass populates BOTH caches (detect reads valid), so the
+        # correlation action's broadcast builds read populated blocks
+        anomalies.count()
 
     # T3/T4/F4: anomaly → bucket membership.  Parity Q1: only change
     # points produce bucketed anomaly timestamps by default.
